@@ -1,0 +1,16 @@
+package graft
+import org.apache.spark.sql.SparkSession
+object Probe {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.session.timeZone","UTC")
+      .config("spark.ui.enabled","false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val ev = spark.read.parquet("/root/testdata/sf0.001/events.parquet")
+    ev.printSchema()
+    ev.orderBy("event_id").show(3, false)
+    val em = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    em.printSchema()
+    spark.stop()
+  }
+}

@@ -1,0 +1,70 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate (dev tool only, not part of
+the library). Runs each oracle SQL in DuckDB over the sf dir's parquet tables
+and compares with the Spark output parquet written by graft.Verify.
+
+Usage: python3 dev/check.py [sfdir] [outdir] [--run-verify]
+"""
+import json, sys, glob, subprocess
+
+import duckdb
+import pandas as pd
+
+SF = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+OUT = sys.argv[2] if len(sys.argv) > 2 else "/tmp/graft_verify"
+TABLES = ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]
+
+if "--run-verify" in sys.argv:
+    r = subprocess.run(["sbt", f"runMain graft.Verify {SF} {OUT}"],
+                       capture_output=True, text=True, cwd="/root/repo")
+    tail = "\n".join((r.stdout + r.stderr).splitlines()[-30:])
+    if r.returncode != 0:
+        print(tail); sys.exit(1)
+    for line in (r.stdout + r.stderr).splitlines():
+        if "[verify]" in line:
+            print(line)
+
+con = duckdb.connect()
+for t in TABLES:
+    con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{SF}/{t}.parquet'")
+
+oracle = json.load(open(f"{OUT}/oracle_sql.json"))
+fails, passes = [], []
+for name in sorted(oracle):
+    files = sorted(glob.glob(f"{OUT}/{name}/*.parquet"))
+    if not files:
+        fails.append((name, "NO SPARK OUTPUT")); continue
+    try:
+        want = con.sql(oracle[name]).df()
+    except Exception as e:
+        fails.append((name, f"ORACLE SQL ERROR: {e}")); continue
+    got = con.sql(f"SELECT * FROM read_parquet({files})").df()
+    want = want.reindex(sorted(want.columns), axis=1)
+    got = got.reindex(sorted(got.columns), axis=1)
+    if list(want.columns) != list(got.columns):
+        fails.append((name, f"COLUMNS want={list(want.columns)} got={list(got.columns)}")); continue
+    if len(want) != len(got):
+        fails.append((name, f"ROWS want={len(want)} got={len(got)}")); continue
+    # driver-style: stringify values and compare in row order
+    ws = want.astype(str).values.tolist()
+    gs = got.astype(str).values.tolist()
+    if ws != gs:
+        if sorted(map(tuple, ws)) == sorted(map(tuple, gs)):
+            fails.append((name, "ROW ORDER differs (values match unordered)"))
+        else:
+            bad = next(i for i, (a, b) in enumerate(zip(ws, gs)) if a != b)
+            fails.append((name, f"VALUES differ at row {bad}:\n  want={ws[bad]}\n  got ={gs[bad]}"))
+        continue
+    # dtype advisory (not fatal in our harness, but flag it)
+    dt = [(c, str(want[c].dtype), str(got[c].dtype)) for c in want.columns
+          if str(want[c].dtype) != str(got[c].dtype)]
+    passes.append((name, len(want), dt))
+
+for name, n, dt in passes:
+    note = f"  DTYPE {dt}" if dt else ""
+    print(f"PASS {name} ({n} rows){note}")
+for name, why in fails:
+    print(f"FAIL {name}: {why}")
+print(f"\n{len(passes)}/{len(passes)+len(fails)} pass")
+sys.exit(0 if not fails else 2)

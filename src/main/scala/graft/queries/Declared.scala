@@ -1,0 +1,577 @@
+package graft.queries
+
+import graft.Tables
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** One declared query: a Spark-first DataFrame build plus (where the operator
+  * is ANSI-SQL-expressible) an equivalent DuckDB oracle statement over the
+  * same parquet tables. Column names/types are aligned exactly between the
+  * two sides — the driver's compare hashes values under name-sorted columns.
+  */
+final case class DeclaredQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String])
+
+/** The D1–D28 declared batch query inventory (SURVEY.md §2.5).
+  *
+  * Determinism rules (SURVEY §7.4): every money aggregate runs on
+  * DECIMAL(18,2) casts (never raw doubles) and is cast back to DECIMAL(18,2)
+  * so both engines land on identical types; every query ends in a total ORDER
+  * BY with a unique tie-break; session timezone is UTC on both sides.
+  *
+  * Scale notes are inline per query — each plan is written for the 100 TB
+  * case (pushdown-friendly filters, broadcast of fixed-cardinality dims,
+  * key-partitioned joins) and merely *runs* on the small local corpus.
+  */
+object Declared {
+
+  /** Money math lands on exact decimals; doubles only pass through untouched. */
+  private def dec(c: Column): Column = c.cast(DecimalType(18, 2))
+  private def dec18(c: Column): Column = c.cast(DecimalType(18, 2))
+
+  /** Products of two scale-2 decimals are exact at scale 4; keeping the
+    * output at scale 4 avoids the one cross-engine rounding divergence
+    * (Spark casts HALF_UP, DuckDB half-to-even). */
+  private def dec4(c: Column): Column = c.cast(DecimalType(18, 4))
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  // ---------------------------------------------------------------- D1–D10
+
+  /** D1 — full scan + count. Parquet row-group stats answer this without
+    * materializing columns (ReadSchema is empty). */
+  private val d01 = DeclaredQuery(
+    "d01_scan_count",
+    (s, dir) => t(s, dir, "lineitem").agg(count(lit(1)).as("n")),
+    Some("SELECT COUNT(*) AS n FROM lineitem"))
+
+  /** D2 — TPC-H Q1 shape: scan + filter + projection + decimal hash-agg.
+    * The shipdate filter is pushed to the parquet scan; partial aggregation
+    * runs map-side so the shuffle carries ≤ (flags × statuses) rows per task
+    * regardless of input scale. */
+  private val d02 = DeclaredQuery(
+    "d02_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02 00:00:00").cast(TimestampType))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          dec18(sum(dec(col("l_quantity")))).as("sum_qty"),
+          dec18(sum(dec(col("l_extendedprice")))).as("sum_base"),
+          dec4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("sum_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("l_returnflag"), col("l_linestatus")),
+    Some("""SELECT l_returnflag, l_linestatus,
+      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_qty,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS sum_base,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS sum_disc,
+      COUNT(*) AS cnt
+      FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
+
+  /** D3 — predicate zoo: IN-list, BETWEEN, IS NOT NULL. All three push down
+    * to the scan (verify via PushedFilters in explain). */
+  private val d03 = DeclaredQuery(
+    "d03_predicates",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_orderstatus").isin("F", "O")
+          && col("o_orderdate").between(
+            lit("1995-01-01 00:00:00").cast(TimestampType),
+            lit("1996-12-31 00:00:00").cast(TimestampType))
+          && col("o_custkey").isNotNull)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_orderkey")),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_orderstatus IN ('F','O')
+        AND o_orderdate BETWEEN TIMESTAMP '1995-01-01 00:00:00' AND TIMESTAMP '1996-12-31 00:00:00'
+        AND o_custkey IS NOT NULL
+      ORDER BY o_orderkey"""))
+
+  /** D4 — inner equi-join + agg. At 100 TB orders≫customer: Catalyst/AQE
+    * picks broadcast when customer fits, else shuffled hash on o_custkey —
+    * both sides hash-partition on the join key, no sort needed. */
+  private val d04 = DeclaredQuery(
+    "d04_join_agg",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), dec18(sum(dec(col("o_totalprice")))).as("v"))
+        .orderBy(col("c_mktsegment")),
+    Some("""SELECT c_mktsegment, COUNT(*) AS n,
+      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
+
+  /** D5 — TPC-H Q5 shape: 5-way join. region/nation have *fixed* cardinality
+    * (5/25 rows at any scale) so they are broadcast unconditionally; the
+    * lineitem⋈orders spine stays a key-partitioned join. Region + date
+    * filters are applied before the joins so pruning happens at the scans. */
+  private val d05 = DeclaredQuery(
+    "d05_multiway_join",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val o = t(s, dir, "orders").filter(
+        col("o_orderdate") >= lit("1995-01-01 00:00:00").cast(TimestampType)
+          && col("o_orderdate") < lit("1997-01-01 00:00:00").cast(TimestampType))
+      val c = t(s, dir, "customer")
+      val n = broadcast(t(s, dir, "nation"))
+      val r = broadcast(t(s, dir, "region").filter(col("r_name") === "ASIA"))
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(c, col("o_custkey") === col("c_custkey"))
+        .join(n, col("c_nationkey") === col("n_nationkey"))
+        .join(r, col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(dec4(sum(dec(col("l_extendedprice")) * (lit(1) - dec(col("l_discount"))))).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    Some("""SELECT n_name,
+      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DECIMAL(18,4)) AS revenue
+      FROM lineitem
+      JOIN orders   ON l_orderkey = o_orderkey
+      JOIN customer ON o_custkey = c_custkey
+      JOIN nation   ON c_nationkey = n_nationkey
+      JOIN region   ON n_regionkey = r_regionkey
+      WHERE r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1995-01-01 00:00:00'
+        AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name ORDER BY revenue DESC, n_name"""))
+
+  /** D6 — left outer join + COUNT(col) null semantics (customers with zero
+    * orders count 0, not 1). */
+  private val d06 = DeclaredQuery(
+    "d06_left_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"), col("c_custkey") === col("o_custkey"), "left")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("n"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, COUNT(o_orderkey) AS n
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey ORDER BY c_custkey"""))
+
+  /** D7 — left semi (EXISTS). Semi-join keeps the build side to keys only —
+    * at scale this is a shuffle of distinct custkeys, not whole orders rows. */
+  private val d07 = DeclaredQuery(
+    "d07_semi_join",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(
+          t(s, dir, "orders").filter(col("o_totalprice") > 400000).select(col("o_custkey")),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .select(col("c_custkey"), col("c_name"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, c_name FROM customer c
+      WHERE EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey AND o.o_totalprice > 400000)
+      ORDER BY c_custkey"""))
+
+  /** D8 — left anti (NOT EXISTS), rule C4 shape: users with no high-value
+    * purchase event. */
+  private val d08 = DeclaredQuery(
+    "d08_anti_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      ev.select(col("user_id")).distinct()
+        .join(
+          ev.filter(col("event_type") === "purchase" && col("value") > 90).select(col("user_id")),
+          Seq("user_id"), "left_anti")
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT DISTINCT user_id FROM events e
+      WHERE NOT EXISTS (SELECT 1 FROM events x
+        WHERE x.user_id = e.user_id AND x.event_type = 'purchase' AND x.value > 90)
+      ORDER BY user_id"""))
+
+  /** D9 — range/interval self-join (rule C1 batch form). Equi-key on user_id
+    * keeps it a hash join; the interval predicate evaluates post-probe, so
+    * state is bounded by per-user row counts, not the cross product. */
+  private val d09 = DeclaredQuery(
+    "d09_range_self_join",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val a = ev.select(col("user_id"), col("event_id").as("id_a"),
+        col("ts").as("ts_a"), col("event_type").as("type_a"))
+      val b = ev.select(col("user_id"), col("event_id").as("id_b"),
+        col("ts").as("ts_b"), col("event_type").as("type_b"))
+      a.join(b, Seq("user_id"))
+        .filter(col("id_a") < col("id_b")
+          && col("ts_b") >= col("ts_a")
+          && col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR")
+          && col("type_a") =!= col("type_b"))
+        .select(col("user_id"), col("id_a"), col("id_b"))
+        .orderBy(col("user_id"), col("id_a"), col("id_b"))
+    },
+    Some("""SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b
+      FROM events a JOIN events b
+        ON a.user_id = b.user_id AND a.event_id < b.event_id
+       AND b.ts >= a.ts AND b.ts <= a.ts + INTERVAL 1 HOUR
+       AND a.event_type <> b.event_type
+      ORDER BY a.user_id, id_a, id_b"""))
+
+  /** D10 — cross join (bounded nested-loop: 5×25 rows at any scale). */
+  private val d10 = DeclaredQuery(
+    "d10_cross_join",
+    (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_name"), col("n_name"))
+        .orderBy(col("r_name"), col("n_name"))
+        .limit(50),
+    Some("""SELECT r_name, n_name FROM region CROSS JOIN nation
+      ORDER BY r_name, n_name LIMIT 50"""))
+
+  // --------------------------------------------------------------- D11–D20
+
+  /** D11 — group-count + HAVING (rule P1: repeat enquiries ⇒ intent). */
+  private val d11 = DeclaredQuery(
+    "d11_having",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("c"))
+        .filter(col("c") >= 3)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, COUNT(*) AS c FROM events WHERE event_type = 'view'
+      GROUP BY user_id HAVING COUNT(*) >= 3 ORDER BY user_id"""))
+
+  /** D12 — exact distinct aggregate. Spark expands to a two-phase agg
+    * (partial distinct per partition, then merge) — no driver-side set. */
+  private val d12 = DeclaredQuery(
+    "d12_count_distinct",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(countDistinct(col("user_id")).as("u"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type, COUNT(DISTINCT user_id) AS u FROM events
+      GROUP BY event_type ORDER BY event_type"""))
+
+  /** D13 — ROLLUP + GROUPING(). GROUPING() cast to INT on both sides (Spark
+    * returns tinyint, DuckDB bigint — the cast pins an identical schema). */
+  private val d13 = DeclaredQuery(
+    "d13_rollup",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .rollup(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast(IntegerType).as("g1"),
+          grouping(col("n_name")).cast(IntegerType).as("g2"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first),
+    Some("""SELECT r_name, n_name,
+      CAST(GROUPING(r_name) AS INTEGER) AS g1, CAST(GROUPING(n_name) AS INTEGER) AS g2,
+      COUNT(*) AS cnt
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY ROLLUP(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST"""))
+
+  /** D14 — CUBE over the same join. */
+  private val d14 = DeclaredQuery(
+    "d14_cube",
+    (s, dir) =>
+      t(s, dir, "nation")
+        .join(broadcast(t(s, dir, "region")), col("n_regionkey") === col("r_regionkey"))
+        .cube(col("r_name"), col("n_name"))
+        .agg(
+          grouping(col("r_name")).cast(IntegerType).as("g1"),
+          grouping(col("n_name")).cast(IntegerType).as("g2"),
+          count(lit(1)).as("cnt"))
+        .orderBy(col("r_name").asc_nulls_first, col("n_name").asc_nulls_first, col("g1"), col("g2")),
+    Some("""SELECT r_name, n_name,
+      CAST(GROUPING(r_name) AS INTEGER) AS g1, CAST(GROUPING(n_name) AS INTEGER) AS g2,
+      COUNT(*) AS cnt
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY CUBE(r_name, n_name)
+      ORDER BY r_name NULLS FIRST, n_name NULLS FIRST, g1, g2"""))
+
+  /** D15 — window ranking, top-3 orders per customer (rule P4 top-k-per-group).
+    * Partition by customer ⇒ the sort is per-key inside the shuffle partition,
+    * never a global sort. */
+  private val d15 = DeclaredQuery(
+    "d15_topk_per_group",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      t(s, dir, "orders")
+        .withColumn("rn", row_number().over(w).cast(LongType))
+        .filter(col("rn") <= 3)
+        .select(col("o_custkey"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_custkey"), col("rn"))
+    },
+    Some("""SELECT o_custkey, rn, o_orderkey, o_totalprice FROM (
+        SELECT o_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders) x
+      WHERE rn <= 3 ORDER BY o_custkey, rn"""))
+
+  /** D16 — lag/lead sessionization (rule C2 batch form): 30-minute gap rule,
+    * one output row per session. Interval comparison (not epoch arithmetic)
+    * keeps microsecond semantics identical across engines. */
+  private val d16 = DeclaredQuery(
+    "d16_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      t(s, dir, "events")
+        .withColumn("prev_ts", lag(col("ts"), 1).over(w))
+        .withColumn("new_s",
+          when(col("prev_ts").isNull
+            || (col("ts") - col("prev_ts")) > expr("INTERVAL 30 MINUTES"), 1).otherwise(0))
+        .withColumn("session_id",
+          sum(col("new_s")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"), min(col("ts")).as("start_ts"), max(col("ts")).as("end_ts"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    Some("""WITH g AS (
+        SELECT user_id, ts, event_id,
+          CASE WHEN LAG(ts) OVER w IS NULL OR ts - LAG(ts) OVER w > INTERVAL 30 MINUTES
+               THEN 1 ELSE 0 END AS new_s
+        FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ), sess AS (
+        SELECT user_id, ts,
+          CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_id
+        FROM g)
+      SELECT user_id, session_id, COUNT(*) AS n_events, MIN(ts) AS start_ts, MAX(ts) AS end_ts
+      FROM sess GROUP BY user_id, session_id ORDER BY user_id, session_id"""))
+
+  /** D17 — window frame running balance (rule C3 shape), exact decimal. */
+  private val d17 = DeclaredQuery(
+    "d17_running_balance",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val signed = when(col("event_type") === "purchase", dec(col("value")))
+        .otherwise(-dec(col("value")))
+      t(s, dir, "events")
+        .withColumn("bal", dec18(sum(signed).over(w)))
+        .select(col("user_id"), col("event_id"), col("bal"))
+        .orderBy(col("user_id"), col("event_id"))
+    },
+    Some("""SELECT user_id, event_id,
+      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+                    ELSE -CAST(value AS DECIMAL(18,2)) END)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(18,2)) AS bal
+      FROM events ORDER BY user_id, event_id"""))
+
+  /** D18 — global sort + limit. Spark runs this as TakeOrderedAndProject:
+    * per-partition top-k then a k-row merge on the driver — no global sort
+    * materialization at any scale. */
+  private val d18 = DeclaredQuery(
+    "d18_topk",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+        .limit(10),
+    Some("""SELECT o_orderkey, o_totalprice FROM orders
+      ORDER BY o_totalprice DESC, o_orderkey LIMIT 10"""))
+
+  /** D19 — set operations: UNION (distinct), INTERSECT, EXCEPT, tagged and
+    * stacked so one deterministic result covers all three. */
+  private val d19 = DeclaredQuery(
+    "d19_set_ops",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val a = o.filter(col("o_orderstatus") === "F").select(col("o_custkey").as("k"))
+      val b = o.filter(col("o_totalprice") > 200000).select(col("o_custkey").as("k"))
+      a.union(b).distinct().withColumn("op", lit("union"))
+        .unionByName(a.intersect(b).withColumn("op", lit("intersect")))
+        .unionByName(a.except(b).withColumn("op", lit("except")))
+        .select(col("op"), col("k"))
+        .orderBy(col("op"), col("k"))
+    },
+    Some("""WITH a AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+           b AS (SELECT o_custkey AS k FROM orders WHERE o_totalprice > 200000)
+      SELECT 'union' AS op, k FROM (SELECT k FROM a UNION SELECT k FROM b)
+      UNION ALL SELECT 'intersect' AS op, k FROM (SELECT k FROM a INTERSECT SELECT k FROM b)
+      UNION ALL SELECT 'except' AS op, k FROM (SELECT k FROM a EXCEPT SELECT k FROM b)
+      ORDER BY op, k"""))
+
+  /** D20 — string functions: SUBSTR/UPPER/CONCAT/LIKE/regexp (extract+match). */
+  private val d20 = DeclaredQuery(
+    "d20_strings",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_name").like("Customer%") && col("c_name").rlike("[0-9]+"))
+        .select(
+          col("c_custkey"),
+          upper(substring(col("c_name"), 1, 8)).as("up8"),
+          concat(col("c_mktsegment"), lit("#"), col("c_nationkey").cast(StringType)).as("tag"),
+          regexp_extract(col("c_name"), "([0-9]+)", 1).as("digits"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, UPPER(SUBSTR(c_name, 1, 8)) AS up8,
+      CONCAT(c_mktsegment, '#', CAST(c_nationkey AS VARCHAR)) AS tag,
+      regexp_extract(c_name, '([0-9]+)', 1) AS digits
+      FROM customer
+      WHERE c_name LIKE 'Customer%' AND regexp_matches(c_name, '[0-9]+')
+      ORDER BY c_custkey"""))
+
+  // --------------------------------------------------------------- D21–D28
+
+  /** D21 — date functions + gaps-and-islands (rule C5: threshold spend on 3
+    * consecutive days). Two LAGs over the daily aggregate. */
+  private val d21 = DeclaredQuery(
+    "d21_consecutive_days",
+    (s, dir) => {
+      val daily = t(s, dir, "events")
+        .groupBy(col("user_id"), col("ts").cast(DateType).as("d"))
+        .agg(dec18(sum(dec(col("value")))).as("spend"))
+      val w = Window.partitionBy(col("user_id")).orderBy(col("d"))
+      daily
+        .withColumn("d1", lag(col("d"), 1).over(w))
+        .withColumn("d2", lag(col("d"), 2).over(w))
+        .withColumn("s1", lag(col("spend"), 1).over(w))
+        .withColumn("s2", lag(col("spend"), 2).over(w))
+        .filter(col("d2").isNotNull
+          && datediff(col("d"), col("d1")) === 1
+          && datediff(col("d1"), col("d2")) === 1
+          && col("spend") > 5 && col("s1") > 5 && col("s2") > 5)
+        .select(col("user_id"), col("d"), col("spend"))
+        .orderBy(col("user_id"), col("d"))
+    },
+    Some("""WITH daily AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS spend
+        FROM events GROUP BY user_id, CAST(ts AS DATE)
+      ), lagged AS (
+        SELECT user_id, d, spend,
+               LAG(d, 1) OVER w AS d1, LAG(d, 2) OVER w AS d2,
+               LAG(spend, 1) OVER w AS s1, LAG(spend, 2) OVER w AS s2
+        FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
+      SELECT user_id, d, spend FROM lagged
+      WHERE d2 IS NOT NULL AND date_diff('day', d1, d) = 1 AND date_diff('day', d2, d1) = 1
+        AND spend > 5 AND s1 > 5 AND s2 > 5
+      ORDER BY user_id, d"""))
+
+  /** D22 — math/decimal scalar functions. FLOOR/CEIL cast to BIGINT on both
+    * sides (Spark returns BIGINT, DuckDB DOUBLE); ROUND runs on the decimal,
+    * not the raw double, so HALF_UP agrees. */
+  private val d22 = DeclaredQuery(
+    "d22_math",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          round(dec(col("l_extendedprice")), 1).cast(DecimalType(18, 1)).as("r1"),
+          abs(dec(col("l_discount"))).cast(DecimalType(18, 2)).as("ad"),
+          floor(col("l_quantity")).cast(LongType).as("fl"),
+          ceil(col("l_tax") * 100).cast(LongType).as("ce"),
+          (col("l_linenumber") % 3).cast(IntegerType).as("md"),
+          pow(col("l_quantity"), 2).as("pw"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    Some("""SELECT l_orderkey, l_linenumber,
+      CAST(ROUND(CAST(l_extendedprice AS DECIMAL(18,2)), 1) AS DECIMAL(18,1)) AS r1,
+      CAST(ABS(CAST(l_discount AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS ad,
+      CAST(FLOOR(l_quantity) AS BIGINT) AS fl,
+      CAST(CEIL(l_tax * 100) AS BIGINT) AS ce,
+      CAST(l_linenumber % 3 AS INTEGER) AS md,
+      POWER(l_quantity, 2) AS pw
+      FROM lineitem ORDER BY l_orderkey, l_linenumber"""))
+
+  /** D23 — array functions over the embedding column (1-based element_at in
+    * both engines). */
+  private val d23 = DeclaredQuery(
+    "d23_arrays",
+    (s, dir) =>
+      t(s, dir, "embeddings")
+        .select(
+          col("vec_id"),
+          size(col("embedding")).cast(IntegerType).as("dim"),
+          element_at(col("embedding"), 1).as("first_val"))
+        .orderBy(col("vec_id")),
+    Some("""SELECT vec_id, CAST(len(embedding) AS INTEGER) AS dim,
+      embedding[1] AS first_val
+      FROM embeddings ORDER BY vec_id"""))
+
+  /** D24 — JSON scalar extraction from the events.props string column. */
+  private val d24 = DeclaredQuery(
+    "d24_json",
+    (s, dir) =>
+      t(s, dir, "events")
+        .select(col("event_id"), get_json_object(col("props"), "$.k").as("k"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, json_extract_string(props, '$.k') AS k
+      FROM events ORDER BY event_id"""))
+
+  /** D25 — conditional/null functions: CASE, COALESCE, NULLIF. */
+  private val d25 = DeclaredQuery(
+    "d25_conditional",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          when(col("c_acctbal") < 0, "neg")
+            .when(col("c_acctbal") < 5000, "mid")
+            .otherwise("high").as("bucket"),
+          coalesce(nullif(col("c_mktsegment"), lit("BUILDING")), lit("OTHER")).as("seg"),
+          dec(col("c_acctbal")).as("bal"))
+        .groupBy(col("bucket"), col("seg"))
+        .agg(count(lit(1)).as("n"), dec18(sum(col("bal"))).as("tot"))
+        .orderBy(col("bucket"), col("seg")),
+    Some("""SELECT CASE WHEN c_acctbal < 0 THEN 'neg'
+                        WHEN c_acctbal < 5000 THEN 'mid'
+                        ELSE 'high' END AS bucket,
+        COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
+        COUNT(*) AS n,
+        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS tot
+      FROM customer GROUP BY 1, 2 ORDER BY bucket, seg"""))
+
+  /** D26 — latest-state view (operator CDC9): reconstruct current state from
+    * an append-only change log via per-key ROW_NUMBER. At 100 TB this is the
+    * canonical upsert-compaction job — one shuffle on the key. */
+  private val d26 = DeclaredQuery(
+    "d26_latest_state",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc, col("event_id").desc)
+      t(s, dir, "events")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"), col("value"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) x
+      WHERE rn = 1 ORDER BY user_id"""))
+
+  /** D27 — first-occurrence detection (rule C4: first-ever event of a type). */
+  private val d27 = DeclaredQuery(
+    "d27_first_occurrence",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(min(col("ts")).as("first_ts"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, MIN(ts) AS first_ts FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id ORDER BY user_id"""))
+
+  /** D28 — regularity cohort (rules P2/P3/P5 shape): users active with a
+    * given event type on ≥ 10 distinct days. */
+  private val d28 = DeclaredQuery(
+    "d28_regularity_cohort",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("ts").cast(DateType)).as("active_days"))
+        .filter(col("active_days") >= 10)
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days FROM events
+      WHERE event_type = 'purchase' GROUP BY user_id
+      HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 10 ORDER BY user_id"""))
+
+  val all: Seq[DeclaredQuery] = Seq(
+    d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
+    d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
+    d21, d22, d23, d24, d25, d26, d27, d28)
+}
