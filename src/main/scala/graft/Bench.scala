@@ -1,23 +1,40 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import graft.queries.Declared
+
+/** Benchmark main (driver contract): runs every declared query on
+  * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
+  *
+  * Harness rules (round-1 verdict fixes):
+  *  - Queries run in the stable declared order, not Map iteration order.
+  *  - Execution is a `noop`-format write: every projected column is computed
+  *    and every ORDER BY survives (a bare `count()` let Catalyst prune the
+  *    projection and eliminate sorts, undercounting real work).
+  *  - Session/codegen warm-up happens outside timing (one untimed run of a
+  *    scan + a join query).
+  *  - Failures are NOT swallowed — a broken query must fail the bench, not
+  *    record as a fast success.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.build("graft-bench")
+
+    def runOnce(name: String): Double = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      df.write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // Warm-up: JIT + codegen + parquet footer caches, outside timing.
+    Seq("d01_scan_count", "d05_multiway_join").foreach(runOnce)
+
+    val order = Declared.all.map(_.name).filter(SparkEntry.queries.contains)
+    val results = order.map(n => n -> runOnce(n))
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -21,14 +21,14 @@ object Tables {
   val alwaysBroadcast: Set[String] = Set("region", "nation")
 
   /** `events.ts` is nanosecond-precision parquet, which Spark 4 rejects
-    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw INT64 via the legacy conf and
-    * truncate to microseconds — identical to DuckDB's ns→us floor, so oracle
-    * comparisons agree. Integer division (DIV) keeps full 64-bit precision;
-    * a double roundtrip would corrupt ~1.7e18-scale values.
+    * ([PARQUET_TYPE_ILLEGAL]). Read it as raw INT64 (the `nanosAsLong`
+    * legacy conf, set once at session build — GraftSession) and truncate to
+    * microseconds — identical to DuckDB's ns→us floor for this post-1970
+    * corpus, so oracle comparisons agree. Integer division (DIV) keeps full
+    * 64-bit precision; a double roundtrip would corrupt ~1.7e18-scale values.
     */
   def load(spark: SparkSession, dir: String, name: String): DataFrame =
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(s"$dir/$name.parquet")
         .withColumn("ts", timestamp_micros(expr("ts DIV 1000")))
     } else spark.read.parquet(s"$dir/$name.parquet")

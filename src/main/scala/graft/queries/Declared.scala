@@ -194,18 +194,28 @@ object Declared {
         WHERE x.user_id = e.user_id AND x.event_type = 'purchase' AND x.value > 90)
       ORDER BY user_id"""))
 
-  /** D9 — range/interval self-join (rule C1 batch form). Equi-key on user_id
-    * keeps it a hash join; the interval predicate evaluates post-probe, so
-    * state is bounded by per-user row counts, not the cross product. */
+  /** D9 — range/interval self-join (rule C1 batch form), bucketed against
+    * key skew. A bare equi-join on user_id alone is O(n_u²) per user — one
+    * hot key (bot traffic) with 1M events would put 10¹² candidate pairs on
+    * a single task at 100 TB. Instead both sides join on
+    * (user_id, hour_bucket): the left side is replicated into its own and
+    * the next hour's bucket (a pair within 1 hour can span at most adjacent
+    * buckets), so candidate pairs per task are bounded by per-(user, hour)
+    * occupancy, not per-user totals. Each true pair matches in exactly one
+    * bucket (the right row's own), so no dedup is needed; the precise
+    * interval predicate stays as the post-join filter. */
   private val d09 = DeclaredQuery(
     "d09_range_self_join",
     (s, dir) => {
       val ev = t(s, dir, "events")
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+        .withColumn("bkt", floor(unix_timestamp(col("ts")) / 3600L))
       val a = ev.select(col("user_id"), col("event_id").as("id_a"),
-        col("ts").as("ts_a"), col("event_type").as("type_a"))
+        col("ts").as("ts_a"), col("event_type").as("type_a"),
+        explode(array(col("bkt"), col("bkt") + 1)).as("bkt"))
       val b = ev.select(col("user_id"), col("event_id").as("id_b"),
-        col("ts").as("ts_b"), col("event_type").as("type_b"))
-      a.join(b, Seq("user_id"))
+        col("ts").as("ts_b"), col("event_type").as("type_b"), col("bkt"))
+      a.join(b, Seq("user_id", "bkt"))
         .filter(col("id_a") < col("id_b")
           && col("ts_b") >= col("ts_a")
           && col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR")
