@@ -1,0 +1,63 @@
+package graft.cdc
+
+import graft.schema.Schemas
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** CDC2–CDC4 — the DMS→Kinesis JSON envelope, Spark-first.
+  *
+  * Reference: DMS task with messageFormat JSON
+  * (lib/fin-transactions-stack.ts:135) wraps each change as
+  * {"data": {row}, "metadata": {operation, schema-name, table-name, ...}};
+  * the table-selection rule (:164) includes schema 'workshopDb' and
+  * table-name LIKE '%'. Encode/decode are pure expressions (to_json /
+  * from_json with the declared envelope schema — never inference), so they
+  * run inside whole-stage codegen in both batch and streaming plans.
+  */
+object Envelope {
+
+  /** CDC3 — wrap activity rows into envelope JSON strings. `op` tags the
+    * phase: "load" for full-load, "insert"/"update"/"delete" for the tail
+    * (lib/fin-transactions-stack.ts:160-166). */
+  def encode(df: DataFrame, op: Column,
+             schemaName: String = "workshopDb",
+             tableName: String = "customeractivity"): DataFrame = {
+    val dataCols = Schemas.customerActivity.fieldNames.map(col)
+    df.select(
+      to_json(struct(
+        struct(dataCols: _*).as("data"),
+        struct(
+          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+          lit("data").as("record-type"),
+          op.as("operation"),
+          lit("primary-key").as("partition-key-type"),
+          lit(schemaName).as("schema-name"),
+          lit(tableName).as("table-name"),
+          (crc32(to_json(struct(dataCols: _*))) + col("user_id")).as("transaction-id"))
+          .as("metadata"))).as("value"),
+      // Kinesis partition key = the PK as a string
+      // (partitionIncludeSchemaTable:false, lib/fin-transactions-stack.ts:137).
+      col("user_id").cast("string").as("partitionKey"))
+  }
+
+  /** CDC4 — parse envelope JSON back to (data struct, metadata struct). */
+  def decode(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.withColumn("env", from_json(col(valueCol), Schemas.cdcEnvelope))
+      .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
+
+  /** CDC2 — the DMS table-selection rule as a filter
+    * (lib/fin-transactions-stack.ts:164: schema-name = 'workshopDb',
+    * table-name LIKE '%', no row filters). Runs post-decode; at scale this
+    * prunes foreign tables before any shuffle. */
+  def selection(decoded: DataFrame,
+                schemaName: String = "workshopDb",
+                tableLike: String = "%"): DataFrame =
+    decoded.filter(
+      col("metadata.`schema-name`") === schemaName
+        && col("metadata.`table-name`").like(tableLike))
+
+  /** Flatten a decoded envelope to activity columns + operation (the lake
+    * consumer's view). */
+  def flatten(decoded: DataFrame): DataFrame =
+    decoded.select(col("data.*"), col("metadata.operation").as("operation"))
+}

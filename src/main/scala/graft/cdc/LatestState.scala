@@ -1,0 +1,71 @@
+package graft.cdc
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** CDC9 — latest-state materialization. The reference's PK + ON UPDATE
+  * CURRENT_TIMESTAMP (setupTables.py:51,57-58) makes the OLTP table
+  * latest-state while the lake holds full history; this module reconstructs
+  * the former from the latter.
+  *
+  * Batch: one shuffle on the key, per-key ROW_NUMBER, drop deletes — the
+  * canonical upsert-compaction job at any scale.
+  *
+  * Streaming: `foreachBatch` merge into a parquet target. With no
+  * transactional table format in this offline env, the merge materializes
+  * old∪new under the same dedup and swaps the directory atomically-enough
+  * for tests; the documented scale path is MERGE INTO on a lakehouse table
+  * (Delta/Iceberg), which this function's body would become verbatim.
+  */
+object LatestState {
+
+  /** Batch compaction of a change log (activity columns + `operation` +
+    * ordering column). Keeps the newest image per key; a delete as the
+    * newest image removes the key. Ties on the ordering column break by
+    * operation precedence delete > update > insert > load (a change beats
+    * the snapshot it followed within the same timestamp). */
+  def batch(changes: DataFrame, key: String = "user_id",
+            orderCol: String = "ts"): DataFrame = {
+    val prio = when(col("operation") === "delete", 3)
+      .when(col("operation") === "update", 2)
+      .when(col("operation") === "insert", 1)
+      .otherwise(0)
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, prio.desc)
+    changes
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1 && col("operation") =!= "delete")
+      .drop("rn")
+  }
+
+  /** Streaming merge: apply each micro-batch of envelope-flattened changes
+    * (activity columns + `operation`) onto the parquet state at
+    * `targetPath`. Replays of the same micro-batch are idempotent — the
+    * merged result is a pure function of (existing state, batch). */
+  def foreachBatchMerge(spark: SparkSession, targetPath: String,
+                        key: String = "user_id", orderCol: String = "ts")
+      : (DataFrame, Long) => Unit = { (batchDf: DataFrame, _: Long) =>
+    if (!batchDf.isEmpty) {
+      val target = new java.io.File(targetPath)
+      val existing =
+        if (target.exists())
+          // Existing state re-enters the merge as the lowest-precedence
+          // image ("load"): a change in this batch with an equal timestamp
+          // must win over the state it updates.
+          Some(spark.read.parquet(targetPath).withColumn("operation", lit("load")))
+        else None
+      val all = existing.fold(batchDf)(batchDf.unionByName(_))
+      val merged = batch(all, key, orderCol).drop("operation")
+      val tmp = targetPath + ".tmp"
+      merged.write.mode("overwrite").parquet(tmp)
+      // Swap directories: the read above is fully materialized by the write.
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(): Unit
+      }
+      if (target.exists()) rm(target)
+      if (!new java.io.File(tmp).renameTo(target))
+        throw new java.io.IOException(s"latest-state swap failed: $tmp -> $targetPath")
+    }
+  }
+}

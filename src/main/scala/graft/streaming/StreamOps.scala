@@ -1,0 +1,112 @@
+package graft.streaming
+
+import graft.schema.Schemas
+import graft.datagen.DataGen
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.types._
+
+/** Stateless / built-in-stateful streaming operators (S1, S3, S4, S7, S8 of
+  * SURVEY §2.6). Each takes a streaming DataFrame of activity rows (schema =
+  * Schemas.customerActivity) so the same transform composes onto any source
+  * — rate-synthesized, file-drop CDC envelopes, or MemoryStream in tests.
+  */
+object StreamOps {
+
+  /** S1 — paced ingest (updateTables.py:56-59: one insert / 5 s over the
+    * first 1000 ids). The pacing is *config* on a rate source, not a loop;
+    * the row synthesis reuses the GEN2 expressions keyed by the rate
+    * source's monotone `value`. */
+  def pacedActivity(spark: SparkSession, rowsPerSecond: Double = 0.2,
+                    idCount: Int = 1000, seed: Long = 42L): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val ids = DataGen.idUniverse(spark, seed).limit(idCount).toDF("id")
+      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
+    val rate =
+      if (rowsPerSecond >= 1.0)
+        spark.readStream.format("rate")
+          .option("rowsPerSecond", rowsPerSecond.toLong).load()
+      else
+        // rate requires an integer rows/s ≥ 1; sub-1 pacing = emit at 1 Hz
+        // and keep every Nth row (identical average rate, same timestamps).
+        spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
+          .filter(col("value") % math.round(1.0 / rowsPerSecond) === 0)
+    rate
+      .withColumn("idx", col("value") % idCount)
+      .join(broadcast(ids), "idx")
+      .select(
+        col("id").cast(IntegerType).as("user_id"),
+        element_at(array(Schemas.cityDomain.map(lit): _*),
+          (pmod(hash(col("value"), lit(seed + 1)), lit(Schemas.cityDomain.size)) + 1)
+            .cast(IntegerType)).as("city"),
+        element_at(array(DataGen.generatorTrxTypes.map(lit): _*),
+          (pmod(hash(col("value"), lit(seed + 2)), lit(3)) + 1).cast(IntegerType))
+          .as("transaction_type"),
+        round(lit(100.0) + pmod(hash(col("value"), lit(seed + 3)), lit(990001)) / 100.0, 2)
+          .cast(DecimalType(8, 2)).as("monetary_value"),
+        (pmod(hash(col("value"), lit(seed + 4)), lit(81)) + 100).cast(ShortType)
+          .as("timeinapp"),
+        element_at(array(Schemas.featureDomain.map(lit): _*),
+          (pmod(hash(col("value"), lit(seed + 5)), lit(Schemas.featureDomain.size)) + 1)
+            .cast(IntegerType)).as("feature_used"),
+        col("timestamp").as("ts"))
+  }
+
+  /** S3 — tumbling hourly counts per feature with a watermark (the
+    * Firehose-hourly-prefix analog). Late rows beyond the watermark are
+    * dropped; state per (hour, feature) is bounded by watermark horizon. */
+  def hourlyFeatureCounts(activity: DataFrame,
+                          watermark: String = "10 minutes"): DataFrame =
+    activity
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("feature_used"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("window.start").as("hour_start"), col("feature_used"), col("n"))
+
+  /** S4 — session windows per user (rule C2's streaming form, fixed gap).
+    * `session_window` merges rows within `gap` into one growing window;
+    * state closes when the watermark passes the session end. */
+  def sessionStats(activity: DataFrame, gap: String = "5 minutes",
+                   watermark: String = "10 minutes"): DataFrame =
+    activity
+      .withWatermark("ts", watermark)
+      .groupBy(col("user_id"), session_window(col("ts"), gap))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("timeinapp").cast(LongType)).as("total_timeinapp"))
+      .select(col("user_id"),
+        col("session_window.start").as("start_ts"),
+        col("session_window.end").as("end_ts"),
+        col("n_events"), col("total_timeinapp"))
+
+  /** S8 — streaming dedup (rule C4 first-occurrence): first event per
+    * (user, feature) under a watermark; state is one row per key inside the
+    * horizon, dropped once the watermark passes. */
+  def firstFeatureUse(activity: DataFrame,
+                      watermark: String = "1 hour"): DataFrame =
+    activity
+      .withWatermark("ts", watermark)
+      .dropDuplicates("user_id", "feature_used")
+
+  /** S7 — the buffered, time-prefixed lake sink (Firehose analog,
+    * lib/fin-transactions-stack.ts:192-205): micro-batch trigger ≙ the
+    * 300 s buffer, `partitionBy` year/month/day/hour ≙ the default
+    * yyyy/MM/dd/HH/ key prefix. Checkpointed ⇒ exactly-once file output —
+    * a documented upgrade over Firehose's at-least-once. JSON to stay
+    * faithful to the raw landing format; a silver parquet compaction would
+    * chain a second batch job over these partitions. */
+  def lakeSink(activity: DataFrame, path: String, checkpoint: String,
+               trigger: Trigger = Trigger.ProcessingTime("300 seconds"))
+      : DataStreamWriter[org.apache.spark.sql.Row] =
+    activity
+      .withColumn("year", date_format(col("ts"), "yyyy"))
+      .withColumn("month", date_format(col("ts"), "MM"))
+      .withColumn("day", date_format(col("ts"), "dd"))
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .writeStream
+      .format("json")
+      .partitionBy("year", "month", "day", "hour")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+}

@@ -1,0 +1,87 @@
+package graft
+
+import graft.cdc.{Envelope, LatestState}
+import org.apache.spark.sql.functions._
+
+/** CDC2–CDC4 envelope + CDC9 latest-state: round-trip fidelity, selection
+  * semantics, and the batch/streaming-merge equivalence that anchors the
+  * upsert model (SURVEY §1.2). */
+class CdcSpec extends SparkSpec {
+
+  private def sample = Fixtures.df(spark, Fixtures.c3(spark))
+
+  test("CDC3/CDC4: encode→decode round-trips every activity column") {
+    val enc = Envelope.encode(sample, lit("insert"))
+    assert(enc.columns.toSeq === Seq("value", "partitionKey"))
+    val back = Envelope.flatten(Envelope.decode(enc)).drop("operation")
+    val orig = sample.select(back.columns.map(col): _*)
+    assert(back.except(orig).isEmpty && orig.except(back).isEmpty)
+  }
+
+  test("CDC4: decoded metadata carries the envelope contract") {
+    val meta = Envelope.decode(Envelope.encode(sample, lit("load")))
+      .select("metadata.*").distinct().collect()
+    meta.foreach { r =>
+      assert(r.getAs[String]("record-type") === "data")
+      assert(r.getAs[String]("operation") === "load")
+      assert(r.getAs[String]("schema-name") === "workshopDb")
+      assert(r.getAs[String]("table-name") === "customeractivity")
+      assert(r.getAs[String]("partition-key-type") === "primary-key")
+    }
+  }
+
+  test("CDC5: partition key is the primary key as a string") {
+    val keys = Envelope.encode(sample, lit("insert"))
+      .select("partitionKey").distinct().collect().map(_.getString(0)).toSet
+    assert(keys === Set("100001", "100002"))
+  }
+
+  test("CDC2: selection rule keeps workshopDb and drops foreign schemas") {
+    val ours = Envelope.decode(Envelope.encode(sample, lit("insert")))
+    val foreign = Envelope.decode(
+      Envelope.encode(sample, lit("insert"), schemaName = "otherDb"))
+    assert(Envelope.selection(ours).count() === sample.count())
+    assert(Envelope.selection(foreign).count() === 0)
+    // LIKE pattern narrows by table name
+    assert(Envelope.selection(ours, tableLike = "customer%").count() === sample.count())
+    assert(Envelope.selection(ours, tableLike = "orders%").count() === 0)
+  }
+
+  test("CDC9 batch: newest image wins, delete removes the key") {
+    val changes = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(1, "DEL", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 11:00:00"),
+      Fixtures.row(2, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(3, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation",
+        when(col("user_id") === 3 && col("ts") === ts("2024-01-01 10:00:00"), "delete")
+          .otherwise("insert"))
+    val state = LatestState.batch(changes)
+    val rows = state.select("user_id", "city").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(rows === Map(1 -> "DEL", 2 -> "BOM")) // 3 deleted, 1 updated to DEL
+  }
+
+  test("CDC9 streaming merge == batch compaction over the same changes") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state").toString + "/state"
+    val merge = LatestState.foreachBatchMerge(spark, dir)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    val b2 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "DEL", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 11:00:00"),
+      Fixtures.row(3, "MAA", "CREDIT", "300.00", 120, "ENQUIRY", "2024-01-01 11:00:00")))
+      .withColumn("operation", lit("update"))
+    val b3 = Fixtures.df(spark, Seq(
+      Fixtures.row(2, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 12:00:00")))
+      .withColumn("operation", lit("delete"))
+    merge(b1, 0L); merge(b2, 1L); merge(b3, 2L)
+    val streamed = spark.read.parquet(dir)
+    val batch = LatestState.batch(b1.unionByName(b2).unionByName(b3)).drop("operation")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    val users = streamed.select("user_id", "city").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(users === Map(1 -> "DEL", 3 -> "MAA"))
+  }
+}

@@ -1,0 +1,44 @@
+package graft
+
+import graft.queries.Declared
+
+/** t2 suite (SURVEY §5.2): every declared query executes on the smoke corpus
+  * and returns the row count pinned from the sf0.001 oracle run — a drift
+  * guard between driver gate runs. The cross-engine value/hash check itself
+  * is the driver's DuckDB gate (dev/check.py replicates it). */
+class DeclaredQueriesSpec extends SparkSpec {
+
+  /** Pinned sf0.001 row counts (from a green oracle-checked Verify run). */
+  val expectedRows: Map[String, Long] = Map(
+    "d01_scan_count" -> 1, "d02_pricing_summary" -> 6, "d03_predicates" -> 305,
+    "d04_join_agg" -> 5, "d05_multiway_join" -> 5, "d06_left_join" -> 150,
+    "d07_semi_join" -> 130, "d08_anti_join" -> 3, "d09_range_self_join" -> 84,
+    "d10_cross_join" -> 50, "d11_having" -> 15, "d12_count_distinct" -> 5,
+    "d13_rollup" -> 31, "d14_cube" -> 56, "d15_topk_per_group" -> 449,
+    "d16_sessionize" -> 946, "d17_running_balance" -> 1000, "d18_topk" -> 10,
+    "d19_set_ops" -> 295, "d20_strings" -> 150, "d21_consecutive_days" -> 266,
+    "d22_math" -> 6000, "d23_arrays" -> 500, "d24_json" -> 1000,
+    "d25_conditional" -> 15, "d26_latest_state" -> 15,
+    "d27_first_occurrence" -> 15, "d28_regularity_cohort" -> 10)
+
+  Declared.all.foreach { q =>
+    test(s"${q.name} executes, non-empty, expected rows") {
+      val df = q.build(spark, sf001)
+      assert(df.columns.nonEmpty)
+      val n = df.count()
+      expectedRows.get(q.name).foreach(e => assert(n === e, s"row count drifted"))
+      assert(n > 0)
+    }
+  }
+
+  test("every SQL-expressible query has an oracle with matching discipline") {
+    // Alias hygiene: the driver compares under name-sorted columns, so a
+    // query's output column set must appear verbatim in its oracle SQL.
+    Declared.all.flatMap(q => q.oracle.map(q -> _)).foreach { case (q, sql) =>
+      val cols = q.build(spark, sf001).columns
+      cols.foreach(c =>
+        assert(sql.toLowerCase.contains(c.toLowerCase),
+          s"${q.name}: output column '$c' not mentioned in oracle SQL"))
+    }
+  }
+}

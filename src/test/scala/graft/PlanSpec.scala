@@ -1,0 +1,77 @@
+package graft
+
+import graft.queries.Declared
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+/** Physical-plan assertions — the 100 TB story is only real if the plans
+  * show it: filters reaching the parquet scan, fixed-cardinality dims
+  * broadcast, no cartesian products, partial aggregation before shuffles.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def q(name: String): DataFrame =
+    Declared.all.find(_.name == name).get.build(spark, sf001)
+
+  /** Final (AQE-resolved) physical plan text after execution. */
+  private def executedPlan(df: DataFrame): String = {
+    df.write.format("noop").mode("overwrite").save()
+    df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+      case p => p.toString
+    }
+  }
+
+  test("d02: shipdate filter is pushed to the parquet scan") {
+    val plan = q("d02_pricing_summary").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"), plan.take(500))
+    assert(plan.contains("LessThanOrEqual(l_shipdate"), plan.take(2000))
+  }
+
+  test("d03: IN/BETWEEN/IsNotNull predicates push down") {
+    val plan = q("d03_predicates").queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters:"))
+    assert(plan.contains("In(o_orderstatus"))
+    assert(plan.contains("IsNotNull(o_custkey"))
+  }
+
+  test("d02: projection is pruned to the referenced columns") {
+    val plan = q("d02_pricing_summary").queryExecution.executedPlan.toString
+    // ReadSchema must not include unreferenced lineitem columns.
+    assert(!plan.contains("l_comment") && !plan.contains("l_partkey"),
+      "scan reads unreferenced columns")
+  }
+
+  test("d05: fixed-cardinality dims (region, nation) are broadcast") {
+    val plan = executedPlan(q("d05_multiway_join"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1000))
+  }
+
+  test("d13: region join is broadcast, not shuffled") {
+    val plan = executedPlan(q("d13_rollup"))
+    assert(plan.contains("BroadcastHashJoin"))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("d09: bucketed interval self-join has no cartesian/nested-loop") {
+    val plan = executedPlan(q("d09_range_self_join"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("d02: aggregation is two-phase (map-side partial before shuffle)") {
+    val plan = q("d02_pricing_summary").queryExecution.executedPlan.toString
+    // partial + final HashAggregate pair
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1000))
+  }
+
+  test("d18: global top-k runs as TakeOrderedAndProject, not a full sort") {
+    val plan = q("d18_topk").queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
+  }
+
+  test("whole-stage codegen covers the d02 hot path") {
+    val plan = q("d02_pricing_summary").queryExecution.executedPlan.toString
+    assert(plan.contains("WholeStageCodegen"), plan.take(1000))
+  }
+}
