@@ -72,11 +72,13 @@ for name in sorted(oracle):
         if {w, g} <= {"datetime64[us]", "datetime64[ns]"}:
             return True
         if w.startswith("datetime64") and g == "object":
-            return all(isinstance(v, datetime.date) for v in gvals)
+            # type(v) is date, NOT isinstance: datetime is a date subclass
+            # and a datetime carrying a time part renders differently.
+            return all(type(v) is datetime.date for v in gvals)
         return False
     dt = [(c, str(want[c].dtype), str(got[c].dtype)) for c in want.columns
           if str(want[c].dtype) != str(got[c].dtype)
-          and not benign(str(want[c].dtype), str(got[c].dtype), got[c].head(50))]
+          and not benign(str(want[c].dtype), str(got[c].dtype), got[c])]
     if dt:
         fails.append((name, f"DTYPE mismatch {dt}")); continue
     passes.append((name, len(want), dt))

@@ -1,13 +1,21 @@
 package graft.datagen
 
 import graft.schema.Schemas
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
 /** Synthetic-workload generators (GEN1–GEN3), re-expressed as declarative
   * column expressions so generation is itself a distributed Spark job — no
   * driver-side loops, seeded and deterministic at any scale.
+  *
+  * Determinism contract (round-2 advice fix): every "random" value is a pure
+  * function of ROW CONTENT (`hash(id, seed)` — Murmur3 of the id and the
+  * seed), never `rand(seed)`. Spark seeds `rand` per PARTITION INDEX, and
+  * partition counts differ between local[4] tests, local[32] prod, and any
+  * real cluster — rand-generated corpora would silently differ by
+  * deployment. Content-derived hashing is partition-layout-independent by
+  * construction.
   *
   * Reference behavior being modeled:
   *  - GEN1 `generatedata.py:10-12` — 500k account ids sampled without
@@ -26,35 +34,52 @@ object DataGen {
     * the out-of-enum 'NONMON' bug on purpose; see Schemas.transactionTypeDomain. */
   val generatorTrxTypes: Seq[String] = Seq("CREDIT", "DEBIT", "NONMON")
 
-  /** GEN1 — distinct-sample id universe. `spark.range` over the full domain
-    * + seeded shuffle + limit gives sampling WITHOUT replacement by
-    * construction (every id appears exactly once before the limit). The
-    * orderBy is a full sort of the 900k-row domain — constant work
-    * regardless of engine scale, so fine even though it shuffles. */
+  /** The id domain under a seeded pseudo-random permutation: order by
+    * Murmur3 of (id, seed) with the id itself as tie-break. A prefix of this
+    * permutation is a distinct sample without replacement (every id appears
+    * exactly once), and the SAME prefix on every partition layout. */
+  private def permutedDomain(spark: SparkSession, seed: Long): DataFrame =
+    spark.range(Schemas.idRangeStart, Schemas.idRangeEnd)
+      .withColumn("h", hash(col("id"), lit(seed)))
+      .orderBy(col("h"), col("id"))
+
+  /** GEN1 — distinct-sample id universe (first `n` of the permutation). */
   def idUniverse(spark: SparkSession, seed: Long = 42L,
                  n: Long = Schemas.idUniverseSize): Dataset[java.lang.Long] =
-    spark.range(Schemas.idRangeStart, Schemas.idRangeEnd)
-      .orderBy(rand(seed))
+    permutedDomain(spark, seed)
       .limit(n.toInt)
+      .select("id")
       .as(org.apache.spark.sql.Encoders.LONG)
-      .map(identity)(org.apache.spark.sql.Encoders.LONG)
 
-  /** Pick a random element of a string domain with an independent seed. */
-  private def pick(domain: Seq[String], seed: Long): org.apache.spark.sql.Column =
+  /** The first `idCount` ids of the SAME permutation (the reference's
+    * `lines[:1000]` slice of the id file, updateTables.py:56) — a prefix of
+    * idUniverse, not an arbitrary limit over it. */
+  def idSlice(spark: SparkSession, seed: Long, idCount: Int): DataFrame =
+    permutedDomain(spark, seed).limit(idCount).select("id")
+
+  /** Uniform [0,1) as a pure function of (key column, seed): Murmur3 int →
+    * bucket in [0, 1e6) → scale. ~20 bits of resolution — ample for domain
+    * picks and 2-decimal money. */
+  def u(key: Column, seed: Long): Column =
+    pmod(hash(key, lit(seed)), lit(1000000)).cast(DoubleType) / 1000000.0
+
+  /** Pick a pseudo-random element of a string domain, derived from `key`. */
+  def pick(domain: Seq[String], key: Column, seed: Long): Column =
     element_at(
       array(domain.map(lit): _*),
-      (floor(rand(seed) * domain.size) + 1).cast(IntegerType))
+      (pmod(hash(key, lit(seed)), lit(domain.size)) + 1).cast(IntegerType))
 
   /** GEN2 — row synthesizer: `rows` activity rows over the first `idCount`
-    * ids of the universe (updateTables.py uses lines[:1000]). Pure column
-    * exprs — codegen'd, partition-parallel, deterministic per seed. */
+    * ids of the universe. Pure column exprs keyed by the generated row index
+    * — codegen'd, partition-parallel, deterministic per seed on ANY
+    * partition layout. */
   def activity(spark: SparkSession, rows: Long, seed: Long = 42L,
                idCount: Int = 1000,
                baseTs: String = "2024-01-01 00:00:00"): DataFrame = {
     // Index the (small) id slice deterministically: the window runs over
     // idCount rows only, never the full universe.
     val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-    val ids = idUniverse(spark, seed).limit(idCount).toDF("id")
+    val ids = idSlice(spark, seed, idCount)
       .withColumn("idx", row_number().over(w).cast(LongType) - 1)
     // Each generated row i maps to id (i mod idCount); the join broadcasts
     // the fixed-size id slice — no shuffle of the generated spine.
@@ -64,13 +89,15 @@ object DataGen {
       .join(broadcast(ids), "idx")
       .select(
         col("id").cast(IntegerType).as("user_id"),
-        pick(Schemas.cityDomain, seed + 1).as("city"),
-        pick(generatorTrxTypes, seed + 2).as("transaction_type"),
-        round(rand(seed + 3) * (lit(Schemas.monetaryMax.toDouble) - lit(Schemas.monetaryMin.toDouble))
+        pick(Schemas.cityDomain, col("rowid"), seed + 1).as("city"),
+        pick(generatorTrxTypes, col("rowid"), seed + 2).as("transaction_type"),
+        round(u(col("rowid"), seed + 3)
+          * (lit(Schemas.monetaryMax.toDouble) - lit(Schemas.monetaryMin.toDouble))
           + lit(Schemas.monetaryMin.toDouble), 2).cast(DecimalType(8, 2)).as("monetary_value"),
-        (floor(rand(seed + 4) * (Schemas.timeinappMax - Schemas.timeinappMin + 1))
+        (pmod(hash(col("rowid"), lit(seed + 4)),
+          lit(Schemas.timeinappMax - Schemas.timeinappMin + 1))
           + Schemas.timeinappMin).cast(ShortType).as("timeinapp"),
-        pick(Schemas.featureDomain, seed + 5).as("feature_used"),
+        pick(Schemas.featureDomain, col("rowid"), seed + 5).as("feature_used"),
         // ts: writer-stamped in the reference (ON UPDATE CURRENT_TIMESTAMP,
         // setupTables.py:57). Deterministic synthetic stamp: one row / 5 s
         // from a fixed epoch mirrors the reference's pacing (GEN3).

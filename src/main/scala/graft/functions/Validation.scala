@@ -20,18 +20,36 @@ import org.apache.spark.sql.functions._
 object Validation {
 
   /** Violation checks as (name, predicate-of-failure). varchar(3) length on
-    * city is part of the DDL contract (setupTables.py:52). */
+    * city is part of the DDL contract (setupTables.py:52).
+    *
+    * NULL handling (round-2 advice fix): `!isin(...)` and range predicates
+    * evaluate to NULL for NULL input, and `when(NULL, lit)` yields NULL —
+    * so without the explicit `isNull` legs, a NULL in a NOT NULL column
+    * (e.g. a CDC delete image flattened and re-validated) would silently
+    * pass as valid. Every column the DDL declares NOT NULL
+    * (setupTables.py:49-59 — all but transaction_type) quarantines NULL
+    * explicitly; transaction_type is nullable in the DDL, so NULL passes
+    * but a non-NULL out-of-enum value ('NONMON') still fails. */
   private def violations: Seq[(String, Column)] = Seq(
-    "city_domain" -> !col("city").isin(Schemas.cityDomain: _*),
+    "city_domain" ->
+      (col("city").isNull || !col("city").isin(Schemas.cityDomain: _*)),
     "city_len" -> (length(col("city")) > 3),
     "transaction_type_domain" ->
-      !col("transaction_type").isin(Schemas.transactionTypeDomain: _*),
-    "feature_domain" -> !col("feature_used").isin(Schemas.featureDomain: _*),
+      (col("transaction_type").isNotNull
+        && !col("transaction_type").isin(Schemas.transactionTypeDomain: _*)),
+    "feature_domain" ->
+      (col("feature_used").isNull
+        || !col("feature_used").isin(Schemas.featureDomain: _*)),
     "monetary_range" ->
-      (col("monetary_value") < Schemas.monetaryMin.toDouble
+      (col("monetary_value").isNull
+        || col("monetary_value") < Schemas.monetaryMin.toDouble
         || col("monetary_value") > Schemas.monetaryMax.toDouble),
     "user_id_range" ->
-      (col("user_id") < Schemas.idRangeStart || col("user_id") >= Schemas.idRangeEnd))
+      (col("user_id").isNull
+        || col("user_id") < Schemas.idRangeStart
+        || col("user_id") >= Schemas.idRangeEnd),
+    "timeinapp_null" -> col("timeinapp").isNull,
+    "ts_null" -> col("ts").isNull)
 
   /** Adds a `violation` array column listing every failed check (empty = valid). */
   def annotate(df: DataFrame): DataFrame = {

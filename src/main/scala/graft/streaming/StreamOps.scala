@@ -20,18 +20,28 @@ object StreamOps {
     * source's monotone `value`. */
   def pacedActivity(spark: SparkSession, rowsPerSecond: Double = 0.2,
                     idCount: Int = 1000, seed: Long = 42L): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
-    val ids = DataGen.idUniverse(spark, seed).limit(idCount).toDF("id")
-      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
+    // The rate source only supports integer rows/s ≥ 1, so this operator
+    // honors exactly (a) integer rates and (b) unit-fraction rates 1/N
+    // (emit at 1 Hz, keep every Nth row — identical average rate). Anything
+    // else (1.5 rows/s, 0.3 rows/s) would be silently approximated by
+    // truncation — rejected instead (round-2 advice fix).
+    require(rowsPerSecond > 0, s"rowsPerSecond must be positive: $rowsPerSecond")
     val rate =
-      if (rowsPerSecond >= 1.0)
+      if (rowsPerSecond >= 1.0) {
+        require(math.abs(rowsPerSecond - math.rint(rowsPerSecond)) < 1e-9,
+          s"rates >= 1 must be integral (rate source granularity): $rowsPerSecond")
         spark.readStream.format("rate")
-          .option("rowsPerSecond", rowsPerSecond.toLong).load()
-      else
-        // rate requires an integer rows/s ≥ 1; sub-1 pacing = emit at 1 Hz
-        // and keep every Nth row (identical average rate, same timestamps).
+          .option("rowsPerSecond", math.rint(rowsPerSecond).toLong).load()
+      } else {
+        val n = math.rint(1.0 / rowsPerSecond)
+        require(math.abs(1.0 / rowsPerSecond - n) < 1e-9,
+          s"rates < 1 must be unit fractions 1/N: $rowsPerSecond")
         spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
-          .filter(col("value") % math.round(1.0 / rowsPerSecond) === 0)
+          .filter(col("value") % n.toLong === 0)
+      }
+    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    val ids = DataGen.idSlice(spark, seed, idCount)
+      .withColumn("idx", row_number().over(w).cast(LongType) - 1)
     rate
       .withColumn("idx", col("value") % idCount)
       .join(broadcast(ids), "idx")

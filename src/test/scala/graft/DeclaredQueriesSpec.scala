@@ -36,8 +36,11 @@ class DeclaredQueriesSpec extends SparkSpec {
     // query's output column set must appear verbatim in its oracle SQL.
     Declared.all.flatMap(q => q.oracle.map(q -> _)).foreach { case (q, sql) =>
       val cols = q.build(spark, sf001).columns
+      // Word-boundary match: substring contains is vacuous for 1-char
+      // column names ('n', 'v' match any SQL text).
       cols.foreach(c =>
-        assert(sql.toLowerCase.contains(c.toLowerCase),
+        assert(("(?i)(^|[^a-z0-9_])" + java.util.regex.Pattern.quote(c.toLowerCase)
+          + "($|[^a-z0-9_])").r.findFirstIn(sql.toLowerCase).isDefined,
           s"${q.name}: output column '$c' not mentioned in oracle SQL"))
     }
   }

@@ -13,9 +13,12 @@ class PlanSpec extends SparkSpec {
   private def q(name: String): DataFrame =
     Declared.all.find(_.name == name).get.build(spark, sf001)
 
-  /** Final (AQE-resolved) physical plan text after execution. */
+  /** Final (AQE-resolved) physical plan text after execution. NOTE: the
+    * action must run on THIS DataFrame's own QueryExecution (collect), not a
+    * write — DataFrameWriter plans a separate QueryExecution, leaving this
+    * one isFinalPlan=false with no resolved stages. */
   private def executedPlan(df: DataFrame): String = {
-    df.write.format("noop").mode("overwrite").save()
+    df.collect()
     df.queryExecution.executedPlan match {
       case a: AdaptiveSparkPlanExec => a.executedPlan.toString
       case p => p.toString
@@ -32,7 +35,10 @@ class PlanSpec extends SparkSpec {
     val plan = q("d03_predicates").queryExecution.executedPlan.toString
     assert(plan.contains("PushedFilters:"))
     assert(plan.contains("In(o_orderstatus"))
-    assert(plan.contains("IsNotNull(o_custkey"))
+    // The PushedFilters metadata string truncates at 100 chars
+    // (spark.sql.maxMetadataStringLength), so the custkey filter is
+    // asserted via the scan's DataFilters/Filter text instead.
+    assert(plan.contains("isnotnull(o_custkey"))
   }
 
   test("d02: projection is pruned to the referenced columns") {
@@ -71,7 +77,9 @@ class PlanSpec extends SparkSpec {
   }
 
   test("whole-stage codegen covers the d02 hot path") {
-    val plan = q("d02_pricing_summary").queryExecution.executedPlan.toString
-    assert(plan.contains("WholeStageCodegen"), plan.take(1000))
+    // Codegen spans exist only in the AQE-resolved final plan; they print
+    // as `*(n) HashAggregate` markers in the tree string.
+    val plan = executedPlan(q("d02_pricing_summary"))
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(1500))
   }
 }
