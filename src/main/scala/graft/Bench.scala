@@ -35,7 +35,7 @@ object Bench {
     // Session warm-up: parquet footer caches + scheduler paths, untimed.
     Seq("d01_scan_count", "d05_multiway_join").foreach(runOnce)
 
-    val order = Declared.all.map(_.name).filter(SparkEntry.queries.contains)
+    val order = SparkEntry.allDeclared.map(_.name).filter(SparkEntry.queries.contains)
     val results = order.map { n => runOnce(n); n -> runOnce(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import graft.queries.Declared
+import graft.queries.{Declared, LlmDeclared}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -16,9 +16,13 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("d02_pricing_summary")(spark, "/root/testdata/sf0.001")
 
+  /** D1–D29 (relational plane) + L1–L13 (LLM-data-pipeline plane). */
+  def allDeclared: Seq[graft.queries.DeclaredQuery] =
+    Declared.all ++ LlmDeclared.all
+
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    Declared.all.map(q => q.name -> q.build).toMap
+    allDeclared.map(q => q.name -> q.build).toMap
 
   def oracleSql: Map[String, String] =
-    Declared.all.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
+    allDeclared.flatMap(q => q.oracle.map(o => q.name -> o)).toMap
 }

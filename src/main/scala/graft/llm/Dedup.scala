@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Document deduplication operators — the training-data-pipeline plane.
+  *
+  * Scale design (the 100 TB story):
+  *  - Exact dedup is one hash-groupBy on a 32-byte digest — the shuffle
+  *    carries (digest, doc_id), never the text.
+  *  - MinHash+LSH is THE scale path for near-dup detection: candidate pairs
+  *    come from equality joins on band hashes, so work per task is bounded
+  *    by band-bucket occupancy — no all-pairs comparison ever happens.
+  *  - The inverted-index Jaccard join (jaccardPairs) is the exact baseline:
+  *    it shuffles on the shingle, so an ultra-common shingle is a skew key.
+  *    Fine for verification corpora; at 100 TB use minhashNearDups (or drop
+  *    shingles with document frequency above a cutoff — the standard
+  *    stopword-shingle guard — before the join).
+  *  - SimHash packs a document into one 64/32-bit signature; banding the
+  *    signature bytes gives equality-join candidate generation just like
+  *    MinHash-LSH, and verification is a single XOR+popcount.
+  *
+  * All hashes are md5-derived so the DuckDB correctness oracles reproduce
+  * every signature bit-for-bit (see queries/LlmDeclared).
+  */
+object Dedup {
+
+  /** Exact duplicate groups: one row per distinct text, with the copy count
+    * and the surviving (minimum) doc_id. The canonical "keep one copy"
+    * compaction: group on md5(text) — the shuffle carries 32-byte digests,
+    * not documents. */
+  def exactDupGroups(docs: DataFrame): DataFrame =
+    docs
+      .groupBy(md5(col("text")).as("text_md5"))
+      .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
+
+  /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
+    * via an inverted-index self-join (shuffle key = shingle). Returns
+    * (doc_a, doc_b, jaccard) for pairs with jaccard >= minJ. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val sh = TextOps.docShingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** MinHash signatures: k independent min-hashes per document, computed as
+    * k min-aggregates in ONE pass over the exploded shingles (no per-seed
+    * re-scan). The "hash function" family is md5 prefixed with the seed —
+    * engine-portable, and the min over hex strings is a plain lexicographic
+    * (= bytewise) min in both Spark and DuckDB. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame =
+    TextOps.docShingles(docs, n)
+      .groupBy(col("doc_id"))
+      .agg(
+        min(md5(concat(lit("0:"), col("s")))).as("m0"),
+        (1 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i")): _*)
+
+  /** LSH banding of a k-wide signature into `bands` bands of k/bands rows
+    * each: (doc_id, band_idx, band_hash). Docs agreeing on ANY band become
+    * candidates via an equality join on (band_idx, band_hash). */
+  def lshBands(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    val r = k / bands
+    val bandCols = (0 until bands).map(b =>
+      md5(concat_ws(",", (0 until r).map(j => col(s"m${r * b + j}")): _*)))
+    sig.select(col("doc_id"),
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+  }
+
+  /** MinHash-LSH near-duplicate pairs: band-equality candidates, then exact
+    * Jaccard verification of ONLY the candidates (the candidate set is tiny
+    * relative to the corpus, so the verify join broadcasts it). */
+  def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                      minJ: Double = 0.5): DataFrame = {
+    val bandsDf = lshBands(minhashSignatures(docs, n, k), k, bands)
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val sh = TextOps.docShingles(docs, n)
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = broadcast(cand)
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .withColumn("jaccard",
+        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+      .filter(col("jaccard") >= minJ)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
+  /** 32-bit SimHash per document over distinct 3-gram shingles: shingle →
+    * md5-int32; signature bit i is set iff Σ_features (±1 by feature bit i)
+    * > 0. One explode + one groupBy with 32 sum-aggregates — a single
+    * shuffle of (doc_id, 32 ints). Features are SHINGLES, not unigrams: on
+    * a small-vocabulary corpus most documents contain most words, making
+    * unigram simhash degenerate (near-identical signatures corpus-wide);
+    * the shingle space is large enough that only true near-dups land close. */
+  def simhash(docs: DataFrame, bits: Int = 32, n: Int = 3): DataFrame = {
+    val toks = TextOps.docShingles(docs, n)
+      .withColumn("th", TextOps.md5Int32(col("s")))
+    val sums = toks.groupBy(col("doc_id")).agg(
+      sum(shiftright(col("th"), 0).bitwiseAND(lit(1L)) * 2 - 1).as("b0"),
+      (1 until bits).map(i =>
+        sum(shiftright(col("th"), i).bitwiseAND(lit(1L)) * 2 - 1).as(s"b$i")): _*)
+    sums.select(col("doc_id"),
+      (0 until bits).map(i =>
+        when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+        .reduce(_ + _).as("simhash"))
+  }
+
+  /** SimHash near-duplicate pairs: band the 32-bit signature into 4 bytes,
+    * equality-join on any agreeing byte (candidate generation), verify with
+    * XOR+popcount <= maxHamming. */
+  def simhashNearDups(docs: DataFrame, maxHamming: Int = 6): DataFrame = {
+    val sig = simhash(docs)
+    val banded = sig.select(col("doc_id"), col("simhash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("simhash"), 8 * b).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    banded.as("x").join(banded.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.simhash").bitwiseXOR(col("y.simhash"))).cast(LongType)
+          .as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+}

@@ -1,0 +1,56 @@
+package graft.llm
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
+  * decoded per-partition into feature rows.
+  *
+  * The decode step is a STUB by design — this container ships no
+  * image/audio codecs — but everything around it is the real Spark shape a
+  * media pipeline needs at 100 TB:
+  *  - payloads travel as BinaryType columns (columnar, never stringified);
+  *  - decode runs via `mapPartitions` over a typed Dataset, i.e. one
+  *    iterator pass per partition with zero driver involvement — swap
+  *    `stubDecode` for a JNI/codec call and nothing else changes;
+  *  - output is a typed feature row (Dataset[MediaFeatures]) that drops
+  *    straight back into declarative SQL.
+  *
+  * The stub is DETERMINISTIC arithmetic over the payload bytes, so the
+  * DuckDB oracle can verify the whole pipeline end-to-end (a real decoder
+  * is exactly as testable against golden outputs).
+  */
+object Multimodal {
+
+  final case class BlobRow(doc_id: Long, payload: Array[Byte])
+
+  /** Typed metadata a decoder would emit per media object. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Long, width: Long, height: Long, sum_bytes: Long)
+
+  /** STUB decode: deterministic pseudo-dimensions + an exact byte checksum.
+    * A real build replaces the body with the codec call; the signature —
+    * bytes in, typed features out, pure per-element — is the contract. */
+  def stubDecode(b: BlobRow): MediaFeatures = {
+    val n = b.payload.length.toLong
+    val first = if (n > 0) b.payload(0) & 0xff else 0
+    val last = if (n > 0) b.payload(n.toInt - 1) & 0xff else 0
+    var sum = 0L
+    var i = 0
+    while (i < b.payload.length) { sum += (b.payload(i) & 0xff); i += 1 }
+    MediaFeatures(b.doc_id, n, 1L + first % 64, 1L + last % 64, sum)
+  }
+
+  /** Wrap the documents corpus as a binary-payload table (the fixture has
+    * no real media column; text bytes stand in as the opaque payload). */
+  def asBlobs(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+
+  /** The decode pipeline: binary column → per-partition batch decode →
+    * typed feature rows. */
+  def decodeFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map(stubDecode))
+  }
+}

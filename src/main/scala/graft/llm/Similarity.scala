@@ -1,0 +1,110 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Similarity search over the `embeddings` corpus (vec_id, embedding:
+  * array<float>, label).
+  *
+  * Two paths, same contract:
+  *  - bruteForceTopK — the exact baseline: broadcast the (small) query set,
+  *    one pass over all candidate vectors, per-query top-k. Cost is
+  *    O(|Q| · N · d) with NO shuffle of the candidate table beyond the
+  *    final (qid, k) ranking; correct at any N but linear in N.
+  *  - annTopK — the scale path: random-hyperplane LSH. Every vector gets a
+  *    small bucket id from the sign pattern of `planes` fixed hyperplanes;
+  *    only same-bucket pairs are compared. Candidate work per task is
+  *    bounded by bucket occupancy (N / 2^planes expected), the classic
+  *    recall-for-throughput trade (recall measured in LlmSpec).
+  *
+  * All dot products run through `aggregate`/`zip_with` higher-order
+  * functions on DOUBLE — a strict left-to-right fold, so results are
+  * bit-identical to DuckDB's `list_reduce` fold in the oracle (fp addition
+  * is order-sensitive; both engines fold sequentially over the same values).
+  * Hyperplane components are md5-derived so the oracle can regenerate them.
+  */
+object Similarity {
+
+  /** Σ x_i² (double fold). */
+  def norm2(e: Column): Column =
+    aggregate(transform(e, x => x.cast(DoubleType) * x.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Σ a_i·b_i (double fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** cos(a,b) = dot / (|a|·|b|) — written exactly as the oracle computes it
+    * (same operation order ⇒ same doubles). */
+  def cosine(a: Column, b: Column): Column =
+    dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
+
+  /** Exact top-k cosine neighbors for each query vector (`queries` must be
+    * small — it is broadcast). Output: (qid, rank, nid, sim). */
+  def bruteForceTopK(queries: DataFrame, candidates: DataFrame, k: Int = 5): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe")))
+    val c = candidates.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+    val sims = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component in [-1, 1): the first
+    * 8 md5 hex chars of "plane:dim" scaled — reproducible from SQL in any
+    * engine with md5. */
+  def planeComponent(plane: Int, dim: Int): Double = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s"$plane:$dim".getBytes("UTF-8"))
+    val hex = d.take(4).map(b => f"$b%02x").mkString
+    java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
+  }
+
+  /** The `planes` hyperplanes as literal double-array columns. */
+  def planeLiterals(planes: Int, dim: Int): Seq[Column] =
+    (0 until planes).map(h =>
+      array((0 until dim).map(d => lit(planeComponent(h, d))): _*))
+
+  /** LSH bucket id: bit h = sign of dot(embedding, plane_h). */
+  def bucketExpr(e: Column, planes: Int, dim: Int): Column =
+    planeLiterals(planes, dim).zipWithIndex.map { case (p, h) =>
+      when(dot(e, p) >= 0, lit(1L << h)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** ANN top-k via hyperplane LSH: compare each query only against vectors
+    * in ITS bucket. Output: (qid, rank, nid, sim) — rank within surviving
+    * candidates; queries whose bucket holds no other vector yield no rows
+    * (recall < 1 by design; see LlmSpec for the measured recall). */
+  def annTopK(queries: DataFrame, candidates: DataFrame, k: Int = 3,
+              planes: Int = 8, dim: Int = 64): DataFrame = {
+    val q = broadcast(queries.select(col("vec_id").as("qid"),
+      col("embedding").as("qe"), bucketExpr(col("embedding"), planes, dim).as("bkt")))
+    val c = candidates.select(col("vec_id").as("nid"),
+      col("embedding").as("ce"), bucketExpr(col("embedding"), planes, dim).as("bkt"))
+    val sims = q.join(c, Seq("bkt")).filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** Embedding-cosine near-duplicate pairs: all pairs in the SAME LSH
+    * bucket with cosine >= minSim (the embedding analog of minhashNearDups
+    * — bucket-bounded, never all-pairs). */
+  def cosineNearDups(vectors: DataFrame, minSim: Double = 0.9,
+                     planes: Int = 8, dim: Int = 64): DataFrame = {
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      bucketExpr(col("embedding"), planes, dim).as("bkt"))
+    v.as("x").join(v.as("y"),
+        col("x.bkt") === col("y.bkt") && col("x.vec_id") < col("y.vec_id"))
+      .select(col("x.vec_id").as("vec_a"), col("y.vec_id").as("vec_b"),
+        cosine(col("x.embedding"), col("y.embedding")).as("sim"))
+      .filter(col("sim") >= minSim)
+  }
+}

@@ -1,0 +1,85 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for the training-data pipeline: language ID,
+  * quality scoring, token counting, document fingerprinting. Every operator
+  * is a single codegen'd projection (or one groupBy for the fingerprint) —
+  * no joins, no explode of the corpus into per-token rows except where a
+  * per-token aggregate is the semantics.
+  */
+object TextAnalysis {
+
+  /** Tiny per-language stopword profiles for the n-gram/stopword heuristic.
+    * (A production profile would be learned; the operator shape — scoring a
+    * document against K fixed profiles and taking the argmax — is what
+    * matters and is identical.) */
+  val stopwords: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it"),
+    "es" -> Seq("el", "la", "de", "los", "en", "y", "es", "que"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "mit", "nicht"),
+    "fr" -> Seq("le", "les", "des", "et", "un", "une", "est", "dans"),
+    "zh" -> Seq("的", "了", "是", "在", "我", "有", "和", "不"))
+
+  private def ratioFor(toks: Column, words: Seq[String]): Column =
+    size(filter(toks, t => t.isInCollection(words))).cast(DoubleType) /
+      size(toks).cast(DoubleType)
+
+  /** Language ID: per-language stopword hit ratio, argmax with alphabetical
+    * tie-break (via a sort over (−score, lang) structs — in-row, no
+    * shuffle). Output: (doc_id, pred_lang, score). */
+  def langId(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val scored = sort_array(array(stopwords.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        struct((-ratioFor(toks, words)).as("neg"), lit(lang).as("lang"))
+    }: _*))
+    docs.select(col("doc_id"),
+      element_at(scored, 1).getField("lang").as("pred_lang"),
+      (-element_at(scored, 1).getField("neg")).as("score"))
+  }
+
+  /** Quality metrics: token count, mean token length, punctuation ratio,
+    * stopword ratio — the length/punct/stopword heuristics of corpus
+    * filtering, as exact integer-derived doubles. */
+  def quality(docs: DataFrame): DataFrame = {
+    val toks = TextOps.tokens(col("text"))
+    val nTok = size(toks).cast(LongType)
+    val letters = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
+    docs.select(
+      col("doc_id"),
+      nTok.as("n_tok"),
+      ((length(col("text")) - (nTok - 1)).cast(DoubleType)
+        / nTok.cast(DoubleType)).as("mean_tok_len"),
+      ((length(col("text")) - letters).cast(DoubleType)
+        / length(col("text")).cast(DoubleType)).as("punct_ratio"),
+      ratioFor(toks, stopwords("en")).as("stop_ratio"))
+  }
+
+  /** Token counts: whitespace tokens and BPE-ish regex tokens (letter runs,
+    * digit runs, single other-chars) — both as one projection. */
+  def tokenCounts(docs: DataFrame): DataFrame =
+    docs.select(
+      col("doc_id"),
+      size(TextOps.tokens(col("text"))).cast(LongType).as("ws_tokens"),
+      // group 0 = the whole match (the pattern has no capture groups;
+      // Spark's default group index is 1 and would throw)
+      size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
+        .cast(LongType).as("re_tokens"))
+
+  /** Document fingerprint via mod-p shingle sampling (winnowing-style):
+    * md5-int32 each distinct 3-gram shingle, keep hashes ≡ 0 (mod p), and
+    * digest the sorted surviving hex values. Two docs share a fingerprint
+    * iff their sampled shingle sets are identical — an 8×-compressed
+    * near-exact dedup key. Docs with no surviving shingle are dropped. */
+  def fingerprints(docs: DataFrame, n: Int = 3, p: Int = 8): DataFrame =
+    TextOps.docShingles(docs, n)
+      .withColumn("hx", substring(md5(col("s")), 1, 8))
+      .filter(TextOps.md5Int32(col("s")) % p === 0)
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_sel"),
+        md5(concat_ws(",", sort_array(collect_list(col("hx"))))).as("fp"))
+}

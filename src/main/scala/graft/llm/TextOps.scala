@@ -1,0 +1,46 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared text-pipeline column expressions over the `documents` corpus
+  * (doc_id, text, lang, source, n_chars).
+  *
+  * Everything here is a pure, codegen-friendly column expression — token
+  * and shingle construction happen inside the scan's projection with NO
+  * join or shuffle (the naive alternative, a positional self-join of an
+  * exploded token table, shuffles the whole corpus twice). Cross-engine
+  * note: every hash used for dedup/fingerprinting is md5 (identical bytes
+  * in any engine), never Spark-internal Murmur3, so the DuckDB oracles can
+  * reproduce results bit-for-bit.
+  */
+object TextOps {
+
+  /** Whitespace tokens. The corpus is single-space word salad; a literal
+    * single-space split is deterministic and dialect-portable. */
+  def tokens(text: Column): Column = split(text, " ")
+
+  /** Distinct word n-gram shingles, built in-place with an indexed
+    * `transform` over the token array (positions are 0-based in the lambda,
+    * 1-based in element_at). */
+  def shingles(text: Column, n: Int): Column = {
+    val toks = tokens(text)
+    array_distinct(filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))),
+      x => x.isNotNull))
+  }
+
+  /** Exploded (doc_id, shingle) pairs — the shared input of the Jaccard,
+    * MinHash, and fingerprint operators. */
+  def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+
+  /** First 8 hex chars of md5 parsed as an unsigned 32-bit value in a LONG —
+    * the portable "hash to int" used by SimHash/fingerprinting (DuckDB:
+    * ('0x' || substr(md5(x),1,8))::BIGINT). */
+  def md5Int32(c: Column): Column =
+    conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+}

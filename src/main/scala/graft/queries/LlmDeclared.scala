@@ -1,0 +1,349 @@
+package graft.queries
+
+import graft.Tables
+import graft.llm.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The LLM-training-data-pipeline declared queries (L1–L13 + the hex scalar
+  * D29): dedup, similarity search, text analysis, multimodal plumbing,
+  * sketches/UDAF — each oracle-checked against DuckDB on the same parquet.
+  *
+  * Cross-engine determinism rules specific to this plane:
+  *  - All content hashes are md5 (byte-identical in any engine) — never
+  *    engine-internal hash functions.
+  *  - Every floating-point similarity is a sequential left fold over
+  *    doubles (`aggregate`/`zip_with` in Spark, `list_reduce`/`list_apply`
+  *    in DuckDB): same values, same operation order ⇒ bit-identical
+  *    doubles on both sides.
+  *  - Ratios divide exact integers as doubles (one exact division each).
+  *  - ROW_NUMBER ranks cast to BIGINT on the Spark side (DuckDB returns
+  *    BIGINT).
+  */
+object LlmDeclared {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  /** DuckDB list-comprehension shingle CTE shared by the text oracles:
+    * distinct word 3-grams per document. */
+  private val shingleCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      |sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+      |         range(1, len(w) - 1),
+      |         i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+      |       FROM t)""".stripMargin
+
+  /** DuckDB sequential-fold cosine over two float lists (bit-identical to
+    * Spark's zip_with/aggregate fold — same values, same order). */
+  private def duckCosine(a: String, b: String): String =
+    s"""list_reduce(list_apply(list_zip($a, $b),
+       |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)
+       |/ (sqrt(list_reduce(list_apply($a, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+       | * sqrt(list_reduce(list_apply($b, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y)))""".stripMargin
+
+  // ----------------------------------------------------------- dedup plane
+
+  /** L1 — exact dedup (hash-groupBy). The fixture corpus is dup-free by
+    * construction, so the query runs over the corpus unioned with a
+    * doc_id-shifted copy of itself: every text then has exactly one
+    * duplicate and the kept representative is the original (minimum) id. */
+  private val l01 = DeclaredQuery(
+    "l01_exact_dedup",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.exactDupGroups(corpus).orderBy(col("text_md5"))
+    },
+    Some("""WITH corpus AS (
+      SELECT doc_id, text FROM documents
+      UNION ALL SELECT doc_id + 1000000, text FROM documents)
+      SELECT md5(text) AS text_md5, COUNT(*) AS n_copies, MIN(doc_id) AS keep_doc_id
+      FROM corpus GROUP BY md5(text) ORDER BY text_md5"""))
+
+  /** L2 — exact n-gram Jaccard near-dup pairs via the inverted-index join
+    * (the exact baseline the LSH paths are verified against). */
+  private val l02 = DeclaredQuery(
+    "l02_jaccard_pairs",
+    (s, dir) => Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, minJ = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+      SELECT doc_a, doc_b,
+             CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  /** L3 — MinHash + LSH near-dup detection (the 100 TB scale path: banded
+    * equality-join candidates, exact verification of candidates only). */
+  private val l03 = {
+    val k = 16; val bands = 4; val r = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"MIN(md5('$i:' || s)) AS m$i").mkString(",\n        ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (0 until r).map(j => s"m${r * b + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l03_minhash_lsh",
+      (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), 3, k, bands, 0.5)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $shingleCte,
+      sig AS (SELECT doc_id,
+        $sigCols
+        FROM sh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                AND x.doc_id < y.doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+                 FROM cand
+                 JOIN sh sa ON sa.doc_id = doc_a
+                 JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+                 GROUP BY doc_a, doc_b)
+      SELECT doc_a, doc_b,
+             CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+  }
+
+  /** L4 — 32-bit SimHash near-dup pairs (signature banding + XOR popcount). */
+  private val l04 = {
+    val bits = 32
+    val sumCols = (0 until bits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n        ")
+    val sigExpr = (0 until bits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_val FROM sig")
+      .mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l04_simhash_pairs",
+      (s, dir) => Dedup.simhashNearDups(t(s, dir, "documents"), maxHamming = 6)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $shingleCte,
+      th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+      sums AS (SELECT doc_id,
+        $sumCols
+        FROM th GROUP BY doc_id),
+      sig AS (SELECT doc_id, $sigExpr AS simhash FROM sums),
+      banded AS (
+        $bandSelects)
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+             CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+      FROM banded x JOIN banded y
+        ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+       AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.simhash, y.simhash)) <= 6
+      ORDER BY doc_a, doc_b"""))
+  }
+
+  // ------------------------------------------------------ similarity plane
+
+  /** L5 — brute-force cosine top-k (the exact ANN baseline): 8 query
+    * vectors against the full corpus. */
+  private val l05 = DeclaredQuery(
+    "l05_cosine_topk",
+    (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.bruteForceTopK(em.filter(col("vec_id") < 8), em, k = 5)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH sims AS (
+      SELECT q.vec_id AS qid, c.vec_id AS nid,
+        ${duckCosine("q.embedding", "c.embedding")} AS sim
+      FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+      WHERE q.vec_id < 8)
+      SELECT qid, rnk, nid, sim FROM (
+        SELECT qid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims) r
+      WHERE rnk <= 5 ORDER BY qid, rnk"""))
+
+  /** L6 — ANN top-k via random-hyperplane LSH (the scale path: only
+    * same-bucket pairs are compared; hyperplanes are md5-derived so the
+    * oracle regenerates them bit-for-bit). */
+  private val l06 = DeclaredQuery(
+    "l06_ann_lsh",
+    (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.annTopK(em.filter(col("vec_id") < 8), em, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH planes AS (
+      SELECT h, list_transform(range(64),
+        d -> ('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+             / 2147483648.0 - 1.0) AS plane
+      FROM range(8) AS t(h)),
+      buckets AS (
+        SELECT e.vec_id, e.embedding,
+          SUM(CASE WHEN list_reduce(list_apply(list_zip(e.embedding, p.plane),
+                x -> CAST(x[1] AS DOUBLE) * x[2]), (x, y) -> x + y) >= 0
+              THEN 1 << h ELSE 0 END) AS bkt
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding),
+      sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          ${duckCosine("q.embedding", "c.embedding")} AS sim
+        FROM buckets q JOIN buckets c ON q.bkt = c.bkt AND q.vec_id <> c.vec_id
+        WHERE q.vec_id < 8)
+      SELECT qid, rnk, nid, sim FROM (
+        SELECT qid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims) r
+      WHERE rnk <= 3 ORDER BY qid, rnk"""))
+
+  // ---------------------------------------------------- text-analysis plane
+
+  private def duckList(words: Seq[String]): String =
+    words.map(w => s"'$w'").mkString("[", ", ", "]")
+
+  /** L7 — language ID by stopword-profile argmax. */
+  private val l07 = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (lang, words) =>
+      s"CAST(len(list_filter(w, x -> list_contains(${duckList(words)}, x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS s_$lang"
+    }.mkString(",\n        ")
+    val unpivot = langs.map { case (lang, _) =>
+      s"SELECT doc_id, '$lang' AS lang, s_$lang AS score FROM scores"
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l07_lang_id",
+      (s, dir) => TextAnalysis.langId(t(s, dir, "documents")).orderBy(col("doc_id")),
+      Some(s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      scores AS (SELECT doc_id,
+        $scoreCols
+        FROM t),
+      unp AS (
+        $unpivot)
+      SELECT doc_id, lang AS pred_lang, score FROM (
+        SELECT doc_id, lang, score,
+               ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang) AS rn
+        FROM unp) r
+      WHERE rn = 1 ORDER BY doc_id"""))
+  }
+
+  /** L8 — quality metrics (length / punctuation / stopword heuristics). */
+  private val l08 = DeclaredQuery(
+    "l08_quality",
+    (s, dir) => TextAnalysis.quality(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS w FROM documents)
+      SELECT doc_id,
+        CAST(len(w) AS BIGINT) AS n_tok,
+        CAST(length(text) - (len(w) - 1) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS mean_tok_len,
+        CAST(length(text) - length(regexp_replace(text, '[^a-z0-9 ]', '', 'g')) AS DOUBLE)
+          / CAST(length(text) AS DOUBLE) AS punct_ratio,
+        CAST(len(list_filter(w, x -> list_contains(${duckList(TextAnalysis.stopwords("en"))}, x))) AS DOUBLE)
+          / CAST(len(w) AS DOUBLE) AS stop_ratio
+      FROM t ORDER BY doc_id"""))
+
+  /** L9 — token counting: whitespace and BPE-ish regex tokenizers. */
+  private val l09 = DeclaredQuery(
+    "l09_token_counts",
+    (s, dir) => TextAnalysis.tokenCounts(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(len(string_split(text, ' ')) AS BIGINT) AS ws_tokens,
+      CAST(len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS re_tokens
+      FROM documents ORDER BY doc_id"""))
+
+  /** L10 — document fingerprinting by mod-p shingle sampling. */
+  private val l10 = DeclaredQuery(
+    "l10_fingerprints",
+    (s, dir) => TextAnalysis.fingerprints(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      sel AS (SELECT doc_id, substr(md5(s), 1, 8) AS hx
+              FROM sh
+              WHERE ('0x' || substr(md5(s), 1, 8))::BIGINT % 8 = 0)
+      SELECT doc_id, COUNT(*) AS n_sel,
+             md5(string_agg(hx, ',' ORDER BY hx)) AS fp
+      FROM sel GROUP BY doc_id ORDER BY doc_id"""))
+
+  // ------------------------------------------------- multimodal + sketches
+
+  /** L11 — multimodal decode plumbing: binary payloads through a
+    * mapPartitions stub decoder; the oracle recomputes the stub's exact
+    * arithmetic from SQL (the corpus text is ASCII, so bytes = codepoints). */
+  private val l11 = DeclaredQuery(
+    "l11_multimodal_decode",
+    (s, dir) =>
+      Multimodal.decodeFeatures(s, Multimodal.asBlobs(t(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      CAST(length(text) AS BIGINT) AS n_bytes,
+      CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
+      CAST(1 + ascii(substr(text, length(text), 1)) % 64 AS BIGINT) AS height,
+      CAST(list_reduce(list_transform(range(1, length(text) + 1),
+        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), (x, y) -> x + y) AS BIGINT) AS sum_bytes
+      FROM documents ORDER BY doc_id"""))
+
+  /** L12 — per-group profile: exact distinct + exact percentiles (the
+    * oracle-checkable twins of the HLL/KLL sketches, which LlmSpec
+    * bounds-checks separately). */
+  private val l12 = DeclaredQuery(
+    "l12_profile",
+    (s, dir) =>
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(
+          countDistinct(col("user_id")).as("exact_users"),
+          expr("percentile(value, array(0.25, 0.5, 0.9))").as("pct"))
+        .select(col("event_type"), col("exact_users"),
+          element_at(col("pct"), 1).as("p25"),
+          element_at(col("pct"), 2).as("p50"),
+          element_at(col("pct"), 3).as("p90"))
+        .orderBy(col("event_type")),
+    Some("""SELECT event_type,
+      COUNT(DISTINCT user_id) AS exact_users,
+      quantile_cont(value, 0.25) AS p25,
+      quantile_cont(value, 0.5) AS p50,
+      quantile_cont(value, 0.9) AS p90
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** L13 — typed Aggregator UDAF (exact decimal sum-of-squares): the
+    * extension surface for custom aggregation, made oracle-checkable by
+    * the order-independent decimal buffer. */
+  private val l13 = DeclaredQuery(
+    "l13_udaf_sumsq",
+    (s, dir) => {
+      val sumsq = udaf(Sketches.SumSquares)
+      t(s, dir, "events")
+        .groupBy(col("event_type"))
+        .agg(sumsq(col("value")).as("sum_sq"))
+        .orderBy(col("event_type"))
+    },
+    Some("""SELECT event_type,
+      CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+      FROM events GROUP BY event_type ORDER BY event_type"""))
+
+  /** D29 — hex encoding scalar (operator CDC6: the DMS `noHexPrefix:false`
+    * 0x-prefixed binary rendering, as a portable scalar). */
+  private val d29 = DeclaredQuery(
+    "d29_hex_encode",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(col("c_custkey"),
+          concat(lit("0x"), hex(col("c_name"))).as("hexname"))
+        .orderBy(col("c_custkey")),
+    Some("""SELECT c_custkey, '0x' || hex(c_name) AS hexname
+      FROM customer ORDER BY c_custkey"""))
+
+  val all: Seq[DeclaredQuery] = Seq(
+    l01, l02, l03, l04, l05, l06, l07, l08, l09, l10, l11, l12, l13, d29)
+}
