@@ -65,28 +65,45 @@ object Similarity {
     java.lang.Long.parseLong(hex, 16).toDouble / 2147483648.0 - 1.0
   }
 
-  /** The `planes` hyperplanes as literal double-array columns. */
-  def planeLiterals(planes: Int, dim: Int): Seq[Column] =
+  /** Hyperplanes `planeOffset until planeOffset+planes` as literal
+    * double-array columns (the offset gives independent plane families to
+    * multi-table LSH while table 0 keeps the 0..planes-1 indices the
+    * single-table oracle regenerates). */
+  def planeLiterals(planes: Int, dim: Int, planeOffset: Int = 0): Seq[Column] =
     (0 until planes).map(h =>
-      array((0 until dim).map(d => lit(planeComponent(h, d))): _*))
+      array((0 until dim).map(d => lit(planeComponent(planeOffset + h, d))): _*))
 
-  /** LSH bucket id: bit h = sign of dot(embedding, plane_h). */
-  def bucketExpr(e: Column, planes: Int, dim: Int): Column =
-    planeLiterals(planes, dim).zipWithIndex.map { case (p, h) =>
+  /** LSH bucket id: bit h = sign of dot(embedding, plane_{offset+h}). */
+  def bucketExpr(e: Column, planes: Int, dim: Int, planeOffset: Int = 0): Column =
+    planeLiterals(planes, dim, planeOffset).zipWithIndex.map { case (p, h) =>
       when(dot(e, p) >= 0, lit(1L << h)).otherwise(lit(0L))
     }.reduce(_ + _)
 
   /** ANN top-k via hyperplane LSH: compare each query only against vectors
-    * in ITS bucket. Output: (qid, rank, nid, sim) — rank within surviving
-    * candidates; queries whose bucket holds no other vector yield no rows
-    * (recall < 1 by design; see LlmSpec for the measured recall). */
+    * sharing a bucket in at least one of `tables` independent hash tables.
+    * Output: (qid, rank, nid, sim) — rank within surviving candidates;
+    * queries colliding with no other vector yield no rows.
+    *
+    * Recall knobs (the standard LSH trade): more `planes` → smaller buckets
+    * → less work, lower recall; more `tables` → union of candidate sets →
+    * higher recall, `tables`× bucket work. Single-table 8-plane is the
+    * cheap profile (and the one the DuckDB oracle regenerates); 8 tables ×
+    * 4 planes is the recall profile measured in LlmSpec. */
   def annTopK(queries: DataFrame, candidates: DataFrame, k: Int = 3,
-              planes: Int = 8, dim: Int = 64): DataFrame = {
-    val q = broadcast(queries.select(col("vec_id").as("qid"),
-      col("embedding").as("qe"), bucketExpr(col("embedding"), planes, dim).as("bkt")))
-    val c = candidates.select(col("vec_id").as("nid"),
-      col("embedding").as("ce"), bucketExpr(col("embedding"), planes, dim).as("bkt"))
-    val sims = q.join(c, Seq("bkt")).filter(col("qid") =!= col("nid"))
+              planes: Int = 8, dim: Int = 64, tables: Int = 1): DataFrame = {
+    def withBuckets(df: DataFrame, idAs: String) =
+      df.select(col("vec_id").as(idAs),
+        posexplode(array((0 until tables).map(t =>
+          bucketExpr(col("embedding"), planes, dim, t * planes)): _*))
+          .as(Seq("tbl", "bkt")))
+    val cand = broadcast(withBuckets(queries, "qid"))
+      .join(withBuckets(candidates, "nid"), Seq("tbl", "bkt"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"))
+      .distinct()
+    val sims = cand
+      .join(broadcast(queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))), "qid")
+      .join(candidates.select(col("vec_id").as("nid"), col("embedding").as("ce")), "nid")
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w).cast(LongType))

@@ -29,26 +29,30 @@ object TextAnalysis {
 
   /** Language ID: per-language stopword hit ratio, argmax with alphabetical
     * tie-break (via a sort over (−score, lang) structs — in-row, no
-    * shuffle). Output: (doc_id, pred_lang, score). */
+    * shuffle). Tokens are projected to a bound attribute first so the K
+    * profile scans share one materialized array (see
+    * TextOps.shinglesFromTokens for why). Output: (doc_id, pred_lang, score). */
   def langId(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    val toks = col("toks")
     val scored = sort_array(array(stopwords.toSeq.sortBy(_._1).map {
       case (lang, words) =>
         struct((-ratioFor(toks, words)).as("neg"), lit(lang).as("lang"))
     }: _*))
-    docs.select(col("doc_id"),
-      element_at(scored, 1).getField("lang").as("pred_lang"),
-      (-element_at(scored, 1).getField("neg")).as("score"))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        element_at(scored, 1).getField("lang").as("pred_lang"),
+        (-element_at(scored, 1).getField("neg")).as("score"))
   }
 
   /** Quality metrics: token count, mean token length, punctuation ratio,
     * stopword ratio — the length/punct/stopword heuristics of corpus
     * filtering, as exact integer-derived doubles. */
   def quality(docs: DataFrame): DataFrame = {
-    val toks = TextOps.tokens(col("text"))
+    val toks = col("toks")
     val nTok = size(toks).cast(LongType)
     val letters = length(regexp_replace(col("text"), "[^a-z0-9 ]", ""))
-    docs.select(
+    docs.select(col("doc_id"), col("text"), TextOps.tokens(col("text")).as("toks"))
+      .select(
       col("doc_id"),
       nTok.as("n_tok"),
       ((length(col("text")) - (nTok - 1)).cast(DoubleType)

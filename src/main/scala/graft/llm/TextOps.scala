@@ -21,22 +21,26 @@ object TextOps {
     * single-space split is deterministic and dialect-portable. */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word n-gram shingles, built in-place with an indexed
-    * `transform` over the token array (positions are 0-based in the lambda,
-    * 1-based in element_at). */
-  def shingles(text: Column, n: Int): Column = {
-    val toks = tokens(text)
+  /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token-array
+    * column (positions are 0-based in the lambda, 1-based in element_at).
+    *
+    * `toks` must be a bound attribute, not an expression: the lambda reads
+    * it ~3n times per row, and codegen re-evaluates expression arguments on
+    * every reference — passing `split(text, " ")` here directly re-split
+    * the text hundreds of times per row (measured 4× slowdown corpus-wide). */
+  def shinglesFromTokens(toks: Column, n: Int): Column =
     array_distinct(filter(
       transform(toks, (_, i) =>
         when(i <= size(toks) - n,
           concat_ws(" ", (0 until n).map(k => element_at(toks, i + k + 1)): _*))),
       x => x.isNotNull))
-  }
 
   /** Exploded (doc_id, shingle) pairs — the shared input of the Jaccard,
-    * MinHash, and fingerprint operators. */
+    * MinHash, and fingerprint operators. Tokenizes in a separate projection
+    * so the array is computed once per row (see shinglesFromTokens). */
   def docShingles(docs: DataFrame, n: Int = 3): DataFrame =
-    docs.select(col("doc_id"), explode(shingles(col("text"), n)).as("s"))
+    docs.select(col("doc_id"), tokens(col("text")).as("toks"))
+      .select(col("doc_id"), explode(shinglesFromTokens(col("toks"), n)).as("s"))
 
   /** First 8 hex chars of md5 parsed as an unsigned 32-bit value in a LONG —
     * the portable "hash to int" used by SimHash/fingerprinting (DuckDB:

@@ -1,0 +1,197 @@
+package graft
+
+import graft.llm._
+import org.apache.spark.sql.functions._
+
+/** LLM-pipeline operator semantics on hand-built micro-fixtures (exact
+  * expected rows) plus corpus-level invariants the oracle can't express
+  * (LSH recall vs the exact baseline, sketch error bounds, multimodal
+  * plumbing shape).
+  */
+class LlmSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def docsDf(rows: (Long, String)*) =
+    rows.toDF("doc_id", "text")
+
+  // ------------------------------------------------------------ exact dedup
+
+  test("exactDupGroups: copies collapse to min doc_id with correct counts") {
+    val d = docsDf(1L -> "a b c", 2L -> "a b c", 3L -> "x y z", 4L -> "a b c")
+    val got = Dedup.exactDupGroups(d).collect()
+      .map(r => (r.getLong(1), r.getLong(2))).sortBy(_._2)
+    assert(got.toSeq === Seq((3L, 1L), (1L, 3L)))
+  }
+
+  // ---------------------------------------------------------------- jaccard
+
+  test("jaccardPairs: hand-computed 3-gram jaccard") {
+    // doc1 shingles: {a b c, b c d, c d e}; doc2: {a b c, b c d, c d x}
+    // common=2, union=4 -> j=0.5
+    val d = docsDf(1L -> "a b c d e", 2L -> "a b c d x")
+    val got = Dedup.jaccardPairs(d, n = 3, minJ = 0.4).collect()
+    assert(got.length === 1)
+    assert(got(0).getLong(0) === 1L && got(0).getLong(1) === 2L)
+    assert(got(0).getDouble(2) === 0.5)
+  }
+
+  test("jaccardPairs: disjoint docs produce no pair") {
+    val d = docsDf(1L -> "a b c d", 2L -> "p q r s")
+    assert(Dedup.jaccardPairs(d, 3, 0.0).count() === 0)
+  }
+
+  // ------------------------------------------------------------ minhash-lsh
+
+  test("minhash signature of identical texts is identical; near-dups collide on a band") {
+    val d = docsDf(1L -> "a b c d e f g h", 2L -> "a b c d e f g h")
+    val sig = Dedup.minhashSignatures(d).collect()
+    assert(sig.length === 2)
+    val Array(s1, s2) = sig.sortBy(_.getLong(0))
+    (1 to 16).foreach(i => assert(s1.getString(i) === s2.getString(i)))
+  }
+
+  test("minhashNearDups finds exactly the jaccardPairs >= threshold on the corpus") {
+    // LSH candidates are a superset heuristic, but after exact verification
+    // at j>=0.5 the result must be a SUBSET of the exact baseline; on the
+    // driver corpus (planted near-dups at j~0.99, noise < 0.1) it is equal.
+    val docs = Tables.load(spark, sf001, "documents")
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.minhashNearDups(docs, 3, 16, 4, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh === exact, s"LSH recall/precision mismatch: ${lsh.size} vs ${exact.size}")
+  }
+
+  // ---------------------------------------------------------------- simhash
+
+  test("simhash: identical docs have hamming 0, disjoint docs differ") {
+    val d = docsDf(1L -> "a b c d e f", 2L -> "a b c d e f", 3L -> "p q r s t u")
+    val sig = Dedup.simhash(d).collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(sig(1L) === sig(2L))
+    assert(sig(1L) !== sig(3L))
+    val pairs = Dedup.simhashNearDups(d, maxHamming = 0)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq === Seq((1L, 2L)))
+  }
+
+  // ------------------------------------------------------------- similarity
+
+  test("cosine: hand-computed on unit axes") {
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 1.0f)))
+      .toDF("vec_id", "embedding")
+    val sims = Similarity.bruteForceTopK(df.filter(col("vec_id") === 1), df, k = 2)
+      .collect().map(r => (r.getLong(2), r.getDouble(3))).toMap
+    assert(math.abs(sims(3L) - 1.0 / math.sqrt(2)) < 1e-15)
+    assert(sims(2L) === 0.0)
+  }
+
+  test("multi-table ANN recall vs brute force on the fixture corpus") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val q = em.filter(col("vec_id") < 32)
+    val exact = Similarity.bruteForceTopK(q, em, k = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // The recall profile: 8 tables × 4 planes. Measured top-1 recall on
+    // this corpus: 0.84 (vs 0.09 single-table 8-plane — the standard LSH
+    // planes/tables trade, see Similarity.annTopK). Asserted with margin.
+    val ann = Similarity.annTopK(q, em, k = 1, planes = 4, tables = 8)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val recall = exact.count(ann.contains).toDouble / exact.size
+    assert(recall >= 0.6, s"ANN recall collapsed: $recall")
+  }
+
+  test("cosineNearDups only reports same-bucket pairs above threshold") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val nd = Similarity.cosineNearDups(em, minSim = 0.5)
+    nd.collect().foreach(r => assert(r.getDouble(2) >= 0.5))
+  }
+
+  // ---------------------------------------------------------- text analysis
+
+  test("langId predicts en for English-stopword-dense text") {
+    val d = docsDf(1L -> "the cat of the house and the dog", 2L -> "el la de los en y")
+    val got = TextAnalysis.langId(d).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) === "en")
+    assert(got(2L) === "es")
+  }
+
+  test("quality metrics: hand-computed") {
+    val d = docsDf(1L -> "ab cd!")
+    val r = TextAnalysis.quality(d).collect()(0)
+    assert(r.getLong(1) === 2L) // n_tok
+    assert(r.getDouble(2) === 2.5) // (6-1)/2 chars per token
+    assert(r.getDouble(3) === 1.0 / 6.0) // one '!' of 6 chars
+    assert(r.getDouble(4) === 0.0)
+  }
+
+  test("tokenCounts: regex tokenizer splits punctuation, ws tokenizer does not") {
+    val d = docsDf(1L -> "ab1 cd!")
+    val r = TextAnalysis.tokenCounts(d).collect()(0)
+    assert(r.getLong(1) === 2L) // ws: [ab1, cd!]
+    assert(r.getLong(2) === 4L) // re: [ab, 1, cd, !]
+  }
+
+  test("fingerprints: identical docs share fp; sampling keeps ~1/8 of shingles") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val fp = TextAnalysis.fingerprints(docs)
+    val total = TextOps.docShingles(docs, 3).count()
+    val sel = fp.agg(sum("n_sel")).collect()(0).getLong(0)
+    val frac = sel.toDouble / total
+    assert(frac > 0.08 && frac < 0.17, s"mod-8 sampling fraction off: $frac")
+    // the planted exact-near-dup structure: distinct docs, no shared fp for
+    // docs with different shingle sets is NOT asserted (near-dups may
+    // legitimately collide) — but a doc equals itself:
+    val d2 = docsDf(1L -> "a b c d e f g h i j", 2L -> "a b c d e f g h i j")
+    val fps = TextAnalysis.fingerprints(d2).collect().map(_.getString(2))
+    assert(fps.length === 2 && fps(0) === fps(1))
+  }
+
+  // ------------------------------------------------------------- multimodal
+
+  test("multimodal stub decode: typed features match byte arithmetic") {
+    val d = docsDf(7L -> "abc")
+    val f = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(d)).collect()(0)
+    assert(f.n_bytes === 3L)
+    assert(f.width === 1L + 'a'.toInt % 64)
+    assert(f.height === 1L + 'c'.toInt % 64)
+    assert(f.sum_bytes === ('a' + 'b' + 'c').toLong)
+  }
+
+  test("multimodal decode is distributed (partition count preserved, no collect)") {
+    val docs = Tables.load(spark, sf001, "documents").repartition(7)
+    val ds = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs))
+    assert(ds.rdd.getNumPartitions === 7)
+    assert(ds.count() === 500L)
+  }
+
+  // ---------------------------------------------------------------- sketches
+
+  test("approx sketches stay within error bounds of exact twins") {
+    val ev = Tables.load(spark, sf001, "events")
+    val r = Sketches.profile(ev).collect()
+    r.foreach { row =>
+      val exact = row.getLong(1).toDouble
+      val approx = row.getLong(2).toDouble
+      assert(math.abs(approx - exact) / exact < 0.1,
+        s"HLL error > 10%: $exact vs $approx")
+      val p50exact = row.getSeq[Double](3)(1)
+      val p50approx = row.getDouble(4)
+      assert(math.abs(p50approx - p50exact) / math.max(p50exact.abs, 1e-9) < 0.1,
+        s"percentile_approx drift: $p50exact vs $p50approx")
+    }
+  }
+
+  test("SumSquares aggregator: exact decimal, partition-order independent") {
+    val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
+    val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
+      .map(q => q * q).sum.toDouble
+    val sumsq = udaf(Sketches.SumSquares)
+    Seq(1, 3).foreach { parts =>
+      val df = vals.map(_.doubleValue).toDF("value").repartition(parts)
+      val got = df.agg(sumsq(col("value"))).collect()(0).getDouble(0)
+      assert(got === expected, s"parts=$parts")
+    }
+  }
+}
