@@ -1,0 +1,86 @@
+package graft.sources
+
+import graft.schema.CustomerActivity
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** DDL1 / DML1 / SRC1 — the OLTP store, emulated Spark-first.
+  *
+  * The reference's store is Aurora MySQL (`lib/fin-transactions-stack.ts:
+  * 46-60`) reached over JDBC; this offline environment has no database, so
+  * the bronze table is a managed parquet table with the SAME declared
+  * schema (setupTables.py:49-59) and the MySQL-isms mapped to Spark
+  * contracts:
+  *  - enum columns  → validation domains (functions.Validation) — Spark
+  *    (like MySQL non-strict mode!) stores anything; we surface violations
+  *    instead of coercing.
+  *  - PRIMARY KEY   → the latest-state view (latestView / cdc.LatestState):
+  *    at most one row per user_id when read through the view.
+  *  - NOT NULL      → Validation's explicit null quarantine (v1 parquet
+  *    tables don't enforce NOT NULL).
+  *  - ON UPDATE CURRENT_TIMESTAMP → writer-stamped ts (datagen.DataGen).
+  * On a cluster with a real MySQL endpoint, `spark.read.format("jdbc")`
+  * replaces the parquet scan and nothing downstream changes.
+  */
+object Oltp {
+
+  val defaultDb = "workshopdb"
+  val defaultTable = "customeractivity"
+
+  /** DDL1 — CREATE TABLE with the declared column types. `location` keeps
+    * the warehouse out of the working directory in tests. */
+  def createActivityTable(spark: SparkSession,
+                          db: String = defaultDb,
+                          table: String = defaultTable,
+                          location: Option[String] = None): Unit = {
+    spark.sql(s"CREATE DATABASE IF NOT EXISTS $db")
+    val loc = location.map(p => s" LOCATION '$p'").getOrElse("")
+    spark.sql(
+      s"""CREATE TABLE IF NOT EXISTS $db.$table (
+         |  user_id INT,
+         |  city STRING,
+         |  transaction_type STRING,
+         |  monetary_value DECIMAL(8,2),
+         |  timeinapp SMALLINT,
+         |  feature_used STRING,
+         |  ts TIMESTAMP
+         |) USING parquet$loc""".stripMargin)
+  }
+
+  /** DML1 — the parameterized single-row INSERT (updateTables.py:18-23:
+    * prepared statement, 6 bound columns, autocommit per row — here one
+    * job per row, same durability point). `ts` is writer-stamped like the
+    * reference's ON UPDATE CURRENT_TIMESTAMP column unless the row carries
+    * one. */
+  def insertActivity(spark: SparkSession, row: CustomerActivity,
+                     db: String = defaultDb,
+                     table: String = defaultTable): Unit =
+    spark.sql(
+      s"""INSERT INTO $db.$table VALUES (
+         |  :user_id, :city, :trx,
+         |  CAST(:amount AS DECIMAL(8,2)), CAST(:secs AS SMALLINT), :feature,
+         |  coalesce(CAST(:at AS TIMESTAMP), current_timestamp()))""".stripMargin,
+      Map(
+        "user_id" -> row.user_id, "city" -> row.city,
+        "trx" -> row.transaction_type, "amount" -> row.monetary_value.toString,
+        "secs" -> row.timeinapp.toInt, "feature" -> row.feature_used,
+        "at" -> Option(row.ts).map(_.toString).orNull))
+
+  /** Bulk append (the batch form of the insert workload). */
+  def insertWorkload(df: DataFrame, db: String = defaultDb,
+                     table: String = defaultTable): Unit =
+    df.write.mode("append").insertInto(s"$db.$table")
+
+  /** The PRIMARY KEY read contract: newest image per user_id (ties broken
+    * by highest monetary of the same instant are irrelevant here — ts is
+    * writer-stamped monotone per key in the reference). */
+  def latestView(spark: SparkSession, db: String = defaultDb,
+                 table: String = defaultTable): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
+    spark.table(s"$db.$table")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+}
