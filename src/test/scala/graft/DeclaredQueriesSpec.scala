@@ -19,9 +19,16 @@ class DeclaredQueriesSpec extends SparkSpec {
     "d19_set_ops" -> 295, "d20_strings" -> 150, "d21_consecutive_days" -> 266,
     "d22_math" -> 6000, "d23_arrays" -> 500, "d24_json" -> 1000,
     "d25_conditional" -> 15, "d26_latest_state" -> 15,
-    "d27_first_occurrence" -> 15, "d28_regularity_cohort" -> 10)
+    "d27_first_occurrence" -> 15, "d28_regularity_cohort" -> 10,
+    "d29_hex_encode" -> 150,
+    "l01_exact_dedup" -> 500, "l02_jaccard_pairs" -> 28,
+    "l03_minhash_lsh" -> 28, "l04_simhash_pairs" -> 59,
+    "l05_cosine_topk" -> 40, "l06_ann_lsh" -> 16,
+    "l07_lang_id" -> 500, "l08_quality" -> 500, "l09_token_counts" -> 500,
+    "l10_fingerprints" -> 485, "l11_multimodal_decode" -> 500,
+    "l12_profile" -> 5, "l13_udaf_sumsq" -> 5)
 
-  Declared.all.foreach { q =>
+  SparkEntry.allDeclared.foreach { q =>
     test(s"${q.name} executes, non-empty, expected rows") {
       val df = q.build(spark, sf001)
       assert(df.columns.nonEmpty)
@@ -34,7 +41,7 @@ class DeclaredQueriesSpec extends SparkSpec {
   test("every SQL-expressible query has an oracle with matching discipline") {
     // Alias hygiene: the driver compares under name-sorted columns, so a
     // query's output column set must appear verbatim in its oracle SQL.
-    Declared.all.flatMap(q => q.oracle.map(q -> _)).foreach { case (q, sql) =>
+    SparkEntry.allDeclared.flatMap(q => q.oracle.map(q -> _)).foreach { case (q, sql) =>
       val cols = q.build(spark, sf001).columns
       // Word-boundary match: substring contains is vacuous for 1-char
       // column names ('n', 'v' match any SQL text).
