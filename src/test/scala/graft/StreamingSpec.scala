@@ -1,0 +1,174 @@
+package graft
+
+import graft.schema.CustomerActivity
+import graft.streaming.{StatefulRules, StreamOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+
+/** S1–S8 streaming semantics via MemoryStream, asserted against the
+  * batch-equivalent computation on the drained input (SURVEY §5.3) — the
+  * streaming plane must agree with the batch plane on the same data.
+  */
+class StreamingSpec extends SparkSpec {
+
+  import spark.implicits._
+  private implicit def sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def runToMemory(df: DataFrame, name: String,
+                          mode: String = "append"): StreamingQuery = {
+    val q = df.writeStream.format("memory").queryName(name).outputMode(mode).start()
+    q.processAllAvailable()
+    q
+  }
+
+  private val baseRows = Seq(
+    Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:05:00"),
+    Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "FOREX", "2024-01-01 10:20:00"),
+    Fixtures.row(2, "DEL", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 11:05:00"),
+    Fixtures.row(2, "DEL", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 11:45:00"),
+    Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 12:30:00"))
+
+  test("S1: paced ingest honors exact rates only, streams the activity schema") {
+    val df = StreamOps.pacedActivity(spark, rowsPerSecond = 1.0)
+    assert(df.isStreaming)
+    assert(df.columns.toSeq === Seq("user_id", "city", "transaction_type",
+      "monetary_value", "timeinapp", "feature_used", "ts"))
+    intercept[IllegalArgumentException](StreamOps.pacedActivity(spark, 1.5))
+    intercept[IllegalArgumentException](StreamOps.pacedActivity(spark, 0.3))
+    intercept[IllegalArgumentException](StreamOps.pacedActivity(spark, 0.0))
+    StreamOps.pacedActivity(spark, 0.2) // 1/5 — the reference's rate, valid
+  }
+
+  test("S3: streaming hourly windowed counts == batch window aggregation") {
+    val in = MemoryStream[CustomerActivity]
+    in.addData(baseRows: _*)
+    val q = runToMemory(
+      StreamOps.hourlyFeatureCounts(in.toDF()), "s3_out", mode = "complete")
+    try {
+      val streamed = spark.table("s3_out")
+        .select("hour_start", "feature_used", "n")
+      val batch = Fixtures.df(spark, baseRows)
+        .groupBy(window(col("ts"), "1 hour"), col("feature_used"))
+        .agg(count(lit(1)).as("n"))
+        .select(col("window.start").as("hour_start"), col("feature_used"), col("n"))
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+      assert(streamed.count() === 4) // (10h:ENQ,FOREX),(11h:ENQ),(12h:ENQ)
+    } finally q.stop()
+  }
+
+  test("S4: streaming session windows merge rows within the gap") {
+    val in = MemoryStream[CustomerActivity]
+    in.addData(baseRows: _*)
+    val q = runToMemory(
+      StreamOps.sessionStats(in.toDF(), gap = "30 minutes"), "s4_out", mode = "complete")
+    try {
+      val sessions = spark.table("s4_out").orderBy("user_id", "start_ts").collect()
+      // user 1: 10:05+10:20 merge (gap 15m < 30m), 12:30 separate; user 2:
+      // 11:05 and 11:45 are 40m apart -> separate sessions.
+      assert(sessions.length === 4)
+      assert(sessions(0).getAs[Long]("n_events") === 2)
+      assert(sessions.map(_.getAs[Int]("user_id")).toSeq === Seq(1, 1, 2, 2))
+    } finally q.stop()
+  }
+
+  test("S8: streaming dedup == batch first-occurrence per (user, feature)") {
+    val in = MemoryStream[CustomerActivity]
+    in.addData(baseRows: _*)
+    val q = runToMemory(
+      StreamOps.firstFeatureUse(in.toDF()), "s8_out")
+    try {
+      val streamed = spark.table("s8_out").select("user_id", "feature_used", "ts")
+      val batch = Fixtures.df(spark, baseRows)
+        .withColumn("rn", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy("user_id", "feature_used").orderBy("ts")))
+        .filter(col("rn") === 1).select("user_id", "feature_used", "ts")
+      assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+      assert(streamed.count() === 3) // (1,ENQ),(1,FOREX),(2,ENQ)
+    } finally q.stop()
+  }
+
+  test("S6: streaming city-hop self-join == batch C1 on the drained input") {
+    val rows = Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(1, "DEL", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:40:00"),
+      Fixtures.row(2, "BOM", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "DEL", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 11:30:00"))
+    val in = MemoryStream[CustomerActivity]
+    in.addData(rows: _*)
+    val wm = in.toDF().withWatermark("ts", "2 hours")
+    val q = runToMemory(StatefulRules.cityHop(wm, wm), "s6_out")
+    try {
+      val got = spark.table("s6_out")
+        .select("user_id", "city_a", "city_b").collect()
+        .map(r => (r.getInt(0), r.getString(1), r.getString(2)))
+      assert(got.toSeq === Seq((1, "BOM", "DEL"))) // user 2 hops after 90m
+      val batch = graft.rules.BatchRules.cityHop(Fixtures.df(spark, rows))
+        .select("user_id").collect().map(_.getInt(0))
+      assert(batch.toSeq === Seq(1))
+    } finally q.stop()
+  }
+
+  test("S5: freeze alerts match the sequential fold, state times out") {
+    val b1 = Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 100, "FUNDTRANSFER", "2024-01-01 10:00:00"),
+      Fixtures.row(1, "BOM", "DEBIT", "500.00", 100, "FUNDTRANSFER", "2024-01-01 11:00:00"))
+    val b2 = Seq( // inside the 24h freeze window -> flagged, not applied
+      Fixtures.row(1, "BOM", "CREDIT", "50.00", 100, "FUNDTRANSFER", "2024-01-01 12:00:00"))
+    val b3 = Seq( // after the freeze window -> applies cleanly
+      Fixtures.row(1, "BOM", "CREDIT", "50.00", 100, "FUNDTRANSFER", "2024-01-03 12:00:00"))
+    val in = MemoryStream[CustomerActivity]
+    val q = StatefulRules.freezeAlerts(
+      in.toDS().withWatermark("ts", "0 seconds"))
+      .writeStream.format("memory").queryName("s5_out").outputMode("append").start()
+    try {
+      in.addData(b1: _*); q.processAllAvailable()
+      in.addData(b2: _*); q.processAllAvailable()
+      in.addData(b3: _*); q.processAllAvailable()
+      val got = spark.table("s5_out")
+        .select("user_id", "ts", "kind").collect()
+        .map(r => (r.getInt(0), r.getTimestamp(1), r.getString(2))).toSet
+      // the fold over ALL events in order is the ground truth
+      val (_, expected) = StatefulRules.applyEvents(1,
+        (b1 ++ b2 ++ b3).sortBy(_.ts.getTime), StatefulRules.AccountState(0L, 0L))
+      assert(got === expected.map(a => (a.user_id, a.ts, a.kind)).toSet)
+      assert(got.map(_._3) === Set("freeze", "flagged"))
+    } finally q.stop()
+  }
+
+  test("S7: lake sink lands date-partitioned files (Firehose layout analog)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_lake").toString
+    val in = MemoryStream[CustomerActivity]
+    in.addData(baseRows: _*)
+    val q = StreamOps.lakeSink(in.toDF(), dir + "/lake", dir + "/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    q.awaitTermination(60000)
+    val landed = spark.read.json(dir + "/lake")
+    assert(landed.count() === baseRows.size)
+    // partition-directory values come back type-inferred (year=2024 -> int)
+    val parts = landed.select("year", "month", "day", "hour").distinct()
+      .collect().map(r => (0 to 3).map(r.get(_).toString).mkString("/")).toSet
+    assert(parts === Set("2024/1/1/10", "2024/1/1/11", "2024/1/1/12"))
+    // exactly-once: the checkpointed sink, restarted with no new data, adds nothing
+    val q2 = StreamOps.lakeSink(in.toDF(), dir + "/lake", dir + "/ckpt",
+      trigger = Trigger.AvailableNow()).start()
+    q2.awaitTermination(60000)
+    assert(spark.read.json(dir + "/lake").count() === baseRows.size)
+  }
+
+  test("S2: envelope encode/decode composes over a stream") {
+    val in = MemoryStream[CustomerActivity]
+    in.addData(baseRows: _*)
+    val enc = graft.cdc.Envelope.encode(in.toDF(), lit("insert"))
+    val dec = graft.cdc.Envelope.flatten(
+      graft.cdc.Envelope.selection(graft.cdc.Envelope.decode(enc)))
+    val q = runToMemory(dec, "s2_out")
+    try {
+      assert(spark.table("s2_out").count() === baseRows.size)
+      assert(spark.table("s2_out").select("operation").distinct()
+        .collect().map(_.getString(0)).toSeq === Seq("insert"))
+    } finally q.stop()
+  }
+}
