@@ -54,17 +54,29 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** The universal-hash family behind MinHash: hash_i(x) = (a_i·x + b_i)
+    * mod P over ONE md5-derived 32-bit base value. P prime > 2^32; x < 2^32
+    * and a_i < 2^31 keep every product inside a signed 64-bit long — exact
+    * integer arithmetic, identical in any engine. (The round-3 first cut
+    * ran k=16 independent md5 calls per shingle — 4.2M digests at sf0.1,
+    * the whole operator's hot spot; one digest + 16 affine transforms is
+    * the standard formulation and ~3× cheaper.) */
+  val minhashP: Long = 4294967311L
+  def minhashA(i: Int): Long = 2L * i + 1
+  def minhashB(i: Int): Long = 104729L * i
+
   /** MinHash signatures: k independent min-hashes per document, computed as
     * k min-aggregates in ONE pass over the exploded shingles (no per-seed
-    * re-scan). The "hash function" family is md5 prefixed with the seed —
-    * engine-portable, and the min over hex strings is a plain lexicographic
-    * (= bytewise) min in both Spark and DuckDB. */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame =
-    TextOps.docShingles(docs, n)
-      .groupBy(col("doc_id"))
+    * re-scan, one md5 per shingle). */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
+    val sh = TextOps.docShingles(docs, n)
+      .withColumn("h", TextOps.md5Int32(col("s")))
+    sh.groupBy(col("doc_id"))
       .agg(
-        min(md5(concat(lit("0:"), col("s")))).as("m0"),
-        (1 until k).map(i => min(md5(concat(lit(s"$i:"), col("s")))).as(s"m$i")): _*)
+        min((col("h") * minhashA(0) + minhashB(0)) % minhashP).as("m0"),
+        (1 until k).map(i =>
+          min((col("h") * minhashA(i) + minhashB(i)) % minhashP).as(s"m$i")): _*)
+  }
 
   /** LSH banding of a k-wide signature into `bands` bands of k/bands rows
     * each: (doc_id, band_idx, band_hash). Docs agreeing on ANY band become

@@ -86,7 +86,8 @@ object LlmDeclared {
   private val l03 = {
     val k = 16; val bands = 4; val r = k / bands
     val sigCols = (0 until k)
-      .map(i => s"MIN(md5('$i:' || s)) AS m$i").mkString(",\n        ")
+      .map(i => s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}) AS m$i")
+      .mkString(",\n        ")
     val bandSelects = (0 until bands).map { b =>
       val cat = (0 until r).map(j => s"m${r * b + j}").mkString(" || ',' || ")
       s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
@@ -96,9 +97,10 @@ object LlmDeclared {
       (s, dir) => Dedup.minhashNearDups(t(s, dir, "documents"), 3, k, bands, 0.5)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $shingleCte,
+      shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
       sig AS (SELECT doc_id,
         $sigCols
-        FROM sh GROUP BY doc_id),
+        FROM shh GROUP BY doc_id),
       bands AS (
         $bandSelects),
       cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b

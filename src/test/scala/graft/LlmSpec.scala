@@ -48,7 +48,7 @@ class LlmSpec extends SparkSpec {
     val sig = Dedup.minhashSignatures(d).collect()
     assert(sig.length === 2)
     val Array(s1, s2) = sig.sortBy(_.getLong(0))
-    (1 to 16).foreach(i => assert(s1.getString(i) === s2.getString(i)))
+    (1 to 16).foreach(i => assert(s1.getLong(i) === s2.getLong(i)))
   }
 
   test("minhashNearDups finds exactly the jaccardPairs >= threshold on the corpus") {
