@@ -27,13 +27,17 @@ import org.apache.spark.sql.types._
   */
 object Similarity {
 
-  /** Σ x_i² (double fold). */
-  def norm2(e: Column): Column =
-    aggregate(transform(e, x => x.cast(DoubleType) * x.cast(DoubleType)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ x_i² — native fused loop (plans.FloatVectorDot via GraftExtensions). */
+  def norm2(e: Column): Column = dot(e, e)
 
-  /** Σ a_i·b_i (double fold). */
-  def dot(a: Column, b: Column): Column =
+  /** Σ a_i·b_i (double fold) — the codegen'd FloatVectorDot expression.
+    * Bit-identical to dotHof (same products, same fold order), without the
+    * per-row intermediate array the HOF chain allocates. */
+  def dot(a: Column, b: Column): Column = call_function("fvec_dot", a, b)
+
+  /** The HOF formulation — kept as the semantic reference the native
+    * expression is equality-tested against (ExpressionSpec). */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x.cast(DoubleType) * y.cast(DoubleType)),
       lit(0.0), (acc, v) => acc + v)
 

@@ -68,6 +68,27 @@ class DataGenSpec extends SparkSpec {
     } finally { df.unpersist(): Unit }
   }
 
+  test("VAL1: NULLs in NOT NULL columns are quarantined, nullable enum passes") {
+    val rows = Fixtures.df(spark, Seq(
+      Fixtures.row(100001, "BOM", "CREDIT", "500.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+    // a CDC delete image: every data column except the key is NULL
+    val deleteImage = rows.select(
+      col("user_id"), lit(null).cast("string").as("city"),
+      lit(null).cast("string").as("transaction_type"),
+      lit(null).cast("decimal(8,2)").as("monetary_value"),
+      lit(null).cast("smallint").as("timeinapp"),
+      lit(null).cast("string").as("feature_used"),
+      lit(null).cast("timestamp").as("ts"))
+    val q = Validation.quarantine(deleteImage)
+    assert(q.count() === 1, "NULL delete image must land in quarantine, not valid()")
+    val kinds = q.select(explode(col("violations"))).collect().map(_.getString(0)).toSet
+    assert(kinds.contains("city_domain") && kinds.contains("timeinapp_null")
+      && kinds.contains("ts_null"))
+    // transaction_type is nullable in the DDL: NULL alone is not a violation
+    assert(!kinds.contains("transaction_type_domain"))
+    assert(Validation.valid(rows).count() === 1)
+  }
+
   test("SNK2: flat-file id universe round-trips (with trimming)") {
     val dir = java.nio.file.Files.createTempDirectory("graft_ids").toString + "/ids"
     DataGen.writeIdFile(spark, dir, seed = 7, n = 2000)

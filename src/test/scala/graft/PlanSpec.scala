@@ -76,6 +76,34 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("TakeOrderedAndProject"), plan.take(1000))
   }
 
+  test("l03: LSH candidate generation is equality-join only (no cartesian)") {
+    val plan = executedPlan(lq("l03_minhash_lsh"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("l02: inverted-index jaccard join has no cartesian") {
+    val plan = executedPlan(lq("l02_jaccard_pairs"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("l05: brute-force cosine broadcasts the query side, never the corpus") {
+    // qid =!= nid is a non-equi condition -> nested-loop is expected, but it
+    // must be the BROADCAST variant with the 8-row query side as build side.
+    val plan = executedPlan(lq("l05_cosine_topk"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("l06: multi-table ANN joins buckets by equality") {
+    val plan = executedPlan(lq("l06_ann_lsh"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  private def lq(name: String): DataFrame =
+    graft.queries.LlmDeclared.all.find(_.name == name).get.build(spark, sf001)
+
   test("whole-stage codegen covers the d02 hot path") {
     // Codegen spans exist only in the AQE-resolved final plan; they print
     // as `*(n) HashAggregate` markers in the tree string.
