@@ -37,9 +37,25 @@ object Dedup {
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
     * via an inverted-index self-join (shuffle key = shingle). Returns
-    * (doc_a, doc_b, jaccard) for pairs with jaccard >= minJ. */
-  def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val sh = TextOps.docShingles(docs, n)
+    * (doc_a, doc_b, jaccard) for pairs with jaccard >= minJ.
+    *
+    * `maxDocFreq` is the skew guard for the 100 TB case: a shingle present
+    * in d documents contributes d² candidate pairs on ONE task — a single
+    * boilerplate sentence corpus-wide is a job-killing hot key. Setting the
+    * guard drops shingles with document frequency > maxDocFreq before the
+    * join (and from the denominators — jaccard is then computed over the
+    * discriminative shingle sets, the standard stopword-shingle treatment).
+    * None = exact textbook jaccard, the oracle-checked default. */
+  def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
+                   maxDocFreq: Option[Long] = None): DataFrame = {
+    val shAll = TextOps.docShingles(docs, n)
+    val sh = maxDocFreq.fold(shAll) { t =>
+      val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > t).select(col("s"))
+      // hot set is tiny by construction (only corpus-wide boilerplate) —
+      // broadcast anti-join, no extra shuffle of the shingle table
+      shAll.join(broadcast(hot), Seq("s"), "left_anti")
+    }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = sh.as("x").join(sh.as("y"),
         col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))

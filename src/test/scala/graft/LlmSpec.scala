@@ -36,6 +36,16 @@ class LlmSpec extends SparkSpec {
     assert(got(0).getDouble(2) === 0.5)
   }
 
+  test("jaccardPairs hot-shingle guard preserves the planted near-dup pairs") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val exact = Dedup.jaccardPairs(docs, 3, 0.5)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.jaccardPairs(docs, 3, 0.5, maxDocFreq = Some(100L))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dropping corpus-wide boilerplate shingles must not lose true near-dups
+    assert(guarded === exact)
+  }
+
   test("jaccardPairs: disjoint docs produce no pair") {
     val d = docsDf(1L -> "a b c d", 2L -> "p q r s")
     assert(Dedup.jaccardPairs(d, 3, 0.0).count() === 0)
