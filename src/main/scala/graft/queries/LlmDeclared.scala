@@ -212,6 +212,35 @@ object LlmDeclared {
         FROM sims) r
       WHERE rnk <= 3 ORDER BY qid, rnk"""))
 
+  /** L14 — embedding-cosine near-duplicate pairs: same-LSH-bucket pairs
+    * above a similarity threshold (the embedding analog of MinHash near-dup
+    * — bucket occupancy bounds pair work, never all-pairs). The fixture
+    * embeddings are near-orthogonal random vectors (corpus max cosine
+    * 0.513), so the declared threshold is 0.3 to exercise non-empty output;
+    * a production dedup run would use ~0.95. */
+  private val l14 = DeclaredQuery(
+    "l14_cosine_near_dups",
+    (s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), minSim = 0.3)
+        .orderBy(col("vec_a"), col("vec_b")),
+    Some(s"""WITH planes AS (
+      SELECT h, list_transform(range(64),
+        d -> ('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+             / 2147483648.0 - 1.0) AS plane
+      FROM range(8) AS t(h)),
+      buckets AS (
+        SELECT e.vec_id, e.embedding,
+          SUM(CASE WHEN list_reduce(list_apply(list_zip(e.embedding, p.plane),
+                x -> CAST(x[1] AS DOUBLE) * x[2]), (x, y) -> x + y) >= 0
+              THEN 1 << h ELSE 0 END) AS bkt
+        FROM embeddings e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding)
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        ${duckCosine("a.embedding", "b.embedding")} AS sim
+      FROM buckets a JOIN buckets b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+      WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
+      ORDER BY vec_a, vec_b"""))
+
   // ---------------------------------------------------- text-analysis plane
 
   private def duckList(words: Seq[String]): String =
@@ -347,5 +376,5 @@ object LlmDeclared {
       FROM customer ORDER BY c_custkey"""))
 
   val all: Seq[DeclaredQuery] = Seq(
-    l01, l02, l03, l04, l05, l06, l07, l08, l09, l10, l11, l12, l13, d29)
+    l01, l02, l03, l04, l05, l06, l07, l08, l09, l10, l11, l12, l13, l14, d29)
 }

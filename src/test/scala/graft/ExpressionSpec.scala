@@ -36,6 +36,39 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("S9: map column surface — map_from_arrays / element_at / map_keys") {
+    val df = Seq((1L, Array("a", "b"), Array(10, 20))).toDF("id", "ks", "vs")
+      .select(col("id"), map_from_arrays(col("ks"), col("vs")).as("m"))
+    val r = df.select(
+      element_at(col("m"), "b").as("b"),
+      map_keys(col("m")).as("ks"),
+      map_values(col("m")).as("vs"),
+      size(col("m")).as("n")).collect()(0)
+    assert(r.getInt(0) === 20)
+    assert(r.getSeq[String](1) === Seq("a", "b"))
+    assert(r.getSeq[Int](2) === Seq(10, 20))
+    assert(r.getInt(3) === 2)
+  }
+
+  test("S9: scalar UDF twin agrees with the native function (overhead documented)") {
+    // The extension-surface ordering claim (SURVEY §2.6-S9): native function
+    // > UDF. Semantics must agree; the perf delta is logged, not asserted
+    // (timing assertions flake on shared machines).
+    val upperUdf = udf((s: String) => if (s == null) null else s.toUpperCase)
+    val c = Tables.load(spark, sf001, "customer")
+    val diff = c.select(upper(col("c_name")).as("a"), upperUdf(col("c_name")).as("b"))
+      .filter(col("a") =!= col("b")).count()
+    assert(diff === 0)
+    def time(f: => Unit): Double = {
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }
+    val tn = time((1 to 20).foreach(_ =>
+      c.select(upper(col("c_name"))).write.format("noop").mode("overwrite").save()))
+    val tu = time((1 to 20).foreach(_ =>
+      c.select(upperUdf(col("c_name"))).write.format("noop").mode("overwrite").save()))
+    info(f"native upper: $tn%.3f s, scala udf: $tu%.3f s (x${tu / tn}%.2f)")
+  }
+
   test("fvec_dot runs inside whole-stage codegen") {
     val em = Tables.load(spark, sf001, "embeddings")
     val df = em.select(Similarity.norm2(col("embedding")).as("n2"))
