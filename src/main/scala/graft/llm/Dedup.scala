@@ -134,6 +134,43 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Near-dup CLUSTERING — the step that turns pairwise matches into a
+    * dedup decision: connected components over the near-dup pair graph,
+    * labeling every member with its component's minimum doc_id (the
+    * canonical survivor). Iterative min-label propagation: each round,
+    * every node takes the min label among itself and its neighbors;
+    * converges in O(component diameter) rounds — near-dup clusters are
+    * shallow (dups of dups), so a handful of joins. `localCheckpoint`
+    * truncates lineage per round (without it the plan doubles each
+    * iteration). At extreme scale the same loop upgrades to the
+    * large-star/small-star formulation; the contract is unchanged.
+    * Returns (doc_id, cluster_id) for every doc in at least one pair. */
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+      .distinct()
+      .localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("label", col("id"))
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      val neigh = edges
+        .join(labels.select(col("id").as("b"), col("label")), "b")
+        .select(col("a").as("id"), col("label"))
+      val next = labels.unionByName(neigh)
+        .groupBy(col("id")).agg(min(col("label")).as("label"))
+        .localCheckpoint()
+      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
+        .filter(col("label") =!= col("old")).count()
+      labels = next
+      iters += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
+
   /** 32-bit SimHash per document over distinct 3-gram shingles: shingle →
     * md5-int32; signature bit i is set iff Σ_features (±1 by feature bit i)
     * > 0. One explode + one groupBy with 32 sum-aggregates — a single

@@ -73,6 +73,21 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast(LongType).as("re_tokens"))
 
+  /** Deterministic train/val/test corpus split: bucket = md5(doc_id) mod
+    * 100, cut at trainPct / trainPct+valPct. Content-independent and
+    * partition-layout-independent, so the SAME document lands in the SAME
+    * split on every run, every engine, every cluster — the property a
+    * training holdout actually requires (seeded `sample()` has none of
+    * these guarantees). */
+  def stableSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
+    docs.select(
+      col("doc_id"), col("lang"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Document fingerprint via mod-p shingle sampling (winnowing-style):
     * md5-int32 each distinct 3-gram shingle, keep hashes ≡ 0 (mod p), and
     * digest the sorted surviving hex values. Two docs share a fingerprint

@@ -306,6 +306,45 @@ object LlmDeclared {
              md5(string_agg(hx, ',' ORDER BY hx)) AS fp
       FROM sel GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** L15 — deterministic corpus split (stable holdout assignment). */
+  private val l15 = DeclaredQuery(
+    "l15_stable_split",
+    (s, dir) => TextAnalysis.stableSplit(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang,
+      CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+           WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+           ELSE 'test' END AS split
+      FROM documents ORDER BY doc_id"""))
+
+  /** L16 — near-dup clustering: connected components over the exact
+    * jaccard pair graph, every member labeled with its cluster's canonical
+    * (minimum) doc_id. Spark side: iterative min-label propagation
+    * (Dedup.nearDupClusters); oracle: recursive-CTE transitive closure —
+    * two very different algorithms that must agree exactly. */
+  private val l16 = DeclaredQuery(
+    "l16_dedup_clusters",
+    (s, dir) => Dedup.nearDupClusters(
+      Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, minJ = 0.5))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a)
+      SELECT a AS doc_id, MIN(b) AS cluster_id
+      FROM reach GROUP BY a ORDER BY doc_id"""))
+
   // ------------------------------------------------- multimodal + sketches
 
   /** L11 — multimodal decode plumbing: binary payloads through a
@@ -376,5 +415,6 @@ object LlmDeclared {
       FROM customer ORDER BY c_custkey"""))
 
   val all: Seq[DeclaredQuery] = Seq(
-    l01, l02, l03, l04, l05, l06, l07, l08, l09, l10, l11, l12, l13, l14, d29)
+    l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
+    l11, l12, l13, l14, l15, l16, d29)
 }

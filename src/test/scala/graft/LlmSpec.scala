@@ -73,6 +73,25 @@ class LlmSpec extends SparkSpec {
     assert(lsh === exact, s"LSH recall/precision mismatch: ${lsh.size} vs ${exact.size}")
   }
 
+  test("nearDupClusters: chained pairs form one component under the min label") {
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClusters(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("stableSplit: deterministic assignment with ~80/10/10 proportions") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val a = TextAnalysis.stableSplit(docs).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    val b = TextAnalysis.stableSplit(docs.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toMap
+    assert(a === b, "split must be independent of partition layout")
+    val frac = a.values.groupBy(identity).view.mapValues(_.size / 500.0).toMap
+    assert(frac("train") > 0.7 && frac("train") < 0.9)
+    assert(frac("val") > 0.04 && frac("test") > 0.04)
+  }
+
   // ---------------------------------------------------------------- simhash
 
   test("simhash: identical docs have hamming 0, disjoint docs differ") {
