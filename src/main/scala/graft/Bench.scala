@@ -26,8 +26,11 @@ object Bench {
     val spark = GraftSession.build("graft-bench")
 
     def runOnce(name: String): Double = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // Construction is INSIDE the timed region: most queries only build a
+      // plan here (~free), but iterative operators (l16 label propagation)
+      // execute eagerly during construction and must not escape the clock.
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.format("noop").mode("overwrite").save()
       (System.nanoTime() - t0) / 1e9
     }
