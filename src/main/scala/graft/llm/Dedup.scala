@@ -48,7 +48,11 @@ object Dedup {
     * None = exact textbook jaccard, the oracle-checked default. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
                    maxDocFreq: Option[Long] = None): DataFrame = {
-    val shAll = TextOps.docShingles(docs, n)
+    // The shingle table feeds three consumers (both join sides + sizes);
+    // materialize it once (localCheckpoint = eager) instead of re-running
+    // the tokenize+shingle scan per consumer. At production scale this is
+    // "write the shingle silver table, then join" — same shape.
+    val shAll = TextOps.docShingles(docs, n).localCheckpoint()
     val sh = maxDocFreq.fold(shAll) { t =>
       val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > t).select(col("s"))
@@ -110,14 +114,22 @@ object Dedup {
     * relative to the corpus, so the verify join broadcasts it). */
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       minJ: Double = 0.5): DataFrame = {
-    val bandsDf = lshBands(minhashSignatures(docs, n, k), k, bands)
+    // One materialized shingle table serves the signature pass AND the
+    // candidate-verification pass (see jaccardPairs note).
+    val sh = TextOps.docShingles(docs, n).localCheckpoint()
+    val sig = sh.withColumn("h", TextOps.md5Int32(col("s")))
+      .groupBy(col("doc_id"))
+      .agg(
+        min((col("h") * minhashA(0) + minhashB(0)) % minhashP).as("m0"),
+        (1 until k).map(i =>
+          min((col("h") * minhashA(i) + minhashB(i)) % minhashP).as(s"m$i")): _*)
+    val bandsDf = lshBands(sig, k, bands)
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band_idx") === col("y.band_idx")
           && col("x.band_hash") === col("y.band_hash")
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sh = TextOps.docShingles(docs, n)
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = broadcast(cand)
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
