@@ -104,6 +104,33 @@ class PlanSpec extends SparkSpec {
   private def lq(name: String): DataFrame =
     graft.queries.LlmDeclared.all.find(_.name == name).get.build(spark, sf001)
 
+  test("bucketed tables co-locate the join: no Exchange on either side") {
+    // The bucketing lever SURVEY §2/§4 names for repeated big-big joins at
+    // 100 TB: both sides pre-bucketed on the join key -> the sort-merge
+    // join reads buckets directly, zero shuffle.
+    val spark2 = spark
+    import spark2.implicits._
+    val left = (0 until 1000).map(i => (i.toLong, s"l$i")).toDF("k", "lv")
+    val right = (0 until 1000).map(i => (i.toLong, s"r$i")).toDF("k", "rv")
+    left.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_left")
+    right.write.mode("overwrite").bucketBy(8, "k").sortBy("k")
+      .saveAsTable("bkt_right")
+    // force the big-big join shape (tiny test tables would broadcast,
+    // which sidesteps the bucketing question entirely)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("bkt_left").join(spark.table("bkt_right"), "k")
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join must not shuffle:\n${plan.take(1200)}")
+      assert(plan.contains("SortMergeJoin"), plan.take(400))
+      assert(joined.count() === 1000)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
   test("whole-stage codegen covers the d02 hot path") {
     // Codegen spans exist only in the AQE-resolved final plan; they print
     // as `*(n) HashAggregate` markers in the tree string.
