@@ -45,6 +45,25 @@ object Envelope {
     df.withColumn("env", from_json(col(valueCol), Schemas.cdcEnvelope))
       .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
 
+  /** CDC4 with the data-quality leg: split decoded records from malformed
+    * ones. `from_json` yields a NULL struct for unparseable input (and a
+    * struct of NULLs for parseable-but-wrong-shape input with no matching
+    * fields); both classes keep the RAW line in the bad branch so a
+    * replay/repair job has the original bytes — at-least-once transports
+    * (the Firehose analog) WILL eventually deliver garbage, and silently
+    * dropping it would look like data loss downstream. */
+  def decodeSplit(df: DataFrame, valueCol: String = "value")
+      : (DataFrame, DataFrame) = {
+    val parsed = df.withColumn("env", from_json(col(valueCol), Schemas.cdcEnvelope))
+    val ok = parsed
+      .filter(col("env").isNotNull && col("env.metadata.operation").isNotNull)
+      .select(col("env.data").as("data"), col("env.metadata").as("metadata"))
+    val bad = parsed
+      .filter(col("env").isNull || col("env.metadata.operation").isNull)
+      .select(col(valueCol).as("raw"))
+    (ok, bad)
+  }
+
   /** CDC2 — the DMS table-selection rule as a filter
     * (lib/fin-transactions-stack.ts:164: schema-name = 'workshopDb',
     * table-name LIKE '%', no row filters). Runs post-decode; at scale this

@@ -1,0 +1,50 @@
+package graft.lake
+
+import graft.schema.Schemas
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** The silver layer: batch compaction of the raw JSON lake landing
+  * (StreamOps.lakeSink's output — the Firehose-analog bronze) into
+  * date-partitioned parquet.
+  *
+  * Why this job exists at 100 TB: the bronze landing is many small
+  * row-oriented JSON objects (one per micro-batch flush per partition) —
+  * cheap to ingest, terrible to scan. Compaction rewrites each date
+  * partition columnar with a controlled file count, which is what makes
+  * partition pruning + column pruning + predicate pushdown actually pay on
+  * the analytics plane. Runs per-partition (idempotent overwrite of the
+  * partitions present in the input), so a daily run compacts yesterday
+  * without touching history.
+  */
+object Silver {
+
+  /** The activity row schema as landed by the lake sink (activity columns
+    * + the year/month/day/hour partition strings). */
+  private val landedSchema = org.apache.spark.sql.types.StructType(
+    Schemas.customerActivity.fields.map(_.copy(nullable = true)))
+
+  /** Compact bronze JSON under `bronzePath` into parquet under
+    * `silverPath`, partitioned by (year, month, day, hour), `filesPerPart`
+    * files per partition. Dynamic partition overwrite: only partitions
+    * present in this input are rewritten. */
+  def compact(spark: SparkSession, bronzePath: String, silverPath: String,
+              filesPerPart: Int = 1): Unit =
+    spark.read.schema(landedSchema).json(bronzePath)
+      // partition dirs come back type-inferred; re-derive the partition
+      // columns from ts so the silver layout is self-consistent
+      .withColumn("year", date_format(col("ts"), "yyyy"))
+      .withColumn("month", date_format(col("ts"), "MM"))
+      .withColumn("day", date_format(col("ts"), "dd"))
+      .withColumn("hour", date_format(col("ts"), "HH"))
+      .repartition(filesPerPart, col("year"), col("month"), col("day"), col("hour"))
+      .write
+      .partitionBy("year", "month", "day", "hour")
+      .option("partitionOverwriteMode", "dynamic")
+      .mode("overwrite")
+      .parquet(silverPath)
+
+  /** Read the silver table (partition-pruning friendly). */
+  def read(spark: SparkSession, silverPath: String): DataFrame =
+    spark.read.parquet(silverPath)
+}
