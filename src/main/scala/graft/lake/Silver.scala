@@ -25,11 +25,13 @@ object Silver {
     Schemas.customerActivity.fields.map(_.copy(nullable = true)))
 
   /** Compact bronze JSON under `bronzePath` into parquet under
-    * `silverPath`, partitioned by (year, month, day, hour), `filesPerPart`
-    * files per partition. Dynamic partition overwrite: only partitions
+    * `silverPath`, partitioned by (year, month, day, hour). The repartition
+    * clusters each hour's rows into one shuffle partition (≈1 output file
+    * per hour dir) while keeping the task count at the session default —
+    * NOT `repartition(1, …)`, which would funnel the whole compaction
+    * through a single task. Dynamic partition overwrite: only partitions
     * present in this input are rewritten. */
-  def compact(spark: SparkSession, bronzePath: String, silverPath: String,
-              filesPerPart: Int = 1): Unit =
+  def compact(spark: SparkSession, bronzePath: String, silverPath: String): Unit =
     spark.read.schema(landedSchema).json(bronzePath)
       // partition dirs come back type-inferred; re-derive the partition
       // columns from ts so the silver layout is self-consistent
@@ -37,7 +39,7 @@ object Silver {
       .withColumn("month", date_format(col("ts"), "MM"))
       .withColumn("day", date_format(col("ts"), "dd"))
       .withColumn("hour", date_format(col("ts"), "HH"))
-      .repartition(filesPerPart, col("year"), col("month"), col("day"), col("hour"))
+      .repartition(col("year"), col("month"), col("day"), col("hour"))
       .write
       .partitionBy("year", "month", "day", "hour")
       .option("partitionOverwriteMode", "dynamic")
