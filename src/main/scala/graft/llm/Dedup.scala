@@ -85,18 +85,19 @@ object Dedup {
   def minhashA(i: Int): Long = 2L * i + 1
   def minhashB(i: Int): Long = 104729L * i
 
-  /** MinHash signatures: k independent min-hashes per document, computed as
-    * k min-aggregates in ONE pass over the exploded shingles (no per-seed
-    * re-scan, one md5 per shingle). */
-  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame = {
-    val sh = TextOps.docShingles(docs, n)
-      .withColumn("h", TextOps.md5Int32(col("s")))
-    sh.groupBy(col("doc_id"))
+  /** k min-aggregates over an exploded (doc_id, s) shingle table — one
+    * pass, one md5 per shingle. */
+  private def signaturesFromShingles(sh: DataFrame, k: Int): DataFrame =
+    sh.withColumn("h", TextOps.md5Int32(col("s")))
+      .groupBy(col("doc_id"))
       .agg(
         min((col("h") * minhashA(0) + minhashB(0)) % minhashP).as("m0"),
         (1 until k).map(i =>
           min((col("h") * minhashA(i) + minhashB(i)) % minhashP).as(s"m$i")): _*)
-  }
+
+  /** MinHash signatures: k independent min-hashes per document. */
+  def minhashSignatures(docs: DataFrame, n: Int = 3, k: Int = 16): DataFrame =
+    signaturesFromShingles(TextOps.docShingles(docs, n), k)
 
   /** LSH banding of a k-wide signature into `bands` bands of k/bands rows
     * each: (doc_id, band_idx, band_hash). Docs agreeing on ANY band become
@@ -117,13 +118,7 @@ object Dedup {
     // One materialized shingle table serves the signature pass AND the
     // candidate-verification pass (see jaccardPairs note).
     val sh = TextOps.docShingles(docs, n).localCheckpoint()
-    val sig = sh.withColumn("h", TextOps.md5Int32(col("s")))
-      .groupBy(col("doc_id"))
-      .agg(
-        min((col("h") * minhashA(0) + minhashB(0)) % minhashP).as("m0"),
-        (1 until k).map(i =>
-          min((col("h") * minhashA(i) + minhashB(i)) % minhashP).as(s"m$i")): _*)
-    val bandsDf = lshBands(sig, k, bands)
+    val bandsDf = lshBands(signaturesFromShingles(sh, k), k, bands)
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band_idx") === col("y.band_idx")
           && col("x.band_hash") === col("y.band_hash")

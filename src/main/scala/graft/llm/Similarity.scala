@@ -115,6 +115,43 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** ANN top-k via an IVF (inverted-file) index: a coarse quantizer of
+    * `nCells` centroid vectors partitions the corpus into cells (each
+    * vector assigned to its nearest centroid by cosine); a query probes the
+    * `nProbe` cells nearest to IT and exact-reranks only their members.
+    *
+    * The centroids here are the first `nCells` corpus vectors — a
+    * deterministic stand-in for the k-means step (which is a fitting
+    * concern, not a query-plan concern: swap in trained centroids and
+    * nothing else changes). Scale shape: assignment is a broadcast of
+    * `nCells` centroids + one corpus pass; the probe join touches
+    * ~nProbe/nCells of the corpus per query instead of all of it.
+    * Output: (qid, rank, nid, sim). */
+  def annTopKIvf(queries: DataFrame, candidates: DataFrame, k: Int = 3,
+                 nCells: Int = 16, nProbe: Int = 2): DataFrame = {
+    val cents = candidates.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    def nearestCells(df: DataFrame, idAs: String, eAs: String, n: Int) = {
+      val w = Window.partitionBy(col(idAs)).orderBy(
+        cosine(col(eAs), col("cent")).desc, col("cent_id"))
+      df.select(col("vec_id").as(idAs), col("embedding").as(eAs))
+        .crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= n)
+        .select(col(idAs), col(eAs), col("cent_id").as("cell"))
+    }
+    val assigned = nearestCells(candidates, "nid", "ce", 1)
+    val probes = nearestCells(queries, "qid", "qe", nProbe)
+    val sims = broadcast(probes).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
+      .distinct()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    sims.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
   /** Embedding-cosine near-duplicate pairs: all pairs in the SAME LSH
     * bucket with cosine >= minSim (the embedding analog of minhashNearDups
     * — bucket-bounded, never all-pairs). */

@@ -306,6 +306,45 @@ object LlmDeclared {
              md5(string_agg(hx, ',' ORDER BY hx)) AS fp
       FROM sel GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** L17 — ANN top-k via the IVF path (coarse quantizer cells + nProbe
+    * probing + exact rerank of cell members) — the index-structured
+    * alternative to l06's hash-structured LSH. */
+  private val l17 = DeclaredQuery(
+    "l17_ann_ivf",
+    (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      Similarity.annTopKIvf(em.filter(col("vec_id") < 8), em, k = 3)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN cents c) x
+        WHERE rn <= 1),
+      probes AS (
+        SELECT qid, qe, cell FROM (
+          SELECT e.vec_id AS qid, e.embedding AS qe, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN cents c
+          WHERE e.vec_id < 8) x
+        WHERE rn <= 2),
+      sims AS (
+        SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS sim
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE qid <> nid)
+      SELECT qid, rnk, nid, sim FROM (
+        SELECT qid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims) r
+      WHERE rnk <= 3 ORDER BY qid, rnk"""))
+
   /** L15 — deterministic corpus split (stable holdout assignment). */
   private val l15 = DeclaredQuery(
     "l15_stable_split",
@@ -416,5 +455,5 @@ object LlmDeclared {
 
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
-    l11, l12, l13, l14, l15, l16, d29)
+    l11, l12, l13, l14, l15, l16, l17, d29)
 }

@@ -27,7 +27,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "l07_lang_id" -> 500, "l08_quality" -> 500, "l09_token_counts" -> 500,
     "l10_fingerprints" -> 485, "l11_multimodal_decode" -> 500,
     "l12_profile" -> 5, "l13_udaf_sumsq" -> 5, "l14_cosine_near_dups" -> 26,
-    "l15_stable_split" -> 500, "l16_dedup_clusters" -> 45)
+    "l15_stable_split" -> 500, "l16_dedup_clusters" -> 45,
+    "l17_ann_ivf" -> 24)
 
   SparkEntry.allDeclared.foreach { q =>
     test(s"${q.name} executes, non-empty, expected rows") {

@@ -130,6 +130,22 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall collapsed: $recall")
   }
 
+  test("IVF ANN: probing more cells monotonically improves top-1 recall") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val q = em.filter(col("vec_id") < 32)
+    val exact = Similarity.bruteForceTopK(q, em, k = 1)
+      .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recall(nProbe: Int): Double = {
+      val got = Similarity.annTopKIvf(q, em, k = 1, nCells = 16, nProbe = nProbe)
+        .select("qid", "nid").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      exact.count(got.contains).toDouble / exact.size
+    }
+    val r2 = recall(2)
+    val r8 = recall(8)
+    assert(r8 >= r2, s"recall must not degrade with more probes: $r2 vs $r8")
+    assert(r8 > 0.2, s"8/16-cell probe recall collapsed: $r8")
+  }
+
   test("cosineNearDups only reports same-bucket pairs above threshold") {
     val em = Tables.load(spark, sf001, "embeddings")
     val nd = Similarity.cosineNearDups(em, minSim = 0.5)
