@@ -88,6 +88,36 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** Text cleaning/normalization — the first pass of any training-data
+    * pipeline: lowercase, strip non-alphanumerics to spaces, collapse runs,
+    * trim. Emits the cleaned text's digest + before/after lengths (the
+    * audit columns a cleaning job reports). */
+  def cleanText(docs: DataFrame): DataFrame = {
+    val cleaned = trim(regexp_replace(
+      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    docs.select(
+      col("doc_id"),
+      md5(cleaned).as("clean_md5"),
+      length(col("text")).cast(LongType).as("raw_len"),
+      length(cleaned).cast(LongType).as("clean_len"))
+  }
+
+  /** Contiguous sequence packing: assign documents (in doc_id order) to
+    * fixed-token-budget packs — pack_id = floor(tokens-before-this-doc /
+    * budget), i.e. a running-total split. One window pass; deterministic.
+    * Scale note: the global ordering window is exact-packing for a corpus
+    * that fits one ordering (fine for oracle determinism here); at 100 TB
+    * you pack per partition key (date/source shard) so each window is
+    * bounded — same expression with a partitionBy added. */
+  def sequencePack(docs: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    val nTok = size(TextOps.tokens(col("text"))).cast(LongType)
+    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
+    docs.select(col("doc_id"), nTok.as("n_tok"))
+      .withColumn("pack_id",
+        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budgetTokens))
+  }
+
   /** Document fingerprint via mod-p shingle sampling (winnowing-style):
     * md5-int32 each distinct 3-gram shingle, keep hashes ≡ 0 (mod p), and
     * digest the sorted surviving hex values. Two docs share a fingerprint

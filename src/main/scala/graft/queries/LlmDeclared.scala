@@ -384,6 +384,30 @@ object LlmDeclared {
       SELECT a AS doc_id, MIN(b) AS cluster_id
       FROM reach GROUP BY a ORDER BY doc_id"""))
 
+  /** L18 — text cleaning/normalization with audit columns. */
+  private val l18 = DeclaredQuery(
+    "l18_clean_text",
+    (s, dir) => TextAnalysis.cleanText(t(s, dir, "documents")).orderBy(col("doc_id")),
+    Some("""SELECT doc_id,
+      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                              ' +', ' ', 'g'))) AS clean_md5,
+      CAST(length(text) AS BIGINT) AS raw_len,
+      CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                                      ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+      FROM documents ORDER BY doc_id"""))
+
+  /** L19 — contiguous sequence packing into fixed token budgets. */
+  private val l19 = DeclaredQuery(
+    "l19_sequence_pack",
+    (s, dir) => TextAnalysis.sequencePack(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, n_tok,
+      CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS pack_id
+      FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+            FROM documents)
+      ORDER BY doc_id"""))
+
   // ------------------------------------------------- multimodal + sketches
 
   /** L11 — multimodal decode plumbing: binary payloads through a
@@ -455,5 +479,5 @@ object LlmDeclared {
 
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
-    l11, l12, l13, l14, l15, l16, l17, d29)
+    l11, l12, l13, l14, l15, l16, l17, l18, l19, d29)
 }

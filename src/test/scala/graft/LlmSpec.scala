@@ -193,6 +193,33 @@ class LlmSpec extends SparkSpec {
     assert(fps.length === 2 && fps(0) === fps(1))
   }
 
+  test("cleanText: normalization is idempotent and audit lengths are exact") {
+    val d = docsDf(1L -> "He!!o,  World 42 ")
+    val r = TextAnalysis.cleanText(d).collect()(0)
+    // "he o world 42" after strip+collapse+trim
+    assert(r.getLong(2) === 17L)
+    assert(r.getLong(3) === "he o world 42".length.toLong)
+    // idempotence: cleaning already-clean text is identity
+    val clean = docsDf(2L -> "he o world 42")
+    val r2 = TextAnalysis.cleanText(clean).collect()(0)
+    assert(r2.getLong(2) === r2.getLong(3))
+  }
+
+  test("sequencePack: packs respect the running token budget") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val packed = TextAnalysis.sequencePack(docs, budgetTokens = 500L)
+    // every pack's token total stays under budget + one doc's overflow
+    val perPack = packed.groupBy("pack_id")
+      .agg(sum("n_tok").as("t"), max("n_tok").as("mx")).collect()
+    perPack.foreach { r =>
+      assert(r.getLong(1) <= 500L + r.getLong(2),
+        s"pack ${r.getLong(0)} exceeds budget+overflow: ${r.getLong(1)}")
+    }
+    // packs are contiguous in doc_id order
+    val ids = packed.orderBy("doc_id").select("pack_id").collect().map(_.getLong(0))
+    assert(ids.sameElements(ids.sorted))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   test("multimodal stub decode: typed features match byte arithmetic") {
