@@ -128,9 +128,11 @@ object Similarity {
     * ~nProbe/nCells of the corpus per query instead of all of it.
     * Output: (qid, rank, nid, sim). */
   def annTopKIvf(queries: DataFrame, candidates: DataFrame, k: Int = 3,
-                 nCells: Int = 16, nProbe: Int = 2): DataFrame = {
-    val cents = candidates.orderBy(col("vec_id")).limit(nCells)
-      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+                 nCells: Int = 16, nProbe: Int = 2,
+                 centroids: Option[DataFrame] = None): DataFrame = {
+    val cents = centroids.getOrElse(
+      candidates.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
     def nearestCells(df: DataFrame, idAs: String, eAs: String, n: Int) = {
       val w = Window.partitionBy(col(idAs)).orderBy(
         cosine(col(eAs), col("cent")).desc, col("cent_id"))
@@ -150,6 +152,40 @@ object Similarity {
     sims.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
+  }
+
+  /** The IVF fitting step: spherical k-means (Lloyd's) as iterative
+    * DataFrame jobs — assign every vector to its max-cosine centroid
+    * (broadcast of k centroids, one corpus pass), recompute each centroid
+    * as the element-wise mean of its members (posexplode → per-(cell, dim)
+    * avg → re-assemble), repeat. Deterministic: first-k init, cosine ties
+    * broken by cent_id. `localCheckpoint` truncates lineage per round.
+    * Returns (cent_id, cent: array<double>) ready for annTopKIvf's
+    * `centroids` parameter. */
+  def fitCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    var cents = vectors.orderBy(col("vec_id")).limit(k)
+      .select(col("vec_id").as("cent_id"),
+        transform(col("embedding"), _.cast(DoubleType)).as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      val w = Window.partitionBy(col("vec_id"))
+        .orderBy(cosine(col("embedding"), col("cent")).desc, col("cent_id"))
+      val assigned = vectors.select(col("vec_id"), col("embedding"))
+        .crossJoin(broadcast(cents))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("cent_id"), col("embedding"))
+      cents = assigned
+        .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
+        .groupBy(col("cent_id"), col("pos"))
+        .agg(avg(col("v")).as("m"))
+        .groupBy(col("cent_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cent_id"),
+          transform(col("ps"), x => x.getField("m")).as("cent"))
+        .localCheckpoint()
+    }
+    cents
   }
 
   /** Embedding-cosine near-duplicate pairs: all pairs in the SAME LSH

@@ -146,6 +146,24 @@ class LlmSpec extends SparkSpec {
     assert(r8 > 0.2, s"8/16-cell probe recall collapsed: $r8")
   }
 
+  test("fitCentroids: k-means iterations improve cluster cohesion") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    // mean best-cosine of every vector to its nearest centroid = cohesion
+    def cohesion(cents: org.apache.spark.sql.DataFrame): Double =
+      em.crossJoin(broadcast(cents))
+        .groupBy(col("vec_id"))
+        .agg(max(Similarity.cosine(col("embedding"), col("cent"))).as("best"))
+        .agg(avg("best")).collect()(0).getDouble(0)
+    val init = Similarity.fitCentroids(em, k = 8, iters = 0)
+    val fitted = Similarity.fitCentroids(em, k = 8, iters = 4)
+    val (c0, c4) = (cohesion(init), cohesion(fitted))
+    assert(c4 > c0, s"k-means must improve cohesion: $c0 -> $c4")
+    // fitted centroids drop into the IVF query path unchanged
+    val r = Similarity.annTopKIvf(em.filter(col("vec_id") < 4), em,
+      k = 2, nCells = 8, nProbe = 2, centroids = Some(fitted))
+    assert(r.count() > 0)
+  }
+
   test("cosineNearDups only reports same-bucket pairs above threshold") {
     val em = Tables.load(spark, sf001, "embeddings")
     val nd = Similarity.cosineNearDups(em, minSim = 0.5)
