@@ -22,7 +22,7 @@ object Envelope {
   def encode(df: DataFrame, op: Column,
              schemaName: String = "workshopDb",
              tableName: String = "customeractivity"): DataFrame = {
-    val dataCols = Schemas.customerActivity.fieldNames.map(col)
+    val dataCols = Schemas.customerActivity.fieldNames.toSeq.map(col)
     df.select(
       to_json(struct(
         struct(dataCols: _*).as("data"),
