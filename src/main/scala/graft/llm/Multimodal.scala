@@ -53,4 +53,28 @@ object Multimodal {
     import spark.implicits._
     blobs.as[BlobRow].mapPartitions(_.map(stubDecode))
   }
+
+  /** One sampled "frame" of a media payload (the video analog: one row in,
+    * N frame rows out). */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_sum: Long)
+
+  /** Frame sampling: split each payload into fixed-size frames (trailing
+    * partial frame dropped) and emit one checksum row per frame — the
+    * table-generating (1→N) shape of video frame extraction, as a typed
+    * flatMap. A real extractor swaps the slice-checksum for a codec call;
+    * the fan-out, schema, and partition behavior are exactly this. */
+  def frameSample(spark: SparkSession, blobs: DataFrame,
+                  frameBytes: Int = 32): Dataset[FrameRow] = {
+    import spark.implicits._
+    blobs.as[BlobRow].flatMap { b =>
+      val n = b.payload.length / frameBytes
+      (0 until n).iterator.map { i =>
+        var sum = 0L
+        var j = i * frameBytes
+        val end = j + frameBytes
+        while (j < end) { sum += (b.payload(j) & 0xff); j += 1 }
+        FrameRow(b.doc_id, i.toLong, sum)
+      }
+    }
+  }
 }

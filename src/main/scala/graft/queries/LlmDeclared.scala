@@ -426,6 +426,23 @@ object LlmDeclared {
         i -> ascii(substr(text, CAST(i AS INTEGER), 1))), (x, y) -> x + y) AS BIGINT) AS sum_bytes
       FROM documents ORDER BY doc_id"""))
 
+  /** L20 — multimodal frame sampling: the 1→N table-generating decode
+    * shape (one frame-checksum row per 32-byte payload slice), as a typed
+    * flatMap; the oracle regenerates the slices from SQL. */
+  private val l20 = DeclaredQuery(
+    "l20_frame_sample",
+    (s, dir) =>
+      Multimodal.frameSample(s, Multimodal.asBlobs(t(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id"), col("frame_idx")),
+    Some("""SELECT doc_id, frame_idx,
+      CAST(list_reduce(list_transform(range(1, 33),
+        j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1))),
+        (x, y) -> x + y) AS BIGINT) AS frame_sum
+      FROM (SELECT doc_id, text,
+              unnest(range(length(text) // 32)) AS frame_idx
+            FROM documents)
+      ORDER BY doc_id, frame_idx"""))
+
   /** L12 — per-group profile: exact distinct + exact percentiles (the
     * oracle-checkable twins of the HLL/KLL sketches, which LlmSpec
     * bounds-checks separately). */
@@ -479,5 +496,5 @@ object LlmDeclared {
 
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
-    l11, l12, l13, l14, l15, l16, l17, l18, l19, d29)
+    l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, d29)
 }

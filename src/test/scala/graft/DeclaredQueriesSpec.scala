@@ -28,7 +28,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "l10_fingerprints" -> 485, "l11_multimodal_decode" -> 500,
     "l12_profile" -> 5, "l13_udaf_sumsq" -> 5, "l14_cosine_near_dups" -> 26,
     "l15_stable_split" -> 500, "l16_dedup_clusters" -> 45,
-    "l17_ann_ivf" -> 24, "l18_clean_text" -> 500, "l19_sequence_pack" -> 500)
+    "l17_ann_ivf" -> 24, "l18_clean_text" -> 500, "l19_sequence_pack" -> 500,
+    "l20_frame_sample" -> 4538)
 
   SparkEntry.allDeclared.foreach { q =>
     test(s"${q.name} executes, non-empty, expected rows") {

@@ -249,6 +249,19 @@ class LlmSpec extends SparkSpec {
     assert(f.sum_bytes === ('a' + 'b' + 'c').toLong)
   }
 
+  test("frameSample: 1-to-N fan-out with exact per-frame checksums") {
+    val d = docsDf(5L -> ("ab" * 40)) // 80 bytes -> 2 full 32-byte frames
+    val frames = Multimodal.frameSample(spark, Multimodal.asBlobs(d)).collect()
+      .sortBy(_.frame_idx)
+    assert(frames.length === 2)
+    assert(frames(0).frame_sum === 16L * ('a' + 'b'))
+    assert(frames(1).frame_sum === 16L * ('a' + 'b'))
+    // payloads shorter than one frame produce no rows
+    val short = Multimodal.frameSample(spark,
+      Multimodal.asBlobs(docsDf(6L -> "tiny")))
+    assert(short.count() === 0)
+  }
+
   test("multimodal decode is distributed (partition count preserved, no collect)") {
     val docs = Tables.load(spark, sf001, "documents").repartition(7)
     val ds = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs))
