@@ -111,8 +111,12 @@ object Dedup {
   }
 
   /** MinHash-LSH near-duplicate pairs: band-equality candidates, then exact
-    * Jaccard verification of ONLY the candidates (the candidate set is tiny
-    * relative to the corpus, so the verify join broadcasts it). */
+    * Jaccard verification of ONLY the candidates. The candidate set is
+    * usually tiny relative to the corpus, but its size is data-dependent
+    * (a corpus with a large exact-dup cluster yields O(cluster²) same-band
+    * pairs), so no broadcast hint is forced — AQE promotes the join to
+    * broadcast at runtime when the set is actually small, and falls back to
+    * a shuffle join when it isn't (forcing it could OOM the driver). */
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       minJ: Double = 0.5): DataFrame = {
     // One materialized shingle table serves the signature pass AND the
@@ -126,7 +130,7 @@ object Dedup {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = broadcast(cand)
+    val common = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
         col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))

@@ -1,6 +1,7 @@
 package graft.llm
 
 import org.apache.spark.sql.{DataFrame, Encoder, Encoders}
+import org.apache.spark.sql.catalyst.encoders.{AgnosticEncoders, ExpressionEncoder}
 import org.apache.spark.sql.expressions.Aggregator
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -20,7 +21,10 @@ import org.apache.spark.sql.types._
 object Sketches {
 
   /** Exact Σ value² over DECIMAL(18,2)-quantized inputs. Buffer DECIMAL(38,4):
-    * square of (18,2) has scale 4; 38 digits absorb any realistic corpus. */
+    * square of (18,2) has scale 4, leaving 34 integer digits — 10^26 rows of
+    * max-value (10^8) squares before overflow. (Encoders.DECIMAL would be the
+    * system default (38,18) with only 20 integer digits — too tight at 100 TB,
+    * and Spark nulls overflowing decimals silently.) */
   object SumSquares extends Aggregator[java.lang.Double, java.math.BigDecimal, Double] {
     private def quant(v: java.lang.Double): java.math.BigDecimal =
       new java.math.BigDecimal(v.doubleValue)
@@ -31,7 +35,10 @@ object Sketches {
     def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
       a.add(b)
     def finish(b: java.math.BigDecimal): Double = b.doubleValue
-    def bufferEncoder: Encoder[java.math.BigDecimal] = Encoders.DECIMAL
+    def bufferEncoder: Encoder[java.math.BigDecimal] =
+      ExpressionEncoder(
+        AgnosticEncoders.JavaDecimalEncoder(DecimalType(38, 4),
+          lenientSerialization = true))
     def outputEncoder: Encoder[Double] = Encoders.scalaDouble
   }
 

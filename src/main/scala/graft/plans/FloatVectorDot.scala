@@ -45,19 +45,29 @@ case class FloatVectorDot(left: Expression, right: Expression)
 
   override def dataType: DataType = DoubleType
 
+  /** NULL-producing on edge inputs (below) even when both arrays are
+    * non-null, so nullability cannot be derived from the children. */
+  override def nullable: Boolean = true
+
   override def prettyName: String = "fvec_dot"
 
   private lazy val leftFloat = elemType(left.dataType).contains(FloatType)
   private lazy val rightFloat = elemType(right.dataType).contains(FloatType)
 
-  /** Interpreted path (non-codegen fallback): same fold, same order. */
+  /** Interpreted path (non-codegen fallback): same fold, same order.
+    * Edge semantics match the HOF reference exactly: mismatched lengths
+    * yield NULL (zip_with pads the shorter side with nulls, so the fold
+    * result is null) and any null element yields NULL (null product
+    * poisons the sum). */
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val y = b.asInstanceOf[ArrayData]
-    val n = math.min(x.numElements(), y.numElements())
+    val n = x.numElements()
+    if (y.numElements() != n) return null
     var acc = 0.0
     var i = 0
     while (i < n) {
+      if (x.isNullAt(i) || y.isNullAt(i)) return null
       val xv = if (leftFloat) x.getFloat(i).toDouble else x.getDouble(i)
       val yv = if (rightFloat) y.getFloat(i).toDouble else y.getDouble(i)
       acc += xv * yv
@@ -74,12 +84,17 @@ case class FloatVectorDot(left: Expression, right: Expression)
       def get(arr: String, isFloat: Boolean): String =
         if (isFloat) s"((double) $arr.getFloat($i))" else s"$arr.getDouble($i)"
       s"""
-         |final int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $acc = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }
+         |    $acc += ${get(a, leftFloat)} * ${get(b, rightFloat)};
+         |  }
+         |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
-         |${ev.value} = $acc;
        """.stripMargin
     })
 

@@ -422,8 +422,10 @@ object LlmDeclared {
       CAST(length(text) AS BIGINT) AS n_bytes,
       CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
       CAST(1 + ascii(substr(text, length(text), 1)) % 64 AS BIGINT) AS height,
-      CAST(list_reduce(list_transform(range(1, length(text) + 1),
-        i -> ascii(substr(text, CAST(i AS INTEGER), 1))), (x, y) -> x + y) AS BIGINT) AS sum_bytes
+      CAST(CASE WHEN length(text) = 0 THEN 0
+        ELSE list_reduce(list_transform(range(1, length(text) + 1),
+          i -> ascii(substr(text, CAST(i AS INTEGER), 1))), (x, y) -> x + y)
+        END AS BIGINT) AS sum_bytes
       FROM documents ORDER BY doc_id"""))
 
   /** L20 — multimodal frame sampling: the 1→N table-generating decode

@@ -36,6 +36,30 @@ class ExpressionSpec extends SparkSpec {
     assert(withNull.forall(_.isNullAt(0)))
   }
 
+  test("fvec_dot edge semantics match the HOF on length mismatch and null elements") {
+    // zip_with pads the shorter array with nulls, so the HOF fold yields
+    // NULL for mismatched lengths; a null ELEMENT likewise poisons the sum.
+    // fvec_dot must agree (it used to truncate / read nulls as 0).
+    val df = Seq(
+      ("mismatch", Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0))),
+      ("null_elem", Seq[Option[Double]](Some(1.0), None),
+        Seq[Option[Double]](Some(3.0), Some(4.0))),
+      ("clean", Seq[Option[Double]](Some(1.0), Some(2.0)),
+        Seq[Option[Double]](Some(3.0), Some(4.0))))
+      .toDF("label", "a", "b")
+      .select(col("label"),
+        expr("fvec_dot(a, b)").as("native"),
+        expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, v) -> s + v)")
+          .as("hof"))
+    val rows = df.collect().map(r =>
+      r.getString(0) -> (r.isNullAt(1), r.isNullAt(2),
+        if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
+    assert(rows("mismatch")._1 && rows("mismatch")._2)   // both NULL
+    assert(rows("null_elem")._1 && rows("null_elem")._2) // both NULL
+    assert(!rows("clean")._1 && rows("clean")._3 === 11.0)
+  }
+
   test("S9: map column surface — map_from_arrays / element_at / map_keys") {
     val df = Seq((1L, Array("a", "b"), Array(10, 20))).toDF("id", "ks", "vs")
       .select(col("id"), map_from_arrays(col("ks"), col("vs")).as("m"))
