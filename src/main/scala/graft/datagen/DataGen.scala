@@ -77,8 +77,11 @@ object DataGen {
                idCount: Int = 1000,
                baseTs: String = "2024-01-01 00:00:00"): DataFrame = {
     // Index the (small) id slice deterministically: the window runs over
-    // idCount rows only, never the full universe.
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    // idCount rows only (≤ 1000 by the GEN3 contract), never the full
+    // universe — the constant partition key states the single-partition
+    // move explicitly instead of tripping WindowExec's global-window warn.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("id")
     val ids = idSlice(spark, seed, idCount)
       .withColumn("idx", row_number().over(w).cast(LongType) - 1)
     // Each generated row i maps to id (i mod idCount); the join broadcasts

@@ -104,18 +104,39 @@ object TextAnalysis {
 
   /** Contiguous sequence packing: assign documents (in doc_id order) to
     * fixed-token-budget packs — pack_id = floor(tokens-before-this-doc /
-    * budget), i.e. a running-total split. One window pass; deterministic.
-    * Scale note: the global ordering window is exact-packing for a corpus
-    * that fits one ordering (fine for oracle determinism here); at 100 TB
-    * you pack per partition key (date/source shard) so each window is
-    * bounded — same expression with a partitionBy added. */
-  def sequencePack(docs: DataFrame, budgetTokens: Long = 2000L): DataFrame = {
+    * budget), i.e. an exclusive global prefix sum split by budget.
+    *
+    * Executed as a two-level distributed prefix sum (a naive global-order
+    * window moves the whole corpus to ONE task — the classic scan
+    * anti-pattern):
+    *   1. bucket docs by doc_id range; running sum WITHIN each bucket is a
+    *      partitioned window (parallel, bounded by bucket occupancy);
+    *   2. per-bucket totals (one row per bucket, corpus/bucketWidth rows)
+    *      get their own exclusive prefix sum — a single-partition window
+    *      over the tiny totals table only (explicit constant partition
+    *      key: this level is ~N/bucketWidth rows by construction; at
+    *      extreme scale you add a third level the same way);
+    *   3. pack_id = (bucket offset + within-bucket running sum) / budget.
+    * Integer arithmetic throughout — bit-identical to the single-window
+    * formulation and to the oracle's global-ORDER-BY running sum. */
+  def sequencePack(docs: DataFrame, budgetTokens: Long = 2000L,
+                   bucketWidth: Long = 4096L): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val nTok = size(TextOps.tokens(col("text"))).cast(LongType)
-    val w = org.apache.spark.sql.expressions.Window.orderBy(col("doc_id"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
-    docs.select(col("doc_id"), nTok.as("n_tok"))
-      .withColumn("pack_id",
-        floor(coalesce(sum(col("n_tok")).over(w), lit(0L)) / budgetTokens))
+    val base = docs.select(col("doc_id"), nTok.as("n_tok"))
+      .withColumn("bkt", floor(col("doc_id") / bucketWidth))
+    val wIn = W.partitionBy(col("bkt")).orderBy(col("doc_id"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val wBkt = W.partitionBy(lit(0)).orderBy(col("bkt"))
+      .rowsBetween(W.unboundedPreceding, -1)
+    val offsets = base.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bsum"))
+      .withColumn("boff", coalesce(sum(col("bsum")).over(wBkt), lit(0L)))
+      .select(col("bkt"), col("boff"))
+    base
+      .withColumn("run", coalesce(sum(col("n_tok")).over(wIn), lit(0L)))
+      .join(broadcast(offsets), "bkt") // one row per bucket — always small
+      .withColumn("pack_id", floor((col("boff") + col("run")) / budgetTokens))
+      .select(col("doc_id"), col("n_tok"), col("pack_id"))
   }
 
   /** Document fingerprint via mod-p shingle sampling (winnowing-style):

@@ -39,7 +39,11 @@ object StreamOps {
         spark.readStream.format("rate").option("rowsPerSecond", 1L).load()
           .filter(col("value") % n.toLong === 0)
       }
-    val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+    // Bounded input (idCount ≤ 1000): single-partition indexing is the
+    // intent — the constant partition key says so without the global-window
+    // warning.
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(lit(0)).orderBy("id")
     val ids = DataGen.idSlice(spark, seed, idCount)
       .withColumn("idx", row_number().over(w).cast(LongType) - 1)
     rate
