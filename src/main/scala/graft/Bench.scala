@@ -38,7 +38,12 @@ object Bench {
     // Session warm-up: parquet footer caches + scheduler paths, untimed.
     Seq("d01_scan_count", "d05_multiway_join").foreach(runOnce)
 
-    val order = SparkEntry.allDeclared.map(_.name).filter(SparkEntry.queries.contains)
+    // Dev-only narrowing for plan iteration (unset in driver runs).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val order = SparkEntry.allDeclared.map(_.name)
+      .filter(SparkEntry.queries.contains)
+      .filter(n => only.forall(_.contains(n)))
     val results = order.map { n => runOnce(n); n -> runOnce(n) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

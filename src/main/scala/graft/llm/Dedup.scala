@@ -157,25 +157,32 @@ object Dedup {
     * large-star/small-star formulation; the contract is unchanged.
     * Returns (doc_id, cluster_id) for every doc in at least one pair. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
-    val edges = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
+    // Symmetric edge list plus one self-loop per node: a single
+    // join+groupBy then computes min over {self} ∪ neighbors AND carries
+    // the node's previous label (via the self-loop row) for the
+    // convergence test — one shuffle stage per round, no separate
+    // old-vs-new join (the round-3 loop ran two joins + a union per
+    // round; at tiny per-round data the fixed stage cost dominates, and
+    // at scale one fewer shuffle of the labels table per round is real).
+    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    val edges = sym.unionByName(sym.select(col("a"), col("a").as("b")))
       .distinct()
+      .withColumn("self", col("a") === col("b"))
       .localCheckpoint()
-    var labels = edges.select(col("a").as("id")).distinct()
-      .withColumn("label", col("id"))
-      .localCheckpoint()
+    var labels = edges.filter(col("self"))
+      .select(col("a").as("id"), col("a").as("label"))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
-      val neigh = edges
-        .join(labels.select(col("id").as("b"), col("label")), "b")
-        .select(col("a").as("id"), col("label"))
-      val next = labels.unionByName(neigh)
-        .groupBy(col("id")).agg(min(col("label")).as("label"))
+      val next = edges
+        .join(labels.withColumnRenamed("id", "b"), "b")
+        .groupBy(col("a").as("id"))
+        .agg(min(col("label")).as("label"),
+          min(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next.join(labels.select(col("id"), col("label").as("old")), "id")
-        .filter(col("label") =!= col("old")).count()
-      labels = next
+      changed = next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
       iters += 1
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
