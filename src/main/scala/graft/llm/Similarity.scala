@@ -188,6 +188,27 @@ object Similarity {
     cents
   }
 
+  /** Per-label embedding centroid, quantized for cross-engine exactness:
+    * each coordinate is snapped to 1/quantum resolution (round(x·quantum)
+    * as int64), summed exactly in longs, and divided once — so the result
+    * is independent of partitioning/merge order, unlike a double `avg`
+    * (fp addition is not associative). Emits one (label, pos) row per
+    * centroid coordinate.
+    *
+    * Scale: posexplode fans each vector into `dim` (label,pos,q) longs;
+    * map-side partial sums collapse that to (labels × dim) rows per task
+    * before the shuffle — the class-prototype pass of a classifier/
+    * nearest-centroid pipeline at any corpus size. */
+  def labelCentroids(vectors: DataFrame, quantum: Long = 1000000L): DataFrame =
+    vectors
+      .select(col("label"), posexplode(col("embedding")).as(Seq("pos", "x")))
+      .select(col("label"), col("pos").cast(LongType).as("pos"),
+        round(col("x").cast(DoubleType) * quantum).cast(LongType).as("q"))
+      .groupBy(col("label"), col("pos"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("q")).as("sq"))
+      .select(col("label"), col("pos"), col("n_vecs"),
+        (col("sq") / (col("n_vecs") * quantum)).as("centroid"))
+
   /** Embedding-cosine near-duplicate pairs: all pairs in the SAME LSH
     * bucket with cosine >= minSim (the embedding analog of minhashNearDups
     * — bucket-bounded, never all-pairs). */

@@ -139,6 +139,40 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("pack_id"))
   }
 
+  /** Corpus vocabulary: per-token occurrence and document frequency. One
+    * explode + one hash-agg (map-side partials make the shuffle carry one
+    * row per (task, distinct-token), not per occurrence) — the first pass
+    * of any tokenizer-training / corpus-statistics job. */
+  def vocabulary(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok"))
+      .agg(count(lit(1)).as("n_occ"), countDistinct(col("doc_id")).as("n_docs"))
+
+  /** Top-k discriminative terms per document by tf·(N/df) — the rational-
+    * idf variant of tf-idf (N/df instead of ln(N/df)): the same ranking
+    * family, chosen because integer-product-then-one-division is bit-
+    * identical across engines while ln() rounding is not guaranteed.
+    *
+    * Scale: tf is a (doc, token) hash-agg; df is a second agg OVER TF (one
+    * row per distinct (doc,token), far smaller than the token stream); the
+    * tf⋈df join key is the token — Zipf-skewed, but the df side is
+    * vocabulary-sized, so AQE broadcasts it in practice (no forced hint:
+    * a web-scale vocabulary can exceed driver memory). */
+  def tfidfTopK(docs: DataFrame, k: Int = 3): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tok = docs.select(col("doc_id"), explode(TextOps.tokens(col("text"))).as("tok"))
+    val tf = tok.groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val w = W.partitionBy(col("doc_id")).orderBy(col("score").desc, col("tok"))
+    tf.join(dfT, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score", (col("tf") * col("n_docs")) / col("df"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("doc_id"), col("tok"), col("tf"), col("df"), col("score"))
+  }
+
   /** Document fingerprint via mod-p shingle sampling (winnowing-style):
     * md5-int32 each distinct 3-gram shingle, keep hashes ≡ 0 (mod p), and
     * digest the sorted surviving hex values. Two docs share a fingerprint

@@ -585,8 +585,231 @@ object Declared {
       WHERE event_type = 'purchase' GROUP BY user_id
       HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 10 ORDER BY user_id"""))
 
+  // ------------------------------------------- D30–D37 (round-4 widening)
+
+  /** D30 — rule P3 COMPLETE form: regularity (≥10 active purchase days) AND
+    * a spend threshold (setupTables.py:42's "high-value" leg that D28's
+    * shape-only version omitted). The threshold predicate evaluates on the
+    * exact decimal sum; only the OUTPUT is double. One hash-agg, map-side
+    * partials — same scale story as D28. */
+  private val d30 = DeclaredQuery(
+    "d30_p3_value_cohort",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_type") === "purchase")
+        .groupBy(col("user_id"))
+        .agg(
+          countDistinct(col("ts").cast(DateType)).as("active_days"),
+          sum(dec(col("value"))).as("tv"))
+        .filter(col("active_days") >= 10 && col("tv") >= 600)
+        .select(col("user_id"), col("active_days"), outd(col("tv")).as("total_value"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      FROM events WHERE event_type = 'purchase' GROUP BY user_id
+      HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 10
+         AND SUM(CAST(value AS DECIMAL(18,2))) >= 600
+      ORDER BY user_id"""))
+
+  /** D31 — rule P5 COMPLETE form: regularity cohort (≥12 active view days)
+    * ANTI-JOINED against users already holding the product (a premium
+    * purchase, value > 95) — setupTables.py:44's cross-sell leg. The held
+    * set is an aggregate (distinct user_ids), orders of magnitude smaller
+    * than events — broadcast anti-join, no shuffle of the cohort. */
+  private val d31 = DeclaredQuery(
+    "d31_p5_crosssell",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val held = ev
+        .filter(col("event_type") === "purchase" && col("value") > 95)
+        .select(col("user_id")).distinct()
+      ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id"))
+        .agg(countDistinct(col("ts").cast(DateType)).as("active_days"))
+        .filter(col("active_days") >= 12)
+        .join(broadcast(held), Seq("user_id"), "left_anti")
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days
+      FROM events WHERE event_type = 'view' GROUP BY user_id
+      HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 12
+         AND user_id NOT IN (SELECT DISTINCT user_id FROM events
+                             WHERE event_type = 'purchase' AND value > 95)
+      ORDER BY user_id"""))
+
+  /** D32 — as-of join (latest prior event of another kind): for every
+    * purchase, the most recent view by the same user strictly before it.
+    * Spark-first scale form: NOT a join at all — one window over the
+    * union of both event kinds, partitioned by user (single shuffle,
+    * max-over-prefix frame). The naive alternative (self-join on user +
+    * ts inequality, then max per purchase) shuffles twice and explodes
+    * per-user pair counts quadratically — the d09 skew problem with no
+    * upside. Same formulation on the oracle side (ANSI window). */
+  private val d32 = DeclaredQuery(
+    "d32_asof_join",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      t(s, dir, "events")
+        .filter(col("event_type").isin("purchase", "view"))
+        .withColumn("prior_view_ts",
+          max(when(col("event_type") === "view", col("ts"))).over(w))
+        .filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"), col("prior_view_ts"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, ts, prior_view_ts FROM (
+        SELECT event_id, user_id, ts, event_type,
+          MAX(CASE WHEN event_type = 'view' THEN ts END) OVER (
+            PARTITION BY user_id ORDER BY ts, event_id
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_view_ts
+        FROM events WHERE event_type IN ('purchase', 'view')) x
+      WHERE event_type = 'purchase' ORDER BY event_id"""))
+
+  /** D33 — pivot (long→wide conditional aggregation). The value list is
+    * EXPLICIT, so Spark plans a single hash-agg with one conditional
+    * count per type — no extra distinct-values job, no second shuffle;
+    * exactly the oracle's FILTER-aggregate shape. Absent combinations
+    * pivot to null → coalesced to 0 to match COUNT semantics. */
+  private val d33 = DeclaredQuery(
+    "d33_pivot",
+    (s, dir) => {
+      val types = Seq("click", "error", "purchase", "signup", "view")
+      val p = t(s, dir, "events")
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+      p.select(col("user_id") +:
+          types.map(tp => coalesce(col(tp), lit(0L)).as(s"n_$tp")): _*)
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      COUNT(*) FILTER (WHERE event_type = 'click') AS n_click,
+      COUNT(*) FILTER (WHERE event_type = 'error') AS n_error,
+      COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchase,
+      COUNT(*) FILTER (WHERE event_type = 'signup') AS n_signup,
+      COUNT(*) FILTER (WHERE event_type = 'view') AS n_view
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** D34 — statistical aggregates (corr, sample stddev) made
+    * oracle-exact: built-in corr()/stddev() accumulate doubles in
+    * partition order (non-deterministic across layouts, never mind
+    * engines), so the moments are accumulated as EXACT decimals —
+    * order-independent — and the textbook formulas are then applied in
+    * double arithmetic with an identical expression tree on both sides
+    * (IEEE +,-,*,/,sqrt are correctly rounded ⇒ bit-identical). Same
+    * single-pass, map-side-partial aggregation shape as any sum. */
+  private val d34 = DeclaredQuery(
+    "d34_stats_moments",
+    (s, dir) => {
+      val q = dec(col("l_quantity"))
+      val p = dec(col("l_extendedprice"))
+      val m = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          outd(sum(q)).as("sq"), outd(sum(p)).as("sp"),
+          outd(sum(q * p)).as("sqp"), outd(sum(q * q)).as("sqq"),
+          outd(sum(p * p)).as("spp"))
+      m.select(col("l_returnflag"), col("n"),
+          ((col("n") * col("sqp") - col("sq") * col("sp")) /
+            sqrt((col("n") * col("sqq") - col("sq") * col("sq")) *
+              (col("n") * col("spp") - col("sp") * col("sp"))))
+            .as("corr_qty_price"),
+          sqrt((col("n") * col("spp") - col("sp") * col("sp")) /
+            (col("n") * (col("n") - 1))).as("sd_price"))
+        .orderBy(col("l_returnflag"))
+    },
+    Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, n,
+        (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS corr_qty_price,
+        sqrt((n * spp - sp * sp) / (n * (n - 1))) AS sd_price
+      FROM m ORDER BY l_returnflag"""))
+
+  /** D35 — unpivot/melt (wide→long): per-flag decimal sums rotated into
+    * (measure, val) rows with Dataset.unpivot — Catalyst's Expand node,
+    * one pass, no join; the oracle is the equivalent UNION ALL. */
+  private val d35 = DeclaredQuery(
+    "d35_unpivot",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          outd(sum(dec(col("l_quantity")))).as("sum_qty"),
+          outd(sum(dec(col("l_extendedprice")))).as("sum_price"),
+          outd(sum(dec(col("l_discount")))).as("sum_disc"))
+        .unpivot(
+          Array(col("l_returnflag")),
+          Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+          "measure", "val")
+        .orderBy(col("l_returnflag"), col("measure")),
+    Some("""WITH a AS (SELECT l_returnflag,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
+      UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
+      UNION ALL SELECT l_returnflag, 'sum_disc', sum_disc FROM a
+      ORDER BY l_returnflag, measure"""))
+
+  /** D36 — scalar subquery (orders above the global mean). The mean
+    * comparison is kept EXACT: price × count > total is a pure decimal
+    * predicate (no decimal division, whose scale rules differ across
+    * engines). Spark form: the 1-row global aggregate broadcast against
+    * the scan — a scalar subquery is exactly a broadcast nested loop of
+    * one row, so this is the plan a correlated optimizer would pick. */
+  private val d36 = DeclaredQuery(
+    "d36_scalar_subquery",
+    (s, dir) => {
+      val o = t(s, dir, "orders")
+      val tot = o.agg(sum(dec(col("o_totalprice"))).as("s"), count(lit(1)).as("n"))
+      o.crossJoin(broadcast(tot))
+        .filter(dec(col("o_totalprice")) * col("n") > col("s"))
+        .select(col("o_orderkey"), outd(dec(col("o_totalprice"))).as("price"))
+        .orderBy(col("o_orderkey"))
+    },
+    Some("""SELECT o_orderkey, CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS price
+      FROM orders
+      WHERE CAST(o_totalprice AS DECIMAL(18,2)) * (SELECT COUNT(*) FROM orders)
+            > (SELECT SUM(CAST(o_totalprice AS DECIMAL(18,2))) FROM orders)
+      ORDER BY o_orderkey"""))
+
+  /** D37 — value window functions (first/last/nth over an explicit full
+    * frame): per-user first, latest, and second event values. Pure value
+    * selection — the doubles pass through untouched, so cross-engine
+    * equality is positional, not arithmetic. */
+  private val d37 = DeclaredQuery(
+    "d37_value_windows",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          first(col("value")).over(w).as("first_v"),
+          last(col("value")).over(w).as("last_v"),
+          nth_value(col("value"), 2).over(w).as("second_v"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id,
+      FIRST_VALUE(value) OVER w AS first_v,
+      LAST_VALUE(value) OVER w AS last_v,
+      NTH_VALUE(value, 2) OVER w AS second_v
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY event_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
-    d21, d22, d23, d24, d25, d26, d27, d28)
+    d21, d22, d23, d24, d25, d26, d27, d28,
+    d30, d31, d32, d33, d34, d35, d36, d37)
 }

@@ -496,7 +496,55 @@ object LlmDeclared {
     Some("""SELECT c_custkey, '0x' || hex(c_name) AS hexname
       FROM customer ORDER BY c_custkey"""))
 
+  // --------------------------------------- corpus statistics (round 4)
+
+  /** L21 — tf-idf top-k terms per document (rational idf N/df — see
+    * TextAnalysis.tfidfTopK for why not ln). */
+  private val l21 = DeclaredQuery(
+    "l21_tfidf_topk",
+    (s, dir) => TextAnalysis.tfidfTopK(t(s, dir, "documents"), k = 3)
+      .orderBy(col("doc_id"), col("tok")),
+    Some("""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+        FROM documents),
+      tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM tok GROUP BY doc_id, tok),
+      df AS (SELECT tok, COUNT(*) AS df FROM tf GROUP BY tok),
+      n AS (SELECT COUNT(*) AS n_docs FROM documents)
+      SELECT doc_id, tok, tf, df, score FROM (
+        SELECT doc_id, tok, tf, df, (tf * n_docs) / df AS score,
+          ROW_NUMBER() OVER (PARTITION BY doc_id
+            ORDER BY (tf * n_docs) / df DESC, tok) AS rn
+        FROM tf JOIN df USING (tok) CROSS JOIN n) x
+      WHERE rn <= 3 ORDER BY doc_id, tok"""))
+
+  /** L22 — top-100 corpus vocabulary by occurrence count (the tokenizer-
+    * training first pass), deterministic tie-break on the token. */
+  private val l22 = DeclaredQuery(
+    "l22_vocab_topk",
+    (s, dir) => TextAnalysis.vocabulary(t(s, dir, "documents"))
+      .orderBy(col("n_occ").desc, col("tok")).limit(100),
+    Some("""SELECT tok, COUNT(*) AS n_occ, COUNT(DISTINCT doc_id) AS n_docs
+      FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+            FROM documents) x
+      GROUP BY tok ORDER BY n_occ DESC, tok LIMIT 100"""))
+
+  /** L23 — per-label embedding centroids, quantized to 1e-6 so the mean is
+    * an exact integer sum + one division on both engines (a double avg()
+    * would be partition-order-dependent). DuckDB explodes positions via
+    * range() + 1-based list indexing. */
+  private val l23 = DeclaredQuery(
+    "l23_label_centroids",
+    (s, dir) => Similarity.labelCentroids(t(s, dir, "embeddings"))
+      .orderBy(col("label"), col("pos")),
+    Some("""SELECT label, pos, COUNT(*) AS n_vecs,
+        SUM(CAST(round(CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)
+                       * 1000000) AS BIGINT))
+          / (COUNT(*) * 1000000) AS centroid
+      FROM (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+            FROM embeddings) x
+      GROUP BY label, pos ORDER BY label, pos"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
-    l11, l12, l13, l14, l15, l16, l17, l18, l19, l20, d29)
+    l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
+    l21, l22, l23, d29)
 }

@@ -21,6 +21,12 @@ class DeclaredQueriesSpec extends SparkSpec {
     "d25_conditional" -> 15, "d26_latest_state" -> 15,
     "d27_first_occurrence" -> 15, "d28_regularity_cohort" -> 10,
     "d29_hex_encode" -> 150,
+    "d30_p3_value_cohort" -> 6, "d31_p5_crosssell" -> 2,
+    "d32_asof_join" -> 202, "d33_pivot" -> 15, "d34_stats_moments" -> 3,
+    "d35_unpivot" -> 9, "d36_scalar_subquery" -> 764,
+    "d37_value_windows" -> 1000,
+    "l21_tfidf_topk" -> 1500, "l22_vocab_topk" -> 31,
+    "l23_label_centroids" -> 640,
     "l01_exact_dedup" -> 500, "l02_jaccard_pairs" -> 28,
     "l03_minhash_lsh" -> 28, "l04_simhash_pairs" -> 59,
     "l05_cosine_topk" -> 40, "l06_ann_lsh" -> 16,
