@@ -807,9 +807,96 @@ object Declared {
         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
       ORDER BY event_id"""))
 
+  /** D38 — time-RANGE moving aggregate (trailing 1 h sum/count per user):
+    * a RANGE frame over epoch-microseconds, so peers at the same timestamp
+    * enter the frame together — deterministic under ties, unlike a ROWS
+    * frame over a non-unique ordering. The rule-C1 "activity in the last
+    * hour" primitive in batch form; one shuffle on the partition key. */
+  private val d38 = DeclaredQuery(
+    "d38_moving_window",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(unix_micros(col("ts")))
+        .rangeBetween(-3600L * 1000000L, 0)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("ts"),
+          outd(sum(dec(col("value"))).over(w)).as("mov_sum"),
+          count(lit(1)).over(w).as("mov_n"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, ts,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+      COUNT(*) OVER w AS mov_n
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      ORDER BY event_id"""))
+
+  /** D39 — gap filling + forward fill (time-series resampling): a daily
+    * per-user grid generated with sequence() between each user's first and
+    * last active day, left-joined to the daily aggregate, missing days
+    * carried forward with last(ignoreNulls). The grid fan-out is bounded
+    * per user (span days) and generated AT the executor from the span row
+    * — no driver-side calendar, no cross join against a global dimension. */
+  private val d39 = DeclaredQuery(
+    "d39_gap_fill",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val daily = ev
+        .groupBy(col("user_id"), col("ts").cast(DateType).as("d"))
+        .agg(sum(dec(col("value"))).as("dvx"))
+      val spans = daily.groupBy(col("user_id"))
+        .agg(min(col("d")).as("d0"), max(col("d")).as("d1"))
+      val grid = spans.select(col("user_id"),
+        explode(sequence(col("d0"), col("d1"))).as("d"))
+      grid.join(daily, Seq("user_id", "d"), "left")
+        .select(col("user_id"), col("d"), outd(col("dvx")).as("dv"))
+        .withColumn("filled", last(col("dv"), ignoreNulls = true).over(
+          Window.partitionBy(col("user_id")).orderBy(col("d"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+        .orderBy(col("user_id"), col("d"))
+    },
+    Some("""WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS d,
+          SUM(CAST(value AS DECIMAL(18,2))) AS dvx
+        FROM events GROUP BY user_id, CAST(ts AS DATE)),
+      spans AS (SELECT user_id, MIN(d) AS d0, MAX(d) AS d1 FROM daily GROUP BY user_id),
+      grid AS (SELECT user_id, CAST(unnest(generate_series(
+          CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
+        FROM spans)
+      SELECT user_id, d, CAST(dvx AS DOUBLE) AS dv,
+        LAST_VALUE(CAST(dvx AS DOUBLE) IGNORE NULLS) OVER (
+          PARTITION BY user_id ORDER BY d
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
+      FROM grid LEFT JOIN daily USING (user_id, d)
+      ORDER BY user_id, d"""))
+
+  /** D40 — distribution-rank windows (percent_rank, cume_dist, ntile):
+    * ANSI definitions are pure rational arithmetic over ranks and counts,
+    * so cross-engine equality is exact given the unique (value, event_id)
+    * ordering. */
+  private val d40 = DeclaredQuery(
+    "d40_rank_stats",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("value"), col("event_id"))
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), col("value"),
+          percent_rank().over(w).as("pr"),
+          cume_dist().over(w).as("cd"),
+          ntile(4).over(w).cast(LongType).as("tile"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT event_id, user_id, value,
+      PERCENT_RANK() OVER w AS pr,
+      CUME_DIST() OVER w AS cd,
+      NTILE(4) OVER w AS tile
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
+      ORDER BY event_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     d21, d22, d23, d24, d25, d26, d27, d28,
-    d30, d31, d32, d33, d34, d35, d36, d37)
+    d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40)
 }

@@ -24,7 +24,8 @@ class DeclaredQueriesSpec extends SparkSpec {
     "d30_p3_value_cohort" -> 6, "d31_p5_crosssell" -> 2,
     "d32_asof_join" -> 202, "d33_pivot" -> 15, "d34_stats_moments" -> 3,
     "d35_unpivot" -> 9, "d36_scalar_subquery" -> 764,
-    "d37_value_windows" -> 1000,
+    "d37_value_windows" -> 1000, "d38_moving_window" -> 1000,
+    "d39_gap_fill" -> 449, "d40_rank_stats" -> 1000,
     "l21_tfidf_topk" -> 1500, "l22_vocab_topk" -> 31,
     "l23_label_centroids" -> 640,
     "l01_exact_dedup" -> 500, "l02_jaccard_pairs" -> 28,
