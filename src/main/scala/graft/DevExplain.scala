@@ -1,0 +1,12 @@
+package graft
+object DevExplain {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("explain")
+    val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    args.foreach { n =>
+      println(s"===== $n")
+      println(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(3500))
+    }
+    spark.stop()
+  }
+}

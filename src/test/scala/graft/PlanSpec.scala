@@ -131,6 +131,42 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d31: cross-sell anti-join broadcasts the held set") {
+    val plan = executedPlan(q("d31_p5_crosssell"))
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1000))
+    assert(!plan.contains("SortMergeJoin"))
+  }
+
+  test("d32: as-of join is a single window pass, not a self-join") {
+    val df = q("d32_asof_join")
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"), plan.take(1000))
+    assert(plan.contains("Window"), plan.take(1000))
+    // the event-kind filter reaches the scan
+    assert(df.queryExecution.executedPlan.toString.contains("In(event_type"),
+      "kind filter not pushed")
+  }
+
+  test("d33: explicit-values pivot is one aggregation path (no distinct job)") {
+    val plan = executedPlan(q("d33_pivot"))
+    assert(plan.contains("pivotfirst"), plan.take(1200))
+    assert(!plan.contains("Join"))
+  }
+
+  test("d36: the global aggregate broadcasts (1-row build side)") {
+    val plan = executedPlan(q("d36_scalar_subquery"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+  }
+
+  test("l23: centroid aggregation is two-phase (partials before shuffle)") {
+    val df = lq("l23_label_centroids")
+    df.collect()
+    val plan = executedPlan(df)
+    assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
+    assert(!plan.contains("Join"))
+  }
+
   test("whole-stage codegen covers the d02 hot path") {
     // Codegen spans exist only in the AQE-resolved final plan; they print
     // as `*(n) HashAggregate` markers in the tree string.
