@@ -189,6 +189,63 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Train/eval DECONTAMINATION — the dedup variant every training pipeline
+    * runs before a model ships: find TRAIN-split documents that share any
+    * n-gram shingle with any EVAL-split document (such train docs leak the
+    * benchmark and must be dropped). The split is the same content- and
+    * layout-independent md5(doc_id) bucketing as TextAnalysis.stableSplit,
+    * so train/eval membership is derivable per row with NO join.
+    *
+    * Scale: one shingle pass over the corpus (materialized once for both
+    * sides), then an inverted-index equality join whose build side is the
+    * EVAL shingle set — a few percent of the corpus by construction, so
+    * the join is broadcast-or-small-shuffle at any corpus size. The same
+    * ultra-common-shingle skew guard as jaccardPairs applies at 100 TB
+    * (drop shingles with df above a cutoff before the join); real
+    * decontamination uses long shingles (n=8..13) where boilerplate
+    * collisions are rare by construction.
+    *
+    * Returns (doc_id, n_eval_docs, n_shared_shingles) per contaminated
+    * train doc. */
+  def decontaminate(docs: DataFrame, n: Int = 3,
+                    trainPct: Int = 80, evalFromPct: Int = 90): DataFrame = {
+    val sh = TextOps.docShingles(docs, n)
+      .withColumn("bucket",
+        TextOps.md5Int32(col("doc_id").cast(StringType)) % 100)
+      .localCheckpoint()
+    val trainSh = sh.filter(col("bucket") < trainPct)
+    val evalSh = sh.filter(col("bucket") >= evalFromPct)
+    trainSh.as("tr").join(evalSh.as("ev"), col("tr.s") === col("ev.s"))
+      .groupBy(col("tr.doc_id").as("doc_id"))
+      .agg(
+        countDistinct(col("ev.doc_id")).as("n_eval_docs"),
+        countDistinct(col("tr.s")).as("n_shared_shingles"))
+  }
+
+  /** CONTAINMENT pairs — the asymmetric cousin of Jaccard: |A∩B| / |A|,
+    * which catches a short document fully embedded inside a longer one
+    * (quote-inclusion, page-within-crawl), where symmetric Jaccard stays
+    * low because the union is dominated by the long side. Directional:
+    * (doc_a, doc_b, containment) means doc_a's shingles are covered by
+    * doc_b to degree `containment`; both directions are emitted.
+    *
+    * Same inverted-index join shape (and the same 100 TB skew guard
+    * options) as jaccardPairs. */
+  def containmentPairs(docs: DataFrame, n: Int = 3,
+                       minC: Double = 0.6): DataFrame = {
+    val sh = TextOps.docShingles(docs, n).localCheckpoint()
+    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    val common = sh.as("x").join(sh.as("y"),
+        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    common
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .withColumn("containment", col("n_common").cast(DoubleType) / col("na"))
+      .filter(col("containment") >= minC)
+      .select(col("doc_a"), col("doc_b"), col("containment"))
+  }
+
   /** 32-bit SimHash per document over distinct 3-gram shingles: shingle →
     * md5-int32; signature bit i is set iff Σ_features (±1 by feature bit i)
     * > 0. One explode + one groupBy with 32 sum-aggregates — a single

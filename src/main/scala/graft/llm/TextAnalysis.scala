@@ -142,6 +142,49 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("pack_id"))
   }
 
+  /** Deterministic STRATIFIED sampling by hash threshold: keep a document
+    * iff md5(lang:doc_id) mod 1000 < rate‰ for its stratum. This is the
+    * 100 TB form of stratified sampling — a pure projection+filter (no
+    * shuffle, no per-stratum window/count pass), reproducible across runs,
+    * engines, and partition layouts, with independent rates per stratum
+    * (up-/down-weighting languages or domains when composing a training
+    * mix). The hash is salted with the stratum so selection is independent
+    * of the md5(doc_id) split buckets of stableSplit.
+    *
+    * `rates` maps stratum → keep-rate in ‰ (permille); strata absent from
+    * the map use `defaultRate`. */
+  def stratifiedSample(docs: DataFrame, rates: Map[String, Int],
+                       defaultRate: Int = 250): DataFrame = {
+    val bucket = TextOps.md5Int32(
+      concat(col("lang"), lit(":"), col("doc_id").cast(StringType))) % 1000
+    val rate = rates.toSeq.sortBy(_._1).foldLeft(lit(defaultRate)) {
+      case (acc, (lang, r)) => when(col("lang") === lang, lit(r)).otherwise(acc)
+    }
+    docs.select(col("doc_id"), col("lang"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+  }
+
+  /** Domain MIXING weights — the "data recipe" pass of training-corpus
+    * assembly: per-source document/token counts plus the resampling weight
+    * that would equalize token share across sources (weight > 1 ⇒
+    * upsample, < 1 ⇒ downsample). One hash-agg over the corpus + a
+    * broadcast of the 1-row totals; exact integer counts with a single
+    * final double division so the weights hash identically cross-engine. */
+  def domainMix(docs: DataFrame): DataFrame = {
+    val per = docs
+      .groupBy(col("source"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(size(TextOps.tokens(col("text"))).cast(LongType)).as("n_tokens"))
+    val tot = per.agg(
+      sum(col("n_tokens")).as("tot_tokens"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        (col("tot_tokens").cast(DoubleType)
+          / (col("n_sources") * col("n_tokens"))).as("weight"))
+  }
+
   /** Corpus vocabulary: per-token occurrence and document frequency. One
     * explode + one hash-agg (map-side partials make the shuffle carry one
     * row per (task, distinct-token), not per occurrence) — the first pass

@@ -543,8 +543,99 @@ object LlmDeclared {
             FROM embeddings) x
       GROUP BY label, pos ORDER BY label, pos"""))
 
+  // --------------------------------- corpus curation (round 4, continued)
+
+  /** L24 — train/eval decontamination: train-split docs sharing any 3-gram
+    * with any test-split doc (split = the same md5(doc_id) bucketing as
+    * l15, derivable per row with no join). */
+  private val l24 = DeclaredQuery(
+    "l24_decontaminate",
+    (s, dir) => Dedup.decontaminate(t(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      b AS (SELECT doc_id, s,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+            FROM sh)
+      SELECT tr.doc_id AS doc_id,
+             COUNT(DISTINCT ev.doc_id) AS n_eval_docs,
+             COUNT(DISTINCT tr.s) AS n_shared_shingles
+      FROM b tr JOIN b ev ON tr.s = ev.s
+      WHERE tr.bucket < 80 AND ev.bucket >= 90
+      GROUP BY tr.doc_id ORDER BY doc_id"""))
+
+  /** L25 — int8 embedding quantization summary: ⌊x/s + 0.5⌋ codes (the
+    * explicit half-up formula — round()'s tie rule is dialect-defined),
+    * sequential-fold reconstruction error. */
+  private val l25 = DeclaredQuery(
+    "l25_quantize",
+    (s, dir) => Similarity.quantizeInt8(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id")),
+    Some("""WITH v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      s AS (SELECT vec_id, e,
+              list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+      c AS (SELECT vec_id, e, scale,
+              list_transform(e, x -> CASE WHEN scale = 0.0 THEN 0
+                ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS codes
+            FROM s)
+      SELECT vec_id, CAST(len(e) AS BIGINT) AS n_dims, scale,
+        list_min(codes) AS code_min, list_max(codes) AS code_max,
+        list_reduce(codes, (a, c) -> a + c) AS code_sum,
+        list_reduce(list_transform(list_zip(e, codes),
+          p -> (p[1] - p[2] * scale) * (p[1] - p[2] * scale)),
+          (a, v) -> a + v) AS recon_err
+      FROM c ORDER BY vec_id"""))
+
+  /** L26 — hash-threshold stratified sampling (no shuffle, no window):
+    * keep iff md5(lang:doc_id) mod 1000 under the stratum's permille rate
+    * (en 150‰ down, zh 500‰ up, 250‰ default). */
+  private val l26 = DeclaredQuery(
+    "l26_stratified_sample",
+    (s, dir) => TextAnalysis.stratifiedSample(t(s, dir, "documents"),
+      rates = Map("en" -> 150, "zh" -> 500), defaultRate = 250)
+      .orderBy(col("doc_id")),
+    Some("""SELECT doc_id, lang,
+        ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 1000 AS bucket
+      FROM documents
+      WHERE ('0x' || substr(md5(lang || ':' || doc_id::VARCHAR), 1, 8))::BIGINT
+          % 1000 < CASE lang WHEN 'en' THEN 150 WHEN 'zh' THEN 500 ELSE 250 END
+      ORDER BY doc_id"""))
+
+  /** L27 — directional containment pairs |A∩B|/|A| (catches short docs
+    * embedded in long ones, where symmetric Jaccard stays low). */
+  private val l27 = DeclaredQuery(
+    "l27_containment_pairs",
+    (s, dir) => Dedup.containmentPairs(t(s, dir, "documents"), n = 3, minC = 0.6)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+                 GROUP BY x.doc_id, y.doc_id)
+      SELECT doc_a, doc_b, CAST(c AS DOUBLE) / sa.n_sh AS containment
+      FROM common JOIN sizes sa ON sa.doc_id = doc_a
+      WHERE CAST(c AS DOUBLE) / sa.n_sh >= 0.6
+      ORDER BY doc_a, doc_b"""))
+
+  /** L28 — domain mixing weights: per-source token share and the uniform-
+    * target resampling weight (exact integer counts, one final double
+    * division). */
+  private val l28 = DeclaredQuery(
+    "l28_domain_mix",
+    (s, dir) => TextAnalysis.domainMix(t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some("""WITH per AS (SELECT source, COUNT(*) AS n_docs,
+          CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        FROM documents GROUP BY source),
+      tot AS (SELECT CAST(SUM(n_tokens) AS DOUBLE) AS tot_tokens,
+                COUNT(*) AS n_sources FROM per)
+      SELECT source, n_docs, n_tokens,
+        tot_tokens / (n_sources * n_tokens) AS weight
+      FROM per CROSS JOIN tot ORDER BY source"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l23, d29)
+    l21, l22, l23, l24, l25, l26, l27, l28, d29)
 }

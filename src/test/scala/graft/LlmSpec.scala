@@ -238,6 +238,80 @@ class LlmSpec extends SparkSpec {
     assert(ids.sameElements(ids.sorted))
   }
 
+  // -------------------------------------------------------- corpus curation
+
+  test("decontaminate: every train doc sharing a shingle with a test doc is flagged") {
+    // all docs share the same text, so contamination = (train x test) complete
+    val ids = (0L until 50L)
+    val d = docsDf(ids.map(i => i -> "w0 w1 w2 w3"): _*)
+    val split = TextAnalysis.stableSplit(d.withColumn("lang", lit("en")))
+      .collect().map(r => (r.getLong(0), r.getString(2))).toMap
+    val train = ids.filter(split(_) == "train").toSet
+    val nTest = ids.count(split(_) == "test")
+    assert(nTest > 0, "fixture must land at least one doc in the test split")
+    val got = Dedup.decontaminate(d).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.map(_._1).toSet === train)
+    // "w0 w1 w2 w3" has two 3-gram shingles, both shared with every test doc
+    got.foreach { case (_, nEval, nSh) =>
+      assert(nEval === nTest.toLong && nSh === 2L)
+    }
+  }
+
+  test("quantizeInt8: hand-computed codes, zero-vector guard") {
+    val df = Seq(
+      (1L, Array(1.0f, -0.5f, 0.0f, 0.254f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val r1 = got(1L)
+    assert(r1.getLong(1) === 4L)                       // n_dims
+    assert(r1.getDouble(2) === 1.0 / 127.0)            // scale
+    assert(r1.getLong(3) === -63L)                     // code_min: floor(-63.5+0.5)
+    assert(r1.getLong(4) === 127L)                     // code_max
+    assert(r1.getLong(5) === (127L - 63L + 0L + 32L))  // code_sum
+    assert(r1.getDouble(6) >= 0.0 && r1.getDouble(6) < 1e-4) // recon_err small
+    val r2 = got(2L)
+    assert(r2.getDouble(2) === 0.0 && r2.getLong(5) === 0L && r2.getDouble(6) === 0.0)
+  }
+
+  test("stratifiedSample: rate edges and partition-layout independence") {
+    val docs = Tables.load(spark, sf001, "documents")
+    assert(TextAnalysis.stratifiedSample(docs, Map(), defaultRate = 1000)
+      .count() === 500L)
+    assert(TextAnalysis.stratifiedSample(docs, Map(), defaultRate = 0)
+      .count() === 0L)
+    val noEn = TextAnalysis.stratifiedSample(docs, Map("en" -> 0))
+    assert(noEn.filter(col("lang") === "en").count() === 0L)
+    val a = TextAnalysis.stratifiedSample(docs, Map("en" -> 150, "zh" -> 500))
+      .collect().map(_.getLong(0)).sorted
+    val b = TextAnalysis.stratifiedSample(docs.repartition(13), Map("en" -> 150, "zh" -> 500))
+      .collect().map(_.getLong(0)).sorted
+    assert(a.sameElements(b), "sample must be independent of partition layout")
+  }
+
+  test("containmentPairs: short doc fully inside long doc scores 1.0 one way") {
+    // doc1 shingles {a b c, b c d} both inside doc2's {a b c, b c d, c d e, d e f}
+    val d = docsDf(1L -> "a b c d", 2L -> "a b c d e f")
+    val got = Dedup.containmentPairs(d, n = 3, minC = 0.6).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === Seq((1L, 2L, 1.0))) // reverse direction is 0.5, cut
+    val both = Dedup.containmentPairs(d, n = 3, minC = 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).sortBy(_._1)
+    assert(both.toSeq === Seq((1L, 2L, 1.0), (2L, 1L, 0.5)))
+  }
+
+  test("domainMix: uniform-target weights from exact token counts") {
+    val d = Seq(
+      (1L, "t1 t2", "srcA"), (2L, "t3 t4", "srcA"),
+      (3L, (1 to 12).map(i => s"u$i").mkString(" "), "srcB"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.domainMix(d).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got("srcA") === ((2L, 4L, 16.0 / (2 * 4))))
+    assert(got("srcB") === ((1L, 12L, 16.0 / (2 * 12))))
+  }
+
   // ------------------------------------------------------------- multimodal
 
   test("multimodal stub decode: typed features match byte arithmetic") {
