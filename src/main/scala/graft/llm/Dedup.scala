@@ -235,11 +235,18 @@ object Dedup {
                        minC: Double = 0.6): DataFrame = {
     val sh = TextOps.docShingles(docs, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+    // The intersection is symmetric: aggregate each unordered pair ONCE
+    // (x < y — half the join output and groupBy state of a <> join), then
+    // emit both directions from the one n_common row.
     val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") =!= col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
+      .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
       .agg(count(lit(1)).as("n_common"))
-    common
+    val directed = common
+      .select(col("lo").as("doc_a"), col("hi").as("doc_b"), col("n_common"))
+      .unionByName(common
+        .select(col("hi").as("doc_a"), col("lo").as("doc_b"), col("n_common")))
+    directed
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .withColumn("containment", col("n_common").cast(DoubleType) / col("na"))
       .filter(col("containment") >= minC)
