@@ -894,9 +894,48 @@ object Declared {
       WINDOW w AS (PARTITION BY user_id ORDER BY value, event_id)
       ORDER BY event_id"""))
 
+  /** D41 — hot-key-safe aggregation via two-phase salting (plans.Skew).
+    * The salt changes the shuffle graph only: partials are exact decimals,
+    * so the regrouped result is value-identical to the plain GROUP BY the
+    * oracle runs. The 100 TB scenario: one bot user with 10⁹ events no
+    * longer serializes the agg stage behind a single reducer. */
+  private val d41 = DeclaredQuery(
+    "d41_salted_agg",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+        .withColumn("v", dec(col("value")))
+      graft.plans.Skew.saltedAggregate(ev, Seq("user_id"), Seq("v"),
+          uniqueCol = "event_id", salts = 16)
+        .select(col("user_id"), outd(col("sum_v")).as("sum_value"),
+          col("n_rows"))
+        .orderBy(col("user_id"))
+    },
+    Some("""SELECT user_id,
+      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      COUNT(*) AS n_rows
+      FROM events GROUP BY user_id ORDER BY user_id"""))
+
+  /** D42 — hot-key-safe equi-join via fact-salting + dim-replication
+    * (plans.Skew.saltedJoin): each hot fact key spreads over `salts` tasks.
+    * Oracle = the plain unsalted join (salting must be result-transparent). */
+  private val d42 = DeclaredQuery(
+    "d42_salted_join",
+    (s, dir) => {
+      val dim = t(s, dir, "customer").select(col("c_custkey"), col("c_mktsegment"))
+      graft.plans.Skew.saltedJoin(t(s, dir, "events"), dim,
+          factKey = "user_id", dimKey = "c_custkey",
+          uniqueCol = "event_id", salts = 8)
+        .select(col("event_id"), col("user_id"), col("c_mktsegment"))
+        .orderBy(col("event_id"))
+    },
+    Some("""SELECT e.event_id, e.user_id, c.c_mktsegment
+      FROM events e JOIN customer c ON e.user_id = c.c_custkey
+      ORDER BY e.event_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     d21, d22, d23, d24, d25, d26, d27, d28,
-    d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40)
+    d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
+    d41, d42)
 }

@@ -131,6 +131,21 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("d41: salted agg shuffles on (user_id, salt) first, key alone second") {
+    val plan = executedPlan(q("d41_salted_agg"))
+    assert("hashpartitioning\\(user_id#\\d+L?, salt#\\d+".r
+      .findFirstIn(plan).isDefined,
+      s"partial agg must partition on (key, salt):\n${plan.take(1500)}")
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(1000))
+  }
+
+  test("d42: salted join keys include the salt column") {
+    val plan = executedPlan(q("d42_salted_join"))
+    assert(plan.contains("salt#"),
+      s"join must carry the salt key:\n${plan.take(1200)}")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("d31: cross-sell anti-join broadcasts the held set") {
     val plan = executedPlan(q("d31_p5_crosssell"))
     assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
