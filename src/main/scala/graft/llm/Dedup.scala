@@ -253,6 +253,21 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
+  /** End-to-end dedup MATERIALIZATION — the query a pipeline user actually
+    * runs ("give me the clean corpus"): compose near-dup pair generation →
+    * connected-components clustering → survivor selection (each cluster's
+    * minimum doc_id) → anti-join the losers out of the corpus. The loser
+    * set is tiny relative to the corpus (cluster members minus one per
+    * cluster), so the final anti-join broadcasts at any corpus size.
+    * Returns the surviving (doc_id, text_md5). */
+  def dedupApply(docs: DataFrame, n: Int = 3, minJ: Double = 0.5): DataFrame = {
+    val clusters = nearDupClusters(jaccardPairs(docs, n, minJ))
+    val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
   /** 32-bit SimHash per document over distinct 3-gram shingles: shingle →
     * md5-int32; signature bit i is set iff Σ_features (±1 by feature bit i)
     * > 0. One explode + one groupBy with 32 sum-aggregates — a single

@@ -142,6 +142,24 @@ object TextAnalysis {
       .select(col("doc_id"), col("n_tok"), col("pack_id"))
   }
 
+  /** Within-document REPETITION scoring — the boilerplate/degenerate-text
+    * filter of corpus curation (docs dominated by repeated n-grams are
+    * low-quality generation targets): rep_ratio = 1 − distinct/total
+    * n-gram positions. Single projection, in-row arithmetic, no shuffle;
+    * docs shorter than n tokens score 0. */
+  def repetition(docs: DataFrame, n: Int = 3): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        greatest(size(col("toks")) - (n - 1), lit(0)).cast(LongType)
+          .as("n_shingles"),
+        size(TextOps.shinglesFromTokens(col("toks"), n)).cast(LongType)
+          .as("n_distinct"))
+      .withColumn("rep_ratio",
+        when(col("n_shingles") > 0,
+          lit(1.0) - col("n_distinct").cast(DoubleType)
+            / col("n_shingles").cast(DoubleType))
+          .otherwise(lit(0.0)))
+
   /** Deterministic STRATIFIED sampling by hash threshold: keep a document
     * iff md5(lang:doc_id) mod 1000 < rate‰ for its stratum. This is the
     * 100 TB form of stratified sampling — a pure projection+filter (no

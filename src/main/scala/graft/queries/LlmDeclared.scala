@@ -634,8 +634,59 @@ object LlmDeclared {
         tot_tokens / (n_sources * n_tokens) AS weight
       FROM per CROSS JOIN tot ORDER BY source"""))
 
+  /** L29 — within-doc repetition ratio (the boilerplate/degenerate-text
+    * quality filter): 1 − distinct/total 3-gram positions. */
+  private val l29 = DeclaredQuery(
+    "l29_repetition",
+    (s, dir) => TextAnalysis.repetition(t(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      r AS (SELECT doc_id,
+              CAST(greatest(len(w) - 2, 0) AS BIGINT) AS n_shingles,
+              CAST(len(list_distinct(list_transform(range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS BIGINT)
+                AS n_distinct
+            FROM t)
+      SELECT doc_id, n_shingles, n_distinct,
+        CASE WHEN n_shingles > 0
+          THEN CAST(1 AS DOUBLE) - CAST(n_distinct AS DOUBLE)
+               / CAST(n_shingles AS DOUBLE)
+          ELSE CAST(0 AS DOUBLE) END AS rep_ratio
+      FROM r ORDER BY doc_id"""))
+
+  /** L30 — end-to-end dedup materialization: pair generation → clustering
+    * → survivor anti-join, returning the clean corpus (the composition a
+    * pipeline user actually runs). Oracle: the l16 recursive-CTE closure
+    * plus an ANTI JOIN of the non-canonical members. */
+  private val l30 = DeclaredQuery(
+    "l30_dedup_apply",
+    (s, dir) => Dedup.dedupApply(t(s, dir, "documents"), n = 3, minJ = 0.5)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      losers AS (SELECT doc_id FROM clusters WHERE cluster_id <> doc_id)
+      SELECT d.doc_id, md5(d.text) AS text_md5
+      FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l23, l24, l25, l26, l27, l28, d29)
+    l21, l22, l23, l24, l25, l26, l27, l28, l29, l30, d29)
 }
