@@ -27,11 +27,20 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] runs 32 concurrent tasks in ONE JVM: at 8g the shuffle-heavy
+// bench queries were GC-bound (total dropped 23% at 24g on the 128 GiB
+// bench box). But a fixed 24g default breaks JVM startup on smaller hosts,
+// so derive the default from physical RAM (override with SPARK_DRIVER_MEM).
+val defaultHeap: String = {
+  val memGb: Long =
+    try scala.io.Source.fromFile("/proc/meminfo").getLines()
+      .find(_.startsWith("MemTotal"))
+      .map(_.filter(_.isDigit).toLong / (1024L * 1024L)).getOrElse(8L)
+    catch { case _: Throwable => 8L } // non-Linux: conservative default
+  if (memGb >= 64) "24g" else if (memGb >= 16) "8g" else "4g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the shuffle-heavy
-  // queries were GC-bound (bench total dropped 23% when raised). The box
-  // has 128 GiB; 24g is the all-threads-busy working set with headroom.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "24g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

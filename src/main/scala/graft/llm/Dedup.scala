@@ -12,11 +12,12 @@ import org.apache.spark.sql.types._
   *  - MinHash+LSH is THE scale path for near-dup detection: candidate pairs
   *    come from equality joins on band hashes, so work per task is bounded
   *    by band-bucket occupancy — no all-pairs comparison ever happens.
-  *  - The inverted-index Jaccard join (jaccardPairs) is the exact baseline:
-  *    it shuffles on the shingle, so an ultra-common shingle is a skew key.
-  *    Fine for verification corpora; at 100 TB use minhashNearDups (or drop
-  *    shingles with document frequency above a cutoff — the standard
-  *    stopword-shingle guard — before the join).
+  *  - The inverted-index Jaccard operator (jaccardPairs) is the exact
+  *    baseline: grouped postings shuffle on the shingle, so an ultra-common
+  *    shingle is a skew unit (its posting list lands on one task). Fine for
+  *    verification corpora; at 100 TB use minhashNearDups (or drop shingles
+  *    with document frequency above a cutoff — the standard stopword-shingle
+  *    guard — before pair expansion).
   *  - SimHash packs a document into one 64/32-bit signature; banding the
   *    signature bytes gives equality-join candidate generation just like
   *    MinHash-LSH, and verification is a single XOR+popcount.
@@ -36,8 +37,9 @@ object Dedup {
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
 
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
-    * via an inverted-index self-join (shuffle key = shingle). Returns
-    * (doc_a, doc_b, jaccard) for pairs with jaccard >= minJ.
+    * via grouped inverted-index postings (one shuffle on the shingle,
+    * singleton postings pruned, pairs expanded in-row — see `common`).
+    * Returns (doc_a, doc_b, jaccard) for pairs with jaccard >= minJ.
     *
     * `maxDocFreq` is the skew guard for the 100 TB case: a shingle present
     * in d documents contributes d² candidate pairs on ONE task — a single
@@ -61,11 +63,7 @@ object Dedup {
       shAll.join(broadcast(hot), Seq("s"), "left_anti")
     }
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
-      .agg(count(lit(1)).as("n_common"))
-    common
+    common(sh)
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
       .withColumn("jaccard",
@@ -73,6 +71,37 @@ object Dedup {
       .filter(col("jaccard") >= minJ)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** All ordered (a, b) pairs (a < b) from a SORTED array column — the
+    * in-row pair expansion of one inverted-index posting list. */
+  private def orderedPairs(ds: Column): Column =
+    flatten(transform(ds, (x, i) =>
+      transform(slice(ds, i + 2, size(ds)), y => struct(x.as("a"), y.as("b")))))
+
+  /** Shared-shingle counts per unordered doc pair (doc_a < doc_b, n_common)
+    * — the core of every exact near-dup operator here.
+    *
+    * Shape: grouped postings, NOT a self-join. `groupBy(shingle) →
+    * collect_list(doc_id)` builds the inverted index in one shuffle; posting
+    * lists of length 1 — the overwhelming majority in any natural corpus —
+    * are pruned BEFORE pair expansion (a singleton shingle cannot witness a
+    * pair; the round-4 self-join shuffled and probed them all anyway, and
+    * they were ~95% of the postings). Surviving lists expand to their
+    * ordered pairs in-row (no second shuffle of the corpus), then one
+    * count-aggregate on (doc_a, doc_b).
+    *
+    * 100 TB note: a hot shingle's posting list is the same skew unit as the
+    * hot join key in the self-join formulation — k docs → one k-length array
+    * → k²/2 pairs from one row. The `maxDocFreq` guard in the callers drops
+    * such shingles before this point; an unguarded run bounds memory by the
+    * hottest shingle's posting list, exactly as the join bounds one task by
+    * the hottest key's bucket². */
+  private def common(sh: DataFrame): DataFrame =
+    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(explode(orderedPairs(array_sort(col("ds")))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
 
   /** The universal-hash family behind MinHash: hash_i(x) = (a_i·x + b_i)
     * mod P over ONE md5-derived 32-bit base value. P prime > 2^32; x < 2^32
@@ -181,9 +210,16 @@ object Dedup {
         .agg(min(col("label")).as("label"),
           min(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint()
-      changed = next.filter(col("label") =!= col("prev")).count()
-      labels = next.select(col("id"), col("label"))
       iters += 1
+      // Round 1 always changes when any edge exists (each pair's larger id
+      // takes the smaller label), so the full convergence count starts at
+      // round 2 — round 1 only needs the empty-vs-nonempty distinction.
+      changed =
+        if (iters == 1) next.limit(1).count()
+        else next.filter(col("label") =!= col("prev")).count()
+      labels = next.select(col("id"), col("label"))
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(s"[cc] round $iters changed=$changed")
     }
     require(changed == 0, s"label propagation did not converge in $maxIters rounds")
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
@@ -209,12 +245,14 @@ object Dedup {
     * train doc. */
   def decontaminate(docs: DataFrame, n: Int = 3,
                     trainPct: Int = 80, evalFromPct: Int = 90): DataFrame = {
-    val sh = TextOps.docShingles(docs, n)
-      .withColumn("bucket",
-        TextOps.md5Int32(col("doc_id").cast(StringType)) % 100)
-      .localCheckpoint()
-    val trainSh = sh.filter(col("bucket") < trainPct)
-    val evalSh = sh.filter(col("bucket") >= evalFromPct)
+    // Split BEFORE shingling: the bucket is derivable from doc_id alone, so
+    // each side tokenizes only its own subset (the round-4 form shingled
+    // the full corpus into a checkpoint and post-filtered — 10% wasted
+    // shingle work plus a corpus-wide materialization). Neither side is
+    // read twice, so nothing needs checkpointing.
+    val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
+    val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
+    val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
     trainSh.as("tr").join(evalSh.as("ev"), col("tr.s") === col("ev.s"))
       .groupBy(col("tr.doc_id").as("doc_id"))
       .agg(
@@ -236,16 +274,17 @@ object Dedup {
     val sh = TextOps.docShingles(docs, n).localCheckpoint()
     val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // The intersection is symmetric: aggregate each unordered pair ONCE
-    // (x < y — half the join output and groupBy state of a <> join), then
-    // emit both directions from the one n_common row.
-    val common = sh.as("x").join(sh.as("y"),
-        col("x.s") === col("y.s") && col("x.doc_id") < col("y.doc_id"))
-      .groupBy(col("x.doc_id").as("lo"), col("y.doc_id").as("hi"))
-      .agg(count(lit(1)).as("n_common"))
-    val directed = common
-      .select(col("lo").as("doc_a"), col("hi").as("doc_b"), col("n_common"))
-      .unionByName(common
-        .select(col("hi").as("doc_a"), col("lo").as("doc_b"), col("n_common")))
+    // (doc_a < doc_b — half the pair volume of a <> formulation), then emit
+    // both directions from the one n_common row. Materialize the aggregate
+    // once: the unionByName below reads it twice, and exchange reuse only
+    // amortizes the shuffle — the final aggregation subtree would execute
+    // twice without the checkpoint.
+    val com = common(sh).localCheckpoint()
+    val directed = com
+      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .unionByName(com
+        .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
+          col("n_common")))
     directed
       .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .withColumn("containment", col("n_common").cast(DoubleType) / col("na"))

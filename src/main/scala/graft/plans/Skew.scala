@@ -21,12 +21,17 @@ import org.apache.spark.sql.types._
   *    SUM/COUNT/MIN/MAX over exact types (longs/decimals), so the regrouping
   *    is value-identical to the one-phase form (a DOUBLE sum would NOT be —
   *    fp addition is order-sensitive; callers pass decimal columns).
-  *  - Shuffled-HASH-join skew (no sort phase for AQE to split) and engines/
-  *    modes without AQE: `saltedJoin` spreads each hot fact key across
-  *    `salts` tasks by salting the fact side and replicating the dim side
-  *    `salts`-fold. Replication cost is |dim|·salts — the technique applies
-  *    exactly when dim is small-ish but too big (or too dynamic) to
-  *    broadcast outright.
+  *  - Join skew where runtime splitting is unavailable: AQE ≥ 3.2 splits
+  *    skewed partitions of BOTH sort-merge and shuffled-hash joins
+  *    (`OptimizeSkewedJoin`), so on a modern Spark the manual tool is only
+  *    needed when AQE is off (streaming micro-batches, fixed-plan
+  *    requirements) or when skew must be prevented at shuffle-write time
+  *    rather than healed at read time (a single monster key can still
+  *    overflow one map output before AQE ever sees it). `saltedJoin`
+  *    spreads each hot fact key across `salts` tasks by salting the fact
+  *    side and replicating the dim side `salts`-fold. Replication cost is
+  *    |dim|·salts — the technique applies exactly when dim is small-ish
+  *    but too big (or too dynamic) to broadcast outright.
   *
   * Both operators are semantically transparent (oracle-checked against the
   * unsalted SQL in d41/d42): salting changes the SHUFFLE GRAPH, never the
@@ -42,15 +47,36 @@ object Skew {
     pmod(conv(substring(md5(uniqueCol.cast(StringType)), 1, 8), 16, 10)
       .cast(LongType), lit(salts.toLong)).cast(IntegerType)
 
+  /** Internal salt column — collision-proof by naming convention (a user
+    * column starting with "__graft_" is rejected below rather than
+    * silently clobbered). */
+  private val SaltCol = "__graft_salt"
+
   /** Two-phase salted SUM/COUNT aggregation over a (possibly) hot key.
     * `sumCols` must be exact-typed (integral or decimal) for the two-phase
     * regroup to be bit-identical to the one-phase aggregate. Output:
-    * keys ++ (sum_<c> per sumCol) ++ n_rows. */
+    * keys ++ (sum_<c> per sumCol) ++ n_rows — with each sum cast back to
+    * the type the ONE-phase `groupBy(keys).agg(sum(c))` would produce
+    * (sum-of-partial-sums widens decimals one extra step; the cast keeps
+    * "result-transparent" true for schema as well as values — the regroup
+    * sum is exact, so narrowing back never loses digits). */
   def saltedAggregate(df: DataFrame, keys: Seq[String], sumCols: Seq[String],
                       uniqueCol: String, salts: Int = 16): DataFrame = {
+    require(sumCols.nonEmpty, "saltedAggregate: sumCols must be non-empty")
+    val reserved = (sumCols.map(c => s"sum_$c") :+ "n_rows").toSet
+    require(!keys.exists(reserved), s"saltedAggregate: key columns ${keys.filter(reserved)} " +
+      "collide with generated output names (sum_<c>/n_rows)")
+    require(!df.columns.exists(_.startsWith("__graft_")),
+      "saltedAggregate: input columns starting with __graft_ are reserved")
+    // One-phase output types, read from an unexecuted plan — the contract
+    // is "same schema as the plain groupBy", so derive it from exactly that.
+    val onePhase = df.groupBy(keys.map(col): _*)
+      .agg(sum(col(sumCols.head)).as(s"sum_${sumCols.head}"),
+        sumCols.tail.map(c => sum(col(c)).as(s"sum_$c")): _*)
+    val sumType = sumCols.map(c => c -> onePhase.schema(s"sum_$c").dataType).toMap
     val partial = df
-      .withColumn("salt", saltOf(col(uniqueCol), salts))
-      .groupBy((keys :+ "salt").map(col): _*)
+      .withColumn(SaltCol, saltOf(col(uniqueCol), salts))
+      .groupBy((keys :+ SaltCol).map(col): _*)
       .agg(
         sum(col(sumCols.head)).as(s"sum_${sumCols.head}"),
         sumCols.tail.map(c => sum(col(c)).as(s"sum_$c"))
@@ -58,8 +84,10 @@ object Skew {
     partial
       .groupBy(keys.map(col): _*)
       .agg(
-        sum(col(s"sum_${sumCols.head}")).as(s"sum_${sumCols.head}"),
-        sumCols.tail.map(c => sum(col(s"sum_$c")).as(s"sum_$c"))
+        sum(col(s"sum_${sumCols.head}")).cast(sumType(sumCols.head))
+          .as(s"sum_${sumCols.head}"),
+        sumCols.tail.map(c =>
+          sum(col(s"sum_$c")).cast(sumType(c)).as(s"sum_$c"))
           :+ sum(col("n_rows")).as("n_rows"): _*)
   }
 
@@ -70,12 +98,14 @@ object Skew {
     * one. Inner join; result columns = fact.* ++ dim.* minus the dim key. */
   def saltedJoin(fact: DataFrame, dim: DataFrame, factKey: String,
                  dimKey: String, uniqueCol: String, salts: Int = 8): DataFrame = {
-    val saltedFact = fact.withColumn("salt", saltOf(col(uniqueCol), salts))
-    val repDim = dim.withColumn("salt",
+    require(!(fact.columns ++ dim.columns).exists(_.startsWith("__graft_")),
+      "saltedJoin: input columns starting with __graft_ are reserved")
+    val saltedFact = fact.withColumn(SaltCol, saltOf(col(uniqueCol), salts))
+    val repDim = dim.withColumn(SaltCol,
       explode(array((0 until salts).map(i => lit(i)): _*)))
     saltedFact.join(repDim,
         saltedFact(factKey) === repDim(dimKey) &&
-          saltedFact("salt") === repDim("salt"))
-      .drop(repDim("salt")).drop("salt").drop(repDim(dimKey))
+          saltedFact(SaltCol) === repDim(SaltCol))
+      .drop(repDim(SaltCol)).drop(SaltCol).drop(repDim(dimKey))
   }
 }
