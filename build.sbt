@@ -32,11 +32,14 @@ val jdk17AddOpens = Seq(
 // bench box). But a fixed 24g default breaks JVM startup on smaller hosts,
 // so derive the default from physical RAM (override with SPARK_DRIVER_MEM).
 val defaultHeap: String = {
+  // MemTotal line shape: "MemTotal:       131072000 kB" — parse the kB
+  // figure explicitly (a blanket digit-filter would silently misread any
+  // other unit) and close the file handle via Using.
+  val MemTotal = """MemTotal:\s*(\d+)\s*kB""".r
   val memGb: Long =
-    try scala.io.Source.fromFile("/proc/meminfo").getLines()
-      .find(_.startsWith("MemTotal"))
-      .map(_.filter(_.isDigit).toLong / (1024L * 1024L)).getOrElse(8L)
-    catch { case _: Throwable => 8L } // non-Linux: conservative default
+    scala.util.Using(scala.io.Source.fromFile("/proc/meminfo")) { src =>
+      src.getLines().collectFirst { case MemTotal(kb) => kb.toLong / (1024L * 1024L) }
+    }.toOption.flatten.getOrElse(8L) // non-Linux: conservative default
   if (memGb >= 64) "24g" else if (memGb >= 16) "8g" else "4g"
 }
 javaOptions ++= jdk17AddOpens ++ Seq(

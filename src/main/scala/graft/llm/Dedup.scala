@@ -72,12 +72,6 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
-  /** All ordered (a, b) pairs (a < b) from a SORTED array column — the
-    * in-row pair expansion of one inverted-index posting list. */
-  private def orderedPairs(ds: Column): Column =
-    flatten(transform(ds, (x, i) =>
-      transform(slice(ds, i + 2, size(ds)), y => struct(x.as("a"), y.as("b")))))
-
   /** Shared-shingle counts per unordered doc pair (doc_a < doc_b, n_common)
     * — the core of every exact near-dup operator here.
     *
@@ -87,20 +81,26 @@ object Dedup {
     * are pruned BEFORE pair expansion (a singleton shingle cannot witness a
     * pair; the round-4 self-join shuffled and probed them all anyway, and
     * they were ~95% of the postings). Surviving lists expand to their
-    * ordered pairs in-row (no second shuffle of the corpus), then one
-    * count-aggregate on (doc_a, doc_b).
+    * ordered pairs via TWO CHAINED GENERATORS — posexplode the sorted
+    * posting list to (i, doc_a), then explode the list's tail past i — so
+    * a k-length posting emits its k²/2 pairs as a stream of O(k)-sized
+    * rows; no operator ever materializes the full pair array (the flatten/
+    * transform form built all k²/2 structs inside ONE row first — an
+    * executor-OOM unit for a hot shingle). Then one count-aggregate on
+    * (doc_a, doc_b).
     *
-    * 100 TB note: a hot shingle's posting list is the same skew unit as the
-    * hot join key in the self-join formulation — k docs → one k-length array
-    * → k²/2 pairs from one row. The `maxDocFreq` guard in the callers drops
-    * such shingles before this point; an unguarded run bounds memory by the
-    * hottest shingle's posting list, exactly as the join bounds one task by
-    * the hottest key's bucket². */
+    * 100 TB note: a hot shingle still CONTRIBUTES k²/2 generated rows —
+    * streamed, so memory-safe, but quadratic work on one task. The
+    * `maxDocFreq` guard in the callers (jaccardPairs / containmentPairs)
+    * drops such shingles before this point; that is the skew treatment,
+    * this generator chain is the memory treatment. */
   private def common(sh: DataFrame): DataFrame =
-    sh.groupBy(col("s")).agg(collect_list(col("doc_id")).as("ds"))
+    sh.groupBy(col("s")).agg(array_sort(collect_list(col("doc_id"))).as("ds"))
       .filter(size(col("ds")) >= 2)
-      .select(explode(orderedPairs(array_sort(col("ds")))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("n_common"))
 
   /** The universal-hash family behind MinHash: hash_i(x) = (a_i·x + b_i)
@@ -184,6 +184,8 @@ object Dedup {
     * truncates lineage per round (without it the plan doubles each
     * iteration). At extreme scale the same loop upgrades to the
     * large-star/small-star formulation; the contract is unchanged.
+    * Accepts any (doc_a, doc_b) edge list — ordering, duplicates, and
+    * self-pairs are all normalized by the symmetric-closure step.
     * Returns (doc_id, cluster_id) for every doc in at least one pair. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
     // Symmetric edge list plus one self-loop per node: a single
@@ -211,11 +213,15 @@ object Dedup {
           min(when(col("self"), col("label"))).as("prev"))
         .localCheckpoint()
       iters += 1
-      // Round 1 always changes when any edge exists (each pair's larger id
-      // takes the smaller label), so the full convergence count starts at
-      // round 2 — round 1 only needs the empty-vs-nonempty distinction.
+      // Round 1 almost always changes when any non-self pair exists (a
+      // pair's larger id takes the smaller label), so the cheap
+      // empty-vs-nonempty probe usually suffices — but ONLY when another
+      // round remains to run the exact count (with maxIters == 1, or a
+      // pairs input of pure self-pairs, the shortcut would report a
+      // spurious non-convergence), so the last permitted round always
+      // takes the exact changed-count.
       changed =
-        if (iters == 1) next.limit(1).count()
+        if (iters == 1 && iters < maxIters) next.limit(1).count()
         else next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("id"), col("label"))
       if (sys.env.contains("GRAFT_DEBUG_CC"))

@@ -133,7 +133,7 @@ class PlanSpec extends SparkSpec {
 
   test("d41: salted agg shuffles on (user_id, salt) first, key alone second") {
     val plan = executedPlan(q("d41_salted_agg"))
-    assert("hashpartitioning\\(user_id#\\d+L?, salt#\\d+".r
+    assert("hashpartitioning\\(user_id#\\d+L?, __graft_salt#\\d+".r
       .findFirstIn(plan).isDefined,
       s"partial agg must partition on (key, salt):\n${plan.take(1500)}")
     assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(1000))
