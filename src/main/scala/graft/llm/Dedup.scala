@@ -195,8 +195,12 @@ object Dedup {
     // old-vs-new join (the round-3 loop ran two joins + a union per
     // round; at tiny per-round data the fixed stage cost dominates, and
     // at scale one fewer shuffle of the labels table per round is real).
-    val sym = pairs.select(col("doc_a").as("a"), col("doc_b").as("b"))
-      .unionByName(pairs.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // The symmetric closure reads `pairs` twice; materialize the (usually
+    // expensive — a whole near-dup pair generation) input subtree once
+    // instead of relying on exchange reuse to dedupe the two branches.
+    val p = pairs.localCheckpoint()
+    val sym = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
+      .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
     val edges = sym.unionByName(sym.select(col("a"), col("a").as("b")))
       .distinct()
       .withColumn("self", col("a") === col("b"))
