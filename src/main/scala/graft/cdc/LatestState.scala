@@ -38,6 +38,30 @@ object LatestState {
       .drop("rn")
   }
 
+  /** SCD2 (type-2 slowly-changing-dimension) HISTORY materialization — the
+    * batch sibling of `batch` above: instead of keeping only each key's
+    * newest image, emit EVERY image with its validity interval. This is the
+    * standard silver-layer history table built from a CDC change log:
+    * `valid_from` = the change's timestamp, `valid_to` = the next change's
+    * timestamp for the same key (null = still current), `version` = 1-based
+    * change ordinal per key.
+    *
+    * Scale: one shuffle on the key, one window pass (lead + row_number over
+    * the same (key, ts, ord) sort — a single WindowExec, no join against
+    * self; the naive "join each row to its successor" form shuffles twice
+    * and breaks on duplicate timestamps). Ties order by `ord` (a unique
+    * in-key sequence column, e.g. the event/transaction id). */
+  def scd2History(changes: DataFrame, key: String = "user_id",
+                  tsCol: String = "ts", ord: String = "event_id"): DataFrame = {
+    val w = Window.partitionBy(col(key)).orderBy(col(tsCol), col(ord))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .withColumn("version", row_number().over(w).cast("long"))
+      .withColumn("is_current",
+        when(col("valid_to").isNull, 1L).otherwise(0L))
+  }
+
   /** Streaming merge: apply each micro-batch of envelope-flattened changes
     * (activity columns + `operation`) onto the parquet state at
     * `targetPath`. Replays of the same micro-batch are idempotent — the

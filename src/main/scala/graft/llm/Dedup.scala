@@ -270,6 +270,48 @@ object Dedup {
         countDistinct(col("tr.s")).as("n_shared_shingles"))
   }
 
+  /** BLOOM-PREFILTERED decontamination — the 100 TB refinement of
+    * `decontaminate`: before the exact train⋈eval shingle join, the train
+    * side is pruned by a Bloom filter built from the eval shingle set, so
+    * the join's probe input shrinks from "every train shingle" to "train
+    * shingles that might collide" (typically a tiny fraction). At cluster
+    * scale the filter is a broadcast bitset ORed together from executor
+    * partials; here the bit positions live in a broadcast array — same
+    * dataflow, same semantics, and deterministic (md5-derived positions),
+    * so the whole pipeline — including the filter's false positives —
+    * oracle-checks bit-for-bit.
+    *
+    * k = 2 hash functions over m = 2^13 bits. Per flagged train doc,
+    * returns (doc_id, n_candidates, n_shared): candidates = shingles
+    * passing the Bloom filter (shared + false positives), shared = exactly
+    * present in the eval set. n_candidates − n_shared is the observed FP
+    * volume — the number the filter's m/k sizing trades against shuffle
+    * bytes at scale. Docs whose candidates are ALL false positives still
+    * appear (n_shared = 0): exactly the rows a verify-free pruner would
+    * wrongly drop, made visible. */
+  def bloomDecontaminate(docs: DataFrame, n: Int = 3, m: Int = 8192,
+                         trainPct: Int = 80, evalFromPct: Int = 90): DataFrame = {
+    def pos(i: Int): Column =
+      TextOps.md5Int32(concat(col("s"), lit(s"#$i"))) % m
+    val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
+    val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
+    val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
+      .select(col("s")).distinct().localCheckpoint()
+    // The "bitset": every set position, as one broadcast sorted array.
+    val bits = evalSh
+      .select(explode(array(pos(0), pos(1))).as("p")).distinct()
+      .agg(sort_array(collect_set(col("p"))).as("bits"))
+    val candidates = trainSh
+      .crossJoin(broadcast(bits))
+      .filter(array_contains(col("bits"), pos(0))
+        && array_contains(col("bits"), pos(1)))
+      .select(col("doc_id"), col("s"))
+    candidates
+      .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_candidates"), count(col("hit")).as("n_shared"))
+  }
+
   /** CONTAINMENT pairs — the asymmetric cousin of Jaccard: |A∩B| / |A|,
     * which catches a short document fully embedded inside a longer one
     * (quote-inclusion, page-within-crawl), where symmetric Jaccard stays

@@ -250,4 +250,74 @@ object TextAnalysis {
       .agg(
         count(lit(1)).as("n_sel"),
         md5(concat_ws(",", sort_array(collect_list(col("hx"))))).as("fp"))
+
+  /** BOILERPLATE detection by corpus-frequent shingles — the cross-document
+    * counterpart of `repetition` (which is within-document): a distinct
+    * 3-gram present in more than `permille`‰ of documents is boilerplate
+    * (site chrome, license headers, navigation text), and a document
+    * dominated by such shingles is template filler. Per doc: distinct
+    * shingle count, boilerplate shingle count, and their ratio.
+    *
+    * The threshold is RELATIVE to corpus size (df > n_docs·permille/1000),
+    * so the operator's meaning is scale-invariant — the same ‰ cut at sf0.01
+    * and at 100 TB. Scale shape: one shingle pass, one df groupBy (map-side
+    * partials), and the hot set is tiny by construction (only corpus-wide
+    * boilerplate survives the cut) → broadcast membership join; the corpus
+    * itself is never shuffled. */
+  def boilerplateStrip(docs: DataFrame, n: Int = 3,
+                       permille: Int = 10): DataFrame = {
+    val sh = TextOps.docShingles(docs, n).localCheckpoint()
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val hot = sh.groupBy(col("s")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") * 1000 > col("n_docs") * permille)
+      .select(col("s"), lit(1).as("hot"))
+    sh.join(broadcast(hot), Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_sh"), count(col("hot")).as("n_boiler"))
+      .withColumn("boiler_ratio",
+        col("n_boiler").cast(DoubleType) / col("n_sh").cast(DoubleType))
+  }
+
+  /** Corpus CURATION FUNNEL — the composed filter chain a training-data
+    * pipeline applies before tokenization, reported as one row per gate
+    * with survivor counts (the standard "how much did each filter cost me"
+    * curation report). Gates, in order, all integer-exact predicates:
+    *   1 length:     n_chars in [200, 2000]
+    *   2 tokens:     ≥ 40 whitespace tokens
+    *   3 repetition: distinct 3-grams ≥ 99% of 3-gram positions
+    *                 (the within-doc degenerate-text cut, cross-multiplied
+    *                 so no float compare sits on the decision boundary)
+    *   4 stopwords:  en-stopword ratio ≥ 5% (salad/non-language cut)
+    * Scale: one projection computes all flags, one aggregate computes all
+    * cumulative counts — a single pass over the corpus regardless of gate
+    * count, never one pass per gate. */
+  def curationFunnel(docs: DataFrame): DataFrame = {
+    val toks = col("toks")
+    val nTok = size(toks).cast(LongType)
+    val ns = nTok - 2
+    val nd = size(TextOps.shinglesFromTokens(toks, 3)).cast(LongType)
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords("en"))))
+      .cast(LongType)
+    val flagged = docs
+      .select(col("n_chars"), TextOps.tokens(col("text")).as("toks"))
+      .select(
+        col("n_chars").between(200, 2000).as("g1"),
+        (nTok >= 40).as("g2"),
+        (ns <= 0 || nd * 100 >= ns * 99).as("g3"),
+        (nStop * 20 >= nTok).as("g4"))
+    val cum = flagged.agg(
+      count(lit(1)).as("c0"),
+      count(when(col("g1"), 1)).as("c1"),
+      count(when(col("g1") && col("g2"), 1)).as("c2"),
+      count(when(col("g1") && col("g2") && col("g3"), 1)).as("c3"),
+      count(when(col("g1") && col("g2") && col("g3") && col("g4"), 1)).as("c4"))
+    cum.selectExpr(
+      """stack(4,
+           1L, 'length',     c0, c1,
+           2L, 'tokens',     c1, c2,
+           3L, 'repetition', c2, c3,
+           4L, 'stopwords',  c3, c4) AS (stage, gate, n_in, n_out)""")
+      .withColumn("dropped", col("n_in") - col("n_out"))
+  }
 }

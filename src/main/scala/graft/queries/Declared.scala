@@ -932,10 +932,61 @@ object Declared {
       FROM events e JOIN customer c ON e.user_id = c.c_custkey
       ORDER BY e.event_id"""))
 
+  /** D43 — SCD2 history materialization (cdc.LatestState.scd2History): the
+    * full-history sibling of D26's latest-state view. Every change row gets
+    * its validity interval and per-key version from ONE window pass (lead +
+    * row_number over the same sort — a single shuffle on the key, no
+    * self-join). The standard CDC silver "as-of any time" table. */
+  private val d43 = DeclaredQuery(
+    "d43_scd2_history",
+    (s, dir) =>
+      graft.cdc.LatestState.scd2History(
+          t(s, dir, "events"), key = "user_id", tsCol = "ts", ord = "event_id")
+        .select(col("event_id"), col("user_id"), col("valid_from"),
+          col("valid_to"), col("version"), col("is_current"))
+        .orderBy(col("event_id")),
+    Some("""SELECT event_id, user_id,
+      ts AS valid_from,
+      LEAD(ts, 1) OVER w AS valid_to,
+      ROW_NUMBER() OVER w AS version,
+      CAST(CASE WHEN LEAD(ts, 1) OVER w IS NULL THEN 1 ELSE 0 END AS BIGINT) AS is_current
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      ORDER BY event_id"""))
+
+  /** D44 — Z-order (Morton) layout key (plans.Layout.mortonKey): the
+    * multi-dimensional clustering key for write-side file layout. Exact
+    * integer bit-interleave of (user_id, day-number) — the key d44 checks;
+    * the companion `Layout.clusterByZ` range-repartitions on it for
+    * writing (plan-asserted in PlanSpec, not oracle-checkable — layout,
+    * not values). */
+  private val d44 = DeclaredQuery(
+    "d44_zorder_key",
+    (s, dir) => {
+      val day = datediff(col("ts").cast(DateType),
+        lit("1970-01-01").cast(DateType)).cast(LongType)
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"), day.as("day"),
+          graft.plans.Layout.mortonKey(col("user_id"), day).as("zkey"))
+        .orderBy(col("event_id"))
+    },
+    Some {
+      val terms = (0 until 16).map { i =>
+        s"((x >> $i) & 1) * ${1L << (2 * i)} + ((y >> $i) & 1) * ${1L << (2 * i + 1)}"
+      }.mkString(" + ")
+      s"""SELECT event_id, user_id, day, $terms AS zkey
+      FROM (SELECT event_id, user_id,
+              CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) AS day,
+              user_id & 65535 AS x,
+              CAST(datediff('day', DATE '1970-01-01', CAST(ts AS DATE)) AS BIGINT) & 65535 AS y
+            FROM events)
+      ORDER BY event_id"""
+    })
+
   val all: Seq[DeclaredQuery] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     d21, d22, d23, d24, d25, d26, d27, d28,
     d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
-    d41, d42)
+    d41, d42, d43, d44)
 }

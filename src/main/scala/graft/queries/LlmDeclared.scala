@@ -685,8 +685,88 @@ object LlmDeclared {
       FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
       ORDER BY d.doc_id"""))
 
+  /** L31 — corpus-frequent-shingle boilerplate scoring: the cross-document
+    * dual of l29's within-document repetition. The hot cut is RELATIVE
+    * (df > 1% of corpus size, via a scalar-subquery count on the oracle
+    * side), so the operator means the same thing at every scale. */
+  private val l31 = DeclaredQuery(
+    "l31_boilerplate",
+    (s, dir) => TextAnalysis.boilerplateStrip(t(s, dir, "documents"),
+      n = 3, permille = 10).orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      df AS (SELECT s, COUNT(*) AS df FROM sh GROUP BY s),
+      hot AS (SELECT s FROM df
+              WHERE df * 1000 > (SELECT COUNT(*) FROM documents) * 10)
+      SELECT doc_id, COUNT(*) AS n_sh,
+        COUNT(*) FILTER (WHERE s IN (SELECT s FROM hot)) AS n_boiler,
+        CAST(COUNT(*) FILTER (WHERE s IN (SELECT s FROM hot)) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS boiler_ratio
+      FROM sh GROUP BY doc_id ORDER BY doc_id"""))
+
+  /** L32 — the curation funnel: cumulative survivor counts through the
+    * length → tokens → repetition → stopword gates, one row per gate.
+    * Every predicate is integer-exact (cross-multiplied ratios), so the
+    * counts agree across engines with no float boundary cases. */
+  private val l32 = DeclaredQuery(
+    "l32_curation_funnel",
+    (s, dir) => TextAnalysis.curationFunnel(t(s, dir, "documents"))
+      .orderBy(col("stage")),
+    Some("""WITH f AS (
+        SELECT n_chars BETWEEN 200 AND 2000 AS g1,
+               len(w) >= 40 AS g2,
+               (len(w) - 2 <= 0 OR
+                len(list_distinct(list_transform(range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) * 100
+                  >= (len(w) - 2) * 99) AS g3,
+               len(list_filter(w, x -> x IN
+                 ('the','a','of','and','to','in','is','it'))) * 20
+                 >= len(w) AS g4
+        FROM (SELECT n_chars, string_split(text, ' ') AS w FROM documents)),
+      c AS (SELECT COUNT(*) AS c0,
+              COUNT(*) FILTER (WHERE g1) AS c1,
+              COUNT(*) FILTER (WHERE g1 AND g2) AS c2,
+              COUNT(*) FILTER (WHERE g1 AND g2 AND g3) AS c3,
+              COUNT(*) FILTER (WHERE g1 AND g2 AND g3 AND g4) AS c4
+            FROM f)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'length' AS gate,
+               c0 AS n_in, c1 AS n_out, c0 - c1 AS dropped FROM c
+        UNION ALL SELECT 2, 'tokens',     c1, c2, c1 - c2 FROM c
+        UNION ALL SELECT 3, 'repetition', c2, c3, c2 - c3 FROM c
+        UNION ALL SELECT 4, 'stopwords',  c3, c4, c3 - c4 FROM c)
+      ORDER BY stage"""))
+
+  /** L33 — Bloom-prefiltered decontamination: the l24 exact join behind a
+    * deterministic (md5-positioned) Bloom filter built from the eval
+    * shingle set. The oracle recomputes the SAME filter in SQL, so even
+    * the false-positive counts must agree bit-for-bit — the pruning is
+    * verified, not just the final answer. */
+  private val l33 = DeclaredQuery(
+    "l33_bloom_decontaminate",
+    (s, dir) => Dedup.bloomDecontaminate(t(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      b AS (SELECT doc_id, s,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+            FROM sh),
+      tr AS (SELECT doc_id, s FROM b WHERE bucket < 80),
+      ev AS (SELECT DISTINCT s FROM b WHERE bucket >= 90),
+      bits AS (SELECT DISTINCT unnest([
+                 ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT % 8192,
+                 ('0x' || substr(md5(s || '#1'), 1, 8))::BIGINT % 8192]) AS p
+               FROM ev),
+      cand AS (SELECT doc_id, s FROM tr
+               WHERE ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT % 8192
+                       IN (SELECT p FROM bits)
+                 AND ('0x' || substr(md5(s || '#1'), 1, 8))::BIGINT % 8192
+                       IN (SELECT p FROM bits))
+      SELECT doc_id, COUNT(*) AS n_candidates,
+        COUNT(*) FILTER (WHERE s IN (SELECT s FROM ev)) AS n_shared
+      FROM cand GROUP BY doc_id ORDER BY doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
-    l21, l22, l23, l24, l25, l26, l27, l28, l29, l30, d29)
+    l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
+    l31, l32, l33, d29)
 }

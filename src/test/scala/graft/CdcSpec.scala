@@ -84,4 +84,32 @@ class CdcSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getString(1))).toMap
     assert(users === Map(1 -> "DEL", 3 -> "MAA"))
   }
+
+  test("scd2History: validity chain, versions, current flag") {
+    val changes = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(1, "DEL", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 11:00:00"),
+      Fixtures.row(1, "MAA", "CREDIT", "300.00", 120, "ENQUIRY", "2024-01-01 12:00:00"),
+      Fixtures.row(2, "BOM", "CREDIT", "400.00", 120, "ENQUIRY", "2024-01-01 10:30:00")))
+      .withColumn("event_id", monotonically_increasing_id())
+    val got = LatestState.scd2History(changes)
+      .select("user_id", "city", "valid_from", "valid_to", "version", "is_current")
+      .collect()
+      .map(r => (r.getInt(0), r.getString(1),
+        Option(r.getTimestamp(3)).map(_.toString).orNull,
+        r.getLong(4), r.getLong(5)))
+      .sortBy(t => (t._1, t._4))
+    assert(got.toSeq === Seq(
+      (1, "BOM", "2024-01-01 11:00:00.0", 1L, 0L),
+      (1, "DEL", "2024-01-01 12:00:00.0", 2L, 0L),
+      (1, "MAA", null, 3L, 1L),
+      (2, "BOM", null, 1L, 1L)))
+    // Each key's intervals tile: row k's valid_to == row k+1's valid_from.
+    val u1 = LatestState.scd2History(changes).filter(col("user_id") === 1)
+      .orderBy("version").collect()
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getAs[java.sql.Timestamp]("valid_to")
+        === b.getAs[java.sql.Timestamp]("valid_from"))
+    }
+  }
 }

@@ -360,6 +360,62 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------- corpus curation
+
+  test("boilerplateStrip: corpus-frequent shingle flagged, ratio exact") {
+    // 6 docs share the shingle "x y z" (df=6); 4 docs are fully unique.
+    // permille=300 over 10 docs → hot iff df*1000 > 3000 ⇔ df > 3.
+    val d = ((1 to 6).map(i => (i.toLong, s"x y z a$i b$i")) ++
+      (7 to 10).map(i => (i.toLong, s"p$i q$i r$i s$i"))).toDF("doc_id", "text")
+    val got = TextAnalysis.boilerplateStrip(d, n = 3, permille = 300)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3))).sortBy(_._1)
+    (1 to 6).foreach { i =>
+      assert(got(i - 1) === ((i.toLong, 3L, 1L, 1.0 / 3.0)), s"doc $i")
+    }
+    (7 to 10).foreach { i =>
+      assert(got(i - 1) === ((i.toLong, 2L, 0L, 0.0)), s"doc $i")
+    }
+  }
+
+  test("curationFunnel: each gate drops exactly the crafted failure") {
+    val stop3 = "the of and" // 3 stopwords
+    val uniq37 = (1 to 37).map(i => s"w$i").mkString(" ")
+    val docs = Seq(
+      // A: passes all — 40 tokens, 3 stopwords (3*20 >= 40), all distinct
+      (1L, s"$stop3 $uniq37", 300L),
+      // B: fails length
+      (2L, s"$stop3 $uniq37", 100L),
+      // C: fails tokens (10 tokens)
+      (3L, "the a b c d e f g h i", 300L),
+      // D: fails repetition (2 distinct trigrams over 38 positions)
+      (4L, Seq.fill(20)("a b").mkString(" "), 300L),
+      // E: fails stopwords (0 stopwords in 40 tokens)
+      (5L, (1 to 40).map(i => s"v$i").mkString(" "), 300L)
+    ).toDF("doc_id", "text", "n_chars")
+    val got = TextAnalysis.curationFunnel(docs).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "length", 5L, 4L, 1L),
+      (2L, "tokens", 4L, 3L, 1L),
+      (3L, "repetition", 3L, 2L, 1L),
+      (4L, "stopwords", 2L, 1L, 1L)))
+  }
+
+  test("bloomDecontaminate: shared shingle found, clean train doc absent") {
+    // md5-bucket split: doc 8 → 93 (eval), docs 1,2 → 60,5 (train).
+    // Doc 1 shares exactly the shingle "q w e" with the eval doc; doc 2
+    // shares nothing and must not appear.
+    val d = Seq(
+      (1L, "q w e x y"), (2L, "m n o p q"), (8L, "q w e r t")
+    ).toDF("doc_id", "text")
+    val got = Dedup.bloomDecontaminate(d, n = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.forall(_._1 == 1L), got.mkString(","))
+    assert(got.length == 1 && got(0)._3 == 1L && got(0)._2 >= 1L)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

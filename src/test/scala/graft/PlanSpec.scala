@@ -3,6 +3,7 @@ package graft
 import graft.queries.Declared
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+import org.apache.spark.sql.functions.col
 
 /** Physical-plan assertions — the 100 TB story is only real if the plans
   * show it: filters reaching the parquet scan, fixed-cardinality dims
@@ -180,6 +181,34 @@ class PlanSpec extends SparkSpec {
     val plan = executedPlan(df)
     assert("HashAggregate".r.findAllIn(plan).size >= 2, plan.take(1200))
     assert(!plan.contains("Join"))
+  }
+
+  test("mortonKey: exact bit interleave on known values") {
+    import spark.implicits._
+    val got = Seq((0L, 0L), (1L, 1L), (3L, 1L), (2L, 2L), (65535L, 0L))
+      .toDF("x", "y")
+      .select(graft.plans.Layout.mortonKey(col("x"), col("y")))
+      .collect().map(_.getLong(0))
+    // interleave: x bits at even positions, y bits at odd.
+    assert(got.toSeq === Seq(0L, 3L, 7L, 12L, 0x55555555L))
+  }
+
+  test("clusterByZ: range-partitions on the z-key, sorts within partitions") {
+    val ev = Tables.load(spark, sf001, "events")
+    val out = graft.plans.Layout.clusterByZ(
+      ev, col("user_id"), col("event_id"), numFiles = 4)
+    val plan = out.queryExecution.executedPlan.toString
+    assert(plan.contains("rangepartitioning"), plan.take(1200))
+    assert(plan.contains("Sort"), plan.take(1200))
+    // layout device column does not leak into the output schema
+    assert(!out.columns.contains("__z"))
+  }
+
+  test("l31: hot-shingle set broadcasts; corpus is never shuffled for it") {
+    val df = lq("l31_boilerplate")
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
   test("whole-stage codegen covers the d02 hot path") {
