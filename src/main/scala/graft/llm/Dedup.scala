@@ -281,30 +281,41 @@ object Dedup {
     * so the whole pipeline — including the filter's false positives —
     * oracle-checks bit-for-bit.
     *
-    * k = 2 hash functions over m = 2^13 bits. Per flagged train doc,
-    * returns (doc_id, n_candidates, n_shared): candidates = shingles
-    * passing the Bloom filter (shared + false positives), shared = exactly
-    * present in the eval set. n_candidates − n_shared is the observed FP
-    * volume — the number the filter's m/k sizing trades against shuffle
-    * bytes at scale. Docs whose candidates are ALL false positives still
-    * appear (n_shared = 0): exactly the rows a verify-free pruner would
-    * wrongly drop, made visible. */
-  def bloomDecontaminate(docs: DataFrame, n: Int = 3, m: Int = 8192,
+    * k = 2 hash functions (both positions from ONE md5 digest — hex chars
+    * 1-8 and 9-16, the standard double-hashing construction — so the hot
+    * path hashes each train shingle once, not k times) over m = 2^17 bits.
+    * m sizing: set bits ≈ k·|eval shingles|, and the FP rate is (fill)^k —
+    * m must be a small multiple of the eval set, NOT of the train side
+    * being pruned; an undersized filter saturates and prunes nothing.
+    * The probe is a broadcast hash SEMI-JOIN per position — Spark's O(1)
+    * bitset-membership form (an `array_contains` over a bits array would
+    * be an O(m) linear scan per row, and a Catalyst map literal is also
+    * linear — broadcast hash tables are the engine's hash structure).
+    *
+    * Per flagged train doc, returns (doc_id, n_candidates, n_shared):
+    * candidates = shingles passing the Bloom filter (shared + false
+    * positives), shared = exactly present in the eval set. n_candidates −
+    * n_shared is the observed FP volume — the number the filter's m/k
+    * sizing trades against shuffle bytes at scale. Docs whose candidates
+    * are ALL false positives still appear (n_shared = 0): exactly the rows
+    * a verify-free pruner would wrongly drop, made visible. */
+  def bloomDecontaminate(docs: DataFrame, n: Int = 3, m: Int = 131072,
                          trainPct: Int = 80, evalFromPct: Int = 90): DataFrame = {
     def pos(i: Int): Column =
-      TextOps.md5Int32(concat(col("s"), lit(s"#$i"))) % m
+      conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10)
+        .cast(LongType) % m
     val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
     val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
     val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
       .select(col("s")).distinct().localCheckpoint()
-    // The "bitset": every set position, as one broadcast sorted array.
+    // The "bitset": every set position, once (≤ m rows, broadcast twice).
     val bits = evalSh
       .select(explode(array(pos(0), pos(1))).as("p")).distinct()
-      .agg(sort_array(collect_set(col("p"))).as("bits"))
+      .localCheckpoint()
     val candidates = trainSh
-      .crossJoin(broadcast(bits))
-      .filter(array_contains(col("bits"), pos(0))
-        && array_contains(col("bits"), pos(1)))
+      .withColumn("p0", pos(0)).withColumn("p1", pos(1))
+      .join(broadcast(bits.withColumnRenamed("p", "p0")), Seq("p0"), "left_semi")
+      .join(broadcast(bits.withColumnRenamed("p", "p1")), Seq("p1"), "left_semi")
       .select(col("doc_id"), col("s"))
     candidates
       .join(broadcast(evalSh.withColumn("hit", lit(1))), Seq("s"), "left")

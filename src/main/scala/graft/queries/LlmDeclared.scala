@@ -752,13 +752,13 @@ object LlmDeclared {
       tr AS (SELECT doc_id, s FROM b WHERE bucket < 80),
       ev AS (SELECT DISTINCT s FROM b WHERE bucket >= 90),
       bits AS (SELECT DISTINCT unnest([
-                 ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT % 8192,
-                 ('0x' || substr(md5(s || '#1'), 1, 8))::BIGINT % 8192]) AS p
+                 ('0x' || substr(md5(s), 1, 8))::BIGINT % 131072,
+                 ('0x' || substr(md5(s), 9, 8))::BIGINT % 131072]) AS p
                FROM ev),
       cand AS (SELECT doc_id, s FROM tr
-               WHERE ('0x' || substr(md5(s || '#0'), 1, 8))::BIGINT % 8192
+               WHERE ('0x' || substr(md5(s), 1, 8))::BIGINT % 131072
                        IN (SELECT p FROM bits)
-                 AND ('0x' || substr(md5(s || '#1'), 1, 8))::BIGINT % 8192
+                 AND ('0x' || substr(md5(s), 9, 8))::BIGINT % 131072
                        IN (SELECT p FROM bits))
       SELECT doc_id, COUNT(*) AS n_candidates,
         COUNT(*) FILTER (WHERE s IN (SELECT s FROM ev)) AS n_shared
