@@ -51,4 +51,36 @@ object Sketches {
       approx_count_distinct(col("user_id")).as("approx_users"),
       expr("percentile(value, array(0.25, 0.5, 0.9))").as("pct"),
       expr("percentile_approx(value, 0.5, 10000)").as("approx_p50"))
+
+  /** COUNT-MIN-SKETCH heavy hitters with the exact twin, over the corpus
+    * token stream: d = 2 hash rows (both positions from one md5 digest —
+    * the double-hashing construction, deterministic in any engine, unlike
+    * Spark's Murmur3-based built-in CountMinSketchAgg) × m counters;
+    * estimate(tok) = min over rows of the counter at the token's position.
+    * Emitted per top-k exact token: (tok, n, est) — est ≥ n always, with
+    * the gap exposing the collision error the (d, m) sizing trades against
+    * memory. CMS is the mergeable-sketch answer to "top tokens over 100 TB
+    * without a full vocabulary shuffle": counter arrays are fixed size
+    * (d·m longs) regardless of corpus, merged associatively across
+    * executors. Here each counter row is built as a grouped sum (the batch
+    * equivalent of streaming increments — same table, provably), and the
+    * estimate probe is a broadcast join of the tiny counter tables against
+    * the top-k candidates. */
+  def cmsHeavyHitters(docs: DataFrame, m: Int = 1024, k: Int = 20): DataFrame = {
+    def pos(i: Int) =
+      conv(substring(md5(col("tok")), 1 + 8 * i, 8), 16, 10)
+        .cast(LongType) % m
+    val exact = docs
+      .select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .localCheckpoint() // feeds both counter rows AND the top-k probe
+    def counters(i: Int): DataFrame =
+      exact.groupBy(pos(i).as(s"p$i")).agg(sum(col("n")).as(s"c$i"))
+    exact
+      .orderBy(col("n").desc, col("tok")).limit(k)
+      .withColumn("p0", pos(0)).withColumn("p1", pos(1))
+      .join(broadcast(counters(0)), "p0")
+      .join(broadcast(counters(1)), "p1")
+      .select(col("tok"), col("n"), least(col("c0"), col("c1")).as("est"))
+  }
 }

@@ -764,9 +764,32 @@ object LlmDeclared {
         COUNT(*) FILTER (WHERE s IN (SELECT s FROM ev)) AS n_shared
       FROM cand GROUP BY doc_id ORDER BY doc_id"""))
 
+  /** L34 — count-min-sketch heavy hitters vs the exact twin. The sketch is
+    * md5-positioned (not engine-internal Murmur3), so the oracle rebuilds
+    * the SAME counter tables and the estimates — including every collision
+    * — agree bit-for-bit. est ≥ n by construction; the gap is the sketch's
+    * collision error at (d=2, m=1024). */
+  private val l34 = DeclaredQuery(
+    "l34_cms_heavy_hitters",
+    (s, dir) => Sketches.cmsHeavyHitters(t(s, dir, "documents"))
+      .orderBy(col("n").desc, col("tok")),
+    Some("""WITH tok AS (SELECT unnest(string_split(text, ' ')) AS tok
+                         FROM documents),
+      exact AS (SELECT tok, COUNT(*) AS n FROM tok GROUP BY tok),
+      h AS (SELECT tok, n,
+              ('0x' || substr(md5(tok), 1, 8))::BIGINT % 1024 AS p0,
+              ('0x' || substr(md5(tok), 9, 8))::BIGINT % 1024 AS p1
+            FROM exact),
+      s0 AS (SELECT p0 AS p, CAST(SUM(n) AS BIGINT) AS c FROM h GROUP BY p0),
+      s1 AS (SELECT p1 AS p, CAST(SUM(n) AS BIGINT) AS c FROM h GROUP BY p1),
+      top AS (SELECT tok, n, p0, p1 FROM h ORDER BY n DESC, tok LIMIT 20)
+      SELECT t.tok, t.n, least(s0.c, s1.c) AS est
+      FROM top t JOIN s0 ON t.p0 = s0.p JOIN s1 ON t.p1 = s1.p
+      ORDER BY n DESC, tok"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, d29)
+    l31, l32, l33, l34, d29)
 }

@@ -416,6 +416,19 @@ class LlmSpec extends SparkSpec {
     assert(got.length == 1 && got(0)._3 == 1L && got(0)._2 >= 1L)
   }
 
+  test("cmsHeavyHitters: no-collision estimates exact; m=1 degenerates to total") {
+    val d = docsDf(1L -> "x x x x y y z", 2L -> "x y")
+    // m=1024, 3 distinct tokens → collision-free: est == n
+    val got = Sketches.cmsHeavyHitters(d, m = 1024, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .sortBy(-_._2)
+    assert(got.toSeq === Seq(("x", 5L, 5L), ("y", 3L, 3L), ("z", 1L, 1L)))
+    // m=1: every token shares the single counter → est = corpus token count
+    val one = Sketches.cmsHeavyHitters(d, m = 1, k = 3)
+      .collect().map(r => (r.getString(0), r.getLong(2)))
+    assert(one.forall(_._2 == 9L), one.mkString(","))
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
