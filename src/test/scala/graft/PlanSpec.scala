@@ -211,6 +211,22 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), plan.take(1500))
   }
 
+  test("l33: Bloom probe is broadcast hash semi-joins, never a shuffle of train") {
+    val df = lq("l33_bloom_decontaminate")
+    df.collect()
+    val plan = executedPlan(df)
+    assert("BroadcastHashJoin.*LeftSemi".r.findAllIn(plan).size >= 2,
+      plan.take(2000))
+  }
+
+  test("l34: CMS counter tables broadcast to the top-k probe") {
+    val df = lq("l34_cms_heavy_hitters")
+    df.collect()
+    val plan = executedPlan(df)
+    assert("BroadcastHashJoin".r.findAllIn(plan).size >= 2, plan.take(2000))
+    assert(!plan.contains("SortMergeJoin"), plan.take(2000))
+  }
+
   test("whole-stage codegen covers the d02 hot path") {
     // Codegen spans exist only in the AQE-resolved final plan; they print
     // as `*(n) HashAggregate` markers in the tree string.
