@@ -54,6 +54,10 @@ object Dedup {
     // materialize it once (localCheckpoint = eager) instead of re-running
     // the tokenize+shingle scan per consumer. At production scale this is
     // "write the shingle silver table, then join" — same shape.
+    // (Measured alternative, round 6: computing sizes as a per-doc
+    // size(shingle-array) projection to drop the checkpoint re-runs the
+    // shingle transform once per consumer — l02 2.2 s → 6.2 s at sf0.1.
+    // The transform IS the dominant cost; materializing it wins.)
     val shAll = TextOps.docShingles(docs, n).localCheckpoint()
     val sh = maxDocFreq.fold(shAll) { t =>
       val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
