@@ -62,6 +62,43 @@ object LatestState {
         when(col("valid_to").isNull, 1L).otherwise(0L))
   }
 
+  /** Point-in-time lookup over an SCD2 history (`scd2History` output):
+    * the state of every key as of `at` — the interval containing it.
+    * With a history table partitioned/z-ordered on the key this is a
+    * pruned scan + filter, no recomputation of the log. */
+  def asOf(history: DataFrame, at: java.sql.Timestamp): DataFrame =
+    history.filter(col("valid_from") <= lit(at)
+      && (col("valid_to").isNull || col("valid_to") > lit(at)))
+
+  /** SNAPSHOT DIFF — the table-level change detector: given two snapshots
+    * with the same schema, emit one row per key that was inserted, deleted,
+    * or updated between them (unchanged keys are suppressed). This is the
+    * CDC bootstrap tool for sources with no binlog: diff yesterday's and
+    * today's snapshot, get the change stream.
+    *
+    * Scale shape: each side reduces to (key, md5-of-payload) IN THE SCAN
+    * PROJECTION, so the full-outer join shuffles 32-byte digests, never the
+    * payload; change classification is a null/compare on the joined row.
+    * Payload columns are the non-key columns COMMON to both snapshots,
+    * compared as canonical strings with null sentinels. */
+  def snapshotDiff(oldSnap: DataFrame, newSnap: DataFrame,
+                   key: Seq[String] = Seq("user_id")): DataFrame = {
+    val payload = oldSnap.columns.filter(newSnap.columns.contains)
+      .filterNot(key.contains).sorted
+    def fingerprint(name: String)(df: DataFrame): DataFrame =
+      df.select(key.map(col) :+ md5(concat_ws("\u0001",
+        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        .as(name): _*)
+    fingerprint("h_old")(oldSnap)
+      .join(fingerprint("h_new")(newSnap), key, "full_outer")
+      .withColumn("change",
+        when(col("h_old").isNull, "insert")
+          .when(col("h_new").isNull, "delete")
+          .when(col("h_old") =!= col("h_new"), "update"))
+      .filter(col("change").isNotNull)
+      .select(key.map(col) :+ col("change"): _*)
+  }
+
   /** Streaming merge: apply each micro-batch of envelope-flattened changes
     * (activity columns + `operation`) onto the parquet state at
     * `targetPath`. Replays of the same micro-batch are idempotent — the

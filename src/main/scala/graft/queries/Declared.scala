@@ -983,10 +983,110 @@ object Declared {
       ORDER BY event_id"""
     })
 
+  /** D45 — snapshot diff (cdc.LatestState.snapshotDiff): the CDC bootstrap
+    * for binlog-less sources — diff two "active purchaser profile"
+    * snapshots (trailing 10-day windows, 3 days apart) into a change set.
+    * Users present only in the new window → insert; only in the old →
+    * delete; same latest purchase in both → unchanged (suppressed); a
+    * newer purchase → update. Each side collapses to (key, digest) in its
+    * scan projection, so the full-outer join shuffles 32-byte digests. */
+  private val d45 = DeclaredQuery(
+    "d45_snapshot_diff",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts").desc, col("event_id").desc)
+      def snap(lo: String, hi: String): DataFrame =
+        t(s, dir, "events")
+          .filter(col("event_type") === "purchase"
+            && col("ts") > lit(s"$lo 00:00:00").cast(TimestampType)
+            && col("ts") <= lit(s"$hi 00:00:00").cast(TimestampType))
+          .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+          .select(col("user_id"), col("event_id"), col("value"))
+      graft.cdc.LatestState.snapshotDiff(
+          snap("2024-01-08", "2024-01-18"), snap("2024-01-11", "2024-01-21"))
+        .orderBy(col("user_id"))
+    },
+    Some("""WITH o AS (SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value, ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+          AND ts > TIMESTAMP '2024-01-08 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-18 00:00:00') x WHERE rn = 1),
+      n AS (SELECT user_id, event_id, value FROM (
+        SELECT user_id, event_id, value, ROW_NUMBER() OVER
+          (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events WHERE event_type = 'purchase'
+          AND ts > TIMESTAMP '2024-01-11 00:00:00'
+          AND ts <= TIMESTAMP '2024-01-21 00:00:00') x WHERE rn = 1),
+      oh AS (SELECT user_id, md5(concat_ws(chr(1),
+               COALESCE(CAST(event_id AS VARCHAR), chr(0)),
+               COALESCE(CAST(value AS VARCHAR), chr(0)))) AS h FROM o),
+      nh AS (SELECT user_id, md5(concat_ws(chr(1),
+               COALESCE(CAST(event_id AS VARCHAR), chr(0)),
+               COALESCE(CAST(value AS VARCHAR), chr(0)))) AS h FROM n)
+      SELECT COALESCE(oh.user_id, nh.user_id) AS user_id,
+        CASE WHEN oh.user_id IS NULL THEN 'insert'
+             WHEN nh.user_id IS NULL THEN 'delete'
+             WHEN oh.h <> nh.h THEN 'update' END AS change
+      FROM oh FULL JOIN nh ON oh.user_id = nh.user_id
+      WHERE (oh.user_id IS NULL OR nh.user_id IS NULL OR oh.h <> nh.h)
+      ORDER BY user_id"""))
+
+  /** D46 — point-in-time lookup ("time travel") over the D43 SCD2 history:
+    * every key's state as of one instant = the validity interval containing
+    * it. On a stored history table this is a pruned scan + filter. */
+  private val d46 = DeclaredQuery(
+    "d46_time_travel",
+    (s, dir) =>
+      graft.cdc.LatestState.asOf(
+          graft.cdc.LatestState.scd2History(
+            t(s, dir, "events"), key = "user_id", tsCol = "ts", ord = "event_id"),
+          java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
+        .select(col("user_id"), col("event_id"), col("valid_from"), col("version"))
+        .orderBy(col("user_id")),
+    Some("""SELECT user_id, event_id, valid_from, version FROM (
+        SELECT user_id, event_id, ts AS valid_from,
+          LEAD(ts, 1) OVER w AS valid_to,
+          ROW_NUMBER() OVER w AS version
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)) x
+      WHERE valid_from <= TIMESTAMP '2024-01-15 12:00:00'
+        AND (valid_to IS NULL OR valid_to > TIMESTAMP '2024-01-15 12:00:00')
+      ORDER BY user_id"""))
+
+  /** D47 — retention cohort matrix (the P-rules' lifecycle-analytics
+    * sibling): users cohorted by first-activity day, counted distinct on
+    * each day-offset since. Spark-first shape: the cohort day comes from a
+    * window MIN over the user partition — ONE shuffle on user_id and no
+    * self-join (the groupBy-then-join form shuffles twice and re-scans);
+    * the (cohort, offset) count is then a standard two-phase hash-agg. */
+  private val d47 = DeclaredQuery(
+    "d47_retention_cohorts",
+    (s, dir) => {
+      val cohort = min(col("ts").cast(DateType))
+        .over(Window.partitionBy(col("user_id")))
+      t(s, dir, "events")
+        .select(col("user_id"), cohort.as("cohort_day"),
+          col("ts").cast(DateType).as("day"))
+        .select(col("user_id"), col("cohort_day"),
+          datediff(col("day"), col("cohort_day")).cast(LongType).as("day_offset"))
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    Some("""SELECT cohort_day, day_offset, COUNT(DISTINCT user_id) AS n_active
+      FROM (SELECT user_id,
+              MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id) AS cohort_day,
+              CAST(datediff('day',
+                MIN(CAST(ts AS DATE)) OVER (PARTITION BY user_id),
+                CAST(ts AS DATE)) AS BIGINT) AS day_offset
+            FROM events) x
+      GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     d21, d22, d23, d24, d25, d26, d27, d28,
     d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
-    d41, d42, d43, d44)
+    d41, d42, d43, d44, d45, d46, d47)
 }

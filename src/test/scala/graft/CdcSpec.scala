@@ -112,4 +112,34 @@ class CdcSpec extends SparkSpec {
         === b.getAs[java.sql.Timestamp]("valid_from"))
     }
   }
+
+  test("asOf: interval boundaries are [from, to) and current rows qualify") {
+    val changes = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(1, "DEL", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 11:00:00")))
+      .withColumn("event_id", monotonically_increasing_id())
+    val hist = LatestState.scd2History(changes)
+    def cityAt(at: String): String =
+      LatestState.asOf(hist, java.sql.Timestamp.valueOf(at))
+        .select("city").collect().map(_.getString(0)).head
+    assert(cityAt("2024-01-01 10:30:00") === "BOM")
+    assert(cityAt("2024-01-01 11:00:00") === "DEL") // valid_to is EXCLUSIVE
+    assert(cityAt("2024-01-02 00:00:00") === "DEL") // open current interval
+  }
+
+  test("snapshotDiff: insert/delete/update classified, unchanged suppressed") {
+    import spark.implicits._
+    val old = Seq((1L, "a", Some(10L)), (2L, "b", Some(20L)),
+      (3L, "c", None: Option[Long]), (4L, "gone", Some(40L)))
+      .toDF("user_id", "name", "score")
+    val neu = Seq((1L, "a", Some(10L)), (2L, "B", Some(20L)),
+      (3L, "c", Some(30L)), (5L, "new", Some(50L)))
+      .toDF("user_id", "name", "score")
+    val got = LatestState.snapshotDiff(old, neu)
+      .collect().map(r => (r.getLong(0), r.getString(1))).sortBy(_._1)
+    // 1 unchanged (absent), 2 update (name), 3 update (null -> value),
+    // 4 delete, 5 insert
+    assert(got.toSeq === Seq((2L, "update"), (3L, "update"),
+      (4L, "delete"), (5L, "insert")))
+  }
 }
