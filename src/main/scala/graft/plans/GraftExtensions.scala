@@ -11,6 +11,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *
   * Registered functions:
   *  - `fvec_dot(array<float>, array<float>) -> double` — see FloatVectorDot.
+  *  - `morton_interleave(x, y[, bits]) -> long` — see MortonInterleave.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -20,6 +21,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 2, "fvec_dot takes exactly 2 arguments")
         FloatVectorDot(children.head, children(1))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("morton_interleave"),
+      new ExpressionInfo(classOf[MortonInterleave].getName, "morton_interleave"),
+      (children: Seq[Expression]) => children match {
+        case Seq(x, y) => MortonInterleave(x, y)
+        case Seq(x, y, b) =>
+          val bits = b match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case _ => throw new IllegalArgumentException(
+              "morton_interleave: bits must be an integer literal")
+          }
+          MortonInterleave(x, y, bits)
+        case _ => throw new IllegalArgumentException(
+          "morton_interleave takes 2 or 3 arguments")
       }))
   }
 }

@@ -23,9 +23,17 @@ object Layout {
     * bits each (default 16 → a 32-bit key): bit i of x lands at position
     * 2i, bit i of y at 2i+1. Inputs are masked to `bits` bits first —
     * callers map raw values into that range (e.g. day numbers, bucketed
-    * ids). Pure codegen-friendly expression: 2·bits AND/shift/add terms,
-    * no UDF. */
-  def mortonKey(x: Column, y: Column, bits: Int = 16): Column = {
+    * ids). Evaluates through the native `morton_interleave` expression
+    * (plans.MortonInterleave): one codegen'd loop instead of the 2·bits
+    * shift/add expression nodes of `mortonKeyExpr`. */
+  def mortonKey(x: Column, y: Column, bits: Int = 16): Column =
+    call_function("morton_interleave", x.cast("long"), y.cast("long"),
+      lit(bits))
+
+  /** The composed-builtin formulation of the same key — semantically
+    * identical to `mortonKey` (asserted bit-exact in ExpressionSpec) and
+    * usable in sessions without GraftExtensions registered. */
+  def mortonKeyExpr(x: Column, y: Column, bits: Int = 16): Column = {
     val xm = x.cast("long").bitwiseAND(lit((1L << bits) - 1))
     val ym = y.cast("long").bitwiseAND(lit((1L << bits) - 1))
     (0 until bits).map { i =>

@@ -93,6 +93,25 @@ class ExpressionSpec extends SparkSpec {
     info(f"native upper: $tn%.3f s, scala udf: $tu%.3f s (x${tu / tn}%.2f)")
   }
 
+  test("morton_interleave == composed-builtin tree, bit-exact, incl. masking") {
+    val ev = Tables.load(spark, sf001, "events")
+      .select(col("event_id"), col("user_id"))
+    val both = ev.select(
+      graft.plans.Layout.mortonKey(col("user_id"), col("event_id")).as("native"),
+      graft.plans.Layout.mortonKeyExpr(col("user_id"), col("event_id")).as("tree"))
+    assert(both.filter(col("native") =!= col("tree")).count() === 0)
+    // masking: values beyond `bits` bits are dropped identically
+    val big = Seq((70000L, 3L)).toDF("x", "y").select(
+      graft.plans.Layout.mortonKey(col("x"), col("y")).as("native"),
+      graft.plans.Layout.mortonKeyExpr(col("x"), col("y")).as("tree"))
+      .collect()(0)
+    assert(big.getLong(0) === big.getLong(1))
+    // null propagation
+    val n = Seq((Some(1L), None: Option[Long])).toDF("x", "y")
+      .selectExpr("morton_interleave(x, y)").collect()(0)
+    assert(n.isNullAt(0))
+  }
+
   test("fvec_dot runs inside whole-stage codegen") {
     val em = Tables.load(spark, sf001, "embeddings")
     val df = em.select(Similarity.norm2(col("embedding")).as("n2"))
