@@ -429,6 +429,24 @@ class LlmSpec extends SparkSpec {
     assert(one.forall(_._2 == 9L), one.mkString(","))
   }
 
+  test("cms counters are mergeable: sum of per-half sketches == whole-corpus sketch") {
+    // The property that makes CMS work across executors/micro-batches:
+    // counter tables built on disjoint slices merge by plain addition into
+    // exactly the whole-input table.
+    val docs = Tables.load(spark, sf001, "documents").select("doc_id", "text")
+    val half1 = docs.filter(col("doc_id") % 2 === 0)
+    val half2 = docs.filter(col("doc_id") % 2 === 1)
+    def counters(d: org.apache.spark.sql.DataFrame) = d
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy((conv(substring(md5(col("tok")), 1, 8), 16, 10)
+        .cast("long") % 1024).as("p"))
+      .agg(count(lit(1)).as("c"))
+    val merged = counters(half1).unionByName(counters(half2))
+      .groupBy("p").agg(sum("c").as("c"))
+    val whole = counters(docs).withColumn("c", col("c").cast("long"))
+    assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
