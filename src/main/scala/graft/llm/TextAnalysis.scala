@@ -279,6 +279,27 @@ object TextAnalysis {
         col("n_boiler").cast(DoubleType) / col("n_sh").cast(DoubleType))
   }
 
+  /** Document CHUNKING into overlapping token windows — the segmentation
+    * pass every embedding/RAG pipeline runs before encoding: windows of
+    * `window` tokens starting every `stride` tokens (window − stride
+    * overlap keeps context across boundaries). One generator per doc
+    * (chunk starts → sliced token windows), zero shuffle; chunk text is
+    * emitted as md5 so downstream dedup/storage carries digests, not
+    * repeated text. Output: (doc_id, chunk_id, n_chunk_tok, chunk_md5). */
+  def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    val toks = col("toks")
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), size(toks).cast(LongType).as("n_tok"),
+        posexplode(transform(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
+          st => md5(concat_ws(" ", slice(toks, st + 1, lit(window))))))
+          .as(Seq("chunk_id", "chunk_md5")))
+      .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
+        least(lit(window.toLong),
+          col("n_tok") - col("chunk_id") * stride).as("n_chunk_tok"),
+        col("chunk_md5"))
+  }
+
   /** Corpus CURATION FUNNEL — the composed filter chain a training-data
     * pipeline applies before tokenization, reported as one row per gate
     * with survivor counts (the standard "how much did each filter cost me"

@@ -787,9 +787,25 @@ object LlmDeclared {
       FROM top t JOIN s0 ON t.p0 = s0.p JOIN s1 ON t.p1 = s1.p
       ORDER BY n DESC, tok"""))
 
+  /** L35 — overlapping token-window chunking (64-token windows, stride 48).
+    * Chunk content crosses engines as md5 digests; the generator fan-out
+    * is per-row, no shuffle. */
+  private val l35 = DeclaredQuery(
+    "l35_chunking",
+    (s, dir) => TextAnalysis.chunk(t(s, dir, "documents"))
+      .orderBy(col("doc_id"), col("chunk_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      c AS (SELECT doc_id, len(w) AS n_tok, w,
+              unnest(range(0, len(w), 48)) AS st
+            FROM t)
+      SELECT doc_id, CAST(st / 48 AS BIGINT) AS chunk_id,
+        CAST(least(64, n_tok - st) AS BIGINT) AS n_chunk_tok,
+        md5(array_to_string(w[st+1:st+64], ' ')) AS chunk_md5
+      FROM c ORDER BY doc_id, chunk_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, d29)
+    l31, l32, l33, l34, l35, d29)
 }

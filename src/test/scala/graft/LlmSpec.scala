@@ -429,6 +429,21 @@ class LlmSpec extends SparkSpec {
     assert(one.forall(_._2 == 9L), one.mkString(","))
   }
 
+  test("chunk: window/stride boundaries and digests, hand-computed") {
+    val words = (1 to 100).map(i => s"w$i")
+    val d = docsDf(1L -> words.mkString(" "))
+    val got = TextAnalysis.chunk(d, window = 64, stride = 48)
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getString(3)))
+      .sortBy(_._1)
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+    assert(got.toSeq === Seq(
+      (0L, 64L, md5hex(words.slice(0, 64).mkString(" "))),
+      (1L, 52L, md5hex(words.slice(48, 100).mkString(" "))),
+      (2L, 4L, md5hex(words.slice(96, 100).mkString(" ")))))
+  }
+
   test("cms counters are mergeable: sum of per-half sketches == whole-corpus sketch") {
     // The property that makes CMS work across executors/micro-batches:
     // counter tables built on disjoint slices merge by plain addition into
