@@ -72,9 +72,9 @@ object Declared {
           count(lit(1)).as("cnt"))
         .orderBy(col("l_returnflag"), col("l_linestatus")),
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc,
+      CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_base,
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS sum_disc,
       COUNT(*) AS cnt
       FROM lineitem WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
       GROUP BY l_returnflag, l_linestatus ORDER BY l_returnflag, l_linestatus"""))
@@ -110,7 +110,7 @@ object Declared {
         .agg(count(lit(1)).as("n"), outd(sum(dec(col("o_totalprice")))).as("v"))
         .orderBy(col("c_mktsegment")),
     Some("""SELECT c_mktsegment, COUNT(*) AS n,
-      CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS v
+      CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS v
       FROM orders JOIN customer ON o_custkey = c_custkey
       GROUP BY c_mktsegment ORDER BY c_mktsegment"""))
 
@@ -137,7 +137,7 @@ object Declared {
         .orderBy(col("revenue").desc, col("n_name"))
     },
     Some("""SELECT n_name,
-      CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * (1 - CAST(l_discount AS DECIMAL(18,2)))) AS VARCHAR) AS DOUBLE) AS revenue
       FROM lineitem
       JOIN orders   ON l_orderkey = o_orderkey
       JOIN customer ON o_custkey = c_custkey
@@ -372,10 +372,10 @@ object Declared {
         .orderBy(col("user_id"), col("event_id"))
     },
     Some("""SELECT user_id, event_id,
-      CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
+      CAST(CAST(SUM(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2))
                     ELSE -CAST(value AS DECIMAL(18,2)) END)
            OVER (PARTITION BY user_id ORDER BY ts, event_id
-                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS bal
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE) AS bal
       FROM events ORDER BY user_id, event_id"""))
 
   /** D18 — global sort + limit. Spark runs this as TakeOrderedAndProject:
@@ -463,7 +463,7 @@ object Declared {
                LAG(d, 1) OVER w AS d1, LAG(d, 2) OVER w AS d2,
                LAG(spend, 1) OVER w AS s1, LAG(spend, 2) OVER w AS s2
         FROM daily WINDOW w AS (PARTITION BY user_id ORDER BY d))
-      SELECT user_id, d, CAST(spend AS DOUBLE) AS spend FROM lagged
+      SELECT user_id, d, CAST(CAST(spend AS VARCHAR) AS DOUBLE) AS spend FROM lagged
       WHERE d2 IS NOT NULL AND date_diff('day', d1, d) = 1 AND date_diff('day', d2, d1) = 1
         AND spend > 5 AND s1 > 5 AND s2 > 5
       ORDER BY user_id, d"""))
@@ -537,7 +537,7 @@ object Declared {
                         ELSE 'high' END AS bucket,
         COALESCE(NULLIF(c_mktsegment, 'BUILDING'), 'OTHER') AS seg,
         COUNT(*) AS n,
-        CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS tot
+        CAST(CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS tot
       FROM customer GROUP BY 1, 2 ORDER BY bucket, seg"""))
 
   /** D26 — latest-state view (operator CDC9): reconstruct current state from
@@ -605,7 +605,7 @@ object Declared {
         .select(col("user_id"), col("active_days"), outd(col("tv")).as("total_value"))
         .orderBy(col("user_id")),
     Some("""SELECT user_id, COUNT(DISTINCT CAST(ts AS DATE)) AS active_days,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS total_value
       FROM events WHERE event_type = 'purchase' GROUP BY user_id
       HAVING COUNT(DISTINCT CAST(ts AS DATE)) >= 10
          AND SUM(CAST(value AS DECIMAL(18,2))) >= 600
@@ -721,11 +721,11 @@ object Declared {
         .orderBy(col("l_returnflag"))
     },
     Some("""WITH m AS (SELECT l_returnflag, COUNT(*) AS n,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sq,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sp,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sqp,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sqq,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS spp
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sq,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sp,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqp,
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sqq,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS spp
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, n,
         (n * sqp - sq * sp) / sqrt((n * sqq - sq * sq) * (n * spp - sp * sp)) AS corr_qty_price,
@@ -750,9 +750,9 @@ object Declared {
           "measure", "val")
         .orderBy(col("l_returnflag"), col("measure")),
     Some("""WITH a AS (SELECT l_returnflag,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
-        CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS sum_disc
+        CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_qty,
+        CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_price,
+        CAST(CAST(SUM(CAST(l_discount AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_disc
         FROM lineitem GROUP BY l_returnflag)
       SELECT l_returnflag, 'sum_qty' AS measure, sum_qty AS val FROM a
       UNION ALL SELECT l_returnflag, 'sum_price', sum_price FROM a
@@ -825,7 +825,7 @@ object Declared {
         .orderBy(col("event_id"))
     },
     Some("""SELECT event_id, user_id, ts,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS DOUBLE) AS mov_sum,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) OVER w AS VARCHAR) AS DOUBLE) AS mov_sum,
       COUNT(*) OVER w AS mov_n
       FROM events
       WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
@@ -863,8 +863,8 @@ object Declared {
       grid AS (SELECT user_id, CAST(unnest(generate_series(
           CAST(d0 AS TIMESTAMP), CAST(d1 AS TIMESTAMP), INTERVAL 1 DAY)) AS DATE) AS d
         FROM spans)
-      SELECT user_id, d, CAST(dvx AS DOUBLE) AS dv,
-        LAST_VALUE(CAST(dvx AS DOUBLE) IGNORE NULLS) OVER (
+      SELECT user_id, d, CAST(CAST(dvx AS VARCHAR) AS DOUBLE) AS dv,
+        LAST_VALUE(CAST(CAST(dvx AS VARCHAR) AS DOUBLE) IGNORE NULLS) OVER (
           PARTITION BY user_id ORDER BY d
           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS filled
       FROM grid LEFT JOIN daily USING (user_id, d)
@@ -911,7 +911,7 @@ object Declared {
         .orderBy(col("user_id"))
     },
     Some("""SELECT user_id,
-      CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_value,
       COUNT(*) AS n_rows
       FROM events GROUP BY user_id ORDER BY user_id"""))
 

@@ -481,7 +481,7 @@ object LlmDeclared {
         .orderBy(col("event_type"))
     },
     Some("""SELECT event_type,
-      CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_sq
+      CAST(CAST(SUM(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS VARCHAR) AS DOUBLE) AS sum_sq
       FROM events GROUP BY event_type ORDER BY event_type"""))
 
   /** D29 — hex encoding scalar (operator CDC6: the DMS `noHexPrefix:false`
