@@ -73,6 +73,26 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast(LongType).as("re_tokens"))
 
+  /** Deterministic EXACT-K per-stratum sample — eval-set construction:
+    * exactly `k` documents per stratum, chosen by md5 rank (salted with the
+    * stratum), so the selection is content-independent, partition-layout
+    * independent, and stable across runs/engines — unlike rate-based
+    * sampling (stratifiedSample) which fixes the RATE but not the count.
+    * One window pass per stratum partition (single shuffle on the stratum;
+    * at 100 TB strata are few and large — the rank frame is a top-k heap
+    * per partition, not a full sort of the corpus when k is small).
+    * Output: (doc_id, stratum, rank 1..k). */
+  def perStratumSample(docs: DataFrame, stratumCol: String = "lang",
+                       k: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(stratumCol))
+      .orderBy(md5(concat_ws(":", col(stratumCol),
+        col("doc_id").cast(StringType))), col("doc_id"))
+    docs.select(col("doc_id"), col(stratumCol).as("stratum"),
+        row_number().over(w).cast(LongType).as("rank"))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic train/val/test corpus split: bucket = md5(doc_id) mod
     * 100, cut at trainPct / trainPct+valPct. Content-independent and
     * partition-layout-independent, so the SAME document lands in the SAME

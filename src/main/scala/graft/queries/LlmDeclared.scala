@@ -803,9 +803,24 @@ object LlmDeclared {
         md5(array_to_string(w[st+1:st+64], ' ')) AS chunk_md5
       FROM c ORDER BY doc_id, chunk_id"""))
 
+  /** L36 — exact-k per-stratum sampling by salted md5 rank (eval-set
+    * construction): exactly 10 docs per language, identical selection on
+    * any engine, any partition layout. */
+  private val l36 = DeclaredQuery(
+    "l36_eval_sample",
+    (s, dir) => TextAnalysis.perStratumSample(t(s, dir, "documents"),
+      stratumCol = "lang", k = 10).orderBy(col("stratum"), col("rank")),
+    Some("""SELECT doc_id, stratum, rank FROM (
+        SELECT doc_id, lang AS stratum,
+          CAST(ROW_NUMBER() OVER (PARTITION BY lang
+            ORDER BY md5(lang || ':' || CAST(doc_id AS VARCHAR)), doc_id)
+            AS BIGINT) AS rank
+        FROM documents) x
+      WHERE rank <= 10 ORDER BY stratum, rank"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, l35, d29)
+    l31, l32, l33, l34, l35, l36, d29)
 }

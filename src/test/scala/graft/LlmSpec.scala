@@ -444,6 +444,17 @@ class LlmSpec extends SparkSpec {
       (2L, 4L, md5hex(words.slice(96, 100).mkString(" ")))))
   }
 
+  test("perStratumSample: exactly k per stratum, identical under any layout") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val a = TextAnalysis.perStratumSample(docs, "lang", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val b = TextAnalysis.perStratumSample(docs.repartition(7), "lang", 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    assert(a === b, "selection must be partition-layout independent")
+    val perStratum = a.groupBy(_._2).map { case (s, rows) => s -> rows.size }
+    assert(perStratum.values.forall(_ == 5), perStratum.toString)
+  }
+
   test("cms counters are mergeable: sum of per-half sketches == whole-corpus sketch") {
     // The property that makes CMS work across executors/micro-batches:
     // counter tables built on disjoint slices merge by plain addition into

@@ -227,6 +227,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("d47: retention matrix computes with zero joins (window cohort)") {
+    val df = q("d47_retention_cohorts")
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("Join"), plan.take(1500))
+    assert(plan.contains("Window"), plan.take(1500))
+  }
+
   test("whole-stage codegen covers the d02 hot path") {
     // Codegen spans exist only in the AQE-resolved final plan; they print
     // as `*(n) HashAggregate` markers in the tree string.
