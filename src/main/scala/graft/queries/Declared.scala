@@ -16,7 +16,7 @@ final case class DeclaredQuery(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-/** The D1–D28 declared batch query inventory (SURVEY.md §2.5).
+/** The D1–D47 declared batch query inventory (SURVEY.md §2.5).
   *
   * Determinism rules (SURVEY §7.4): every money aggregate runs on
   * DECIMAL(18,2) casts (never raw doubles — fp summation order would

@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The LLM-training-data-pipeline declared queries (L1–L13 + the hex scalar
+/** The LLM-training-data-pipeline declared queries (L1–L36 + the hex scalar
   * D29): dedup, similarity search, text analysis, multimodal plumbing,
   * sketches/UDAF — each oracle-checked against DuckDB on the same parquet.
   *

@@ -95,4 +95,46 @@ class PropertySpec extends SparkSpec {
       .filter(col("l.ts") =!= col("m.mx"))
     assert(joined.count() === 0)
   }
+
+  test("property: morton key round-trips — deinterleaving recovers (x, y)") {
+    import spark.implicits._
+    val xs = sample(Gen.chooseNum(0L, 65535L), 200, seed = 11L)
+    val ys = sample(Gen.chooseNum(0L, 65535L), 200, seed = 13L)
+    val df = xs.zip(ys).toDF("x", "y")
+    val rows = df.select(col("x"), col("y"),
+      graft.plans.Layout.mortonKey(col("x"), col("y")).as("z")).collect()
+    rows.foreach { r =>
+      val (x, y, z) = (r.getLong(0), r.getLong(1), r.getLong(2))
+      val dx = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
+      val dy = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
+      assert((dx, dy) === ((x, y)), s"z=$z")
+    }
+  }
+
+  test("property: snapshotDiff over merged states recovers the applied batch") {
+    // Integration invariant tying D45 to the CDC merge plane: diffing the
+    // latest-state BEFORE and AFTER a batch of changes classifies exactly
+    // that batch — updates for changed keys, inserts for new keys, deletes
+    // for deleted keys, silence for untouched keys.
+    import graft.cdc.LatestState
+    val s1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "DEL", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(3, "MAA", "CREDIT", "300.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    val batch = Fixtures.df(spark, Seq(
+      Fixtures.row(2, "GOI", "CREDIT", "250.00", 120, "ENQUIRY", "2024-01-01 11:00:00"),
+      Fixtures.row(4, "COK", "CREDIT", "400.00", 120, "ENQUIRY", "2024-01-01 11:00:00")))
+      .withColumn("operation", lit("update"))
+      .unionByName(Fixtures.df(spark, Seq(
+        Fixtures.row(3, "MAA", "CREDIT", "300.00", 120, "ENQUIRY", "2024-01-01 11:00:00")))
+        .withColumn("operation", lit("delete")))
+    val before = LatestState.batch(s1).drop("operation")
+    val after = LatestState.batch(s1.unionByName(batch)).drop("operation")
+    // ts changes on update, so diff on the payload columns minus ts
+    val got = LatestState.snapshotDiff(
+        before.drop("ts"), after.drop("ts"))
+      .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
+    assert(got.toSeq === Seq((2, "update"), (3, "delete"), (4, "insert")))
+  }
 }
