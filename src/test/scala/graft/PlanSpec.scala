@@ -227,6 +227,26 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("SortMergeJoin"), plan.take(2000))
   }
 
+  test("d43: lead and row_number share one Window pass, one key exchange") {
+    val df = q("d43_scd2_history")
+    df.collect()
+    val plan = executedPlan(df)
+    assert("Window".r.findAllIn(plan).size === 1, plan.take(1500))
+    assert("hashpartitioning\\(user_id".r.findAllIn(plan).size === 1,
+      plan.take(1500))
+  }
+
+  test("d45: snapshot diff reduces both sides to digests before the full-outer join") {
+    val df = q("d45_snapshot_diff")
+    df.collect()
+    val plan = executedPlan(df)
+    assert(plan.contains("FullOuter"), plan.take(1500))
+    // the payload digest is computed in the projections feeding the join
+    // (one md5 per side), so the join's inputs carry (key, digest) only —
+    // the raw payload stays below each side's snapshot subtree
+    assert("md5".r.findAllIn(plan).size >= 2, plan.take(2000))
+  }
+
   test("d47: retention matrix computes with zero joins (window cohort)") {
     val df = q("d47_retention_cohorts")
     df.collect()
