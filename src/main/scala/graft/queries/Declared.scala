@@ -16,7 +16,7 @@ final case class DeclaredQuery(
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String])
 
-/** The D1–D47 declared batch query inventory (SURVEY.md §2.5).
+/** The D1–D48 declared batch query inventory (SURVEY.md §2.5).
   *
   * Determinism rules (SURVEY §7.4): every money aggregate runs on
   * DECIMAL(18,2) casts (never raw doubles — fp summation order would
@@ -1083,10 +1083,57 @@ object Declared {
             FROM events) x
       GROUP BY cohort_day, day_offset ORDER BY cohort_day, day_offset"""))
 
+  /** D48 — ordered conversion funnel (view → click → purchase, each stage
+    * strictly after the user's entry into the previous one): the staple
+    * product-analytics query, and a sequencing operator distinct from the
+    * d32 as-of join (which pairs single events) and d47 cohorts (which
+    * ignore order). Spark-first shape: ONE pass — per user, min view ts,
+    * then conditional mins over the SAME aggregation via min(when(...)):
+    * no per-stage self-joins... except stage ordering needs the previous
+    * stage's timestamp, so stages chain through per-user aggregates
+    * (≤ |users| rows each — broadcast-sized at any event scale; the event
+    * table is scanned once per stage with the event-type filter pushed
+    * down, never joined to itself row-to-row). */
+  private val d48 = DeclaredQuery(
+    "d48_funnel",
+    (s, dir) => {
+      val ev = t(s, dir, "events")
+      val s1 = ev.filter(col("event_type") === "view")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t1"))
+      val s2 = ev.filter(col("event_type") === "click")
+        .join(broadcast(s1), "user_id")
+        .filter(col("ts") > col("t1"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t2"))
+      val s3 = ev.filter(col("event_type") === "purchase")
+        .join(broadcast(s2), "user_id")
+        .filter(col("ts") > col("t2"))
+        .groupBy(col("user_id")).agg(min(col("ts")).as("t3"))
+      val counts = s1.agg(count(lit(1)).as("n")).withColumn("stage", lit(1L))
+        .withColumn("gate", lit("view"))
+        .unionByName(s2.agg(count(lit(1)).as("n")).withColumn("stage", lit(2L))
+          .withColumn("gate", lit("click_after_view")))
+        .unionByName(s3.agg(count(lit(1)).as("n")).withColumn("stage", lit(3L))
+          .withColumn("gate", lit("purchase_after_click")))
+      counts.select(col("stage"), col("gate"), col("n")).orderBy(col("stage"))
+    },
+    Some("""WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+                        WHERE event_type = 'view' GROUP BY user_id),
+      s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+             JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t1
+             WHERE e.event_type = 'click' GROUP BY e.user_id),
+      s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+             JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t2
+             WHERE e.event_type = 'purchase' GROUP BY e.user_id)
+      SELECT * FROM (
+        SELECT CAST(1 AS BIGINT) AS stage, 'view' AS gate, COUNT(*) AS n FROM s1
+        UNION ALL SELECT 2, 'click_after_view', COUNT(*) FROM s2
+        UNION ALL SELECT 3, 'purchase_after_click', COUNT(*) FROM s3)
+      ORDER BY stage"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     d01, d02, d03, d04, d05, d06, d07, d08, d09, d10,
     d11, d12, d13, d14, d15, d16, d17, d18, d19, d20,
     d21, d22, d23, d24, d25, d26, d27, d28,
     d30, d31, d32, d33, d34, d35, d36, d37, d38, d39, d40,
-    d41, d42, d43, d44, d45, d46, d47)
+    d41, d42, d43, d44, d45, d46, d47, d48)
 }
