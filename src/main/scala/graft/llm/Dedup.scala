@@ -49,32 +49,67 @@ object Dedup {
     * discriminative shingle sets, the standard stopword-shingle treatment).
     * None = exact textbook jaccard, the oracle-checked default. */
   def jaccardPairs(docs: DataFrame, n: Int = 3, minJ: Double = 0.5,
-                   maxDocFreq: Option[Long] = None): DataFrame = {
-    // The shingle table feeds three consumers (both join sides + sizes);
-    // materialize it once (localCheckpoint = eager) instead of re-running
-    // the tokenize+shingle scan per consumer. At production scale this is
-    // "write the shingle silver table, then join" — same shape.
-    // (Measured alternative, round 6: computing sizes as a per-doc
-    // size(shingle-array) projection to drop the checkpoint re-runs the
-    // shingle transform once per consumer — l02 2.2 s → 6.2 s at sf0.1.
-    // The transform IS the dominant cost; materializing it wins.)
-    val shAll = TextOps.docShingles(docs, n).localCheckpoint()
-    val sh = maxDocFreq.fold(shAll) { t =>
+                   maxDocFreq: Option[Long] = None): DataFrame = maxDocFreq match {
+    case None =>
+      // Set sizes ride THROUGH the posting lists (commonWithSizes): one
+      // extra long per exploded shingle row buys the elimination of the
+      // sizes aggregation, both size joins, and the shingle-table
+      // materialization those joins forced. One scan, two shuffles
+      // (postings, pair counts), no checkpoint.
+      // (Round-6 measured dead ends, for the record: sizes as a separate
+      // per-doc projection re-ran the shingle transform per consumer —
+      // l02 2.2 s → 6.2 s; the transform is the dominant cost and must
+      // run exactly once.)
+      commonWithSizes(docs, n)
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType)
+            / (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= minJ)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    case Some(t) =>
+      // With a df guard, sizes count the SURVIVING shingles — they are only
+      // known after the hot-set drop, so this path keeps the materialized
+      // table + joins shape ("write the shingle silver table, then join").
+      val shAll = TextOps.docShingles(docs, n).localCheckpoint()
       val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
         .filter(col("df") > t).select(col("s"))
       // hot set is tiny by construction (only corpus-wide boilerplate) —
       // broadcast anti-join, no extra shuffle of the shingle table
-      shAll.join(broadcast(hot), Seq("s"), "left_anti")
-    }
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
-    common(sh)
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
-      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
-      .withColumn("jaccard",
-        col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
-      .filter(col("jaccard") >= minJ)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      val sh = shAll.join(broadcast(hot), Seq("s"), "left_anti")
+      val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+      common(sh)
+        .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+        .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+        .withColumn("jaccard",
+          col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
+        .filter(col("jaccard") >= minJ)
+        .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
+
+  /** `common` with each document's distinct-shingle count riding along in
+    * the posting-list structs. The shingle ARRAY is materialized at doc
+    * granularity (localCheckpoint of ~|docs| compact array rows — far
+    * smaller than the exploded table) because `size` and `explode` both
+    * consume it and Catalyst's CollapseProject would otherwise inline the
+    * expensive transform into BOTH consumers (measured: 3× slower — the
+    * staged-projection "bound attribute" trick does not survive projection
+    * collapsing; only a materialization barrier does).
+    * Output: (doc_a, na, doc_b, nb, n_common). */
+  private def commonWithSizes(docs: DataFrame, n: Int): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), n).as("shs"))
+      .localCheckpoint()
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("s"))
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("a.n_sh").as("na"),
+        col("b.doc_id").as("doc_b"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
 
   /** Shared-shingle counts per unordered doc pair (doc_a < doc_b, n_common)
     * — the core of every exact near-dup operator here.
@@ -338,22 +373,20 @@ object Dedup {
     * options) as jaccardPairs. */
   def containmentPairs(docs: DataFrame, n: Int = 3,
                        minC: Double = 0.6): DataFrame = {
-    val sh = TextOps.docShingles(docs, n).localCheckpoint()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     // The intersection is symmetric: aggregate each unordered pair ONCE
     // (doc_a < doc_b — half the pair volume of a <> formulation), then emit
-    // both directions from the one n_common row. Materialize the aggregate
-    // once: the unionByName below reads it twice, and exchange reuse only
-    // amortizes the shuffle — the final aggregation subtree would execute
-    // twice without the checkpoint.
-    val com = common(sh).localCheckpoint()
+    // both directions from the one n_common row. Set sizes ride through the
+    // posting lists (commonWithSizes) so no sizes join is needed at all.
+    // Materialize the aggregate once: the unionByName below reads it twice,
+    // and exchange reuse only amortizes the shuffle — the final aggregation
+    // subtree would execute twice without the checkpoint.
+    val com = commonWithSizes(docs, n).localCheckpoint()
     val directed = com
-      .select(col("doc_a"), col("doc_b"), col("n_common"))
+      .select(col("doc_a"), col("doc_b"), col("na"), col("n_common"))
       .unionByName(com
         .select(col("doc_b").as("doc_a"), col("doc_a").as("doc_b"),
-          col("n_common")))
+          col("nb").as("na"), col("n_common")))
     directed
-      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
       .withColumn("containment", col("n_common").cast(DoubleType) / col("na"))
       .filter(col("containment") >= minC)
       .select(col("doc_a"), col("doc_b"), col("containment"))
