@@ -187,9 +187,17 @@ object Dedup {
     * a shuffle join when it isn't (forcing it could OOM the driver). */
   def minhashNearDups(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
                       minJ: Double = 0.5): DataFrame = {
-    // One materialized shingle table serves the signature pass AND the
-    // candidate-verification pass (see jaccardPairs note).
-    val sh = TextOps.docShingles(docs, n).localCheckpoint()
+    // The shingle table serves the signature pass AND the verification
+    // pass (twice) AND the size computation — materialize ONCE at document
+    // granularity (compact array rows; see commonWithSizes for why the
+    // barrier is required) and explode on demand per consumer; sizes are
+    // then a pure projection instead of a corpus-wide groupBy.
+    val docSh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), n).as("shs"))
+      .localCheckpoint()
+    val sh = docSh.select(col("doc_id"), explode(col("shs")).as("s"))
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
     val bandsDf = lshBands(signaturesFromShingles(sh, k), k, bands)
     val cand = bandsDf.as("x").join(bandsDf.as("y"),
         col("x.band_idx") === col("y.band_idx")
@@ -197,7 +205,6 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
-    val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
     val common = cand
       .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
       .join(sh.as("sb"),
