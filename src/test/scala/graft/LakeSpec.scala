@@ -56,4 +56,31 @@ class LakeSpec extends SparkSpec {
     val raws = bad.collect().map(_.getString(0)).toSet
     assert(raws === Set("not json at all", "{\"wrong\": \"shape\"}", "{}"))
   }
+
+  test("silver format breadth: ORC and CSV round-trip the activity schema") {
+    // The silver layer's documented default is parquet; the reader/writer
+    // surface must also carry the other columnar (ORC) and interchange
+    // (CSV) formats without semantic drift. CSV needs the explicit schema
+    // on read (it is text — no embedded types) and a timestamp format
+    // pinned for cross-version stability.
+    val rows = Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:05:00"),
+      Fixtures.row(2, "DEL", "DEBIT", "2500.50", 150, "FOREX", "2024-01-02 11:00:00"))
+    val df = Fixtures.df(spark, rows)
+    val base = java.nio.file.Files.createTempDirectory("graft_fmt").toString
+    df.write.mode("overwrite").orc(s"$base/orc")
+    val orcBack = spark.read.orc(s"$base/orc")
+    // file formats surface everything as nullable on read; names and types
+    // must round-trip exactly
+    assert(orcBack.schema.fields.map(f => (f.name, f.dataType)).toSeq
+      === df.schema.fields.map(f => (f.name, f.dataType)).toSeq)
+    assert(orcBack.except(df).isEmpty && df.except(orcBack).isEmpty)
+    df.write.mode("overwrite").option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(s"$base/csv")
+    val csvBack = spark.read.schema(df.schema).option("header", "true")
+      .option("timestampFormat", "yyyy-MM-dd HH:mm:ss")
+      .csv(s"$base/csv")
+    assert(csvBack.except(df).isEmpty && df.except(csvBack).isEmpty)
+  }
 }
