@@ -93,6 +93,64 @@ object StatefulRules {
       }
   }
 
+  /** One funnel event (the `events` table shape, minus unused columns). */
+  final case class FunnelEvent(
+      user_id: Long, event_id: Long, ts: java.sql.Timestamp, event_type: String)
+
+  /** Per-user funnel state: entry epoch-millis per stage, -1 = not reached.
+    * Three longs per ACTIVE user — the streaming counterpart of d48's
+    * per-user aggregates. */
+  final case class FunnelState(t1: Long, t2: Long, t3: Long)
+
+  /** Emitted when a user ADVANCES a stage (1 = view, 2 = click after view,
+    * 3 = purchase after click) — the incremental form of the d48 batch
+    * funnel: counting stage-k advances over a drained stream equals the
+    * batch query's stage-k user count. */
+  final case class FunnelAdvance(user_id: Long, stage: Int, ts: java.sql.Timestamp)
+
+  /** The funnel transition function, factored out for the batch-equivalence
+    * test: fold (ts, event_id)-ordered events through the stage state.
+    * Ordering rule matches d48 exactly: a stage-k event counts only if
+    * STRICTLY after the user's stage-(k-1) entry. */
+  def applyFunnel(user: Long, sorted: Seq[FunnelEvent], init: FunnelState)
+      : (FunnelState, Seq[FunnelAdvance]) = {
+    var st = init
+    val out = Seq.newBuilder[FunnelAdvance]
+    sorted.foreach { e =>
+      val t = e.ts.getTime
+      e.event_type match {
+        case "view" if st.t1 < 0 =>
+          st = st.copy(t1 = t); out += FunnelAdvance(user, 1, e.ts)
+        case "click" if st.t1 >= 0 && st.t2 < 0 && t > st.t1 =>
+          st = st.copy(t2 = t); out += FunnelAdvance(user, 2, e.ts)
+        case "purchase" if st.t2 >= 0 && st.t3 < 0 && t > st.t2 =>
+          st = st.copy(t3 = t); out += FunnelAdvance(user, 3, e.ts)
+        case _ => ()
+      }
+    }
+    (st, out.result())
+  }
+
+  /** S10 — streaming conversion funnel: per-user stage machine via
+    * mapGroups-with-state. State is three longs per active user; a user
+    * who completes the funnel (t3 set) keeps a terminal state that can
+    * never emit again — at 100 TB horizons, pair this with an event-time
+    * timeout to expire completed/stale users (the same pattern as S5). */
+  def funnelAdvances(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[FunnelState, FunnelAdvance](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
+          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+          val (next, advances) = applyFunnel(user, sorted,
+            state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)))
+          state.update(next)
+          advances.iterator
+      }
+  }
+
   /** S6 — streaming C1 city-hop: self-join of the watermarked stream with
     * a 1-hour interval condition. Both inputs must be `withWatermark`'d
     * streams over activity rows; Spark bounds join state from the interval

@@ -158,6 +158,42 @@ class StreamingSpec extends SparkSpec {
     assert(spark.read.json(dir + "/lake").count() === baseRows.size)
   }
 
+  test("S10: streaming funnel advances == d48 batch stage counts on drained input") {
+    import StatefulRules.FunnelEvent
+    def ev(u: Long, id: Long, at: String, tp: String) =
+      FunnelEvent(u, id, java.sql.Timestamp.valueOf(at), tp)
+    // user 1 completes all stages; user 2 views+clicks but clicks BEFORE
+    // viewing (ordering violation -> stage 2 never fires); user 3 only
+    // purchases (no entry). Split across two micro-batches to exercise
+    // cross-batch state.
+    val batch1 = Seq(
+      ev(1, 1, "2024-01-01 10:00:00", "view"),
+      ev(2, 2, "2024-01-01 10:00:00", "click"),
+      ev(3, 3, "2024-01-01 10:00:00", "purchase"),
+      ev(1, 4, "2024-01-01 10:05:00", "click"))
+    val batch2 = Seq(
+      ev(1, 5, "2024-01-01 10:10:00", "purchase"),
+      ev(2, 6, "2024-01-01 10:10:00", "view"),
+      ev(2, 7, "2024-01-01 10:00:00", "click")) // late, pre-view: no advance
+    val in = MemoryStream[FunnelEvent]
+    val q = runToMemory(
+      StatefulRules.funnelAdvances(in.toDS()).toDF(), "s10_out")
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      in.addData(batch2: _*); q.processAllAvailable()
+      val streamed = spark.table("s10_out")
+        .groupBy("stage").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      // batch d48 semantics on the drained input: s1={1,2}, s2={1}, s3={1}
+      assert(streamed === Map(1 -> 2L, 2 -> 1L, 3 -> 1L))
+      // the advance stream never emits a stage twice for one user
+      val perUserStage = spark.table("s10_out")
+        .groupBy("user_id", "stage").count()
+        .filter(col("count") > 1).count()
+      assert(perUserStage === 0L)
+    } finally q.stop()
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
