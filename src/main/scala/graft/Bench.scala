@@ -1,11 +1,9 @@
 package graft
 
-import graft.queries.Declared
-
 /** Benchmark main (driver contract): runs every declared query on
   * `SPARK_GRAFT_SF_DIR`, prints ONE JSON line with per-query seconds.
   *
-  * Harness rules (round-1/2 verdict fixes):
+  * Harness rules (round-1/2/6 verdict fixes):
   *  - Queries run in the stable declared order, not Map iteration order.
   *  - Execution is a `noop`-format write: every projected column is computed
   *    and every ORDER BY survives (a bare `count()` let Catalyst prune the
@@ -17,6 +15,21 @@ import graft.queries.Declared
   *    input — the first run measured the *compiler*, not the query). The
   *    reported number is the steady-state execution the plan would sustain
   *    per task on a cluster.
+  *  - Before every run, residue from prior queries is dropped: cached plans
+  *    and persistent RDD blocks (the localCheckpoints of the iterative
+  *    operators) otherwise accumulate across the 84-query × 3-run sequence
+  *    and turn into heap pressure that lands on whichever queries run late
+  *    in the order. (Round-6 driver data: the CONSECUTIVE stretch l16–l20
+  *    recorded 5.1/3.8/2.0/1.7/1.2 s vs 2.2/0.4/0.5/0.3/0.2 s for the same
+  *    commit rerun — a sustained degraded window, not a plan change. Per-
+  *    query cleanup removes the mechanism; min/max in the detail file makes
+  *    any recurrence visible from artifacts alone.)
+  *  - The printed JSON line uses SHORT query ids (d01, l16 — the same ids as
+  *    BASELINE.md's per-query table) and 3-decimal seconds: the driver keeps
+  *    only the last 2000 chars of output, and the full-name full-precision
+  *    line (~2600 chars) overflowed that buffer in 5 of 6 rounds
+  *    ("parsed": null in BENCH_r0{1,2,4,5,6}.json). Full names plus the
+  *    min AND max of the two timed runs go to BENCH_DETAIL.json instead.
   *  - Failures are NOT swallowed — a broken query must fail the bench, not
   *    record as a fast success.
   */
@@ -25,7 +38,17 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
 
+    // Drop residue of earlier runs so no query pays for a predecessor's
+    // blocks: cached relations + persistent RDDs (localCheckpoints). Runs
+    // OUTSIDE the timed region.
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+
     def runOnce(name: String): Double = {
+      cleanup()
       // Construction is INSIDE the timed region: most queries only build a
       // plan here (~free), but iterative operators (l16 label propagation)
       // execute eagerly during construction and must not escape the clock.
@@ -47,12 +70,28 @@ object Bench {
     // min-of-2 timed runs: a single timed run is hostage to whichever GC
     // pause / compaction lands on it (round-5 data: d24 recorded 5.1 s vs
     // 0.8 s steady state, same code). The minimum of two steady-state runs
-    // is the plan's sustainable cost; transient stalls inflate only the max.
-    val results = order.map { n => runOnce(n); n -> math.min(runOnce(n), runOnce(n)) }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // is the plan's sustainable cost; transient stalls inflate only the max
+    // — which is recorded too (detail file), so variance is diagnosable
+    // from the run's artifacts.
+    val results = order.map { n =>
+      runOnce(n)
+      val (a, b) = (runOnce(n), runOnce(n))
+      (n, math.min(a, b), math.max(a, b))
+    }
+
+    def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+    val detail = results.map { case (k, mn, mx) =>
+      s""""$k":{"min":${r3(mn)},"max":${r3(mx)}}""" }.mkString("{", ",", "}")
+    val totalMin = results.map(_._2).sum
+    val totalMax = results.map(_._3).sum
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      s"""{"metric":"total","min":${r3(totalMin)},"max":${r3(totalMax)},"unit":"sec","sf":"$sfDir","queries":$detail}"""
+        .getBytes("UTF-8"))
+
+    val qs = results.map { case (k, mn, _) =>
+      "\"" + k.split('_')(0) + "\":" + r3(mn) }.mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -29,6 +29,13 @@ object GraftSession {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .config("spark.sql.adaptive.enabled", "true")
+      // ContextCleaner only reclaims dereferenced shuffles/broadcasts after
+      // a GC; the 30 min default periodic GC is longer than an entire
+      // Verify/Bench run, so hundreds of query executions' worth of state
+      // accumulated until heap pressure forced full GCs mid-measurement
+      // (the round-6 l16–l20 bench stall). One minute keeps reclamation
+      // steady in these long single-JVM sequences at negligible cost.
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
       .config("spark.ui.enabled", "false")
       .getOrCreate()

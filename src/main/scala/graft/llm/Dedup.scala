@@ -376,10 +376,14 @@ object Dedup {
     * (doc_a, doc_b, containment) means doc_a's shingles are covered by
     * doc_b to degree `containment`; both directions are emitted.
     *
-    * Same inverted-index join shape (and the same 100 TB skew guard
-    * options) as jaccardPairs. */
-  def containmentPairs(docs: DataFrame, n: Int = 3,
-                       minC: Double = 0.6): DataFrame = {
+    * Same inverted-index join shape — and the same `maxDocFreq` skew guard
+    * — as jaccardPairs: a shingle in d documents contributes d² candidate
+    * pairs on one task, so at 100 TB drop shingles with document frequency
+    * above the cutoff before pair expansion (containment denominators then
+    * count the surviving shingles, exactly as jaccard's do). None = exact
+    * textbook containment, the oracle-checked default. */
+  def containmentPairs(docs: DataFrame, n: Int = 3, minC: Double = 0.6,
+                       maxDocFreq: Option[Long] = None): DataFrame = {
     // The intersection is symmetric: aggregate each unordered pair ONCE
     // (doc_a < doc_b — half the pair volume of a <> formulation), then emit
     // both directions from the one n_common row. Set sizes ride through the
@@ -387,7 +391,22 @@ object Dedup {
     // Materialize the aggregate once: the unionByName below reads it twice,
     // and exchange reuse only amortizes the shuffle — the final aggregation
     // subtree would execute twice without the checkpoint.
-    val com = commonWithSizes(docs, n).localCheckpoint()
+    val com = (maxDocFreq match {
+      case None => commonWithSizes(docs, n)
+      case Some(t) =>
+        // Guarded path mirrors jaccardPairs: sizes must count the SURVIVING
+        // shingles (known only after the hot-set drop), so this path keeps
+        // the materialized-table + sizes-joins shape.
+        val shAll = TextOps.docShingles(docs, n).localCheckpoint()
+        val hot = shAll.groupBy(col("s")).agg(count(lit(1)).as("df"))
+          .filter(col("df") > t).select(col("s"))
+        val sh = shAll.join(broadcast(hot), Seq("s"), "left_anti")
+        val sizes = sh.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sh"))
+        common(sh)
+          .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+          .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+          .select(col("doc_a"), col("na"), col("doc_b"), col("nb"), col("n_common"))
+    }).localCheckpoint()
     val directed = com
       .select(col("doc_a"), col("doc_b"), col("na"), col("n_common"))
       .unionByName(com

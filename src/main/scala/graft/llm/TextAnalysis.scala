@@ -113,8 +113,11 @@ object TextAnalysis {
     * trim. Emits the cleaned text's digest + before/after lengths (the
     * audit columns a cleaning job reports). */
   def cleanText(docs: DataFrame): DataFrame = {
-    val cleaned = trim(regexp_replace(
-      regexp_replace(lower(col("text")), "[^a-z0-9 ]", " "), " +", " "))
+    // ONE regex pass: a maximal run of non-alphanumerics (spaces included)
+    // becomes a single space — identical to the two-pass strip-then-collapse
+    // form (any mixed punct/space run collapsed to one space either way),
+    // at half the regex cost (the corpus is scanned once, not twice).
+    val cleaned = trim(regexp_replace(lower(col("text")), "[^a-z0-9]+", " "))
     docs.select(
       col("doc_id"),
       md5(cleaned).as("clean_md5"),

@@ -389,11 +389,9 @@ object LlmDeclared {
     "l18_clean_text",
     (s, dir) => TextAnalysis.cleanText(t(s, dir, "documents")).orderBy(col("doc_id")),
     Some("""SELECT doc_id,
-      md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                              ' +', ' ', 'g'))) AS clean_md5,
+      md5(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS clean_md5,
       CAST(length(text) AS BIGINT) AS raw_len,
-      CAST(length(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
-                                      ' +', ' ', 'g'))) AS BIGINT) AS clean_len
+      CAST(length(trim(regexp_replace(lower(text), '[^a-z0-9]+', ' ', 'g'))) AS BIGINT) AS clean_len
       FROM documents ORDER BY doc_id"""))
 
   /** L19 — contiguous sequence packing into fixed token budgets. */

@@ -132,22 +132,39 @@ object StatefulRules {
   }
 
   /** S10 — streaming conversion funnel: per-user stage machine via
-    * mapGroups-with-state. State is three longs per active user; a user
-    * who completes the funnel (t3 set) keeps a terminal state that can
-    * never emit again — at 100 TB horizons, pair this with an event-time
-    * timeout to expire completed/stale users (the same pattern as S5). */
-  def funnelAdvances(events: Dataset[FunnelEvent]): Dataset[FunnelAdvance] = {
+    * mapGroups-with-state. State is three longs per active user, expired by
+    * an event-time timeout (the same pattern as S5): once the watermark
+    * moves `horizonMs` past a user's last event, the state is removed —
+    * a completed user's terminal state (t3 set, can never emit again) and
+    * a stale abandoner both cost nothing forever after, so state size
+    * tracks users ACTIVE within the horizon, not all users ever seen.
+    * Requires a watermark on `ts` upstream. A user who returns after
+    * expiry restarts the funnel from stage 1 — the standard attribution-
+    * window semantics (a conversion more than `horizonMs` after the last
+    * touch is a new journey). */
+  def funnelAdvances(events: Dataset[FunnelEvent],
+                     horizonMs: Long = 7L * 24 * 3600 * 1000)
+      : Dataset[FunnelAdvance] = {
     import events.sparkSession.implicits._
     events
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[FunnelState, FunnelAdvance](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
         (user: Long, evs: Iterator[FunnelEvent], state: GroupState[FunnelState]) =>
-          val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
-          val (next, advances) = applyFunnel(user, sorted,
-            state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)))
-          state.update(next)
-          advances.iterator
+          if (state.hasTimedOut) {
+            // No activity inside the horizon: completed or abandoned either
+            // way, the journey is over.
+            state.remove()
+            Iterator.empty
+          } else {
+            val sorted = evs.toSeq.sortBy(e => (e.ts.getTime, e.event_id))
+            val (next, advances) = applyFunnel(user, sorted,
+              state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)))
+            state.update(next)
+            val lastMs = sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
+            state.setTimeoutTimestamp(lastMs + horizonMs)
+            advances.iterator
+          }
       }
   }
 
