@@ -43,8 +43,11 @@ object Bench {
     // OUTSIDE the timed region.
     def cleanup(): Unit = {
       spark.sharedState.cacheManager.clearCache()
+      // blocking = true: reclamation must complete strictly outside the
+      // timed region (async removal can still be in flight when the clock
+      // starts, and it floods stdout with lineage-truncation WARNs).
       spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = false))
+        .foreach(_.unpersist(blocking = true))
     }
 
     def runOnce(name: String): Double = {

@@ -87,7 +87,12 @@ object StatefulRules {
             // event (a re-activated account simply restarts from zero —
             // same as the reference, whose balance rule is per-history).
             val lastMs = sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
-            state.setTimeoutTimestamp(math.max(next.frozenUntilMs, lastMs + freezeMs))
+            // Clamp above the current watermark: a batch of only-late events
+            // could otherwise compute a timeout at-or-below the watermark,
+            // which Spark rejects with IllegalArgumentException.
+            state.setTimeoutTimestamp(math.max(
+              math.max(next.frozenUntilMs, lastMs + freezeMs),
+              state.getCurrentWatermarkMs() + 1))
             alerts.iterator
           }
       }
@@ -162,7 +167,11 @@ object StatefulRules {
               state.getOption.getOrElse(FunnelState(-1L, -1L, -1L)))
             state.update(next)
             val lastMs = sorted.lastOption.map(_.ts.getTime).getOrElse(0L)
-            state.setTimeoutTimestamp(lastMs + horizonMs)
+            // Clamped above the watermark for the same reason as S5: a
+            // micro-batch of only-late events must not set a timeout the
+            // watermark has already passed.
+            state.setTimeoutTimestamp(math.max(
+              lastMs + horizonMs, state.getCurrentWatermarkMs() + 1))
             advances.iterator
           }
       }

@@ -177,7 +177,8 @@ class StreamingSpec extends SparkSpec {
       ev(2, 7, "2024-01-01 10:00:00", "click")) // late, pre-view: no advance
     val in = MemoryStream[FunnelEvent]
     val q = runToMemory(
-      StatefulRules.funnelAdvances(in.toDS()).toDF(), "s10_out")
+      StatefulRules.funnelAdvances(
+        in.toDS().withWatermark("ts", "0 seconds")).toDF(), "s10_out")
     try {
       in.addData(batch1: _*); q.processAllAvailable()
       in.addData(batch2: _*); q.processAllAvailable()
