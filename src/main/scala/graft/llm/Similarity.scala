@@ -214,7 +214,11 @@ object Similarity {
     * integer distance kernels): scale = max|x|/127, code_i = ⌊x_i/scale +
     * 0.5⌋ ∈ [-127, 127], reported with the reconstruction squared error.
     *
-    * One codegen'd projection, no shuffle, no UDF. Cross-engine exactness:
+    * One codegen'd projection, no shuffle, no UDF — the whole reduction is
+    * the native `int8_quant_stats` expression (plans.Int8QuantStats via
+    * GraftExtensions): two fused loops over the raw float array instead of
+    * the eight interpreted HOF array walks the previous formulation split
+    * across four non-codegen Project nodes. Cross-engine exactness:
     * max over doubles is order-insensitive; the codes use an explicit
     * ⌊x/s + 0.5⌋ (identical rounding formula in any engine, unlike
     * round()'s dialect-defined tie rule); the error is a sequential
@@ -223,6 +227,17 @@ object Similarity {
     * comparison is scalar-typed. All-zero vectors quantize to all-zero
     * codes (scale 0 guard). */
   def quantizeInt8(vectors: DataFrame): DataFrame =
+    vectors
+      .select(col("vec_id"),
+        call_function("int8_quant_stats", col("embedding")).as("s"))
+      .select(col("vec_id"), col("s.n_dims"), col("s.scale"),
+        col("s.code_min"), col("s.code_max"), col("s.code_sum"),
+        col("s.recon_err"))
+
+  /** The HOF formulation of quantizeInt8 — kept as the semantic reference
+    * the native expression is equality-tested against (ExpressionSpec),
+    * the same twin pattern as dot/dotHof. */
+  def quantizeInt8Hof(vectors: DataFrame): DataFrame =
     vectors
       .select(col("vec_id"),
         transform(col("embedding"), _.cast(DoubleType)).as("e"))

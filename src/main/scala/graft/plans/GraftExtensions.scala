@@ -12,6 +12,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   * Registered functions:
   *  - `fvec_dot(array<float>, array<float>) -> double` — see FloatVectorDot.
   *  - `morton_interleave(x, y[, bits]) -> long` — see MortonInterleave.
+  *  - `int8_quant_stats(array<float>) -> struct` — see Int8QuantStats.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -36,6 +37,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           MortonInterleave(x, y, bits)
         case _ => throw new IllegalArgumentException(
           "morton_interleave takes 2 or 3 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quant_stats"),
+      new ExpressionInfo(classOf[Int8QuantStats].getName, "int8_quant_stats"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_quant_stats takes exactly 1 argument")
+        Int8QuantStats(children.head)
       }))
   }
 }

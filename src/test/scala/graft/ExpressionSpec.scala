@@ -112,6 +112,56 @@ class ExpressionSpec extends SparkSpec {
     assert(n.isNullAt(0))
   }
 
+  test("int8_quant_stats == HOF formulation, bit-exact, on the corpus") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val native = Similarity.quantizeInt8(em)
+    val hof = Similarity.quantizeInt8Hof(em)
+    assert(native.schema === hof.schema.copy(fields = native.schema.fields
+      .zip(hof.schema.fields).map { case (n, h) => h.copy(nullable = n.nullable) }))
+    val joined = native.as("n").join(hof.as("h"), Seq("vec_id"))
+    val diff = joined.filter(
+      col("n.n_dims") =!= col("h.n_dims")
+        || col("n.scale") =!= col("h.scale")
+        || col("n.code_min") =!= col("h.code_min")
+        || col("n.code_max") =!= col("h.code_max")
+        || col("n.code_sum") =!= col("h.code_sum")
+        || col("n.recon_err") =!= col("h.recon_err")).count()
+    assert(diff === 0)
+    assert(joined.count() > 0)
+  }
+
+  test("int8_quant_stats edge semantics: all-zero, empty, null vector") {
+    val df = Seq(
+      (1L, Some(Array(0.0f, 0.0f, 0.0f))), // all-zero: scale 0, codes 0
+      (2L, Some(Array.empty[Float])),      // empty: (0,null,null,null,0,0.0)
+      (3L, None)                           // null vector: null struct
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.quantizeInt8(df).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(got(1L).getLong(1) === 3L && got(1L).getDouble(2) === 0.0
+      && got(1L).getLong(3) === 0L && got(1L).getLong(4) === 0L
+      && got(1L).getLong(5) === 0L && got(1L).getDouble(6) === 0.0)
+    assert(got(2L).getLong(1) === 0L && got(2L).isNullAt(2)
+      && got(2L).isNullAt(3) && got(2L).isNullAt(4)
+      && got(2L).getLong(5) === 0L && got(2L).getDouble(6) === 0.0)
+    assert((1 to 6).forall(got(3L).isNullAt))
+    // empty-vector row matches the HOF chain exactly
+    val hofEmpty = Similarity.quantizeInt8Hof(
+      Seq((2L, Array.empty[Float])).toDF("vec_id", "embedding")).collect()(0)
+    assert(hofEmpty.getLong(1) === 0L && hofEmpty.isNullAt(2)
+      && hofEmpty.isNullAt(3) && hofEmpty.isNullAt(4)
+      && hofEmpty.getLong(5) === 0L && hofEmpty.getDouble(6) === 0.0)
+  }
+
+  test("int8_quant_stats runs inside whole-stage codegen") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val df = Similarity.quantizeInt8(em)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("int8_quant_stats"), plan.take(500))
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+
   test("fvec_dot runs inside whole-stage codegen") {
     val em = Tables.load(spark, sf001, "embeddings")
     val df = em.select(Similarity.norm2(col("embedding")).as("n2"))
