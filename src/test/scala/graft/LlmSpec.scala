@@ -301,6 +301,38 @@ class LlmSpec extends SparkSpec {
     assert(both.toSeq === Seq((1L, 2L, 1.0), (2L, 1L, 0.5)))
   }
 
+  test("containmentPairs hot-shingle guard preserves the planted containments") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val exact = Dedup.containmentPairs(docs, 3, 0.6)
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val guarded = Dedup.containmentPairs(docs, 3, 0.6, maxDocFreq = Some(100L))
+      .select("doc_a", "doc_b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // dropping corpus-wide boilerplate shingles must not lose true containments
+    assert(guarded === exact)
+  }
+
+  test("containmentPairs guard drops a hot shingle from the denominators") {
+    // "x y z" is in all 4 docs (df=4 > 2). With the guard, docs 1/2 share
+    // only their remaining shingles; containment is computed over the
+    // discriminative sets: doc1 keeps {a b c, b c x(?)...} — hand-check:
+    // doc1 "a b c x y z": shingles {a b c, b c x, c x y, x y z}
+    // doc2 "a b c p x y z": {a b c, b c p, c p x, p x y, x y z}
+    // doc3 "q r s x y z":   {q r s, r s x, s x y, x y z}
+    // doc4 "t u v x y z":   {t u v, u v x, v x y, x y z}
+    // df(x y z)=4 dropped; common(1,2)={a b c}=1; na(doc1)=3 -> c=1/3, cut
+    // at 0.4; unguarded common(1,2)={a b c, x y z}=2, na=4 -> c=0.5 kept.
+    val d = docsDf(1L -> "a b c x y z", 2L -> "a b c p x y z",
+      3L -> "q r s x y z", 4L -> "t u v x y z")
+    val unguarded = Dedup.containmentPairs(d, 3, 0.4).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((1L, 2L)))
+    val guarded = Dedup.containmentPairs(d, 3, 0.4, maxDocFreq = Some(2L))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(!guarded.contains((1L, 2L)))
+    // docs 3/4 shared ONLY the hot shingle: no pair either way
+    assert(!guarded.exists(p => p == (3L, 4L) || p == (4L, 3L)))
+  }
+
   test("domainMix: uniform-target weights from exact token counts") {
     val d = Seq(
       (1L, "t1 t2", "srcA"), (2L, "t3 t4", "srcA"),
