@@ -14,9 +14,12 @@ import org.apache.spark.sql.functions._
   *
   * Streaming: `foreachBatch` merge into a parquet target. With no
   * transactional table format in this offline env, the merge materializes
-  * old∪new under the same dedup and swaps the directory atomically-enough
-  * for tests; the documented scale path is MERGE INTO on a lakehouse table
-  * (Delta/Iceberg), which this function's body would become verbatim.
+  * state∪batch under the same dedup. Two variants: `foreachBatchMerge`
+  * rewrites the whole state (semantic reference, O(|state|)/batch) and
+  * `foreachBatchMergeIncremental` hash-buckets the state and rewrites only
+  * the buckets a batch touches (the scale path — per-batch cost tracks the
+  * BATCH, not the state). On a lakehouse table (Delta/Iceberg) both become
+  * MERGE INTO.
   */
 object LatestState {
 
@@ -102,7 +105,12 @@ object LatestState {
   /** Streaming merge: apply each micro-batch of envelope-flattened changes
     * (activity columns + `operation`) onto the parquet state at
     * `targetPath`. Replays of the same micro-batch are idempotent — the
-    * merged result is a pure function of (existing state, batch). */
+    * merged result is a pure function of (existing state, batch).
+    *
+    * FULL-REWRITE variant: reads and rewrites the entire state every
+    * micro-batch — O(|state|) per batch regardless of batch size. Kept as
+    * the semantic reference and for tiny states; the scale path is
+    * `foreachBatchMergeIncremental` below. */
   def foreachBatchMerge(spark: SparkSession, targetPath: String,
                         key: String = "user_id", orderCol: String = "ts")
       : (DataFrame, Long) => Unit = { (batchDf: DataFrame, _: Long) =>
@@ -120,13 +128,84 @@ object LatestState {
       val tmp = targetPath + ".tmp"
       merged.write.mode("overwrite").parquet(tmp)
       // Swap directories: the read above is fully materialized by the write.
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(): Unit
-      }
       if (target.exists()) rm(target)
       if (!new java.io.File(tmp).renameTo(target))
         throw new java.io.IOException(s"latest-state swap failed: $tmp -> $targetPath")
     }
+  }
+
+  /** INCREMENTAL streaming merge — the scale path for CDC9 (the asymptotic
+    * analog of the reference's DMS applying changes in place,
+    * `lib/fin-transactions-stack.ts:160-166`, rather than reloading the
+    * table). State lives hash-bucketed on the key:
+    * `targetPath/bucket=N/…parquet`, N = pmod(hash(key), nBuckets). Each
+    * micro-batch:
+    *
+    *   1. computes the batch's TOUCHED buckets (≤ nBuckets ints — the one
+    *      driver-side collect here is bounded by the layout constant, never
+    *      by data volume);
+    *   2. reads ONLY those bucket directories of the existing state
+    *      (partition pruning on the `bucket` partition column);
+    *   3. re-runs the pure merge on (touched state ∪ batch);
+    *   4. rewrites ONLY the touched bucket directories (write to a tmp
+    *      layout, then per-bucket directory swap).
+    *
+    * Per-batch cost is O(|batch| + |state|·touched/nBuckets) instead of
+    * O(|state|): a micro-batch touching k keys rewrites at most k buckets
+    * ≈ k/nBuckets of the state. Crash between bucket swaps leaves a prefix
+    * of buckets updated — harmless, because the foreachBatch replay re-runs
+    * the same pure merge per bucket (idempotent, same fixed point). On a
+    * lakehouse table (Delta/Iceberg) steps 2-4 become MERGE INTO and the
+    * bucketing becomes the table's clustering; the plan shape is the same.
+    *
+    * Read the materialized state back with `readState` (drops the layout's
+    * `bucket` column). */
+  def foreachBatchMergeIncremental(spark: SparkSession, targetPath: String,
+                                   key: String = "user_id", orderCol: String = "ts",
+                                   nBuckets: Int = 64)
+      : (DataFrame, Long) => Unit = { (batchDf: DataFrame, _: Long) =>
+    if (!batchDf.isEmpty) {
+      val withB = batchDf.withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
+        // The bucket projection is consumed twice (touched-list + merge);
+        // localCheckpoint keeps the source micro-batch from being rescanned.
+        .localCheckpoint()
+      val touched = withB.select(col("bucket")).distinct()
+        .collect().map(_.getInt(0)).sorted // bounded by nBuckets
+      val target = new java.io.File(targetPath)
+      val existing =
+        if (target.exists() && target.listFiles().exists(_.getName.startsWith("bucket=")))
+          Some(spark.read.parquet(targetPath)
+            .filter(col("bucket").isin(touched.map(Integer.valueOf): _*))
+            .withColumn("operation", lit("load")))
+        else None
+      val all = existing.fold(withB)(withB.unionByName(_))
+      val merged = batch(all, key, orderCol).drop("operation")
+      val tmp = new java.io.File(targetPath + ".tmp")
+      if (tmp.exists()) rm(tmp)
+      merged.write.partitionBy("bucket").parquet(tmp.getPath)
+      // Per-bucket swap: only the touched directories change; every other
+      // bucket's files are left byte-identical (asserted in CdcSpec).
+      target.mkdirs()
+      touched.foreach { b =>
+        val dst = new java.io.File(target, s"bucket=$b")
+        if (dst.exists()) rm(dst)
+        val src = new java.io.File(tmp, s"bucket=$b")
+        // A touched bucket whose keys all ended deleted has no output dir:
+        // removing the old dir IS the merge result for it.
+        if (src.exists() && !src.renameTo(dst))
+          throw new java.io.IOException(s"bucket swap failed: $src -> $dst")
+      }
+      rm(tmp)
+    }
+  }
+
+  /** The state materialized by `foreachBatchMergeIncremental`, minus the
+    * physical-layout `bucket` column. */
+  def readState(spark: SparkSession, targetPath: String): DataFrame =
+    spark.read.parquet(targetPath).drop("bucket")
+
+  private def rm(f: java.io.File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(rm)
+    f.delete(): Unit
   }
 }

@@ -85,6 +85,56 @@ class CdcSpec extends SparkSpec {
     assert(users === Map(1 -> "DEL", 3 -> "MAA"))
   }
 
+  test("incremental bucketed merge == full merge; untouched buckets not rewritten") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_inc").toString + "/state"
+    val nB = 16
+    val merge = LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = nB)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    val b2 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "DEL", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 11:00:00"),
+      Fixtures.row(3, "MAA", "CREDIT", "300.00", 120, "ENQUIRY", "2024-01-01 11:00:00")))
+      .withColumn("operation", lit("update"))
+    val b3 = Fixtures.df(spark, Seq(
+      Fixtures.row(2, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 12:00:00")))
+      .withColumn("operation", lit("delete"))
+    def bucketOf(user: Int): Int = Fixtures.df(spark, Seq(
+      Fixtures.row(user, "BOM", "CREDIT", "1.00", 1, "ENQUIRY", "2024-01-01 10:00:00")))
+      .select(pmod(hash(col("user_id")), lit(nB))).head().getInt(0)
+    def listing(): Map[String, Seq[(String, Long, Long)]] =
+      new java.io.File(dir).listFiles().filter(_.getName.startsWith("bucket="))
+        .map(d => d.getName -> d.listFiles().toSeq
+          .map(f => (f.getName, f.length(), f.lastModified())).sortBy(_._1))
+        .toMap
+
+    merge(b1, 0L)
+    val afterB1 = listing()
+    merge(b2, 1L)
+    // buckets NOT touched by b2 keep byte-identical files (same names,
+    // sizes, mtimes — never rewritten)
+    val touchedB2 = Set(bucketOf(1), bucketOf(3)).map("bucket=" + _)
+    val untouched = afterB1.keySet -- touchedB2
+    assert(listing().filterKeys(untouched).toMap
+      === afterB1.filterKeys(untouched).toMap)
+    merge(b3, 2L)
+    // end state equals the full batch compaction
+    val streamed = LatestState.readState(spark, dir)
+    val batch = LatestState.batch(b1.unionByName(b2).unionByName(b3)).drop("operation")
+    assert(streamed.except(batch).isEmpty && batch.except(streamed).isEmpty)
+    assert(streamed.select("user_id", "city").collect()
+      .map(r => (r.getInt(0), r.getString(1))).toMap === Map(1 -> "DEL", 3 -> "MAA"))
+    // b3 deleted user 2: if its bucket held no other key, the directory
+    // itself is gone (the touched-bucket-with-empty-result path)
+    if (!Set(1, 3).map(bucketOf).contains(bucketOf(2)))
+      assert(!new java.io.File(dir, "bucket=" + bucketOf(2)).exists())
+    // replaying the last micro-batch is a no-op on the state (idempotent)
+    merge(b3, 2L)
+    val replayed = LatestState.readState(spark, dir)
+    assert(replayed.except(batch).isEmpty && batch.except(replayed).isEmpty)
+  }
+
   test("scd2History: validity chain, versions, current flag") {
     val changes = Fixtures.df(spark, Seq(
       Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
