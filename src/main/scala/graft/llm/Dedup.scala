@@ -247,9 +247,16 @@ object Dedup {
     val p = pairs.localCheckpoint()
     val sym = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
+    // Pre-partition the closure on the JOIN key before checkpointing:
+    // localCheckpoint preserves the hash partitioning, so every
+    // propagation round's join reuses it and only the (smaller) labels
+    // side shuffles — without this, each round re-exchanges the full edge
+    // table, and edges is the big table (diameter × |edges| shuffle volume
+    // at 100 TB; the repartition is one extra setup shuffle).
     val edges = sym.unionByName(sym.select(col("a"), col("a").as("b")))
       .distinct()
       .withColumn("self", col("a") === col("b"))
+      .repartition(col("b"))
       .localCheckpoint()
     var labels = edges.filter(col("self"))
       .select(col("a").as("id"), col("a").as("label"))
