@@ -158,11 +158,21 @@ object Similarity {
     * DataFrame jobs — assign every vector to its max-cosine centroid
     * (broadcast of k centroids, one corpus pass), recompute each centroid
     * as the element-wise mean of its members (posexplode → per-(cell, dim)
-    * avg → re-assemble), repeat. Deterministic: first-k init, cosine ties
+    * mean → re-assemble), repeat. Deterministic: first-k init, cosine ties
     * broken by cent_id. `localCheckpoint` truncates lineage per round.
     * Returns (cent_id, cent: array<double>) ready for annTopKIvf's
-    * `centroids` parameter. */
-  def fitCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 5): DataFrame = {
+    * `centroids` parameter.
+    *
+    * `quantum = Some(q)` switches the per-dimension mean from `avg` (a
+    * double fold whose result depends on shuffle/merge order) to the
+    * labelCentroids discipline — snap each coordinate to 1/q resolution
+    * (round(x·q) as int64), sum exactly in longs, divide once. Order-
+    * independent AND cross-engine exact, so a SQL oracle replaying the
+    * same Lloyd iterations lands on bit-identical centroids and hence
+    * identical cell assignments. Use it whenever the fit feeds an
+    * oracle-checked query (l37); `None` keeps the cheaper plain mean. */
+  def fitCentroids(vectors: DataFrame, k: Int = 16, iters: Int = 5,
+                   quantum: Option[Long] = None): DataFrame = {
     var cents = vectors.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), _.cast(DoubleType)).as("cent"))
@@ -175,10 +185,18 @@ object Similarity {
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
         .select(col("cent_id"), col("embedding"))
-      cents = assigned
+      val perDim = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
         .groupBy(col("cent_id"), col("pos"))
-        .agg(avg(col("v")).as("m"))
+      val means = quantum match {
+        case Some(q) => perDim
+          .agg(count(lit(1)).as("n"),
+            sum(round(col("v").cast(DoubleType) * q).cast(LongType)).as("sq"))
+          .select(col("cent_id"), col("pos"),
+            (col("sq") / (col("n") * q)).as("m"))
+        case None => perDim.agg(avg(col("v")).as("m"))
+      }
+      cents = means
         .groupBy(col("cent_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cent_id"),

@@ -816,9 +816,83 @@ object LlmDeclared {
         FROM documents) x
       WHERE rank <= 10 ORDER BY stratum, rank"""))
 
+  /** One Lloyd iteration as a DuckDB CTE pair: assign every vector to its
+    * max-cosine centroid from `c${i-1}` (ties by cent_id, exactly the
+    * Spark window), then recompute each centroid per dimension with the
+    * l23 quantized-mean discipline — round(x·10⁶) summed in integers,
+    * divided once — so the replayed centroids are bit-identical to
+    * `fitCentroids(quantum = Some(1000000L))` regardless of either
+    * engine's aggregation order. */
+  private def ivfFitIter(i: Int): String =
+    s"""a$i AS (
+       SELECT cent_id, embedding FROM (
+         SELECT e.embedding, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+             ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+         FROM embeddings e CROSS JOIN c${i - 1} c) x
+       WHERE rn = 1),
+     c$i AS (
+       SELECT cent_id, list(m ORDER BY pos) AS cent FROM (
+         SELECT cent_id, pos,
+           SUM(CAST(round(CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)
+                          * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000) AS m
+         FROM (SELECT cent_id, embedding, unnest(range(len(embedding))) AS pos
+               FROM a$i) u
+         GROUP BY cent_id, pos) g
+       GROUP BY cent_id)"""
+
+  /** L37 — the l17 IVF probe with TRAINED centroids: 3 Lloyd iterations of
+    * spherical k-means (k=16) over the corpus, then the same
+    * cell-assign/probe/rerank plan against the fitted cells. Closes the
+    * fit→probe loop end-to-end under the oracle: the quantized per-
+    * dimension mean makes every intermediate centroid — and therefore
+    * every cell assignment and final sim — reproducible from SQL. */
+  private val l37 = DeclaredQuery(
+    "l37_ann_ivf_trained",
+    (s, dir) => {
+      val em = t(s, dir, "embeddings")
+      val cents = Similarity.fitCentroids(em, k = 16, iters = 3,
+        quantum = Some(1000000L))
+      Similarity.annTopKIvf(em.filter(col("vec_id") < 8), em, k = 3,
+          centroids = Some(cents))
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk"))
+    },
+    Some(s"""WITH c0 AS (
+        SELECT vec_id AS cent_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      ${ivfFitIter(1)},
+      ${ivfFitIter(2)},
+      ${ivfFitIter(3)},
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN c3 c) x
+        WHERE rn <= 1),
+      probes AS (
+        SELECT qid, qe, cell FROM (
+          SELECT e.vec_id AS qid, e.embedding AS qe, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN c3 c
+          WHERE e.vec_id < 8) x
+        WHERE rn <= 2),
+      sims AS (
+        SELECT DISTINCT qid, nid, ${duckCosine("qe", "ce")} AS sim
+        FROM probes p JOIN assigned a ON p.cell = a.cell
+        WHERE qid <> nid)
+      SELECT qid, rnk, nid, sim FROM (
+        SELECT qid, nid, sim,
+               ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims) r
+      WHERE rnk <= 3 ORDER BY qid, rnk"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, l35, l36, d29)
+    l31, l32, l33, l34, l35, l36, l37, d29)
 }

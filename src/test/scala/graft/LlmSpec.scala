@@ -164,6 +164,45 @@ class LlmSpec extends SparkSpec {
     assert(r.count() > 0)
   }
 
+  test("fitCentroids quantized mean tracks avg and is repartition-invariant") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    def flat(cents: org.apache.spark.sql.DataFrame): Map[(Long, Int), Double] =
+      cents.select(col("cent_id"), posexplode(col("cent")).as(Seq("pos", "v")))
+        .collect().map(r => (r.getLong(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val plain = flat(Similarity.fitCentroids(em, k = 8, iters = 2))
+    val quant = flat(Similarity.fitCentroids(em, k = 8, iters = 2,
+      quantum = Some(1000000L)))
+    // Same cells, and coordinates within the 1e-6 snap resolution (the two
+    // fits can only diverge if quantization flips an assignment, which at
+    // this corpus's cosine margins it must not).
+    assert(plain.keySet === quant.keySet)
+    plain.foreach { case (k, v) =>
+      assert(math.abs(v - quant(k)) < 1e-4, s"coord $k: $v vs ${quant(k)}")
+    }
+    // Order-independence: a different input partitioning must give
+    // bit-identical quantized centroids (plain avg would not guarantee it).
+    val reshuffled = flat(Similarity.fitCentroids(em.repartition(7), k = 8,
+      iters = 2, quantum = Some(1000000L)))
+    assert(quant === reshuffled)
+  }
+
+  test("trained-IVF probe (l37 shape) returns full ranked top-k per query") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val cents = Similarity.fitCentroids(em, k = 16, iters = 3,
+      quantum = Some(1000000L))
+    val r = Similarity.annTopKIvf(em.filter(col("vec_id") < 8), em, k = 3,
+        centroids = Some(cents))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(3)))
+    val byQ = r.groupBy(_._1)
+    assert(byQ.keySet === (0L until 8L).toSet)
+    byQ.values.foreach { rows =>
+      assert(rows.map(_._2).sorted.sameElements(Array(1L, 2L, 3L)))
+      val sims = rows.sortBy(_._2).map(_._3)
+      assert(sims.zip(sims.tail).forall { case (a, b) => a >= b },
+        s"sims not ranked: ${sims.mkString(",")}")
+    }
+  }
+
   test("cosineNearDups only reports same-bucket pairs above threshold") {
     val em = Tables.load(spark, sf001, "embeddings")
     val nd = Similarity.cosineNearDups(em, minSim = 0.5)
