@@ -67,7 +67,7 @@ object TextAnalysis {
   def tokenCounts(docs: DataFrame): DataFrame =
     docs.select(
       col("doc_id"),
-      size(TextOps.tokens(col("text"))).cast(LongType).as("ws_tokens"),
+      TextOps.tokenCount(col("text")).cast(LongType).as("ws_tokens"),
       // group 0 = the whole match (the pattern has no capture groups;
       // Spark's default group index is 1 and would throw)
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
@@ -145,7 +145,7 @@ object TextAnalysis {
   def sequencePack(docs: DataFrame, budgetTokens: Long = 2000L,
                    bucketWidth: Long = 4096L): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    val nTok = size(TextOps.tokens(col("text"))).cast(LongType)
+    val nTok = TextOps.tokenCount(col("text")).cast(LongType)
     val base = docs.select(col("doc_id"), nTok.as("n_tok"))
       .withColumn("bkt", floor(col("doc_id") / bucketWidth))
     val wIn = W.partitionBy(col("bkt")).orderBy(col("doc_id"))
@@ -216,7 +216,7 @@ object TextAnalysis {
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_docs"),
-        sum(size(TextOps.tokens(col("text"))).cast(LongType)).as("n_tokens"))
+        sum(TextOps.tokenCount(col("text")).cast(LongType)).as("n_tokens"))
     val tot = per.agg(
       sum(col("n_tokens")).as("tot_tokens"),
       count(lit(1)).as("n_sources"))

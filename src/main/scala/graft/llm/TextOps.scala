@@ -21,6 +21,13 @@ object TextOps {
     * single-space split is deterministic and dialect-portable. */
   def tokens(text: Column): Column = split(text, " ")
 
+  /** Whitespace token COUNT without materializing the tokens — the native
+    * `ws_token_count` expression (plans.WsTokenCount): one codegen'd byte
+    * scan, no regex engine, no throwaway array. Equal to
+    * `size(tokens(text))` on every input (UdfTwinSpec pins it); use it at
+    * every call site that needs only the count. */
+  def tokenCount(text: Column): Column = call_function("ws_token_count", text)
+
   /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token-array
     * column (positions are 0-based in the lambda, 1-based in element_at).
     *

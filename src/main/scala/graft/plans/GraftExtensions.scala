@@ -13,6 +13,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `fvec_dot(array<float>, array<float>) -> double` — see FloatVectorDot.
   *  - `morton_interleave(x, y[, bits]) -> long` — see MortonInterleave.
   *  - `int8_quant_stats(array<float>) -> struct` — see Int8QuantStats.
+  *  - `ws_token_count(string) -> int` — see WsTokenCount.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
@@ -44,6 +45,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "int8_quant_stats takes exactly 1 argument")
         Int8QuantStats(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("ws_token_count"),
+      new ExpressionInfo(classOf[WsTokenCount].getName, "ws_token_count"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "ws_token_count takes exactly 1 argument")
+        WsTokenCount(children.head)
       }))
   }
 }

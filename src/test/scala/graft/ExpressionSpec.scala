@@ -22,6 +22,33 @@ class ExpressionSpec extends SparkSpec {
     assert(pairs.count() > 0)
   }
 
+  test("S9 UDF twins: udf == size(split) == ws_token_count, corpus + edges") {
+    import graft.functions.UdfTwin
+    val docs = Tables.load(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq(
+        Some("a b  c"),        // empty token between double spaces counts
+        Some(" lead trail "),  // leading/trailing empties count (limit -1)
+        Some("汉字 テスト x"),  // multi-byte chars: byte scan must not miscount
+        Some(""), None).toDF("text"))
+    val all = docs.select(
+      UdfTwin.tokensNative(col("text")).as("chain"),
+      UdfTwin.tokensUdf(col("text")).as("via_udf"),
+      expr("ws_token_count(text)").as("native"))
+    assert(all.filter(not(col("chain") <=> col("via_udf"))).count() === 0)
+    assert(all.filter(not(col("chain") <=> col("native"))).count() === 0)
+    assert(all.filter(col("native").isNull).count() === 1)
+    assert(all.count() > 500)
+  }
+
+  test("ws_token_count runs inside whole-stage codegen") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(expr("ws_token_count(text)").as("n"))
+    val plan = docs.queryExecution.executedPlan.toString
+    assert(plan.contains("ws_token_count"), plan.take(500))
+    // the projection containing it is codegen'd (a `*(n)` span)
+    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(800))
+  }
+
   test("fvec_dot: hand-computed values and null propagation") {
     val df = Seq(
       (1L, Array(1.0f, 2.0f, 3.0f), Array(4.0f, 5.0f, 6.0f)),
