@@ -14,6 +14,9 @@ import org.apache.spark.sql.types._
   */
 object StreamOps {
 
+  /** Typed row for S11 streaming content dedup tests/sources. */
+  final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
+
   /** S1 — paced ingest (updateTables.py:56-59: one insert / 5 s over the
     * first 1000 ids). The pacing is *config* on a rate source, not a loop;
     * the row synthesis reuses the GEN2 expressions keyed by the rate
@@ -94,13 +97,41 @@ object StreamOps {
         col("n_events"), col("total_timeinapp"))
 
   /** S8 — streaming dedup (rule C4 first-occurrence): first event per
-    * (user, feature) under a watermark; state is one row per key inside the
-    * horizon, dropped once the watermark passes. */
+    * (user, feature) under a watermark.
+    *
+    * `dropDuplicatesWithinWatermark`, NOT `dropDuplicates` (round-8 scale
+    * fix): a plain dropDuplicates whose key subset lacks the event-time
+    * column keeps its state FOREVER — the watermark never clears it, and
+    * at 100 TB the state store grows with the distinct-key count of the
+    * whole stream's history. The WithinWatermark variant expires each
+    * key's state once the watermark passes first-seen + horizon. The
+    * honest trade, documented: a duplicate arriving MORE than `watermark`
+    * after the first occurrence is re-admitted as new (bounded state
+    * cannot remember forever); the batch C4 twin over any drained window
+    * shorter than the horizon is unaffected (equivalence test in
+    * StreamingSpec). */
   def firstFeatureUse(activity: DataFrame,
                       watermark: String = "1 hour"): DataFrame =
     activity
       .withWatermark("ts", watermark)
-      .dropDuplicates("user_id", "feature_used")
+      .dropDuplicatesWithinWatermark("user_id", "feature_used")
+
+  /** S11 — streaming exact CONTENT dedup: the incremental form of the
+    * LLM-plane's l01 (exact dedup by md5 digest), for corpus ingestion
+    * pipelines where documents arrive continuously and re-crawls/re-posts
+    * must be dropped before they reach the lake.
+    *
+    * The text never enters the state store — only the 32-char digest is
+    * kept per key (the l01 shuffle-the-digest-not-the-text argument,
+    * applied to streaming state), and each digest's state expires once the
+    * watermark passes its first arrival + horizon. Same bounded-state
+    * trade as S8: a re-crawl later than `watermark` after the original is
+    * re-admitted; horizon = the dedup memory you are paying state for. */
+  def dedupDocuments(docs: DataFrame, watermark: String = "1 hour"): DataFrame =
+    docs
+      .withColumn("digest", md5(col("text")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("digest")
 
   /** S7 — the buffered, time-prefixed lake sink (Firehose analog,
     * lib/fin-transactions-stack.ts:192-205): micro-batch trigger ≙ the

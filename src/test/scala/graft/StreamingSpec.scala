@@ -90,6 +90,43 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S11: streaming content dedup drops within-horizon re-crawls, re-admits beyond") {
+    import StreamOps.StreamDoc
+    def doc(id: Long, text: String, at: String) =
+      StreamDoc(id, text, java.sql.Timestamp.valueOf(at))
+    val in = MemoryStream[StreamDoc]
+    val q = runToMemory(
+      StreamOps.dedupDocuments(in.toDF(), watermark = "10 minutes"), "s11_out")
+    try {
+      def ids = spark.table("s11_out").select("doc_id")
+        .collect().map(_.getLong(0)).toSet
+      // same-batch duplicate content (doc 3 == doc 1) is dropped
+      in.addData(
+        doc(1, "alpha text", "2024-01-01 10:00:00"),
+        doc(2, "beta text", "2024-01-01 10:01:00"),
+        doc(3, "alpha text", "2024-01-01 10:02:00"))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 2L))
+      // cross-batch duplicate inside the horizon (10:05 < first-seen 10:00
+      // + 10m) is dropped; doc 5 advances the watermark to 10:20, evicting
+      // alpha's state (expiry 10:10)
+      in.addData(
+        doc(4, "alpha text", "2024-01-01 10:05:00"),
+        doc(5, "gamma text", "2024-01-01 10:30:00"))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 2L, 5L))
+      // beyond the horizon the same content is re-admitted — the
+      // documented bounded-state trade (state cannot remember forever)
+      in.addData(doc(6, "alpha text", "2024-01-01 10:25:00"))
+      q.processAllAvailable()
+      assert(ids === Set(1L, 2L, 5L, 6L))
+      // the streamed survivors match batch l01 exact-dedup semantics on
+      // the drained prefix that fits one horizon (docs 1-4)
+      assert(spark.table("s11_out").filter(col("doc_id") <= 4)
+        .select("digest").distinct().count() === 2)
+    } finally q.stop()
+  }
+
   test("S6: streaming city-hop self-join == batch C1 on the drained input") {
     val rows = Seq(
       Fixtures.row(1, "BOM", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"),
