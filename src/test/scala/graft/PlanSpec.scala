@@ -102,6 +102,22 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("l37: trained-IVF probe never cartesians; cells join by equality") {
+    // The fit's crossJoins are all broadcast of <=16 centroids (asserted by
+    // absence of CartesianProduct across the WHOLE query, fit included —
+    // the k-means iterations execute eagerly inside build).
+    val plan = executedPlan(lq("l37_ann_ivf_trained"))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("l09: token counting uses the native expression, not size(split)") {
+    // Guards the S9 lesson (README table): the builtin split chain is
+    // 12.7x the native byte scan; a regression to split() here would be
+    // invisible to the correctness gate.
+    val plan = lq("l09_token_counts").queryExecution.executedPlan.toString
+    assert(plan.contains("ws_token_count"), plan.take(800))
+  }
+
   private def lq(name: String): DataFrame =
     graft.queries.LlmDeclared.all.find(_.name == name).get.build(spark, sf001)
 
