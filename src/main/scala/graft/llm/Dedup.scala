@@ -288,6 +288,82 @@ object Dedup {
     labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
   }
 
+  /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
+    * small-star — Kiveris et al., "Connected Components in MapReduce and
+    * Beyond", SoCC'14): O(log n) rounds on ANY graph, vs nearDupClusters'
+    * O(diameter) min-label propagation. Same contract: (doc_id,
+    * cluster_id = component minimum), one row per node of the pair graph.
+    *
+    * Which to use at 100 TB: near-dup graphs are dense local clumps —
+    * diameter 2-4 — where propagation's ONE shuffle per round beats the
+    * two star phases. But chain-shaped graphs (containment ladders,
+    * entity-resolution paths) have diameter O(n) in the worst case, where
+    * propagation needs O(n) blocking rounds and star contraction stays
+    * logarithmic (the path-graph test pins exactly the case propagation
+    * cannot finish). Both phases are plain join+groupBy rounds:
+    *  - large-star at u: m = min(N(u) ∪ u); re-point every neighbor v > u
+    *    at m. Never increases the edge count; kills long chains by
+    *    doubling the reach of small ids.
+    *  - small-star at u (edges held at their larger endpoint): m =
+    *    min(N⁻(u) ∪ u); re-point u and its smaller neighbors at m.
+    * At the joint fixpoint the edge set is a star forest whose centers are
+    * the component minima (paper, Thm 4.1) — the canonical edge list IS
+    * the label table. Convergence is an exact two-sided anti-join count,
+    * per-round state is lineage-truncated; the min(m) per group computes
+    * as a map-side partial, so a hot star center never concentrates its
+    * neighbor list in one task the way a collect_list formulation would. */
+  def nearDupClustersStar(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+    val p = pairs.localCheckpoint()
+    val nodes = p.select(col("doc_a").as("id"))
+      .unionByName(p.select(col("doc_b").as("id")))
+      .distinct()
+      .localCheckpoint()
+    // canonical undirected edges, held at the LARGER endpoint: (u > v)
+    var es = p.select(
+        greatest(col("doc_a"), col("doc_b")).as("u"),
+        least(col("doc_a"), col("doc_b")).as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint()
+    var changed = 1L
+    var iters = 0
+    while (changed > 0 && iters < maxIters) {
+      // large-star works on the symmetric view (every node sees ALL its
+      // neighbors); emits (v, m) for strictly larger neighbors only —
+      // output is canonical (v > m) by construction of m as a minimum
+      val sym = es.unionByName(es.select(col("v").as("u"), col("u").as("v")))
+      val mL = sym.groupBy(col("u"))
+        .agg(min(col("v")).as("mn"))
+        .select(col("u"), least(col("u"), col("mn")).as("m"))
+      val large = sym.filter(col("v") > col("u"))
+        .join(mL, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+      // small-star on the canonical (larger-endpoint) view: re-point u and
+      // every (≤ u) neighbor at the group min; output again canonical
+      val mS = large.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val next = large.join(mS, "u")
+        .select(col("v").as("u"), col("m").as("v"))
+        .unionByName(mS.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+        .localCheckpoint()
+      iters += 1
+      changed = next.except(es).count() + es.except(next).count()
+      es = next
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(s"[cc-star] round $iters changed=$changed")
+    }
+    require(changed == 0, s"star contraction did not converge in $maxIters rounds")
+    // fixpoint = star forest: es is exactly (member, componentMin) for every
+    // non-center node; centers and singletons label themselves
+    nodes
+      .join(es.select(col("u").as("id"), col("v").as("lbl")), Seq("id"), "left")
+      .select(col("id").as("doc_id"),
+        coalesce(col("lbl"), col("id")).as("cluster_id"))
+  }
+
   /** Train/eval DECONTAMINATION — the dedup variant every training pipeline
     * runs before a model ships: find TRAIN-split documents that share any
     * n-gram shingle with any EVAL-split document (such train docs leak the

@@ -80,6 +80,41 @@ class LlmSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
   }
 
+  test("star contraction == min-label propagation on the real pair graph") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val dup = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val pairs = Dedup.jaccardPairs(docs.unionByName(dup), n = 3, minJ = 0.5)
+      .localCheckpoint()
+    def label(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val prop = label(Dedup.nearDupClusters(pairs))
+    val star = label(Dedup.nearDupClustersStar(pairs))
+    assert(star === prop)
+    assert(star.nonEmpty)
+  }
+
+  test("star contraction converges logarithmically on a path graph") {
+    // A 300-node chain has diameter 299: min-label propagation would need
+    // 299 blocking rounds (its maxIters=30 require fires), while star
+    // contraction must finish inside ~log2(300) + c rounds — maxIters=12
+    // here IS the assertion (the method requires convergence within it).
+    val path = (0L until 299L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClustersStar(path, maxIters = 12).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length === 300)
+    assert(got.forall(_._2 === 0L), "every chain node must label to the min")
+    intercept[IllegalArgumentException](Dedup.nearDupClusters(path, maxIters = 8))
+  }
+
+  test("star contraction handles singletons, self-pairs and reversed edges") {
+    val pairs = Seq((5L, 5L), (2L, 1L), (3L, 2L), (9L, 9L))
+      .toDF("doc_a", "doc_b")
+    val got = Dedup.nearDupClustersStar(pairs).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 9L))
+  }
+
   test("stableSplit: deterministic assignment with ~80/10/10 proportions") {
     val docs = Tables.load(spark, sf001, "documents")
     val a = TextAnalysis.stableSplit(docs).collect()

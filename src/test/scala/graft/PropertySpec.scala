@@ -2,6 +2,7 @@ package graft
 
 import graft.cdc.Envelope
 import graft.functions.Validation
+import graft.llm.Dedup
 import graft.schema.{CustomerActivity, Schemas}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, rng}
@@ -108,6 +109,32 @@ class PropertySpec extends SparkSpec {
       val dx = (0 until 16).map(i => ((z >> (2 * i)) & 1L) << i).sum
       val dy = (0 until 16).map(i => ((z >> (2 * i + 1)) & 1L) << i).sum
       assert((dx, dy) === ((x, y)), s"z=$z")
+    }
+  }
+
+  test("property: star contraction matches union-find on random graphs") {
+    import spark.implicits._
+    // 3 seeded random graphs: 60 nodes, 70 edges each — enough to mix
+    // multi-component, cycles, and isolated-by-self-pair shapes.
+    for (seed <- Seq(17L, 29L, 31L)) {
+      val edges = sample(for {
+        a <- Gen.chooseNum(0L, 59L)
+        b <- Gen.chooseNum(0L, 59L)
+      } yield (a, b), 70, seed)
+      // driver-side union-find reference (test-only oracle)
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = parent.keys.map(k => k -> find(k)).toMap
+      val got = Dedup.nearDupClustersStar(edges.toDF("doc_a", "doc_b"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(got === want, s"seed=$seed")
     }
   }
 
