@@ -125,6 +125,34 @@ object TextAnalysis {
       length(cleaned).cast(LongType).as("clean_len"))
   }
 
+  /** PII patterns shared verbatim between the Spark query and the DuckDB
+    * oracle. RE2-safe by construction — character classes and bounded
+    * quantifiers only, no lookaround/backrefs — so Java's regex engine
+    * (Spark) and RE2 (DuckDB) match identical spans on identical input. */
+  val EmailRe = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+  val PhoneRe = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+  val LongIdRe = "[0-9]{9,}"
+
+  /** PII REDACTION — the compliance pass before any text ships to
+    * training: mask emails, phone-shaped numbers, and long digit ids,
+    * reporting per-doc match counts as the audit trail. Pure projection
+    * (three regexp passes over the row), scale-linear, no shuffle — at
+    * 100 TB this pipelines inside the scan like cleanText. Counts are
+    * taken on the ORIGINAL text with the same patterns; redaction is
+    * ordered email → phone → id so a digit run inside a masked email is
+    * never double-redacted. The redacted text crosses engines as md5 (the
+    * chunk_md5 discipline) so the oracle compares scalars. */
+  def redactPii(docs: DataFrame): DataFrame = {
+    val redacted = regexp_replace(regexp_replace(regexp_replace(
+      col("text"), EmailRe, "<EMAIL>"), PhoneRe, "<PHONE>"), LongIdRe, "<ID>")
+    docs.select(
+      col("doc_id"),
+      regexp_count(col("text"), lit(EmailRe)).cast(LongType).as("n_emails"),
+      regexp_count(col("text"), lit(PhoneRe)).cast(LongType).as("n_phones"),
+      regexp_count(col("text"), lit(LongIdRe)).cast(LongType).as("n_ids"),
+      md5(redacted).as("redacted_md5"))
+  }
+
   /** Contiguous sequence packing: assign documents (in doc_id order) to
     * fixed-token-budget packs — pack_id = floor(tokens-before-this-doc /
     * budget), i.e. an exclusive global prefix sum split by budget.

@@ -890,9 +890,41 @@ object LlmDeclared {
         FROM sims) r
       WHERE rnk <= 3 ORDER BY qid, rnk"""))
 
+  /** L38 — PII redaction with audit counts. The fixture corpus is PII-free
+    * word salad by construction, so (the l01 precedent) the query plants
+    * one email, one phone and one long account id per document,
+    * deterministically from doc_id, then redacts — the oracle replays the
+    * same augmentation and the same RE2-safe patterns. */
+  private val l38 = DeclaredQuery(
+    "l38_pii_redaction",
+    (s, dir) => {
+      val planted = t(s, dir, "documents").select(col("doc_id"),
+        concat(col("text"),
+          lit(" contact u"), col("doc_id"), lit("@mail.example.com call 555-"),
+          lpad(pmod(col("doc_id"), lit(1000)).cast(StringType), 3, "0"),
+          lit("-0199 acct 9"),
+          lpad(col("doc_id").cast(StringType), 8, "0")).as("text"))
+      TextAnalysis.redactPii(planted).orderBy(col("doc_id"))
+    },
+    Some(s"""WITH aug AS (
+        SELECT doc_id,
+          text || ' contact u' || doc_id || '@mail.example.com call 555-' ||
+            lpad((doc_id % 1000)::VARCHAR, 3, '0') || '-0199 acct 9' ||
+            lpad(doc_id::VARCHAR, 8, '0') AS text
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.EmailRe}')) AS BIGINT) AS n_emails,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.PhoneRe}')) AS BIGINT) AS n_phones,
+        CAST(len(regexp_extract_all(text, '${TextAnalysis.LongIdRe}')) AS BIGINT) AS n_ids,
+        md5(regexp_replace(regexp_replace(regexp_replace(text,
+          '${TextAnalysis.EmailRe}', '<EMAIL>', 'g'),
+          '${TextAnalysis.PhoneRe}', '<PHONE>', 'g'),
+          '${TextAnalysis.LongIdRe}', '<ID>', 'g')) AS redacted_md5
+      FROM aug ORDER BY doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, l35, l36, l37, d29)
+    l31, l32, l33, l34, l35, l36, l37, l38, d29)
 }

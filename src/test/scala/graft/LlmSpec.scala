@@ -115,6 +115,25 @@ class LlmSpec extends SparkSpec {
     assert(got === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 5L -> 5L, 9L -> 9L))
   }
 
+  test("redactPii masks emails/phones/ids and reports counts on the original") {
+    val d = docsDf(
+      1L -> "mail me at a.b+x@test.org or 555-123-4567 acct 123456789 ok",
+      2L -> "no pii here just words",
+      3L -> "two mails p@q.io r@s.co one run 9876543210123")
+    val got = TextAnalysis.redactPii(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) === ((1L, 1L, 1L)))
+    assert(got(2L) === ((0L, 0L, 0L)))
+    assert(got(3L) === ((2L, 0L, 1L)))
+    // redaction really removes the spans: digest equals the hand-redacted twin
+    val masked = TextAnalysis.redactPii(d).filter(col("doc_id") === 1L)
+      .select("redacted_md5").collect()(0).getString(0)
+    val want = docsDf(1L -> "mail me at <EMAIL> or <PHONE> acct <ID> ok")
+      .select(md5(col("text"))).collect()(0).getString(0)
+    assert(masked === want)
+  }
+
   test("stableSplit: deterministic assignment with ~80/10/10 proportions") {
     val docs = Tables.load(spark, sf001, "documents")
     val a = TextAnalysis.stableSplit(docs).collect()
