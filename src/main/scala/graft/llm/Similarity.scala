@@ -290,4 +290,27 @@ object Similarity {
         cosine(col("x.embedding"), col("y.embedding")).as("sim"))
       .filter(col("sim") >= minSim)
   }
+
+  /** SEMANTIC dedup applied end-to-end — the embedding-space twin of
+    * Dedup.dedupApply: LSH-bucketed cosine near-dup pairs → connected
+    * components → keep each cluster's canonical (minimum) vec_id. Survivors
+    * only; the loser set is tiny by construction (near-dup fraction of the
+    * corpus), so the final subtraction is a broadcast anti-join and the
+    * corpus is never shuffled.
+    *
+    * The clustering step runs the STAR-CONTRACTION variant: semantic
+    * near-dup graphs chain (A≈B≈C with cos(A,C) < threshold — paraphrase
+    * ladders), so the diameter assumption that favors propagation on
+    * n-gram graphs is weaker here, and the O(log n) path is the safe
+    * default at scale. Output: (vec_id, label) survivors. */
+  def embeddingDedupApply(vectors: DataFrame, minSim: Double = 0.3,
+                          planes: Int = 8, dim: Int = 64): DataFrame = {
+    val pairs = cosineNearDups(vectors, minSim, planes, dim)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
+    val losers = graft.llm.Dedup.nearDupClustersStar(pairs)
+      .filter(col("cluster_id") =!= col("doc_id"))
+      .select(col("doc_id").as("vec_id"))
+    vectors.join(broadcast(losers), Seq("vec_id"), "left_anti")
+      .select(col("vec_id"), col("label"))
+  }
 }

@@ -218,12 +218,10 @@ object LlmDeclared {
     * embeddings are near-orthogonal random vectors (corpus max cosine
     * 0.513), so the declared threshold is 0.3 to exercise non-empty output;
     * a production dedup run would use ~0.95. */
-  private val l14 = DeclaredQuery(
-    "l14_cosine_near_dups",
-    (s, dir) =>
-      Similarity.cosineNearDups(t(s, dir, "embeddings"), minSim = 0.3)
-        .orderBy(col("vec_a"), col("vec_b")),
-    Some(s"""WITH planes AS (
+  /** The md5-derived hyperplane LSH bucket CTEs shared by l14 and l39 —
+    * identical to Similarity.bucketExpr's arithmetic. */
+  private val lshBucketsCte =
+    s"""planes AS (
       SELECT h, list_transform(range(64),
         d -> ('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
              / 2147483648.0 - 1.0) AS plane
@@ -234,12 +232,46 @@ object LlmDeclared {
                 x -> CAST(x[1] AS DOUBLE) * x[2]), (x, y) -> x + y) >= 0
               THEN 1 << h ELSE 0 END) AS bkt
         FROM embeddings e CROSS JOIN planes p
-        GROUP BY e.vec_id, e.embedding)
+        GROUP BY e.vec_id, e.embedding)"""
+
+  private val l14 = DeclaredQuery(
+    "l14_cosine_near_dups",
+    (s, dir) =>
+      Similarity.cosineNearDups(t(s, dir, "embeddings"), minSim = 0.3)
+        .orderBy(col("vec_a"), col("vec_b")),
+    Some(s"""WITH $lshBucketsCte
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
         ${duckCosine("a.embedding", "b.embedding")} AS sim
       FROM buckets a JOIN buckets b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
       WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3
       ORDER BY vec_a, vec_b"""))
+
+  /** L39 — semantic dedup applied end-to-end (the embedding twin of l30):
+    * LSH-bucketed cosine pairs → connected components (via the star-
+    * contraction path, giving it an oracle-checked exercise) → survivors
+    * after a broadcast anti-join of the losers. */
+  private val l39 = DeclaredQuery(
+    "l39_embedding_dedup",
+    (s, dir) => Similarity.embeddingDedupApply(
+        t(s, dir, "embeddings"), minSim = 0.3)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH RECURSIVE $lshBucketsCte,
+      pairs AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb
+        FROM buckets a JOIN buckets b ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3),
+      edges AS (SELECT va AS a, vb AS b FROM pairs
+                UNION SELECT vb, va FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS vec_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      losers AS (SELECT vec_id FROM clusters WHERE cluster_id <> vec_id)
+      SELECT e.vec_id, e.label
+      FROM embeddings e ANTI JOIN losers l ON e.vec_id = l.vec_id
+      ORDER BY e.vec_id"""))
 
   // ---------------------------------------------------- text-analysis plane
 
@@ -926,5 +958,5 @@ object LlmDeclared {
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, l35, l36, l37, l38, d29)
+    l31, l32, l33, l34, l35, l36, l37, l38, l39, d29)
 }

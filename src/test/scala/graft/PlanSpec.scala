@@ -110,6 +110,14 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("l39: embedding dedup buckets by equality and broadcasts the losers") {
+    val plan = executedPlan(lq("l39_embedding_dedup"))
+    assert(!plan.contains("CartesianProduct"))
+    // the final subtraction is a broadcast LeftAnti, not a shuffled one
+    assert(plan.contains("BroadcastHashJoin") && plan.contains("LeftAnti"),
+      plan.take(1200))
+  }
+
   test("l09: token counting uses the native expression, not size(split)") {
     // Guards the S9 lesson (README table): the builtin split chain is
     // 12.7x the native byte scan; a regression to split() here would be
