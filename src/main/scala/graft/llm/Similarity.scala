@@ -291,6 +291,34 @@ object Similarity {
       .filter(col("sim") >= minSim)
   }
 
+  /** SEMANTIC DECONTAMINATION — the embedding-space analog of
+    * Dedup.decontaminate (l24): train-split vectors whose embedding is
+    * within cosine `minSim` of ANY eval-split vector leak the benchmark
+    * in paraphrased form, which n-gram decontamination cannot see. The
+    * split is the same content- and layout-independent md5(id) bucketing
+    * as stableSplit, derivable per row with no join.
+    *
+    * Scale shape: candidate pairs come from the SAME hyperplane-LSH
+    * bucket-equality join as cosineNearDups — the corpus is never
+    * all-paired against the eval set; per-bucket work is bounded by
+    * occupancy, and the eval side is ~10% of the corpus by construction.
+    * Output: (vec_id, n_eval_hits, max_sim) per contaminated train vector. */
+  def semanticDecontaminate(vectors: DataFrame, minSim: Double = 0.3,
+                            planes: Int = 8, dim: Int = 64): DataFrame = {
+    val bucket = TextOps.md5Int32(col("vec_id").cast(StringType)) % 100
+    val v = vectors.select(col("vec_id"), col("embedding"),
+      bucketExpr(col("embedding"), planes, dim).as("bkt"), bucket.as("split"))
+    val train = v.filter(col("split") < 80)
+      .select(col("vec_id"), col("embedding").as("te"), col("bkt"))
+    val eval_ = v.filter(col("split") >= 90)
+      .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("bkt"))
+    train.join(eval_, Seq("bkt"))
+      .select(col("vec_id"), col("eid"), cosine(col("te"), col("ee")).as("sim"))
+      .filter(col("sim") >= minSim)
+      .groupBy(col("vec_id"))
+      .agg(countDistinct(col("eid")).as("n_eval_hits"), max(col("sim")).as("max_sim"))
+  }
+
   /** SEMANTIC dedup applied end-to-end — the embedding-space twin of
     * Dedup.dedupApply: LSH-bucketed cosine near-dup pairs → connected
     * components → keep each cluster's canonical (minimum) vec_id. Survivors

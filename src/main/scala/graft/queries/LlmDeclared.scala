@@ -954,9 +954,32 @@ object LlmDeclared {
           '${TextAnalysis.LongIdRe}', '<ID>', 'g')) AS redacted_md5
       FROM aug ORDER BY doc_id"""))
 
+  /** L40 — semantic decontamination: the embedding analog of l24 (n-gram
+    * decontamination) — train-split vectors within cosine 0.3 of any
+    * eval-split vector, with hit counts and the worst similarity. Split
+    * derives per row (md5(vec_id) buckets, the l15 discipline); candidates
+    * from the same LSH bucket join as l14/l39. */
+  private val l40 = DeclaredQuery(
+    "l40_semantic_decontaminate",
+    (s, dir) => Similarity.semanticDecontaminate(
+        t(s, dir, "embeddings"), minSim = 0.3)
+      .orderBy(col("vec_id")),
+    Some(s"""WITH $lshBucketsCte,
+      b2 AS (SELECT vec_id, embedding, bkt,
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 AS split
+             FROM buckets),
+      hits AS (
+        SELECT tr.vec_id, ev.vec_id AS eid,
+          ${duckCosine("tr.embedding", "ev.embedding")} AS sim
+        FROM b2 tr JOIN b2 ev ON tr.bkt = ev.bkt
+        WHERE tr.split < 80 AND ev.split >= 90)
+      SELECT vec_id, COUNT(DISTINCT eid) AS n_eval_hits, MAX(sim) AS max_sim
+      FROM hits WHERE sim >= 0.3
+      GROUP BY vec_id ORDER BY vec_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, l35, l36, l37, l38, l39, d29)
+    l31, l32, l33, l34, l35, l36, l37, l38, l39, l40, d29)
 }
