@@ -19,7 +19,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * UTF-8 is always the space character (multi-byte sequences use only
   * bytes >= 0x80), so the byte scan is exact on any input.
   *
-  * Semantics pin (UdfTwinSpec, corpus + edges): equals `size(split(s, ' '))`
+  * Semantics pin (ExpressionSpec, corpus + edges): equals `size(split(s, ' '))`
   * and the UDF twin everywhere — empty string is 1 token, leading/trailing/
   * repeated spaces produce empty tokens that all three count, null in →
   * null out. */

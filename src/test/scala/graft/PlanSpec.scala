@@ -118,6 +118,12 @@ class PlanSpec extends SparkSpec {
       plan.take(1200))
   }
 
+  test("l40: semantic decontamination joins buckets by equality only") {
+    val plan = executedPlan(lq("l40_semantic_decontaminate"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("l09: token counting uses the native expression, not size(split)") {
     // Guards the S9 lesson (README table): the builtin split chain is
     // 12.7x the native byte scan; a regression to split() here would be
