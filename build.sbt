@@ -46,4 +46,10 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
+  // 88 query shapes x whole-stage-codegen classes overflow the 240m JDK17
+  // default late in the bench sequence; code-cache flushing then deopts
+  // hot loops for a sustained window (observed round 8: l34-l36 ran 3-4x
+  // slower with TIGHT min/max in the 88-query run while the same-run d01
+  // sentinel was fast — a plan-independent, position-dependent slowdown).
+  "-XX:ReservedCodeCacheSize=512m",
 )
