@@ -350,7 +350,12 @@ object Dedup {
         .distinct()
         .localCheckpoint()
       iters += 1
-      changed = next.except(es).count() + es.except(next).count()
+      // Both sides are DISTINCT sets, so equal cardinality plus an empty
+      // one-sided difference proves set equality — one count and at most
+      // one anti-join per round instead of two excepts.
+      changed =
+        if (next.count() != es.count()) 1L
+        else next.except(es).count()
       es = next
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         println(s"[cc-star] round $iters changed=$changed")

@@ -112,6 +112,49 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: ws_token_count == String.split on arbitrary unicode text") {
+    import spark.implicits._
+    val genText: Gen[String] = Gen.listOf(Gen.frequency(
+      8 -> Gen.alphaNumChar.map(_.toString),
+      4 -> Gen.const(" "),
+      2 -> Gen.oneOf("汉", "テ", "ß", "é", "🙂", "\t", ".", "@"),
+      1 -> Gen.const("\n"))).map(_.mkString)
+    val texts = sample(genText, 300, seed = 41L) :+ "" :+ " " :+ "  "
+    val got = texts.toDF("text")
+      .select(col("text"), expr("ws_token_count(text)").as("n"))
+      .collect().map(r => r.getString(0) -> r.getInt(1)).toMap
+    texts.foreach { t =>
+      assert(got(t) === t.split(" ", -1).length, s"text=${t.take(40)}")
+    }
+  }
+
+  test("property: PII redaction is idempotent and leaves no pattern behind") {
+    import spark.implicits._
+    import graft.llm.TextAnalysis
+    val genDoc: Gen[String] = for {
+      pre <- Gen.listOfN(4, Gen.alphaLowerStr).map(_.mkString(" "))
+      user <- Gen.alphaLowerStr.suchThat(_.nonEmpty)
+      n <- Gen.chooseNum(100000000L, 9999999999L)
+      p <- Gen.chooseNum(0, 999)
+    } yield f"$pre $user@host.example.org id $n tel $p%03d-555-0199 end"
+    val docs = sample(genDoc, 100, seed = 43L).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    val once = TextAnalysis.redactPii(docs)
+    // redacting already-redacted text changes nothing and finds nothing
+    val masked = docs.select(col("doc_id"),
+      regexp_replace(regexp_replace(regexp_replace(col("text"),
+        TextAnalysis.EmailRe, "<EMAIL>"), TextAnalysis.PhoneRe, "<PHONE>"),
+        TextAnalysis.LongIdRe, "<ID>").as("text"))
+    val twice = TextAnalysis.redactPii(masked)
+    assert(twice.filter(col("n_emails") + col("n_phones") + col("n_ids") > 0)
+      .count() === 0)
+    assert(once.select("doc_id", "redacted_md5").except(
+      twice.select("doc_id", "redacted_md5")).count() === 0)
+    // and every generated doc really carried PII into the redactor
+    assert(once.filter(col("n_emails") >= 1 && col("n_phones") >= 1 &&
+      col("n_ids") >= 1).count() === 100)
+  }
+
   test("property: star contraction matches union-find on random graphs") {
     import spark.implicits._
     // 3 seeded random graphs: 60 nodes, 70 edges each — enough to mix
