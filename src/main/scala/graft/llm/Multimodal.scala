@@ -54,6 +54,62 @@ object Multimodal {
     blobs.as[BlobRow].mapPartitions(_.map(stubDecode))
   }
 
+  /** Typed per-payload FEATURE vector a media featurizer would emit —
+    * byte-level summary statistics standing in for a real embedding
+    * extractor (same contract: payload in, fixed-width numeric features
+    * out, pure per-element). mean_byte is exact-sum / one division, so it
+    * is aggregation-order independent and SQL-replayable. */
+  final case class ByteFeatures(
+      doc_id: Long, n_bytes: Long, byte_sum: Long, byte_min: Long,
+      byte_max: Long, n_distinct: Long, mean_byte: Double)
+
+  /** FEATURE-EXTRACT stage: binary column → per-partition featurize →
+    * typed feature rows (the image/audio-embedding analog of stubDecode;
+    * swap the byte statistics for a model/codec call and the plumbing —
+    * mapPartitions, schema, zero driver involvement — is unchanged). */
+  def featureExtract(spark: SparkSession, blobs: DataFrame): Dataset[ByteFeatures] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val n = b.payload.length
+      if (n == 0) ByteFeatures(b.doc_id, 0L, 0L, 0L, 0L, 0L, 0.0)
+      else {
+        var sum = 0L
+        var mn = 255L
+        var mx = 0L
+        val seen = new Array[Boolean](256)
+        var distinct = 0L
+        var i = 0
+        while (i < n) {
+          val v = (b.payload(i) & 0xff).toLong
+          sum += v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          if (!seen(v.toInt)) { seen(v.toInt) = true; distinct += 1 }
+          i += 1
+        }
+        ByteFeatures(b.doc_id, n.toLong, sum, mn, mx, distinct,
+          sum.toDouble / n)
+      }
+    })
+  }
+
+  /** RESIZE stage: payload in, smaller payload out — every `stride`-th
+    * byte kept (the nearest-neighbor-downsample analog; a real resizer
+    * swaps the slice loop for a codec call, same payload→payload
+    * contract). Output stays a binary column so downstream stages
+    * (decode, feature-extract, frame-sample) compose on it unchanged. */
+  def resize(spark: SparkSession, blobs: DataFrame, stride: Int = 4): Dataset[BlobRow] = {
+    import spark.implicits._
+    require(stride >= 1, s"stride must be >= 1: $stride")
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val out = new Array[Byte]((b.payload.length + stride - 1) / stride)
+      var i = 0
+      var j = 0
+      while (j < out.length) { out(j) = b.payload(i); i += stride; j += 1 }
+      BlobRow(b.doc_id, out)
+    })
+  }
+
   /** One sampled "frame" of a media payload (the video analog: one row in,
     * N frame rows out). */
   final case class FrameRow(doc_id: Long, frame_idx: Long, frame_sum: Long)

@@ -977,9 +977,61 @@ object LlmDeclared {
       FROM hits WHERE sim >= 0.3
       GROUP BY vec_id ORDER BY vec_id"""))
 
+  /** L41 — multimodal FEATURE-EXTRACT: per-payload byte-statistics vector
+    * (the embedding-extractor stand-in; same mapPartitions plumbing as
+    * l11's decode). mean_byte = exact long sum / one division. */
+  private val l41 = DeclaredQuery(
+    "l41_multimodal_features",
+    (s, dir) =>
+      Multimodal.featureExtract(s, Multimodal.asBlobs(t(s, dir, "documents")))
+        .toDF().orderBy(col("doc_id")),
+    Some("""WITH b AS (
+        SELECT doc_id, list_transform(range(1, length(text) + 1),
+          i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
+        FROM documents)
+      SELECT doc_id,
+        CAST(len(bs) AS BIGINT) AS n_bytes,
+        CAST(CASE WHEN len(bs) = 0 THEN 0
+             ELSE list_reduce(bs, (x, y) -> x + y) END AS BIGINT) AS byte_sum,
+        CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_min(bs) END AS BIGINT) AS byte_min,
+        CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_max(bs) END AS BIGINT) AS byte_max,
+        CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct,
+        CASE WHEN len(bs) = 0 THEN 0.0
+             ELSE CAST(list_reduce(bs, (x, y) -> x + y) AS DOUBLE) / len(bs)
+        END AS mean_byte
+      FROM b ORDER BY doc_id"""))
+
+  /** L42 — multimodal RESIZE: every-4th-byte downsample (payload →
+    * payload), audited by before/after sizes and the resized digest. The
+    * corpus is printable ASCII (verified), so byte sampling == char
+    * sampling and DuckDB's md5-of-string hashes the same bytes Spark's
+    * md5-of-binary does. */
+  private val l42 = DeclaredQuery(
+    "l42_multimodal_resize",
+    (s, dir) => {
+      val blobs = Multimodal.asBlobs(t(s, dir, "documents"))
+      val orig = blobs.select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("orig_bytes"))
+      Multimodal.resize(s, blobs, stride = 4).toDF()
+        .select(col("doc_id"),
+          length(col("payload")).cast(LongType).as("resized_bytes"),
+          md5(col("payload")).as("resized_md5"))
+        .join(orig, "doc_id")
+        .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+          col("resized_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some("""SELECT doc_id,
+        CAST(length(text) AS BIGINT) AS orig_bytes,
+        CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
+        md5(array_to_string(list_transform(range(0, (length(text) + 3) // 4),
+          i -> substr(text, CAST(4 * i + 1 AS INTEGER), 1)), '')) AS resized_md5
+      FROM documents ORDER BY doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
-    l31, l32, l33, l34, l35, l36, l37, l38, l39, l40, d29)
+    l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
+    l41, l42, d29)
 }

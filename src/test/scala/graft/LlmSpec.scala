@@ -461,6 +461,24 @@ class LlmSpec extends SparkSpec {
     assert(short.count() === 0)
   }
 
+  test("multimodal resize and feature-extract: exact byte semantics, stages compose") {
+    val d = docsDf(8L -> "abcdefghij") // 10 bytes
+    // resize keeps bytes 0,4,8 at stride 4 -> "aei"
+    val r = Multimodal.resize(spark, Multimodal.asBlobs(d)).collect()(0)
+    assert(new String(r.payload, "UTF-8") === "aei")
+    // feature stats over the original
+    val f = Multimodal.featureExtract(spark, Multimodal.asBlobs(d)).collect()(0)
+    assert(f.n_bytes === 10L)
+    assert(f.byte_min === 'a'.toLong && f.byte_max === 'j'.toLong)
+    assert(f.n_distinct === 10L)
+    assert(f.mean_byte === ('a' to 'j').map(_.toInt).sum.toDouble / 10)
+    // payload -> payload contract: resize output drops into decode unchanged
+    val composed = Multimodal.decodeFeatures(spark,
+      Multimodal.resize(spark, Multimodal.asBlobs(d)).toDF()).collect()(0)
+    assert(composed.n_bytes === 3L)
+    assert(composed.sum_bytes === ('a' + 'e' + 'i').toLong)
+  }
+
   test("multimodal decode is distributed (partition count preserved, no collect)") {
     val docs = Tables.load(spark, sf001, "documents").repartition(7)
     val ds = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs))
