@@ -312,7 +312,11 @@ object Dedup {
     * per-round state is lineage-truncated; the min(m) per group computes
     * as a map-side partial, so a hot star center never concentrates its
     * neighbor list in one task the way a collect_list formulation would. */
-  def nearDupClustersStar(pairs: DataFrame, maxIters: Int = 20): DataFrame = {
+  def nearDupClustersStar(pairs: DataFrame, maxIters: Int = 48): DataFrame = {
+    // maxIters budgets ~log2(n) + c composite rounds (the 300-node path in
+    // LlmSpec converges in <= 12 ~ log2(300)+4); 48 covers n ~ 2^44 nodes —
+    // a bound no real corpus exceeds, kept finite only to fail loudly on a
+    // logic regression rather than loop forever.
     val p = pairs.localCheckpoint()
     val nodes = p.select(col("doc_a").as("id"))
       .unionByName(p.select(col("doc_b").as("id")))
@@ -325,6 +329,7 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
+    var esCount = es.count()
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -352,11 +357,14 @@ object Dedup {
       iters += 1
       // Both sides are DISTINCT sets, so equal cardinality plus an empty
       // one-sided difference proves set equality — one count and at most
-      // one anti-join per round instead of two excepts.
+      // one anti-join per round (the previous round's count is carried in
+      // esCount, so the old edge set is never re-scanned).
+      val nextCount = next.count()
       changed =
-        if (next.count() != es.count()) 1L
+        if (nextCount != esCount) 1L
         else next.except(es).count()
       es = next
+      esCount = nextCount
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         println(s"[cc-star] round $iters changed=$changed")
     }
@@ -394,7 +402,7 @@ object Dedup {
     // the full corpus into a checkpoint and post-filtered — 10% wasted
     // shingle work plus a corpus-wide materialization). Neither side is
     // read twice, so nothing needs checkpointing.
-    val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
+    val bucket = TextOps.splitBucket(col("doc_id"))
     val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
     val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
     trainSh.as("tr").join(evalSh.as("ev"), col("tr.s") === col("ev.s"))
@@ -438,7 +446,7 @@ object Dedup {
     def pos(i: Int): Column =
       conv(substring(md5(col("s")), 1 + 8 * i, 8), 16, 10)
         .cast(LongType) % m
-    val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
+    val bucket = TextOps.splitBucket(col("doc_id"))
     val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
     val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
       .select(col("s")).distinct().localCheckpoint()

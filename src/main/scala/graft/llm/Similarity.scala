@@ -305,7 +305,7 @@ object Similarity {
     * Output: (vec_id, n_eval_hits, max_sim) per contaminated train vector. */
   def semanticDecontaminate(vectors: DataFrame, minSim: Double = 0.3,
                             planes: Int = 8, dim: Int = 64): DataFrame = {
-    val bucket = TextOps.md5Int32(col("vec_id").cast(StringType)) % 100
+    val bucket = TextOps.splitBucket(col("vec_id"))
     val v = vectors.select(col("vec_id"), col("embedding"),
       bucketExpr(col("embedding"), planes, dim).as("bkt"), bucket.as("split"))
     val train = v.filter(col("split") < 80)

@@ -100,7 +100,7 @@ object TextAnalysis {
     * training holdout actually requires (seeded `sample()` has none of
     * these guarantees). */
   def stableSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = TextOps.md5Int32(col("doc_id").cast(StringType)) % 100
+    val bucket = TextOps.splitBucket(col("doc_id"))
     docs.select(
       col("doc_id"), col("lang"),
       when(bucket < trainPct, "train")

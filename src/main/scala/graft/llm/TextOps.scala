@@ -24,8 +24,9 @@ object TextOps {
   /** Whitespace token COUNT without materializing the tokens — the native
     * `ws_token_count` expression (plans.WsTokenCount): one codegen'd byte
     * scan, no regex engine, no throwaway array. Equal to
-    * `size(tokens(text))` on every input (UdfTwinSpec pins it); use it at
-    * every call site that needs only the count. */
+    * `size(tokens(text))` on every input (pinned by ExpressionSpec's twin
+    * tests and PropertySpec's unicode property); use it at every call site
+    * that needs only the count. */
   def tokenCount(text: Column): Column = call_function("ws_token_count", text)
 
   /** Distinct word n-gram shingles from an ALREADY-MATERIALIZED token-array
@@ -54,4 +55,13 @@ object TextOps {
     * ('0x' || substr(md5(x),1,8))::BIGINT). */
   def md5Int32(c: Column): Column =
     conv(substring(md5(c), 1, 8), 16, 10).cast(LongType)
+
+  /** THE train/val/test split bucket in [0, 100): every operator that
+    * derives split membership per row (stableSplit, both decontaminations,
+    * the semantic variant) MUST use this one expression — if the split
+    * discipline ever changes, train/eval membership must move in lockstep
+    * across the n-gram and embedding paths or decontamination silently
+    * diverges. DuckDB twin: ('0x' || substr(md5(id::VARCHAR),1,8))::BIGINT % 100. */
+  def splitBucket(id: Column): Column =
+    md5Int32(id.cast(StringType)) % 100
 }

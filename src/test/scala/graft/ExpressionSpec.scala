@@ -44,9 +44,11 @@ class ExpressionSpec extends SparkSpec {
     val docs = Tables.load(spark, sf001, "documents")
       .select(expr("ws_token_count(text)").as("n"))
     val plan = docs.queryExecution.executedPlan.toString
-    assert(plan.contains("ws_token_count"), plan.take(500))
-    // the projection containing it is codegen'd (a `*(n)` span)
-    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(800))
+    // the LINE holding the expression must carry the codegen `*(n)` marker —
+    // a span elsewhere in the plan (the scan's) would not prove anything
+    val exprLine = plan.linesIterator.find(_.contains("ws_token_count"))
+    assert(exprLine.isDefined, plan.take(500))
+    assert("""\*\(\d+\)""".r.findFirstIn(exprLine.get).isDefined, exprLine.get)
   }
 
   test("fvec_dot: hand-computed values and null propagation") {
@@ -185,8 +187,9 @@ class ExpressionSpec extends SparkSpec {
     val df = Similarity.quantizeInt8(em)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("int8_quant_stats"), plan.take(500))
-    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(800))
+    val exprLine = plan.linesIterator.find(_.contains("int8_quant_stats"))
+    assert(exprLine.isDefined, plan.take(500))
+    assert("""\*\(\d+\)""".r.findFirstIn(exprLine.get).isDefined, exprLine.get)
   }
 
   test("fvec_dot runs inside whole-stage codegen") {
@@ -194,8 +197,9 @@ class ExpressionSpec extends SparkSpec {
     val df = em.select(Similarity.norm2(col("embedding")).as("n2"))
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("fvec_dot"), plan.take(500))
-    // the projection containing it is codegen'd (a `*(n)` span)
-    assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(800))
+    val exprLine = plan.linesIterator.find(_.contains("fvec_dot"))
+    assert(exprLine.isDefined, plan.take(500))
+    // the LINE holding the expression carries the codegen `*(n)` marker
+    assert("""\*\(\d+\)""".r.findFirstIn(exprLine.get).isDefined, exprLine.get)
   }
 }
