@@ -220,6 +220,60 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** MinHash ESTIMATOR AUDIT — the measurement a pipeline runs when tuning
+    * (k, bands): for every band-candidate pair, the signature-agreement
+    * estimate ĵ = |{i : mᵢ(A)=mᵢ(B)}| / k next to the exact Jaccard and the
+    * signed error. E[ĵ] = J(A,B) (each component agrees with probability J);
+    * the audit makes the variance at this k VISIBLE instead of assumed.
+    *
+    * Same scale shape as minhashNearDups (band-equality candidates, exact
+    * verification of candidates only, shingles materialized once at doc
+    * granularity). The exact side LEFT-joins the shared-shingle counts:
+    * a band collision between docs sharing NO shingle (possible — two
+    * different shingles can md5 to the same 32-bit h, making min-hashes
+    * agree) must appear as j_exact = 0, not vanish.
+    * Output: (doc_a, doc_b, n_match, j_est, j_exact, err). */
+  def minhashEstimateAudit(docs: DataFrame, n: Int = 3, k: Int = 16,
+                           bands: Int = 4): DataFrame = {
+    val docSh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), n).as("shs"))
+      .localCheckpoint()
+    val sh = docSh.select(col("doc_id"), explode(col("shs")).as("s"))
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val sig = signaturesFromShingles(sh, k).localCheckpoint()
+    val bandsDf = lshBands(sig, k, bands)
+    val cand = bandsDf.as("x").join(bandsDf.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_hash") === col("y.band_hash")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+      .distinct()
+    val nMatch = (0 until k)
+      .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
+      .reduce(_ + _)
+    val withEst = cand
+      .join(sig.as("a"), col("doc_a") === col("a.doc_id"))
+      .join(sig.as("b"), col("doc_b") === col("b.doc_id"))
+      .select(col("doc_a"), col("doc_b"), nMatch.as("n_match"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_common"))
+    withEst
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .withColumn("n_common", coalesce(col("n_common"), lit(0L)))
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_match"),
+        (col("n_match").cast(DoubleType) / k).as("j_est"),
+        (col("n_common").cast(DoubleType)
+          / (col("na") + col("nb") - col("n_common"))).as("j_exact"))
+      .withColumn("err", col("j_est") - col("j_exact"))
+  }
+
   /** Near-dup CLUSTERING — the step that turns pairwise matches into a
     * dedup decision: connected components over the near-dup pair graph,
     * labeling every member with its component's minimum doc_id (the

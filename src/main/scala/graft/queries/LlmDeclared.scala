@@ -1028,10 +1028,68 @@ object LlmDeclared {
           i -> substr(text, CAST(4 * i + 1 AS INTEGER), 1)), '')) AS resized_md5
       FROM documents ORDER BY doc_id"""))
 
+  /** L43 — MinHash estimator audit: per band-candidate pair, the
+    * signature-agreement estimate next to the exact Jaccard and the signed
+    * error — the (k, bands) tuning measurement. Reuses l03's signature /
+    * banding arithmetic; the exact side LEFT-joins shared-shingle counts so
+    * hash-collision candidates surface as j_exact = 0 instead of
+    * vanishing. */
+  private val l43 = {
+    val k = 16; val bands = 4; val r = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}) AS m$i")
+      .mkString(",\n        ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (0 until r).map(j => s"m${r * b + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n        UNION ALL ")
+    val matchSum = (0 until k)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    DeclaredQuery(
+      "l43_minhash_estimate_audit",
+      (s, dir) => Dedup.minhashEstimateAudit(t(s, dir, "documents"), 3, k, bands)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $shingleCte,
+      shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+      sig AS (SELECT doc_id,
+        $sigCols
+        FROM shh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands x JOIN bands y
+                 ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                AND x.doc_id < y.doc_id),
+      est AS (SELECT c.doc_a, c.doc_b,
+                CAST($matchSum AS BIGINT) AS n_match
+              FROM cand c
+              JOIN sig a ON a.doc_id = c.doc_a
+              JOIN sig b ON b.doc_id = c.doc_b),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT doc_a, doc_b, COUNT(*) AS c
+                 FROM cand
+                 JOIN sh sa ON sa.doc_id = doc_a
+                 JOIN sh sb ON sb.doc_id = doc_b AND sb.s = sa.s
+                 GROUP BY doc_a, doc_b)
+      SELECT e.doc_a, e.doc_b, e.n_match,
+             CAST(e.n_match AS DOUBLE) / $k AS j_est,
+             CAST(COALESCE(cm.c, 0) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - COALESCE(cm.c, 0)) AS j_exact,
+             CAST(e.n_match AS DOUBLE) / $k
+               - CAST(COALESCE(cm.c, 0) AS DOUBLE)
+                 / (sa.n_sh + sb.n_sh - COALESCE(cm.c, 0)) AS err
+      FROM est e
+      LEFT JOIN common cm ON cm.doc_a = e.doc_a AND cm.doc_b = e.doc_b
+      JOIN sizes sa ON sa.doc_id = e.doc_a
+      JOIN sizes sb ON sb.doc_id = e.doc_b
+      ORDER BY e.doc_a, e.doc_b"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, d29)
+    l41, l42, l43, d29)
 }

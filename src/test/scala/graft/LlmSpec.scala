@@ -73,6 +73,27 @@ class LlmSpec extends SparkSpec {
     assert(lsh === exact, s"LSH recall/precision mismatch: ${lsh.size} vs ${exact.size}")
   }
 
+  test("minhashEstimateAudit: exact dups estimate 1.0; est/exact columns agree") {
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val dup = docs.select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val audit = Dedup.minhashEstimateAudit(docs.unionByName(dup)).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5)))).toMap
+    // every planted exact dup is a candidate with ĵ = J = 1, err = 0
+    val planted = audit.filter { case ((a, b), _) => b == a + 10000L }
+    assert(planted.size === 500)
+    planted.values.foreach { case (nm, est, exact, err) =>
+      assert(nm === 16L && est === 1.0 && exact === 1.0 && err === 0.0)
+    }
+    // arithmetic contract on every audited pair
+    audit.values.foreach { case (nm, est, exact, err) =>
+      assert(est === nm.toDouble / 16)
+      assert(err === est - exact)
+      assert(exact >= 0.0 && exact <= 1.0)
+    }
+  }
+
   test("nearDupClusters: chained pairs form one component under the min label") {
     val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
     val got = Dedup.nearDupClusters(pairs).collect()
