@@ -110,6 +110,12 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("l43: estimator audit joins bands by equality only (no cartesian)") {
+    val plan = executedPlan(lq("l43_minhash_estimate_audit"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("l39: embedding dedup buckets by equality and broadcasts the losers") {
     val plan = executedPlan(lq("l39_embedding_dedup"))
     assert(!plan.contains("CartesianProduct"))
