@@ -152,11 +152,21 @@ object LatestState {
     *
     * Per-batch cost is O(|batch| + |state|·touched/nBuckets) instead of
     * O(|state|): a micro-batch touching k keys rewrites at most k buckets
-    * ≈ k/nBuckets of the state. Crash between bucket swaps leaves a prefix
-    * of buckets updated — harmless, because the foreachBatch replay re-runs
-    * the same pure merge per bucket (idempotent, same fixed point). On a
+    * ≈ k/nBuckets of the state. Crash safety: each swap renames the old
+    * bucket aside (`_old_bucket_N` — the `_` prefix hides it from Spark
+    * reads) BEFORE renaming the new one in, and deletes the aside copy
+    * last; replay first restores any aside dir whose swap didn't complete,
+    * then re-runs the same pure merge (idempotent, same fixed point). A
+    * crash at ANY point therefore loses no bucket: the data is always in
+    * `bucket=N` or `_old_bucket_N`, never only in the tmp layout. On a
     * lakehouse table (Delta/Iceberg) steps 2-4 become MERGE INTO and the
     * bucketing becomes the table's clustering; the plan shape is the same.
+    *
+    * The physical layout (nBuckets, hash discipline, key) is pinned by a
+    * `_graft_layout.json` marker written on first use; later batches
+    * `require()` it matches, so invoking with a different nBuckets/key —
+    * or pointing at a directory written by the full-rewrite variant —
+    * fails fast instead of silently leaving stale rows in unread buckets.
     *
     * Read the materialized state back with `readState` (drops the layout's
     * `bucket` column). */
@@ -165,13 +175,15 @@ object LatestState {
                                    nBuckets: Int = 64)
       : (DataFrame, Long) => Unit = { (batchDf: DataFrame, _: Long) =>
     if (!batchDf.isEmpty) {
+      val target = new java.io.File(targetPath)
+      recoverAsideBuckets(target)
+      checkOrWriteLayout(target, nBuckets, key)
       val withB = batchDf.withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
         // The bucket projection is consumed twice (touched-list + merge);
         // localCheckpoint keeps the source micro-batch from being rescanned.
         .localCheckpoint()
       val touched = withB.select(col("bucket")).distinct()
         .collect().map(_.getInt(0)).sorted // bounded by nBuckets
-      val target = new java.io.File(targetPath)
       val existing =
         if (target.exists() && target.listFiles().exists(_.getName.startsWith("bucket=")))
           Some(spark.read.parquet(targetPath)
@@ -185,17 +197,76 @@ object LatestState {
       merged.write.partitionBy("bucket").parquet(tmp.getPath)
       // Per-bucket swap: only the touched directories change; every other
       // bucket's files are left byte-identical (asserted in CdcSpec).
+      // Swap discipline (crash-safe): rename the old dir ASIDE first, then
+      // the new dir in, then drop the aside copy — at no instant is the
+      // bucket's only surviving copy inside the tmp layout, so a crash in
+      // this window is recoverable (recoverAsideBuckets on replay).
       target.mkdirs()
       touched.foreach { b =>
         val dst = new java.io.File(target, s"bucket=$b")
-        if (dst.exists()) rm(dst)
+        val aside = new java.io.File(target, s"${AsidePrefix}$b")
+        if (aside.exists()) rm(aside) // leftover garbage; dst holds the data
+        if (dst.exists() && !dst.renameTo(aside))
+          throw new java.io.IOException(s"bucket set-aside failed: $dst -> $aside")
         val src = new java.io.File(tmp, s"bucket=$b")
         // A touched bucket whose keys all ended deleted has no output dir:
         // removing the old dir IS the merge result for it.
         if (src.exists() && !src.renameTo(dst))
           throw new java.io.IOException(s"bucket swap failed: $src -> $dst")
+        if (aside.exists()) rm(aside)
       }
       rm(tmp)
+    }
+  }
+
+  /** `_` prefix: Spark's file listing ignores `_`/`.`-prefixed paths, so an
+    * aside copy never leaks into a concurrent read of the state. */
+  private val AsidePrefix = "_old_bucket_"
+  private val LayoutMarker = "_graft_layout.json"
+
+  /** Replay-time recovery for a crash inside the swap window: an aside dir
+    * with no `bucket=N` means the old state was set aside but the new dir
+    * never made it in — restore it (the re-merge then proceeds from the
+    * pre-crash fixed point). An aside dir WITH a `bucket=N` means the swap
+    * completed and only the final delete was lost — drop the garbage. */
+  private def recoverAsideBuckets(target: java.io.File): Unit =
+    if (target.isDirectory) {
+      Option(target.listFiles()).getOrElse(Array.empty[java.io.File])
+        .filter(_.getName.startsWith(AsidePrefix)).foreach { aside =>
+          val b = aside.getName.stripPrefix(AsidePrefix)
+          val dst = new java.io.File(target, s"bucket=$b")
+          if (dst.exists()) rm(aside)
+          else if (!aside.renameTo(dst))
+            throw new java.io.IOException(s"bucket recovery failed: $aside -> $dst")
+        }
+    }
+
+  /** Pin the physical layout: first use writes the marker; every later
+    * batch requires an exact match, so a caller with a different nBuckets
+    * (wrong modulus → touched-bucket pruning reads the wrong directories)
+    * or a directory produced by the full-rewrite variant (no marker, flat
+    * files) fails fast instead of silently corrupting state. */
+  private def layoutJson(nBuckets: Int, key: String): String =
+    s"""{"layout":"hash-bucket","nBuckets":$nBuckets,"key":"$key","hash":"pmod(hash(key),nBuckets)"}"""
+
+  private def checkOrWriteLayout(target: java.io.File, nBuckets: Int,
+                                 key: String): Unit = {
+    val marker = new java.io.File(target, LayoutMarker)
+    val expect = layoutJson(nBuckets, key)
+    if (marker.exists()) {
+      val got = new String(
+        java.nio.file.Files.readAllBytes(marker.toPath), java.nio.charset.StandardCharsets.UTF_8)
+      require(got == expect,
+        s"latest-state layout mismatch at $target: on-disk $got, caller expects $expect")
+    } else {
+      val entries = Option(target.listFiles()).getOrElse(Array.empty[java.io.File])
+      require(!entries.exists(f =>
+          f.getName.startsWith("bucket=") || f.getName.endsWith(".parquet")),
+        s"$target holds data but no $LayoutMarker — refusing to merge " +
+          "incrementally into a directory not written by this variant")
+      target.mkdirs()
+      java.nio.file.Files.write(marker.toPath,
+        expect.getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     }
   }
 
@@ -203,6 +274,39 @@ object LatestState {
     * physical-layout `bucket` column. */
   def readState(spark: SparkSession, targetPath: String): DataFrame =
     spark.read.parquet(targetPath).drop("bucket")
+
+  /** RE-BUCKETING — the 100×-growth story for the incremental merge.
+    * nBuckets is fixed at table creation (the marker pins it); when the
+    * state outgrows the layout (per-bucket size approaching executor
+    * memory, or touched/nBuckets no longer amortizing), run this offline
+    * compaction: read the full state once, re-hash every key under the new
+    * modulus, write the new layout to a tmp directory (the `partitionBy`
+    * re-hash IS the one shuffle), then whole-directory swap — the same
+    * rename-aside discipline as the per-bucket swap, so a crash at any
+    * point leaves a complete copy under either the target or the `.old`
+    * path. Equivalent to a lakehouse table's re-clustering / OPTIMIZE; run
+    * it like one (between streaming epochs — the merge sink and this job
+    * must not interleave). Subsequent merges MUST pass the new nBuckets;
+    * the refreshed marker enforces that. */
+  def rebucket(spark: SparkSession, targetPath: String, newBuckets: Int,
+               key: String = "user_id"): Unit = {
+    val target = new java.io.File(targetPath)
+    recoverAsideBuckets(target)
+    val tmp = new java.io.File(targetPath + ".rebucket.tmp")
+    if (tmp.exists()) rm(tmp)
+    readState(spark, targetPath)
+      .withColumn("bucket", pmod(hash(col(key)), lit(newBuckets)))
+      .write.partitionBy("bucket").parquet(tmp.getPath)
+    java.nio.file.Files.write(new java.io.File(tmp, LayoutMarker).toPath,
+      layoutJson(newBuckets, key).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
+    val aside = new java.io.File(targetPath + ".rebucket.old")
+    if (aside.exists()) rm(aside)
+    if (!target.renameTo(aside))
+      throw new java.io.IOException(s"rebucket set-aside failed: $target -> $aside")
+    if (!tmp.renameTo(target))
+      throw new java.io.IOException(s"rebucket swap failed: $tmp -> $target")
+    rm(aside)
+  }
 
   private def rm(f: java.io.File): Unit = {
     if (f.isDirectory) f.listFiles().foreach(rm)

@@ -109,6 +109,7 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
       val csum = ctx.freshName("csum")
       val err = ctx.freshName("err")
       val v = ctx.freshName("v")
+      val absV = ctx.freshName("absV")
       val c = ctx.freshName("c")
       val d = ctx.freshName("d")
       val get =
@@ -124,8 +125,8 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
          |for (int $i = 0; $i < $n && !${ev.isNull}; $i++) {
          |  if ($arr.isNullAt($i)) { ${ev.isNull} = true; break; }
          |  final double $v = $get;
-         |  final double abs$v = Math.abs($v);
-         |  if (abs$v > $maxAbs) { $maxAbs = abs$v; }
+         |  final double $absV = Math.abs($v);
+         |  if ($absV > $maxAbs) { $maxAbs = $absV; }
          |}
          |if (!${ev.isNull} && $n > 0) {
          |  final double $scale = $maxAbs / 127.0;

@@ -135,6 +135,82 @@ class CdcSpec extends SparkSpec {
     assert(replayed.except(batch).isEmpty && batch.except(replayed).isEmpty)
   }
 
+  test("incremental merge: layout marker rejects a mismatched nBuckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_lay").toString + "/state"
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 16)(b1, 0L)
+    // same layout: fine
+    LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 16)(b1, 1L)
+    // different modulus: touched-bucket pruning would read the wrong dirs —
+    // must fail fast, not corrupt
+    intercept[IllegalArgumentException] {
+      LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 8)(b1, 2L)
+    }
+    // different key: same guard
+    intercept[IllegalArgumentException] {
+      LatestState.foreachBatchMergeIncremental(spark, dir, key = "city", nBuckets = 16)(b1, 3L)
+    }
+    // a directory written by the full-rewrite variant (data, no marker) is
+    // also refused
+    val flat = java.nio.file.Files.createTempDirectory("graft_state_flat").toString + "/state"
+    LatestState.foreachBatchMerge(spark, flat)(b1, 0L)
+    intercept[IllegalArgumentException] {
+      LatestState.foreachBatchMergeIncremental(spark, flat, nBuckets = 16)(b1, 1L)
+    }
+  }
+
+  test("incremental merge: replay recovers a crash inside the swap window") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_cr").toString + "/state"
+    val nB = 16
+    val merge = LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = nB)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "MAA", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    merge(b1, 0L)
+    val expected = LatestState.readState(spark, dir).collect().toSeq
+    // Simulate the worst crash point: old bucket set aside, new one never
+    // renamed in, tmp layout already gone. The bucket's only copy is the
+    // aside dir; replay must restore it before merging.
+    val buckets = new java.io.File(dir).listFiles()
+      .filter(_.getName.startsWith("bucket=")).sortBy(_.getName)
+    val victim = buckets.head
+    val b = victim.getName.stripPrefix("bucket=")
+    assert(victim.renameTo(new java.io.File(dir, s"_old_bucket_$b")))
+    // Replay of an unrelated batch (touches nothing in the victim bucket
+    // unless hashing says so — either way state must survive intact)
+    merge(b1, 0L)
+    val recovered = LatestState.readState(spark, dir).collect().toSeq
+    assert(recovered.toSet === expected.toSet)
+    assert(!new java.io.File(dir).listFiles().exists(_.getName.startsWith("_old_bucket_")))
+  }
+
+  test("rebucket: 2x buckets round-trips state; marker enforces the new layout") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_rb").toString + "/state"
+    val merge16 = LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 16)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "MAA", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(3, "DEL", "CREDIT", "300.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    merge16(b1, 0L)
+    val before = LatestState.readState(spark, dir).collect().toSet
+    LatestState.rebucket(spark, dir, newBuckets = 32)
+    // state identical after the re-hash
+    assert(LatestState.readState(spark, dir).collect().toSet === before)
+    // old layout is refused, new layout merges on
+    intercept[IllegalArgumentException] { merge16(b1, 1L) }
+    val b2 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "PNQ", "CREDIT", "150.00", 120, "ENQUIRY", "2024-01-01 11:00:00")))
+      .withColumn("operation", lit("update"))
+    LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 32)(b2, 1L)
+    val cities = LatestState.readState(spark, dir).select("user_id", "city")
+      .collect().map(r => (r.getInt(0), r.getString(1))).toMap
+    assert(cities === Map(1 -> "PNQ", 2 -> "MAA", 3 -> "DEL"))
+  }
+
   test("scd2History: validity chain, versions, current flag") {
     val changes = Fixtures.df(spark, Seq(
       Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),

@@ -148,13 +148,16 @@ class ExpressionSpec extends SparkSpec {
     assert(native.schema === hof.schema.copy(fields = native.schema.fields
       .zip(hof.schema.fields).map { case (n, h) => h.copy(nullable = n.nullable) }))
     val joined = native.as("n").join(hof.as("h"), Seq("vec_id"))
+    // null-safe inequality (<=>): `=!=` yields null when either side is
+    // null, silently dropping a row where one formulation returned a null
+    // field and the other a value — exactly the plausible divergence shape.
     val diff = joined.filter(
-      col("n.n_dims") =!= col("h.n_dims")
-        || col("n.scale") =!= col("h.scale")
-        || col("n.code_min") =!= col("h.code_min")
-        || col("n.code_max") =!= col("h.code_max")
-        || col("n.code_sum") =!= col("h.code_sum")
-        || col("n.recon_err") =!= col("h.recon_err")).count()
+      not(col("n.n_dims") <=> col("h.n_dims"))
+        || not(col("n.scale") <=> col("h.scale"))
+        || not(col("n.code_min") <=> col("h.code_min"))
+        || not(col("n.code_max") <=> col("h.code_max"))
+        || not(col("n.code_sum") <=> col("h.code_sum"))
+        || not(col("n.recon_err") <=> col("h.recon_err"))).count()
     assert(diff === 0)
     assert(joined.count() > 0)
   }
