@@ -82,9 +82,19 @@ object Bench {
       (n, math.min(a, b), math.max(a, b))
     }
 
+    // End-of-sequence sentinel: d01 re-timed AFTER the whole sequence. Read
+    // next to the sequence-start d01: equal → the JVM is still healthy and
+    // any slow tail query is a real plan cost; inflated → JIT/code-cache
+    // tail drift (the round-8 l41/l42 4× positional penalty), diagnosable
+    // from artifacts alone. Detail-file only — it is a harness probe, not a
+    // query, and must not move the gated total.
+    val sentinel = { runOnce("d01_scan_count");
+      math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
+
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
-    val detail = results.map { case (k, mn, mx) =>
-      s""""$k":{"min":${r3(mn)},"max":${r3(mx)}}""" }.mkString("{", ",", "}")
+    val detail = (results.map { case (k, mn, mx) =>
+      s""""$k":{"min":${r3(mn)},"max":${r3(mx)}}""" } :+
+      s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)}}""").mkString("{", ",", "}")
     val totalMin = results.map(_._2).sum
     val totalMax = results.map(_._3).sum
     java.nio.file.Files.write(

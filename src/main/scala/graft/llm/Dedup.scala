@@ -287,7 +287,38 @@ object Dedup {
     * Accepts any (doc_a, doc_b) edge list — ordering, duplicates, and
     * self-pairs are all normalized by the symmetric-closure step.
     * Returns (doc_id, cluster_id) for every doc in at least one pair. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame =
+    propagateLabels(pairs, maxIters).getOrElse(
+      throw new IllegalArgumentException(
+        s"label propagation did not converge in $maxIters rounds"))
+
+  /** CC with the algorithm AUTO-SELECTED by a cheap diameter probe: run
+    * min-label propagation for up to `probeRounds` rounds (one shuffle
+    * each — the cheap path on the dense low-diameter clumps near-dup
+    * graphs usually are); on non-convergence fall back to star
+    * contraction (O(log n) on any shape — chains, paraphrase ladders).
+    * The probe's cost on the fallback path is bounded: `probeRounds`
+    * label-only shuffles against an edge table that stays put. Callers
+    * get the documented best-of-both without knowing the graph shape;
+    * both algorithms label every node with its component minimum, so the
+    * choice is invisible in the output.
+    *
+    * probeRounds sizing: convergence DETECTION costs one extra round past
+    * the effective diameter (the round that observes changed=0), and
+    * measured near-dup graphs settle in 2–4 rounds (sf0.1: l39 in 2, l30
+    * in 4) — 6 buys slack for both without letting a genuine chain run
+    * long: a diameter-6 graph is still firmly propagation territory (6
+    * cheap label shuffles vs ~6 heavier stages PER star round). */
+  def nearDupClustersAuto(pairs: DataFrame, probeRounds: Int = 6): DataFrame = {
+    // One materialization shared by the probe and (if needed) the fallback
+    // — the pair generation upstream is usually the expensive subtree.
+    val p = pairs.localCheckpoint()
+    propagateLabels(p, probeRounds).getOrElse(nearDupClustersStar(p))
+  }
+
+  /** The min-label-propagation loop body; None = did not converge within
+    * `maxIters` (callers decide whether that is an error or a fallback). */
+  private def propagateLabels(pairs: DataFrame, maxIters: Int): Option[DataFrame] = {
     // Symmetric edge list plus one self-loop per node: a single
     // join+groupBy then computes min over {self} ∪ neighbors AND carries
     // the node's previous label (via the self-loop row) for the
@@ -338,8 +369,9 @@ object Dedup {
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         println(s"[cc] round $iters changed=$changed")
     }
-    require(changed == 0, s"label propagation did not converge in $maxIters rounds")
-    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+    if (changed == 0)
+      Some(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
+    else None
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
@@ -383,7 +415,17 @@ object Dedup {
       .filter(col("u") =!= col("v"))
       .distinct()
       .localCheckpoint()
-    var esCount = es.count()
+    // One aggregation action per round computes BOTH the cardinality and an
+    // order-independent set digest (xor of per-row xxhash64 — sets are
+    // DISTINCT, so no cancellation). Any difference in either proves the
+    // sets differ with no further work; only a candidate fixpoint (both
+    // equal) pays the deterministic except-confirm, and only once.
+    def stats(df: DataFrame): (Long, Long) = {
+      val r = df.agg(count(lit(1)),
+        call_function("bit_xor", xxhash64(col("u"), col("v")))).head()
+      (r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    var (esCount, esDigest) = stats(es)
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
@@ -410,15 +452,18 @@ object Dedup {
         .localCheckpoint()
       iters += 1
       // Both sides are DISTINCT sets, so equal cardinality plus an empty
-      // one-sided difference proves set equality — one count and at most
-      // one anti-join per round (the previous round's count is carried in
-      // esCount, so the old edge set is never re-scanned).
-      val nextCount = next.count()
+      // one-sided difference proves set equality. The (count, digest) pair
+      // from the single stats action settles every changed round for free;
+      // the except runs only to CONFIRM a candidate fixpoint — exactness is
+      // never delegated to the digest (a colliding round would just pay one
+      // extra except and keep looping).
+      val (nextCount, nextDigest) = stats(next)
       changed =
-        if (nextCount != esCount) 1L
+        if (nextCount != esCount || nextDigest != esDigest) 1L
         else next.except(es).count()
       es = next
       esCount = nextCount
+      esDigest = nextDigest
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         println(s"[cc-star] round $iters changed=$changed")
     }
@@ -576,7 +621,10 @@ object Dedup {
     * cluster), so the final anti-join broadcasts at any corpus size.
     * Returns the surviving (doc_id, text_md5). */
   def dedupApply(docs: DataFrame, n: Int = 3, minJ: Double = 0.5): DataFrame = {
-    val clusters = nearDupClusters(jaccardPairs(docs, n, minJ))
+    // Auto-selected CC: n-gram near-dup graphs are low-diameter clumps
+    // (propagation probe converges), but the composition must not hang on
+    // a pathological chain — the probe falls back to star contraction.
+    val clusters = nearDupClustersAuto(jaccardPairs(docs, n, minJ))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
     docs.join(losers, Seq("doc_id"), "left_anti")

@@ -133,17 +133,32 @@ object Similarity {
     val cents = centroids.getOrElse(
       candidates.orderBy(col("vec_id")).limit(nCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
-    def nearestCells(df: DataFrame, idAs: String, eAs: String, n: Int) = {
-      val w = Window.partitionBy(col(idAs)).orderBy(
-        cosine(col(eAs), col("cent")).desc, col("cent_id"))
-      df.select(col("vec_id").as(idAs), col("embedding").as(eAs))
+    // Corpus-side assignment needs only the ARGMAX centroid — max_by over a
+    // (cosine, -cent_id) struct (ties break toward the smaller cent_id,
+    // identical to the previous rank-window's ORDER BY). A hash aggregate
+    // instead of a per-vector sort: no k·log k comparison per vector, and
+    // the map-side partial collapses the nCells-wide fan-out back to one
+    // row per vector BEFORE the shuffle — the window formulation shuffled
+    // the full corpus × nCells expansion.
+    val assigned = candidates.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nid"))
+      .agg(
+        max_by(col("cent_id"),
+          struct(cosine(col("ce"), col("cent")), -col("cent_id"))).as("cell"),
+        first(col("ce")).as("ce")) // constant within the group (one vector)
+      .select(col("nid"), col("ce"), col("cell"))
+    // Query probes keep the rank window: top-nProbe is a genuine per-query
+    // ranking, and the query side is small by contract (it is broadcast).
+    val probes = {
+      val w = Window.partitionBy(col("qid")).orderBy(
+        cosine(col("qe"), col("cent")).desc, col("cent_id"))
+      queries.select(col("vec_id").as("qid"), col("embedding").as("qe"))
         .crossJoin(broadcast(cents))
         .withColumn("rn", row_number().over(w))
-        .filter(col("rn") <= n)
-        .select(col(idAs), col(eAs), col("cent_id").as("cell"))
+        .filter(col("rn") <= nProbe)
+        .select(col("qid"), col("qe"), col("cent_id").as("cell"))
     }
-    val assigned = nearestCells(candidates, "nid", "ce", 1)
-    val probes = nearestCells(queries, "qid", "qe", nProbe)
     val sims = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
@@ -178,12 +193,16 @@ object Similarity {
         transform(col("embedding"), _.cast(DoubleType)).as("cent"))
       .localCheckpoint()
     for (_ <- 1 to iters) {
-      val w = Window.partitionBy(col("vec_id"))
-        .orderBy(cosine(col("embedding"), col("cent")).desc, col("cent_id"))
+      // Same max_by argmax as annTopKIvf's corpus assignment (one hash agg
+      // with map-side partials, no per-vector k·log k sort) — this runs
+      // once per Lloyd iteration, so the window's cost multiplied.
       val assigned = vectors.select(col("vec_id"), col("embedding"))
         .crossJoin(broadcast(cents))
-        .withColumn("rn", row_number().over(w))
-        .filter(col("rn") === 1)
+        .groupBy(col("vec_id"))
+        .agg(
+          max_by(col("cent_id"),
+            struct(cosine(col("embedding"), col("cent")), -col("cent_id"))).as("cent_id"),
+          first(col("embedding")).as("embedding"))
         .select(col("cent_id"), col("embedding"))
       val perDim = assigned
         .select(col("cent_id"), posexplode(col("embedding")).as(Seq("pos", "v")))
@@ -326,16 +345,18 @@ object Similarity {
     * corpus), so the final subtraction is a broadcast anti-join and the
     * corpus is never shuffled.
     *
-    * The clustering step runs the STAR-CONTRACTION variant: semantic
-    * near-dup graphs chain (A≈B≈C with cos(A,C) < threshold — paraphrase
-    * ladders), so the diameter assumption that favors propagation on
-    * n-gram graphs is weaker here, and the O(log n) path is the safe
-    * default at scale. Output: (vec_id, label) survivors. */
+    * The clustering step is AUTO-SELECTED (Dedup.nearDupClustersAuto):
+    * semantic near-dup graphs CAN chain (A≈B≈C with cos(A,C) < threshold —
+    * paraphrase ladders), where star contraction's O(log n) wins; but most
+    * corpora produce dense low-diameter clumps where propagation's one
+    * shuffle per round is cheaper. The probe (propagation capped at a few
+    * rounds, star fallback on non-convergence) takes whichever the actual
+    * graph rewards. Output: (vec_id, label) survivors. */
   def embeddingDedupApply(vectors: DataFrame, minSim: Double = 0.3,
                           planes: Int = 8, dim: Int = 64): DataFrame = {
     val pairs = cosineNearDups(vectors, minSim, planes, dim)
       .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"))
-    val losers = graft.llm.Dedup.nearDupClustersStar(pairs)
+    val losers = graft.llm.Dedup.nearDupClustersAuto(pairs)
       .filter(col("cluster_id") =!= col("doc_id"))
       .select(col("doc_id").as("vec_id"))
     vectors.join(broadcast(losers), Seq("vec_id"), "left_anti")

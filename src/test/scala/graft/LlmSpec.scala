@@ -128,6 +128,30 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](Dedup.nearDupClusters(path, maxIters = 8))
   }
 
+  test("auto CC == star == propagation on clump, path, and mixed graphs") {
+    def label(df: org.apache.spark.sql.DataFrame): Map[Long, Long] =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    // clump: dense low-diameter components — the probe converges and the
+    // propagation path is taken
+    val clump = Seq((1L, 2L), (2L, 3L), (1L, 3L), (10L, 11L), (11L, 12L), (10L, 12L))
+      .toDF("doc_a", "doc_b")
+    assert(label(Dedup.nearDupClustersAuto(clump))
+      === label(Dedup.nearDupClustersStar(clump)))
+    // path: diameter 49 defeats a 4-round probe — the star fallback must
+    // kick in and still produce the exact labels
+    val path = (0L until 49L).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val gotPath = label(Dedup.nearDupClustersAuto(path))
+    assert(gotPath.size === 50 && gotPath.values.forall(_ === 0L))
+    // mixed: a clump AND a chain in one edge list — whichever algorithm the
+    // probe lands on must label both correctly
+    val mixed = clump.unionByName(
+      (100L until 130L).map(i => (i, i + 1)).toDF("doc_a", "doc_b"))
+    val gotMixed = label(Dedup.nearDupClustersAuto(mixed))
+    assert(gotMixed === label(Dedup.nearDupClustersStar(mixed)))
+    assert((100L to 130L).forall(gotMixed(_) === 100L))
+    assert(gotMixed(3L) === 1L && gotMixed(12L) === 10L)
+  }
+
   test("star contraction handles singletons, self-pairs and reversed edges") {
     val pairs = Seq((5L, 5L), (2L, 1L), (3L, 2L), (9L, 9L))
       .toDF("doc_a", "doc_b")

@@ -108,6 +108,10 @@ class PlanSpec extends SparkSpec {
     // the k-means iterations execute eagerly inside build).
     val plan = executedPlan(lq("l37_ann_ivf_trained"))
     assert(!plan.contains("CartesianProduct"))
+    // Corpus cell assignment is the max_by hash aggregate (map-side
+    // partials collapse the centroid fan-out before the shuffle), not a
+    // per-vector rank window.
+    assert(plan.contains("max_by"))
   }
 
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
