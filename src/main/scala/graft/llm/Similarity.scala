@@ -338,6 +338,58 @@ object Similarity {
       .agg(countDistinct(col("eid")).as("n_eval_hits"), max(col("sim")).as("max_sim"))
   }
 
+  /** LSH RECALL AUDIT — the embedding twin of Dedup.minhashEstimateAudit
+    * (l43): measure, inside the engine, what fraction of the TRUE
+    * near-neighbor pairs (cosine >= minSim, exact) each hyperplane-LSH
+    * configuration would have surfaced as same-bucket candidates. This is
+    * the number that justifies l39/l40's bucket-equality shape at their
+    * thresholds — recall is a property of (planes, tables, threshold,
+    * data), not of the algorithm in the abstract, so a pipeline tuning
+    * those knobs needs it measured on ITS corpus.
+    *
+    * Ground truth is sampled-query exact: every vector with vec_id ≡ 0
+    * (mod sampleMod) is paired against the whole corpus (directed, qid ≠
+    * nid) and kept where exact cosine >= minSim. The sample side is small
+    * by construction and broadcast; the corpus is scanned once — the same
+    * shape as bruteForceTopK, never all-pairs. Each config's "found" flag
+    * is computed INLINE on the surviving truth rows (both embeddings are
+    * already on the row, so bucket agreement needs no second join).
+    *
+    * Output: one row per config — (planes, tables, n_truth, n_found,
+    * recall), recall = n_found / n_truth. Configs: planes ∈ {4,8} ×
+    * tables ∈ {1,8}; table t uses plane family t·planes, exactly as
+    * annTopK does. */
+  def lshRecallAudit(vectors: DataFrame, minSim: Double = 0.3,
+                     dim: Int = 64, sampleMod: Long = 20): DataFrame = {
+    // Norms are a per-VECTOR quantity: compute them once per side BEFORE
+    // the pair join (sample×corpus pairs would otherwise re-fold both
+    // norms per pair — at |Q|·N pairs that triples the dot-product work).
+    // sqrt(norm2) here is the identical double the post-join fold would
+    // produce, so the sim threshold stays bit-compatible with the oracle.
+    val q = broadcast(vectors.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(norm2(col("embedding"))).as("qn")))
+    val truth = q
+      .join(vectors.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          sqrt(norm2(col("embedding"))).as("cn")),
+        col("qid") =!= col("nid"))
+      .filter(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) >= minSim)
+    def found(planes: Int, tables: Int): Column =
+      (0 until tables).map(t =>
+          bucketExpr(col("qe"), planes, dim, t * planes) ===
+            bucketExpr(col("ce"), planes, dim, t * planes))
+        .reduce(_ || _).cast(LongType)
+    truth
+      .agg(count(lit(1)).as("n_truth"),
+        sum(found(4, 1)).as("f_4_1"), sum(found(4, 8)).as("f_4_8"),
+        sum(found(8, 1)).as("f_8_1"), sum(found(8, 8)).as("f_8_8"))
+      .select(col("n_truth"), expr(
+        "stack(4, 4L, 1L, f_4_1, 4L, 8L, f_4_8, 8L, 1L, f_8_1, 8L, 8L, f_8_8)")
+        .as(Seq("planes", "tables", "n_found")))
+      .select(col("planes"), col("tables"), col("n_truth"), col("n_found"),
+        (col("n_found").cast(DoubleType) / col("n_truth")).as("recall"))
+  }
+
   /** SEMANTIC dedup applied end-to-end — the embedding-space twin of
     * Dedup.dedupApply: LSH-bucketed cosine near-dup pairs → connected
     * components → keep each cluster's canonical (minimum) vec_id. Survivors

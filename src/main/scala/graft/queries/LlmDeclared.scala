@@ -1086,10 +1086,68 @@ object LlmDeclared {
       ORDER BY e.doc_a, e.doc_b"""))
   }
 
+  /** L44 — embedding-LSH recall audit (the l43 estimator audit's embedding
+    * twin, VERDICT r8 item 3): for each (planes, tables) config, the
+    * fraction of exact cosine-threshold neighbor pairs the bucket-equality
+    * join would have surfaced. Ground truth is a 5% deterministic query
+    * sample (vec_id ≡ 0 mod 20) exact-paired against the corpus — broadcast
+    * sample × one corpus pass, never all-pairs. The oracle replays the
+    * md5-derived planes for all 64 plane indices (8 tables × 8 planes) and
+    * derives every config's buckets from one per-(vector, plane) sign
+    * table. */
+  private val l44 = DeclaredQuery(
+    "l44_lsh_recall_audit",
+    (s, dir) => Similarity.lshRecallAudit(t(s, dir, "embeddings"), minSim = 0.3)
+      .orderBy(col("planes"), col("tables")),
+    Some(s"""WITH planes AS (
+      SELECT h, list_transform(range(64),
+        d -> ('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+             / 2147483648.0 - 1.0) AS plane
+      FROM range(64) AS t(h)),
+      signs AS (
+        SELECT e.vec_id, p.h,
+          CASE WHEN list_reduce(list_apply(list_zip(e.embedding, p.plane),
+                x -> CAST(x[1] AS DOUBLE) * x[2]), (x, y) -> x + y) >= 0
+          THEN 1 ELSE 0 END AS s
+        FROM embeddings e CROSS JOIN planes p),
+      bks AS (
+        SELECT sg.vec_id, cfg.p, tt.t,
+               SUM(CASE WHEN sg.s = 1 THEN 1 << (sg.h - tt.t * cfg.p) ELSE 0 END) AS bkt
+        FROM signs sg
+        CROSS JOIN (VALUES (4), (8)) AS cfg(p)
+        JOIN range(8) AS tt(t)
+          ON sg.h >= tt.t * cfg.p AND sg.h < (tt.t + 1) * cfg.p
+        GROUP BY sg.vec_id, cfg.p, tt.t),
+      truth AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % 20 = 0
+          AND ${duckCosine("q.embedding", "c.embedding")} >= 0.3),
+      hits AS (
+        SELECT tr.qid, tr.nid, b1.p, b1.t
+        FROM truth tr
+        JOIN bks b1 ON b1.vec_id = tr.qid
+        JOIN bks b2 ON b2.vec_id = tr.nid
+         AND b2.p = b1.p AND b2.t = b1.t AND b2.bkt = b1.bkt),
+      cfgs AS (SELECT * FROM (VALUES (4, 1), (4, 8), (8, 1), (8, 8))
+               AS v(planes, tables)),
+      found AS (
+        SELECT c.planes, c.tables, tr.qid, tr.nid,
+          MAX(CASE WHEN h.p IS NOT NULL THEN 1 ELSE 0 END) AS f
+        FROM cfgs c
+        CROSS JOIN truth tr
+        LEFT JOIN hits h ON h.qid = tr.qid AND h.nid = tr.nid
+         AND h.p = c.planes AND h.t < c.tables
+        GROUP BY c.planes, c.tables, tr.qid, tr.nid)
+      SELECT CAST(planes AS BIGINT) AS planes, CAST(tables AS BIGINT) AS tables,
+             COUNT(*) AS n_truth, CAST(SUM(f) AS BIGINT) AS n_found,
+             CAST(SUM(f) AS DOUBLE) / COUNT(*) AS recall
+      FROM found GROUP BY planes, tables ORDER BY planes, tables"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, d29)
+    l41, l42, l43, l44, d29)
 }
