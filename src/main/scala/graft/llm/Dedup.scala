@@ -169,13 +169,47 @@ object Dedup {
 
   /** LSH banding of a k-wide signature into `bands` bands of k/bands rows
     * each: (doc_id, band_idx, band_hash). Docs agreeing on ANY band become
-    * candidates via an equality join on (band_idx, band_hash). */
-  def lshBands(sig: DataFrame, k: Int = 16, bands: Int = 4): DataFrame = {
+    * candidates via an equality join on (band_idx, band_hash). `carry`
+    * names extra columns to ride along (e.g. the event-time column for the
+    * streaming S12 path). */
+  def lshBands(sig: DataFrame, k: Int = 16, bands: Int = 4,
+               carry: Seq[String] = Nil): DataFrame = {
     val r = k / bands
     val bandCols = (0 until bands).map(b =>
       md5(concat_ws(",", (0 until r).map(j => col(s"m${r * b + j}")): _*)))
-    sig.select(col("doc_id"),
-      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")))
+    sig.select(col("doc_id") +: carry.map(col) :+
+      posexplode(array(bandCols: _*)).as(Seq("band_idx", "band_hash")): _*)
+  }
+
+  /** PER-ROW MinHash band signatures — the same (k, bands) banding as
+    * minhashSignatures + lshBands, but as a PURE PROJECTION: the k
+    * min-hashes fold over the row's own shingle array (array_min of an
+    * affine transform) instead of aggregating an exploded shingle table,
+    * so there is no shuffle and no aggregation state. That makes it legal
+    * in a streaming scan — the S12 incremental near-dup path — and it is
+    * also the cheaper batch form whenever the shingle table isn't needed
+    * downstream. Values are identical to the aggregated form (min over a
+    * multiset ignores duplicates; both fold the same md5-derived 32-bit
+    * hashes through the same exact integer arithmetic).
+    *
+    * Output: (doc_id, carry…, band_idx, band_hash) — `bands` rows per doc.
+    * TEXT IS NOT CARRIED: what flows to any downstream state store is the
+    * 32-char band hash, never content (the S11 digest-only discipline).
+    * Docs with no n-shingle (< n tokens) are dropped, matching the batch
+    * form (whose groupBy over the exploded shingle table never sees them). */
+  def bandSignatures(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
+                     carry: Seq[String] = Seq("ts")): DataFrame = {
+    val sigs = docs
+      .withColumn("shs", TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))
+      .filter(size(col("shs")) >= 1)
+      // Materialize the 32-bit shingle hashes ONCE: HOF lambdas re-evaluate
+      // their argument per reference (the round-3 trap, SURVEY §2.7), and
+      // the k min-folds below each reference this array.
+      .withColumn("hs", transform(col("shs"), s => TextOps.md5Int32(s)))
+      .select(col("doc_id") +: carry.map(col) ++: (0 until k).map(i =>
+        array_min(transform(col("hs"),
+          h => (h * minhashA(i) + minhashB(i)) % minhashP)).as(s"m$i")): _*)
+    lshBands(sigs, k, bands, carry)
   }
 
   /** MinHash-LSH near-duplicate pairs: band-equality candidates, then exact

@@ -133,6 +133,42 @@ object StreamOps {
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("digest")
 
+  /** S12 — streaming NEAR-dup dedup: the incremental form of the l03
+    * MinHash+LSH batch path, for ingestion pipelines where a re-post is
+    * edited just enough to beat exact dedup (S11). Two chained stateful
+    * stages, both watermark-bounded:
+    *
+    *   1. per-row MinHash band signatures (`Dedup.bandSignatures` — a pure
+    *      projection, no shuffle/aggregation, so it is legal in a stream)
+    *      → `dropDuplicatesWithinWatermark` on (band_idx, band_hash): each
+    *      band value's FIRST occurrence survives; state per key is the
+    *      32-char band hash, never text (the S11 digest-only discipline).
+    *   2. per-doc reassembly: a doc survives iff ALL its `bands` band rows
+    *      survived — i.e. no band was claimed by an earlier doc. Grouping
+    *      by (1s tumbling window, doc_id) keeps the aggregation
+    *      append-emittable and its state watermark-expired.
+    *
+    * Emits (doc_id, ts) of survivors once the watermark passes their
+    * window — survivors then gate the full rows via a batch join on the
+    * lake, keeping text out of every streaming shuffle. The LSH trade,
+    * stated: a doc sharing ANY band with an earlier in-horizon doc is
+    * dropped (P[false drop] per dissimilar pair ≈ bands·s^r, tiny), a
+    * near-dup arriving later than the horizon is re-admitted (bounded
+    * state cannot remember forever), and near-dups landing in the SAME
+    * micro-batch may split band ownership so that the whole group is
+    * dropped (no arrival order within a batch ⇒ no canonical survivor;
+    * bulk loads belong to the batch l03/l30 path). Batch equivalence on
+    * cross-batch arrivals is tested in StreamingSpec. */
+  def nearDupDocuments(docs: DataFrame, watermark: String = "1 hour",
+                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    graft.llm.Dedup.bandSignatures(docs, n, k, bands)
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("band_idx", "band_hash")
+      .groupBy(window(col("ts"), "1 second"), col("doc_id"))
+      .agg(count(lit(1)).as("n_novel"), min(col("ts")).as("doc_ts"))
+      .filter(col("n_novel") === bands)
+      .select(col("doc_id"), col("doc_ts").as("ts"))
+
   /** S7 — the buffered, time-prefixed lake sink (Firehose analog,
     * lib/fin-transactions-stack.ts:192-205): micro-batch trigger ≙ the
     * 300 s buffer, `partitionBy` year/month/day/hour ≙ the default

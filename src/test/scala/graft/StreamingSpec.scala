@@ -127,6 +127,58 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S12: streaming near-dup dedup == batch band first-occurrence replay") {
+    import StreamOps.StreamDoc
+    def doc(id: Long, text: String, at: String) =
+      StreamDoc(id, text, java.sql.Timestamp.valueOf(at))
+    val d1 = doc(1, "the quick brown fox jumps over the lazy dog again and again",
+      "2024-01-01 10:00:00")
+    val d2 = doc(2, "completely different words describing unrelated topics in this corpus",
+      "2024-01-01 10:01:00")
+    val d3 = doc(3, "the quick brown fox jumps over the lazy dog again and again",
+      "2024-01-01 10:05:00") // exact re-post, within horizon: every band collides
+    val d4 = doc(4, "the quick brown fox jumps over the lazy dog again and once",
+      "2024-01-01 10:06:00") // lightly edited re-post: near-dup bands collide
+    val flush = doc(5, "watermark advancing document full of fresh novel words entirely",
+      "2024-01-01 10:30:00")
+    val in = MemoryStream[StreamDoc]
+    val q = runToMemory(
+      StreamOps.nearDupDocuments(in.toDF(), watermark = "10 minutes"), "s12_out")
+    try {
+      // strictly cross-batch arrivals: within a batch there is no arrival
+      // order, so band ownership between same-batch near-dups is ambiguous
+      // (documented operator trade) — the equivalence claim is about
+      // ordered arrivals
+      in.addData(d1, d2); q.processAllAvailable()
+      in.addData(d3); q.processAllAvailable()
+      in.addData(d4); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+      val streamed = spark.table("s12_out").filter(col("doc_id") <= 4)
+        .collect().map(_.getLong(0)).toSet
+      // batch replay of the same rule on the drained input: a doc survives
+      // iff it is the EARLIEST owner of every one of its bands
+      val batchDocs = Seq(d1, d2, d3, d4).toDF()
+      val bands = graft.llm.Dedup.bandSignatures(batchDocs)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("band_idx", "band_hash")
+      val expected = bands
+        .withColumn("first_ts", min(col("ts")).over(w))
+        .groupBy(col("doc_id"))
+        .agg(sum(when(col("ts") === col("first_ts"), 1L).otherwise(0L)).as("won"),
+          count(lit(1)).as("n_bands"))
+        .filter(col("won") === col("n_bands"))
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === expected)
+      // the semantics the replay must have produced: originals kept, exact
+      // re-post dropped (all bands collide), edited re-post dropped (it is
+      // the LSH candidate the operator exists to catch)
+      assert(streamed === Set(1L, 2L))
+      // state-key discipline: what enters the stateful stages is the banded
+      // projection — band hashes and ids only, NEVER text
+      assert(bands.columns.toSeq === Seq("doc_id", "ts", "band_idx", "band_hash"))
+    } finally q.stop()
+  }
+
   test("S6: streaming city-hop self-join == batch C1 on the drained input") {
     val rows = Seq(
       Fixtures.row(1, "BOM", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"),
