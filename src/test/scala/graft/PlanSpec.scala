@@ -120,6 +120,15 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("l44: recall audit broadcasts the query sample, never a cartesian") {
+    // Exact ground truth is sampled-queries × corpus: legal ONLY as a
+    // broadcast nested loop (sample side tiny by construction) — a
+    // non-broadcast cartesian here would mean the sample filter was lost.
+    val plan = executedPlan(lq("l44_lsh_recall_audit"))
+    assert(plan.contains("BroadcastNestedLoopJoin"), plan.take(800))
+    assert(!plan.contains("CartesianProduct"))
+  }
+
   test("l39: embedding dedup buckets by equality and broadcasts the losers") {
     val plan = executedPlan(lq("l39_embedding_dedup"))
     assert(!plan.contains("CartesianProduct"))
