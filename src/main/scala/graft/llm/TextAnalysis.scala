@@ -108,6 +108,34 @@ object TextAnalysis {
         .otherwise("test").as("split"))
   }
 
+  /** DETERMINISTIC corpus SHUFFLE + SHARDING — the data-ordering step a
+    * training run performs after curation and before packing/tokenization:
+    * every document gets a stable pseudo-random shuffle key (md5 of
+    * seed:doc_id), a shard (key's leading 32 bits mod nShards), and its
+    * position within the shard. Content- and layout-independent exactly
+    * like stableSplit: the same (seed, corpus) yields the same order on
+    * every run, engine, and cluster — the property that makes a training
+    * run reproducible and an interrupted tokenization job resumable at a
+    * shard boundary. A new seed is a new epoch-order for free.
+    *
+    * Scale shape: shard assignment is a pure projection; the within-shard
+    * position is ONE shuffle on the shard key plus a per-shard sort — the
+    * irreducible cost of total ordering, paid as nShards independent sorts
+    * instead of the single-task global sort a bare row_number() over the
+    * corpus would serialize on. Output: (doc_id, shard, pos). */
+  def shardShuffle(docs: DataFrame, nShards: Int = 8,
+                   seed: String = "graft"): DataFrame = {
+    val keyed = docs.select(col("doc_id"),
+      md5(concat_ws(":", lit(seed), col("doc_id").cast(StringType))).as("k"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))
+    keyed
+      .withColumn("shard",
+        conv(substring(col("k"), 1, 8), 16, 10).cast(LongType) % nShards)
+      .select(col("doc_id"), col("shard"),
+        row_number().over(w).cast(LongType).as("pos"))
+  }
+
   /** Text cleaning/normalization — the first pass of any training-data
     * pipeline: lowercase, strip non-alphanumerics to spaces, collapse runs,
     * trim. Emits the cleaned text's digest + before/after lengths (the

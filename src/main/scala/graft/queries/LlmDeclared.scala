@@ -1144,10 +1144,28 @@ object LlmDeclared {
              CAST(SUM(f) AS DOUBLE) / COUNT(*) AS recall
       FROM found GROUP BY planes, tables ORDER BY planes, tables"""))
 
+  /** L45 — deterministic corpus shuffle + sharding (the reproducible
+    * data-ordering step between curation and packing): stable md5 shuffle
+    * key per doc, shard = leading 32 key bits mod nShards, position =
+    * rank within shard. Pure projection + one per-shard sort; identical
+    * output on any engine/layout/run. */
+  private val l45 = DeclaredQuery(
+    "l45_shard_shuffle",
+    (s, dir) => TextAnalysis.shardShuffle(t(s, dir, "documents"))
+      .orderBy(col("shard"), col("pos")),
+    Some("""WITH keyed AS (
+      SELECT doc_id, md5('graft:' || doc_id::VARCHAR) AS k FROM documents),
+      sharded AS (
+        SELECT doc_id, ('0x' || substr(k, 1, 8))::BIGINT % 8 AS shard, k
+        FROM keyed)
+      SELECT doc_id, shard,
+             ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
+      FROM sharded ORDER BY shard, pos"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, l44, d29)
+    l41, l42, l43, l44, l45, d29)
 }

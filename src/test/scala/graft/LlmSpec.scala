@@ -61,6 +61,46 @@ class LlmSpec extends SparkSpec {
     (1 to 16).foreach(i => assert(s1.getLong(i) === s2.getLong(i)))
   }
 
+  test("shardShuffle: layout-independent total order, dense per-shard positions") {
+    val docs = Tables.load(spark, sf001, "documents").select(col("doc_id"))
+    def asMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val a = asMap(TextAnalysis.shardShuffle(docs))
+    // identical under any physical layout — the reproducibility contract
+    val b = asMap(TextAnalysis.shardShuffle(docs.repartition(7)))
+    assert(a === b)
+    assert(a.size === docs.count())
+    // positions are dense 1..|shard| within every shard
+    val byShard = a.values.groupBy(_._1)
+    byShard.foreach { case (_, members) =>
+      assert(members.map(_._2).toSeq.sorted === (1L to members.size).toSeq)
+    }
+    // a different seed is a different epoch order (not the same permutation)
+    val c = asMap(TextAnalysis.shardShuffle(docs, seed = "epoch2"))
+    assert(c !== a)
+  }
+
+  test("bandSignatures (per-row projection) == minhashSignatures+lshBands on the corpus") {
+    // The streaming S12 path computes signatures as array_min HOF folds
+    // over each row's own shingle array; the batch path aggregates an
+    // exploded shingle table. Same md5-derived hashes, same affine
+    // transforms, so every (doc_id, band_idx, band_hash) row must be
+    // IDENTICAL — this is the equivalence that lets S12 claim it is the
+    // incremental form of l03.
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val perRow = rows(Dedup.bandSignatures(docs, carry = Nil))
+    val agg = rows(Dedup.lshBands(Dedup.minhashSignatures(docs)))
+    assert(perRow === agg)
+    assert(perRow.nonEmpty)
+    // a doc with fewer than n tokens has no shingle: absent from BOTH forms
+    val tiny = Seq((1L, "only two")).toDF("doc_id", "text")
+    assert(Dedup.bandSignatures(tiny, carry = Nil).count() === 0)
+    assert(Dedup.minhashSignatures(tiny).count() === 0)
+  }
+
   test("minhashNearDups finds exactly the jaccardPairs >= threshold on the corpus") {
     // LSH candidates are a superset heuristic, but after exact verification
     // at j>=0.5 the result must be a SUBSET of the exact baseline; on the
