@@ -176,6 +176,7 @@ object LatestState {
       : (DataFrame, Long) => Unit = { (batchDf: DataFrame, _: Long) =>
     if (!batchDf.isEmpty) {
       val target = new java.io.File(targetPath)
+      recoverRebucketSwap(targetPath)
       recoverAsideBuckets(target)
       checkOrWriteLayout(target, nBuckets, key)
       val withB = batchDf.withColumn("bucket", pmod(hash(col(key)), lit(nBuckets)))
@@ -290,6 +291,10 @@ object LatestState {
     * the refreshed marker enforces that. */
   def rebucket(spark: SparkSession, targetPath: String, newBuckets: Int,
                key: String = "user_id"): Unit = {
+    // Recover any interrupted PREVIOUS swap before touching anything: if
+    // the last rebucket crashed between its two renames, the state's only
+    // copy is the aside dir — a blind rm here would destroy it.
+    recoverRebucketSwap(targetPath)
     val target = new java.io.File(targetPath)
     recoverAsideBuckets(target)
     val tmp = new java.io.File(targetPath + ".rebucket.tmp")
@@ -300,12 +305,28 @@ object LatestState {
     java.nio.file.Files.write(new java.io.File(tmp, LayoutMarker).toPath,
       layoutJson(newBuckets, key).getBytes(java.nio.charset.StandardCharsets.UTF_8)): Unit
     val aside = new java.io.File(targetPath + ".rebucket.old")
-    if (aside.exists()) rm(aside)
     if (!target.renameTo(aside))
       throw new java.io.IOException(s"rebucket set-aside failed: $target -> $aside")
     if (!tmp.renameTo(target))
       throw new java.io.IOException(s"rebucket swap failed: $tmp -> $target")
     rm(aside)
+  }
+
+  /** Crash recovery for `rebucket`'s whole-directory swap, run by every
+    * entry point that touches the state: an aside dir WITH a live target
+    * means the swap completed and only the final delete was lost (drop the
+    * garbage); an aside dir WITHOUT a target means the crash hit between
+    * the two renames and the aside copy is the state — restore it. Without
+    * this, the next merge would see no target, write a fresh marker, and
+    * silently rebuild from empty while the real state sat in `.old`. */
+  private def recoverRebucketSwap(targetPath: String): Unit = {
+    val target = new java.io.File(targetPath)
+    val aside = new java.io.File(targetPath + ".rebucket.old")
+    if (aside.exists()) {
+      if (target.exists()) rm(aside)
+      else if (!aside.renameTo(target))
+        throw new java.io.IOException(s"rebucket recovery failed: $aside -> $target")
+    }
   }
 
   private def rm(f: java.io.File): Unit = {

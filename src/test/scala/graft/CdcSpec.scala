@@ -211,6 +211,28 @@ class CdcSpec extends SparkSpec {
     assert(cities === Map(1 -> "PNQ", 2 -> "MAA", 3 -> "DEL"))
   }
 
+  test("rebucket: merge recovers a crash between the whole-directory renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_rbcr").toString + "/state"
+    val merge = LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 16)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "MAA", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    merge(b1, 0L)
+    val expected = LatestState.readState(spark, dir).collect().toSet
+    // Simulate the worst rebucket crash point: target renamed aside, the
+    // new layout never renamed in. The state's ONLY copy is the aside dir.
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".rebucket.old")))
+    // The next merge must restore the aside copy and proceed — NOT rebuild
+    // from empty under a fresh marker.
+    merge(b1, 0L)
+    assert(LatestState.readState(spark, dir).collect().toSet === expected)
+    assert(!new java.io.File(dir + ".rebucket.old").exists())
+    // and a re-run rebucket after recovery completes normally
+    LatestState.rebucket(spark, dir, newBuckets = 32)
+    assert(LatestState.readState(spark, dir).collect().toSet === expected)
+  }
+
   test("scd2History: validity chain, versions, current flag") {
     val changes = Fixtures.df(spark, Seq(
       Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
