@@ -322,7 +322,7 @@ object Dedup {
     * self-pairs are all normalized by the symmetric-closure step.
     * Returns (doc_id, cluster_id) for every doc in at least one pair. */
   def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame =
-    propagateLabels(pairs, maxIters).getOrElse(
+    propagateLabels(pairs.localCheckpoint(), maxIters).getOrElse(
       throw new IllegalArgumentException(
         s"label propagation did not converge in $maxIters rounds"))
 
@@ -347,12 +347,15 @@ object Dedup {
     // One materialization shared by the probe and (if needed) the fallback
     // — the pair generation upstream is usually the expensive subtree.
     val p = pairs.localCheckpoint()
-    propagateLabels(p, probeRounds).getOrElse(nearDupClustersStar(p))
+    propagateLabels(p, probeRounds).getOrElse(starContract(p, 48))
   }
 
-  /** The min-label-propagation loop body; None = did not converge within
+  /** The min-label-propagation loop body over a PRE-MATERIALIZED pair
+    * table (every caller localCheckpoints first — the symmetric closure
+    * below reads it twice, and re-checkpointing here would pay a pointless
+    * extra copy on the Auto path); None = did not converge within
     * `maxIters` (callers decide whether that is an error or a fallback). */
-  private def propagateLabels(pairs: DataFrame, maxIters: Int): Option[DataFrame] = {
+  private def propagateLabels(p: DataFrame, maxIters: Int): Option[DataFrame] = {
     // Symmetric edge list plus one self-loop per node: a single
     // join+groupBy then computes min over {self} ∪ neighbors AND carries
     // the node's previous label (via the self-loop row) for the
@@ -360,10 +363,6 @@ object Dedup {
     // old-vs-new join (the round-3 loop ran two joins + a union per
     // round; at tiny per-round data the fixed stage cost dominates, and
     // at scale one fewer shuffle of the labels table per round is real).
-    // The symmetric closure reads `pairs` twice; materialize the (usually
-    // expensive — a whole near-dup pair generation) input subtree once
-    // instead of relying on exchange reuse to dedupe the two branches.
-    val p = pairs.localCheckpoint()
     val sym = p.select(col("doc_a").as("a"), col("doc_b").as("b"))
       .unionByName(p.select(col("doc_b").as("a"), col("doc_a").as("b")))
     // Pre-partition the closure on the JOIN key before checkpointing:
@@ -432,12 +431,16 @@ object Dedup {
     * per-round state is lineage-truncated; the min(m) per group computes
     * as a map-side partial, so a hot star center never concentrates its
     * neighbor list in one task the way a collect_list formulation would. */
-  def nearDupClustersStar(pairs: DataFrame, maxIters: Int = 48): DataFrame = {
+  def nearDupClustersStar(pairs: DataFrame, maxIters: Int = 48): DataFrame =
     // maxIters budgets ~log2(n) + c composite rounds (the 300-node path in
     // LlmSpec converges in <= 12 ~ log2(300)+4); 48 covers n ~ 2^44 nodes —
     // a bound no real corpus exceeds, kept finite only to fail loudly on a
     // logic regression rather than loop forever.
-    val p = pairs.localCheckpoint()
+    starContract(pairs.localCheckpoint(), maxIters)
+
+  /** Star-contraction body over a PRE-MATERIALIZED pair table (same
+    * single-checkpoint discipline as propagateLabels). */
+  private def starContract(p: DataFrame, maxIters: Int): DataFrame = {
     val nodes = p.select(col("doc_a").as("id"))
       .unionByName(p.select(col("doc_b").as("id")))
       .distinct()

@@ -122,7 +122,11 @@ object TextAnalysis {
     * position is ONE shuffle on the shard key plus a per-shard sort — the
     * irreducible cost of total ordering, paid as nShards independent sorts
     * instead of the single-task global sort a bare row_number() over the
-    * corpus would serialize on. Output: (doc_id, shard, pos). */
+    * corpus would serialize on. nShards IS the parallelism knob: each
+    * shard sorts in one task, so size it to the corpus (the default 8
+    * suits the test corpus; a 100 TB run wants thousands — one shard ≈ one
+    * output file of a few hundred MB, which also matches how a
+    * tokenization job consumes them). Output: (doc_id, shard, pos). */
   def shardShuffle(docs: DataFrame, nShards: Int = 8,
                    seed: String = "graft"): DataFrame = {
     val keyed = docs.select(col("doc_id"),
