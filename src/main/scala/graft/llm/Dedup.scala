@@ -36,6 +36,34 @@ object Dedup {
       .groupBy(md5(col("text")).as("text_md5"))
       .agg(count(lit(1)).as("n_copies"), min(col("doc_id")).as("keep_doc_id"))
 
+  /** Per-document DUPLICATED-SHINGLE fraction — the corpus-level substring-
+    * duplication signal (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"): for each document, what share of its distinct
+    * n-gram shingles also appears in at least one OTHER document. High
+    * dup_frac flags boilerplate-heavy or near-duplicate documents without
+    * naming the partner doc — the per-doc profile that pair operators
+    * (jaccardPairs) can't produce without materializing O(pairs) rows.
+    *
+    * Scale: shingles are md5-hashed at the scan, so both shuffles carry
+    * (digest, doc_id) — never shingle text. One groupBy(h) computes document
+    * frequency; the join back to the per-doc shingle table reuses that same
+    * hash partitioning (exchange reuse — no third shuffle of the postings),
+    * then one groupBy(doc_id) folds the profile. No pair expansion anywhere,
+    * so a corpus-wide boilerplate shingle costs one hot aggregation key
+    * (mergeable partial aggregates), not a d² pair blow-up. */
+  def dupShingleProfile(docs: DataFrame, n: Int = 3): DataFrame = {
+    val sh = TextOps.docShingles(docs, n)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val df = sh.groupBy("h").agg(count(lit(1)).as("nd"))
+    sh.join(df, "h")
+      .groupBy("doc_id")
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        sum(when(col("nd") >= 2, 1L).otherwise(0L)).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** Exact n-gram Jaccard similarity for all pairs sharing >= 1 shingle,
     * via grouped inverted-index postings (one shuffle on the shingle,
     * singleton postings pruned, pairs expanded in-row — see `common`).

@@ -73,6 +73,36 @@ object TextAnalysis {
       size(regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0)))
         .cast(LongType).as("re_tokens"))
 
+  /** Per-language length-distribution audit — the statistics a sequence-
+    * packing / context-length-bucketing stage is tuned against: exact
+    * quartiles (continuous interpolation) plus min/max of `n_chars` per
+    * language.
+    *
+    * Exactness across engines: the quantile fractions are DYADIC (0.25,
+    * 0.5, 0.75), so on integer inputs every interpolated value
+    * `lower + g*(higher-lower)` is an exactly-representable double in any
+    * evaluation order — Spark's `percentile` and DuckDB's `quantile_cont`
+    * (both defined at continuous rank q*(n-1)) return bit-identical
+    * doubles. Non-dyadic fractions (0.9, 0.99) would NOT hash-match across
+    * engines and are deliberately absent.
+    *
+    * Scale: Spark's exact `percentile` buffers per-group (value → count)
+    * maps, so memory is O(distinct lengths) per language — bounded by the
+    * length domain (~1e6), NOT by row count; partial maps merge map-side.
+    * That makes exact quartiles affordable at 100 TB here, where a general
+    * exact percentile over an unbounded-cardinality column would not be —
+    * for those, `percentile_approx` (t-digest-style, constant memory) is
+    * the scale path; its error vs this exact form is pinned in LlmSpec. */
+  def lengthPercentiles(docs: DataFrame): DataFrame =
+    docs.groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        min(col("n_chars")).as("min_chars"),
+        percentile(col("n_chars"), lit(0.25)).as("p25_chars"),
+        percentile(col("n_chars"), lit(0.5)).as("p50_chars"),
+        percentile(col("n_chars"), lit(0.75)).as("p75_chars"),
+        max(col("n_chars")).as("max_chars"))
+
   /** Deterministic EXACT-K per-stratum sample — eval-set construction:
     * exactly `k` documents per stratum, chosen by md5 rank (salted with the
     * stratum), so the selection is content-independent, partition-layout

@@ -1162,10 +1162,49 @@ object LlmDeclared {
              ROW_NUMBER() OVER (PARTITION BY shard ORDER BY k, doc_id) AS pos
       FROM sharded ORDER BY shard, pos"""))
 
+  /** L46 — per-document duplicated-shingle fraction (corpus-level substring
+    * duplication profile). Both engines hash shingles to md5 digests before
+    * any shuffle/join, so document frequency is counted over identical
+    * keys; dup_frac is the same two-long division on both sides. */
+  private val l46 = DeclaredQuery(
+    "l46_dup_shingle_profile",
+    (s, dir) => Dedup.dupShingleProfile(t(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      shh AS (SELECT doc_id, md5(s) AS h FROM sh),
+      df AS (SELECT h, COUNT(*) AS nd FROM shh GROUP BY h)
+      SELECT shh.doc_id,
+             COUNT(*) AS n_shingles,
+             CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup,
+             CAST(SUM(CASE WHEN df.nd >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS dup_frac
+      FROM shh JOIN df USING (h)
+      GROUP BY shh.doc_id
+      ORDER BY doc_id"""))
+
+  /** L47 — per-language length-distribution audit: exact quartiles of
+    * n_chars. Dyadic fractions (see TextAnalysis.lengthPercentiles) make
+    * Spark `percentile` and DuckDB `quantile_cont` bit-identical on the
+    * integer column. */
+  private val l47 = DeclaredQuery(
+    "l47_length_percentiles",
+    (s, dir) => TextAnalysis.lengthPercentiles(t(s, dir, "documents"))
+      .orderBy(col("lang")),
+    Some("""SELECT lang,
+             COUNT(*) AS n_docs,
+             MIN(n_chars) AS min_chars,
+             quantile_cont(n_chars, 0.25) AS p25_chars,
+             quantile_cont(n_chars, 0.50) AS p50_chars,
+             quantile_cont(n_chars, 0.75) AS p75_chars,
+             MAX(n_chars) AS max_chars
+      FROM documents
+      GROUP BY lang
+      ORDER BY lang"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, l44, l45, d29)
+    l41, l42, l43, l44, l45, l46, l47, d29)
 }

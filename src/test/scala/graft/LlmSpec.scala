@@ -24,6 +24,30 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq((3L, 1L), (1L, 3L)))
   }
 
+  // ---------------------------------------------------- dup-shingle profile
+
+  test("dupShingleProfile: hand-computed duplicated-shingle fractions") {
+    // doc1 shingles: {a b c, b c d, c d e}; doc2: {a b c, b c d, c d x};
+    // doc3: {p q r}. Shared across docs: {a b c, b c d}.
+    val d = docsDf(1L -> "a b c d e", 2L -> "a b c d x", 3L -> "p q r")
+    val got = Dedup.dupShingleProfile(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, 3L, 2L, 2.0 / 3.0),
+      (2L, 3L, 2L, 2.0 / 3.0),
+      (3L, 1L, 0L, 0.0)))
+  }
+
+  test("dupShingleProfile: docs shorter than n shingles are absent; " +
+    "identical docs are fully duplicated") {
+    val d = docsDf(1L -> "a b", 2L -> "x y z w", 3L -> "x y z w")
+    val got = Dedup.dupShingleProfile(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getDouble(3))).sortBy(_._1)
+    // doc1 has no 3-gram; docs 2/3 share every shingle
+    assert(got.toSeq === Seq((2L, 1.0), (3L, 1.0)))
+  }
+
   // ---------------------------------------------------------------- jaccard
 
   test("jaccardPairs: hand-computed 3-gram jaccard") {
@@ -372,6 +396,37 @@ class LlmSpec extends SparkSpec {
     val r = TextAnalysis.tokenCounts(d).collect()(0)
     assert(r.getLong(1) === 2L) // ws: [ab1, cd!]
     assert(r.getLong(2) === 4L) // re: [ab, 1, cd, !]
+  }
+
+  test("lengthPercentiles: hand-computed quartiles with continuous interpolation") {
+    // lang en: n_chars {10, 20, 30, 40} -> rank q*(n-1) over 3 gaps:
+    //   p25 = 10 + 0.75*10 = 17.5; p50 = 25.0; p75 = 32.5
+    // lang fr: single value -> all quartiles = 7
+    val d = Seq(
+      (1L, "en", 10L), (2L, "en", 20L), (3L, "en", 30L), (4L, "en", 40L),
+      (5L, "fr", 7L)).toDF("doc_id", "lang", "n_chars")
+    val got = TextAnalysis.lengthPercentiles(d).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5), r.getLong(6))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("en", 4L, 10L, 17.5, 25.0, 32.5, 40L),
+      ("fr", 1L, 7L, 7.0, 7.0, 7.0, 7L)))
+  }
+
+  test("lengthPercentiles: percentile_approx (the unbounded-cardinality " +
+    "scale path) stays within 5% of the exact quartiles on the corpus") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val exact = TextAnalysis.lengthPercentiles(docs)
+    val approx = docs.groupBy(col("lang")).agg(
+      percentile_approx(col("n_chars"), lit(0.5), lit(10000)).as("ap50"))
+    val joined = exact.join(approx, "lang").collect()
+    assert(joined.nonEmpty)
+    joined.foreach { r =>
+      val p50 = r.getAs[Double]("p50_chars")
+      val ap50 = r.getAs[Long]("ap50").toDouble
+      assert(math.abs(ap50 - p50) <= 0.05 * p50 + 1.0,
+        s"lang ${r.getAs[String]("lang")}: approx $ap50 vs exact $p50")
+    }
   }
 
   test("fingerprints: identical docs share fp; sampling keeps ~1/8 of shingles") {
