@@ -66,10 +66,16 @@ object Sketches {
     * equivalent of streaming increments — same table, provably), and the
     * estimate probe is a broadcast join of the tiny counter tables against
     * the top-k candidates. */
+  /** CMS row-i counter position of a token: the i-th 8-hex-char window of
+    * md5(tok) mod the table width — d independent-enough hash rows from ONE
+    * md5 evaluation. Shared by the batch operator below and the streaming
+    * counter maintenance (StreamOps.cmsCounterStream) so their counter
+    * tables are comparable cell-for-cell. */
+  def cmsPos(tok: org.apache.spark.sql.Column, i: Int, m: Int): org.apache.spark.sql.Column =
+    conv(substring(md5(tok), 1 + 8 * i, 8), 16, 10).cast(LongType) % m
+
   def cmsHeavyHitters(docs: DataFrame, m: Int = 1024, k: Int = 20): DataFrame = {
-    def pos(i: Int) =
-      conv(substring(md5(col("tok")), 1 + 8 * i, 8), 16, 10)
-        .cast(LongType) % m
+    def pos(i: Int) = cmsPos(col("tok"), i, m)
     val exact = docs
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))

@@ -169,6 +169,33 @@ object StreamOps {
       .filter(col("n_novel") === bands)
       .select(col("doc_id"), col("doc_ts").as("ts"))
 
+  /** S13 — streaming count-min counter maintenance: the incremental form
+    * of the l34 batch CMS, for "top tokens over an unbounded stream"
+    * monitoring where a full streaming vocabulary aggregation would grow
+    * state with the stream's lifetime.
+    *
+    * The whole trick is that CMS turns an UNBOUNDED key domain (tokens)
+    * into a BOUNDED one (d rows × m counter positions): a plain streaming
+    * groupBy on (row, p) then has at most d·m state entries FOREVER — the
+    * state is bounded by construction, no watermark/TTL needed, which is
+    * why this is an ordinary always-mergeable streaming aggregation
+    * rather than a flatMapGroupsWithState machine. Counter increments are
+    * associative + commutative, so the final table is independent of
+    * micro-batch boundaries and equals the batch counters cell-for-cell
+    * (the equivalence StreamingSpec pins; both sides share Sketches.cmsPos).
+    * Point estimates/heavy-hitter probes stay a batch-side broadcast join
+    * against these tiny tables (l34's probe shape) — the stream maintains
+    * counters, it never shuffles the vocabulary. */
+  def cmsCounterStream(docs: DataFrame, m: Int = 1024, d: Int = 2): DataFrame = {
+    val toks = docs.select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+    (0 until d)
+      .map(i => toks.select(lit(i).as("row"),
+        graft.llm.Sketches.cmsPos(col("tok"), i, m).as("p")))
+      .reduce(_ unionByName _)
+      .groupBy(col("row"), col("p"))
+      .agg(count(lit(1)).as("c"))
+  }
+
   /** S7 — the buffered, time-prefixed lake sink (Firehose analog,
     * lib/fin-transactions-stack.ts:192-205): micro-batch trigger ≙ the
     * 300 s buffer, `partitionBy` year/month/day/hour ≙ the default

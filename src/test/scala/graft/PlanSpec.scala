@@ -114,6 +114,17 @@ class PlanSpec extends SparkSpec {
     assert(plan.contains("max_by"))
   }
 
+  test("l46: dup-shingle profile joins digests by equality; text never shuffled") {
+    val plan = executedPlan(lq("l46_dup_shingle_profile"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    // every Exchange key is a digest or doc_id — the raw shingle string
+    // column must be projected away before any exchange
+    val exchanges = plan.linesIterator.filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    assert(!exchanges.exists(_.contains("s#")), exchanges.mkString("\n"))
+  }
+
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
     val plan = executedPlan(lq("l43_minhash_estimate_audit"))
     assert(!plan.contains("CartesianProduct"))

@@ -179,6 +179,52 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S13: streaming CMS counters == batch counters regardless of batch split; " +
+    "state bounded by d*m") {
+    import StreamOps.StreamDoc
+    def doc(id: Long, text: String) =
+      StreamDoc(id, text, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val m = 64; val d = 2
+    val corpus = Seq(
+      doc(1, "alpha beta gamma alpha"),
+      doc(2, "beta beta delta"),
+      doc(3, "alpha epsilon zeta eta theta"),
+      doc(4, "delta delta delta gamma"))
+    val in = MemoryStream[StreamDoc]
+    val q = runToMemory(
+      StreamOps.cmsCounterStream(in.toDF(), m = m, d = d), "s13_out",
+      mode = "complete")
+    try {
+      // arbitrary micro-batch split — counters are associative/commutative
+      in.addData(corpus(0)); q.processAllAvailable()
+      in.addData(corpus(1), corpus(2)); q.processAllAvailable()
+      in.addData(corpus(3)); q.processAllAvailable()
+      val streamed = spark.table("s13_out")
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      // bounded-state-by-construction: the key domain is d*m, period
+      assert(streamed.size <= d * m)
+      // cell-for-cell equality with the batch counter tables on the same
+      // corpus (same cmsPos hash on both sides)
+      val batch = StreamOps.cmsCounterStream(corpus.toDF(), m = m, d = d)
+        .collect().map(r => (r.getInt(0), r.getLong(1)) -> r.getLong(2)).toMap
+      assert(streamed === batch)
+      // the CMS guarantee on the maintained counters: every token's
+      // estimate (min over its d cells) >= its exact count
+      val exact = corpus.flatMap(_.text.split(" "))
+        .groupBy(identity).view.mapValues(_.size.toLong)
+      val md = java.security.MessageDigest.getInstance("MD5")
+      def pos(tok: String, i: Int): Long = {
+        val hex = md.digest(tok.getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        java.lang.Long.parseLong(hex.substring(8 * i, 8 * i + 8), 16) % m
+      }
+      exact.foreach { case (tok, n) =>
+        val est = (0 until d).map(i => streamed((i, pos(tok, i)))).min
+        assert(est >= n, s"token $tok: est $est < exact $n")
+      }
+    } finally q.stop()
+  }
+
   test("S6: streaming city-hop self-join == batch C1 on the drained input") {
     val rows = Seq(
       Fixtures.row(1, "BOM", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"),
