@@ -17,6 +17,9 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Optimizer rule: user-written HOF dot-product chains execute as the
+    // fused fvec_dot loop (see RewriteHofDotToFvecDot; conf-gated).
+    ext.injectOptimizerRule(_ => RewriteHofDotToFvecDot)
     ext.injectFunction((
       FunctionIdentifier("fvec_dot"),
       new ExpressionInfo(classOf[FloatVectorDot].getName, "fvec_dot"),

@@ -11,15 +11,59 @@ class ExpressionSpec extends SparkSpec {
 
   import spark.implicits._
 
+  /** Runs `body` with the HOF→fvec_dot optimizer rewrite disabled, so the
+    * HOF side of a twin test stays a genuine HOF plan (with the rule on,
+    * native-vs-HOF equality tests would compare fvec_dot to itself). */
+  private def withHofRuleOff[A](body: => A): A = {
+    spark.conf.set("spark.graft.rewriteHofDot", "false")
+    try body finally spark.conf.set("spark.graft.rewriteHofDot", "true")
+  }
+
   test("fvec_dot == HOF zip_with/aggregate fold, bit-exact, on the corpus") {
-    val em = Tables.load(spark, sf001, "embeddings")
-    val pairs = em.as("a").join(em.as("b"), col("a.vec_id") < col("b.vec_id"))
-      .filter(col("a.vec_id") < 30)
-      .select(
-        Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
-        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
-    assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
-    assert(pairs.count() > 0)
+    withHofRuleOff {
+      val em = Tables.load(spark, sf001, "embeddings")
+      val pairs = em.as("a").join(em.as("b"), col("a.vec_id") < col("b.vec_id"))
+        .filter(col("a.vec_id") < 30)
+        .select(
+          Similarity.dot(col("a.embedding"), col("b.embedding")).as("native"),
+          Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("hof"))
+      // the reference side must actually BE the HOF plan, not a rewrite
+      assert(pairs.queryExecution.optimizedPlan.toString.contains("aggregate("))
+      assert(pairs.filter(col("native") =!= col("hof")).count() === 0)
+      assert(pairs.count() > 0)
+    }
+  }
+
+  test("RewriteHofDot: the user-written HOF chain executes as fvec_dot, " +
+    "same results; conservative non-matches are left alone") {
+    val em = Tables.load(spark, sf001, "embeddings").filter(col("vec_id") < 50)
+    val hof = em.as("a").join(em.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
+        Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("d"))
+    // rewritten: the optimized plan carries the native expression
+    assert(hof.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
+    // and the rewrite changes nothing observable
+    val rewritten = hof.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val genuine = withHofRuleOff {
+      hof.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    }
+    assert(rewritten === genuine)
+    // non-match 1: float multiply (no double casts) rounds differently —
+    // must NOT be rewritten
+    val floatMult = em.select(
+      expr("aggregate(zip_with(embedding, embedding, (x, y) -> x * y), 0d, (s, v) -> s + v)"))
+    assert(!floatMult.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
+    // non-match 2: a non-zero fold seed changes the result — must NOT be
+    // rewritten
+    val seeded = em.select(
+      expr("aggregate(zip_with(embedding, embedding, " +
+        "(x, y) -> double(x) * double(y)), 1d, (s, v) -> s + v)"))
+    assert(!seeded.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
+    // non-match 3: flag off leaves even the canonical shape alone
+    withHofRuleOff {
+      val off = em.select(Similarity.dotHof(col("embedding"), col("embedding")))
+      assert(!off.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
+    }
   }
 
   test("S9 UDF twins: udf == size(split) == ws_token_count, corpus + edges") {
@@ -69,7 +113,7 @@ class ExpressionSpec extends SparkSpec {
     // zip_with pads the shorter array with nulls, so the HOF fold yields
     // NULL for mismatched lengths; a null ELEMENT likewise poisons the sum.
     // fvec_dot must agree (it used to truncate / read nulls as 0).
-    val df = Seq(
+    val df = withHofRuleOff { Seq(
       ("mismatch", Seq[Option[Double]](Some(1.0), Some(2.0)),
         Seq[Option[Double]](Some(3.0))),
       ("null_elem", Seq[Option[Double]](Some(1.0), None),
@@ -81,7 +125,8 @@ class ExpressionSpec extends SparkSpec {
         expr("fvec_dot(a, b)").as("native"),
         expr("aggregate(zip_with(a, b, (x, y) -> x * y), 0d, (s, v) -> s + v)")
           .as("hof"))
-    val rows = df.collect().map(r =>
+      .collect() }
+    val rows = df.map(r =>
       r.getString(0) -> (r.isNullAt(1), r.isNullAt(2),
         if (r.isNullAt(1)) Double.NaN else r.getDouble(1))).toMap
     assert(rows("mismatch")._1 && rows("mismatch")._2)   // both NULL
