@@ -17,6 +17,10 @@ object StreamOps {
   /** Typed row for S11 streaming content dedup tests/sources. */
   final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
+  /** Typed row for S14 streaming semantic dedup tests/sources. */
+  final case class StreamVec(vec_id: Long, embedding: Array[Float],
+                             ts: java.sql.Timestamp)
+
   /** S1 — paced ingest (updateTables.py:56-59: one insert / 5 s over the
     * first 1000 ids). The pacing is *config* on a rate source, not a loop;
     * the row synthesis reuses the GEN2 expressions keyed by the rate
@@ -168,6 +172,42 @@ object StreamOps {
       .agg(count(lit(1)).as("n_novel"), min(col("ts")).as("doc_ts"))
       .filter(col("n_novel") === bands)
       .select(col("doc_id"), col("doc_ts").as("ts"))
+
+  /** S14 — streaming SEMANTIC near-dup dedup: the embedding-space twin of
+    * S12 (and the incremental form of the batch l39 pipeline's candidate
+    * stage), for ingestion where a re-post is paraphrased — same meaning,
+    * new n-grams — so S11/S12's text signatures miss it.
+    *
+    * Per-row multi-table hyperplane-LSH bucket ids
+    * (`Similarity.bucketExpr` — sign bits of fvec_dot against literal
+    * planes, a pure projection, legal in a stream) →
+    * `dropDuplicatesWithinWatermark(tbl, bkt)` → per-vector all-tables-
+    * novel reassembly, exactly S12's two-stage shape. State per key is one
+    * (table, bucket) long pair — doubly bounded: by the watermark AND by
+    * the tables·2^planes key domain itself; the embedding never enters a
+    * shuffle or the state store.
+    *
+    * The LSH trade, stated for the semantic case: a vector sharing ANY
+    * table-bucket with an earlier in-horizon vector is dropped. With
+    * random-direction data the per-table false-drop rate is ~2^-planes
+    * (~0.4% at 8 planes, ×tables); real embedding corpora cluster, so
+    * buckets fire mostly on true semantic neighbors — l44's recall audit
+    * measures exactly this geometry's hit rates. Same-micro-batch
+    * ambiguity and beyond-horizon re-admission as S12 (documented there);
+    * bulk loads belong to the batch l39/l40 path. */
+  def semanticDedupVectors(vecs: DataFrame, watermark: String = "1 hour",
+                           planes: Int = 8, dim: Int = 64,
+                           tables: Int = 4): DataFrame =
+    vecs.select(col("vec_id"), col("ts"),
+        posexplode(array((0 until tables).map(t =>
+          graft.llm.Similarity.bucketExpr(col("embedding"), planes, dim, t * planes)): _*))
+          .as(Seq("tbl", "bkt")))
+      .withWatermark("ts", watermark)
+      .dropDuplicatesWithinWatermark("tbl", "bkt")
+      .groupBy(window(col("ts"), "1 second"), col("vec_id"))
+      .agg(count(lit(1)).as("n_novel"), min(col("ts")).as("vec_ts"))
+      .filter(col("n_novel") === tables)
+      .select(col("vec_id"), col("vec_ts").as("ts"))
 
   /** S13 — streaming count-min counter maintenance: the incremental form
     * of the l34 batch CMS, for "top tokens over an unbounded stream"

@@ -128,6 +128,37 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: dupShingleProfile is partition-layout-independent and " +
+    "bounded; duplicate copies are fully duplicated") {
+    import spark.implicits._
+    val genWord: Gen[String] = Gen.oneOf(
+      "alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta")
+    val genText: Gen[String] =
+      Gen.chooseNum(3, 12).flatMap(n => Gen.listOfN(n, genWord)).map(_.mkString(" "))
+    val texts = sample(genText, 60, seed = 17L)
+    // plant exact duplicates so dup_frac = 1.0 rows must exist
+    val docs = (texts ++ texts.take(5)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Dedup.dupShingleProfile(df, n = 3).collect()
+        .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toMap
+    val base = run(docs)
+    // invariants: n_dup <= n_shingles, frac consistent
+    base.values.foreach { case (n, d, f) =>
+      assert(d <= n && f === d.toDouble / n)
+    }
+    // planted copies: both members of each duplicate pair are 100% duplicated
+    (0 until 5).foreach { i =>
+      assert(base(i.toLong)._3 === 1.0)
+      assert(base((texts.size + i).toLong)._3 === 1.0)
+    }
+    // the profile is a pure function of content — any physical layout
+    // (partition count, row order) produces the identical map
+    assert(run(docs.repartition(17)) === base)
+    assert(run(docs.orderBy(col("doc_id").desc).coalesce(1)) === base)
+  }
+
   test("property: PII redaction is idempotent and leaves no pattern behind") {
     import spark.implicits._
     import graft.llm.TextAnalysis

@@ -179,6 +179,54 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S14: streaming semantic dedup == batch bucket first-occurrence replay; " +
+    "exact re-embeds always dropped in-horizon") {
+    import StreamOps.StreamVec
+    val dim = 8; val planes = 4; val tables = 2
+    def vec(id: Long, e: Array[Float], at: String) =
+      StreamVec(id, e, java.sql.Timestamp.valueOf(at))
+    val base = Array(0.9f, -0.2f, 0.4f, 0.1f, -0.7f, 0.3f, -0.1f, 0.6f)
+    val near = base.clone(); near(3) = 0.12f // paraphrase: tiny perturbation
+    val far = Array(-0.8f, 0.5f, -0.3f, 0.9f, 0.2f, -0.6f, 0.4f, -0.2f)
+    val v1 = vec(1, base, "2024-01-01 10:00:00")
+    val v2 = vec(2, far, "2024-01-01 10:01:00")
+    val v3 = vec(3, base, "2024-01-01 10:05:00")  // exact re-embed
+    val v4 = vec(4, near, "2024-01-01 10:06:00")  // paraphrased re-post
+    val flush = vec(5, far.map(-_), "2024-01-01 10:30:00")
+    val in = MemoryStream[StreamVec]
+    val q = runToMemory(
+      StreamOps.semanticDedupVectors(in.toDF(), watermark = "10 minutes",
+        planes = planes, dim = dim, tables = tables), "s14_out")
+    try {
+      in.addData(v1, v2); q.processAllAvailable()
+      in.addData(v3); q.processAllAvailable()
+      in.addData(v4); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+      val streamed = spark.table("s14_out").filter(col("vec_id") <= 4)
+        .collect().map(_.getLong(0)).toSet
+      // batch replay: a vector survives iff it is the EARLIEST owner of
+      // every one of its (table, bucket) cells — S12's replay, on buckets
+      val batch = Seq(v1, v2, v3, v4).toDF()
+        .select(col("vec_id"), col("ts"),
+          posexplode(array((0 until tables).map(t =>
+            graft.llm.Similarity.bucketExpr(col("embedding"), planes, dim,
+              t * planes)): _*)).as(Seq("tbl", "bkt")))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("tbl", "bkt")
+      val expected = batch
+        .withColumn("first_ts", min(col("ts")).over(w))
+        .groupBy(col("vec_id"))
+        .agg(sum(when(col("ts") === col("first_ts"), 1L).otherwise(0L)).as("won"),
+          count(lit(1)).as("n_tbl"))
+        .filter(col("won") === col("n_tbl"))
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === expected)
+      // the non-negotiable semantics: originals survive, the exact
+      // re-embed is dropped (identical buckets in every table)
+      assert(streamed.contains(1L) && streamed.contains(2L))
+      assert(!streamed.contains(3L))
+    } finally q.stop()
+  }
+
   test("S13: streaming CMS counters == batch counters regardless of batch split; " +
     "state bounded by d*m") {
     import StreamOps.StreamDoc
