@@ -154,6 +154,30 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("global plan discipline: no CartesianProduct in ANY declared query; " +
+    "BroadcastNestedLoopJoin only where a tiny side is broadcast by design") {
+    // Every name here broadcasts a provably-small side into a non-equi or
+    // unconditioned join: d10 explicit cross join of bounded dims, d36
+    // 1-row scalar subquery, l05/l44 broadcast query samples, l17/l37
+    // broadcast centroid tables, l21/l28/l31 broadcast 1-row corpus
+    // totals/thresholds. Anything OUTSIDE this list sprouting a BNLJ (or
+    // anything at all sprouting a cartesian) is a 100 TB regression, not a
+    // style issue: both shapes are O(n·m) the moment neither side is tiny.
+    val bnljByDesign = Set(
+      "d10_cross_join", "d36_scalar_subquery", "l05_cosine_topk",
+      "l17_ann_ivf", "l21_tfidf_topk", "l28_domain_mix", "l31_boilerplate",
+      "l37_ann_ivf_trained", "l44_lsh_recall_audit")
+    SparkEntry.allDeclared.foreach { dq =>
+      val plan = SparkEntry.queries(dq.name)(spark, sf001)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${dq.name}: plan grew a CartesianProduct")
+      if (!bnljByDesign(dq.name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"${dq.name}: plan grew a BroadcastNestedLoopJoin outside the allowlist")
+    }
+  }
+
   test("l09: token counting uses the native expression, not size(split)") {
     // Guards the S9 lesson (README table): the builtin split chain is
     // 12.7x the native byte scan; a regression to split() here would be
