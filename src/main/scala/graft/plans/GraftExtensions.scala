@@ -14,6 +14,11 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `morton_interleave(x, y[, bits]) -> long` — see MortonInterleave.
   *  - `int8_quant_stats(array<float>) -> struct` — see Int8QuantStats.
   *  - `ws_token_count(string) -> int` — see WsTokenCount.
+  *
+  * Registered optimizer rules:
+  *  - RewriteHofDotToFvecDot — user-written `aggregate(zip_with(...))`
+  *    dot-product chains execute as the fused fvec_dot loop (conf-gated
+  *    via `spark.graft.rewriteHofDot`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {

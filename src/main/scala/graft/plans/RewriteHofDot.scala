@@ -75,11 +75,16 @@ object RewriteHofDotToFvecDot extends Rule[LogicalPlan] {
             ZipWith(a, b,
               LambdaFunction(mult: Multiply,
                 Seq(x: NamedLambdaVariable, y: NamedLambdaVariable), _)),
-            Literal(0.0, DoubleType),
+            Literal(zero, DoubleType),
             LambdaFunction(add: Add,
               Seq(acc: NamedLambdaVariable, v: NamedLambdaVariable), _),
             finish)
-          if vecType(a.dataType) && vecType(b.dataType) &&
+          // raw-bits check, not `== 0.0`: a -0.0 seed survives an empty
+          // array as -0.0 in the HOF fold but would become fvec_dot's +0.0
+          if zero.isInstanceOf[java.lang.Double] &&
+            java.lang.Double.doubleToRawLongBits(
+              zero.asInstanceOf[java.lang.Double]) == 0L &&
+            vecType(a.dataType) && vecType(b.dataType) &&
             mult.dataType == DoubleType &&
             asVarToDouble(mult.left, x) && asVarToDouble(mult.right, y) &&
             add.dataType == DoubleType &&

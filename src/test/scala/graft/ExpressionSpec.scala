@@ -59,6 +59,12 @@ class ExpressionSpec extends SparkSpec {
       expr("aggregate(zip_with(embedding, embedding, " +
         "(x, y) -> double(x) * double(y)), 1d, (s, v) -> s + v)"))
     assert(!seeded.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
+    // non-match 2b: a NEGATIVE-zero seed is observable on empty arrays
+    // (HOF yields -0.0, fvec_dot +0.0) — must NOT be rewritten
+    val negZero = em.select(
+      expr("aggregate(zip_with(embedding, embedding, " +
+        "(x, y) -> double(x) * double(y)), -0d, (s, v) -> s + v)"))
+    assert(!negZero.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
     // non-match 3: flag off leaves even the canonical shape alone
     withHofRuleOff {
       val off = em.select(Similarity.dotHof(col("embedding"), col("embedding")))
