@@ -271,6 +271,63 @@ object Similarity {
         col("s.code_min"), col("s.code_max"), col("s.code_sum"),
         col("s.recon_err"))
 
+  /** L48 — int8-quantized ANN with exact RERANK: the memory-bandwidth
+    * scale pattern every production embedding store runs (quantize once;
+    * scan the 4×-smaller integer codes for a coarse top-`m` shortlist;
+    * exact-rerank only the shortlist to top-`k`). The approximate score is
+    * `scale_q · scale_c · Σ code_qᵢ·code_cᵢ` — an INTEGER dot (exact in
+    * any engine) times two doubles, so the shortlist (and therefore the
+    * output) is deterministic and oracle-checkable; codes use l25's
+    * portable ⌊x/s + 0.5⌋ rounding and scale-0 guard.
+    *
+    * Scale shape: quantization is one projection over the corpus; the
+    * coarse pass is the same broadcast-queries × corpus scan as
+    * bruteForceTopK but arithmetically on small integers (in a real store
+    * the codes column is byte-packed — 4× less scan bandwidth, SIMD int
+    * kernels; the plumbing here keeps array<long> for cross-engine
+    * comparability). The exact pass touches only m rows per query. The
+    * rerank's recall cost (a true neighbor missing the int8 shortlist) is
+    * measured against bruteForceTopK in LlmSpec. */
+  def int8RerankTopK(vecs: DataFrame, k: Int = 3, m: Int = 10,
+                     queryMod: Int = 20): DataFrame = {
+    // quantize + precompute the norm ONCE per vector (l44's discipline —
+    // a per-pair norm recomputation would pay the full float fold on every
+    // candidate and waste the int8 bandwidth win)
+    val qz = vecs
+      .select(col("vec_id"), col("embedding"),
+        transform(col("embedding"), _.cast(DoubleType)).as("e"))
+      .withColumn("scale",
+        array_max(transform(col("e"), x => abs(x))) / 127.0)
+      .withColumn("codes", transform(col("e"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x / col("scale") + 0.5).cast(LongType))))
+      .withColumn("nrm", sqrt(norm2(col("embedding"))))
+      .select(col("vec_id"), col("embedding"), col("scale"), col("codes"),
+        col("nrm"))
+    val queries = broadcast(qz.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("scale").as("qs"), col("codes").as("qc"), col("nrm").as("qn")))
+    val cands = qz.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("scale").as("cs"), col("codes").as("cc"), col("nrm").as("cn"))
+    val approx = queries.join(cands, col("qid") =!= col("nid"))
+      .withColumn("approx_sim",
+        col("qs") * col("cs") *
+          aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
+            lit(0L), (s, v) => s + v).cast(DoubleType) /
+          (col("qn") * col("cn")))
+    val wA = Window.partitionBy(col("qid"))
+      .orderBy(col("approx_sim").desc, col("nid"))
+    val shortlist = approx
+      .withColumn("arank", row_number().over(wA)).filter(col("arank") <= m)
+    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    shortlist
+      .select(col("qid"), col("nid"), col("approx_sim"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("sim"), col("approx_sim"))
+  }
+
   /** The HOF formulation of quantizeInt8 — kept as the semantic reference
     * the native expression is equality-tested against (ExpressionSpec),
     * the same twin pattern as dot/dotHof. */

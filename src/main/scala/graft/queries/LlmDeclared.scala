@@ -1201,10 +1201,50 @@ object LlmDeclared {
       GROUP BY lang
       ORDER BY lang"""))
 
+  /** L48 — int8-quantized ANN with exact rerank. The approximate score is
+    * an exact-integer code dot times doubles in a fixed association order,
+    * so shortlist membership — and therefore the reranked output — is
+    * bit-reproducible in DuckDB (codes share l25's portable rounding). */
+  private val l48 = {
+    def norm(col: String) =
+      s"sqrt(list_reduce(list_apply($col, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
+    DeclaredQuery(
+      "l48_int8_rerank",
+      (s, dir) => Similarity.int8RerankTopK(t(s, dir, "embeddings"))
+        .orderBy(col("qid"), col("rank")),
+      Some(s"""WITH v AS (SELECT vec_id, embedding,
+          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+        sc AS (SELECT vec_id, embedding, e,
+                 list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
+        c AS (SELECT vec_id, embedding, e, scale,
+                list_transform(e, x -> CASE WHEN scale = 0.0 THEN 0
+                  ELSE CAST(floor(x / scale + 0.5) AS BIGINT) END) AS codes
+              FROM sc),
+        ap AS (SELECT q.vec_id AS qid, n.vec_id AS nid,
+                 q.embedding AS qe, n.embedding AS ne,
+                 q.scale * n.scale * CAST(list_reduce(
+                   list_transform(list_zip(q.codes, n.codes), p -> p[1] * p[2]),
+                   (a, b) -> a + b) AS DOUBLE)
+                   / (${norm("q.embedding")} * ${norm("n.embedding")}) AS approx_sim
+               FROM c q JOIN c n ON q.vec_id <> n.vec_id
+               WHERE q.vec_id % 20 = 0),
+        sl AS (SELECT *, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY approx_sim DESC, nid) AS arank
+               FROM ap),
+        re AS (SELECT qid, nid, approx_sim,
+                 ${duckCosine("qe", "ne")} AS sim
+               FROM sl WHERE arank <= 10),
+        rk AS (SELECT qid, nid, sim, approx_sim, ROW_NUMBER() OVER
+                 (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
+               FROM re)
+        SELECT qid, CAST(rank AS BIGINT) AS rank, nid, sim, approx_sim
+        FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, l44, l45, l46, l47, d29)
+    l41, l42, l43, l44, l45, l46, l47, l48, d29)
 }

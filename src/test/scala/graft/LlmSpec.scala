@@ -293,6 +293,26 @@ class LlmSpec extends SparkSpec {
     assert(recall >= 0.6, s"ANN recall collapsed: $recall")
   }
 
+  test("int8RerankTopK: shortlist recall — top-1 agrees with exact brute " +
+    "force on nearly every query; reranked sims are the exact cosines") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.int8RerankTopK(em, k = 1, m = 10, queryMod = 20)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    val q = em.filter(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(q, em, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty && got.keySet === exact.keySet)
+    // int8 coarse scores keep the true top-1 inside a 10-wide shortlist
+    // for nearly all queries (quantization noise ~1/254 per dim)
+    val agree = exact.count { case (qid, (nid, _)) => got(qid)._1 == nid }
+    assert(agree.toDouble / exact.size >= 0.9,
+      s"int8 rerank top-1 agreement collapsed: $agree/${exact.size}")
+    // where it agrees, the reranked similarity IS the exact cosine
+    exact.foreach { case (qid, (nid, sim)) =>
+      if (got(qid)._1 == nid) assert(got(qid)._2 === sim)
+    }
+  }
+
   test("IVF ANN: probing more cells monotonically improves top-1 recall") {
     val em = Tables.load(spark, sf001, "embeddings")
     val q = em.filter(col("vec_id") < 32)
