@@ -304,23 +304,36 @@ object Similarity {
       .withColumn("nrm", sqrt(norm2(col("embedding"))))
       .select(col("vec_id"), col("embedding"), col("scale"), col("codes"),
         col("nrm"))
-    val queries = broadcast(qz.filter(col("vec_id") % queryMod === 0)
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+    // Coarse pass carries ONLY (codes, scale, norm) — the float embedding
+    // must not ride through the |Q|×|corpus| rank exchange, or the int8
+    // bandwidth win is spent shuffling the very floats it exists to avoid.
+    val queriesCoarse = broadcast(qz.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"),
         col("scale").as("qs"), col("codes").as("qc"), col("nrm").as("qn")))
-    val cands = qz.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+    val candsCoarse = qz.select(col("vec_id").as("nid"),
       col("scale").as("cs"), col("codes").as("cc"), col("nrm").as("cn"))
-    val approx = queries.join(cands, col("qid") =!= col("nid"))
-      .withColumn("approx_sim",
-        col("qs") * col("cs") *
+    val approx = queriesCoarse.join(candsCoarse, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qs") * col("cs") *
           aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
             lit(0L), (s, v) => s + v).cast(DoubleType) /
-          (col("qn") * col("cn")))
+          (col("qn") * col("cn"))).as("approx_sim"))
     val wA = Window.partitionBy(col("qid"))
       .orderBy(col("approx_sim").desc, col("nid"))
+    // the rank exchange now moves 3 scalar columns per candidate row
     val shortlist = approx
       .withColumn("arank", row_number().over(wA)).filter(col("arank") <= m)
+      .select(col("qid"), col("nid"), col("approx_sim"))
+    // fetch embeddings for the |Q|·m survivors only: broadcast the tiny
+    // shortlist against the corpus (equality join), broadcast the query
+    // embeddings alongside
+    val qEmb = broadcast(qz.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val cEmb = qz.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
     val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
-    shortlist
+    broadcast(shortlist).join(cEmb, "nid").join(qEmb, "qid")
       .select(col("qid"), col("nid"), col("approx_sim"),
         (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
       .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)

@@ -66,19 +66,28 @@ object Sketches {
     * equivalent of streaming increments — same table, provably), and the
     * estimate probe is a broadcast join of the tiny counter tables against
     * the top-k candidates. */
-  /** CMS row-i counter position of a token: the i-th 8-hex-char window of
-    * md5(tok) mod the table width — d independent-enough hash rows from ONE
-    * md5 evaluation. Shared by the batch operator below and the streaming
-    * counter maintenance (StreamOps.cmsCounterStream) so their counter
-    * tables are comparable cell-for-cell. */
+  /** CMS row-i counter position from an ALREADY-COMPUTED md5 digest
+    * column: the i-th 8-hex-char window mod the table width — d
+    * independent-enough hash rows from ONE md5 evaluation. Call sites
+    * materialize `md5(tok)` in a projection once and derive every row's
+    * position from it (evaluating `cmsPos(tok, i, m)` per row would hash
+    * the token d times). Shared by the batch operator below and the
+    * streaming counter maintenance (StreamOps.cmsCounterStream) so their
+    * counter tables are comparable cell-for-cell. */
+  def cmsPosFromMd5(digest: org.apache.spark.sql.Column, i: Int, m: Int): org.apache.spark.sql.Column =
+    conv(substring(digest, 1 + 8 * i, 8), 16, 10).cast(LongType) % m
+
+  /** Convenience form over the raw token — one md5 per call; prefer
+    * cmsPosFromMd5 when deriving several rows from the same token. */
   def cmsPos(tok: org.apache.spark.sql.Column, i: Int, m: Int): org.apache.spark.sql.Column =
-    conv(substring(md5(tok), 1 + 8 * i, 8), 16, 10).cast(LongType) % m
+    cmsPosFromMd5(md5(tok), i, m)
 
   def cmsHeavyHitters(docs: DataFrame, m: Int = 1024, k: Int = 20): DataFrame = {
-    def pos(i: Int) = cmsPos(col("tok"), i, m)
+    def pos(i: Int) = cmsPosFromMd5(col("h"), i, m)
     val exact = docs
       .select(explode(TextOps.tokens(col("text"))).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("n"))
+      .withColumn("h", md5(col("tok"))) // hash once; both counter rows + probe derive from it
       .localCheckpoint() // feeds both counter rows AND the top-k probe
     def counters(i: Int): DataFrame =
       exact.groupBy(pos(i).as(s"p$i")).agg(sum(col("n")).as(s"c$i"))

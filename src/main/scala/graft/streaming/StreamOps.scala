@@ -226,15 +226,20 @@ object StreamOps {
     * Point estimates/heavy-hitter probes stay a batch-side broadcast join
     * against these tiny tables (l34's probe shape) — the stream maintains
     * counters, it never shuffles the vocabulary. */
-  def cmsCounterStream(docs: DataFrame, m: Int = 1024, d: Int = 2): DataFrame = {
-    val toks = docs.select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
-    (0 until d)
-      .map(i => toks.select(lit(i).as("row"),
-        graft.llm.Sketches.cmsPos(col("tok"), i, m).as("p")))
-      .reduce(_ unionByName _)
+  def cmsCounterStream(docs: DataFrame, m: Int = 1024, d: Int = 2): DataFrame =
+    docs
+      // ONE pass: tokenize/scan once, hash each token once, then fan each
+      // token out to its d (row, position) cells with an in-row explode —
+      // a d-way self-union here would re-read and re-tokenize every
+      // micro-batch d times (union branches share no CSE across subtrees)
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("tok"))
+      .select(md5(col("tok")).as("h"))
+      .select(explode(array((0 until d).map(i =>
+        struct(lit(i).as("row"),
+          graft.llm.Sketches.cmsPosFromMd5(col("h"), i, m).as("p"))): _*)).as("rp"))
+      .select(col("rp.row").as("row"), col("rp.p").as("p"))
       .groupBy(col("row"), col("p"))
       .agg(count(lit(1)).as("c"))
-  }
 
   /** S7 — the buffered, time-prefixed lake sink (Firehose analog,
     * lib/fin-transactions-stack.ts:192-205): micro-batch trigger ≙ the

@@ -37,15 +37,22 @@ class ExpressionSpec extends SparkSpec {
   test("RewriteHofDot: the user-written HOF chain executes as fvec_dot, " +
     "same results; conservative non-matches are left alone") {
     val em = Tables.load(spark, sf001, "embeddings").filter(col("vec_id") < 50)
-    val hof = em.as("a").join(em.as("b"), col("a.vec_id") < col("b.vec_id"))
+    // NOTE: the Dataset must be REBUILT under each flag state — a Dataset
+    // caches its QueryExecution, so re-collecting the same instance after
+    // flipping the flag would re-execute the already-optimized (rewritten)
+    // plan and compare fvec_dot to itself.
+    def buildHof() = em.as("a").join(em.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(col("a.vec_id").as("ida"), col("b.vec_id").as("idb"),
         Similarity.dotHof(col("a.embedding"), col("b.embedding")).as("d"))
+    val hof = buildHof()
     // rewritten: the optimized plan carries the native expression
     assert(hof.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
-    // and the rewrite changes nothing observable
+    // and the rewrite changes nothing observable vs a genuine HOF run
     val rewritten = hof.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     val genuine = withHofRuleOff {
-      hof.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val g = buildHof()
+      assert(!g.queryExecution.optimizedPlan.toString.contains("fvec_dot"))
+      g.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
     }
     assert(rewritten === genuine)
     // non-match 1: float multiply (no double casts) rounds differently —
