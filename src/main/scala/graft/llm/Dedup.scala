@@ -541,6 +541,45 @@ object Dedup {
         coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
+  /** Cross-SOURCE contamination matrix — the corpus-overlap measurement
+    * dataset papers publish before mixing sources: for every source pair,
+    * the count of shared distinct n-gram shingles plus both containment
+    * directions and Jaccard. High containment of A in B means source A is
+    * largely a subset crawl/re-post of B and mixing both double-counts it.
+    * Pairs sharing zero shingles are absent (the matrix's zero cells).
+    *
+    * Scale: the unit of aggregation is the (source, shingle-digest) pair —
+    * text leaves the plan at the scan (md5 before every shuffle), and the
+    * per-shingle posting is the SOURCE SET, bounded by the source count
+    * (dozens), not the corpus — so the collect_set and the in-row pair
+    * expansion are O(|sources|²) per shingle worst-case, never O(docs²).
+    * One distinct, one groupBy(h), one tiny groupBy(pair). */
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
+    val srcSh = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
+      .select(col("source"), md5(col("s")).as("h"))
+      .distinct()
+    val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
+    val common = srcSh.groupBy("h")
+      .agg(sort_array(collect_set(col("source"))).as("srcs"))
+      .filter(size(col("srcs")) >= 2)
+      .select(posexplode(col("srcs")).as(Seq("i", "src_a")), col("srcs"))
+      .select(col("src_a"),
+        explode(slice(col("srcs"), col("i") + lit(2),
+          size(col("srcs")))).as("src_b"))
+      .groupBy("src_a", "src_b").agg(count(lit(1)).as("n_common"))
+    common
+      .join(broadcast(sizes.select(col("source").as("src_a"), col("n_sh").as("na"))), "src_a")
+      .join(broadcast(sizes.select(col("source").as("src_b"), col("n_sh").as("nb"))), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_common"),
+        (col("n_common").cast(DoubleType) / col("na")).as("contain_a"),
+        (col("n_common").cast(DoubleType) / col("nb")).as("contain_b"),
+        (col("n_common").cast(DoubleType) /
+          (col("na") + col("nb") - col("n_common"))).as("jaccard"))
+  }
+
   /** Train/eval DECONTAMINATION — the dedup variant every training pipeline
     * runs before a model ships: find TRAIN-split documents that share any
     * n-gram shingle with any EVAL-split document (such train docs leak the

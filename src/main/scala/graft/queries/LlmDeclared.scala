@@ -1241,10 +1241,38 @@ object LlmDeclared {
         FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
   }
 
+  /** L49 — cross-source contamination matrix: shared distinct 3-gram
+    * shingles per source pair with containments and Jaccard. Shingles are
+    * md5-hashed before any shuffle on both engines; divisions are the same
+    * two-integer arithmetic. */
+  private val l49 = DeclaredQuery(
+    "l49_source_overlap",
+    (s, dir) => Dedup.sourceOverlap(t(s, dir, "documents"), n = 3)
+      .orderBy(col("src_a"), col("src_b")),
+    Some("""WITH tt AS (SELECT source, string_split(text, ' ') AS w FROM documents),
+      ssh AS (SELECT DISTINCT source,
+                md5(unnest(list_distinct(list_transform(
+                  range(1, len(w) - 1),
+                  i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])))) AS h
+              FROM tt),
+      sizes AS (SELECT source, COUNT(*) AS n_sh FROM ssh GROUP BY source),
+      common AS (SELECT x.source AS src_a, y.source AS src_b,
+                   COUNT(*) AS n_common
+                 FROM ssh x JOIN ssh y ON x.h = y.h AND x.source < y.source
+                 GROUP BY 1, 2)
+      SELECT src_a, src_b, n_common,
+             CAST(n_common AS DOUBLE) / sa.n_sh AS contain_a,
+             CAST(n_common AS DOUBLE) / sb.n_sh AS contain_b,
+             CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+      FROM common
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY src_a, src_b"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, l44, l45, l46, l47, l48, d29)
+    l41, l42, l43, l44, l45, l46, l47, l48, l49, d29)
 }

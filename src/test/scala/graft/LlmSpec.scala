@@ -48,6 +48,34 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 1.0), (3L, 1.0)))
   }
 
+  // ------------------------------------------------------- source overlap
+
+  test("sourceOverlap: hand-computed containments; zero-overlap pairs absent") {
+    // srcA shingles (distinct, both docs): {a b c, b c d, c d e}
+    // srcB shingles: {a b c, b c d, c d x}  -> common with A = 2
+    // srcC shingles: {p q r}                -> no overlap with anyone
+    val d = Seq(
+      (1L, "a b c d e", "srcA"), (2L, "a b c d", "srcA"),
+      (3L, "a b c d x", "srcB"), (4L, "p q r", "srcC"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(got.toSeq === Seq(
+      ("srcA", "srcB", 2L, 2.0 / 3.0, 2.0 / 3.0, 0.5)))
+  }
+
+  test("sourceOverlap: identical sources have containment and jaccard 1.0; " +
+    "matrix is over unordered pairs (src_a < src_b)") {
+    val d = Seq(
+      (1L, "x y z w", "s1"), (2L, "x y z w", "s2"), (3L, "x y z w", "s0"))
+      .toDF("doc_id", "text", "source")
+    val got = Dedup.sourceOverlap(d, n = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(5))).sorted
+    assert(got.toSeq === Seq(
+      ("s0", "s1", 1.0), ("s0", "s2", 1.0), ("s1", "s2", 1.0)))
+  }
+
   // ---------------------------------------------------------------- jaccard
 
   test("jaccardPairs: hand-computed 3-gram jaccard") {
