@@ -125,6 +125,36 @@ class PlanSpec extends SparkSpec {
     assert(!exchanges.exists(_.contains("s#")), exchanges.mkString("\n"))
   }
 
+  test("l48: no embedding array crosses a shuffle — coarse rank moves scores, " +
+    "embeddings join back by broadcast") {
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
+    import org.apache.spark.sql.types.ArrayType
+    val df = lq("l48_int8_rerank")
+    df.collect()
+    val shuffles = scala.collection.mutable.Buffer[ShuffleExchangeExec]()
+    def walk(n: SparkPlan): Unit = {
+      n match {
+        case s: ShuffleExchangeExec => shuffles += s
+        case q: QueryStageExec => walk(q.plan)
+        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+        case _ =>
+      }
+      n.children.foreach(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty) // the rank windows must really be there
+    // embeddings AND codes stay out of every exchange: the coarse window
+    // moves (qid, nid, approx_sim), the fetch joins broadcast, the final
+    // sort moves scalars
+    shuffles.foreach { s =>
+      val arrays = s.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"array columns ${arrays.map(_.name)} cross a shuffle in l48")
+    }
+  }
+
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
     val plan = executedPlan(lq("l43_minhash_estimate_audit"))
     assert(!plan.contains("CartesianProduct"))
