@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Dev-only scale-up experiment (results recorded in BASELINE.md): replicate
+  * the sf0.1 documents corpus R× with REPLICA-ISOLATED shingle structure —
+  * every token is prefixed with its replica id, so each replica reproduces
+  * the original near-dup structure internally and shares NO shingle across
+  * replicas. Data grows R× while per-document statistics stay constant:
+  * exactly the "same pipeline, more data" shape a cluster scale-up has,
+  * without the quadratic near-dup blow-up a naive text copy would plant
+  * (10 exact copies of every doc would multiply candidate PAIRS by 100,
+  * measuring an adversarial corpus rather than scale).
+  *
+  * The small control corpus is the SAME transform at replica 0 only, both
+  * re-read from parquet, so format/codec costs cancel. Timing mirrors
+  * Bench: one warm run, min of 2 timed, blocking cleanup between runs.
+  *
+  * Usage: runMain graft.DevScale [R] [query names...]
+  */
+object DevScale {
+  def main(args: Array[String]): Unit = {
+    val spark = GraftSession.build("graft-scale")
+    val reps = args.headOption.map(_.toInt).getOrElse(10)
+    val queries = if (args.length > 1) args.tail.toSeq
+      else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
+        "l46_dup_shingle_profile", "l47_length_percentiles")
+
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    def replicated(r: Int): DataFrame = (0 until r).map { k =>
+      base.select(
+        (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit(s"r${k}_"), t))).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }.reduce(_ unionByName _)
+
+    val smallDir = "/tmp/graft_scale_small"
+    val bigDir = "/tmp/graft_scale_big"
+    replicated(1).write.mode("overwrite").parquet(s"$smallDir/documents.parquet")
+    replicated(reps).write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
+
+    def cleanup(): Unit = {
+      spark.sharedState.cacheManager.clearCache()
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
+    }
+    def runOnce(name: String, dir: String): Double = {
+      cleanup()
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    def steady(name: String, dir: String): Double = {
+      runOnce(name, dir)
+      math.min(runOnce(name, dir), runOnce(name, dir))
+    }
+
+    // host-speed sentinel on the UNSCALED driver corpus
+    val d01 = steady("d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    queries.foreach { q =>
+      val s = steady(q, smallDir)
+      val b = steady(q, bigDir)
+      println(f"$q%-28s small=$s%7.3f s  big(${reps}x)=$b%7.3f s  ratio=${b / s}%5.2f")
+    }
+    spark.stop()
+  }
+}
