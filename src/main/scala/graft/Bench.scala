@@ -38,28 +38,9 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
 
-    // Drop residue of earlier runs so no query pays for a predecessor's
-    // blocks: cached relations + persistent RDDs (localCheckpoints). Runs
-    // OUTSIDE the timed region.
-    def cleanup(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      // blocking = true: reclamation must complete strictly outside the
-      // timed region (async removal can still be in flight when the clock
-      // starts, and it floods stdout with lineage-truncation WARNs).
-      spark.sparkContext.getPersistentRDDs.values
-        .foreach(_.unpersist(blocking = true))
-    }
-
-    def runOnce(name: String): Double = {
-      cleanup()
-      // Construction is INSIDE the timed region: most queries only build a
-      // plan here (~free), but iterative operators (l16 label propagation)
-      // execute eagerly during construction and must not escape the clock.
-      val t0 = System.nanoTime()
-      val df = SparkEntry.queries(name)(spark, sfDir)
-      df.write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
+    // Timing discipline lives in BenchTiming (shared with DevScale/DevTime
+    // so every harness's numbers stay comparable).
+    def runOnce(name: String): Double = BenchTiming.runOnce(spark, name, sfDir)
 
     // Session warm-up: parquet footer caches + scheduler paths, untimed.
     Seq("d01_scan_count", "d05_multiway_join").foreach(runOnce)
@@ -97,8 +78,14 @@ object Bench {
       s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)}}""").mkString("{", ",", "}")
     val totalMin = results.map(_._2).sum
     val totalMax = results.map(_._3).sum
+    // SPARK_GRAFT_ONLY runs write a SEPARATE detail file: BENCH_DETAIL.json
+    // is the full-sequence per-query record BASELINE.md points readers at
+    // for regression arbitration — a 3-query dev iteration must never
+    // clobber it (it did, twice, in round 9).
+    val detailFile =
+      if (only.isDefined) "BENCH_DETAIL_SUBSET.json" else "BENCH_DETAIL.json"
     java.nio.file.Files.write(
-      java.nio.file.Paths.get("BENCH_DETAIL.json"),
+      java.nio.file.Paths.get(detailFile),
       s"""{"metric":"total","min":${r3(totalMin)},"max":${r3(totalMax)},"unit":"sec","sf":"$sfDir","queries":$detail}"""
         .getBytes("UTF-8"))
 

@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** The ONE timing discipline shared by every measurement entry point
+  * (Bench, DevScale, DevTime): blocking residue cleanup outside the timed
+  * region, construction + noop-sink execution inside it. Lives in one
+  * place so a future fix to the discipline (a new residue source to clear,
+  * a new untimed cost discovered) applies to every harness at once —
+  * scale-experiment numbers stay comparable to bench numbers by
+  * construction.
+  */
+object BenchTiming {
+
+  /** Drop residue of earlier runs so no query pays for a predecessor's
+    * blocks: cached relations + persistent RDDs (localCheckpoints). Runs
+    * OUTSIDE the timed region. blocking = true: reclamation must complete
+    * strictly outside the timed region (async removal can still be in
+    * flight when the clock starts, and it floods stdout with
+    * lineage-truncation WARNs). */
+  def cleanup(spark: SparkSession): Unit = {
+    spark.sharedState.cacheManager.clearCache()
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+  }
+
+  /** One timed execution of a declared query against `dir`. Construction
+    * is INSIDE the timed region: most queries only build a plan here
+    * (~free), but iterative operators (l16 label propagation) execute
+    * eagerly during construction and must not escape the clock. */
+  def runOnce(spark: SparkSession, name: String, dir: String): Double = {
+    cleanup(spark)
+    val t0 = System.nanoTime()
+    SparkEntry.queries(name)(spark, dir)
+      .write.format("noop").mode("overwrite").save()
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** Steady-state cost: one untimed warm run (codegen/JIT), then the min
+    * of two timed runs (a single timed run is hostage to whichever GC
+    * pause / compaction lands on it). */
+  def steady(spark: SparkSession, name: String, dir: String): Double = {
+    runOnce(spark, name, dir)
+    math.min(runOnce(spark, name, dir), runOnce(spark, name, dir))
+  }
+}

@@ -22,8 +22,12 @@ import org.apache.spark.sql.functions._
 object DevScale {
   def main(args: Array[String]): Unit = {
     val spark = GraftSession.build("graft-scale")
-    val reps = args.headOption.map(_.toInt).getOrElse(10)
-    val queries = if (args.length > 1) args.tail.toSeq
+    // R is optional: a non-numeric first arg is a query name, not a crash
+    val reps = args.headOption.flatMap(a => scala.util.Try(a.toInt).toOption)
+      .getOrElse(10)
+    val rest = if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess))
+      args.tail.toSeq else args.toSeq
+    val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
 
@@ -33,7 +37,11 @@ object DevScale {
         (col("doc_id") + lit(k * 10000000L)).as("doc_id"),
         concat_ws(" ", transform(split(col("text"), " "),
           t => concat(lit(s"r${k}_"), t))).as("text"),
-        col("lang"), col("source"), col("n_chars"))
+        col("lang"), col("source"))
+        // n_chars must track the REWRITTEN text — copying the original
+        // value would leave n_chars-banded queries (l08/l47) measuring a
+        // corpus whose two length signals disagree
+        .withColumn("n_chars", length(col("text")).cast("long"))
     }.reduce(_ unionByName _)
 
     val smallDir = "/tmp/graft_scale_small"
@@ -41,21 +49,8 @@ object DevScale {
     replicated(1).write.mode("overwrite").parquet(s"$smallDir/documents.parquet")
     replicated(reps).write.mode("overwrite").parquet(s"$bigDir/documents.parquet")
 
-    def cleanup(): Unit = {
-      spark.sharedState.cacheManager.clearCache()
-      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(blocking = true))
-    }
-    def runOnce(name: String, dir: String): Double = {
-      cleanup()
-      val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.format("noop").mode("overwrite").save()
-      (System.nanoTime() - t0) / 1e9
-    }
-    def steady(name: String, dir: String): Double = {
-      runOnce(name, dir)
-      math.min(runOnce(name, dir), runOnce(name, dir))
-    }
+    def steady(name: String, dir: String): Double =
+      BenchTiming.steady(spark, name, dir)
 
     // host-speed sentinel on the UNSCALED driver corpus
     val d01 = steady("d01_scan_count", "/root/testdata/sf0.1")
