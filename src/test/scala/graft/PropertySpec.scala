@@ -159,6 +159,28 @@ class PropertySpec extends SparkSpec {
     assert(run(docs.orderBy(col("doc_id").desc).coalesce(1)) === base)
   }
 
+  test("property: int8RerankTopK and sourceOverlap are partition-layout-independent") {
+    import spark.implicits._
+    val em = Tables.load(spark, sf001, "embeddings")
+    def runRerank(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Similarity.int8RerankTopK(df, k = 2, m = 5, queryMod = 40)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3))).toMap
+    val base = runRerank(em)
+    assert(base.nonEmpty)
+    // deterministic tie-breaks (nid) make the result a pure function of
+    // content: any partitioning/order produces the identical map
+    assert(runRerank(em.repartition(7)) === base)
+    assert(runRerank(em.orderBy(col("vec_id").desc).coalesce(1)) === base)
+
+    val docs = Tables.load(spark, sf001, "documents")
+    def runOverlap(df: org.apache.spark.sql.DataFrame) =
+      graft.llm.Dedup.sourceOverlap(df, n = 3)
+        .collect().map(r => (r.getString(0), r.getString(1)) ->
+          (r.getLong(2), r.getDouble(5))).toMap
+    val ov = runOverlap(docs)
+    assert(runOverlap(docs.repartition(11)) === ov)
+  }
+
   test("property: PII redaction is idempotent and leaves no pattern behind") {
     import spark.implicits._
     import graft.llm.TextAnalysis
