@@ -202,6 +202,12 @@ object Dedup {
     * streaming S12 path). */
   def lshBands(sig: DataFrame, k: Int = 16, bands: Int = 4,
                carry: Seq[String] = Nil): DataFrame = {
+    // bands must tile the signature exactly: truncation would silently
+    // drop signature components (changing the documented s-curve), and
+    // bands > k would give r = 0 — every band md5(""), i.e. one global
+    // bucket and the O(N²) pair blow-up this path exists to avoid.
+    require(bands >= 1 && k % bands == 0,
+      s"lshBands: bands ($bands) must divide k ($k)")
     val r = k / bands
     val bandCols = (0 until bands).map(b =>
       md5(concat_ws(",", (0 until r).map(j => col(s"m${r * b + j}")): _*)))
@@ -226,7 +232,7 @@ object Dedup {
     * Docs with no n-shingle (< n tokens) are dropped, matching the batch
     * form (whose groupBy over the exploded shingle table never sees them). */
   def bandSignatures(docs: DataFrame, n: Int = 3, k: Int = 16, bands: Int = 4,
-                     carry: Seq[String] = Seq("ts")): DataFrame = {
+                     carry: Seq[String] = Nil): DataFrame = {
     val sigs = docs
       .withColumn("shs", TextOps.shinglesFromTokens(TextOps.tokens(col("text")), n))
       .filter(size(col("shs")) >= 1)
@@ -311,6 +317,11 @@ object Dedup {
           && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
       .distinct()
+      // checkpointed: cand feeds BOTH the estimate join and the exact-
+      // common join below — without materialization the band self-join +
+      // distinct (the audit's most expensive intermediate) would execute
+      // twice, the same double-execution the sig checkpoint prevents
+      .localCheckpoint()
     val nMatch = (0 until k)
       .map(i => when(col(s"a.m$i") === col(s"b.m$i"), 1L).otherwise(0L))
       .reduce(_ + _)

@@ -121,6 +121,7 @@ object Multimodal {
     * the fan-out, schema, and partition behavior are exactly this. */
   def frameSample(spark: SparkSession, blobs: DataFrame,
                   frameBytes: Int = 32): Dataset[FrameRow] = {
+    require(frameBytes >= 1, s"frameSample: frameBytes ($frameBytes) must be >= 1")
     import spark.implicits._
     blobs.as[BlobRow].flatMap { b =>
       val n = b.payload.length / frameBytes

@@ -159,10 +159,13 @@ object Similarity {
         .filter(col("rn") <= nProbe)
         .select(col("qid"), col("qe"), col("cent_id").as("cell"))
     }
+    // No distinct here (contrast annTopK): each nid lives in exactly ONE
+    // cell and probes has distinct (qid, cell) rows, so the join cannot
+    // produce a duplicate (qid, nid) — a distinct would be a full extra
+    // shuffle of the sims table for nothing.
     val sims = broadcast(probes).join(assigned, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
-      .distinct()
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     sims.withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
@@ -215,11 +218,21 @@ object Similarity {
             (col("sq") / (col("n") * q)).as("m"))
         case None => perDim.agg(avg(col("v")).as("m"))
       }
-      cents = means
+      val fresh = means
         .groupBy(col("cent_id"))
         .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
         .select(col("cent_id"),
           transform(col("ps"), x => x.getField("m")).as("cent"))
+      // keep-previous rule for EMPTY clusters: a centroid that wins zero
+      // vectors this iteration (possible when duplicate init vectors or a
+      // dominant centroid starve it) would otherwise vanish from the
+      // groupBy output and silently shrink k — keep its previous position
+      // instead, so the quantizer stays k-wide. Mirrored in l37's SQL
+      // oracle (ivfFitIter's LEFT JOIN + COALESCE).
+      cents = cents.select(col("cent_id"), col("cent").as("prev"))
+        .join(fresh.select(col("cent_id"), col("cent").as("next")),
+          Seq("cent_id"), "left")
+        .select(col("cent_id"), coalesce(col("next"), col("prev")).as("cent"))
         .localCheckpoint()
     }
     cents
@@ -393,13 +406,19 @@ object Similarity {
     * occupancy, and the eval side is ~10% of the corpus by construction.
     * Output: (vec_id, n_eval_hits, max_sim) per contaminated train vector. */
   def semanticDecontaminate(vectors: DataFrame, minSim: Double = 0.3,
-                            planes: Int = 8, dim: Int = 64): DataFrame = {
+                            planes: Int = 8, dim: Int = 64,
+                            trainPct: Int = 80, evalFromPct: Int = 90): DataFrame = {
+    // the split cuts are PARAMETERS (same signature discipline as
+    // Dedup.decontaminate): a pipeline running stableSplit(trainPct=70)
+    // must be able to screen the same 70/15/15 membership here — hardcoded
+    // cuts would silently skip train buckets 70–79 and ignore eval buckets
+    // 85–89, the exact divergence TextOps.splitBucket's doc warns about
     val bucket = TextOps.splitBucket(col("vec_id"))
     val v = vectors.select(col("vec_id"), col("embedding"),
       bucketExpr(col("embedding"), planes, dim).as("bkt"), bucket.as("split"))
-    val train = v.filter(col("split") < 80)
+    val train = v.filter(col("split") < trainPct)
       .select(col("vec_id"), col("embedding").as("te"), col("bkt"))
-    val eval_ = v.filter(col("split") >= 90)
+    val eval_ = v.filter(col("split") >= evalFromPct)
       .select(col("vec_id").as("eid"), col("embedding").as("ee"), col("bkt"))
     train.join(eval_, Seq("bkt"))
       .select(col("vec_id"), col("eid"), cosine(col("te"), col("ee")).as("sim"))

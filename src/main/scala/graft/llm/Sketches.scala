@@ -31,7 +31,12 @@ object Sketches {
         .setScale(2, java.math.RoundingMode.HALF_UP)
     def zero: java.math.BigDecimal = java.math.BigDecimal.ZERO.setScale(4)
     def reduce(b: java.math.BigDecimal, v: java.lang.Double): java.math.BigDecimal =
-      if (v == null) b else { val q = quant(v); b.add(q.multiply(q)) }
+      // non-finite doubles (NaN, ±Inf) are skipped like nulls: BigDecimal
+      // cannot represent them and an executor-side NumberFormatException
+      // would abort the whole job over one bad row at 100 TB; skipping
+      // matches the quantized-decimal contract (document values only)
+      if (v == null || v.isNaN || v.isInfinite) b
+      else { val q = quant(v); b.add(q.multiply(q)) }
     def merge(a: java.math.BigDecimal, b: java.math.BigDecimal): java.math.BigDecimal =
       a.add(b)
     def finish(b: java.math.BigDecimal): Double = b.doubleValue

@@ -358,7 +358,11 @@ object TextAnalysis {
   def fingerprints(docs: DataFrame, n: Int = 3, p: Int = 8): DataFrame =
     TextOps.docShingles(docs, n)
       .withColumn("hx", substring(md5(col("s")), 1, 8))
-      .filter(TextOps.md5Int32(col("s")) % p === 0)
+      // derive the sampling test from the ALREADY-PROJECTED hx digest —
+      // md5Int32(s) here would hash every shingle a second time in a
+      // separate Filter operator (no cross-operator CSE); hx IS the first
+      // 8 hex chars md5Int32 parses
+      .filter(conv(col("hx"), 16, 10).cast(LongType) % p === 0)
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_sel"),
@@ -400,6 +404,12 @@ object TextAnalysis {
     * emitted as md5 so downstream dedup/storage carries digests, not
     * repeated text. Output: (doc_id, chunk_id, n_chunk_tok, chunk_md5). */
   def chunk(docs: DataFrame, window: Int = 64, stride: Int = 48): DataFrame = {
+    // stride = 0 would fail per-row deep in a stage (sequence step 0);
+    // stride > window would silently SKIP tokens between chunks,
+    // contradicting the overlap contract above — both are caller bugs,
+    // surfaced here
+    require(stride >= 1 && stride <= window,
+      s"chunk: stride ($stride) must be in [1, window ($window)]")
     val toks = col("toks")
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"), size(toks).cast(LongType).as("n_tok"),

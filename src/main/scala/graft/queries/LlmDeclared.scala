@@ -863,7 +863,7 @@ object LlmDeclared {
              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
          FROM embeddings e CROSS JOIN c${i - 1} c) x
        WHERE rn = 1),
-     c$i AS (
+     f$i AS (
        SELECT cent_id, list(m ORDER BY pos) AS cent FROM (
          SELECT cent_id, pos,
            SUM(CAST(round(CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)
@@ -872,7 +872,11 @@ object LlmDeclared {
          FROM (SELECT cent_id, embedding, unnest(range(len(embedding))) AS pos
                FROM a$i) u
          GROUP BY cent_id, pos) g
-       GROUP BY cent_id)"""
+       GROUP BY cent_id),
+     c$i AS (
+       -- keep-previous rule for empty clusters (mirrors fitCentroids)
+       SELECT p.cent_id, COALESCE(n.cent, p.cent) AS cent
+       FROM c${i - 1} p LEFT JOIN f$i n ON n.cent_id = p.cent_id)"""
 
   /** L37 — the l17 IVF probe with TRAINED centroids: 3 Lloyd iterations of
     * spherical k-means (k=16) over the corpus, then the same

@@ -165,7 +165,7 @@ object StreamOps {
     * cross-batch arrivals is tested in StreamingSpec. */
   def nearDupDocuments(docs: DataFrame, watermark: String = "1 hour",
                        n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
-    graft.llm.Dedup.bandSignatures(docs, n, k, bands)
+    graft.llm.Dedup.bandSignatures(docs, n, k, bands, carry = Seq("ts"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_idx", "band_hash")
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))

@@ -48,6 +48,28 @@ class LlmSpec extends SparkSpec {
     assert(got.toSeq === Seq((2L, 1.0), (3L, 1.0)))
   }
 
+  // ----------------------------------------------------- parameter guards
+
+  test("parameter guards: bands must divide k; chunk stride in [1, window]; " +
+    "frameBytes >= 1; SumSquares skips non-finite") {
+    val d = docsDf(1L -> "a b c d e f g h")
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDups(d, k = 16, bands = 32).collect())
+    intercept[IllegalArgumentException](
+      Dedup.minhashNearDups(d, k = 16, bands = 3).collect())
+    intercept[IllegalArgumentException](TextAnalysis.chunk(d, stride = 0))
+    intercept[IllegalArgumentException](
+      TextAnalysis.chunk(d, window = 8, stride = 9))
+    intercept[IllegalArgumentException](
+      Multimodal.frameSample(spark, Multimodal.asBlobs(d), 0))
+    // one NaN/Inf row must not abort the aggregation — skipped like null
+    val vals = Seq(Some(2.0), Some(Double.NaN), None,
+      Some(Double.PositiveInfinity), Some(3.0)).toDF("v")
+    val got = vals.agg(org.apache.spark.sql.functions.udaf(Sketches.SumSquares)
+      .apply(col("v"))).collect()(0).getDouble(0)
+    assert(got === 13.0)
+  }
+
   // ------------------------------------------------------- source overlap
 
   test("sourceOverlap: hand-computed containments; zero-overlap pairs absent") {

@@ -158,7 +158,7 @@ class StreamingSpec extends SparkSpec {
       // batch replay of the same rule on the drained input: a doc survives
       // iff it is the EARLIEST owner of every one of its bands
       val batchDocs = Seq(d1, d2, d3, d4).toDF()
-      val bands = graft.llm.Dedup.bandSignatures(batchDocs)
+      val bands = graft.llm.Dedup.bandSignatures(batchDocs, carry = Seq("ts"))
       val w = org.apache.spark.sql.expressions.Window
         .partitionBy("band_idx", "band_hash")
       val expected = bands
