@@ -23,11 +23,20 @@ object Envelope {
              schemaName: String = "workshopDb",
              tableName: String = "customeractivity"): DataFrame = {
     val dataCols = Schemas.customerActivity.fieldNames.toSeq.map(col)
+    // The 'Z' suffix asserts UTC, so the wall time must BE UTC regardless
+    // of the session timezone: to_utc_timestamp shifts the instant by the
+    // session zone's offset, and date_format (which renders session-local)
+    // then emits the UTC wall clock. GraftSession pins UTC (identity
+    // shift), but encode is also callable from foreign sessions
+    // (GraftExtensions invites them) where a bare date_format would label
+    // local time as Z — every downstream consumer then mis-shifts.
+    val sessionTz = df.sparkSession.sessionState.conf.sessionLocalTimeZone
     df.select(
       to_json(struct(
         struct(dataCols: _*).as("data"),
         struct(
-          date_format(col("ts"), "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
+          date_format(to_utc_timestamp(col("ts"), sessionTz),
+            "yyyy-MM-dd'T'HH:mm:ss'Z'").as("timestamp"),
           lit("data").as("record-type"),
           op.as("operation"),
           lit("primary-key").as("partition-key-type"),
@@ -54,6 +63,13 @@ object Envelope {
     * dropping it would look like data loss downstream. */
   def decodeSplit(df: DataFrame, valueCol: String = "value")
       : (DataFrame, DataFrame) = {
+    // The two branches are separate plans over `parsed`: a caller that
+    // executes BOTH (the replay/repair shape) parses the JSON twice. A
+    // streaming source cannot be materialized between them
+    // (localCheckpoint is batch-only), so the split stays lazy; a BATCH
+    // caller consuming both branches should localCheckpoint the input —
+    // or filter on `decodeFlagged` below, which parses once per plan and
+    // lets one write carry both legs.
     val parsed = df.withColumn("env", from_json(col(valueCol), Schemas.cdcEnvelope))
     val ok = parsed
       .filter(col("env").isNotNull && col("env.metadata.operation").isNotNull)
@@ -63,6 +79,18 @@ object Envelope {
       .select(col(valueCol).as("raw"))
     (ok, bad)
   }
+
+  /** decodeSplit's single-plan form: one parse, every row kept, with
+    * `is_bad` + the raw line riding along. The shape for pipelines that
+    * persist BOTH legs in one pass (write once, partitionBy("is_bad") or
+    * filter downstream) — especially streaming sinks, where the two-branch
+    * split cannot share a materialized parse. */
+  def decodeFlagged(df: DataFrame, valueCol: String = "value"): DataFrame =
+    df.withColumn("env", from_json(col(valueCol), Schemas.cdcEnvelope))
+      .select(
+        col("env.data").as("data"), col("env.metadata").as("metadata"),
+        col(valueCol).as("raw"),
+        (col("env").isNull || col("env.metadata.operation").isNull).as("is_bad"))
 
   /** CDC2 — the DMS table-selection rule as a filter
     * (lib/fin-transactions-stack.ts:164: schema-name = 'workshopDb',

@@ -34,7 +34,14 @@ object LatestState {
       .when(col("operation") === "update", 2)
       .when(col("operation") === "insert", 1)
       .otherwise(0)
-    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, prio.desc)
+    // Final tiebreak: a content hash. Two changes sharing BOTH timestamp
+    // and operation (routine at second-granularity sources) would
+    // otherwise pick a winner by task/partition order — and the streaming
+    // merges' idempotent-replay guarantee ("pure function of state and
+    // batch") would be false: a crash-replay could materialize the other
+    // image. The hash picks an arbitrary but DETERMINISTIC winner.
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol).desc, prio.desc,
+      xxhash64(changes.columns.map(col): _*).desc)
     changes
       .withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1 && col("operation") =!= "delete")
@@ -88,9 +95,18 @@ object LatestState {
                    key: Seq[String] = Seq("user_id")): DataFrame = {
     val payload = oldSnap.columns.filter(newSnap.columns.contains)
       .filterNot(key.contains).sorted
+    // Injective encoding (netstring-style): each value is LENGTH-PREFIXED
+    // before joining, so a separator or sentinel character occurring IN a
+    // value cannot fake a column boundary — ("a\u0001b","c") vs
+    // ("a","b\u0001c") now fingerprint differently, and a literal
+    // "\u0000" value (encoded "1:\u0000") differs from the bare null
+    // sentinel.
     def fingerprint(name: String)(df: DataFrame): DataFrame =
       df.select(key.map(col) :+ md5(concat_ws("\u0001",
-        payload.map(c => coalesce(col(c).cast("string"), lit("\u0000"))): _*))
+        payload.map { c =>
+          val s = col(c).cast("string")
+          coalesce(concat(length(s).cast("string"), lit(":"), s), lit("\u0000"))
+        }: _*))
         .as(name): _*)
     fingerprint("h_old")(oldSnap)
       .join(fingerprint("h_new")(newSnap), key, "full_outer")
@@ -116,6 +132,11 @@ object LatestState {
       : (DataFrame, Long) => Unit = { (batchDf: DataFrame, _: Long) =>
     if (!batchDf.isEmpty) {
       val target = new java.io.File(targetPath)
+      // Recover a swap interrupted between its two renames (same
+      // discipline as rebucket): without this, a crash in that window
+      // would leave the state's only copy in the aside dir and the replay
+      // would silently rebuild from the batch alone.
+      recoverMergeSwap(targetPath)
       val existing =
         if (target.exists())
           // Existing state re-enters the merge as the lowest-precedence
@@ -127,10 +148,30 @@ object LatestState {
       val merged = batch(all, key, orderCol).drop("operation")
       val tmp = targetPath + ".tmp"
       merged.write.mode("overwrite").parquet(tmp)
-      // Swap directories: the read above is fully materialized by the write.
-      if (target.exists()) rm(target)
+      // Swap via rename-aside, NEVER rm-then-rename: at no instant is the
+      // only surviving copy inside the tmp layout. A crash before the
+      // second rename is undone by recoverMergeSwap on replay; a crash
+      // after it leaves only the aside garbage to drop.
+      val aside = new java.io.File(targetPath + ".merge.old")
+      if (target.exists() && !target.renameTo(aside))
+        throw new java.io.IOException(s"latest-state set-aside failed: $target -> $aside")
       if (!new java.io.File(tmp).renameTo(target))
         throw new java.io.IOException(s"latest-state swap failed: $tmp -> $targetPath")
+      if (aside.exists()) rm(aside)
+    }
+  }
+
+  /** Crash recovery for `foreachBatchMerge`'s rename-aside swap — the
+    * merge twin of recoverRebucketSwap: aside WITH a live target = only
+    * the final delete was lost (drop it); aside WITHOUT a target = the
+    * crash hit between the renames and the aside copy IS the state. */
+  private def recoverMergeSwap(targetPath: String): Unit = {
+    val target = new java.io.File(targetPath)
+    val aside = new java.io.File(targetPath + ".merge.old")
+    if (aside.exists()) {
+      if (target.exists()) rm(aside)
+      else if (!aside.renameTo(target))
+        throw new java.io.IOException(s"merge recovery failed: $aside -> $target")
     }
   }
 

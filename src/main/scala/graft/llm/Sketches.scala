@@ -79,8 +79,15 @@ object Sketches {
     * the token d times). Shared by the batch operator below and the
     * streaming counter maintenance (StreamOps.cmsCounterStream) so their
     * counter tables are comparable cell-for-cell. */
-  def cmsPosFromMd5(digest: org.apache.spark.sql.Column, i: Int, m: Int): org.apache.spark.sql.Column =
+  def cmsPosFromMd5(digest: org.apache.spark.sql.Column, i: Int, m: Int): org.apache.spark.sql.Column = {
+    // md5 has exactly four disjoint 8-hex windows: i >= 4 would substring
+    // past the digest, conv("") → NULL, and every row-i count would
+    // silently collapse into one (i, null) cell, corrupting the min-over-
+    // rows estimate instead of failing.
+    require(i >= 0 && i < 4, s"cmsPosFromMd5: row index $i outside md5's 4 windows")
+    require(m >= 1, s"cmsPosFromMd5: width m ($m) must be >= 1")
     conv(substring(digest, 1 + 8 * i, 8), 16, 10).cast(LongType) % m
+  }
 
   /** Convenience form over the raw token — one md5 per call; prefer
     * cmsPosFromMd5 when deriving several rows from the same token. */

@@ -1019,11 +1019,15 @@ object Declared {
           AND ts > TIMESTAMP '2024-01-11 00:00:00'
           AND ts <= TIMESTAMP '2024-01-21 00:00:00') x WHERE rn = 1),
       oh AS (SELECT user_id, md5(concat_ws(chr(1),
-               COALESCE(CAST(event_id AS VARCHAR), chr(0)),
-               COALESCE(CAST(value AS VARCHAR), chr(0)))) AS h FROM o),
+               COALESCE(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR)
+                 || ':' || CAST(event_id AS VARCHAR), chr(0)),
+               COALESCE(CAST(length(CAST(value AS VARCHAR)) AS VARCHAR)
+                 || ':' || CAST(value AS VARCHAR), chr(0)))) AS h FROM o),
       nh AS (SELECT user_id, md5(concat_ws(chr(1),
-               COALESCE(CAST(event_id AS VARCHAR), chr(0)),
-               COALESCE(CAST(value AS VARCHAR), chr(0)))) AS h FROM n)
+               COALESCE(CAST(length(CAST(event_id AS VARCHAR)) AS VARCHAR)
+                 || ':' || CAST(event_id AS VARCHAR), chr(0)),
+               COALESCE(CAST(length(CAST(value AS VARCHAR)) AS VARCHAR)
+                 || ':' || CAST(value AS VARCHAR), chr(0)))) AS h FROM n)
       SELECT COALESCE(oh.user_id, nh.user_id) AS user_id,
         CASE WHEN oh.user_id IS NULL THEN 'insert'
              WHEN nh.user_id IS NULL THEN 'delete'

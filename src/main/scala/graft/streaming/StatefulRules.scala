@@ -63,7 +63,20 @@ object StatefulRules {
   /** S5 — streaming C3. Requires a watermark on `ts` upstream. State per
     * key is two longs; the event-time timeout clears state for accounts
     * idle past the freeze horizon, so state size tracks *active* accounts,
-    * not all accounts ever seen. */
+    * not all accounts ever seen.
+    *
+    * ORDERING TRADE (stated, like S8/S11/S12's bounded-state trades):
+    * events are sorted by event time only WITHIN each micro-batch — a
+    * late-but-in-watermark event delivered in a LATER batch is folded
+    * after events that followed it in event time, so the fold can diverge
+    * from the batch-order `applyEvents` replay (e.g. a late credit that
+    * would have prevented a freeze arrives after the freeze fired; the
+    * alert stands). Exactly-batch-equivalent ordering would require
+    * buffering every event until the watermark passes it (state = the
+    * whole in-flight window, plus a full per-key sort per trigger) —
+    * a real cost the reference's own streaming rule does not pay either.
+    * The S6 equivalence test therefore drives IN-ORDER batches; the same
+    * trade applies to funnelAdvances (S10) below. */
   def freezeAlerts(activity: Dataset[CustomerActivity])
       : Dataset[FreezeAlert] = {
     import activity.sparkSession.implicits._
@@ -189,7 +202,11 @@ object StatefulRules {
     a.join(b,
       col("uid_a") === col("uid_b")
         && col("city_a") =!= col("city_b")
-        && col("ts_b") >= col("ts_a")
+        // STRICT >, matching the batch C1 rule (BatchRules.cityHop): with
+        // >= an equal-timestamp pair would emit BOTH orderings here while
+        // the batch form emits neither — the equivalence the S6 test pins
+        // would silently diverge on simultaneous events
+        && col("ts_b") > col("ts_a")
         && col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
       .select(col("uid_a").as("user_id"), col("city_a"), col("ts_a"),
         col("city_b"), col("ts_b"))

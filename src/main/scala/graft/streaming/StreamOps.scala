@@ -164,14 +164,25 @@ object StreamOps {
     * bulk loads belong to the batch l03/l30 path). Batch equivalence on
     * cross-batch arrivals is tested in StreamingSpec. */
   def nearDupDocuments(docs: DataFrame, watermark: String = "1 hour",
-                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
-    graft.llm.Dedup.bandSignatures(docs, n, k, bands, carry = Seq("ts"))
+                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
+    val banded = graft.llm.Dedup.bandSignatures(docs, n, k, bands, carry = Seq("ts"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_idx", "band_hash")
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))
       .agg(count(lit(1)).as("n_novel"), min(col("ts")).as("doc_ts"))
       .filter(col("n_novel") === bands)
       .select(col("doc_id"), col("doc_ts").as("ts"))
+    // Documents with fewer than n tokens have NO n-gram shingle:
+    // bandSignatures drops them, so without this branch they would vanish
+    // from the survivor stream entirely — data LOSS, not deduplication.
+    // They bypass the near-dup stage unexamined (no shingles = nothing for
+    // MinHash to compare; exact re-posts of them are S11's job — chain
+    // dedupDocuments upstream for that).
+    val short = docs
+      .filter(size(split(col("text"), " ")) < n)
+      .select(col("doc_id"), col("ts"))
+    banded.unionByName(short)
+  }
 
   /** S14 — streaming SEMANTIC near-dup dedup: the embedding-space twin of
     * S12 (and the incremental form of the batch l39 pipeline's candidate
@@ -198,7 +209,22 @@ object StreamOps {
   def semanticDedupVectors(vecs: DataFrame, watermark: String = "1 hour",
                            planes: Int = 8, dim: Int = 64,
                            tables: Int = 4): DataFrame =
-    vecs.select(col("vec_id"), col("ts"),
+    vecs
+      // Fail FAST on a dim mismatch or null embedding: bucketExpr's dot
+      // returns NULL for either, when(NULL >= 0).otherwise(0) folds it to
+      // bucket 0, and EVERY such vector lands in the same (tbl, 0) cell —
+      // the dedup would then silently keep one vector per horizon and
+      // drop the rest of the stream. Mass data loss must be an error.
+      // The assertion is woven INTO the kept ts column (assert_true is
+      // null on success, so coalesce passes ts through) — a standalone
+      // asserted column would be pruned away as unreferenced.
+      .select(col("vec_id"),
+        coalesce(
+          assert_true(col("embedding").isNotNull && size(col("embedding")) === dim,
+            concat(lit(s"semanticDedupVectors: embedding must be non-null with dim=$dim, got size "),
+              coalesce(size(col("embedding")).cast("string"), lit("null"))))
+            .cast("timestamp"),
+          col("ts")).as("ts"),
         posexplode(array((0 until tables).map(t =>
           graft.llm.Similarity.bucketExpr(col("embedding"), planes, dim, t * planes)): _*))
           .as(Seq("tbl", "bkt")))

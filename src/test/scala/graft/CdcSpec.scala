@@ -233,6 +233,41 @@ class CdcSpec extends SparkSpec {
     assert(LatestState.readState(spark, dir).collect().toSet === expected)
   }
 
+  test("full-rewrite merge: replay recovers a crash between the swap renames") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_fwcr").toString + "/state"
+    val merge = LatestState.foreachBatchMerge(spark, dir)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "MAA", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    merge(b1, 0L)
+    val expected = spark.read.parquet(dir).collect().toSet
+    // Worst crash point: state renamed aside, merged layout never renamed
+    // in — the state's ONLY copy is the aside dir. (The pre-fix rm-then-
+    // rename swap DELETED the state here; replay then rebuilt from the
+    // batch alone, silently dropping every key not in it.)
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".merge.old")))
+    merge(b1, 0L)
+    assert(spark.read.parquet(dir).collect().toSet === expected)
+    assert(!new java.io.File(dir + ".merge.old").exists())
+  }
+
+  test("batch compaction: full-tie winner is deterministic across layouts") {
+    // same key, same ts, same operation, different payloads — the window
+    // tie must break by CONTENT, not task order, or crash-replay could
+    // materialize a different image than the first run
+    val rows = Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(1, "DEL", "CREDIT", "999.00", 500, "FOREX", "2024-01-01 10:00:00"))
+    def winner(df: org.apache.spark.sql.DataFrame): String =
+      LatestState.batch(df.withColumn("operation", lit("update")))
+        .collect().map(_.getAs[String]("city")).head
+    val a = winner(Fixtures.df(spark, rows))
+    assert(winner(Fixtures.df(spark, rows.reverse)) === a)
+    assert(winner(Fixtures.df(spark, rows).repartition(13)) === a)
+    assert(winner(Fixtures.df(spark, rows).coalesce(1)) === a)
+  }
+
   test("scd2History: validity chain, versions, current flag") {
     val changes = Fixtures.df(spark, Seq(
       Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
@@ -289,5 +324,23 @@ class CdcSpec extends SparkSpec {
     // 4 delete, 5 insert
     assert(got.toSeq === Seq((2L, "update"), (3L, "update"),
       (4L, "delete"), (5L, "insert")))
+  }
+
+  test("snapshotDiff: fingerprint is injective across separator/sentinel collisions") {
+    import spark.implicits._
+    // ("a\u0001b", "c") vs ("a", "b\u0001c"): naive concat_ws produces the
+    // produces the SAME joined string — an update the old fingerprint suppressed
+    val old1 = Seq((1L, "a\u0001b", "c")).toDF("user_id", "x", "y")
+    val new1 = Seq((1L, "a", "b\u0001c")).toDF("user_id", "x", "y")
+    assert(LatestState.snapshotDiff(old1, new1)
+      .collect().map(_.getString(1)).toSeq === Seq("update"))
+    // NULL vs the literal one-char "\u0000" string: the bare sentinel vs
+    // its length-prefixed encoding must differ
+    val old2 = Seq((1L, Option.empty[String])).toDF("user_id", "x")
+    val new2 = Seq((1L, Option("\u0000"))).toDF("user_id", "x")
+    assert(LatestState.snapshotDiff(old2, new2)
+      .collect().map(_.getString(1)).toSeq === Seq("update"))
+    // and genuinely unchanged rows still suppress
+    assert(LatestState.snapshotDiff(old1, old1).count() === 0)
   }
 }

@@ -139,6 +139,9 @@ class StreamingSpec extends SparkSpec {
       "2024-01-01 10:05:00") // exact re-post, within horizon: every band collides
     val d4 = doc(4, "the quick brown fox jumps over the lazy dog again and once",
       "2024-01-01 10:06:00") // lightly edited re-post: near-dup bands collide
+    val d5 = doc(6, "hi there",
+      "2024-01-01 10:07:00") // < n tokens: no shingle — must PASS THROUGH,
+                             // not silently vanish from the survivor stream
     val flush = doc(5, "watermark advancing document full of fresh novel words entirely",
       "2024-01-01 10:30:00")
     val in = MemoryStream[StreamDoc]
@@ -151,8 +154,11 @@ class StreamingSpec extends SparkSpec {
       // ordered arrivals
       in.addData(d1, d2); q.processAllAvailable()
       in.addData(d3); q.processAllAvailable()
-      in.addData(d4); q.processAllAvailable()
+      in.addData(d4, d5); q.processAllAvailable()
       in.addData(flush); q.processAllAvailable()
+      // the shingle-less short doc bypasses the near-dup stage unexamined
+      // (emitted immediately — no watermark wait on the stateless branch)
+      assert(spark.table("s12_out").filter(col("doc_id") === 6).count() === 1)
       val streamed = spark.table("s12_out").filter(col("doc_id") <= 4)
         .collect().map(_.getLong(0)).toSet
       // batch replay of the same rule on the drained input: a doc survives
