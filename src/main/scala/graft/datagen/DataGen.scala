@@ -45,11 +45,17 @@ object DataGen {
 
   /** GEN1 — distinct-sample id universe (first `n` of the permutation). */
   def idUniverse(spark: SparkSession, seed: Long = 42L,
-                 n: Long = Schemas.idUniverseSize): Dataset[java.lang.Long] =
+                 n: Long = Schemas.idUniverseSize): Dataset[java.lang.Long] = {
+    // Spark's limit is Int-bounded; a silent n.toInt would WRAP for
+    // n > Int.MaxValue (negative → runtime throw; 2^31..2^32 → a wrong
+    // positive prefix) — fail loudly at the boundary instead
+    require(n >= 0 && n <= Int.MaxValue,
+      s"idUniverse: n ($n) must fit in Int (Spark limit bound)")
     permutedDomain(spark, seed)
       .limit(n.toInt)
       .select("id")
       .as(org.apache.spark.sql.Encoders.LONG)
+  }
 
   /** The first `idCount` ids of the SAME permutation (the reference's
     * `lines[:1000]` slice of the id file, updateTables.py:56) — a prefix of

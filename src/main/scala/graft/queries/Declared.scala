@@ -1045,7 +1045,13 @@ object Declared {
       graft.cdc.LatestState.asOf(
           graft.cdc.LatestState.scd2History(
             t(s, dir, "events"), key = "user_id", tsCol = "ts", ord = "event_id"),
-          java.sql.Timestamp.valueOf("2024-01-15 12:00:00"))
+          // UTC-explicit instant: Timestamp.valueOf parses in the JVM
+          // DEFAULT timezone and would diverge from the oracle's UTC
+          // literal on any non-UTC host (the session conf pins only
+          // Spark's timezone, not the JVM's)
+          java.sql.Timestamp.from(java.time.LocalDateTime
+            .parse("2024-01-15T12:00:00")
+            .toInstant(java.time.ZoneOffset.UTC)))
         .select(col("user_id"), col("event_id"), col("valid_from"), col("version"))
         .orderBy(col("user_id")),
     Some("""SELECT user_id, event_id, valid_from, version FROM (

@@ -29,7 +29,12 @@ object BatchRules {
       col("bkt"))
     a.join(b, Seq("user_id", "bkt"))
       .filter(col("city_a") =!= col("city_b")
-        && col("ts_b") > col("ts_a")
+        // simultaneous different-city events are the STRONGEST C1 signal
+        // (physically impossible hop) and must not be dropped; the
+        // city tiebreak emits each unordered simultaneous pair exactly
+        // once (strict > alone lost them; >= alone emitted both orderings)
+        && (col("ts_b") > col("ts_a")
+          || (col("ts_b") === col("ts_a") && col("city_a") < col("city_b")))
         && col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
       .select(col("user_id"), col("city_a"), col("ts_a"), col("city_b"), col("ts_b"))
   }

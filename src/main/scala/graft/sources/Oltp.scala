@@ -65,21 +65,32 @@ object Oltp {
         "user_id" -> row.user_id, "city" -> row.city,
         "trx" -> row.transaction_type, "amount" -> row.monetary_value.toString,
         "secs" -> row.timeinapp.toInt, "feature" -> row.feature_used,
-        "at" -> Option(row.ts).map(_.toString).orNull))
+        // UTC-rendered wall time: Timestamp.toString renders in the JVM
+        // default timezone while CAST parses in the UTC session — on a
+        // non-UTC host that round-trip would shift the stored instant by
+        // the host offset (and disagree with insertWorkload's
+        // instant-preserving DataFrame path)
+        "at" -> Option(row.ts).map(t => java.time.LocalDateTime
+          .ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
+          .format(java.time.format.DateTimeFormatter
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))).orNull))
 
   /** Bulk append (the batch form of the insert workload). */
   def insertWorkload(df: DataFrame, db: String = defaultDb,
                      table: String = defaultTable): Unit =
     df.write.mode("append").insertInto(s"$db.$table")
 
-  /** The PRIMARY KEY read contract: newest image per user_id (ties broken
-    * by highest monetary of the same instant are irrelevant here — ts is
-    * writer-stamped monotone per key in the reference). */
+  /** The PRIMARY KEY read contract: newest image per user_id. Equal-ts
+    * ties (routine at second-granularity writer stamps) break by a content
+    * hash — an arbitrary but DETERMINISTIC winner, so the "current state"
+    * read returns the same image run-to-run regardless of partition order
+    * (the same discipline as LatestState.batch). */
   def latestView(spark: SparkSession, db: String = defaultDb,
                  table: String = defaultTable): DataFrame = {
-    val w = Window.partitionBy(col("user_id")).orderBy(col("ts").desc)
-    spark.table(s"$db.$table")
-      .withColumn("rn", row_number().over(w))
+    val t = spark.table(s"$db.$table")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, xxhash64(t.columns.map(col): _*).desc)
+    t.withColumn("rn", row_number().over(w))
       .filter(col("rn") === 1)
       .drop("rn")
   }

@@ -202,11 +202,13 @@ object StatefulRules {
     a.join(b,
       col("uid_a") === col("uid_b")
         && col("city_a") =!= col("city_b")
-        // STRICT >, matching the batch C1 rule (BatchRules.cityHop): with
-        // >= an equal-timestamp pair would emit BOTH orderings here while
-        // the batch form emits neither — the equivalence the S6 test pins
-        // would silently diverge on simultaneous events
-        && col("ts_b") > col("ts_a")
+        // same pair predicate as the batch C1 rule (BatchRules.cityHop):
+        // a simultaneous different-city pair — the strongest C1 signal —
+        // is emitted exactly once via the city tiebreak; plain >= emitted
+        // both orderings, plain > dropped the pair entirely, and either
+        // would silently diverge from the batch twin the S6 test pins
+        && (col("ts_b") > col("ts_a")
+          || (col("ts_b") === col("ts_a") && col("city_a") < col("city_b")))
         && col("ts_b") <= col("ts_a") + expr("INTERVAL 1 HOUR"))
       .select(col("uid_a").as("user_id"), col("city_a"), col("ts_a"),
         col("city_b"), col("ts_b"))

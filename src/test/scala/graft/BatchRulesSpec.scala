@@ -14,6 +14,22 @@ class BatchRulesSpec extends SparkSpec {
     assert(hops.head.getString(1) === "BOM" && hops.head.getString(3) === "DEL")
   }
 
+  test("C1: simultaneous different-city events flag exactly once") {
+    // the physically-impossible SAME-instant hop is the strongest C1
+    // signal: strict ts_b > ts_a dropped it, >= emitted both orderings —
+    // the city tiebreak emits the unordered pair exactly once
+    val rows = Seq(
+      Fixtures.row(7, "BOM", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(7, "DEL", "CREDIT", "1.00", 100, "ENQUIRY", "2024-01-01 10:00:00"))
+    val hops = BatchRules.cityHop(Fixtures.df(spark, rows)).collect()
+    assert(hops.length === 1)
+    assert(hops.head.getString(1) === "BOM" && hops.head.getString(3) === "DEL")
+    // and the streaming twin agrees (same predicate)
+    val streamedShape = graft.streaming.StatefulRules
+      .cityHop(Fixtures.df(spark, rows), Fixtures.df(spark, rows)).collect()
+    assert(streamedShape.length === 1)
+  }
+
   test("C2: overlapping sessions detected, clean gap passes") {
     val overlaps = BatchRules.overlappingSessions(Fixtures.c2(spark)).collect()
     assert(overlaps.length === 1)
