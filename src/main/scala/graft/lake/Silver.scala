@@ -43,8 +43,15 @@ object Silver {
       .write
       .partitionBy("year", "month", "day", "hour")
       .option("partitionOverwriteMode", "dynamic")
+      // cap file size so a hot hour (skewed partition) still rolls to
+      // multiple scannable files instead of one multi-GB parquet
+      .option("maxRecordsPerFile", maxRecordsPerFile)
       .mode("overwrite")
       .parquet(silverPath)
+
+  /** Row cap per output file — at ~1 KB/row this keeps files ≈1 GB-class
+    * on a real lake; the local tests never hit it. */
+  val maxRecordsPerFile: Long = 1000000L
 
   /** Read the silver table (partition-pruning friendly). */
   def read(spark: SparkSession, silverPath: String): DataFrame =

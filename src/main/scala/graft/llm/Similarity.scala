@@ -331,12 +331,20 @@ object Similarity {
           aggregate(zip_with(col("qc"), col("cc"), (a, b) => a * b),
             lit(0L), (s, v) => s + v).cast(DoubleType) /
           (col("qn") * col("cn"))).as("approx_sim"))
-    val wA = Window.partitionBy(col("qid"))
-      .orderBy(col("approx_sim").desc, col("nid"))
-    // the rank exchange now moves 3 scalar columns per candidate row
+    // Two-phase top-m via the bounded_top_m aggregate (plans.BoundedTopM):
+    // a `row_number().over(Window.partitionBy(qid))` here would shuffle
+    // |Q|×N rows onto |Q| keys where EVERY key receives the whole corpus —
+    // a by-construction straggler at scale (one key, not a skewed
+    // distribution, so AQE cannot split it). The aggregate instead folds
+    // each map task's slice into a ≤m-entry heap per qid (map-side partial
+    // aggregation), so the exchange carries |Q|·P serialized heaps instead
+    // of |Q|×N score rows, and the final merge per qid touches P·m entries.
     val shortlist = approx
-      .withColumn("arank", row_number().over(wA)).filter(col("arank") <= m)
-      .select(col("qid"), col("nid"), col("approx_sim"))
+      .groupBy(col("qid"))
+      .agg(call_function("bounded_top_m",
+        col("approx_sim"), col("nid"), lit(m)).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"), col("e.score").as("approx_sim"))
     // fetch embeddings for the |Q|·m survivors only: broadcast the tiny
     // shortlist against the corpus (equality join), broadcast the query
     // embeddings alongside

@@ -14,6 +14,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `morton_interleave(x, y[, bits]) -> long` — see MortonInterleave.
   *  - `int8_quant_stats(array<float>) -> struct` — see Int8QuantStats.
   *  - `ws_token_count(string) -> int` — see WsTokenCount.
+  *  - `bounded_top_m(score, id, m) -> array<struct>` — see BoundedTopM.
   *
   * Registered optimizer rules:
   *  - RewriteHofDotToFvecDot — user-written `aggregate(zip_with(...))`
@@ -60,6 +61,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "ws_token_count takes exactly 1 argument")
         WsTokenCount(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("bounded_top_m"),
+      new ExpressionInfo(classOf[BoundedTopM].getName, "bounded_top_m"),
+      (children: Seq[Expression]) => {
+        require(children.length == 3, "bounded_top_m takes exactly 3 arguments")
+        BoundedTopM(children.head, children(1), children(2))
       }))
   }
 }

@@ -263,4 +263,65 @@ class ExpressionSpec extends SparkSpec {
     // the LINE holding the expression carries the codegen `*(n)` marker
     assert("""\*\(\d+\)""".r.findFirstIn(exprLine.get).isDefined, exprLine.get)
   }
+
+  // --- bounded_top_m (plans.BoundedTopM) ---------------------------------
+
+  /** The window formulation bounded_top_m replaces — the semantic twin. */
+  private def windowTopM(df: org.apache.spark.sql.DataFrame, m: Int) = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("g")).orderBy(col("s").desc, col("id"))
+    df.withColumn("rk", row_number().over(w)).filter(col("rk") <= m)
+      .select(col("g"), col("id"), col("s"))
+  }
+
+  private def aggTopM(df: org.apache.spark.sql.DataFrame, m: Int) =
+    df.groupBy(col("g"))
+      .agg(call_function("bounded_top_m", col("s"), col("id"), lit(m)).as("top"))
+      .select(col("g"), explode(col("top")).as("e"))
+      .select(col("g"), col("e.id").as("id"), col("e.score").as("s"))
+
+  test("bounded_top_m == window top-m, independent of partition layout") {
+    // scores derived from the corpus so ties and spreads are realistic
+    val base = Tables.load(spark, sf001, "embeddings")
+      .select((col("vec_id") % 7).as("g"), col("vec_id").as("id"),
+        Similarity.norm2(col("embedding")).as("s"))
+    for (parts <- Seq(1, 7, 32)) {
+      val df = base.repartition(parts)
+      val got = aggTopM(df, 5).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = windowTopM(df, 5).collect().map(r =>
+        (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      assert(got === want, s"parts=$parts")
+      assert(got.nonEmpty)
+    }
+  }
+
+  test("bounded_top_m: ties break by lowest id; output is best-first; " +
+    "m > group size returns the whole group; null rows are skipped") {
+    val df = Seq[(Long, java.lang.Long, java.lang.Double)](
+      (1L, 10L, 5.0), (1L, 11L, 5.0), (1L, 12L, 5.0), // three-way tie
+      (1L, 13L, 9.0), (1L, 14L, 1.0),
+      (2L, 20L, 2.0), (2L, 21L, null),                // null score ignored
+      (2L, null, 8.0)                                 // null id ignored
+    ).toDF("g", "id", "s")
+    val rows = df.groupBy(col("g"))
+      .agg(call_function("bounded_top_m", col("s"), col("id"), lit(3)).as("top"))
+      .collect().map(r => r.getLong(0) ->
+        r.getSeq[org.apache.spark.sql.Row](1).map(e =>
+          (e.getDouble(0), e.getLong(1)))).toMap
+    // g=1: best-first (9.0,13) then the tie resolved by id asc: 10, 11
+    assert(rows(1L) === Seq((9.0, 13L), (5.0, 10L), (5.0, 11L)))
+    // g=2: only the one fully-non-null row survives; m=3 > group size
+    assert(rows(2L) === Seq((2.0, 20L)))
+  }
+
+  test("bounded_top_m aggregates with map-side partials (ObjectHashAggregate)") {
+    val df = aggTopM(Tables.load(spark, sf001, "embeddings")
+      .select((col("vec_id") % 7).as("g"), col("vec_id").as("id"),
+        lit(1.0).as("s")), 4)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_bounded_top_m"), plan.take(1000))
+    assert(plan.contains("ObjectHashAggregate"), plan.take(1000))
+  }
 }

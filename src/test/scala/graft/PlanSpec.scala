@@ -144,15 +144,34 @@ class PlanSpec extends SparkSpec {
       n.children.foreach(walk)
     }
     walk(df.queryExecution.executedPlan)
-    assert(shuffles.nonEmpty) // the rank windows must really be there
-    // embeddings AND codes stay out of every exchange: the coarse window
-    // moves (qid, nid, approx_sim), the fetch joins broadcast, the final
-    // sort moves scalars
+    assert(shuffles.nonEmpty) // the rerank window must really be there
+    // embeddings AND codes stay out of every exchange: the coarse top-m
+    // moves serialized ≤m-entry heaps, the fetch joins broadcast, the
+    // final sort moves scalars
     shuffles.foreach { s =>
       val arrays = s.output.filter(_.dataType.isInstanceOf[ArrayType])
       assert(arrays.isEmpty,
         s"array columns ${arrays.map(_.name)} cross a shuffle in l48")
     }
+    // Two-phase coarse top-m: the |Q|×N scores fold into bounded heaps
+    // BEFORE the exchange (partial_bounded_top_m on the map side), so the
+    // shortlist exchange carries |Q|·P heap buffers — never the corpus.
+    // The only Window left is the |Q|·m-row exact rerank.
+    // AQE's toString carries BOTH the final and the initial plan — count
+    // nodes in the final section only
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_bounded_top_m"), plan.take(1500))
+    assert(plan.contains("bounded_top_m"))
+    // count real WindowExec nodes (WindowGroupLimit is the rank-pushdown
+    // helper Spark inserts UNDER the rerank window — it bounds that
+    // window's input and is expected)
+    val windowCount = plan.linesIterator
+      .map(_.replaceFirst("^[-+:* ()0-9]*", ""))
+      .count(l => l.startsWith("Window") && !l.startsWith("WindowGroupLimit"))
+    assert(windowCount == 1,
+      s"expected exactly one Window (the bounded rerank), got $windowCount\n" +
+        plan.take(1500))
   }
 
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
