@@ -414,29 +414,32 @@ object Dedup {
       .distinct()
       .withColumn("self", col("a") === col("b"))
       .repartition(col("b"))
-      .localCheckpoint()
+      // lazy: round 1's changed-count job materializes it (labels' init
+      // filter reads the same RDD) — no separate setup job
+      .localCheckpoint(eager = false)
     var labels = edges.filter(col("self"))
       .select(col("a").as("id"), col("a").as("label"))
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
+      // LAZY checkpoint + exact changed-count in ONE job: the count is the
+      // first action over the checkpoint-marked RDD, so it materializes
+      // (and persists) every partition as a side effect — an eager
+      // localCheckpoint here would pay a separate full-materialization job
+      // per round, doubling the blocking actions in a loop whose per-round
+      // data is small enough that fixed stage cost dominates (this was
+      // round 10's l16 directive; the star loop uses the same discipline).
+      // The previous round-1 limit(1) shortcut is gone for the same
+      // reason: with the fold, the exact count costs exactly the
+      // materialization job the checkpoint needed anyway.
       val next = edges
         .join(labels.withColumnRenamed("id", "b"), "b")
         .groupBy(col("a").as("id"))
         .agg(min(col("label")).as("label"),
           min(when(col("self"), col("label"))).as("prev"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       iters += 1
-      // Round 1 almost always changes when any non-self pair exists (a
-      // pair's larger id takes the smaller label), so the cheap
-      // empty-vs-nonempty probe usually suffices — but ONLY when another
-      // round remains to run the exact count (with maxIters == 1, or a
-      // pairs input of pure self-pairs, the shortcut would report a
-      // spurious non-convergence), so the last permitted round always
-      // takes the exact changed-count.
-      changed =
-        if (iters == 1 && iters < maxIters) next.limit(1).count()
-        else next.filter(col("label") =!= col("prev")).count()
+      changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("id"), col("label"))
       if (sys.env.contains("GRAFT_DEBUG_CC"))
         println(s"[cc] round $iters changed=$changed")
@@ -483,7 +486,8 @@ object Dedup {
     val nodes = p.select(col("doc_a").as("id"))
       .unionByName(p.select(col("doc_b").as("id")))
       .distinct()
-      .localCheckpoint()
+      // lazy: only read once, by the final labeling join
+      .localCheckpoint(eager = false)
     // canonical undirected edges, held at the LARGER endpoint: (u > v)
     var es = p.select(
         greatest(col("doc_a"), col("doc_b")).as("u"),
@@ -525,7 +529,9 @@ object Dedup {
         .unionByName(mS.select(col("u"), col("m").as("v")))
         .filter(col("u") =!= col("v"))
         .distinct()
-        .localCheckpoint()
+        // lazy: the stats() action below materializes the checkpoint —
+        // same one-job-per-round fold as propagateLabels
+        .localCheckpoint(eager = false)
       iters += 1
       // Both sides are DISTINCT sets, so equal cardinality plus an empty
       // one-sided difference proves set equality. The (count, digest) pair
