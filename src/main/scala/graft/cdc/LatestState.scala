@@ -312,10 +312,21 @@ object LatestState {
     }
   }
 
-  /** The state materialized by `foreachBatchMergeIncremental`, minus the
-    * physical-layout `bucket` column. */
-  def readState(spark: SparkSession, targetPath: String): DataFrame =
+  /** The state materialized by `foreachBatchMergeIncremental` (or the
+    * full-rewrite merge), minus the physical-layout `bucket` column.
+    *
+    * Runs every crash-swap recovery FIRST: after a crash between a swap's
+    * two renames, the state's only copy sits in an aside dir until some
+    * entry point notices — if only the merge sinks recovered, an external
+    * reader (this method, a downstream job) would see NO state at all
+    * until the next non-empty micro-batch happened to arrive. Recovering
+    * at read-time closes that window at the first read. */
+  def readState(spark: SparkSession, targetPath: String): DataFrame = {
+    recoverMergeSwap(targetPath)
+    recoverRebucketSwap(targetPath)
+    recoverAsideBuckets(new java.io.File(targetPath))
     spark.read.parquet(targetPath).drop("bucket")
+  }
 
   /** RE-BUCKETING — the 100×-growth story for the incremental merge.
     * nBuckets is fixed at table creation (the marker pins it); when the

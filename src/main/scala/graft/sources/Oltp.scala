@@ -69,11 +69,15 @@ object Oltp {
         // default timezone while CAST parses in the UTC session — on a
         // non-UTC host that round-trip would shift the stored instant by
         // the host offset (and disagree with insertWorkload's
-        // instant-preserving DataFrame path)
+        // instant-preserving DataFrame path). Full microsecond precision
+        // (.SSSSSS): Spark timestamps carry micros, and a millisecond
+        // truncation here could shift the instant by up to 999 µs — enough
+        // to flip latestView's equal-ts content-hash tiebreak between the
+        // two insert paths.
         "at" -> Option(row.ts).map(t => java.time.LocalDateTime
           .ofInstant(t.toInstant, java.time.ZoneOffset.UTC)
           .format(java.time.format.DateTimeFormatter
-            .ofPattern("yyyy-MM-dd HH:mm:ss.SSS"))).orNull))
+            .ofPattern("yyyy-MM-dd HH:mm:ss.SSSSSS"))).orNull))
 
   /** Bulk append (the batch form of the insert workload). */
   def insertWorkload(df: DataFrame, db: String = defaultDb,

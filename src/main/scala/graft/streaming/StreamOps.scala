@@ -177,9 +177,17 @@ object StreamOps {
     // from the survivor stream entirely — data LOSS, not deduplication.
     // They bypass the near-dup stage unexamined (no shingles = nothing for
     // MinHash to compare; exact re-posts of them are S11's job — chain
-    // dedupDocuments upstream for that).
+    // dedupDocuments upstream for that). The predicate MUST be the exact
+    // complement of bandSignatures' shingle condition, so it goes through
+    // the SAME tokenizer (TextOps.tokens) — a second tokenizer definition
+    // here would silently break the complement invariant (docs
+    // double-emitted or lost) the first time one of them changed.
+    // Null-text docs shingle to nothing upstream, so they take this branch
+    // too (isNull): a null payload is still a document the pipeline must
+    // not lose; content dedup of nulls is, like all exact dedup, S11's job.
     val short = docs
-      .filter(size(split(col("text"), " ")) < n)
+      .filter(col("text").isNull
+        || size(graft.llm.TextOps.tokens(col("text"))) < n)
       .select(col("doc_id"), col("ts"))
     banded.unionByName(short)
   }

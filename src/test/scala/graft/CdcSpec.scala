@@ -36,6 +36,30 @@ class CdcSpec extends SparkSpec {
     assert(keys === Set("100001", "100002"))
   }
 
+  test("decodeFlagged partitions exactly into decodeSplit's (ok, bad) legs") {
+    import spark.implicits._
+    // mixed stream: valid envelopes + unparseable garbage + valid JSON of
+    // the wrong shape (parses to a null-operation metadata)
+    val good = Envelope.encode(sample, lit("insert"))
+    val mixed = good.select("value")
+      .unionByName(Seq("{not json", """{"foo": 1}""").toDF("value"))
+    val (ok, bad) = Envelope.decodeSplit(mixed)
+    val flagged = Envelope.decodeFlagged(mixed)
+    // the good leg matches decodeSplit's ok rows — NOTE the shape
+    // difference: flagged carries (data, metadata, raw, is_bad), so the
+    // documented substitution projects the split columns back out
+    val flaggedOk = flagged.filter(!col("is_bad"))
+      .select(col("data"), col("metadata"))
+    assert(flaggedOk.exceptAll(ok).isEmpty && ok.exceptAll(flaggedOk).isEmpty)
+    assert(ok.count() === sample.count())
+    // the bad leg keeps the raw line, exactly decodeSplit's bad set
+    val flaggedBad = flagged.filter(col("is_bad")).select(col("raw"))
+    assert(flaggedBad.exceptAll(bad).isEmpty && bad.exceptAll(flaggedBad).isEmpty)
+    assert(bad.count() === 2)
+    // every input row lands in exactly one leg
+    assert(flagged.count() === mixed.count())
+  }
+
   test("CDC2: selection rule keeps workshopDb and drops foreign schemas") {
     val ours = Envelope.decode(Envelope.encode(sample, lit("insert")))
     val foreign = Envelope.decode(
@@ -250,6 +274,63 @@ class CdcSpec extends SparkSpec {
     merge(b1, 0L)
     assert(spark.read.parquet(dir).collect().toSet === expected)
     assert(!new java.io.File(dir + ".merge.old").exists())
+  }
+
+  test("swap recovery, delete-lost branch: an aside dir WITH a live target " +
+    "is garbage — dropped, target untouched (all three recovery paths)") {
+    // The OTHER crash window: the swap completed (target holds the NEW
+    // state) but the final aside-delete was lost. Recovery must keep the
+    // target and drop the stale aside copy — restoring the aside here
+    // would roll the state back a batch.
+    def copyDir(src: java.io.File, dst: java.io.File): Unit = {
+      dst.mkdirs()
+      src.listFiles().foreach { f =>
+        if (f.isDirectory) copyDir(f, new java.io.File(dst, f.getName))
+        else java.nio.file.Files.copy(f.toPath,
+          new java.io.File(dst, f.getName).toPath): Unit
+      }
+    }
+    val base = java.nio.file.Files.createTempDirectory("graft_state_dl").toString
+    val dir = base + "/state"
+    val merge = LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 8)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(1, "BOM", "CREDIT", "100.00", 120, "ENQUIRY", "2024-01-01 10:00:00"),
+      Fixtures.row(2, "MAA", "CREDIT", "200.00", 120, "ENQUIRY", "2024-01-01 10:00:00")))
+      .withColumn("operation", lit("load"))
+    merge(b1, 0L)
+    val expected = LatestState.readState(spark, dir).collect().toSet
+    val target = new java.io.File(dir)
+    // (a) whole-directory rebucket aside alongside a live target
+    copyDir(target, new java.io.File(dir + ".rebucket.old"))
+    // (b) full-rewrite merge aside alongside a live target
+    copyDir(target, new java.io.File(dir + ".merge.old"))
+    // (c) per-bucket aside alongside its live bucket dir (STALE content —
+    // recovery keeping target, not content equality, is what's under test)
+    val bucket = target.listFiles().filter(_.getName.startsWith("bucket=")).head
+    val b = bucket.getName.stripPrefix("bucket=")
+    copyDir(bucket, new java.io.File(target, s"_old_bucket_$b"))
+    // read-time recovery (round 10: readState runs ALL recovery paths, so
+    // an external reader never waits for the next non-empty micro-batch)
+    assert(LatestState.readState(spark, dir).collect().toSet === expected)
+    assert(!new java.io.File(dir + ".rebucket.old").exists())
+    assert(!new java.io.File(dir + ".merge.old").exists())
+    assert(!target.listFiles().exists(_.getName.startsWith("_old_bucket_")))
+  }
+
+  test("readState alone recovers a between-renames crash (no merge needed)") {
+    // Crash between the rebucket renames, then the FIRST touch is a read,
+    // not a merge: before round 10 the state's only copy sat invisible in
+    // the aside dir until a non-empty batch arrived; readState now recovers.
+    val dir = java.nio.file.Files.createTempDirectory("graft_state_ro").toString + "/state"
+    val merge = LatestState.foreachBatchMergeIncremental(spark, dir, nBuckets = 8)
+    val b1 = Fixtures.df(spark, Seq(
+      Fixtures.row(7, "PNQ", "DEBIT", "70.00", 60, "TRANSFER", "2024-02-01 09:00:00")))
+      .withColumn("operation", lit("load"))
+    merge(b1, 0L)
+    val expected = LatestState.readState(spark, dir).collect().toSet
+    assert(new java.io.File(dir).renameTo(new java.io.File(dir + ".rebucket.old")))
+    assert(LatestState.readState(spark, dir).collect().toSet === expected)
+    assert(!new java.io.File(dir + ".rebucket.old").exists())
   }
 
   test("batch compaction: full-tie winner is deterministic across layouts") {

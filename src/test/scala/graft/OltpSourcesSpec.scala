@@ -29,6 +29,23 @@ class OltpSourcesSpec extends SparkSpec {
     assert(rows(1).getAs[java.sql.Timestamp]("ts") === ts("2024-01-02 11:00:00"))
   }
 
+  test("DML1: a sub-millisecond ts round-trips the insert exactly " +
+    "(microsecond rendering — parity with the DataFrame insert path)") {
+    Oltp.createActivityTable(spark, table = "micros",
+      location = Some(tmp("graft_oltp_us") + "/t"))
+    // 999 µs of sub-millisecond digits: a .SSS rendering would truncate
+    // this to 10:00:00.123, shifting the stored instant by up to 999 µs —
+    // enough to flip latestView's equal-ts content-hash tiebreak between
+    // insertActivity and insertWorkload images of the same row
+    val fine = java.sql.Timestamp.valueOf("2024-01-01 10:00:00.123999")
+    Oltp.insertActivity(spark, graft.schema.CustomerActivity(
+      100007, "BOM", "CREDIT", money("5.00"), 10.toShort, "ENQUIRY", fine),
+      table = "micros")
+    val back = spark.table("workshopdb.micros").collect()(0)
+      .getAs[java.sql.Timestamp]("ts")
+    assert(back === fine)
+  }
+
   test("DML1: ts is writer-stamped when absent (ON UPDATE CURRENT_TIMESTAMP analog)") {
     Oltp.createActivityTable(spark, table = "stamped",
       location = Some(tmp("graft_oltp_s") + "/t"))

@@ -142,6 +142,9 @@ class StreamingSpec extends SparkSpec {
     val d5 = doc(6, "hi there",
       "2024-01-01 10:07:00") // < n tokens: no shingle — must PASS THROUGH,
                              // not silently vanish from the survivor stream
+    val d6 = doc(7, null,
+      "2024-01-01 10:08:00") // null payload: shingles to nothing upstream —
+                             // same silent-loss class, same pass-through
     val flush = doc(5, "watermark advancing document full of fresh novel words entirely",
       "2024-01-01 10:30:00")
     val in = MemoryStream[StreamDoc]
@@ -154,11 +157,14 @@ class StreamingSpec extends SparkSpec {
       // ordered arrivals
       in.addData(d1, d2); q.processAllAvailable()
       in.addData(d3); q.processAllAvailable()
-      in.addData(d4, d5); q.processAllAvailable()
+      in.addData(d4, d5, d6); q.processAllAvailable()
       in.addData(flush); q.processAllAvailable()
       // the shingle-less short doc bypasses the near-dup stage unexamined
-      // (emitted immediately — no watermark wait on the stateless branch)
+      // (emitted immediately — no watermark wait on the stateless branch);
+      // so does the null-text doc (both are the complement of
+      // bandSignatures' shingle condition — one shared tokenizer)
       assert(spark.table("s12_out").filter(col("doc_id") === 6).count() === 1)
+      assert(spark.table("s12_out").filter(col("doc_id") === 7).count() === 1)
       val streamed = spark.table("s12_out").filter(col("doc_id") <= 4)
         .collect().map(_.getLong(0)).toSet
       // batch replay of the same rule on the drained input: a doc survives
