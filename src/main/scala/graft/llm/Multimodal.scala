@@ -1,136 +1,236 @@
 package graft.llm
 
+import java.nio.charset.StandardCharsets
+
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
 
-/** Multimodal-column plumbing: opaque `binary` payloads with typed metadata,
-  * decoded per-partition into feature rows.
+/** Multimodal-column plumbing: opaque `binary` payloads with typed
+  * metadata, decoded per-partition into feature rows.
   *
-  * The decode step is a STUB by design — this container ships no
-  * image/audio codecs — but everything around it is the real Spark shape a
-  * media pipeline needs at 100 TB:
+  * Round 10 upgraded the codec from a byte-arithmetic stub to a REAL
+  * public byte format: binary P6 PPM (the netpbm portable pixmap — magic
+  * `P6`, whitespace-separated ASCII decimal width/height/maxval with
+  * `#`-comment support, one whitespace byte, then `w·h·3` raw RGB bytes).
+  * PPM is the zero-dependency choice: the header is self-describing, the
+  * pixel plane is raw, and the full spec fits in the parser below — so the
+  * decode step genuinely parses bytes it did not produce, while the
+  * surrounding plumbing keeps the properties a media pipeline needs at
+  * 100 TB:
   *  - payloads travel as BinaryType columns (columnar, never stringified);
-  *  - decode runs via `mapPartitions` over a typed Dataset, i.e. one
-  *    iterator pass per partition with zero driver involvement — swap
-  *    `stubDecode` for a JNI/codec call and nothing else changes;
-  *  - output is a typed feature row (Dataset[MediaFeatures]) that drops
-  *    straight back into declarative SQL.
+  *  - every stage runs via `mapPartitions`/`flatMap` over a typed Dataset —
+  *    one iterator pass per partition, zero driver involvement; swapping
+  *    the PPM parser for a JNI/codec call changes nothing else;
+  *  - stage outputs are typed rows (or new payloads) that drop straight
+  *    back into declarative SQL, and payload→payload stages (resize) emit
+  *    VALID PPM so the stages compose in any order.
   *
-  * The stub is DETERMINISTIC arithmetic over the payload bytes, so the
-  * DuckDB oracle can verify the whole pipeline end-to-end (a real decoder
-  * is exactly as testable against golden outputs).
+  * The test corpus has no real media column, so `encodePpm` synthesizes a
+  * deterministic image per document (dimensions and pixels derived from
+  * the text bytes) — which keeps the whole pipeline oracle-checkable: the
+  * DuckDB side regenerates the same image in SQL and replays the decode
+  * arithmetic exactly. A real corpus would land its payloads in the same
+  * (doc_id, payload) shape and skip the encoder.
+  *
+  * Malformed payloads THROW with the doc id (fail-fast): the encoder
+  * guarantees validity here; a production ingest would route bad payloads
+  * to a quarantine leg first (the Envelope.decodeFlagged pattern), keeping
+  * the decoder's contract strict.
   */
 object Multimodal {
 
   final case class BlobRow(doc_id: Long, payload: Array[Byte])
 
-  /** Typed metadata a decoder would emit per media object. */
+  /** Typed metadata the decoder emits per image: payload size, header
+    * dimensions, and the exact pixel-plane byte sum. */
   final case class MediaFeatures(
       doc_id: Long, n_bytes: Long, width: Long, height: Long, sum_bytes: Long)
 
-  /** STUB decode: deterministic pseudo-dimensions + an exact byte checksum.
-    * A real build replaces the body with the codec call; the signature —
-    * bytes in, typed features out, pure per-element — is the contract. */
-  def stubDecode(b: BlobRow): MediaFeatures = {
-    val n = b.payload.length.toLong
-    val first = if (n > 0) b.payload(0) & 0xff else 0
-    val last = if (n > 0) b.payload(n.toInt - 1) & 0xff else 0
-    var sum = 0L
-    var i = 0
-    while (i < b.payload.length) { sum += (b.payload(i) & 0xff); i += 1 }
-    MediaFeatures(b.doc_id, n, 1L + first % 64, 1L + last % 64, sum)
+  /** Per-channel feature vector (the embedding-extractor stand-in):
+    * exact per-channel sums + pixel-plane extrema; mean_px is the exact
+    * sum over one division, so it is aggregation-order independent and
+    * SQL-replayable. */
+  final case class PixelFeatures(
+      doc_id: Long, n_px: Long, r_sum: Long, g_sum: Long, b_sum: Long,
+      px_min: Long, px_max: Long, mean_px: Double)
+
+  /** One sampled scanline of an image (the video-frame analog: one row
+    * in, N frame rows out). */
+  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_sum: Long)
+
+  // ------------------------------------------------------------- encoder
+
+  /** Deterministic P6 payload per document: width = 1 + first byte % 16,
+    * height = 1 + last byte % 16, pixel byte k = text byte (k mod len) —
+    * i.e. the text bytes tile the pixel plane cyclically. Empty/null text
+    * encodes the 1×1 image whose pixels are '0' (0x30). The derivation is
+    * pure SQL over the corpus, which is what lets the DuckDB oracle verify
+    * the REAL parser end-to-end (encode in SQL, decode in Spark, compare). */
+  def encodePpm(spark: SparkSession, docs: DataFrame): Dataset[BlobRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes =
+          if (text == null) Array.empty[Byte]
+          else text.getBytes(StandardCharsets.UTF_8)
+        val len = bytes.length
+        val w = 1 + (if (len == 0) 0 else bytes(0) & 0xff) % 16
+        val h = 1 + (if (len == 0) 0 else bytes(len - 1) & 0xff) % 16
+        val header = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
+        val out = new Array[Byte](header.length + w * h * 3)
+        System.arraycopy(header, 0, out, 0, header.length)
+        var k = 0
+        while (k < w * h * 3) {
+          out(header.length + k) = if (len == 0) '0'.toByte else bytes(k % len)
+          k += 1
+        }
+        BlobRow(id, out)
+      })
   }
 
-  /** Wrap the documents corpus as a binary-payload table (the fixture has
-    * no real media column; text bytes stand in as the opaque payload). */
-  def asBlobs(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), col("text").cast(BinaryType).as("payload"))
+  // -------------------------------------------------------------- parser
 
-  /** The decode pipeline: binary column → per-partition batch decode →
-    * typed feature rows. */
+  /** Parsed view of a P6 payload: dimensions + the pixel-plane offset
+    * into the payload array (pixels are payload(offset) onward). */
+  private final case class Ppm(width: Int, height: Int, offset: Int)
+
+  private def isPpmWs(b: Byte): Boolean =
+    b == ' ' || b == '\n' || b == '\r' || b == '\t'
+
+  /** The real netpbm P6 header parse — magic, whitespace/comment
+    * skipping, three ASCII decimal fields, the single post-maxval
+    * whitespace byte, and an exact pixel-plane length check. Accepts any
+    * spec-valid P6 with maxval < 256 (one byte per sample), not just the
+    * encoder's output; rejects everything else loudly. */
+  private def parsePpm(p: Array[Byte], docId: Long): Ppm = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: invalid P6 PPM — $why")
+    if (p.length < 2 || p(0) != 'P' || p(1) != '6') fail("bad magic")
+    var i = 2
+    def skipWs(): Unit = {
+      var going = true
+      while (going && i < p.length) {
+        if (isPpmWs(p(i))) i += 1
+        else if (p(i) == '#') { while (i < p.length && p(i) != '\n') i += 1 }
+        else going = false
+      }
+    }
+    def readInt(name: String): Int = {
+      skipWs()
+      if (i >= p.length || p(i) < '0' || p(i) > '9') fail(s"expected $name")
+      var v = 0
+      while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+        v = v * 10 + (p(i) - '0')
+        if (v > (1 << 24)) fail(s"$name out of range")
+        i += 1
+      }
+      v
+    }
+    val w = readInt("width")
+    val h = readInt("height")
+    val maxval = readInt("maxval")
+    if (w <= 0 || h <= 0) fail(s"non-positive dimensions ${w}x$h")
+    if (maxval <= 0 || maxval > 255) fail(s"unsupported maxval $maxval")
+    // exactly ONE whitespace byte separates the header from the raster
+    if (i >= p.length || !isPpmWs(p(i))) fail("missing raster separator")
+    i += 1
+    if (p.length - i != w * h * 3)
+      fail(s"raster is ${p.length - i} bytes, header says ${w * h * 3}")
+    Ppm(w, h, i)
+  }
+
+  // -------------------------------------------------------------- stages
+
+  /** DECODE stage: parse the header, checksum the pixel plane. */
   def decodeFeatures(spark: SparkSession, blobs: DataFrame): Dataset[MediaFeatures] = {
     import spark.implicits._
-    blobs.as[BlobRow].mapPartitions(_.map(stubDecode))
-  }
-
-  /** Typed per-payload FEATURE vector a media featurizer would emit —
-    * byte-level summary statistics standing in for a real embedding
-    * extractor (same contract: payload in, fixed-width numeric features
-    * out, pure per-element). mean_byte is exact-sum / one division, so it
-    * is aggregation-order independent and SQL-replayable. */
-  final case class ByteFeatures(
-      doc_id: Long, n_bytes: Long, byte_sum: Long, byte_min: Long,
-      byte_max: Long, n_distinct: Long, mean_byte: Double)
-
-  /** FEATURE-EXTRACT stage: binary column → per-partition featurize →
-    * typed feature rows (the image/audio-embedding analog of stubDecode;
-    * swap the byte statistics for a model/codec call and the plumbing —
-    * mapPartitions, schema, zero driver involvement — is unchanged). */
-  def featureExtract(spark: SparkSession, blobs: DataFrame): Dataset[ByteFeatures] = {
-    import spark.implicits._
     blobs.as[BlobRow].mapPartitions(_.map { b =>
-      val n = b.payload.length
-      if (n == 0) ByteFeatures(b.doc_id, 0L, 0L, 0L, 0L, 0L, 0.0)
-      else {
-        var sum = 0L
-        var mn = 255L
-        var mx = 0L
-        val seen = new Array[Boolean](256)
-        var distinct = 0L
-        var i = 0
-        while (i < n) {
-          val v = (b.payload(i) & 0xff).toLong
-          sum += v
-          if (v < mn) mn = v
-          if (v > mx) mx = v
-          if (!seen(v.toInt)) { seen(v.toInt) = true; distinct += 1 }
-          i += 1
-        }
-        ByteFeatures(b.doc_id, n.toLong, sum, mn, mx, distinct,
-          sum.toDouble / n)
-      }
+      val img = parsePpm(b.payload, b.doc_id)
+      var sum = 0L
+      var i = img.offset
+      while (i < b.payload.length) { sum += (b.payload(i) & 0xff); i += 1 }
+      MediaFeatures(b.doc_id, b.payload.length.toLong,
+        img.width.toLong, img.height.toLong, sum)
     })
   }
 
-  /** RESIZE stage: payload in, smaller payload out — every `stride`-th
-    * byte kept (the nearest-neighbor-downsample analog; a real resizer
-    * swaps the slice loop for a codec call, same payload→payload
-    * contract). Output stays a binary column so downstream stages
-    * (decode, feature-extract, frame-sample) compose on it unchanged. */
-  def resize(spark: SparkSession, blobs: DataFrame, stride: Int = 4): Dataset[BlobRow] = {
+  /** FEATURE-EXTRACT stage: per-channel sums + extrema over the parsed
+    * pixel plane (swap for a model call; the mapPartitions plumbing,
+    * schema, and zero driver involvement are the contract). */
+  def featureExtract(spark: SparkSession, blobs: DataFrame): Dataset[PixelFeatures] = {
     import spark.implicits._
-    require(stride >= 1, s"stride must be >= 1: $stride")
     blobs.as[BlobRow].mapPartitions(_.map { b =>
-      val out = new Array[Byte]((b.payload.length + stride - 1) / stride)
-      var i = 0
-      var j = 0
-      while (j < out.length) { out(j) = b.payload(i); i += stride; j += 1 }
+      val img = parsePpm(b.payload, b.doc_id)
+      val sums = new Array[Long](3)
+      var mn = 255L
+      var mx = 0L
+      var i = img.offset
+      var c = 0
+      while (i < b.payload.length) {
+        val v = (b.payload(i) & 0xff).toLong
+        sums(c) += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        i += 1
+        c += 1
+        if (c == 3) c = 0
+      }
+      val nPx = img.width.toLong * img.height
+      PixelFeatures(b.doc_id, nPx, sums(0), sums(1), sums(2), mn, mx,
+        (sums(0) + sums(1) + sums(2)).toDouble / (3.0 * nPx))
+    })
+  }
+
+  /** RESIZE stage: true 2-D nearest-neighbor downsample by `factor` —
+    * output pixel (x, y) = input pixel (x·factor, y·factor), output dims
+    * ⌈w/factor⌉ × ⌈h/factor⌉ — re-encoded as a VALID P6 payload, so
+    * downstream stages (decode, feature-extract, frame-sample) compose on
+    * the output unchanged. */
+  def resize(spark: SparkSession, blobs: DataFrame, factor: Int = 2): Dataset[BlobRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"resize factor must be >= 1: $factor")
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val img = parsePpm(b.payload, b.doc_id)
+      val w2 = (img.width + factor - 1) / factor
+      val h2 = (img.height + factor - 1) / factor
+      val header = s"P6\n$w2 $h2\n255\n".getBytes(StandardCharsets.US_ASCII)
+      val out = new Array[Byte](header.length + w2 * h2 * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      var y = 0
+      var j = header.length
+      while (y < h2) {
+        var x = 0
+        while (x < w2) {
+          val src = img.offset + ((y * factor) * img.width + x * factor) * 3
+          out(j) = b.payload(src)
+          out(j + 1) = b.payload(src + 1)
+          out(j + 2) = b.payload(src + 2)
+          j += 3
+          x += 1
+        }
+        y += 1
+      }
       BlobRow(b.doc_id, out)
     })
   }
 
-  /** One sampled "frame" of a media payload (the video analog: one row in,
-    * N frame rows out). */
-  final case class FrameRow(doc_id: Long, frame_idx: Long, frame_sum: Long)
-
-  /** Frame sampling: split each payload into fixed-size frames (trailing
-    * partial frame dropped) and emit one checksum row per frame — the
-    * table-generating (1→N) shape of video frame extraction, as a typed
-    * flatMap. A real extractor swaps the slice-checksum for a codec call;
-    * the fan-out, schema, and partition behavior are exactly this. */
+  /** FRAME-SAMPLE stage: emit every `stride`-th scanline of each image as
+    * one checksum row — the table-generating (1→N) shape of video frame
+    * extraction, as a typed flatMap. frame_idx is the SOURCE row index, so
+    * sampled output is identifiable against the original. */
   def frameSample(spark: SparkSession, blobs: DataFrame,
-                  frameBytes: Int = 32): Dataset[FrameRow] = {
-    require(frameBytes >= 1, s"frameSample: frameBytes ($frameBytes) must be >= 1")
+                  stride: Int = 1): Dataset[FrameRow] = {
+    require(stride >= 1, s"frameSample: stride ($stride) must be >= 1")
     import spark.implicits._
     blobs.as[BlobRow].flatMap { b =>
-      val n = b.payload.length / frameBytes
-      (0 until n).iterator.map { i =>
+      val img = parsePpm(b.payload, b.doc_id)
+      val rowBytes = img.width * 3
+      (0 until img.height by stride).iterator.map { y =>
         var sum = 0L
-        var j = i * frameBytes
-        val end = j + frameBytes
+        var j = img.offset + y * rowBytes
+        val end = j + rowBytes
         while (j < end) { sum += (b.payload(j) & 0xff); j += 1 }
-        FrameRow(b.doc_id, i.toLong, sum)
+        FrameRow(b.doc_id, y.toLong, sum)
       }
     }
   }

@@ -440,40 +440,65 @@ object LlmDeclared {
 
   // ------------------------------------------------- multimodal + sketches
 
-  /** L11 — multimodal decode plumbing: binary payloads through a
-    * mapPartitions stub decoder; the oracle recomputes the stub's exact
-    * arithmetic from SQL (the corpus text is ASCII, so bytes = codepoints). */
+  /** The DuckDB twin of `Multimodal.encodePpm`'s derivation: per doc, the
+    * P6 dimensions (w, h), text length, and header string. Pixel-plane
+    * byte k is then `ppmPx` below — the text bytes tiling the raster
+    * cyclically ('0' = 48 for empty text). The corpus is printable ASCII
+    * (verified), so ascii(substr) = byte and md5-of-string = md5-of-bytes. */
+  private val ppmCte =
+    """ppm AS (
+      SELECT doc_id, text, length(text) AS len,
+        1 + CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(substr(text, 1, 1)) END % 16 AS w,
+        1 + CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(substr(text, length(text), 1)) END % 16 AS h
+      FROM documents)"""
+
+  /** Pixel-plane byte at 0-based index `k` (SQL fragment). */
+  private def ppmPx(k: String) =
+    s"""CASE WHEN len = 0 THEN 48
+        ELSE ascii(substr(text, CAST(($k) % len + 1 AS INTEGER), 1)) END"""
+
+  /** P6 header string for dimensions (`w`, `h`) (SQL fragment). */
+  private def ppmHdr(w: String, h: String) =
+    s"""'P6' || chr(10) || CAST($w AS VARCHAR) || ' ' || CAST($h AS VARCHAR)
+        || chr(10) || '255' || chr(10)"""
+
+  /** L11 — multimodal decode: deterministic P6 PPM payloads through the
+    * REAL netpbm parser (`Multimodal.parsePpm` — magic, comments, ASCII
+    * decimal fields), features = header dims + exact pixel checksum. The
+    * oracle regenerates the same image in SQL and replays the decode. */
   private val l11 = DeclaredQuery(
     "l11_multimodal_decode",
     (s, dir) =>
-      Multimodal.decodeFeatures(s, Multimodal.asBlobs(t(s, dir, "documents")))
+      Multimodal.decodeFeatures(s,
+        Multimodal.encodePpm(s, t(s, dir, "documents")).toDF())
         .toDF().orderBy(col("doc_id")),
-    Some("""SELECT doc_id,
-      CAST(length(text) AS BIGINT) AS n_bytes,
-      CAST(1 + ascii(substr(text, 1, 1)) % 64 AS BIGINT) AS width,
-      CAST(1 + ascii(substr(text, length(text), 1)) % 64 AS BIGINT) AS height,
-      CAST(CASE WHEN length(text) = 0 THEN 0
-        ELSE list_reduce(list_transform(range(1, length(text) + 1),
-          i -> ascii(substr(text, CAST(i AS INTEGER), 1))), (x, y) -> x + y)
-        END AS BIGINT) AS sum_bytes
-      FROM documents ORDER BY doc_id"""))
+    Some(s"""WITH $ppmCte
+      SELECT doc_id,
+        CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS n_bytes,
+        CAST(w AS BIGINT) AS width,
+        CAST(h AS BIGINT) AS height,
+        CAST(list_reduce(list_transform(range(0, w*h*3),
+          k -> ${ppmPx("k")}), (x, y) -> x + y) AS BIGINT) AS sum_bytes
+      FROM ppm ORDER BY doc_id"""))
 
-  /** L20 — multimodal frame sampling: the 1→N table-generating decode
-    * shape (one frame-checksum row per 32-byte payload slice), as a typed
-    * flatMap; the oracle regenerates the slices from SQL. */
+  /** L20 — multimodal frame sampling: every scanline of each image as one
+    * checksum row — the 1→N table-generating decode shape (video frame
+    * extraction), as a typed flatMap over parsed P6 payloads. */
   private val l20 = DeclaredQuery(
     "l20_frame_sample",
     (s, dir) =>
-      Multimodal.frameSample(s, Multimodal.asBlobs(t(s, dir, "documents")))
+      Multimodal.frameSample(s,
+        Multimodal.encodePpm(s, t(s, dir, "documents")).toDF())
         .toDF().orderBy(col("doc_id"), col("frame_idx")),
-    Some("""SELECT doc_id, frame_idx,
-      CAST(list_reduce(list_transform(range(1, 33),
-        j -> ascii(substr(text, CAST(frame_idx * 32 + j AS INTEGER), 1))),
-        (x, y) -> x + y) AS BIGINT) AS frame_sum
-      FROM (SELECT doc_id, text,
-              unnest(range(length(text) // 32)) AS frame_idx
-            FROM documents)
-      ORDER BY doc_id, frame_idx"""))
+    Some(s"""WITH $ppmCte,
+      f AS (SELECT doc_id, text, len, w, unnest(range(h)) AS frame_idx FROM ppm)
+      SELECT doc_id, frame_idx,
+        CAST(list_reduce(list_transform(range(0, w*3),
+          x -> ${ppmPx("frame_idx * w * 3 + x")}), (a, b) -> a + b)
+          AS BIGINT) AS frame_sum
+      FROM f ORDER BY doc_id, frame_idx"""))
 
   /** L12 — per-group profile: exact distinct + exact percentiles (the
     * oracle-checkable twins of the HLL/KLL sketches, which LlmSpec
@@ -981,42 +1006,48 @@ object LlmDeclared {
       FROM hits WHERE sim >= 0.3
       GROUP BY vec_id ORDER BY vec_id"""))
 
-  /** L41 — multimodal FEATURE-EXTRACT: per-payload byte-statistics vector
-    * (the embedding-extractor stand-in; same mapPartitions plumbing as
-    * l11's decode). mean_byte = exact long sum / one division. */
+  /** L41 — multimodal FEATURE-EXTRACT: per-CHANNEL pixel statistics over
+    * the parsed P6 raster (the embedding-extractor stand-in; same
+    * mapPartitions plumbing as l11's decode). mean_px = exact long sum /
+    * one division, so it is aggregation-order independent. */
   private val l41 = DeclaredQuery(
     "l41_multimodal_features",
     (s, dir) =>
-      Multimodal.featureExtract(s, Multimodal.asBlobs(t(s, dir, "documents")))
+      Multimodal.featureExtract(s,
+        Multimodal.encodePpm(s, t(s, dir, "documents")).toDF())
         .toDF().orderBy(col("doc_id")),
-    Some("""WITH b AS (
-        SELECT doc_id, list_transform(range(1, length(text) + 1),
-          i -> ascii(substr(text, CAST(i AS INTEGER), 1))) AS bs
-        FROM documents)
+    Some(s"""WITH $ppmCte,
+      px AS (SELECT doc_id, w, h,
+        list_transform(range(0, w*h*3), k -> ${ppmPx("k")}) AS bs,
+        list_reduce(list_transform(range(0, w*h),
+          i -> ${ppmPx("3*i")}), (x, y) -> x + y) AS r_sum,
+        list_reduce(list_transform(range(0, w*h),
+          i -> ${ppmPx("3*i + 1")}), (x, y) -> x + y) AS g_sum,
+        list_reduce(list_transform(range(0, w*h),
+          i -> ${ppmPx("3*i + 2")}), (x, y) -> x + y) AS b_sum
+        FROM ppm)
       SELECT doc_id,
-        CAST(len(bs) AS BIGINT) AS n_bytes,
-        CAST(CASE WHEN len(bs) = 0 THEN 0
-             ELSE list_reduce(bs, (x, y) -> x + y) END AS BIGINT) AS byte_sum,
-        CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_min(bs) END AS BIGINT) AS byte_min,
-        CAST(CASE WHEN len(bs) = 0 THEN 0 ELSE list_max(bs) END AS BIGINT) AS byte_max,
-        CAST(len(list_distinct(bs)) AS BIGINT) AS n_distinct,
-        CASE WHEN len(bs) = 0 THEN 0.0
-             ELSE CAST(list_reduce(bs, (x, y) -> x + y) AS DOUBLE) / len(bs)
-        END AS mean_byte
-      FROM b ORDER BY doc_id"""))
+        CAST(w*h AS BIGINT) AS n_px,
+        CAST(r_sum AS BIGINT) AS r_sum,
+        CAST(g_sum AS BIGINT) AS g_sum,
+        CAST(b_sum AS BIGINT) AS b_sum,
+        CAST(list_min(bs) AS BIGINT) AS px_min,
+        CAST(list_max(bs) AS BIGINT) AS px_max,
+        CAST(r_sum + g_sum + b_sum AS DOUBLE) / (3 * w * h) AS mean_px
+      FROM px ORDER BY doc_id"""))
 
-  /** L42 — multimodal RESIZE: every-4th-byte downsample (payload →
-    * payload), audited by before/after sizes and the resized digest. The
-    * corpus is printable ASCII (verified), so byte sampling == char
-    * sampling and DuckDB's md5-of-string hashes the same bytes Spark's
-    * md5-of-binary does. */
+  /** L42 — multimodal RESIZE: true 2-D nearest-neighbor ÷2 downsample on
+    * the parsed raster, re-encoded as VALID P6 (payload → payload),
+    * audited by before/after sizes and the resized digest. The corpus is
+    * printable ASCII (verified) and the P6 header is ASCII, so DuckDB's
+    * md5-of-string hashes the same bytes Spark's md5-of-binary does. */
   private val l42 = DeclaredQuery(
     "l42_multimodal_resize",
     (s, dir) => {
-      val blobs = Multimodal.asBlobs(t(s, dir, "documents"))
+      val blobs = Multimodal.encodePpm(s, t(s, dir, "documents")).toDF()
       val orig = blobs.select(col("doc_id"),
         length(col("payload")).cast(LongType).as("orig_bytes"))
-      Multimodal.resize(s, blobs, stride = 4).toDF()
+      Multimodal.resize(s, blobs, factor = 2).toDF()
         .select(col("doc_id"),
           length(col("payload")).cast(LongType).as("resized_bytes"),
           md5(col("payload")).as("resized_md5"))
@@ -1025,12 +1056,18 @@ object LlmDeclared {
           col("resized_md5"))
         .orderBy(col("doc_id"))
     },
-    Some("""SELECT doc_id,
-        CAST(length(text) AS BIGINT) AS orig_bytes,
-        CAST((length(text) + 3) // 4 AS BIGINT) AS resized_bytes,
-        md5(array_to_string(list_transform(range(0, (length(text) + 3) // 4),
-          i -> substr(text, CAST(4 * i + 1 AS INTEGER), 1)), '')) AS resized_md5
-      FROM documents ORDER BY doc_id"""))
+    Some(s"""WITH $ppmCte,
+      d AS (SELECT doc_id, text, len, w, h,
+              (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM ppm)
+      SELECT doc_id,
+        CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS orig_bytes,
+        CAST(length(${ppmHdr("w2", "h2")}) + w2*h2*3 AS BIGINT) AS resized_bytes,
+        md5(${ppmHdr("w2", "h2")} ||
+          array_to_string(list_transform(range(0, w2*h2*3), k ->
+            CASE WHEN len = 0 THEN '0' ELSE substr(text,
+              CAST((((k // (w2*3)) * 2 * w + ((k % (w2*3)) // 3) * 2) * 3
+                + k % 3) % len + 1 AS INTEGER), 1) END), '')) AS resized_md5
+      FROM d ORDER BY doc_id"""))
 
   /** L43 — MinHash estimator audit: per band-candidate pair, the
     * signature-agreement estimate next to the exact Jaccard and the signed

@@ -36,7 +36,9 @@ class DeclaredQueriesSpec extends SparkSpec {
     "l12_profile" -> 5, "l13_udaf_sumsq" -> 5, "l14_cosine_near_dups" -> 26,
     "l15_stable_split" -> 500, "l16_dedup_clusters" -> 45,
     "l17_ann_ivf" -> 24, "l18_clean_text" -> 500, "l19_sequence_pack" -> 500,
-    "l20_frame_sample" -> 4538)
+    // 3641 = Σ image heights since round 10's PPM upgrade (one frame per
+    // scanline; previously one per 32-byte text slice)
+    "l20_frame_sample" -> 3641)
 
   SparkEntry.allDeclared.foreach { q =>
     test(s"${q.name} executes, non-empty, expected rows") {

@@ -51,7 +51,7 @@ class LlmSpec extends SparkSpec {
   // ----------------------------------------------------- parameter guards
 
   test("parameter guards: bands must divide k; chunk stride in [1, window]; " +
-    "frameBytes >= 1; SumSquares skips non-finite") {
+    "frame stride >= 1; SumSquares skips non-finite") {
     val d = docsDf(1L -> "a b c d e f g h")
     intercept[IllegalArgumentException](
       Dedup.minhashNearDups(d, k = 16, bands = 32).collect())
@@ -61,7 +61,7 @@ class LlmSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       TextAnalysis.chunk(d, window = 8, stride = 9))
     intercept[IllegalArgumentException](
-      Multimodal.frameSample(spark, Multimodal.asBlobs(d), 0))
+      Multimodal.frameSample(spark, Multimodal.encodePpm(spark, d).toDF(), 0))
     // one NaN/Inf row must not abort the aggregation — skipped like null
     val vals = Seq(Some(2.0), Some(Double.NaN), None,
       Some(Double.PositiveInfinity), Some(3.0)).toDF("v")
@@ -649,49 +649,82 @@ class LlmSpec extends SparkSpec {
 
   // ------------------------------------------------------------- multimodal
 
-  test("multimodal stub decode: typed features match byte arithmetic") {
+  test("multimodal decode: encodePpm round-trips through the real P6 parser") {
+    // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
+    // (11 B) + 24 raster bytes tiling "abc" cyclically
     val d = docsDf(7L -> "abc")
-    val f = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(d)).collect()(0)
-    assert(f.n_bytes === 3L)
-    assert(f.width === 1L + 'a'.toInt % 64)
-    assert(f.height === 1L + 'c'.toInt % 64)
-    assert(f.sum_bytes === ('a' + 'b' + 'c').toLong)
+    val f = Multimodal.decodeFeatures(spark,
+      Multimodal.encodePpm(spark, d).toDF()).collect()(0)
+    assert(f.width === 2L && f.height === 4L)
+    assert(f.n_bytes === 11L + 24L)
+    assert(f.sum_bytes === 8L * ('a' + 'b' + 'c')) // 24/3 = 8 full cycles
+    // empty text -> the 1x1 '0'-pixel image
+    val e = Multimodal.decodeFeatures(spark,
+      Multimodal.encodePpm(spark, docsDf(9L -> "")).toDF()).collect()(0)
+    assert(e.width === 1L && e.height === 1L && e.sum_bytes === 3L * '0')
   }
 
-  test("frameSample: 1-to-N fan-out with exact per-frame checksums") {
-    val d = docsDf(5L -> ("ab" * 40)) // 80 bytes -> 2 full 32-byte frames
-    val frames = Multimodal.frameSample(spark, Multimodal.asBlobs(d)).collect()
+  test("P6 parser accepts spec-valid foreign files (comments, CRLF) and " +
+    "rejects malformed payloads loudly") {
+    import spark.implicits._
+    def blobs(payload: Array[Byte]) =
+      Seq(Multimodal.BlobRow(1L, payload)).toDS().toDF()
+    // a file our encoder never writes: comment lines, CR whitespace, maxval 200
+    val foreign = ("P6\n# made elsewhere\n2 1 # dims\n200\r"
+      .getBytes("US-ASCII")) ++ Array[Byte](0, 10, 20, 30, 40, 50)
+    val f = Multimodal.decodeFeatures(spark, blobs(foreign)).collect()(0)
+    assert(f.width === 2L && f.height === 1L)
+    assert(f.sum_bytes === (0 + 10 + 20 + 30 + 40 + 50).toLong)
+    // malformed: bad magic / truncated raster / zero dims
+    for (bad <- Seq(
+        "P5\n1 1\n255\n...".getBytes("US-ASCII"),
+        "P6\n2 2\n255\n".getBytes("US-ASCII") ++ Array[Byte](1, 2, 3),
+        "P6\n0 1\n255\n".getBytes("US-ASCII"))) {
+      val ex = intercept[org.apache.spark.SparkException](
+        Multimodal.decodeFeatures(spark, blobs(bad)).collect())
+      assert(ex.getMessage.contains("P6") || ex.getCause != null)
+    }
+  }
+
+  test("frameSample: one checksum row per scanline, stride sampling") {
+    // "abc" image: h = 4 scanlines of w*3 = 6 bytes = 2 full "abc" cycles
+    val d = Multimodal.encodePpm(spark, docsDf(5L -> "abc")).toDF()
+    val frames = Multimodal.frameSample(spark, d).collect().sortBy(_.frame_idx)
+    assert(frames.length === 4)
+    assert(frames.map(_.frame_idx).toSeq === Seq(0L, 1L, 2L, 3L))
+    assert(frames.forall(_.frame_sum === 2L * ('a' + 'b' + 'c')))
+    // stride 2 keeps source rows 0 and 2 (frame_idx is the SOURCE index)
+    val strided = Multimodal.frameSample(spark, d, stride = 2).collect()
       .sortBy(_.frame_idx)
-    assert(frames.length === 2)
-    assert(frames(0).frame_sum === 16L * ('a' + 'b'))
-    assert(frames(1).frame_sum === 16L * ('a' + 'b'))
-    // payloads shorter than one frame produce no rows
-    val short = Multimodal.frameSample(spark,
-      Multimodal.asBlobs(docsDf(6L -> "tiny")))
-    assert(short.count() === 0)
+    assert(strided.map(_.frame_idx).toSeq === Seq(0L, 2L))
   }
 
-  test("multimodal resize and feature-extract: exact byte semantics, stages compose") {
-    val d = docsDf(8L -> "abcdefghij") // 10 bytes
-    // resize keeps bytes 0,4,8 at stride 4 -> "aei"
-    val r = Multimodal.resize(spark, Multimodal.asBlobs(d)).collect()(0)
-    assert(new String(r.payload, "UTF-8") === "aei")
-    // feature stats over the original
-    val f = Multimodal.featureExtract(spark, Multimodal.asBlobs(d)).collect()(0)
-    assert(f.n_bytes === 10L)
-    assert(f.byte_min === 'a'.toLong && f.byte_max === 'j'.toLong)
-    assert(f.n_distinct === 10L)
-    assert(f.mean_byte === ('a' to 'j').map(_.toInt).sum.toDouble / 10)
+  test("multimodal resize and feature-extract: exact pixel semantics, stages compose") {
+    // "abc" image is 2x4; nearest-neighbor /2 keeps pixels (0,0) and (0,2)
+    val blobs = Multimodal.encodePpm(spark, docsDf(8L -> "abc")).toDF()
+    val r = Multimodal.resize(spark, blobs).collect()(0)
+    // output is VALID P6 with halved dims: header "P6\n1 2\n255\n" + 6 bytes
+    assert(new String(r.payload.take(11), "US-ASCII") === "P6\n1 2\n255\n")
+    assert(r.payload.length === 11 + 6)
+    // both kept pixels start at raster offsets divisible by 3 -> "abc" twice
+    assert(new String(r.payload.drop(11), "US-ASCII") === "abcabc")
+    // per-channel feature stats over the original (8 px, channels tile abc)
+    val f = Multimodal.featureExtract(spark, blobs).collect()(0)
+    assert(f.n_px === 8L)
+    assert(f.r_sum === 8L * 'a' && f.g_sum === 8L * 'b' && f.b_sum === 8L * 'c')
+    assert(f.px_min === 'a'.toLong && f.px_max === 'c'.toLong)
+    assert(f.mean_px === (8.0 * ('a' + 'b' + 'c')) / 24.0)
     // payload -> payload contract: resize output drops into decode unchanged
     val composed = Multimodal.decodeFeatures(spark,
-      Multimodal.resize(spark, Multimodal.asBlobs(d)).toDF()).collect()(0)
-    assert(composed.n_bytes === 3L)
-    assert(composed.sum_bytes === ('a' + 'e' + 'i').toLong)
+      Multimodal.resize(spark, blobs).toDF()).collect()(0)
+    assert(composed.width === 1L && composed.height === 2L)
+    assert(composed.sum_bytes === 2L * ('a' + 'b' + 'c'))
   }
 
   test("multimodal decode is distributed (partition count preserved, no collect)") {
     val docs = Tables.load(spark, sf001, "documents").repartition(7)
-    val ds = Multimodal.decodeFeatures(spark, Multimodal.asBlobs(docs))
+    val ds = Multimodal.decodeFeatures(spark,
+      Multimodal.encodePpm(spark, docs).toDF())
     assert(ds.rdd.getNumPartitions === 7)
     assert(ds.count() === 500L)
   }
