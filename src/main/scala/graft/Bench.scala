@@ -73,8 +73,33 @@ object Bench {
       math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
+
+    // Per-query BASELINE rows (BASELINE.md's table, machine-readable) —
+    // regenerated alongside the table from matched full-sequence pairs.
+    // When present, the artifacts carry d01-normalized ratios so gate
+    // arbitration is mechanical with no hand math: ratio_norm =
+    // (sec / baseline_sec) x (baseline_d01_end / run_d01_end) — the
+    // sentinel pair cancels host-speed drift (BASELINE.md's same-boot
+    // variance study; d01_end, not the ramp-paying start d01, is the
+    // host-speed proxy).
+    val baselineRows: Map[String, Double] = {
+      val p = java.nio.file.Paths.get("BASELINE_ROWS.json")
+      if (!java.nio.file.Files.exists(p)) Map.empty
+      else """"([A-Za-z0-9_]+)"\s*:\s*([0-9.]+)""".r
+        .findAllMatchIn(new String(java.nio.file.Files.readAllBytes(p), "UTF-8"))
+        .map(m => m.group(1) -> m.group(2).toDouble).toMap
+    }
+    val hostNorm = for {
+      b <- baselineRows.get("d01_end") if sentinel > 0
+    } yield b / sentinel
+    def ratios(name: String, sec: Double): String =
+      baselineRows.get(name).filter(_ > 0).fold("") { b =>
+        val raw = sec / b
+        val norm = hostNorm.fold(raw)(raw * _)
+        s""","ratio":${r3(raw)},"ratio_norm":${r3(norm)}"""
+      }
     val detail = (results.map { case (k, mn, mx) =>
-      s""""$k":{"min":${r3(mn)},"max":${r3(mx)}}""" } :+
+      s""""$k":{"min":${r3(mn)},"max":${r3(mx)}${ratios(k.split('_')(0), mn)}}""" } :+
       s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)}}""").mkString("{", ",", "}")
     val totalMin = results.map(_._2).sum
     val totalMax = results.map(_._3).sum
@@ -91,7 +116,23 @@ object Bench {
 
     val qs = results.map { case (k, mn, _) =>
       "\"" + k.split('_')(0) + "\":" + r3(mn) }.mkString("{", ",", "}")
-    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // Compact normalized-gate summary on the printed line itself (the
+    // full per-query ratios live in the detail file — the driver keeps
+    // only the last 2000 chars of output, so this must stay small):
+    // worst 5 normalized ratios + the count at or above 1.5x.
+    val gate = if (baselineRows.isEmpty) "" else {
+      val normed = results.flatMap { case (k, mn, _) =>
+        val short = k.split('_')(0)
+        baselineRows.get(short).filter(_ > 0).map { b =>
+          short -> hostNorm.fold(mn / b)(mn / b * _) }
+      }
+      val worst = normed.sortBy(-_._2).take(5)
+        .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      s""","d01_end":${r3(sentinel)},"host_norm":${
+        hostNorm.fold("null")(r3)},"worst_norm":$worst,"n_norm_ge_1.5":${
+        normed.count(_._2 >= 1.5)}"""
+    }
+    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","queries":$qs,"sf":"$sfDir"$gate}""")
     spark.stop()
   }
 }
