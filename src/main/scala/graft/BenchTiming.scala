@@ -43,4 +43,19 @@ object BenchTiming {
     runOnce(spark, name, dir)
     math.min(runOnce(spark, name, dir), runOnce(spark, name, dir))
   }
+
+  /** `steady` for an arbitrary plan builder (dev experiments that
+    * parameterize operators beyond their declared-query instances — e.g.
+    * knob-scheduled scale-ups). Same discipline, same comparability. */
+  def steadyOf(spark: SparkSession,
+               build: () => org.apache.spark.sql.DataFrame): Double = {
+    def once(): Double = {
+      cleanup(spark)
+      val t0 = System.nanoTime()
+      build().write.format("noop").mode("overwrite").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once()
+    math.min(once(), once())
+  }
 }

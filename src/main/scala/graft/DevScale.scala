@@ -27,6 +27,11 @@ object DevScale {
       .getOrElse(10)
     val rest = if (args.headOption.exists(a => scala.util.Try(a.toInt).isSuccess))
       args.tail.toSeq else args.toSeq
+    if (rest == Seq("embed")) {
+      embedExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -61,5 +66,66 @@ object DevScale {
       println(f"$q%-28s small=$s%7.3f s  big(${reps}x)=$b%7.3f s  ratio=${b / s}%5.2f")
     }
     spark.stop()
+  }
+
+  /** EMBEDDING scale-up (`runMain graft.DevScale R embed`) — the
+    * experiment BASELINE.md's round-9 notes excluded from the text table:
+    * scaling an LSH corpus at fixed knobs is mistuning (bucket occupancy
+    * grows with n, candidate pairs quadratically), so this run grows the
+    * knobs by KnobSchedule's occupancy-constant leg and measures l06/l39's
+    * operator shapes at 1× and R× — plus the FIXED-knob control at R×
+    * that demonstrates the mistuning the schedule exists to avoid.
+    *
+    * Replica isolation in embedding space: replica k applies a
+    * deterministic ORTHOGONAL transform — circular dimension shift by k
+    * with md5-derived sign flips — so every within-replica pairwise cosine
+    * is preserved EXACTLY (the near-dup structure replicates) while
+    * cross-replica similarities are scrambled toward zero. The printed
+    * candidate-pair and near-dup-pair counts make any cross-replica
+    * leakage visible: at constant occupancy, pairs should grow ~R×, not
+    * R²×. */
+  private def embedExperiment(spark: org.apache.spark.sql.SparkSession,
+                              reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Similarity}
+    val dim = 64
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
+    val n1 = base.count()
+    def signOf(k: Int, i: Int): Double = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"rep:$k:$i".getBytes("UTF-8"))
+      if ((d(0) & 1) == 0) 1.0 else -1.0
+    }
+    def replicated(r: Int): DataFrame = (0 until r).map { k =>
+      base.select(
+        (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
+        array((0 until dim).map(i =>
+          (element_at(col("embedding"), ((i + k) % dim) + 1)
+            * lit(signOf(k, i))).cast("float")): _*).as("embedding"),
+        col("label"))
+    }.reduce(_ unionByName _)
+    val smallDir = "/tmp/graft_scale_embed_small"
+    val bigDir = "/tmp/graft_scale_embed_big"
+    replicated(1).write.mode("overwrite").parquet(s"$smallDir/embeddings.parquet")
+    replicated(reps).write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def em(dir: String) = Tables.load(spark, dir, "embeddings")
+    def run(tag: String, dir: String, planes: Int): Unit = {
+      val t06 = BenchTiming.steadyOf(spark, () =>
+        Similarity.annTopK(em(dir).filter(col("vec_id") < 8), em(dir),
+          k = 3, planes = planes, dim = dim))
+      val t39 = BenchTiming.steadyOf(spark, () =>
+        Similarity.embeddingDedupApply(em(dir), minSim = 0.3, planes = planes))
+      // occupancy/isolation evidence: candidate pairs and near-dup pairs
+      val pairs = Similarity.cosineNearDups(em(dir), minSim = 0.3,
+        planes = planes, dim = dim).count()
+      println(f"$tag%-26s planes=$planes%2d  l06=$t06%7.3f s  l39=$t39%7.3f s  nearDupPairs=$pairs%7d")
+    }
+    val p1 = KnobSchedule.lshPlanes(n1)
+    val pR = KnobSchedule.lshPlanes(n1 * reps)
+    run("1x control", smallDir, p1)
+    run(s"${reps}x scheduled", bigDir, pR)
+    run(s"${reps}x FIXED-KNOB control", bigDir, p1)
   }
 }

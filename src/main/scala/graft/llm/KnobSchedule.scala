@@ -1,0 +1,148 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The corpus-size → index-knob schedule for the embedding operators.
+  *
+  * Why this exists: scaling an LSH/IVF corpus at FIXED knobs is mistuning,
+  * not scaling — expected bucket occupancy is n/2^planes (resp. n/nCells),
+  * so candidate pairs per bucket grow quadratically in n until the knobs
+  * grow with it. The standard discipline (BASELINE.md's scale-up notes)
+  * is to hold occupancy constant: planes ≈ log2(n / targetOccupancy),
+  * nCells ≈ √n. This object makes that schedule executable instead of a
+  * documentation convention, and pairs each closed-form pick with the
+  * measured audit that validates it (Similarity.lshRecallAudit's shape —
+  * the l44 operator — and the IVF cell-rank quantile below).
+  *
+  * LSH recall model (hyperplane LSH, Charikar SimHash): a pair at cosine
+  * s collides on one hyperplane with probability q₁(s) = 1 − θ/π,
+  * θ = arccos(s); on a `planes`-bit table with probability q₁^planes; in
+  * at least one of `tables` independent tables with probability
+  * 1 − (1 − q₁^planes)^tables. Solving for tables gives the schedule:
+  * the SIZE knob (planes) comes from occupancy, the RECALL knob (tables)
+  * from inverting the collision model at the design similarity — the
+  * lowest similarity the pipeline must still catch (the dedup/decontam
+  * threshold, e.g. 0.3 for l39/l40).
+  *
+  * IVF has no comparably clean closed form (recall at nProbe depends on
+  * how the data clusters), so its probe knob is MEASURED, not modeled:
+  * for a query sample's true near-neighbor pairs (exact cosine ≥ minSim),
+  * compute the rank of each neighbor's cell in its query's
+  * centroid-similarity ordering; the smallest nProbe covering a
+  * `targetRecall` fraction of true pairs is that distribution's quantile.
+  * One bounded audit job — the sample is small by contract (it is
+  * broadcast), the pair set is the sample's near-neighbors, and the only
+  * driver-side materialization is that bounded rank list (the same
+  * driver-as-planner pattern as fitCentroids' loop control).
+  */
+object KnobSchedule {
+
+  /** Per-hyperplane collision probability for a pair at cosine `s`. */
+  def planeCollisionProb(s: Double): Double = {
+    val c = math.max(-1.0, math.min(1.0, s))
+    1.0 - math.acos(c) / math.Pi
+  }
+
+  /** Planes per table so expected bucket occupancy n/2^planes stays at
+    * `targetOccupancy`: the SIZE leg of the schedule. Occupancy is the
+    * per-bucket candidate-work bound — holding it constant is what keeps
+    * the bucket-join's output linear in n as the corpus grows. */
+  def lshPlanes(corpusSize: Long, targetOccupancy: Long = 64L): Int = {
+    require(corpusSize > 0 && targetOccupancy > 0)
+    math.max(1, math.ceil(
+      math.log(corpusSize.toDouble / targetOccupancy) / math.log(2.0)).toInt)
+  }
+
+  /** Tables to reach `targetRecall` for a pair at `designSim` given
+    * `planes`: the RECALL leg, from inverting 1 − (1 − q₁^p)^T ≥ R.
+    * Recall at designSim is the floor — every pair MORE similar than the
+    * design point collides with higher probability. */
+  def lshTables(planes: Int, targetRecall: Double,
+                designSim: Double, maxTables: Int = 64): Int = {
+    require(targetRecall > 0 && targetRecall < 1, s"recall in (0,1): $targetRecall")
+    val qTable = math.pow(planeCollisionProb(designSim), planes.toDouble)
+    if (qTable >= 1.0) 1
+    else math.min(maxTables, math.max(1,
+      math.ceil(math.log1p(-targetRecall) / math.log1p(-qTable)).toInt))
+  }
+
+  /** The LSH schedule: (planes, tables) for a corpus of `corpusSize`
+    * vectors, recall target `targetRecall` at similarity `designSim`. */
+  def lshKnobs(corpusSize: Long, targetRecall: Double, designSim: Double,
+               targetOccupancy: Long = 64L): (Int, Int) = {
+    val p = lshPlanes(corpusSize, targetOccupancy)
+    (p, lshTables(p, targetRecall, designSim))
+  }
+
+  /** IVF cell count: √n keeps per-cell occupancy AND the broadcast
+    * centroid table both at √n — the standard balance point (assignment
+    * cost n·nCells vs probe cost nProbe·n/nCells). */
+  def ivfCells(corpusSize: Long, minCells: Int = 4): Int =
+    math.max(minCells, math.round(math.sqrt(corpusSize.toDouble)).toInt)
+
+  /** MEASURED probe knob: the `targetRecall`-quantile of the cell-rank
+    * distribution of true near-neighbors (exact cosine ≥ `minSim`) over
+    * the `vec_id % sampleMod == 0` query sample — the smallest nProbe for
+    * which a `targetRecall` fraction of true pairs has the neighbor's
+    * cell among the query's nProbe nearest centroids. Same centroid
+    * convention as annTopKIvf (first-nCells by default; pass the trained
+    * ones for l37's path). */
+  def ivfProbeForRecall(vectors: DataFrame, nCells: Int,
+                        targetRecall: Double, minSim: Double = 0.3,
+                        dim: Int = 64, sampleMod: Long = 20,
+                        centroids: Option[DataFrame] = None): Int = {
+    import Similarity.{dot, norm2, cosine}
+    require(targetRecall > 0 && targetRecall <= 1)
+    val cents = broadcast(centroids.getOrElse(
+      vectors.orderBy(col("vec_id")).limit(nCells)
+        .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))))
+    val q = broadcast(vectors.filter(col("vec_id") % sampleMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(norm2(col("embedding"))).as("qn")))
+    val truth = q
+      .join(vectors.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+          sqrt(norm2(col("embedding"))).as("cn")),
+        col("qid") =!= col("nid"))
+      .filter(dot(col("qe"), col("ce")) / (col("qn") * col("cn")) >= minSim)
+      .select(col("qid"), col("qe"), col("nid"), col("ce"))
+    // One fan-out over the centroids computes, per true pair, BOTH the
+    // neighbor's argmax cell and the query's similarity at that same cell
+    // (max_by with the same ordering struct picks the same row).
+    val ord = struct(cosine(col("ce"), col("cent")), -col("cent_id"))
+    val assigned = truth.crossJoin(cents)
+      .groupBy(col("qid"), col("nid"))
+      .agg(first(col("qe")).as("qe"),
+        max_by(col("cent_id"), ord).as("cell"),
+        max_by(cosine(col("qe"), col("cent")), ord).as("q_at_cell"))
+    // rank of the neighbor's cell in the query's (cos desc, cent_id asc)
+    // centroid ordering — exactly annTopKIvf's probe ordering
+    val ranks = assigned.crossJoin(cents)
+      .groupBy(col("qid"), col("nid"))
+      .agg((sum(when(
+        cosine(col("qe"), col("cent")) > col("q_at_cell")
+          || (cosine(col("qe"), col("cent")) === col("q_at_cell")
+            && col("cent_id") < col("cell")), 1L).otherwise(0L)) + 1L)
+        .as("cell_rank"))
+      .select(col("cell_rank"))
+      // bounded by |sample| × its near-neighbor count — an audit set, not
+      // the corpus (the fitCentroids driver-as-planner pattern)
+      .collect().map(_.getLong(0)).sorted
+    require(ranks.nonEmpty,
+      s"no true pairs at minSim=$minSim — nothing to calibrate against")
+    val idx = math.min(ranks.length - 1,
+      math.max(0, math.ceil(targetRecall * ranks.length).toInt - 1))
+    math.min(nCells, ranks(idx).toInt)
+  }
+
+  /** The IVF schedule: (nCells, nProbe) — nCells closed-form, nProbe
+    * measured against the corpus via the cell-rank audit. */
+  def ivfKnobs(vectors: DataFrame, corpusSize: Long, targetRecall: Double,
+               minSim: Double = 0.3, dim: Int = 64,
+               sampleMod: Long = 20): (Int, Int) = {
+    val cells = ivfCells(corpusSize)
+    (cells, ivfProbeForRecall(vectors, cells, targetRecall, minSim, dim, sampleMod))
+  }
+}

@@ -457,7 +457,19 @@ object Similarity {
     * tables ∈ {1,8}; table t uses plane family t·planes, exactly as
     * annTopK does. */
   def lshRecallAudit(vectors: DataFrame, minSim: Double = 0.3,
-                     dim: Int = 64, sampleMod: Long = 20): DataFrame = {
+                     dim: Int = 64, sampleMod: Long = 20): DataFrame =
+    lshRecallAuditConfigs(vectors,
+      Seq((4, 1), (4, 8), (8, 1), (8, 8)), minSim, dim, sampleMod)
+
+  /** The audit for ARBITRARY (planes, tables) configs — what
+    * KnobSchedule's chosen knobs are validated against (the l44 declared
+    * query is the fixed 4-config instance above). One truth computation,
+    * one aggregate; every config's found-flag is an inline expression on
+    * the surviving truth rows. */
+  def lshRecallAuditConfigs(vectors: DataFrame, configs: Seq[(Int, Int)],
+                            minSim: Double = 0.3, dim: Int = 64,
+                            sampleMod: Long = 20): DataFrame = {
+    require(configs.nonEmpty)
     // Norms are a per-VECTOR quantity: compute them once per side BEFORE
     // the pair join (sample×corpus pairs would otherwise re-fold both
     // norms per pair — at |Q|·N pairs that triples the dot-product work).
@@ -476,13 +488,15 @@ object Similarity {
           bucketExpr(col("qe"), planes, dim, t * planes) ===
             bucketExpr(col("ce"), planes, dim, t * planes))
         .reduce(_ || _).cast(LongType)
+    val aggs = count(lit(1)).as("n_truth") +:
+      configs.zipWithIndex.map { case ((p, t), i) => sum(found(p, t)).as(s"f_$i") }
+    val stackArgs = configs.zipWithIndex
+      .map { case ((p, t), i) => s"${p}L, ${t}L, f_$i" }
+      .mkString(s"stack(${configs.length}, ", ", ", ")")
     truth
-      .agg(count(lit(1)).as("n_truth"),
-        sum(found(4, 1)).as("f_4_1"), sum(found(4, 8)).as("f_4_8"),
-        sum(found(8, 1)).as("f_8_1"), sum(found(8, 8)).as("f_8_8"))
-      .select(col("n_truth"), expr(
-        "stack(4, 4L, 1L, f_4_1, 4L, 8L, f_4_8, 8L, 1L, f_8_1, 8L, 8L, f_8_8)")
-        .as(Seq("planes", "tables", "n_found")))
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_truth"),
+        expr(stackArgs).as(Seq("planes", "tables", "n_found")))
       .select(col("planes"), col("tables"), col("n_truth"), col("n_found"),
         (col("n_found").cast(DoubleType) / col("n_truth")).as("recall"))
   }

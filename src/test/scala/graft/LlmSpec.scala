@@ -647,6 +647,71 @@ class LlmSpec extends SparkSpec {
     assert(got("srcB") === ((1L, 12L, 16.0 / (2 * 12))))
   }
 
+  // ------------------------------------------------------------ knob schedule
+
+  test("KnobSchedule closed forms: occupancy-constant planes, recall-model " +
+    "tables, both monotone the right way") {
+    import graft.llm.KnobSchedule._
+    // planes: n/2^p <= occupancy, and one fewer plane would overflow it
+    for ((n, occ) <- Seq((500L, 64L), (5000L, 64L), (5000000L, 64L), (500L, 8L))) {
+      val p = lshPlanes(n, occ)
+      assert(n.toDouble / math.pow(2, p) <= occ, s"n=$n occ=$occ p=$p")
+      assert(p == 1 || n.toDouble / math.pow(2, p - 1) > occ, s"minimal p: $p")
+    }
+    // 10x corpus at constant occupancy costs ~log2(10) ~ 3-4 extra planes
+    assert(lshPlanes(5000L) - lshPlanes(500L) >= 3)
+    // tables grow with target recall and with planes (smaller buckets need
+    // more tables), shrink with design similarity
+    assert(lshTables(3, 0.95, 0.3) > lshTables(3, 0.5, 0.3))
+    assert(lshTables(6, 0.9, 0.3) > lshTables(3, 0.9, 0.3))
+    assert(lshTables(3, 0.9, 0.8) < lshTables(3, 0.9, 0.3))
+    // model floor: the recall model at the design point holds for the pick
+    val (p, t) = lshKnobs(500L, 0.9, 0.3)
+    val q1 = planeCollisionProb(0.3)
+    assert(1.0 - math.pow(1.0 - math.pow(q1, p), t) >= 0.9)
+    // ivf cells follow sqrt(n)
+    assert(ivfCells(500L) === 22 && ivfCells(5000000L) === 2236)
+  }
+
+  test("KnobSchedule LSH knobs hit the recall target on the corpus " +
+    "(measured via the l44 audit, not just the model)") {
+    import graft.llm.KnobSchedule._
+    val em = Tables.load(spark, sf001, "embeddings")
+    val (p, t) = lshKnobs(500L, targetRecall = 0.9, designSim = 0.3)
+    val row = Similarity.lshRecallAuditConfigs(em, Seq((p, t))).collect()(0)
+    val recall = row.getDouble(4)
+    info(f"chosen ($p planes, $t tables): measured recall $recall%.3f over ${row.getLong(2)} true pairs")
+    assert(recall >= 0.9,
+      s"scheduled knobs ($p, $t) measured recall $recall < target 0.9")
+  }
+
+  test("KnobSchedule IVF probe knob: measured cell-rank quantile covers " +
+    "the recall target end-to-end") {
+    import graft.llm.KnobSchedule._
+    val em = Tables.load(spark, sf001, "embeddings")
+    val (cells, probe) = ivfKnobs(em, 500L, targetRecall = 0.9)
+    info(s"ivf knobs for n=500, recall 0.9: nCells=$cells nProbe=$probe")
+    assert(cells === 22 && probe >= 1 && probe <= cells)
+    // independent end-to-end check: of the TRUE near-neighbor pairs, the
+    // fraction whose neighbor survives annTopKIvf's probe pruning at the
+    // chosen knobs meets the target (k wide open so ranking never cuts)
+    val q = em.filter(col("vec_id") % 20 === 0)
+    val truth = Similarity.bruteForceTopK(q, em, k = 500)
+      .filter(col("sim") >= 0.3).select(col("qid"), col("nid"))
+    val got = Similarity.annTopKIvf(q, em, k = 500, nCells = cells,
+      nProbe = probe).filter(col("sim") >= 0.3).select(col("qid"), col("nid"))
+    val nTruth = truth.count()
+    val nFound = truth.intersect(got).count()
+    info(s"ivf end-to-end: $nFound / $nTruth true pairs survive the probe")
+    assert(nTruth > 0)
+    assert(nFound.toDouble / nTruth >= 0.9)
+    // and a smaller probe budget must measure lower-or-equal coverage
+    // (sanity that the knob actually binds)
+    val one = Similarity.annTopKIvf(q, em, k = 500, nCells = cells, nProbe = 1)
+      .filter(col("sim") >= 0.3).select(col("qid"), col("nid"))
+    assert(truth.intersect(one).count() <= nFound)
+  }
+
   // ------------------------------------------------------------- multimodal
 
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
