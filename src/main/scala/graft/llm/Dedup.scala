@@ -752,6 +752,54 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
+  /** SPAN-level dedup APPLY — repeated-passage removal (the RefinedWeb/
+    * CCNet boilerplate-stripping step, at span granularity): split each
+    * document into non-overlapping `k`-token spans, keep each distinct
+    * span's FIRST occurrence corpus-wide (ordered by (doc_id, span_idx) —
+    * total, so the survivor set is partition-layout independent), strip
+    * every later repeat, and emit the rewritten document as a digest.
+    * Per doc: (n_spans, n_kept, clean_md5) where clean_md5 hashes the
+    * kept spans joined in original order. The trailing <k-token remainder
+    * is outside the span stream by contract (documented, not dropped
+    * silently: n_spans counts only full spans).
+    *
+    * Scale shape: spans leave the scan as md5 digests with (doc_id, idx) —
+    * text never enters the winner computation; the first-occurrence
+    * groupBy is a min(struct) hash aggregate with map-side partials (never
+    * a collect of postings); the kept-index sets come back as one narrow
+    * long-array row per doc. The final reconstruction join is keyed on
+    * doc_id — the ONE place document text crosses an exchange, inherent to
+    * any rewrite join (on a doc_id-bucketed table it is co-located and
+    * shuffle-free). */
+  def spanDedupApply(docs: DataFrame, k: Int = 8): DataFrame = {
+    require(k >= 1, s"span width must be >= 1: $k")
+    val toks = col("toks")
+    // Column./ is double division — the span count needs integer floor div
+    def nSpans: Column = floor(size(toks) / k).cast("int")
+    def spanText(i: Column): Column =
+      concat_ws(" ", slice(toks, i * k + 1, lit(k)))
+    val spans = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        posexplode(when(size(toks) >= k,
+          transform(sequence(lit(0), nSpans - 1), i => md5(spanText(i))))
+          .otherwise(array().cast("array<string>"))).as(Seq("idx", "h")))
+    val winners = spans
+      .groupBy(col("h"))
+      .agg(min(struct(col("doc_id"), col("idx"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.idx").as("idx"))
+    val keptIdx = winners.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("idx"))).as("kept"))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(keptIdx, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        nSpans.cast(LongType).as("n_spans"),
+        coalesce(size(col("kept")), lit(0)).cast(LongType).as("n_kept"),
+        md5(concat_ws(" ", transform(
+          coalesce(col("kept"), array().cast("array<int>")),
+          i => spanText(i)))).as("clean_md5"))
+  }
+
   /** 32-bit SimHash per document over distinct 3-gram shingles: shingle →
     * md5-int32; signature bit i is set iff Σ_features (±1 by feature bit i)
     * > 0. One explode + one groupBy with 32 sum-aggregates — a single

@@ -396,6 +396,45 @@ object TextAnalysis {
         col("n_boiler").cast(DoubleType) / col("n_sh").cast(DoubleType))
   }
 
+  /** BIGRAM FLUENCY score — the corpus-statistics quality signal (the
+    * CCNet-style LM-perplexity filter's exact-arithmetic stand-in): score
+    * each document by how ordinary its token bigrams are in THIS corpus.
+    * Per doc: bigram count, mean corpus frequency of its bigrams, and the
+    * fraction that are corpus hapax (frequency ≤ `rareMax`) — word salad
+    * and boilerplate-free garbage score high rare fractions; fluent text
+    * reuses the corpus's common transitions. Integer sums + one division,
+    * so every value is order-independent and cross-engine exact (a
+    * log-probability formulation would hang the oracle on libm ulp
+    * differences between engines).
+    *
+    * Scale shape: bigrams leave the scan as md5 digests (text never
+    * shuffles); one count groupBy on the digest (map-side partials), one
+    * digest-keyed join back, one per-doc aggregate; zero-bigram docs are
+    * restored by a narrow doc_id left join. */
+  def bigramFluency(docs: DataFrame, rareMax: Long = 1L): DataFrame = {
+    val toks = col("toks")
+    val bi = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => md5(concat_ws(" ",
+              element_at(toks, i + 1), element_at(toks, i + 2)))))
+          .otherwise(array().cast("array<string>"))).as("h"))
+    val counts = bi.groupBy(col("h")).agg(count(lit(1)).as("c"))
+    val perDoc = bi.join(counts, "h")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("c")).as("c_sum"),
+        sum(when(col("c") <= rareMax, 1L).otherwise(0L)).as("n_rare"))
+    docs.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bigrams"), lit(0L)).as("n_bigrams"),
+        coalesce(col("c_sum").cast(DoubleType) / col("n_bigrams"), lit(0.0))
+          .as("mean_count"),
+        coalesce(col("n_rare").cast(DoubleType) / col("n_bigrams"), lit(0.0))
+          .as("rare_frac"))
+  }
+
   /** Document CHUNKING into overlapping token windows — the segmentation
     * pass every embedding/RAG pipeline runs before encoding: windows of
     * `window` tokens starting every `stride` tokens (window − stride

@@ -1310,10 +1310,65 @@ object LlmDeclared {
       JOIN sizes sb ON sb.source = src_b
       ORDER BY src_a, src_b"""))
 
+  /** L50 — span-level dedup APPLY (repeated-passage removal): keep each
+    * distinct 8-token span's first corpus occurrence (ordered by (doc_id,
+    * idx) — total order, so survivors are layout-independent), strip later
+    * repeats, emit the rewritten doc as a digest. The oracle replays the
+    * same first-occurrence rule with a row_number window and rebuilds the
+    * kept-span concatenation with an ordered string_agg. */
+  private val l50 = DeclaredQuery(
+    "l50_span_dedup",
+    (s, dir) => Dedup.spanDedupApply(t(s, dir, "documents"), k = 8)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      sp AS (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS idx
+             FROM t WHERE len(toks) >= 8),
+      s2 AS (SELECT doc_id, idx,
+               array_to_string(list_slice(toks,
+                 CAST(idx*8 + 1 AS INTEGER), CAST(idx*8 + 8 AS INTEGER)), ' ') AS span
+             FROM sp),
+      w AS (SELECT doc_id, idx, span,
+              row_number() OVER (PARTITION BY span ORDER BY doc_id, idx) AS rn
+            FROM s2),
+      agg AS (SELECT doc_id, COUNT(*) AS n_kept,
+                md5(string_agg(span, ' ' ORDER BY idx)) AS clean_md5
+              FROM w WHERE rn = 1 GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(len(t.toks) // 8 AS BIGINT) AS n_spans,
+        CAST(COALESCE(agg.n_kept, 0) AS BIGINT) AS n_kept,
+        COALESCE(agg.clean_md5, md5('')) AS clean_md5
+      FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      ORDER BY t.doc_id"""))
+
+  /** L51 — bigram fluency: per-doc mean corpus frequency of its token
+    * bigrams + corpus-hapax fraction (the exact-integer stand-in for the
+    * CCNet LM-perplexity quality filter; a log-prob formulation would
+    * hang the oracle on cross-libm ulp differences). */
+  private val l51 = DeclaredQuery(
+    "l51_bigram_fluency",
+    (s, dir) => TextAnalysis.bigramFluency(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      b AS (SELECT doc_id,
+              toks[CAST(i+1 AS INTEGER)] || ' ' || toks[CAST(i+2 AS INTEGER)] AS bg
+            FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
+                  FROM t WHERE len(toks) >= 2)),
+      c AS (SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg),
+      agg AS (SELECT doc_id, COUNT(*) AS n_bigrams, SUM(cnt) AS c_sum,
+                SUM(CASE WHEN cnt <= 1 THEN 1 ELSE 0 END) AS n_rare
+              FROM b JOIN c USING (bg) GROUP BY doc_id)
+      SELECT t.doc_id,
+        CAST(COALESCE(n_bigrams, 0) AS BIGINT) AS n_bigrams,
+        COALESCE(CAST(c_sum AS DOUBLE) / n_bigrams, 0.0) AS mean_count,
+        COALESCE(CAST(n_rare AS DOUBLE) / n_bigrams, 0.0) AS rare_frac
+      FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, l44, l45, l46, l47, l48, l49, d29)
+    l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
+    l51, d29)
 }

@@ -647,6 +647,47 @@ class LlmSpec extends SparkSpec {
     assert(got("srcB") === ((1L, 12L, 16.0 / (2 * 12))))
   }
 
+  // ----------------------------------------------- span dedup + bigram fluency
+
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map(b => f"$b%02x").mkString
+
+  test("spanDedupApply: first corpus occurrence wins, later repeats strip, " +
+    "rewritten doc digest is exact; remainder tokens are outside the span stream") {
+    val d = docsDf(1L -> "a b c d a b", 2L -> "c d x", 3L -> "p q")
+    val got = Dedup.spanDedupApply(d, k = 2).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // doc 1: spans [a b][c d][a b] — the second "a b" is a repeat of its
+    // own doc's span 0 (within-doc repeats strip too)
+    assert(got(1L) === ((3L, 2L, md5hex("a b c d"))))
+    // doc 2: its only span "c d" first occurred at (doc 1, idx 1) -> all
+    // stripped; the "x" remainder is not a span (n_spans counts full spans)
+    assert(got(2L) === ((1L, 0L, md5hex(""))))
+    // doc 3: unique span survives
+    assert(got(3L) === ((1L, 1L, md5hex("p q"))))
+  }
+
+  test("spanDedupApply: survivor set is partition-layout independent") {
+    val base = Tables.load(spark, sf001, "documents")
+    val a = Dedup.spanDedupApply(base.repartition(1), k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val b = Dedup.spanDedupApply(base.repartition(13), k = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+  }
+
+  test("bigramFluency: exact corpus-frequency arithmetic, zero-bigram docs kept") {
+    val d = docsDf(1L -> "a b a b", 2L -> "a b", 3L -> "z")
+    val got = TextAnalysis.bigramFluency(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    // corpus counts: c("a b") = 3 (two in doc 1, one in doc 2), c("b a") = 1
+    assert(got(1L) === ((3L, 7.0 / 3.0, 1.0 / 3.0))) // bigrams ab, ba, ab
+    assert(got(2L) === ((1L, 3.0, 0.0)))
+    assert(got(3L) === ((0L, 0.0, 0.0)))
+  }
+
   // ------------------------------------------------------------ knob schedule
 
   test("KnobSchedule closed forms: occupancy-constant planes, recall-model " +

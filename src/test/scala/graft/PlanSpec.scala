@@ -174,6 +174,24 @@ class PlanSpec extends SparkSpec {
         plan.take(1500))
   }
 
+  test("l50/l51: exchanges are keyed on digests or doc ids — never on raw " +
+    "span/bigram text") {
+    for (q <- Seq("l50_span_dedup", "l51_bigram_fluency")) {
+      val plan = executedPlan(lq(q))
+      assert(!plan.contains("CartesianProduct"), q)
+      assert(!plan.contains("BroadcastNestedLoopJoin"), q)
+      val exchanges = plan.linesIterator
+        .filter(_.contains("Exchange hashpartitioning")).toSeq
+      assert(exchanges.nonEmpty, q)
+      // l50's reconstruction join keys its one text-carrying exchange on
+      // doc_id (the documented rewrite-join cost); no exchange may be
+      // KEYED on a raw text/token/span column in either operator
+      assert(!exchanges.exists(l =>
+        l.contains("text#") || l.contains("toks#") || l.contains("span#")),
+        s"$q:\n" + exchanges.mkString("\n"))
+    }
+  }
+
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
     val plan = executedPlan(lq("l43_minhash_estimate_audit"))
     assert(!plan.contains("CartesianProduct"))
