@@ -16,7 +16,7 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("d02_pricing_summary")(spark, "/root/testdata/sf0.001")
 
-  /** D1–D48 + D29 (relational plane) + L1–L36 (LLM-data-pipeline plane). */
+  /** D1–D48 + D29 (relational plane) + L1–L51 (LLM-data-pipeline plane). */
   def allDeclared: Seq[graft.queries.DeclaredQuery] =
     Declared.all ++ LlmDeclared.all
 
