@@ -347,6 +347,78 @@ object Dedup {
       .withColumn("err", col("j_est") - col("j_exact"))
   }
 
+  /** The persisted BAND INDEX of a curated corpus: the distinct
+    * (band_idx, band_hash) pairs of its MinHash-LSH banding. This is the
+    * state an INCREMENTAL dedup pipeline carries between crawl batches —
+    * 32-char hashes only (the S11 digest-only discipline: content never
+    * enters the index), at most `bands` rows per corpus document before
+    * dedup, typically far fewer after. At 100 TB the index is parquet on
+    * the lake, re-read per batch; nothing here scales with document SIZE,
+    * only with corpus cardinality × bands. */
+  def bandIndex(corpus: DataFrame, n: Int = 3, k: Int = 16,
+                bands: Int = 4): DataFrame =
+    bandSignatures(corpus, n, k, bands)
+      .select(col("band_idx"), col("band_hash")).distinct()
+
+  /** INCREMENTAL near-dup admission — the operator a growing corpus runs
+    * per crawl batch: verdict every NEW document against the persisted
+    * band index of the already-curated corpus, without ever touching
+    * corpus text. Verdicts:
+    *   - `dup_corpus`: some band collides with the index (a near-dup of an
+    *     already-admitted document);
+    *   - `dup_batch`:  no corpus collision wins, but some band bucket holds
+    *     an earlier (smaller doc_id) batch document — first occurrence
+    *     within the batch survives;
+    *   - `kept`:       no collision anywhere (including documents too short
+    *     to shingle — no bands means no evidence of duplication).
+    *
+    * The batch-first-occurrence rule is deliberately INDEPENDENT of the
+    * corpus verdicts: a one-at-a-time sequential admission would re-judge
+    * each doc against survivors only, but that is an inherently serial
+    * chain. This parallel policy differs only by also dropping batch
+    * near-twins of `dup_corpus` docs — conservative over-dropping of
+    * near-dups of rejected documents, the desirable direction — and in
+    * exchange is deterministic, order-independent, and one pass.
+    *
+    * Scale shape (the reason this is NOT minhashNearDups on corpus∪batch):
+    * the corpus contributes only its distinct band pairs (broadcast-sized
+    * relative to its text); the batch is banded (pure projection), window-
+    * min'd per band bucket (ONE exchange on band keys — bucket occupancy
+    * is bounded by batch near-dup cluster size, the same unit every LSH
+    * path already lives with), probed against the index on the SAME keys
+    * (partitioning reused; AQE broadcasts the index when it fits), and
+    * folded to one verdict per doc (one exchange on doc_id). No pair
+    * expansion at all — the within-batch leg needs bucket MINIMA, never
+    * pairs. Duplicate rows in a non-distinct `index` cannot change
+    * verdicts (the per-doc fold is a boolean max). */
+  def incrementalDedup(batch: DataFrame, index: DataFrame, n: Int = 3,
+                       k: Int = 16, bands: Int = 4): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("band_idx"), col("band_hash"))
+    val verdicts = bandSignatures(batch, n, k, bands)
+      .withColumn("first_id", min(col("doc_id")).over(w))
+      .join(index.withColumn("in_corpus", lit(true)),
+        Seq("band_idx", "band_hash"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        max(coalesce(col("in_corpus"), lit(false))).as("dup_c"),
+        max(col("doc_id") > col("first_id")).as("dup_b"))
+    batch.select(col("doc_id"))
+      .join(verdicts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_c"), lit("dup_corpus"))
+          .when(col("dup_b"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("verdict"))
+  }
+
+  /** Index maintenance for the incremental loop: fold a batch's ADMITTED
+    * documents into the persisted band index. Union-distinct on 32-char
+    * hashes — at 100 TB this is the cheap side of the loop (the index is
+    * orders of magnitude smaller than the corpus text it stands for). */
+  def extendIndex(index: DataFrame, admitted: DataFrame, n: Int = 3,
+                  k: Int = 16, bands: Int = 4): DataFrame =
+    index.unionByName(bandIndex(admitted, n, k, bands)).distinct()
+
   /** Near-dup CLUSTERING — the step that turns pairwise matches into a
     * dedup decision: connected components over the near-dup pair graph,
     * labeling every member with its component's minimum doc_id (the

@@ -1364,11 +1364,80 @@ object LlmDeclared {
       FROM t LEFT JOIN agg ON t.doc_id = agg.doc_id
       ORDER BY t.doc_id"""))
 
+  /** L52 — incremental near-dup admission: the 'src0' slice plays the new
+    * crawl batch, every other source the already-curated corpus whose
+    * persisted band index the batch is verdicted against (dup_corpus /
+    * dup_batch / kept; band-collision policy — see Dedup.incrementalDedup
+    * for why this is the one-pass parallel form of sequential admission).
+    * The fixture corpus plants no near-dup pair INSIDE one source, so the
+    * batch is src0 unioned with a doc_id-shifted copy of itself (the l01
+    * fixture pattern): every shifted twin then collides with its original
+    * (→ dup_batch), except twins of corpus near-dups (→ dup_corpus wins),
+    * exercising all three verdicts. */
+  private val l52 = {
+    val k = 16; val bands = 4; val r = k / bands
+    val sigCols = (0 until k)
+      .map(i => s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}) AS m$i")
+      .mkString(",\n        ")
+    val bandSelects = (0 until bands).map { b =>
+      val cat = (0 until r).map(j => s"m${r * b + j}").mkString(" || ',' || ")
+      s"SELECT doc_id, $b AS band_idx, md5($cat) AS band_hash FROM sig"
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l52_incremental_dedup",
+      (s, dir) => {
+        val docs = t(s, dir, "documents")
+        val src0 = docs.filter(col("source") === "src0")
+          .select(col("doc_id"), col("text"))
+        val batch = src0.unionByName(
+          src0.withColumn("doc_id", col("doc_id") + 1000000L))
+        val corpus = docs.filter(col("source") =!= "src0")
+        Dedup.incrementalDedup(batch, Dedup.bandIndex(corpus), 3, k, bands)
+          .orderBy(col("doc_id"))
+      },
+      Some(s"""WITH ad AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+              WHERE source = 'src0'),
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM ad),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+             FROM t),
+      shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+      sig AS (SELECT doc_id,
+        $sigCols
+        FROM shh GROUP BY doc_id),
+      bands AS (
+        $bandSelects),
+      b_ids AS (SELECT doc_id FROM documents WHERE source = 'src0'
+                UNION ALL SELECT doc_id + 1000000 FROM documents
+                WHERE source = 'src0'),
+      nb AS (SELECT b.* FROM bands b JOIN b_ids USING (doc_id)),
+      ci AS (SELECT DISTINCT band_idx, band_hash
+             FROM bands b JOIN documents d USING (doc_id)
+             WHERE d.source <> 'src0'),
+      dc AS (SELECT DISTINCT nb.doc_id
+             FROM nb JOIN ci USING (band_idx, band_hash)),
+      fb AS (SELECT band_idx, band_hash, MIN(doc_id) AS first_id
+             FROM nb GROUP BY band_idx, band_hash),
+      db AS (SELECT DISTINCT nb.doc_id
+             FROM nb JOIN fb USING (band_idx, band_hash)
+             WHERE nb.doc_id > fb.first_id)
+      SELECT b_ids.doc_id,
+        CASE WHEN dc.doc_id IS NOT NULL THEN 'dup_corpus'
+             WHEN db.doc_id IS NOT NULL THEN 'dup_batch'
+             ELSE 'kept' END AS verdict
+      FROM b_ids
+      LEFT JOIN dc ON b_ids.doc_id = dc.doc_id
+      LEFT JOIN db ON b_ids.doc_id = db.doc_id
+      ORDER BY b_ids.doc_id"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, d29)
+    l51, l52, d29)
 }

@@ -688,6 +688,61 @@ class LlmSpec extends SparkSpec {
     assert(got(3L) === ((0L, 0.0, 0.0)))
   }
 
+  // ------------------------------------------------------- incremental dedup
+
+  test("incrementalDedup: corpus collision beats batch collision, first " +
+    "batch occurrence wins, shingle-less docs are kept") {
+    val corpus = docsDf(100L -> "a b c d e f g h")
+    val batch = docsDf(
+      1L -> "a b c d e f g h", // = corpus doc        -> dup_corpus
+      2L -> "p q r s t u v w", // unique              -> kept
+      3L -> "p q r s t u v w", // = batch doc 2 (<id) -> dup_batch
+      4L -> "zz yy",           // no 3-shingle        -> kept (no evidence)
+      5L -> "a b c d e f g h") // hits corpus AND doc 1 -> dup_corpus wins
+    val got = Dedup.incrementalDedup(batch, Dedup.bandIndex(corpus))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(
+      1L -> "dup_corpus", 2L -> "kept", 3L -> "dup_batch",
+      4L -> "kept", 5L -> "dup_corpus"))
+  }
+
+  test("incrementalDedup: extending the index with the admitted docs makes " +
+    "re-admission of the same batch all dup_corpus (idempotent loop)") {
+    val corpus = docsDf(100L -> "a b c d e f g h")
+    val batch = docsDf(
+      1L -> "a b c d e f g h", 2L -> "p q r s t u v w",
+      3L -> "p q r s t u v w", 4L -> "zz yy")
+    val idx = Dedup.bandIndex(corpus)
+    val v1 = Dedup.incrementalDedup(batch, idx)
+    val admitted = batch.join(
+      v1.filter(col("verdict") === "kept"), Seq("doc_id"), "left_semi")
+    val v2 = Dedup.incrementalDedup(batch, Dedup.extendIndex(idx, admitted))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    // every doc with bands now collides with the corpus (its own admitted
+    // twin or the original); the shingle-less doc can never be indexed
+    assert(v2 === Map(
+      1L -> "dup_corpus", 2L -> "dup_corpus", 3L -> "dup_corpus",
+      4L -> "kept"))
+  }
+
+  test("incrementalDedup: verdicts are partition-layout independent and " +
+    "all three classes are exercised on the declared fixture") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val src0 = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), col("text"))
+    val batch = src0.unionByName(
+      src0.withColumn("doc_id", col("doc_id") + 1000000L))
+    val corpus = docs.filter(col("source") =!= "src0")
+    def run(parts: Int) = Dedup.incrementalDedup(
+        batch.repartition(parts), Dedup.bandIndex(corpus.repartition(parts)))
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run(1)
+    assert(a === run(13))
+    val byVerdict = a.groupBy(_._2)
+    assert(Set("dup_corpus", "dup_batch", "kept").subsetOf(byVerdict.keySet),
+      byVerdict.keySet.toString)
+  }
+
   // ------------------------------------------------------------ knob schedule
 
   test("KnobSchedule closed forms: occupancy-constant planes, recall-model " +

@@ -192,6 +192,30 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("l52: incremental dedup shuffles band hashes and doc ids only — " +
+    "no text crosses an exchange, no pair self-join anywhere") {
+    val plan = executedPlan(lq("l52_incremental_dedup"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.nonEmpty)
+    // the S11 digest discipline: every exchange carries band keys /
+    // doc ids / verdict scalars — never text, tokens, or shingles
+    assert(!exchanges.exists(l =>
+      l.contains("text#") || l.contains("toks#") || l.contains("shs#")
+        || l.contains("s#") || l.contains("hs#")),
+      exchanges.mkString("\n"))
+    // the within-batch leg is a window MIN over band buckets, not a
+    // bands-with-bands self-join: the plan joins only batch-vs-index and
+    // verdicts-vs-batch, so SortMergeJoin/ShuffledHashJoin on band keys
+    // appears at most once (the index probe when AQE doesn't broadcast it)
+    val bandKeyJoins = plan.linesIterator.count(l =>
+      (l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin"))
+        && l.contains("band_hash"))
+    assert(bandKeyJoins <= 1, plan.take(1500))
+  }
+
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
     val plan = executedPlan(lq("l43_minhash_estimate_audit"))
     assert(!plan.contains("CartesianProduct"))
