@@ -824,6 +824,34 @@ object Dedup {
       .select(col("doc_id"), md5(col("text")).as("text_md5"))
   }
 
+  /** QUALITY-AWARE dedup APPLY — the survivor-selection policy real
+    * curation pipelines run: within each near-dup cluster keep the member
+    * with the HIGHEST `score` (ties broken by minimum doc_id), instead of
+    * dedupApply's arbitrary minimum-id representative. `score` is any
+    * deterministic per-document Column over `docs` (the declared query
+    * uses token count — "keep the longest version", the common choice when
+    * near-dups are truncations/excerpts of one another).
+    *
+    * Scale shape: identical to dedupApply plus one small aggregation —
+    * cluster membership is tiny relative to the corpus, so the score join
+    * broadcasts the clusters, the winner argmax is a hash-agg over members
+    * (max of a (score, -doc_id) struct — one pass, no per-cluster window
+    * over the corpus), and the losers broadcast anti-join out. */
+  def dedupApplyKeepBest(docs: DataFrame, score: Column, n: Int = 3,
+                         minJ: Double = 0.5): DataFrame = {
+    val clusters = nearDupClustersAuto(jaccardPairs(docs, n, minJ))
+    val members = clusters.join(
+      docs.select(col("doc_id"), score.as("q")), Seq("doc_id"))
+    val winners = members.groupBy(col("cluster_id"))
+      .agg((-max(struct(col("q"), (-col("doc_id")).as("nid")))
+        .getField("nid")).as("keep_id"))
+    val losers = members.join(winners, Seq("cluster_id"))
+      .filter(col("doc_id") =!= col("keep_id"))
+      .select(col("doc_id"))
+    docs.join(losers, Seq("doc_id"), "left_anti")
+      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+  }
+
   /** SPAN-level dedup APPLY — repeated-passage removal (the RefinedWeb/
     * CCNet boilerplate-stripping step, at span granularity): split each
     * document into non-overlapping `k`-token spans, keep each distinct

@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis}
+import graft.llm.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1433,11 +1433,55 @@ object LlmDeclared {
       ORDER BY b_ids.doc_id"""))
   }
 
+  /** L53 — quality-aware dedup apply: l30's clusters, but each cluster
+    * keeps its LONGEST member (token count, ties → min doc_id) instead of
+    * the arbitrary minimum id — the survivor policy curation pipelines
+    * actually want when near-dups are truncations of one another. */
+  private val l53 = DeclaredQuery(
+    "l53_dedup_keep_best",
+    (s, dir) => Dedup.dedupApplyKeepBest(
+        t(s, dir, "documents"),
+        size(TextOps.tokens(col("text"))).cast("long"),
+        n = 3, minJ = 0.5)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      members AS (SELECT c.doc_id, c.cluster_id,
+                    len(string_split(d.text, ' ')) AS q
+                  FROM clusters c JOIN documents d USING (doc_id)),
+      winners AS (SELECT cluster_id, doc_id AS keep_id FROM (
+                    SELECT cluster_id, doc_id,
+                      row_number() OVER (PARTITION BY cluster_id
+                        ORDER BY q DESC, doc_id ASC) AS rn
+                    FROM members) WHERE rn = 1),
+      losers AS (SELECT m.doc_id FROM members m
+                 JOIN winners w USING (cluster_id)
+                 WHERE m.doc_id <> w.keep_id)
+      SELECT d.doc_id, md5(d.text) AS text_md5
+      FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
+      ORDER BY d.doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, d29)
+    l51, l52, l53, d29)
 }

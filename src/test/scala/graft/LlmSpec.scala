@@ -743,6 +743,35 @@ class LlmSpec extends SparkSpec {
       byVerdict.keySet.toString)
   }
 
+  test("dedupApplyKeepBest: longest cluster member survives, ties fall to " +
+    "min doc_id, singletons untouched, vs dedupApply's min-id policy") {
+    val d = docsDf(
+      1L -> "w1 w2 w3 w4 w5",          // near-dup of 2 (J = 3/4), shorter
+      2L -> "w1 w2 w3 w4 w5 w6",       // longest in its cluster -> kept
+      3L -> "x y z",                   // singleton (too short to pair)
+      4L -> "p q r s",                 // exact dup of 5, equal length ->
+      5L -> "p q r s")                 //   tie broken by min id: 4 kept
+    val score = size(split(col("text"), " ")).cast("long")
+    val best = Dedup.dedupApplyKeepBest(d, score, n = 3, minJ = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(best === Set(2L, 3L, 4L))
+    // the min-id policy would have kept doc 1 instead of the longer doc 2
+    val minId = Dedup.dedupApply(d, n = 3, minJ = 0.5)
+      .collect().map(_.getLong(0)).toSet
+    assert(minId === Set(1L, 3L, 4L))
+  }
+
+  test("dedupApplyKeepBest: survivor set is partition-layout independent") {
+    val base = Tables.load(spark, sf001, "documents")
+    val score = size(split(col("text"), " ")).cast("long")
+    def run(parts: Int) = Dedup.dedupApplyKeepBest(
+        base.repartition(parts), score).collect()
+      .map(r => (r.getLong(0), r.getString(1))).toSet
+    val a = run(1)
+    assert(a === run(13))
+    assert(a.nonEmpty)
+  }
+
   // ------------------------------------------------------------ knob schedule
 
   test("KnobSchedule closed forms: occupancy-constant planes, recall-model " +
