@@ -164,8 +164,34 @@ object StreamOps {
     * bulk loads belong to the batch l03/l30 path). Batch equivalence on
     * cross-batch arrivals is tested in StreamingSpec. */
   def nearDupDocuments(docs: DataFrame, watermark: String = "1 hour",
-                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame = {
-    val banded = graft.llm.Dedup.bandSignatures(docs, n, k, bands, carry = Seq("ts"))
+                       n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    admissionGate(docs, None, watermark, n, k, bands)
+
+  /** S15 — streaming incremental ADMISSION: S12's near-dup gate with the
+    * l52 persisted corpus band index (`Dedup.bandIndex`) as a STATIC
+    * prefilter, the streaming half of the batch-to-batch loop: docs
+    * near-duplicating the already-curated corpus never reach the stateful
+    * stage at all. The prefilter is a stream-static LEFT ANTI join on
+    * (band_idx, band_hash) — stateless, so it costs no state and no
+    * watermark interaction; a corpus hit removes that band row, the
+    * all-bands-novel reassembly then drops the doc (exactly l52's
+    * dup_corpus verdict), and the surviving rows flow into S12's
+    * first-claimer-wins band state (the arrival-order analogue of l52's
+    * min-doc_id dup_batch rule). Short/null docs keep S12's pass-through
+    * (no bands = no evidence — l52's `kept`). The index is read once per
+    * micro-batch plan; refresh cadence (e.g. after each batch
+    * `extendIndex`) is the caller's restart/trigger policy. */
+  def admitDocuments(docs: DataFrame, corpusIndex: DataFrame,
+                     watermark: String = "1 hour",
+                     n: Int = 3, k: Int = 16, bands: Int = 4): DataFrame =
+    admissionGate(docs, Some(corpusIndex), watermark, n, k, bands)
+
+  private def admissionGate(docs: DataFrame, corpusIndex: Option[DataFrame],
+                            watermark: String,
+                            n: Int, k: Int, bands: Int): DataFrame = {
+    val b0 = graft.llm.Dedup.bandSignatures(docs, n, k, bands, carry = Seq("ts"))
+    val banded = corpusIndex
+      .fold(b0)(idx => b0.join(idx, Seq("band_idx", "band_hash"), "left_anti"))
       .withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark("band_idx", "band_hash")
       .groupBy(window(col("ts"), "1 second"), col("doc_id"))

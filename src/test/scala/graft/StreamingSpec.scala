@@ -191,6 +191,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S15: streaming admission against a static corpus band index == " +
+    "l52's batch verdicts on ordered arrivals") {
+    import StreamOps.StreamDoc
+    val spark2 = spark
+    import spark2.implicits._
+    def doc(id: Long, text: String, at: String) =
+      StreamDoc(id, text, java.sql.Timestamp.valueOf(at))
+    val corpus = Seq(
+      100L -> "the quick brown fox jumps over the lazy dog again and again")
+      .toDF("doc_id", "text")
+    val idx = graft.llm.Dedup.bandIndex(corpus)
+    val d1 = doc(1, "the quick brown fox jumps over the lazy dog again and once",
+      "2024-01-01 10:00:00") // near-dup of the CORPUS doc -> dup_corpus, dropped
+    val d2 = doc(2, "completely different words describing unrelated topics in this corpus",
+      "2024-01-01 10:01:00") // novel -> kept
+    val d3 = doc(3, "completely different words describing unrelated topics in this corpus",
+      "2024-01-01 10:05:00") // re-post of d2 -> dup_batch analogue, dropped
+    val d4 = doc(4, "hi", "2024-01-01 10:06:00") // shingle-less -> kept
+    val flush = doc(5, "watermark advancing document full of fresh novel words entirely",
+      "2024-01-01 10:30:00")
+    val in = MemoryStream[StreamDoc]
+    val q = runToMemory(
+      StreamOps.admitDocuments(in.toDF(), idx, watermark = "10 minutes"),
+      "s15_out")
+    try {
+      in.addData(d1, d2); q.processAllAvailable()
+      in.addData(d3, d4); q.processAllAvailable()
+      in.addData(flush); q.processAllAvailable()
+      val admitted = spark.table("s15_out").filter(col("doc_id") <= 4)
+        .collect().map(_.getLong(0)).toSet
+      assert(admitted === Set(2L, 4L))
+      // the batch operator agrees doc-for-doc on the drained input
+      val batchVerdicts = graft.llm.Dedup.incrementalDedup(
+          Seq(d1, d2, d3, d4).toDF().select(col("doc_id"), col("text")), idx)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      assert(batchVerdicts === Map(
+        1L -> "dup_corpus", 2L -> "kept", 3L -> "dup_batch", 4L -> "kept"))
+      assert(batchVerdicts.filter(_._2 == "kept").keySet === admitted)
+    } finally q.stop()
+  }
+
   test("S14: streaming semantic dedup == batch bucket first-occurrence replay; " +
     "exact re-embeds always dropped in-horizon") {
     import StreamOps.StreamVec
