@@ -220,11 +220,13 @@ object Dedup {
     * min-hashes fold over the row's own shingle array (array_min of an
     * affine transform) instead of aggregating an exploded shingle table,
     * so there is no shuffle and no aggregation state. That makes it legal
-    * in a streaming scan — the S12 incremental near-dup path — and it is
-    * also the cheaper batch form whenever the shingle table isn't needed
-    * downstream. Values are identical to the aggregated form (min over a
-    * multiset ignores duplicates; both fold the same md5-derived 32-bit
-    * hashes through the same exact integer arithmetic).
+    * in a streaming scan — the S12/S15 incremental near-dup paths — and
+    * right for small per-batch inputs; over a FULL corpus the aggregated
+    * form wins (k transform+array_min passes per row cost ~6× the
+    * one-md5-per-shingle aggregation — measured at sf0.1 in the l52
+    * composition; see bandIndex). Values are identical to the aggregated
+    * form (min over a multiset ignores duplicates; both fold the same
+    * md5-derived 32-bit hashes through the same exact integer arithmetic).
     *
     * Output: (doc_id, carry…, band_idx, band_hash) — `bands` rows per doc.
     * TEXT IS NOT CARRIED: what flows to any downstream state store is the
@@ -357,7 +359,13 @@ object Dedup {
     * only with corpus cardinality × bands. */
   def bandIndex(corpus: DataFrame, n: Int = 3, k: Int = 16,
                 bands: Int = 4): DataFrame =
-    bandSignatures(corpus, n, k, bands)
+    // The AGGREGATED MinHash form (explode + k min-aggregates), not the
+    // per-row HOF form: over a full corpus the HOF's k transform+array_min
+    // passes per document cost ~6× the one-md5-per-shingle aggregation
+    // (measured at sf0.1: 8.7 s → 1.4 s for the l52 composition). The two
+    // forms are value-identical (tested); the HOF form's niche is
+    // streaming legality (S12/S15) and small per-batch inputs.
+    lshBands(minhashSignatures(corpus, n, k), k, bands)
       .select(col("band_idx"), col("band_hash")).distinct()
 
   /** INCREMENTAL near-dup admission — the operator a growing corpus runs
