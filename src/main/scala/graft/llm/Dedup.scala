@@ -848,8 +848,18 @@ object Dedup {
   def dedupApplyKeepBest(docs: DataFrame, score: Column, n: Int = 3,
                          minJ: Double = 0.5): DataFrame = {
     val clusters = nearDupClustersAuto(jaccardPairs(docs, n, minJ))
-    val members = clusters.join(
-      docs.select(col("doc_id"), score.as("q")), Seq("doc_id"))
+    // Prune BEFORE scoring: a SEMI join on the (small, data-dependent —
+    // AQE promotes it to broadcast, per the no-forced-hint policy the
+    // dedup losers follow) membership drops non-members while the corpus
+    // is still a scan, so `score` is evaluated only for cluster members
+    // and no text-carrying corpus row ever shuffles. A plain inner join
+    // here would either shuffle the full corpus by doc_id or, scored
+    // pre-join, spend a full corpus pass scoring docs the argmax never
+    // looks at.
+    val members = docs
+      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), score.as("q"))
+      .join(clusters, Seq("doc_id"))
     val winners = members.groupBy(col("cluster_id"))
       .agg((-max(struct(col("q"), (-col("doc_id")).as("nid")))
         .getField("nid")).as("keep_id"))
