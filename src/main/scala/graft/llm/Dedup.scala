@@ -712,6 +712,40 @@ object Dedup {
         countDistinct(col("tr.s")).as("n_shared_shingles"))
   }
 
+  /** GRADED decontamination — per-train-document contamination FRACTION:
+    * the share of each train document's distinct n-gram shingles that
+    * appear anywhere in the eval split. `decontaminate` answers "which
+    * docs touch the eval set and how hard"; this is the score a THRESHOLD
+    * drop policy consumes ("drop if > X% of the doc's n-grams are
+    * eval-tainted" — the graded overlap rule the GPT-3/PaLM contamination
+    * appendices describe, which distinguishes a doc quoting one eval
+    * sentence from a doc that IS an eval document).
+    *
+    * Scale shape: the eval shingle set distinct-reduces FIRST (small by
+    * construction — the eval split is a fixed small slice), so the train
+    * side LEFT-joins a set AQE broadcasts; train shingles are already
+    * distinct per doc (docShingles), so the per-doc fold is plain counts
+    * (no countDistinct re-shuffle), and partial aggregation means the one
+    * exchange carries (doc_id, partial counts) — shingle text never
+    * crosses it. Every train doc with ≥ 1 shingle gets a row (fraction 0
+    * when clean), unlike decontaminate's contaminated-only output —
+    * a threshold policy needs the clean rows too. */
+  def contaminationFraction(docs: DataFrame, n: Int = 3,
+                            trainPct: Int = 80,
+                            evalFromPct: Int = 90): DataFrame = {
+    val bucket = TextOps.splitBucket(col("doc_id"))
+    val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
+    val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
+      .select(col("s")).distinct().withColumn("hit", lit(true))
+    trainSh.join(evalSh, Seq("s"), "left")
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).as("n_shingles"),
+        count(when(col("hit"), lit(1))).as("n_contaminated"))
+      .withColumn("contamination",
+        col("n_contaminated").cast(DoubleType) / col("n_shingles"))
+  }
+
   /** BLOOM-PREFILTERED decontamination — the 100 TB refinement of
     * `decontaminate`: before the exact train⋈eval shingle join, the train
     * side is pruned by a Bloom filter built from the eval shingle set, so

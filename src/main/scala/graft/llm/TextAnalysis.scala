@@ -316,6 +316,51 @@ object TextAnalysis {
           / (col("n_sources") * col("n_tokens"))).as("weight"))
   }
 
+  /** TOKEN-BUDGET mixture sampling — the "assemble N tokens per source"
+    * step that turns domainMix's recipe into an actual corpus: per source,
+    * admit documents in a stable pseudo-random order (md5 of doc_id) until
+    * the source's cumulative token count reaches `budget`; the first
+    * document to cross the line is kept (bounded overshoot of one doc per
+    * source), everything after is dropped.
+    *
+    * Scale shape — a SALTED prefix sum, not a per-source window: a plain
+    * `sum().over(Window.partitionBy(source))` is l48's old skewed-rank
+    * exchange in disguise (a handful of source keys, each reducer
+    * receiving its source's entire corpus slice and sorting it in one
+    * task). Instead the order key's FIRST HEX CHAR salts the window:
+    * because the salt is a PREFIX of the md5 order key, bucket-major order
+    * IS global order, so global_before = (sum of whole preceding buckets,
+    * a 16·|sources|-row aggregate prefix-summed and broadcast back) +
+    * (within-bucket before, a window keyed on (source, bkt) — 16× the
+    * keys, 1/16 the rows per reducer, deterministic skew relief that
+    * widens to 256× by taking two hex chars at larger scale). Token
+    * counting is the native ws_token_count; text never crosses any
+    * exchange — the windowed rows carry (doc_id, source, n_tokens, h). */
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = docs
+      .select(col("doc_id"), col("source"),
+        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .withColumn("bkt", substring(col("h"), 1, 1))
+    // whole-bucket token totals -> exclusive prefix per (source, bucket);
+    // 16 rows per source, broadcast-joined back (bounded by construction)
+    val prefixes = d.groupBy(col("source"), col("bkt"))
+      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+      .withColumn("before_bkt",
+        coalesce(sum(col("bkt_tokens")).over(
+          W.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source"), col("bkt"), col("before_bkt"))
+    val withinBefore = coalesce(sum(col("n_tokens")).over(
+      W.partitionBy(col("source"), col("bkt")).orderBy(col("h"))
+        .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
+    d.join(broadcast(prefixes), Seq("source", "bkt"))
+      .withColumn("before", col("before_bkt") + withinBefore)
+      .filter(col("before") < budget)
+      .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
   /** Corpus vocabulary: per-token occurrence and document frequency. One
     * explode + one hash-agg (map-side partials make the shuffle carry one
     * row per (task, distinct-token), not per occurrence) — the first pass

@@ -1477,11 +1477,52 @@ object LlmDeclared {
       FROM documents d ANTI JOIN losers l ON d.doc_id = l.doc_id
       ORDER BY d.doc_id"""))
 
+  /** L54 — graded decontamination: per-train-doc FRACTION of distinct
+    * 3-gram shingles hit by the eval split (threshold-policy input; l24
+    * reports raw shared counts for contaminated docs only, this scores
+    * every train doc including clean ones). */
+  private val l54 = DeclaredQuery(
+    "l54_contamination_frac",
+    (s, dir) => Dedup.contaminationFraction(t(s, dir, "documents"), n = 3)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      b AS (SELECT doc_id, s,
+              ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+            FROM sh),
+      ev AS (SELECT DISTINCT s FROM b WHERE bucket >= 90)
+      SELECT tr.doc_id AS doc_id,
+             COUNT(*) AS n_shingles,
+             COUNT(ev.s) AS n_contaminated,
+             CAST(COUNT(ev.s) AS DOUBLE) / COUNT(*) AS contamination
+      FROM b tr LEFT JOIN ev ON tr.s = ev.s
+      WHERE tr.bucket < 80
+      GROUP BY tr.doc_id ORDER BY doc_id"""))
+
+  /** L55 — token-budget mixture sampling: per source, admit docs in
+    * stable md5(doc_id) order until cumulative tokens reach the budget
+    * (first doc to cross the line kept — bounded overshoot). The salted
+    * prefix-sum form; 800 tokens/source is non-trivial at sf0.01 (~60%
+    * kept) and sf0.1 (~6%) alike. */
+  private val l55 = DeclaredQuery(
+    "l55_token_budget_sample",
+    (s, dir) => TextAnalysis.tokenBudgetSample(
+        t(s, dir, "documents"), budget = 800L)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, source,
+              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              md5(doc_id::VARCHAR) AS h FROM documents),
+      c AS (SELECT doc_id, source, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM d)
+      SELECT doc_id, source, n_tokens FROM c
+      WHERE before < 800 ORDER BY doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, d29)
+    l51, l52, l53, l54, l55, d29)
 }

@@ -561,6 +561,69 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("contaminationFraction: fractions match a straight-line reference, " +
+    "clean train docs get a zero row") {
+    // rotating texts over a 31-token alphabet: the fixed md5 split then
+    // yields all four fractions {0, 1/3, 2/3, 1} across the train docs
+    val ids = (0L until 60L)
+    val d = docsDf(ids.map(i =>
+      i -> (0 until 5).map(k => s"t${(i + k) % 31}").mkString(" ")): _*)
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    def shingles(text: String): Set[String] =
+      text.split(" ").sliding(3).map(_.mkString(" ")).toSet
+    val texts = ids.map(i => i -> (0 until 5).map(k => s"t${(i + k) % 31}")
+      .mkString(" ")).toMap
+    val evalSh = ids.filter(bucket(_) >= 90).flatMap(i => shingles(texts(i))).toSet
+    assert(evalSh.nonEmpty, "fixture must land docs in the eval split")
+    val expected = ids.filter(bucket(_) < 80).map { i =>
+      val sh = shingles(texts(i))
+      val hit = sh.count(evalSh.contains)
+      (i, sh.size.toLong, hit.toLong, hit.toDouble / sh.size)
+    }.toSet
+    val got = Dedup.contaminationFraction(d, n = 3).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toSet
+    assert(got === expected)
+    // the graded form must score CLEAN docs too (decontaminate omits them),
+    // and the fixture exercises partial fractions, not just 0/1
+    assert(got.exists(_._4 == 0.0) && got.exists(f => f._4 > 0 && f._4 < 1))
+  }
+
+  test("tokenBudgetSample: kept set matches a global-order cumsum reference, " +
+    "independent of partition layout, one-doc overshoot at tiny budgets") {
+    val rows = (0L until 42L).map { i =>
+      val toks = (0 until (3 + (i % 5).toInt)).map(k => s"w$k").mkString(" ")
+      (i, toks, s"src${i % 3}")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    def reference(budget: Long): Set[Long] =
+      rows.groupBy(_._3).values.flatMap { grp =>
+        val ordered = grp.sortBy(r => md5hex(r._1))
+        val cums = ordered.scanLeft(0L)(_ + _._2.split(" ").length).init
+        ordered.zip(cums).collect { case (r, before) if before < budget => r._1 }
+      }.toSet
+    for (budget <- Seq(1L, 40L, 10000L)) {
+      val got = TextAnalysis.tokenBudgetSample(d, budget).collect()
+        .map(_.getLong(0)).toSet
+      assert(got === reference(budget), s"budget=$budget")
+      val got13 = TextAnalysis.tokenBudgetSample(d.repartition(13), budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(got13 === got, s"budget=$budget layout")
+    }
+    // budget=1: exactly the first doc per source crosses the line
+    assert(TextAnalysis.tokenBudgetSample(d, 1L).collect().length === 3)
+    // huge budget: everything admitted
+    assert(TextAnalysis.tokenBudgetSample(d, 10000L).collect().length === 42)
+  }
+
   test("quantizeInt8: hand-computed codes, zero-vector guard") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.0f, 0.254f)),

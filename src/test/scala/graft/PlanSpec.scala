@@ -216,6 +216,37 @@ class PlanSpec extends SparkSpec {
     assert(bandKeyJoins <= 1, plan.take(1500))
   }
 
+  test("l53: keep-best apply semi-join prunes before scoring — no text " +
+    "crosses an exchange, membership joins stay equality-keyed") {
+    // The scale claim in dedupApplyKeepBest's doc: score is evaluated only
+    // for cluster members (LeftSemi prune while the corpus is a scan), so
+    // no text-carrying corpus row ever shuffles. Pin both halves.
+    val plan = executedPlan(lq("l53_dedup_keep_best"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    assert(plan.contains("LeftSemi"), plan.take(1500))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(l =>
+      l.contains("text#") || l.contains("toks#") || l.contains("shs#")),
+      exchanges.mkString("\n"))
+  }
+
+  test("l55: token-budget window is salted — the corpus exchange keys on " +
+    "(source, bkt), and text never crosses an exchange") {
+    // The scale claim in tokenBudgetSample's doc: the corpus-sized window
+    // runs over (source, bkt), not source alone — a per-source window
+    // would be l48's old skewed-rank exchange (each source key's reducer
+    // receiving and sorting its whole corpus slice in one task).
+    val plan = executedPlan(lq("l55_token_budget_sample"))
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(exchanges.exists(l => l.contains("source#") && l.contains("bkt#")),
+      exchanges.mkString("\n"))
+    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n"))
+  }
+
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
     val plan = executedPlan(lq("l43_minhash_estimate_audit"))
     assert(!plan.contains("CartesianProduct"))
