@@ -4,7 +4,7 @@ import graft.schema.Schemas
 import graft.datagen.DataGen
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{DataStreamWriter, Trigger}
+import org.apache.spark.sql.streaming.{DataStreamWriter, GroupState, GroupStateTimeout, OutputMode, Trigger}
 import org.apache.spark.sql.types._
 
 /** Stateless / built-in-stateful streaming operators (S1, S3, S4, S7, S8 of
@@ -300,6 +300,60 @@ object StreamOps {
       .select(col("rp.row").as("row"), col("rp.p").as("p"))
       .groupBy(col("row"), col("p"))
       .agg(count(lit(1)).as("c"))
+
+  /** Typed rows for S16 streaming budget admission. */
+  final case class StreamSrcDoc(doc_id: Long, text: String, source: String,
+                                ts: java.sql.Timestamp)
+  /** Internal typed row of the S16 gate (public: encoder codegen needs
+    * reflective access to the companion's apply). */
+  final case class BudgetRow(doc_id: Long, source: String,
+                             n_tokens: Long, h: String)
+
+  /** S16 — streaming token-budget admission: the incremental form of the
+    * l55 batch sampler, for ingestion pipelines that fill a per-source
+    * token quota as documents arrive ("stop taking src_k once we have N
+    * tokens of it") instead of sampling a static corpus.
+    *
+    * State is ONE long per source (tokens admitted so far) under
+    * `flatMapGroupsWithState` keyed by source — bounded by the source
+    * vocabulary forever, no watermark/TTL needed (the same
+    * bounded-by-construction argument as S13's counter grid; a budget is
+    * a permanent quota, so expiring it would re-open closed sources).
+    * A doc is admitted iff the tokens admitted BEFORE it are under the
+    * budget — l55's `before < budget` rule, so each source overshoots by
+    * at most its crossing document.
+    *
+    * Order semantics, stated: ACROSS micro-batches admission is arrival
+    * order (streaming has no other order); WITHIN a micro-batch the
+    * group's rows are sorted by the same md5(doc_id) key l55 orders by,
+    * so a stream drained in one batch reproduces l55's kept set exactly
+    * (StreamingSpec pins this), and replays are deterministic. The
+    * in-memory sort is per (micro-batch, source) — bounded by batch
+    * sizing, the unit every flatMapGroups stage already buffers. */
+  def budgetAdmit(docs: DataFrame, budget: Long): DataFrame = {
+    val spark2 = docs.sparkSession
+    import spark2.implicits._
+    docs
+      .select(col("doc_id"), col("source"),
+        coalesce(graft.llm.TextOps.tokenCount(col("text")), lit(0L))
+          .cast(LongType).as("n_tokens"),
+        md5(col("doc_id").cast(StringType)).as("h"))
+      .as[BudgetRow]
+      .groupByKey(_.source)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        (src: String, rows: Iterator[BudgetRow], state: GroupState[Long]) =>
+          var admitted = state.getOption.getOrElse(0L)
+          val out = rows.toSeq.sortBy(_.h).flatMap { d =>
+            if (admitted < budget) {
+              admitted += d.n_tokens
+              Some((d.doc_id, src, d.n_tokens))
+            } else None
+          }
+          state.update(admitted)
+          out.iterator
+      }
+      .toDF("doc_id", "source", "n_tokens")
+  }
 
   /** S7 — the buffered, time-prefixed lake sink (Firehose analog,
     * lib/fin-transactions-stack.ts:192-205): micro-batch trigger ≙ the

@@ -2,7 +2,7 @@ package graft
 
 import graft.cdc.Envelope
 import graft.functions.Validation
-import graft.llm.Dedup
+import graft.llm.{Dedup, TextAnalysis}
 import graft.schema.{CustomerActivity, Schemas}
 import org.apache.spark.sql.functions._
 import org.scalacheck.{Gen, rng}
@@ -310,5 +310,47 @@ class PropertySpec extends SparkSpec {
         before.drop("ts"), after.drop("ts"))
       .collect().map(r => (r.getInt(0), r.getString(1))).sortBy(_._1)
     assert(got.toSeq === Seq((2, "update"), (3, "delete"), (4, "insert")))
+  }
+
+  test("property: tokenBudgetSample equals the unsalted global cumsum on " +
+    "random corpora and budgets; kept set is a prefix of the md5 order") {
+    import spark.implicits._
+    val genDoc = for {
+      len <- Gen.chooseNum(0, 12) // 0-token docs: n_tokens edge
+      toks <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc"))
+      src <- Gen.oneOf("s0", "s1", "s2", "s3")
+    } yield (toks.mkString(" "), src)
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    for (seed <- Seq(3L, 19L)) {
+      val rows = sample(genDoc, 80, seed).zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }
+      val d = rows.toDF("doc_id", "text", "source")
+      for (budget <- Seq(1L, 7L, 23L, 10000L)) {
+        // the reference is the UNSALTED form: one global cumsum per source
+        // in full-md5 order — exactly what the salted two-phase sum must
+        // reproduce (bucket prefix of the order key => same order)
+        val expected = rows.groupBy(_._3).values.flatMap { grp =>
+          val ordered = grp.sortBy(r => md5hex(r._1))
+          // split with -1 limit mirrors Spark's split(): "" -> [""], so an
+          // empty doc counts ONE whitespace token, exactly like
+          // ws_token_count / len(string_split) in the oracle family
+          val before = ordered.scanLeft(0L)(_ + _._2.split(" ", -1).length).init
+          ordered.zip(before).collect { case (r, b) if b < budget => r._1 }
+        }.toSet
+        val got = TextAnalysis.tokenBudgetSample(d, budget)
+          .collect().map(_.getLong(0)).toSet
+        assert(got === expected, s"seed=$seed budget=$budget")
+        // prefix property: per source, the kept docs are exactly the first
+        // |kept| docs of the md5 order — no holes
+        rows.groupBy(_._3).values.foreach { grp =>
+          val ordered = grp.sortBy(r => md5hex(r._1)).map(_._1)
+          val keptInOrder = ordered.takeWhile(got.contains)
+          assert(ordered.count(got.contains) === keptInOrder.size,
+            s"seed=$seed budget=$budget: kept set has holes")
+        }
+      }
+    }
   }
 }

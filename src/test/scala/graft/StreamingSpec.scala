@@ -232,6 +232,35 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S16: streaming budget admission == l55 on a one-batch drain; quota " +
+    "persists across batches and closes per source independently") {
+    import StreamOps.StreamSrcDoc
+    val spark2 = spark
+    import spark2.implicits._
+    def doc(id: Long, nToks: Int, src: String) =
+      StreamSrcDoc(id, (0 until nToks).map(k => s"w$k").mkString(" "), src,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val batch1 = (0L until 20L).map(i => doc(i, 3 + (i % 5).toInt, s"src${i % 2}"))
+    val budget = 20L
+    // one-batch drain reproduces the batch sampler exactly
+    val in = MemoryStream[StreamSrcDoc]
+    val q = runToMemory(StreamOps.budgetAdmit(in.toDF(), budget), "s16_out")
+    try {
+      in.addData(batch1: _*); q.processAllAvailable()
+      val streamed = spark.table("s16_out").collect().map(_.getLong(0)).toSet
+      val batchKept = graft.llm.TextAnalysis.tokenBudgetSample(
+          batch1.toDF().select(col("doc_id"), col("text"), col("source")), budget)
+        .collect().map(_.getLong(0)).toSet
+      assert(streamed === batchKept && streamed.nonEmpty)
+      // both sources crossed their quota in batch 1 -> batch-2 docs from
+      // them are rejected, but a NEW source starts its own quota fresh
+      val batch2 = Seq(doc(100, 4, "src0"), doc(101, 4, "src1"), doc(102, 4, "src9"))
+      in.addData(batch2: _*); q.processAllAvailable()
+      val after = spark.table("s16_out").collect().map(_.getLong(0)).toSet
+      assert(after === batchKept + 102L)
+    } finally q.stop()
+  }
+
   test("S14: streaming semantic dedup == batch bucket first-occurrence replay; " +
     "exact re-embeds always dropped in-horizon") {
     import StreamOps.StreamVec
