@@ -721,23 +721,28 @@ object Dedup {
     * appendices describe, which distinguishes a doc quoting one eval
     * sentence from a doc that IS an eval document).
     *
-    * Scale shape: the eval shingle set distinct-reduces FIRST (small by
-    * construction — the eval split is a fixed small slice), so the train
-    * side LEFT-joins a set AQE broadcasts; train shingles are already
-    * distinct per doc (docShingles), so the per-doc fold is plain counts
-    * (no countDistinct re-shuffle), and partial aggregation means the one
-    * exchange carries (doc_id, partial counts) — shingle text never
-    * crosses it. Every train doc with ≥ 1 shingle gets a row (fraction 0
-    * when clean), unlike decontaminate's contaminated-only output —
-    * a threshold policy needs the clean rows too. */
+    * Scale shape: shingles become md5 DIGESTS at the scan on both sides
+    * (the l46 discipline — if the eval set ever outgrows AQE's broadcast
+    * threshold, the fallback shuffle join carries fixed 32-char digests,
+    * never arbitrary-length shingle text; membership counts are identical
+    * modulo md5 collisions, negligible at any corpus size). The eval
+    * digest set distinct-reduces FIRST (small by construction — the eval
+    * split is a fixed small slice), so the train side LEFT-joins a set AQE
+    * broadcasts; train shingles are already distinct per doc
+    * (docShingles), so the per-doc fold is plain counts (no countDistinct
+    * re-shuffle), and partial aggregation means the final exchange carries
+    * (doc_id, partial counts). Every train doc with ≥ 1 shingle gets a row
+    * (fraction 0 when clean), unlike decontaminate's contaminated-only
+    * output — a threshold policy needs the clean rows too. */
   def contaminationFraction(docs: DataFrame, n: Int = 3,
                             trainPct: Int = 80,
                             evalFromPct: Int = 90): DataFrame = {
     val bucket = TextOps.splitBucket(col("doc_id"))
     val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
+      .select(col("doc_id"), md5(col("s")).as("sd"))
     val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
-      .select(col("s")).distinct().withColumn("hit", lit(true))
-    trainSh.join(evalSh, Seq("s"), "left")
+      .select(md5(col("s")).as("sd")).distinct().withColumn("hit", lit(true))
+    trainSh.join(evalSh, Seq("sd"), "left")
       .groupBy(col("doc_id"))
       .agg(
         count(lit(1)).as("n_shingles"),

@@ -232,6 +232,22 @@ class PlanSpec extends SparkSpec {
       exchanges.mkString("\n"))
   }
 
+  test("l54: contamination fraction joins on shingle digests — no raw " +
+    "shingle or text column crosses an exchange") {
+    // The l46 digest discipline: shingles md5-hash at the scan, so the
+    // eval-set join's worst case (shuffle instead of broadcast) carries
+    // 32-char digests, and the per-doc fold's exchange carries partial
+    // counts only.
+    val plan = executedPlan(lq("l54_contamination_frac"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    assert(!exchanges.exists(l =>
+      l.contains("text#") || l.contains("toks#") || l.contains("s#")),
+      exchanges.mkString("\n"))
+  }
+
   test("l55: token-budget window is salted — the corpus exchange keys on " +
     "(source, bkt), and text never crosses an exchange") {
     // The scale claim in tokenBudgetSample's doc: the corpus-sized window
