@@ -867,8 +867,12 @@ object Dedup {
     val clusters = nearDupClustersAuto(jaccardPairs(docs, n, minJ))
     val losers = clusters.filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    docs.join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    // Digest BEFORE the anti-join: AQE broadcasts the small losers side,
+    // but if it ever falls back to a shuffle join, the corpus side's
+    // shuffle write must carry (doc_id, 32-char digest), never the text —
+    // the join is on doc_id alone, so projecting first changes nothing.
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** QUALITY-AWARE dedup APPLY — the survivor-selection policy real
@@ -880,24 +884,25 @@ object Dedup {
     * near-dups are truncations/excerpts of one another).
     *
     * Scale shape: identical to dedupApply plus one small aggregation —
-    * cluster membership is tiny relative to the corpus, so the score join
-    * broadcasts the clusters, the winner argmax is a hash-agg over members
+    * the corpus is scored IN THE SCAN and only (doc_id, q) longs reach
+    * the membership join, the winner argmax is a hash-agg over members
     * (max of a (score, -doc_id) struct — one pass, no per-cluster window
-    * over the corpus), and the losers broadcast anti-join out. */
+    * over the corpus), and the losers anti-join against the pre-digested
+    * corpus (AQE broadcasts them; a fallback shuffle carries digests). */
   def dedupApplyKeepBest(docs: DataFrame, score: Column, n: Int = 3,
                          minJ: Double = 0.5): DataFrame = {
     val clusters = nearDupClustersAuto(jaccardPairs(docs, n, minJ))
-    // Prune BEFORE scoring: a SEMI join on the (small, data-dependent —
-    // AQE promotes it to broadcast, per the no-forced-hint policy the
-    // dedup losers follow) membership drops non-members while the corpus
-    // is still a scan, so `score` is evaluated only for cluster members
-    // and no text-carrying corpus row ever shuffles. A plain inner join
-    // here would either shuffle the full corpus by doc_id or, scored
-    // pre-join, spend a full corpus pass scoring docs the argmax never
-    // looks at.
-    val members = docs
-      .join(clusters.select(col("doc_id")), Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), score.as("q"))
+    // Score in the SCAN, then join: the shuffle carries (doc_id, q) longs
+    // only. A round-10 review killed the previous "semi-join prune before
+    // scoring" form — ANY non-broadcast membership join on the raw corpus
+    // writes (doc_id, TEXT) to shuffle (AQE's broadcast conversion still
+    // materializes the probe side's map output first), and at 100 TB that
+    // text write dwarfs evaluating a scan-local score for every doc.
+    // Assumption, stated: `score` is a cheap projection (the declared
+    // query's token count is one codegen'd byte scan). A genuinely
+    // expensive scorer should prune with an explicit broadcast membership
+    // join first and accept scoring only the members.
+    val members = docs.select(col("doc_id"), score.as("q"))
       .join(clusters, Seq("doc_id"))
     val winners = members.groupBy(col("cluster_id"))
       .agg((-max(struct(col("q"), (-col("doc_id")).as("nid")))
@@ -905,8 +910,9 @@ object Dedup {
     val losers = members.join(winners, Seq("cluster_id"))
       .filter(col("doc_id") =!= col("keep_id"))
       .select(col("doc_id"))
-    docs.join(losers, Seq("doc_id"), "left_anti")
-      .select(col("doc_id"), md5(col("text")).as("text_md5"))
+    // digest before the anti-join — same discipline as dedupApply
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** SPAN-level dedup APPLY — repeated-passage removal (the RefinedWeb/

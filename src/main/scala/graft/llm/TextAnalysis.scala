@@ -338,9 +338,13 @@ object TextAnalysis {
     * exchange — the windowed rows carry (doc_id, source, n_tokens, h). */
   def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // null text counts ZERO tokens (kept, consumes no budget) — the same
+    // rule S16's streaming gate applies, so the batch/stream equivalence
+    // holds on degenerate rows too
     val d = docs
       .select(col("doc_id"), col("source"),
-        TextOps.tokenCount(col("text")).cast(LongType).as("n_tokens"),
+        coalesce(TextOps.tokenCount(col("text")).cast(LongType), lit(0L))
+          .as("n_tokens"),
         md5(col("doc_id").cast(StringType)).as("h"))
       .withColumn("bkt", substring(col("h"), 1, 1))
     // whole-bucket token totals -> exclusive prefix per (source, bucket);
@@ -351,11 +355,17 @@ object TextAnalysis {
         coalesce(sum(col("bkt_tokens")).over(
           W.partitionBy(col("source")).orderBy(col("bkt"))
             .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source"), col("bkt"), col("before_bkt"))
+      .select(col("source").as("p_source"), col("bkt").as("p_bkt"),
+        col("before_bkt"))
     val withinBefore = coalesce(sum(col("n_tokens")).over(
       W.partitionBy(col("source"), col("bkt")).orderBy(col("h"))
         .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-    d.join(broadcast(prefixes), Seq("source", "bkt"))
+    // NULL-SAFE join back: groupBy keeps a null-source group (as does the
+    // oracle's PARTITION BY and S16's groupByKey), so a null-unsafe
+    // equality here would silently drop every null-source doc instead of
+    // budgeting them as their own group
+    d.join(broadcast(prefixes),
+        col("source") <=> col("p_source") && col("bkt") <=> col("p_bkt"))
       .withColumn("before", col("before_bkt") + withinBefore)
       .filter(col("before") < budget)
       .select(col("doc_id"), col("source"), col("n_tokens"))

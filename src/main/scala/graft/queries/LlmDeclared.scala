@@ -1509,7 +1509,7 @@ object LlmDeclared {
         t(s, dir, "documents"), budget = 800L)
       .orderBy(col("doc_id")),
     Some("""WITH d AS (SELECT doc_id, source,
-              CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens,
+              COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tokens,
               md5(doc_id::VARCHAR) AS h FROM documents),
       c AS (SELECT doc_id, source, n_tokens,
               COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h

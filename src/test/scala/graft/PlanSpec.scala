@@ -192,20 +192,54 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  /** Output attribute names of every shuffle exchange's CHILD — the rows
+    * that actually cross the wire. `treeString` prints only partitioning
+    * KEYS on Exchange lines (payload columns never appear), so a
+    * text-grep over the plan string can assert key discipline but is
+    * structurally unable to catch a text column riding a shuffle as
+    * PAYLOAD. This walks the executed tree instead — descending into AQE
+    * query stages, which are leaves to a plain collect — and returns the
+    * real payload schema of each shuffle. */
+  private def shufflePayloads(df: DataFrame): Seq[Seq[String]] = {
+    df.collect()
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.QueryStageExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    def walk(p: SparkPlan): Seq[Seq[String]] = {
+      val here = p match {
+        case s: ShuffleExchangeLike => Seq(s.child.output.map(_.name).toSeq)
+        case _ => Nil
+      }
+      val next: Seq[SparkPlan] = p match {
+        case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+        case q: QueryStageExec => Seq(q.plan)
+        case other => other.children
+      }
+      here ++ next.flatMap(walk)
+    }
+    walk(df.queryExecution.executedPlan)
+  }
+
+  private def assertNoShufflePayload(df: DataFrame, banned: Set[String],
+                                     label: String): Unit = {
+    val payloads = shufflePayloads(df)
+    assert(payloads.nonEmpty, s"$label: expected at least one shuffle")
+    payloads.foreach { names =>
+      assert(!names.exists(banned.contains),
+        s"$label: shuffle payload carries ${names.filter(banned.contains)}" +
+          s" in (${names.mkString(", ")})")
+    }
+  }
+
   test("l52: incremental dedup shuffles band hashes and doc ids only — " +
     "no text crosses an exchange, no pair self-join anywhere") {
-    val plan = executedPlan(lq("l52_incremental_dedup"))
+    val df = lq("l52_incremental_dedup")
+    val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    val exchanges = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.nonEmpty)
-    // the S11 digest discipline: every exchange carries band keys /
+    // the S11 digest discipline: every shuffle PAYLOAD is band keys /
     // doc ids / verdict scalars — never text, tokens, or shingles
-    assert(!exchanges.exists(l =>
-      l.contains("text#") || l.contains("toks#") || l.contains("shs#")
-        || l.contains("s#") || l.contains("hs#")),
-      exchanges.mkString("\n"))
+    assertNoShufflePayload(df, Set("text", "toks", "s", "shs"), "l52")
     // the within-batch leg is a window MIN over band buckets, not a
     // bands-with-bands self-join: the plan joins only batch-vs-index and
     // verdicts-vs-batch, so SortMergeJoin/ShuffledHashJoin on band keys
@@ -216,36 +250,42 @@ class PlanSpec extends SparkSpec {
     assert(bandKeyJoins <= 1, plan.take(1500))
   }
 
-  test("l53: keep-best apply semi-join prunes before scoring — no text " +
-    "crosses an exchange, membership joins stay equality-keyed") {
-    // The scale claim in dedupApplyKeepBest's doc: score is evaluated only
-    // for cluster members (LeftSemi prune while the corpus is a scan), so
-    // no text-carrying corpus row ever shuffles. Pin both halves.
-    val plan = executedPlan(lq("l53_dedup_keep_best"))
+  test("l53: keep-best apply scores in the scan — no text crosses an " +
+    "exchange, membership joins stay equality-keyed") {
+    // The scale claim in dedupApplyKeepBest's doc: the corpus reaches the
+    // membership join as (doc_id, q) longs and the anti-join as (doc_id,
+    // digest) — the round-10 review found the earlier semi-join-prune
+    // form writing (doc_id, text) to shuffle, which this payload check
+    // now catches.
+    val df = lq("l53_dedup_keep_best")
+    val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    assert(plan.contains("LeftSemi"), plan.take(1500))
-    val exchanges = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(!exchanges.exists(l =>
-      l.contains("text#") || l.contains("toks#") || l.contains("shs#")),
-      exchanges.mkString("\n"))
+    assertNoShufflePayload(df, Set("text", "toks", "shs"), "l53")
+  }
+
+  test("l30: dedup apply anti-joins the pre-digested corpus — no text " +
+    "crosses an exchange") {
+    val df = lq("l30_dedup_apply")
+    val plan = executedPlan(df)
+    assert(!plan.contains("CartesianProduct"))
+    assertNoShufflePayload(df, Set("text", "toks", "shs"), "l30")
   }
 
   test("l54: contamination fraction joins on shingle digests — no raw " +
     "shingle or text column crosses an exchange") {
     // The l46 digest discipline: shingles md5-hash at the scan, so the
     // eval-set join's worst case (shuffle instead of broadcast) carries
-    // 32-char digests, and the per-doc fold's exchange carries partial
-    // counts only.
-    val plan = executedPlan(lq("l54_contamination_frac"))
+    // 32-char digests (`sd`), and the per-doc fold's exchange carries
+    // partial counts only. Payload-checked: a revert to the raw-shingle
+    // join would surface `s` in a shuffle payload the moment the eval
+    // side stops broadcasting — and never slips a text column through
+    // any exchange that does exist.
+    val df = lq("l54_contamination_frac")
+    val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    val exchanges = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(!exchanges.exists(l =>
-      l.contains("text#") || l.contains("toks#") || l.contains("s#")),
-      exchanges.mkString("\n"))
+    assertNoShufflePayload(df, Set("text", "toks", "s"), "l54")
   }
 
   test("l55: token-budget window is salted — the corpus exchange keys on " +
@@ -254,13 +294,18 @@ class PlanSpec extends SparkSpec {
     // runs over (source, bkt), not source alone — a per-source window
     // would be l48's old skewed-rank exchange (each source key's reducer
     // receiving and sorting its whole corpus slice in one task).
-    val plan = executedPlan(lq("l55_token_budget_sample"))
+    val df = lq("l55_token_budget_sample")
+    val plan = executedPlan(df)
     assert(!plan.contains("CartesianProduct"))
+    // the key claim: a corpus window exchange partitioned on BOTH keys
+    // (Exchange lines do print partitioning keys, so this grep is sound)
     val exchanges = plan.linesIterator
       .filter(_.contains("Exchange hashpartitioning")).toSeq
     assert(exchanges.exists(l => l.contains("source#") && l.contains("bkt#")),
       exchanges.mkString("\n"))
-    assert(!exchanges.exists(_.contains("text#")), exchanges.mkString("\n"))
+    // the payload claim needs the real schemas: text stays out of every
+    // shuffle (the windowed rows carry doc_id/source/n_tokens/h/bkt)
+    assertNoShufflePayload(df, Set("text", "toks"), "l55")
   }
 
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
