@@ -272,6 +272,34 @@ class PlanSpec extends SparkSpec {
     assertNoShufflePayload(df, Set("text", "toks", "shs"), "l30")
   }
 
+  test("digest-discipline sweep: no dedup/fingerprint/overlap operator " +
+    "ships text or raw tokens in any shuffle payload") {
+    // Fleet-wide form of the l30/l52–l55 payload pins, held to the
+    // physical tree, not prose. Two tiers: EVERY listed operator must
+    // keep document-scale payloads (text, token arrays) out of all
+    // shuffles; the operators whose SURVEY rows claim "digests before
+    // the shuffle" additionally may not ship raw shingle/span atoms.
+    // l02/l27/l33's inverted-index/probe exchanges legitimately carry
+    // shingle ATOMS (bounded ~n-word strings, the oracle-checked exact
+    // set-overlap identity — never documents), so they sit in tier 1.
+    // Excluded entirely by design: l45 (shard shuffle IS a text
+    // repartition), l50 (the rewrite join carries text keyed on doc_id —
+    // documented), l24 (raw-shingle join; digest-disciplined siblings
+    // are l33/l54), and any query whose OUTPUT contains text (the
+    // declared orderBy's range exchange then legitimately carries it).
+    val docPayload = Set("text", "toks", "w", "tok")
+    val atomPayload = docPayload ++ Set("s", "shs", "span", "sh")
+    val tier1 = Seq("l02_jaccard_pairs", "l27_containment_pairs",
+      "l33_bloom_decontaminate")
+    val tier2 = Seq(
+      "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
+      "l10_fingerprints", "l16_dedup_clusters",
+      "l46_dup_shingle_profile", "l49_source_overlap",
+      "l51_bigram_fluency")
+    tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
+    tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
+  }
+
   test("l54: contamination fraction joins on shingle digests — no raw " +
     "shingle or text column crosses an exchange") {
     // The l46 digest discipline: shingles md5-hash at the scan, so the
