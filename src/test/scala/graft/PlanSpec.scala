@@ -300,6 +300,45 @@ class PlanSpec extends SparkSpec {
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
 
+  test("embedding-plane sweep: no array column crosses a shuffle in the " +
+    "bucketed/broadcast ANN operators") {
+    // l48's ArrayType payload pin, generalized: the embedding operators
+    // whose scale story is "broadcast the small side / join buckets by
+    // equality, arrays stay in the scan" are held to it by schema — any
+    // ArrayType in a shuffle payload (embeddings, code arrays, kept-index
+    // arrays) fails. Not listed: l39 (candidate pairs join embeddings
+    // back for the cosine verify — array movement is that plan's
+    // documented cost), l17/l37 (IVF assignment passes each corpus
+    // embedding through ONE exchange by design — the max_by partial
+    // carries it to its cell — and the probe window moves the
+    // by-contract-small query side's arrays), l48 (has its own
+    // stricter pin).
+    import org.apache.spark.sql.types.ArrayType
+    for (q <- Seq("l05_cosine_topk", "l06_ann_lsh", "l14_cosine_near_dups",
+      "l40_semantic_decontaminate", "l44_lsh_recall_audit")) {
+      val df = lq(q)
+      df.collect()
+      import org.apache.spark.sql.execution.SparkPlan
+      import org.apache.spark.sql.execution.adaptive.QueryStageExec
+      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+      def walk(p: SparkPlan): Seq[SparkPlan] = {
+        val next: Seq[SparkPlan] = p match {
+          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+          case qs: QueryStageExec => Seq(qs.plan)
+          case other => other.children
+        }
+        p +: next.flatMap(walk)
+      }
+      walk(df.queryExecution.executedPlan).foreach {
+        case s: ShuffleExchangeLike =>
+          val arrays = s.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+          assert(arrays.isEmpty,
+            s"$q: array columns ${arrays.map(_.name)} cross a shuffle")
+        case _ =>
+      }
+    }
+  }
+
   test("l54: contamination fraction joins on shingle digests — no raw " +
     "shingle or text column crosses an exchange") {
     // The l46 digest discipline: shingles md5-hash at the scan, so the
