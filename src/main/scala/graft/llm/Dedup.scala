@@ -703,13 +703,19 @@ object Dedup {
     // shingle work plus a corpus-wide materialization). Neither side is
     // read twice, so nothing needs checkpointing.
     val bucket = TextOps.splitBucket(col("doc_id"))
+    // Digest at the scan (round-10, matching l54/l46): the exact shingle
+    // join carries fixed 32-char md5s instead of raw n-gram strings, so a
+    // non-broadcast eval side shuffles uniform bounded keys; the distinct
+    // counts are identical modulo md5 collisions (negligible always).
     val trainSh = TextOps.docShingles(docs.filter(bucket < trainPct), n)
+      .select(col("doc_id"), md5(col("s")).as("sd"))
     val evalSh = TextOps.docShingles(docs.filter(bucket >= evalFromPct), n)
-    trainSh.as("tr").join(evalSh.as("ev"), col("tr.s") === col("ev.s"))
+      .select(col("doc_id"), md5(col("s")).as("sd"))
+    trainSh.as("tr").join(evalSh.as("ev"), col("tr.sd") === col("ev.sd"))
       .groupBy(col("tr.doc_id").as("doc_id"))
       .agg(
         countDistinct(col("ev.doc_id")).as("n_eval_docs"),
-        countDistinct(col("tr.s")).as("n_shared_shingles"))
+        countDistinct(col("tr.sd")).as("n_shared_shingles"))
   }
 
   /** GRADED decontamination — per-train-document contamination FRACTION:

@@ -284,8 +284,7 @@ class PlanSpec extends SparkSpec {
     // set-overlap identity — never documents), so they sit in tier 1.
     // Excluded entirely by design: l45 (shard shuffle IS a text
     // repartition), l50 (the rewrite join carries text keyed on doc_id —
-    // documented), l24 (raw-shingle join; digest-disciplined siblings
-    // are l33/l54), and any query whose OUTPUT contains text (the
+    // documented), and any query whose OUTPUT contains text (the
     // declared orderBy's range exchange then legitimately carries it).
     val docPayload = Set("text", "toks", "w", "tok")
     val atomPayload = docPayload ++ Set("s", "shs", "span", "sh")
@@ -293,7 +292,7 @@ class PlanSpec extends SparkSpec {
       "l33_bloom_decontaminate")
     val tier2 = Seq(
       "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
-      "l10_fingerprints", "l16_dedup_clusters",
+      "l10_fingerprints", "l16_dedup_clusters", "l24_decontaminate",
       "l46_dup_shingle_profile", "l49_source_overlap",
       "l51_bigram_fluency")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
