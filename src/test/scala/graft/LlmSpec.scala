@@ -595,33 +595,47 @@ class LlmSpec extends SparkSpec {
   }
 
   test("tokenBudgetSample: kept set matches a global-order cumsum reference, " +
-    "independent of partition layout, one-doc overshoot at tiny budgets") {
+    "independent of partition layout, one-doc overshoot at tiny budgets; " +
+    "null text counts zero, null source is its own group") {
+    // degenerate rows exercise the review-hardened paths: null text
+    // (coalesced to 0 tokens — kept, consumes no budget), empty text
+    // (ONE whitespace token, split semantics), and null source (a real
+    // group under the null-safe prefix join, like the oracle's
+    // PARTITION BY and S16's groupByKey)
     val rows = (0L until 42L).map { i =>
       val toks = (0 until (3 + (i % 5).toInt)).map(k => s"w$k").mkString(" ")
       (i, toks, s"src${i % 3}")
-    }
+    } ++ Seq(
+      (100L, null.asInstanceOf[String], "src0"),
+      (101L, "", "src1"),
+      (102L, "x y z", null.asInstanceOf[String]),
+      (103L, "p q", null.asInstanceOf[String]))
     val d = rows.toDF("doc_id", "text", "source")
     def md5hex(id: Long): String = java.security.MessageDigest
       .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
+    def nTok(t: String): Long =
+      if (t == null) 0L else t.split(" ", -1).length.toLong
     def reference(budget: Long): Set[Long] =
       rows.groupBy(_._3).values.flatMap { grp =>
         val ordered = grp.sortBy(r => md5hex(r._1))
-        val cums = ordered.scanLeft(0L)(_ + _._2.split(" ").length).init
+        val cums = ordered.scanLeft(0L)((acc, r) => acc + nTok(r._2)).init
         ordered.zip(cums).collect { case (r, before) if before < budget => r._1 }
       }.toSet
     for (budget <- Seq(1L, 40L, 10000L)) {
       val got = TextAnalysis.tokenBudgetSample(d, budget).collect()
         .map(_.getLong(0)).toSet
       assert(got === reference(budget), s"budget=$budget")
+      assert(got.exists(_ >= 102L), s"budget=$budget: null-source docs lost")
       val got13 = TextAnalysis.tokenBudgetSample(d.repartition(13), budget)
         .collect().map(_.getLong(0)).toSet
       assert(got13 === got, s"budget=$budget layout")
     }
-    // budget=1: exactly the first doc per source crosses the line
-    assert(TextAnalysis.tokenBudgetSample(d, 1L).collect().length === 3)
-    // huge budget: everything admitted
-    assert(TextAnalysis.tokenBudgetSample(d, 10000L).collect().length === 42)
+    // budget=1: exactly the first doc per group (3 named sources + the
+    // null-source group) crosses the line
+    assert(TextAnalysis.tokenBudgetSample(d, 1L).collect().length === 4)
+    // huge budget: everything admitted, nulls included
+    assert(TextAnalysis.tokenBudgetSample(d, 10000L).collect().length === 46)
   }
 
   test("quantizeInt8: hand-computed codes, zero-vector guard") {

@@ -127,29 +127,17 @@ class PlanSpec extends SparkSpec {
 
   test("l48: no embedding array crosses a shuffle — coarse rank moves scores, " +
     "embeddings join back by broadcast") {
-    import org.apache.spark.sql.execution.SparkPlan
-    import org.apache.spark.sql.execution.adaptive.QueryStageExec
-    import org.apache.spark.sql.execution.exchange.ShuffleExchangeExec
     import org.apache.spark.sql.types.ArrayType
     val df = lq("l48_int8_rerank")
     df.collect()
-    val shuffles = scala.collection.mutable.Buffer[ShuffleExchangeExec]()
-    def walk(n: SparkPlan): Unit = {
-      n match {
-        case s: ShuffleExchangeExec => shuffles += s
-        case q: QueryStageExec => walk(q.plan)
-        case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
-        case _ =>
-      }
-      n.children.foreach(walk)
-    }
-    walk(df.queryExecution.executedPlan)
-    assert(shuffles.nonEmpty) // the rerank window must really be there
     // embeddings AND codes stay out of every exchange: the coarse top-m
     // moves serialized ≤m-entry heaps, the fetch joins broadcast, the
-    // final sort moves scalars
-    shuffles.foreach { s =>
-      val arrays = s.output.filter(_.dataType.isInstanceOf[ArrayType])
+    // final sort moves scalars (shared walker — one traversal definition
+    // for every payload pin in this suite)
+    val shuffles = walkShuffles(df.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty) // the rerank window must really be there
+    shuffles.foreach { attrs =>
+      val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
       assert(arrays.isEmpty,
         s"array columns ${arrays.map(_.name)} cross a shuffle in l48")
     }
@@ -200,14 +188,17 @@ class PlanSpec extends SparkSpec {
     * PAYLOAD. This walks the executed tree instead — descending into AQE
     * query stages, which are leaves to a plain collect — and returns the
     * real payload schema of each shuffle. */
-  private def shufflePayloads(df: DataFrame): Seq[Seq[String]] = {
-    df.collect()
+  /** One executed tree's shuffle payloads as ATTRIBUTES (name + type) —
+    * shared by the name-ban and ArrayType-ban checks. */
+  private def walkShuffles(root: org.apache.spark.sql.execution.SparkPlan)
+      : Seq[Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] = {
     import org.apache.spark.sql.execution.SparkPlan
     import org.apache.spark.sql.execution.adaptive.QueryStageExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    def walk(p: SparkPlan): Seq[Seq[String]] = {
+    def walk(p: SparkPlan)
+        : Seq[Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] = {
       val here = p match {
-        case s: ShuffleExchangeLike => Seq(s.child.output.map(_.name).toSeq)
+        case s: ShuffleExchangeLike => Seq(s.child.output.toSeq)
         case _ => Nil
       }
       val next: Seq[SparkPlan] = p match {
@@ -217,14 +208,54 @@ class PlanSpec extends SparkSpec {
       }
       here ++ next.flatMap(walk)
     }
-    walk(df.queryExecution.executedPlan)
+    walk(root)
   }
 
-  private def assertNoShufflePayload(df: DataFrame, banned: Set[String],
+  /** Shuffle payloads across EVERY QueryExecution the operator runs —
+    * not just the final one. Iterative operators (CC loops) and
+    * checkpoint-based compositions (jaccardPairs, nearDupClustersAuto)
+    * materialize their dominant subtrees in SEPARATE executions at
+    * DataFrame-BUILD time, so a walker that only sees the final plan
+    * inspects the cheap post-checkpoint tail and misses the shuffles
+    * that matter at 100 TB. A QueryExecutionListener captures them all;
+    * the listener bus is async, so capture is polled to quiescence. */
+  private def allShufflePayloads(build: => DataFrame)
+      : Seq[Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] = {
+    import org.apache.spark.sql.execution.QueryExecution
+    import org.apache.spark.sql.util.QueryExecutionListener
+    val captured =
+      scala.collection.mutable.Buffer[org.apache.spark.sql.execution.SparkPlan]()
+    val listener = new QueryExecutionListener {
+      override def onSuccess(funcName: String, qe: QueryExecution,
+                             durationNs: Long): Unit =
+        captured.synchronized { captured += qe.executedPlan }
+      override def onFailure(funcName: String, qe: QueryExecution,
+                             exception: Exception): Unit = ()
+    }
+    spark.listenerManager.register(listener)
+    try {
+      val df = build // build-time checkpoints/loops fire executions here
+      df.collect()   // the final execution
+      // the listener bus delivers asynchronously: wait until the captured
+      // set is stable (no new executions for 500 ms, 15 s deadline)
+      val deadline = System.nanoTime() + 15L * 1000 * 1000 * 1000
+      var last = -1
+      var stable = 0
+      while (stable < 5 && System.nanoTime() < deadline) {
+        Thread.sleep(100)
+        val now = captured.synchronized(captured.size)
+        if (now == last) stable += 1 else { stable = 0; last = now }
+      }
+      captured.synchronized(captured.toVector).flatMap(walkShuffles)
+    } finally spark.listenerManager.unregister(listener)
+  }
+
+  private def assertNoShufflePayload(build: => DataFrame, banned: Set[String],
                                      label: String): Unit = {
-    val payloads = shufflePayloads(df)
+    val payloads = allShufflePayloads(build)
     assert(payloads.nonEmpty, s"$label: expected at least one shuffle")
-    payloads.foreach { names =>
+    payloads.foreach { attrs =>
+      val names = attrs.map(_.name)
       assert(!names.exists(banned.contains),
         s"$label: shuffle payload carries ${names.filter(banned.contains)}" +
           s" in (${names.mkString(", ")})")
@@ -233,13 +264,21 @@ class PlanSpec extends SparkSpec {
 
   test("l52: incremental dedup shuffles band hashes and doc ids only — " +
     "no text crosses an exchange, no pair self-join anywhere") {
-    val df = lq("l52_incremental_dedup")
-    val plan = executedPlan(df)
+    val plan = executedPlan(lq("l52_incremental_dedup"))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
     // the S11 digest discipline: every shuffle PAYLOAD is band keys /
-    // doc ids / verdict scalars — never text, tokens, or shingles
-    assertNoShufflePayload(df, Set("text", "toks", "s", "shs"), "l52")
+    // doc ids / verdict scalars — never text, tokens, shingles, or the
+    // per-doc hashed-shingle array (hs must be pruned before banding's
+    // exchanges); arrays of any kind are banned outright below
+    assertNoShufflePayload(lq("l52_incremental_dedup"),
+      Set("text", "toks", "s", "shs", "hs"), "l52")
+    import org.apache.spark.sql.types.ArrayType
+    allShufflePayloads(lq("l52_incremental_dedup")).foreach { attrs =>
+      val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"l52: array columns ${arrays.map(_.name)} cross a shuffle")
+    }
     // the within-batch leg is a window MIN over band buckets, not a
     // bands-with-bands self-join: the plan joins only batch-vs-index and
     // verdicts-vs-batch, so SortMergeJoin/ShuffledHashJoin on band keys
@@ -256,20 +295,22 @@ class PlanSpec extends SparkSpec {
     // membership join as (doc_id, q) longs and the anti-join as (doc_id,
     // digest) — the round-10 review found the earlier semi-join-prune
     // form writing (doc_id, text) to shuffle, which this payload check
-    // now catches.
-    val df = lq("l53_dedup_keep_best")
-    val plan = executedPlan(df)
+    // now catches. The by-name build runs under the capture listener, so
+    // the CC loop's and pair generation's checkpointed executions are
+    // inspected too, not just the post-checkpoint tail.
+    val plan = executedPlan(lq("l53_dedup_keep_best"))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    assertNoShufflePayload(df, Set("text", "toks", "shs"), "l53")
+    assertNoShufflePayload(lq("l53_dedup_keep_best"),
+      Set("text", "toks"), "l53")
   }
 
   test("l30: dedup apply anti-joins the pre-digested corpus — no text " +
-    "crosses an exchange") {
-    val df = lq("l30_dedup_apply")
-    val plan = executedPlan(df)
+    "crosses an exchange (checkpointed pair-gen executions included)") {
+    val plan = executedPlan(lq("l30_dedup_apply"))
     assert(!plan.contains("CartesianProduct"))
-    assertNoShufflePayload(df, Set("text", "toks", "shs"), "l30")
+    assertNoShufflePayload(lq("l30_dedup_apply"),
+      Set("text", "toks"), "l30")
   }
 
   test("digest-discipline sweep: no dedup/fingerprint/overlap operator " +
@@ -288,11 +329,16 @@ class PlanSpec extends SparkSpec {
     // declared orderBy's range exchange then legitimately carries it).
     val docPayload = Set("text", "toks", "w", "tok")
     val atomPayload = docPayload ++ Set("s", "shs", "span", "sh")
-    val tier1 = Seq("l02_jaccard_pairs", "l27_containment_pairs",
-      "l33_bloom_decontaminate")
+    // l16 sits in tier 1 because the capture listener (round-10 upgrade)
+    // sees its CHECKPOINTED pair-generation executions too: the inverted
+    // index inside jaccardPairs ships shingle atoms by design; l16's own
+    // claim — the propagation loop shuffles labels only — is covered by
+    // the doc-payload ban across every captured execution.
+    val tier1 = Seq("l02_jaccard_pairs", "l16_dedup_clusters",
+      "l27_containment_pairs", "l33_bloom_decontaminate")
     val tier2 = Seq(
       "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
-      "l10_fingerprints", "l16_dedup_clusters", "l24_decontaminate",
+      "l10_fingerprints", "l24_decontaminate",
       "l46_dup_shingle_profile", "l49_source_overlap",
       "l51_bigram_fluency")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
@@ -315,25 +361,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.types.ArrayType
     for (q <- Seq("l05_cosine_topk", "l06_ann_lsh", "l14_cosine_near_dups",
       "l40_semantic_decontaminate", "l44_lsh_recall_audit")) {
-      val df = lq(q)
-      df.collect()
-      import org.apache.spark.sql.execution.SparkPlan
-      import org.apache.spark.sql.execution.adaptive.QueryStageExec
-      import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-      def walk(p: SparkPlan): Seq[SparkPlan] = {
-        val next: Seq[SparkPlan] = p match {
-          case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
-          case qs: QueryStageExec => Seq(qs.plan)
-          case other => other.children
-        }
-        p +: next.flatMap(walk)
-      }
-      walk(df.queryExecution.executedPlan).foreach {
-        case s: ShuffleExchangeLike =>
-          val arrays = s.child.output.filter(_.dataType.isInstanceOf[ArrayType])
-          assert(arrays.isEmpty,
-            s"$q: array columns ${arrays.map(_.name)} cross a shuffle")
-        case _ =>
+      allShufflePayloads(lq(q)).foreach { attrs =>
+        val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
+        assert(arrays.isEmpty,
+          s"$q: array columns ${arrays.map(_.name)} cross a shuffle")
       }
     }
   }
@@ -347,11 +378,11 @@ class PlanSpec extends SparkSpec {
     // join would surface `s` in a shuffle payload the moment the eval
     // side stops broadcasting — and never slips a text column through
     // any exchange that does exist.
-    val df = lq("l54_contamination_frac")
-    val plan = executedPlan(df)
+    val plan = executedPlan(lq("l54_contamination_frac"))
     assert(!plan.contains("CartesianProduct"))
     assert(!plan.contains("BroadcastNestedLoopJoin"))
-    assertNoShufflePayload(df, Set("text", "toks", "s"), "l54")
+    assertNoShufflePayload(lq("l54_contamination_frac"),
+      Set("text", "toks", "s"), "l54")
   }
 
   test("l55: token-budget window is salted — the corpus exchange keys on " +
@@ -360,8 +391,7 @@ class PlanSpec extends SparkSpec {
     // runs over (source, bkt), not source alone — a per-source window
     // would be l48's old skewed-rank exchange (each source key's reducer
     // receiving and sorting its whole corpus slice in one task).
-    val df = lq("l55_token_budget_sample")
-    val plan = executedPlan(df)
+    val plan = executedPlan(lq("l55_token_budget_sample"))
     assert(!plan.contains("CartesianProduct"))
     // the key claim: a corpus window exchange partitioned on BOTH keys
     // (Exchange lines do print partitioning keys, so this grep is sound)
@@ -371,7 +401,8 @@ class PlanSpec extends SparkSpec {
       exchanges.mkString("\n"))
     // the payload claim needs the real schemas: text stays out of every
     // shuffle (the windowed rows carry doc_id/source/n_tokens/h/bkt)
-    assertNoShufflePayload(df, Set("text", "toks"), "l55")
+    assertNoShufflePayload(lq("l55_token_budget_sample"),
+      Set("text", "toks"), "l55")
   }
 
   test("l43: estimator audit joins bands by equality only (no cartesian)") {

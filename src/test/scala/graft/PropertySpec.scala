@@ -318,8 +318,13 @@ class PropertySpec extends SparkSpec {
     val genDoc = for {
       len <- Gen.chooseNum(0, 12) // 0-token docs: n_tokens edge
       toks <- Gen.listOfN(len, Gen.oneOf("aa", "bb", "cc"))
-      src <- Gen.oneOf("s0", "s1", "s2", "s3")
-    } yield (toks.mkString(" "), src)
+      // null text (counts zero) and null source (its own budget group)
+      // keep the review-hardened degenerate paths under random fire
+      text <- Gen.frequency(9 -> Gen.const(toks.mkString(" ")),
+        1 -> Gen.const(null: String))
+      src <- Gen.frequency(9 -> Gen.oneOf("s0", "s1", "s2", "s3"),
+        1 -> Gen.const(null: String))
+    } yield (text, src)
     def md5hex(id: Long): String = java.security.MessageDigest
       .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
       .map("%02x".format(_)).mkString
@@ -335,8 +340,10 @@ class PropertySpec extends SparkSpec {
           val ordered = grp.sortBy(r => md5hex(r._1))
           // split with -1 limit mirrors Spark's split(): "" -> [""], so an
           // empty doc counts ONE whitespace token, exactly like
-          // ws_token_count / len(string_split) in the oracle family
-          val before = ordered.scanLeft(0L)(_ + _._2.split(" ", -1).length).init
+          // ws_token_count / len(string_split) in the oracle family;
+          // null text coalesces to ZERO (the operator's documented rule)
+          val before = ordered.scanLeft(0L)((acc, r) =>
+            acc + (if (r._2 == null) 0L else r._2.split(" ", -1).length.toLong)).init
           ordered.zip(before).collect { case (r, b) if b < budget => r._1 }
         }.toSet
         val got = TextAnalysis.tokenBudgetSample(d, budget)

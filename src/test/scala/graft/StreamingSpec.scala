@@ -253,11 +253,18 @@ class StreamingSpec extends SparkSpec {
         .collect().map(_.getLong(0)).toSet
       assert(streamed === batchKept && streamed.nonEmpty)
       // both sources crossed their quota in batch 1 -> batch-2 docs from
-      // them are rejected, but a NEW source starts its own quota fresh
-      val batch2 = Seq(doc(100, 4, "src0"), doc(101, 4, "src1"), doc(102, 4, "src9"))
+      // them are rejected, but a NEW source starts its own quota fresh;
+      // a null-text doc counts ZERO tokens (l55's rule) — admitted
+      // without consuming the fresh source's budget
+      val batch2 = Seq(doc(100, 4, "src0"), doc(101, 4, "src1"), doc(102, 4, "src9"),
+        StreamSrcDoc(103, null, "src9", java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
       in.addData(batch2: _*); q.processAllAvailable()
       val after = spark.table("s16_out").collect().map(_.getLong(0)).toSet
-      assert(after === batchKept + 102L)
+      assert(after === batchKept + 102L + 103L)
+      // the null-text doc reports 0 tokens, matching the batch sampler
+      val row103 = spark.table("s16_out").filter(col("doc_id") === 103L)
+        .collect().head
+      assert(row103.getLong(2) === 0L)
     } finally q.stop()
   }
 
