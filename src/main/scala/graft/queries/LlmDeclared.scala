@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
+import graft.llm.{Bpe, Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -1518,11 +1518,32 @@ object LlmDeclared {
       SELECT doc_id, source, n_tokens FROM c
       WHERE before < 800 ORDER BY doc_id"""))
 
+  /** L56 — BPE tokenizer-training statistics: corpus-weighted adjacent
+    * symbol-pair counts over the character-split vocabulary (the exact
+    * round-1 statistics of Sennrich-style BPE training; `Bpe.train` runs
+    * the full merge loop on the same primitive). The corpus is touched
+    * once (word hash-agg); pair counting is vocab-table work. */
+  private val l56 = DeclaredQuery(
+    "l56_bpe_pair_counts",
+    (s, dir) => Bpe.pairCounts(Bpe.wordSymbols(t(s, dir, "documents")))
+      .orderBy(col("l"), col("r")),
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS word
+              FROM documents),
+      v AS (SELECT word, COUNT(*) AS freq FROM w
+            WHERE len(word) > 0 GROUP BY word),
+      p AS (SELECT freq, string_split(word, '') AS cs FROM v),
+      e AS (SELECT freq, unnest(list_transform(range(1, len(cs)),
+              i -> cs[i] || chr(1) || cs[i+1])) AS pr FROM p)
+      SELECT string_split(pr, chr(1))[1] AS l,
+             string_split(pr, chr(1))[2] AS r,
+             CAST(SUM(freq) AS BIGINT) AS pair_count
+      FROM e GROUP BY 1, 2 ORDER BY l, r"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, l54, l55, d29)
+    l51, l52, l53, l54, l55, l56, d29)
 }

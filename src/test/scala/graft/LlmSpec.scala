@@ -638,6 +638,116 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.tokenBudgetSample(d, 10000L).collect().length === 46)
   }
 
+  test("bpe: pair counts and merge training match a straight-line reference " +
+    "on the classic fixture; layout-independent") {
+    import graft.llm.Bpe
+    // Sennrich's canonical example shape: suffix 'est' should win merges
+    val words = Seq(
+      ("low", 5L), ("lower", 2L), ("newest", 6L), ("widest", 3L))
+    val text = words.flatMap { case (w, f) => Seq.fill(f.toInt)(w) }
+      .mkString(" ")
+    val d = docsDf(1L -> text)
+
+    // straight-line reference BPE over a word-frequency map
+    def refTrain(ws: Map[String, Long], k: Int): Seq[(String, String)] = {
+      var vocab: Map[Vector[String], Long] =
+        ws.map { case (w, f) => w.split("").toVector -> f }
+      val merges = scala.collection.mutable.Buffer[(String, String)]()
+      var continue = true
+      while (merges.size < k && continue) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) += f
+            case _ =>
+          }
+        }
+        val viable = counts.filter(_._2 >= 2)
+        if (viable.isEmpty) continue = false
+        else {
+          val (l, r) = viable.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+          merges += ((l, r))
+          vocab = vocab.map { case (syms, f) =>
+            val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            }
+            out -> f
+          }
+        }
+      }
+      merges.toSeq
+    }
+
+    val expectedMerges = refTrain(words.toMap, 5)
+    val (gotMerges, finalVocab) = Bpe.train(d, 5)
+    assert(gotMerges === expectedMerges)
+    // first merge must be the 'es' of newest+widest (9 occurrences)
+    assert(gotMerges.head === ("e", "s"))
+    // pair counts of round 1 match the reference counter exactly
+    val gotCounts = Bpe.pairCounts(Bpe.wordSymbols(d)).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(gotCounts(("e", "s")) === 9L)
+    assert(gotCounts(("l", "o")) === 7L)
+    // training is partition-layout independent
+    val (gotMerges13, _) = Bpe.train(d.repartition(13), 5)
+    assert(gotMerges13 === expectedMerges)
+    // the final symbolization contains the merged suffix as one symbol
+    val newestSyms = finalVocab.filter(col("word") === "newest")
+      .select(col("syms")).collect().head.getSeq[String](0)
+    assert(newestSyms.contains("est") || newestSyms.exists(_.contains("est")))
+  }
+
+  test("bpe: training matches the reference on random corpora and stops " +
+    "when no pair repeats") {
+    import graft.llm.Bpe
+    val rng = new scala.util.Random(41)
+    val vocabWords = Vector("aba", "bab", "abab", "ba", "a", "bb", "aab")
+    val corpus = (0 until 120).map(_ => vocabWords(rng.nextInt(vocabWords.size)))
+    val freqs = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val d = docsDf(1L -> corpus.mkString(" "))
+    def refTrain(ws: Map[String, Long], k: Int): Seq[(String, String)] = {
+      var vocab: Map[Vector[String], Long] =
+        ws.map { case (w, f) => w.split("").toVector -> f }
+      val merges = scala.collection.mutable.Buffer[(String, String)]()
+      var continue = true
+      while (merges.size < k && continue) {
+        val counts = scala.collection.mutable.Map[(String, String), Long]()
+          .withDefaultValue(0L)
+        vocab.foreach { case (syms, f) =>
+          syms.sliding(2).foreach {
+            case Seq(a, b) => counts((a, b)) += f
+            case _ =>
+          }
+        }
+        val viable = counts.filter(_._2 >= 2)
+        if (viable.isEmpty) continue = false
+        else {
+          val (l, r) = viable.toSeq
+            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+          merges += ((l, r))
+          vocab = vocab.map { case (syms, f) =>
+            syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+              if (acc.nonEmpty && acc.last == l && x == r)
+                acc.init :+ (l + r)
+              else acc :+ x
+            } -> f
+          }
+        }
+      }
+      merges.toSeq
+    }
+    // deep merge budget: the trainer must follow the reference to the
+    // point where no pair repeats, then stop early on both sides
+    val expected = refTrain(freqs, 40)
+    val (got, _) = Bpe.train(d, 40)
+    assert(got === expected)
+    assert(got.size < 40, "fixture should exhaust repeating pairs early")
+  }
+
   test("quantizeInt8: hand-computed codes, zero-vector guard") {
     val df = Seq(
       (1L, Array(1.0f, -0.5f, 0.0f, 0.254f)),

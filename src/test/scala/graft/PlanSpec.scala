@@ -334,8 +334,11 @@ class PlanSpec extends SparkSpec {
     // index inside jaccardPairs ships shingle atoms by design; l16's own
     // claim — the propagation loop shuffles labels only — is covered by
     // the doc-payload ban across every captured execution.
+    // l56's corpus shuffle carries word atoms (the vocab hash-agg — the
+    // BPE trainer's single corpus-sized exchange by design): tier 1.
     val tier1 = Seq("l02_jaccard_pairs", "l16_dedup_clusters",
-      "l27_containment_pairs", "l33_bloom_decontaminate")
+      "l27_containment_pairs", "l33_bloom_decontaminate",
+      "l56_bpe_pair_counts")
     val tier2 = Seq(
       "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
       "l10_fingerprints", "l24_decontaminate",
