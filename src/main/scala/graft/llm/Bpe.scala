@@ -57,6 +57,30 @@ object Bpe {
         concat(slice(acc, lit(1), size(acc) - 1), array(lit(l + r))))
         .otherwise(concat(acc, array(x))))
 
+  /** ENCODE a corpus with a trained merge list — the consume side of
+    * `train`: every document's words become BPE symbol sequences, and the
+    * per-doc output is (doc_id, n_bpe_tokens, n_words).
+    *
+    * Same vocabulary-residence trick as training: the merge fold runs
+    * over the DISTINCT-WORD table (k chained per-row array folds — k is
+    * the merge budget, a constant), and the corpus then joins its words
+    * against the symbolized vocab on the word atom. At scale the vocab
+    * side is dictionary-sized — AQE broadcasts it; the corpus-side
+    * exchange carries (doc_id, word) atoms, never documents. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val vocabSyms = merges.foldLeft(
+        wordSymbols(docs).select(col("word"), col("syms"))) {
+      case (v, (l, r)) => v.withColumn("syms", mergePair(col("syms"), l, r))
+    }.select(col("word"), size(col("syms")).as("n_sym"))
+    docs.select(col("doc_id"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(vocabSyms, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_sym")).as("n_bpe_tokens"),
+        count(lit(1)).as("n_words"))
+  }
+
   /** Train `merges` BPE merge rules over the corpus. Returns the ordered
     * merge list and the final vocab symbolization (for tests/encoding).
     *

@@ -746,6 +746,22 @@ class LlmSpec extends SparkSpec {
     val (got, _) = Bpe.train(d, 40)
     assert(got === expected)
     assert(got.size < 40, "fixture should exhaust repeating pairs early")
+
+    // encode with the trained merges: per-word symbol counts equal the
+    // reference fold, and fewer merges can only mean MORE tokens
+    def refEncode(w: String): Long =
+      got.foldLeft(w.split("").toVector) { case (syms, (l, r)) =>
+        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
+          else acc :+ x
+        }
+      }.size.toLong
+    val expTokens = corpus.map(refEncode).sum
+    val encoded = Bpe.encode(d, got).collect().head
+    assert(encoded.getLong(1) === expTokens)
+    assert(encoded.getLong(2) === corpus.size.toLong)
+    val fewer = Bpe.encode(d, got.take(1)).collect().head
+    assert(fewer.getLong(1) >= encoded.getLong(1))
   }
 
   test("quantizeInt8: hand-computed codes, zero-vector guard") {
