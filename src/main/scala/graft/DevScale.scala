@@ -37,6 +37,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("bpe")) {
+      bpeExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -95,6 +100,42 @@ object DevScale {
     * re-tokenized with a `new_` prefix shared with nothing), so both
     * verdict paths execute and the printed counts confirm correctness at
     * every scale. */
+  /** BPE vocabulary-residence experiment (`runMain graft.DevScale R bpe`):
+    * the trainer's claim is that merge rounds cost VOCAB-table work,
+    * independent of corpus size after the one word aggregation. Measured
+    * by scaling the corpus two ways: SAME-VOCAB (the same documents
+    * unioned R times under fresh ids — corpus R×, vocabulary unchanged)
+    * must hold the per-round pair-counting cost ~flat, while the word agg
+    * itself may grow with the corpus; GROWN-VOCAB (replica-prefixed text,
+    * vocabulary R×) is the control where rounds are allowed to grow. */
+  private def bpeExperiment(spark: org.apache.spark.sql.SparkSession,
+                            reps: Int): Unit = {
+    import graft.llm.Bpe
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    val base = replicatedText(spark, 1).select(col("doc_id"), col("text"))
+    def sameVocab(r: Int) = (0 until r).map(k =>
+      base.select((col("doc_id") + k * 10000000L).as("doc_id"), col("text")))
+      .reduce(_ unionByName _)
+    for ((label, mk) <- Seq(
+        ("same-vocab", sameVocab _),
+        ("grown-vocab", (r: Int) => replicatedText(spark, r)
+          .select(col("doc_id"), col("text"))));
+        r <- Seq(1, reps)) {
+      val dir = s"/tmp/graft_scale_bpe_${label}_$r"
+      mk(r).write.mode("overwrite").parquet(s"$dir/docs.parquet")
+      val docs = spark.read.parquet(s"$dir/docs.parquet")
+      val tAgg = BenchTiming.steadyOf(spark, () => Bpe.wordSymbols(docs))
+      Bpe.wordSymbols(docs).write.mode("overwrite")
+        .parquet(s"$dir/vocab.parquet")
+      val vocab = spark.read.parquet(s"$dir/vocab.parquet")
+      val nVocab = vocab.count()
+      val tRound = BenchTiming.steadyOf(spark, () => Bpe.pairCounts(vocab))
+      println(f"$label%-12s R=$r%-3d vocab=$nVocab%8d words  " +
+        f"word-agg=$tAgg%7.3f s  pair-round=$tRound%7.3f s")
+    }
+  }
+
   private def incrementalExperiment(spark: org.apache.spark.sql.SparkSession,
                                     reps: Int): Unit = {
     import graft.llm.Dedup
