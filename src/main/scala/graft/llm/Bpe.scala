@@ -62,15 +62,26 @@ object Bpe {
     * per-doc output is (doc_id, n_bpe_tokens, n_words).
     *
     * Same vocabulary-residence trick as training: the merge fold runs
-    * over the DISTINCT-WORD table (k chained per-row array folds — k is
-    * the merge budget, a constant), and the corpus then joins its words
+    * over the DISTINCT-WORD table, and the corpus then joins its words
     * against the symbolized vocab on the word atom. At scale the vocab
     * side is dictionary-sized — AQE broadcasts it; the corpus-side
-    * exchange carries (doc_id, word) atoms, never documents. */
-  def encode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
-    val vocabSyms = merges.foldLeft(
+    * exchange carries (doc_id, word) atoms, never documents.
+    *
+    * Expression-depth discipline: a realistic merge list is thousands of
+    * rules, and folding them into ONE projection nests that many lambda
+    * expressions — analysis recurses k-deep and codegen emits one
+    * enormous method (planning blows up long before corpus size
+    * matters). The fold therefore checkpoints the (tiny, vocab-sized)
+    * table every `checkpointEvery` merges, the same depth-bounding
+    * train() applies per round. */
+  def encode(docs: DataFrame, merges: Seq[(String, String)],
+             checkpointEvery: Int = 64): DataFrame = {
+    val vocabSyms = merges.grouped(checkpointEvery).foldLeft(
         wordSymbols(docs).select(col("word"), col("syms"))) {
-      case (v, (l, r)) => v.withColumn("syms", mergePair(col("syms"), l, r))
+      (v, group) =>
+        group.foldLeft(v) { case (vv, (l, r)) =>
+          vv.withColumn("syms", mergePair(col("syms"), l, r))
+        }.localCheckpoint()
     }.select(col("word"), size(col("syms")).as("n_sym"))
     docs.select(col("doc_id"),
         explode(TextOps.tokens(col("text"))).as("word"))

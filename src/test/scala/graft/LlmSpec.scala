@@ -638,8 +638,45 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.tokenBudgetSample(d, 10000L).collect().length === 46)
   }
 
-  test("bpe: pair counts and merge training match a straight-line reference " +
-    "on the classic fixture; layout-independent") {
+  /** Straight-line reference BPE trainer (shared by both BPE tests):
+    * returns the ordered merge list AND the final per-word
+    * symbolization, so tests can assert exact equality of both. */
+  private def refBpeTrain(ws: Map[String, Long], k: Int)
+      : (Seq[(String, String)], Map[String, Vector[String]]) = {
+    var vocab: Map[String, (Vector[String], Long)] =
+      ws.map { case (w, f) => w -> (w.split("").toVector, f) }
+    val merges = scala.collection.mutable.Buffer[(String, String)]()
+    var continue = true
+    while (merges.size < k && continue) {
+      val counts = scala.collection.mutable.Map[(String, String), Long]()
+        .withDefaultValue(0L)
+      vocab.values.foreach { case (syms, f) =>
+        syms.sliding(2).foreach {
+          case Seq(a, b) => counts((a, b)) += f
+          case _ =>
+        }
+      }
+      val viable = counts.filter(_._2 >= 2)
+      if (viable.isEmpty) continue = false
+      else {
+        val (l, r) = viable.toSeq
+          .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
+        merges += ((l, r))
+        vocab = vocab.map { case (w, (syms, f)) =>
+          w -> (syms.foldLeft(Vector.empty[String]) { (acc, x) =>
+            if (acc.nonEmpty && acc.last == l && x == r)
+              acc.init :+ (l + r)
+            else acc :+ x
+          }, f)
+        }
+      }
+    }
+    (merges.toSeq, vocab.view.mapValues(_._1).toMap)
+  }
+
+  test("bpe: pair counts, merge training, and the final symbolization " +
+    "match a straight-line reference on the classic fixture; " +
+    "layout-independent") {
     import graft.llm.Bpe
     // Sennrich's canonical example shape: suffix 'est' should win merges
     val words = Seq(
@@ -648,41 +685,7 @@ class LlmSpec extends SparkSpec {
       .mkString(" ")
     val d = docsDf(1L -> text)
 
-    // straight-line reference BPE over a word-frequency map
-    def refTrain(ws: Map[String, Long], k: Int): Seq[(String, String)] = {
-      var vocab: Map[Vector[String], Long] =
-        ws.map { case (w, f) => w.split("").toVector -> f }
-      val merges = scala.collection.mutable.Buffer[(String, String)]()
-      var continue = true
-      while (merges.size < k && continue) {
-        val counts = scala.collection.mutable.Map[(String, String), Long]()
-          .withDefaultValue(0L)
-        vocab.foreach { case (syms, f) =>
-          syms.sliding(2).foreach {
-            case Seq(a, b) => counts((a, b)) += f
-            case _ =>
-          }
-        }
-        val viable = counts.filter(_._2 >= 2)
-        if (viable.isEmpty) continue = false
-        else {
-          val (l, r) = viable.toSeq
-            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
-          merges += ((l, r))
-          vocab = vocab.map { case (syms, f) =>
-            val out = syms.foldLeft(Vector.empty[String]) { (acc, x) =>
-              if (acc.nonEmpty && acc.last == l && x == r)
-                acc.init :+ (l + r)
-              else acc :+ x
-            }
-            out -> f
-          }
-        }
-      }
-      merges.toSeq
-    }
-
-    val expectedMerges = refTrain(words.toMap, 5)
+    val (expectedMerges, expectedVocab) = refBpeTrain(words.toMap, 5)
     val (gotMerges, finalVocab) = Bpe.train(d, 5)
     assert(gotMerges === expectedMerges)
     // first merge must be the 'es' of newest+widest (9 occurrences)
@@ -695,10 +698,10 @@ class LlmSpec extends SparkSpec {
     // training is partition-layout independent
     val (gotMerges13, _) = Bpe.train(d.repartition(13), 5)
     assert(gotMerges13 === expectedMerges)
-    // the final symbolization contains the merged suffix as one symbol
-    val newestSyms = finalVocab.filter(col("word") === "newest")
-      .select(col("syms")).collect().head.getSeq[String](0)
-    assert(newestSyms.contains("est") || newestSyms.exists(_.contains("est")))
+    // the final symbolization equals the reference fold EXACTLY, per word
+    val gotVocab = finalVocab.select(col("word"), col("syms")).collect()
+      .map(r => r.getString(0) -> r.getSeq[String](1).toVector).toMap
+    assert(gotVocab === expectedVocab)
   }
 
   test("bpe: training matches the reference on random corpora and stops " +
@@ -709,55 +712,18 @@ class LlmSpec extends SparkSpec {
     val corpus = (0 until 120).map(_ => vocabWords(rng.nextInt(vocabWords.size)))
     val freqs = corpus.groupBy(identity).view.mapValues(_.size.toLong).toMap
     val d = docsDf(1L -> corpus.mkString(" "))
-    def refTrain(ws: Map[String, Long], k: Int): Seq[(String, String)] = {
-      var vocab: Map[Vector[String], Long] =
-        ws.map { case (w, f) => w.split("").toVector -> f }
-      val merges = scala.collection.mutable.Buffer[(String, String)]()
-      var continue = true
-      while (merges.size < k && continue) {
-        val counts = scala.collection.mutable.Map[(String, String), Long]()
-          .withDefaultValue(0L)
-        vocab.foreach { case (syms, f) =>
-          syms.sliding(2).foreach {
-            case Seq(a, b) => counts((a, b)) += f
-            case _ =>
-          }
-        }
-        val viable = counts.filter(_._2 >= 2)
-        if (viable.isEmpty) continue = false
-        else {
-          val (l, r) = viable.toSeq
-            .sortBy { case ((a, b), c) => (-c, a, b) }.head._1
-          merges += ((l, r))
-          vocab = vocab.map { case (syms, f) =>
-            syms.foldLeft(Vector.empty[String]) { (acc, x) =>
-              if (acc.nonEmpty && acc.last == l && x == r)
-                acc.init :+ (l + r)
-              else acc :+ x
-            } -> f
-          }
-        }
-      }
-      merges.toSeq
-    }
     // deep merge budget: the trainer must follow the reference to the
     // point where no pair repeats, then stop early on both sides
-    val expected = refTrain(freqs, 40)
+    val (expected, refVocab) = refBpeTrain(freqs, 40)
     val (got, _) = Bpe.train(d, 40)
     assert(got === expected)
     assert(got.size < 40, "fixture should exhaust repeating pairs early")
 
     // encode with the trained merges: per-word symbol counts equal the
-    // reference fold, and fewer merges can only mean MORE tokens
-    def refEncode(w: String): Long =
-      got.foldLeft(w.split("").toVector) { case (syms, (l, r)) =>
-        syms.foldLeft(Vector.empty[String]) { (acc, x) =>
-          if (acc.nonEmpty && acc.last == l && x == r) acc.init :+ (l + r)
-          else acc :+ x
-        }
-      }.size.toLong
-    val expTokens = corpus.map(refEncode).sum
-    val encoded = Bpe.encode(d, got).collect().head
+    // reference symbolization, and fewer merges can only mean MORE
+    // tokens; checkpointEvery=2 exercises the chunked depth-bounded fold
+    val expTokens = corpus.map(w => refVocab(w).size.toLong).sum
+    val encoded = Bpe.encode(d, got, checkpointEvery = 2).collect().head
     assert(encoded.getLong(1) === expTokens)
     assert(encoded.getLong(2) === corpus.size.toLong)
     val fewer = Bpe.encode(d, got.take(1)).collect().head
