@@ -301,6 +301,37 @@ object StreamOps {
       .groupBy(col("row"), col("p"))
       .agg(count(lit(1)).as("c"))
 
+  /** S17 — streaming BPE pair-statistics maintenance: the incremental
+    * form of l56's training statistics, for "when has the corpus drifted
+    * enough to retrain the tokenizer" monitoring. Batch BPE weights each
+    * distinct word's pairs by its corpus frequency; summing pairs over
+    * every word OCCURRENCE is the same total, and the occurrence form
+    * needs no vocabulary state — so this is an ordinary always-mergeable
+    * streaming aggregation whose key domain is the adjacent CHARACTER-
+    * pair space: bounded by the corpus alphabet squared, by construction,
+    * forever (S13's counter-grid argument — no watermark/TTL needed).
+    * Counter increments are associative+commutative, so the table is
+    * independent of micro-batch boundaries and equals
+    * `Bpe.pairCounts(Bpe.wordSymbols(drained))` row-for-row (tested).
+    * The merge LOOP stays batch-side (l56): merge rounds need the global
+    * argmax over a consistent snapshot — exactly what reading this
+    * table at a trigger boundary provides. */
+  def bpePairCountStream(docs: DataFrame): DataFrame =
+    docs
+      .select(explode(graft.llm.TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      // bind the char array BEFORE the lambda reads it ~3n times
+      // (shinglesFromTokens' rule: lambdas re-evaluate expression args)
+      .select(split(col("word"), "").as("cs"))
+      .select(explode(filter(
+        transform(col("cs"), (_, i) =>
+          when(i <= size(col("cs")) - 2,
+            struct(element_at(col("cs"), i + 1).as("l"),
+              element_at(col("cs"), i + 2).as("r")))),
+        x => x.isNotNull)).as("pr"))
+      .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
+      .agg(count(lit(1)).as("pair_count"))
+
   /** Typed rows for S16 streaming budget admission. */
   final case class StreamSrcDoc(doc_id: Long, text: String, source: String,
                                 ts: java.sql.Timestamp)

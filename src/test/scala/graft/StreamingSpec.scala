@@ -268,6 +268,37 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S17: streaming BPE pair counters == batch l56 statistics on the " +
+    "drained input, independent of micro-batch boundaries") {
+    import StreamOps.StreamDoc
+    val spark2 = spark
+    import spark2.implicits._
+    def doc(id: Long, text: String) =
+      StreamDoc(id, text, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val texts = Seq("low low newest", "newest widest lower", "low newest")
+    def drain(batches: Seq[Seq[StreamDoc]], name: String): Map[(String, String), Long] = {
+      val in = MemoryStream[StreamDoc]
+      val q = StreamOps.bpePairCountStream(in.toDF())
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+      } finally q.stop()
+    }
+    val docs = texts.zipWithIndex.map { case (t, i) => doc(i.toLong, t) }
+    val oneBatch = drain(Seq(docs), "s17_one")
+    val perDoc = drain(docs.map(Seq(_)), "s17_split")
+    assert(oneBatch === perDoc, "micro-batch boundaries changed counters")
+    // equals the batch trainer's round-1 statistics row-for-row
+    val batchCounts = graft.llm.Bpe.pairCounts(graft.llm.Bpe.wordSymbols(
+        docs.toDF().select(col("doc_id"), col("text"))))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(oneBatch === batchCounts)
+    assert(batchCounts(("e", "s")) === 4L) // newest x3 + widest
+  }
+
   test("S14: streaming semantic dedup == batch bucket first-occurrence replay; " +
     "exact re-embeds always dropped in-horizon") {
     import StreamOps.StreamVec
