@@ -408,6 +408,17 @@ class PlanSpec extends SparkSpec {
       Set("text", "toks"), "l55")
   }
 
+  test("l56: BPE statistics run exactly two hash exchanges — the word agg " +
+    "(the one corpus-sized shuffle) and the pair-space agg, both partial") {
+    val df = lq("l56_bpe_pair_counts")
+    val plan = executedPlan(df)
+    val hashExchanges = plan.linesIterator
+      .count(_.contains("Exchange hashpartitioning"))
+    assert(hashExchanges === 2, plan.take(1500))
+    // two-phase aggregation on both: partial+final HashAggregate pairs
+    assert("HashAggregate".r.findAllIn(plan).size >= 4, plan.take(1500))
+  }
+
   test("l43: estimator audit joins bands by equality only (no cartesian)") {
     val plan = executedPlan(lq("l43_minhash_estimate_audit"))
     assert(!plan.contains("CartesianProduct"))
