@@ -336,17 +336,24 @@ object TextAnalysis {
     * widens to 256× by taking two hex chars at larger scale). Token
     * counting is the native ws_token_count; text never crosses any
     * exchange — the windowed rows carry (doc_id, source, n_tokens, h). */
-  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame = {
-    val W = org.apache.spark.sql.expressions.Window
-    // null text counts ZERO tokens (kept, consumes no budget) — the same
-    // rule S16's streaming gate applies, so the batch/stream equivalence
-    // holds on degenerate rows too
-    val d = docs
+  /** The admission working set shared by the budget samplers: (doc_id,
+    * source, n_tokens, h, bkt). Null text counts ZERO tokens (kept,
+    * consumes no budget) — the same rule S16's streaming gate applies,
+    * so the batch/stream equivalence holds on degenerate rows too. */
+  private def budgetWorkingSet(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("source"),
         coalesce(TextOps.tokenCount(col("text")).cast(LongType), lit(0L))
           .as("n_tokens"),
         md5(col("doc_id").cast(StringType)).as("h"))
       .withColumn("bkt", substring(col("h"), 1, 1))
+
+  /** The salted prefix-sum admission core: keep every row of `d` whose
+    * per-source cumulative token count BEFORE it (md5 order) is under
+    * that row's `budget` column. `d` must carry (doc_id, source,
+    * n_tokens, h, bkt, budget). */
+  private def admitUnderBudget(d: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     // whole-bucket token totals -> exclusive prefix per (source, bucket);
     // 16 rows per source, broadcast-joined back (bounded by construction)
     val prefixes = d.groupBy(col("source"), col("bkt"))
@@ -367,8 +374,48 @@ object TextAnalysis {
     d.join(broadcast(prefixes),
         col("source") <=> col("p_source") && col("bkt") <=> col("p_bkt"))
       .withColumn("before", col("before_bkt") + withinBefore)
-      .filter(col("before") < budget)
+      .filter(col("before") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
+  }
+
+  def tokenBudgetSample(docs: DataFrame, budget: Long): DataFrame =
+    admitUnderBudget(budgetWorkingSet(docs).withColumn("budget", lit(budget)))
+
+  /** TEMPERATURE-weighted mixture sampling — the full "data recipe"
+    * pipeline in one operator: per-source budgets are computed FROM the
+    * corpus by the standard temperature rule at α = 1/2
+    * (budget_s = totalBudget · √tokens_s / Σ_t √tokens_t — big sources
+    * are damped, small sources upweighted, the familiar multilingual/
+    * domain rebalancing curve), then l55's salted prefix-sum admission
+    * fills each budget in stable md5 order.
+    *
+    * Why α is FIXED at 1/2: `sqrt` is IEEE-correctly-rounded, so Spark
+    * and the DuckDB oracle produce bit-identical weights; a general
+    * `pow(x, α)` is not correctly rounded and may differ by 1 ulp
+    * between libm implementations — the boundary doc whose `before`
+    * lands within that ulp of its budget would then flip verdicts
+    * between engines. Σ√tokens folds SEQUENTIALLY in source order
+    * (sort_array + aggregate — the cosine discipline), never a plain
+    * sum() whose partition-order addition is non-deterministic in
+    * floating point. Scale shape: the budget table is |sources| rows
+    * (one tiny agg + a 1-row broadcast), everything else is l55. */
+  def temperatureBudgetSample(docs: DataFrame, totalBudget: Long): DataFrame = {
+    val d = budgetWorkingSet(docs)
+    val perSource = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("st"))
+      .select(col("source"),
+        sqrt(col("st").cast(DoubleType)).as("w"))
+    val tot = perSource.agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col("source"), col("w")))),
+          x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("tw"))
+    val budgets = perSource.crossJoin(broadcast(tot))
+      .select(col("source").as("b_source"),
+        (lit(totalBudget.toDouble) * col("w") / col("tw")).as("budget"))
+    admitUnderBudget(
+      d.join(broadcast(budgets), col("source") <=> col("b_source"))
+        .drop("b_source"))
   }
 
   /** Corpus vocabulary: per-token occurrence and document frequency. One

@@ -1539,11 +1539,37 @@ object LlmDeclared {
              CAST(SUM(freq) AS BIGINT) AS pair_count
       FROM e GROUP BY 1, 2 ORDER BY l, r"""))
 
+  /** L57 — temperature-weighted mixture sampling: per-source budgets
+    * computed from the corpus at α = 1/2 (√-share of tokens — the
+    * standard rebalancing curve), then the salted prefix-sum admission.
+    * sqrt is IEEE-correctly-rounded and the √-sum folds sequentially in
+    * source order, so the double budgets hash identically cross-engine. */
+  private val l57 = DeclaredQuery(
+    "l57_temperature_sample",
+    (s, dir) => TextAnalysis.temperatureBudgetSample(
+        t(s, dir, "documents"), totalBudget = 4000L)
+      .orderBy(col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, source,
+              COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tokens,
+              md5(doc_id::VARCHAR) AS h FROM documents),
+      ps AS (SELECT source, sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS w
+             FROM d GROUP BY source),
+      tot AS (SELECT list_reduce(list(w ORDER BY source),
+                (a, b) -> a + b) AS tw FROM ps),
+      b AS (SELECT source, 4000.0 * w / tw AS budget
+            FROM ps CROSS JOIN tot),
+      c AS (SELECT doc_id, source, n_tokens,
+              COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
+            FROM d)
+      SELECT c.doc_id, c.source, c.n_tokens FROM c JOIN b USING (source)
+      WHERE before < budget ORDER BY doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, l54, l55, l56, d29)
+    l51, l52, l53, l54, l55, l56, l57, d29)
 }

@@ -638,6 +638,46 @@ class LlmSpec extends SparkSpec {
     assert(TextAnalysis.tokenBudgetSample(d, 10000L).collect().length === 46)
   }
 
+  test("temperatureBudgetSample: kept set matches a straight-line " +
+    "sqrt-share reference; small sources get proportionally more of " +
+    "their docs; layout-independent") {
+    val rows = (0L until 60L).map { i =>
+      // src0 is ~6x the tokens of src2: temperature must damp it
+      val srcIdx = if (i < 36) 0 else if (i < 54) 1 else 2
+      val toks = (0 until (4 + (i % 3).toInt)).map(k => s"w$k").mkString(" ")
+      (i, toks, s"src$srcIdx")
+    }
+    val d = rows.toDF("doc_id", "text", "source")
+    def md5hex(id: Long): String = java.security.MessageDigest
+      .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    val grouped = rows.groupBy(_._3)
+    val srcTokens = grouped.view.mapValues(
+      _.map(_._2.split(" ").length.toLong).sum).toMap
+    val ws = srcTokens.view.mapValues(t => math.sqrt(t.toDouble)).toMap
+    // sequential fold in sorted source order, 0.0-seeded — the operator's
+    // exact arithmetic
+    val tw = ws.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+    val total = 120L
+    def referenceKept: Set[Long] = grouped.flatMap { case (src, grp) =>
+      val budget = total.toDouble * ws(src) / tw
+      val ordered = grp.sortBy(r => md5hex(r._1))
+      val before = ordered.scanLeft(0L)(_ + _._2.split(" ").length).init
+      ordered.zip(before).collect { case (r, b) if b < budget => r._1 }
+    }.toSet
+    val got = TextAnalysis.temperatureBudgetSample(d, total).collect()
+      .map(_.getLong(0)).toSet
+    assert(got === referenceKept && got.nonEmpty)
+    assert(got === TextAnalysis.temperatureBudgetSample(d.repartition(13), total)
+      .collect().map(_.getLong(0)).toSet)
+    // the rebalancing direction: the smallest source keeps a LARGER
+    // fraction of its own docs than the biggest source
+    def frac(src: String) =
+      got.count(id => rows(id.toInt)._3 == src).toDouble /
+        rows.count(_._3 == src)
+    assert(frac("src2") > frac("src0"))
+  }
+
   /** Straight-line reference BPE trainer (shared by both BPE tests):
     * returns the ordered merge list AND the final per-word
     * symbolization, so tests can assert exact equality of both. */

@@ -460,7 +460,9 @@ class PlanSpec extends SparkSpec {
     val bnljByDesign = Set(
       "d10_cross_join", "d36_scalar_subquery", "l05_cosine_topk",
       "l17_ann_ivf", "l21_tfidf_topk", "l28_domain_mix", "l31_boilerplate",
-      "l37_ann_ivf_trained", "l44_lsh_recall_audit", "l48_int8_rerank")
+      "l37_ann_ivf_trained", "l44_lsh_recall_audit", "l48_int8_rerank",
+      // l57's Σ√tokens is a broadcast 1-row total, the l28 shape
+      "l57_temperature_sample")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
