@@ -401,10 +401,21 @@ object TextAnalysis {
     * (one tiny agg + a 1-row broadcast), everything else is l55. */
   def temperatureBudgetSample(docs: DataFrame, totalBudget: Long): DataFrame = {
     val d = budgetWorkingSet(docs)
+    // checkpoint the |sources|-row aggregate so the tot and budgets arms
+    // read the materialized tiny table instead of each re-running the
+    // corpus-sized token aggregation (exchange reuse is not guaranteed
+    // across crossJoin arms); the corpus-sized `d` itself stays
+    // unmaterialized — recompute beats persisting a corpus projection,
+    // the l46/l55 trade
     val perSource = d.groupBy(col("source"))
       .agg(sum(col("n_tokens")).as("st"))
       .select(col("source"),
         sqrt(col("st").cast(DoubleType)).as("w"))
+      .localCheckpoint()
+    // sort_array places a null-source struct FIRST; the oracle's fold
+    // order must say NULLS FIRST explicitly (DuckDB defaults NULLS LAST)
+    // or a null-source corpus folds tw in a different order and the
+    // boundary doc's verdict can flip by an ulp
     val tot = perSource.agg(
       aggregate(
         transform(sort_array(collect_list(struct(col("source"), col("w")))),

@@ -1554,7 +1554,7 @@ object LlmDeclared {
               md5(doc_id::VARCHAR) AS h FROM documents),
       ps AS (SELECT source, sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS w
              FROM d GROUP BY source),
-      tot AS (SELECT list_reduce(list(w ORDER BY source),
+      tot AS (SELECT list_reduce(list(w ORDER BY source NULLS FIRST),
                 (a, b) -> a + b) AS tw FROM ps),
       b AS (SELECT source, 4000.0 * w / tw AS budget
             FROM ps CROSS JOIN tot),
@@ -1562,7 +1562,8 @@ object LlmDeclared {
               COALESCE(SUM(n_tokens) OVER (PARTITION BY source ORDER BY h
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS before
             FROM d)
-      SELECT c.doc_id, c.source, c.n_tokens FROM c JOIN b USING (source)
+      SELECT c.doc_id, c.source, c.n_tokens FROM c
+      JOIN b ON c.source IS NOT DISTINCT FROM b.source
       WHERE before < budget ORDER BY doc_id"""))
 
   val all: Seq[DeclaredQuery] = Seq(

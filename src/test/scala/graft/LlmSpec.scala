@@ -646,7 +646,10 @@ class LlmSpec extends SparkSpec {
       val srcIdx = if (i < 36) 0 else if (i < 54) 1 else 2
       val toks = (0 until (4 + (i % 3).toInt)).map(k => s"w$k").mkString(" ")
       (i, toks, s"src$srcIdx")
-    }
+    } ++ Seq( // null source: its own budget group (folded FIRST — the
+      //        sort_array/NULLS FIRST order both engines now share)
+      (100L, "n1 n2 n3 n4", null.asInstanceOf[String]),
+      (101L, "n5 n6", null.asInstanceOf[String]))
     val d = rows.toDF("doc_id", "text", "source")
     def md5hex(id: Long): String = java.security.MessageDigest
       .getInstance("MD5").digest(id.toString.getBytes("UTF-8"))
@@ -655,9 +658,12 @@ class LlmSpec extends SparkSpec {
     val srcTokens = grouped.view.mapValues(
       _.map(_._2.split(" ").length.toLong).sum).toMap
     val ws = srcTokens.view.mapValues(t => math.sqrt(t.toDouble)).toMap
-    // sequential fold in sorted source order, 0.0-seeded — the operator's
-    // exact arithmetic
-    val tw = ws.toSeq.sortBy(_._1).foldLeft(0.0)(_ + _._2)
+    // sequential fold in sorted source order (null FIRST), 0.0-seeded —
+    // the operator's exact arithmetic
+    val tw = ws.toSeq.sortWith { (a, b) =>
+      if (a._1 == null) b._1 != null
+      else b._1 != null && a._1 < b._1
+    }.foldLeft(0.0)(_ + _._2)
     val total = 120L
     def referenceKept: Set[Long] = grouped.flatMap { case (src, grp) =>
       val budget = total.toDouble * ws(src) / tw
@@ -672,10 +678,13 @@ class LlmSpec extends SparkSpec {
       .collect().map(_.getLong(0)).toSet)
     // the rebalancing direction: the smallest source keeps a LARGER
     // fraction of its own docs than the biggest source
+    val srcOf = rows.map(r => r._1 -> r._3).toMap
     def frac(src: String) =
-      got.count(id => rows(id.toInt)._3 == src).toDouble /
-        rows.count(_._3 == src)
+      got.count(id => srcOf(id) == src).toDouble / rows.count(_._3 == src)
     assert(frac("src2") > frac("src0"))
+    // the null-source group got its own budget: at least one of its docs
+    // is admitted (before=0 is always under a positive budget)
+    assert(got.exists(_ >= 100L))
   }
 
   /** Straight-line reference BPE trainer (shared by both BPE tests):
