@@ -638,6 +638,34 @@ object Dedup {
         coalesce(col("lbl"), col("id")).as("cluster_id"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split — the cluster-aware variant of
+    * TextAnalysis.stableSplit. Hashing doc_id (l15) puts two near-
+    * duplicate documents in independent buckets, so ~2·valPct% of every
+    * near-dup pair straddles the train/eval boundary and the eval loss is
+    * contaminated by memorized twins. Here the split bucket hashes the
+    * near-dup CLUSTER id instead: every member of a cluster lands in the
+    * same split by construction, and singleton docs (their own cluster)
+    * degrade to exactly l15's assignment. Same splitBucket discipline as
+    * every other split-deriving operator (TextOps.splitBucket).
+    *
+    * Scale: the cluster labeling is nearDupClustersAuto's story (label
+    * shuffles over the pair graph, never text); the label table carries
+    * only docs that appear in some pair, so the left join is an id-to-id
+    * sort-merge on doc_id and the split itself is a projection. */
+  def leakageSafeSplit(docs: DataFrame, pairs: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val clusters = nearDupClustersAuto(pairs)
+    val keyed = docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val bucket = TextOps.splitBucket(col("cluster_id"))
+    keyed.select(col("doc_id"), col("cluster_id"),
+      when(bucket < trainPct, "train")
+        .when(bucket < trainPct + valPct, "val")
+        .otherwise("test").as("split"))
+  }
+
   /** Cross-SOURCE contamination matrix — the corpus-overlap measurement
     * dataset papers publish before mixing sources: for every source pair,
     * the count of shared distinct n-gram shingles plus both containment

@@ -259,6 +259,32 @@ object Similarity {
       .select(col("label"), col("pos"), col("n_vecs"),
         (col("sq") / (col("n_vecs") * quantum)).as("centroid"))
 
+  /** Centroid-similarity OUTLIER audit — the mislabeled/noisy-vector
+    * filter of an embedding-curation pipeline: every vector scores its
+    * cosine against its OWN label's centroid (labelCentroids' exact
+    * quantized mean, so the prototype is partition-order-independent and
+    * cross-engine identical), and vectors below `minSim` flag as
+    * outliers — the rows a curator inspects or drops before
+    * nearest-centroid classification or contrastive training.
+    *
+    * Scale: the centroid table is (labels × dim) — broadcast back as
+    * per-label arrays assembled by an order-pinned sort (array_sort on
+    * (pos, centroid) structs, deterministic on any layout); the scoring
+    * pass is one projection over the corpus (fvec_dot, codegen'd), so
+    * embeddings never cross a shuffle — the output exchange carries id,
+    * label, and two scalars. */
+  def centroidOutliers(vectors: DataFrame, minSim: Double = 0.0): DataFrame = {
+    val cents = labelCentroids(vectors)
+      .groupBy(col("label"))
+      .agg(transform(
+        array_sort(collect_list(struct(col("pos"), col("centroid")))),
+        x => x.getField("centroid")).as("cent"))
+    vectors.join(broadcast(cents), "label")
+      .select(col("vec_id"), col("label"),
+        cosine(col("embedding"), col("cent")).as("cent_sim"))
+      .withColumn("is_outlier", col("cent_sim") < minSim)
+  }
+
   /** Per-vector int8 scalar QUANTIZATION — the compression step of any
     * embedding store/ANN index at scale (4× smaller vectors, SIMD-friendly
     * integer distance kernels): scale = max|x|/127, code_i = ⌊x_i/scale +

@@ -548,6 +548,63 @@ object TextAnalysis {
           .as("rare_frac"))
   }
 
+  /** Train-vocabulary OOV-rate audit — the coverage measurement run after
+    * fixing a tokenizer/vocabulary on the train split: the vocabulary is
+    * the top-`vocabSize` token bigrams by TRAIN-split frequency (freq
+    * desc, bigram asc tiebreak — a deterministic cut), and every
+    * (split, source) cell reports what fraction of its bigram occurrences
+    * fall outside that vocabulary. val/test OOV rates against a
+    * train-derived vocab are the generalization-coverage numbers
+    * tokenizer papers table; a source whose test-split OOV spikes is
+    * drifting away from the train distribution. Split membership uses
+    * the one shared splitBucket expression (TextOps.splitBucket).
+    *
+    * Scale: ONE corpus pass reduces to (split, source, bigram) occurrence
+    * counts — cardinality bounded by splits × sources × the bigram space,
+    * not the corpus — and that table (localCheckpointed: both the vocab
+    * branch and the rate branch read it) feeds a top-V TakeOrdered
+    * (partition-local partial top-V, no full sort) whose result
+    * broadcasts back for the membership flag. No corpus-sized shuffle
+    * beyond the bigram-atom hash-agg; map-side combine applies on both
+    * aggregations. */
+  def oovRateAudit(docs: DataFrame, vocabSize: Int = 500,
+                   trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val bucket = TextOps.splitBucket(col("doc_id"))
+    val split = when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+    val toks = col("toks")
+    val bg = docs
+      .select(split.as("split"), col("source"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("split"), col("source"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => concat_ws(" ",
+              element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+    val cellCounts = bg
+      .groupBy(col("split"), col("source"), col("b"))
+      .agg(count(lit(1)).as("cnt"))
+      // read twice (vocab derivation + rate aggregation); eager — the
+      // first reader is the TakeOrdered whose partial top-V would
+      // otherwise race the persist
+      .localCheckpoint()
+    val vocab = cellCounts.filter(col("split") === "train")
+      .groupBy(col("b")).agg(sum(col("cnt")).as("freq"))
+      .orderBy(col("freq").desc, col("b"))
+      .limit(vocabSize)
+      .select(col("b"), lit(true).as("in_vocab"))
+    cellCounts
+      .join(broadcast(vocab), Seq("b"), "left")
+      .groupBy(col("split"), col("source"))
+      .agg(sum(col("cnt")).as("n_bigrams"),
+        sum(when(col("in_vocab").isNull, col("cnt")).otherwise(0L))
+          .as("n_oov"))
+      .select(col("split"), col("source"), col("n_bigrams"), col("n_oov"),
+        (col("n_oov").cast(DoubleType) / col("n_bigrams")).as("oov_rate"))
+  }
+
   /** Document CHUNKING into overlapping token windows — the segmentation
     * pass every embedding/RAG pipeline runs before encoding: windows of
     * `window` tokens starting every `stride` tokens (window − stride

@@ -1566,11 +1566,106 @@ object LlmDeclared {
       JOIN b ON c.source IS NOT DISTINCT FROM b.source
       WHERE before < budget ORDER BY doc_id"""))
 
+  /** L58 — leakage-safe cluster-aware split: the l15 split bucket hashed
+    * on the near-dup CLUSTER id (l16's components over the exact jaccard
+    * pair graph), so near-duplicate documents can never straddle the
+    * train/eval boundary. Oracle: the l16 recursive-CTE closure feeding
+    * the l15 CASE on the cluster key. */
+  private val l58 = DeclaredQuery(
+    "l58_leakage_safe_split",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.leakageSafeSplit(docs, Dedup.jaccardPairs(docs, n = 3, minJ = 0.5))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                UNION SELECT doc_b, doc_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      keyed AS (SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+                FROM documents d LEFT JOIN clusters c USING (doc_id))
+      SELECT doc_id, cluster_id,
+        CASE WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5(cluster_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split
+      FROM keyed ORDER BY doc_id"""))
+
+  /** L59 — train-vocabulary OOV-rate audit: vocabulary = top-500 token
+    * bigrams by TRAIN-split frequency (freq desc, bigram asc — a
+    * deterministic cut), then per (split, source) the fraction of bigram
+    * occurrences outside it. The val/test numbers are the coverage a
+    * train-fixed tokenizer actually achieves on held-out data. */
+  private val l59 = DeclaredQuery(
+    "l59_oov_rate",
+    (s, dir) => TextAnalysis.oovRateAudit(t(s, dir, "documents"))
+      .orderBy(col("split"), col("source")),
+    Some("""WITH d AS (SELECT
+        CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 80 THEN 'train'
+             WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 < 90 THEN 'val'
+             ELSE 'test' END AS split,
+        source, string_split(text, ' ') AS w FROM documents),
+      bg AS (SELECT split, source,
+               unnest(list_transform(range(1, len(w)),
+                 i -> w[i] || ' ' || w[i+1])) AS b
+             FROM d WHERE len(w) >= 2),
+      cell AS (SELECT split, source, b, COUNT(*) AS cnt
+               FROM bg GROUP BY split, source, b),
+      vocab AS (SELECT b FROM (
+        SELECT b, SUM(cnt) AS freq FROM cell WHERE split = 'train'
+        GROUP BY b ORDER BY freq DESC, b LIMIT 500)),
+      flags AS (SELECT c.split, c.source, c.cnt,
+                  CASE WHEN v.b IS NULL THEN c.cnt ELSE 0 END AS oov
+                FROM cell c LEFT JOIN vocab v USING (b))
+      SELECT split, source,
+        CAST(SUM(cnt) AS BIGINT) AS n_bigrams,
+        CAST(SUM(oov) AS BIGINT) AS n_oov,
+        CAST(SUM(oov) AS DOUBLE) / SUM(cnt) AS oov_rate
+      FROM flags GROUP BY split, source
+      ORDER BY split NULLS FIRST, source NULLS FIRST"""))
+
+  /** L60 — centroid-similarity outlier audit: every vector's cosine to
+    * its own label's exact quantized centroid (l23), vectors below 0
+    * flagged — the mislabeled/noisy-embedding filter. The centroid is an
+    * exact rational on both engines and the cosine is the shared
+    * sequential fold, so the doubles hash identically. */
+  private val l60 = DeclaredQuery(
+    "l60_centroid_outliers",
+    (s, dir) => Similarity.centroidOutliers(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id")),
+    Some(s"""WITH c AS (SELECT label, pos,
+        SUM(CAST(round(CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)
+                       * 1000000) AS BIGINT))
+          / (COUNT(*) * 1000000) AS centroid
+      FROM (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+            FROM embeddings) x
+      GROUP BY label, pos),
+      ca AS (SELECT label, list(centroid ORDER BY pos) AS cent
+             FROM c GROUP BY label),
+      scored AS (SELECT e.vec_id, e.label,
+        ${duckCosine("e.embedding", "ca.cent")} AS cent_sim
+      FROM embeddings e JOIN ca USING (label))
+      SELECT vec_id, label, cent_sim, cent_sim < 0.0 AS is_outlier
+      FROM scored ORDER BY vec_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, l54, l55, l56, l57, d29)
+    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, d29)
 }

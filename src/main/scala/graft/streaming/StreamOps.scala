@@ -332,6 +332,39 @@ object StreamOps {
       .groupBy(col("pr.l").as("l"), col("pr.r").as("r"))
       .agg(count(lit(1)).as("pair_count"))
 
+  /** S18 — streaming OOV-rate monitoring: the production deployment of
+    * l59's coverage audit. The vocabulary is FIXED offline (trained on
+    * the curated train split — the tokenizer does not drift with the
+    * stream) and arrives as a static table of `b` bigram atoms; the
+    * stream maintains per-source totals of bigram occurrences and
+    * out-of-vocabulary occurrences, the live "is this source drifting
+    * away from what the tokenizer covers" alarm.
+    *
+    * State story: the vocab probe is a stream-static LEFT join against a
+    * by-construction-small static side (top-V atoms — Spark broadcasts
+    * it; stateless, re-planned each micro-batch), and the only stateful
+    * stage is the per-source counter aggregation — state bounded by the
+    * source vocabulary forever, no watermark/TTL (coverage totals are
+    * monotone; S13's bounded-grid argument). Counter increments are
+    * associative+commutative ⇒ the table is micro-batch-boundary
+    * independent and equals the batch cells on the drained input
+    * (tested in StreamingSpec). */
+  def oovRateStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
+    val toks = col("toks")
+    docs
+      .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(when(size(toks) >= 2,
+          transform(sequence(lit(0), size(toks) - 2),
+            i => concat_ws(" ",
+              element_at(toks, i + 1), element_at(toks, i + 2))))
+          .otherwise(array().cast("array<string>"))).as("b"))
+      .join(vocab.select(col("b"), lit(true).as("in_vocab")), Seq("b"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+  }
+
   /** Typed rows for S16 streaming budget admission. */
   final case class StreamSrcDoc(doc_id: Long, text: String, source: String,
                                 ts: java.sql.Timestamp)

@@ -1267,6 +1267,100 @@ class LlmSpec extends SparkSpec {
     assert(merged.except(whole).isEmpty && whole.except(merged).isEmpty)
   }
 
+  test("leakageSafeSplit: clusters never straddle splits; singletons " +
+    "degrade to the l15 assignment; the per-doc split provably leaks") {
+    // 60 planted near-dup pairs: (i, i+1000) share identical text, every
+    // other doc is unique. Identical text ⇒ jaccard 1.0 ⇒ each pair is a
+    // cluster.
+    val base = (0L until 120L).map(i =>
+      (i, s"w${i} x${i} y${i} z${i} q${i} r${i}"))
+    val dups = (0L until 60L).map(i =>
+      (i + 1000L, s"w${i} x${i} y${i} z${i} q${i} r${i}"))
+    val docs = (base ++ dups).toDF("doc_id", "text")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, minJ = 0.5)
+    val got = Dedup.leakageSafeSplit(docs, pairs)
+    // every doc labeled exactly once, splits drawn from the 3-way domain
+    assert(got.count() === 180L)
+    assert(got.select("doc_id").distinct().count() === 180L)
+    assert(got.select("split").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("train", "val", "test")))
+    // leakage safety: no cluster spans two splits
+    val straddling = got.groupBy("cluster_id")
+      .agg(countDistinct(col("split")).as("n"))
+      .filter(col("n") > 1).count()
+    assert(straddling === 0L)
+    // each planted pair shares one cluster (and therefore one split)
+    val pairSplits = got.filter(col("doc_id") < 60L)
+      .select(col("doc_id"), col("split").as("s1"))
+      .join(got.filter(col("doc_id") >= 1000L)
+        .select((col("doc_id") - 1000L).as("doc_id"), col("split").as("s2")),
+        "doc_id")
+    assert(pairSplits.count() === 60L)
+    assert(pairSplits.filter(col("s1") =!= col("s2")).count() === 0L)
+    // singletons (cluster_id == doc_id) carry exactly stableSplit's label
+    val singles = got.filter(col("cluster_id") === col("doc_id"))
+      .join(TextAnalysis.stableSplit(docs.withColumn("lang", lit("en")))
+        .select(col("doc_id"), col("split").as("l15")), "doc_id")
+    assert(singles.filter(col("split") =!= col("l15")).count() === 0L)
+    // and the motivation: the per-doc l15 split DOES straddle planted
+    // near-dup pairs (each pair lands same-split with p ≈ 0.66 — 60
+    // pairs make at least one straddle a certainty for the fixed md5)
+    val l15 = TextAnalysis.stableSplit(docs.withColumn("lang", lit("en")))
+    val l15Straddle = l15.filter(col("doc_id") < 60L)
+      .select(col("doc_id"), col("split").as("s1"))
+      .join(l15.filter(col("doc_id") >= 1000L)
+        .select((col("doc_id") - 1000L).as("doc_id"), col("split").as("s2")),
+        "doc_id")
+      .filter(col("s1") =!= col("s2")).count()
+    assert(l15Straddle > 0L)
+  }
+
+  test("oovRateAudit: full vocab covers train exactly; totals tie out; " +
+    "oov counts shrink monotonically in vocab size") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val big = TextAnalysis.oovRateAudit(docs, vocabSize = 100000)
+    // a vocab larger than the train bigram space covers train completely
+    assert(big.filter(col("split") === "train")
+      .filter(col("n_oov") =!= 0L).count() === 0L)
+    // cell totals sum to the corpus bigram count
+    val totalBigrams = docs
+      .select(greatest(TextOps.tokenCount(col("text")) - 1, lit(0)).as("n"))
+      .agg(sum(col("n"))).head().getLong(0)
+    assert(big.agg(sum(col("n_bigrams"))).head().getLong(0) === totalBigrams)
+    // rate is the exact integer division
+    assert(big.filter(
+      col("oov_rate") =!= col("n_oov").cast("double") / col("n_bigrams"))
+      .count() === 0L)
+    // shrinking the vocab can only grow each cell's OOV count
+    val small = TextAnalysis.oovRateAudit(docs, vocabSize = 10)
+      .select(col("split"), col("source"), col("n_oov").as("small_oov"))
+    val joined = big.join(small, Seq("split", "source"))
+    assert(joined.count() === big.count())
+    assert(joined.filter(col("small_oov") < col("n_oov")).count() === 0L)
+  }
+
+  test("centroidOutliers: hand-computed prototype sims, only the " +
+    "anti-aligned vector flags, layout-independent") {
+    // label 0: [1,0], [1,0], [-1,0] → centroid [1/3, 0]; sims 1, 1, −1 —
+    // only the anti-aligned vector scores below 0. label 1: a single
+    // vector IS its centroid → sim 1.
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(1.0f, 0.0f), 0),
+      (3L, Array(-1.0f, 0.0f), 0),
+      (4L, Array(0.0f, 2.0f), 1)).toDF("vec_id", "embedding", "label")
+    Seq(1, 5).foreach { parts =>
+      val got = Similarity.centroidOutliers(vecs.repartition(parts))
+        .orderBy("vec_id").collect()
+        .map(r => (r.getLong(0), r.getDouble(2), r.getBoolean(3)))
+      assert(got.map(_._1).toSeq === Seq(1L, 2L, 3L, 4L))
+      assert(got.map(_._2).zip(Seq(1.0, 1.0, -1.0, 1.0))
+        .forall { case (a, b) => math.abs(a - b) < 1e-9 }, got.toSeq)
+      assert(got.map(_._3).toSeq === Seq(false, false, true, false),
+        s"parts=$parts")
+    }
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

@@ -336,9 +336,12 @@ class PlanSpec extends SparkSpec {
     // the doc-payload ban across every captured execution.
     // l56's corpus shuffle carries word atoms (the vocab hash-agg — the
     // BPE trainer's single corpus-sized exchange by design): tier 1.
+    // l58 embeds jaccardPairs (shingle atoms in the inverted index) and
+    // l59's one corpus exchange carries bigram atoms (the cell hash-agg)
+    // — tier 1 holds both to the document-payload ban everywhere.
     val tier1 = Seq("l02_jaccard_pairs", "l16_dedup_clusters",
       "l27_containment_pairs", "l33_bloom_decontaminate",
-      "l56_bpe_pair_counts")
+      "l56_bpe_pair_counts", "l58_leakage_safe_split", "l59_oov_rate")
     val tier2 = Seq(
       "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
       "l10_fingerprints", "l24_decontaminate",

@@ -299,6 +299,38 @@ class StreamingSpec extends SparkSpec {
     assert(batchCounts(("e", "s")) === 4L) // newest x3 + widest
   }
 
+  test("S18: streaming OOV counters == hand-computed coverage on the " +
+    "drained input, independent of micro-batch boundaries") {
+    import StreamOps.StreamSrcDoc
+    val spark2 = spark
+    import spark2.implicits._
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def doc(id: Long, src: String, text: String) =
+      StreamSrcDoc(id, text, src, ts)
+    // fixed train vocabulary: {"a b", "b a"}
+    val vocab = Seq("a b", "b a").toDF("b")
+    // src0: "a b a" → (a b, b a) both covered; "a b c" → (a b) covered,
+    // (b c) OOV. src1: "c c c" → (c c, c c) both OOV; "x" → no bigrams.
+    val docs = Seq(
+      doc(1, "src0", "a b a"), doc(2, "src0", "a b c"),
+      doc(3, "src1", "c c c"), doc(4, "src1", "x"))
+    def drain(batches: Seq[Seq[StreamSrcDoc]], name: String) = {
+      val in = MemoryStream[StreamSrcDoc]
+      val q = StreamOps.oovRateStream(in.toDF(), vocab)
+        .writeStream.format("memory").queryName(name)
+        .outputMode("complete").start()
+      try {
+        batches.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+        spark.table(name).collect()
+          .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+      } finally q.stop()
+    }
+    val oneBatch = drain(Seq(docs), "s18_one")
+    val perDoc = drain(docs.map(Seq(_)), "s18_split")
+    assert(oneBatch === perDoc, "micro-batch boundaries changed counters")
+    assert(oneBatch === Map("src0" -> ((4L, 1L)), "src1" -> ((2L, 2L))))
+  }
+
   test("S14: streaming semantic dedup == batch bucket first-occurrence replay; " +
     "exact re-embeds always dropped in-horizon") {
     import StreamOps.StreamVec
