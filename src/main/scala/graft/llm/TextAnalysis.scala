@@ -605,6 +605,65 @@ object TextAnalysis {
         (col("n_oov").cast(DoubleType) / col("n_bigrams")).as("oov_rate"))
   }
 
+  /** Sequence-pack EFFICIENCY audit — the padding-waste measurement run
+    * after l19's packing: per pack, the document count, exact token
+    * total, and fill rate against the budget. Under the start-offset
+    * assignment a boundary-straddling document attributes all its tokens
+    * to the pack its first token lands in, so fill_rate > 1 marks the
+    * packs that overflow into the next budget window and fill_rate < 1
+    * (the final pack aside) quantifies padding the trainer burns.
+    *
+    * Scale: inherits sequencePack's salted two-level prefix sum; the
+    * audit itself is one hash-agg keyed on pack_id (map-side partials —
+    * cardinality = corpus tokens / budget). */
+  def packEfficiency(docs: DataFrame, budgetTokens: Long = 2000L): DataFrame =
+    sequencePack(docs, budgetTokens)
+      .groupBy(col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("pack_tokens"))
+      .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
+        (col("pack_tokens").cast(DoubleType) / budgetTokens.toDouble)
+          .as("fill_rate"))
+
+  /** Deterministic interleaved mixture ORDER — the epoch-schedule
+    * materialization that turns per-source mixture weights into the
+    * actual global training order: source s's docs take positions
+    * rank_s/w_s (rank = 1.. in stable md5 order within the source,
+    * w_s = √(source token count), l57's α = 1/2 curve), and ascending
+    * order_key interleaves sources proportionally to their weights —
+    * heavier sources appear proportionally more often per unit of
+    * schedule. Deterministic on any layout: the rank is a total order
+    * (md5 keys), w is IEEE-exact, and one division produces the key.
+    *
+    * Scale: the per-source rank uses l55's salted prefix-sum shape —
+    * bucket counts (16 rows/source) prefix-summed on a broadcast
+    * aggregate, within-bucket row_number over (source, bkt) — so no
+    * per-source single-key window ever sees the whole corpus; the weight
+    * table is a broadcast |sources|-row aggregate. */
+  def mixtureOrder(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val d = budgetWorkingSet(docs)
+    val perSource = d.groupBy(col("source"))
+      .agg(sum(col("n_tokens")).as("st"))
+      .select(col("source").as("w_source"),
+        sqrt(col("st").cast(DoubleType)).as("w"))
+    val prefixes = d.groupBy(col("source"), col("bkt"))
+      .agg(count(lit(1)).as("bkt_n"))
+      .withColumn("before_bkt",
+        coalesce(sum(col("bkt_n")).over(
+          W.partitionBy(col("source")).orderBy(col("bkt"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("source").as("p_source"), col("bkt").as("p_bkt"),
+        col("before_bkt"))
+    val withinRank = row_number().over(
+      W.partitionBy(col("source"), col("bkt")).orderBy(col("h")))
+    d.join(broadcast(prefixes),
+        col("source") <=> col("p_source") && col("bkt") <=> col("p_bkt"))
+      .withColumn("rank_in_source", col("before_bkt") + withinRank)
+      .join(broadcast(perSource), col("source") <=> col("w_source"))
+      .select(col("doc_id"), col("source"), col("rank_in_source"),
+        (col("rank_in_source").cast(DoubleType) / col("w")).as("order_key"))
+  }
+
   /** Document CHUNKING into overlapping token windows — the segmentation
     * pass every embedding/RAG pipeline runs before encoding: windows of
     * `window` tokens starting every `stride` tokens (window − stride

@@ -1661,11 +1661,51 @@ object LlmDeclared {
       SELECT vec_id, label, cent_sim, cent_sim < 0.0 AS is_outlier
       FROM scored ORDER BY vec_id"""))
 
+  /** L61 — sequence-pack efficiency audit: per l19 pack, doc count,
+    * exact token total, and fill rate vs the 2000-token budget (the
+    * padding-waste table; fill > 1 = boundary straddle). */
+  private val l61 = DeclaredQuery(
+    "l61_pack_efficiency",
+    (s, dir) => TextAnalysis.packEfficiency(t(s, dir, "documents"))
+      .orderBy(col("pack_id")),
+    Some("""WITH p AS (SELECT doc_id, n_tok,
+        CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / 2000) AS BIGINT) AS pack_id
+        FROM (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+              FROM documents))
+      SELECT pack_id, COUNT(*) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS pack_tokens,
+        CAST(SUM(n_tok) AS DOUBLE) / 2000.0 AS fill_rate
+      FROM p GROUP BY pack_id ORDER BY pack_id"""))
+
+  /** L62 — deterministic interleaved mixture order: each source's docs
+    * take schedule positions rank/√tokens (stable md5 rank within the
+    * source, l57's α = 1/2 weights), ascending order_key = the global
+    * training order. The salted-rank equivalence (bucket-major md5 order
+    * IS global md5 order) is l55's argument; the oracle uses the
+    * straight-line per-source ROW_NUMBER. */
+  private val l62 = DeclaredQuery(
+    "l62_mixture_order",
+    (s, dir) => TextAnalysis.mixtureOrder(t(s, dir, "documents"))
+      .orderBy(col("order_key"), col("source"), col("doc_id")),
+    Some("""WITH d AS (SELECT doc_id, source,
+        COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0) AS n_tokens,
+        md5(doc_id::VARCHAR) AS h FROM documents),
+      ps AS (SELECT source, sqrt(CAST(SUM(n_tokens) AS DOUBLE)) AS w
+             FROM d GROUP BY source),
+      r AS (SELECT doc_id, source,
+              ROW_NUMBER() OVER (PARTITION BY source ORDER BY h) AS rank_in_source
+            FROM d)
+      SELECT r.doc_id, r.source AS source, rank_in_source,
+             CAST(rank_in_source AS DOUBLE) / w AS order_key
+      FROM r JOIN ps ON r.source IS NOT DISTINCT FROM ps.source
+      ORDER BY order_key, r.source NULLS FIRST, doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, d29)
+    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, d29)
 }

@@ -1361,6 +1361,47 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("packEfficiency: hand-computed fills — straddle pack over 1, " +
+    "tail pack under 1") {
+    // token counts 3,4,2,1 at budget 5: start offsets 0,3,7,9 → packs
+    // 0,0,1,1; pack 0 holds 7 tokens (straddles, fill 1.4), pack 1 holds
+    // 3 (fill 0.6)
+    val d = docsDf(1L -> "a b c", 2L -> "a b c d", 3L -> "a b", 4L -> "a")
+    val got = TextAnalysis.packEfficiency(d, budgetTokens = 5L)
+      .orderBy("pack_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((0L, 2L, 7L, 1.4), (1L, 2L, 3L, 0.6)))
+  }
+
+  test("mixtureOrder: salted rank equals the straight-line per-source " +
+    "md5 rank; keys are rank/√tokens; layout-independent; null source " +
+    "is its own group") {
+    val spark2 = spark
+    import spark2.implicits._
+    val rows = Seq(
+      (1L, "a b c", "src0"), (2L, "d e", "src0"), (3L, "f", "src0"),
+      (4L, "g h i j", null), (5L, "", null))
+    val docs = rows.toDF("doc_id", "text", "source")
+    // straight-line reference on the driver
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // the shared tokenizer counts empty string as ONE (empty) token —
+    // the pinned split("", " ") == [""] semantics
+    def ntok(t: String) = if (t.isEmpty) 1L else t.split(" ").length.toLong
+    val expected = rows.groupBy(_._3).flatMap { case (src, ds) =>
+      val w = math.sqrt(ds.map(d => ntok(d._2)).sum.toDouble)
+      ds.sortBy(d => md5hex(d._1.toString)).zipWithIndex.map {
+        case ((id, _, _), i) => (id, src, (i + 1).toLong, (i + 1).toDouble / w)
+      }
+    }.toSeq.sortBy(_._1)
+    Seq(1, 7).foreach { parts =>
+      val got = TextAnalysis.mixtureOrder(docs.repartition(parts))
+        .orderBy("doc_id").collect()
+        .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getDouble(3)))
+      assert(got.toSeq === expected, s"parts=$parts")
+    }
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
