@@ -664,6 +664,49 @@ object TextAnalysis {
         (col("rank_in_source").cast(DoubleType) / col("w")).as("order_key"))
   }
 
+  /** Per-source vocabulary DRIFT audit — the chi-square distance of each
+    * source's word distribution from the whole-corpus distribution:
+    * χ²(s) = Σ_w (obs_w/n_s − p_w)²/p_w over the corpus word domain
+    * (zero-count cells included — a source MISSING a corpus-common word
+    * is drift too). The per-source drift ranking curation pipelines
+    * check before re-weighting or dropping a source; chi-square rather
+    * than KL because every term is built from exact integer divisions
+    * (one division each) and folded sequentially in word order — log's
+    * libm rounding would break cross-engine hashing.
+    *
+    * Scale: ONE corpus pass reduces to (source, word) counts (map-side
+    * partials; cardinality = sources × vocabulary, localCheckpointed —
+    * three small derivations read it); everything after is vocab-table
+    * work on broadcast grids. */
+  def vocabDrift(docs: DataFrame): DataFrame = {
+    val sw = docs
+      .select(col("source"), explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("source"), col("word")).agg(count(lit(1)).as("cnt"))
+      .localCheckpoint()
+    val words = sw.groupBy(col("word")).agg(sum(col("cnt")).as("wc"))
+    val tot = words.agg(sum(col("wc")).as("tc"))
+    val wordP = words.crossJoin(broadcast(tot))
+      .select(col("word"),
+        (col("wc").cast(DoubleType) / col("tc").cast(DoubleType)).as("p"))
+    val srcTot = sw.groupBy(col("source")).agg(sum(col("cnt")).as("st"))
+    val f = col("cnt").cast(DoubleType) / col("st").cast(DoubleType)
+    val terms = srcTot.crossJoin(broadcast(wordP))
+      .join(sw.select(col("source").as("c_source"), col("word").as("c_word"),
+          col("cnt")),
+        col("source") <=> col("c_source") && col("word") === col("c_word"),
+        "left")
+      .withColumn("cnt", coalesce(col("cnt"), lit(0L)))
+      .select(col("source"), col("st"), col("word"),
+        ((f - col("p")) * (f - col("p")) / col("p")).as("term"))
+    terms.groupBy(col("source"), col("st"))
+      .agg(aggregate(
+        transform(sort_array(collect_list(struct(col("word"), col("term")))),
+          x => x.getField("term")),
+        lit(0.0), (acc, x) => acc + x).as("chi2"))
+      .select(col("source"), col("st").as("n_tokens"), col("chi2"))
+  }
+
   /** Document CHUNKING into overlapping token windows — the segmentation
     * pass every embedding/RAG pipeline runs before encoding: windows of
     * `window` tokens starting every `stride` tokens (window − stride

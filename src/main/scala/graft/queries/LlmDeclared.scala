@@ -1701,11 +1701,44 @@ object LlmDeclared {
       FROM r JOIN ps ON r.source IS NOT DISTINCT FROM ps.source
       ORDER BY order_key, r.source NULLS FIRST, doc_id"""))
 
+  /** L63 — per-source vocabulary drift: χ² distance of each source's
+    * word distribution from the corpus distribution over the full corpus
+    * word domain (zero cells included). Exact integer divisions per
+    * term, sequential word-order fold — cross-engine identical doubles
+    * (chi-square, not KL, precisely because log is not correctly
+    * rounded across libms). */
+  private val l63 = DeclaredQuery(
+    "l63_vocab_drift",
+    (s, dir) => TextAnalysis.vocabDrift(t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some("""WITH w AS (SELECT source, unnest(string_split(text, ' ')) AS word
+              FROM documents),
+      sw AS (SELECT source, word, COUNT(*) AS cnt FROM w
+             WHERE len(word) > 0 GROUP BY source, word),
+      wc AS (SELECT word, SUM(cnt) AS wc FROM sw GROUP BY word),
+      tc AS (SELECT SUM(wc) AS tc FROM wc),
+      wp AS (SELECT word, CAST(wc AS DOUBLE) / CAST(tc AS DOUBLE) AS p
+             FROM wc CROSS JOIN tc),
+      st AS (SELECT source, SUM(cnt) AS st FROM sw GROUP BY source),
+      grid AS (SELECT st.source, st.st, wp.word, wp.p,
+                 COALESCE(sw.cnt, 0) AS cnt
+               FROM st CROSS JOIN wp
+               LEFT JOIN sw ON sw.source IS NOT DISTINCT FROM st.source
+                           AND sw.word = wp.word),
+      terms AS (SELECT source, st, word,
+                  (CAST(cnt AS DOUBLE) / CAST(st AS DOUBLE) - p)
+                  * (CAST(cnt AS DOUBLE) / CAST(st AS DOUBLE) - p) / p AS term
+                FROM grid)
+      SELECT source, CAST(st AS BIGINT) AS n_tokens,
+        list_reduce(list(term ORDER BY word), (a, b) -> a + b) AS chi2
+      FROM terms GROUP BY source, st
+      ORDER BY source NULLS FIRST"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, d29)
+    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63, d29)
 }

@@ -1402,6 +1402,29 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("vocabDrift: hand-computed chi-square incl. the zero-count cell, " +
+    "layout-independent") {
+    val spark2 = spark
+    import spark2.implicits._
+    // src0 = "a a b" (a:2, b:1), src1 = "b b" (b:2); corpus a:2 b:3 of 5.
+    // src1's missing 'a' contributes the zero-cell term (0 − p_a)²/p_a.
+    val docs = Seq((1L, "a a b", "src0"), (2L, "b b", "src1"))
+      .toDF("doc_id", "text", "source")
+    val pA = 2.0 / 5.0; val pB = 3.0 / 5.0
+    def term(f: Double, p: Double) = (f - p) * (f - p) / p
+    val exp0 = term(2.0 / 3.0, pA) + term(1.0 / 3.0, pB)
+    val exp1 = term(0.0 / 2.0, pA) + term(2.0 / 2.0, pB)
+    Seq(1, 4).foreach { parts =>
+      val got = TextAnalysis.vocabDrift(docs.repartition(parts))
+        .orderBy("source").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      assert(got.map(g => (g._1, g._2)).toSeq ===
+        Seq(("src0", 3L), ("src1", 2L)))
+      assert(math.abs(got(0)._3 - exp0) < 1e-15, s"parts=$parts ${got(0)}")
+      assert(math.abs(got(1)._3 - exp1) < 1e-15, s"parts=$parts ${got(1)}")
+    }
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

@@ -515,6 +515,24 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("l62: mixture-order rank window is salted — the corpus exchange " +
+    "keys on (source, bkt), and text never crosses an exchange") {
+    // Same claim as l55's pin, for the rank form: the within-bucket
+    // row_number runs over (source, bkt), never source alone — a
+    // per-source rank window would put each source's whole corpus slice
+    // in one reducer task.
+    val plan = executedPlan(lq("l62_mixture_order"))
+    assert(!plan.contains("CartesianProduct"))
+    val exchanges = plan.linesIterator
+      .filter(_.contains("Exchange hashpartitioning")).toSeq
+    // (an exchange on source alone also exists — the bounded
+    // 16-rows-per-source bucket-total prefix window, same as l55's)
+    assert(exchanges.exists(l => l.contains("source#") && l.contains("bkt#")),
+      exchanges.mkString("\n"))
+    assertNoShufflePayload(lq("l62_mixture_order"),
+      Set("text", "toks"), "l62")
+  }
+
   test("d41: salted agg shuffles on (user_id, salt) first, key alone second") {
     val plan = executedPlan(q("d41_salted_agg"))
     assert("hashpartitioning\\(user_id#\\d+L?, __graft_salt#\\d+".r
