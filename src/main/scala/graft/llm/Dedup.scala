@@ -659,11 +659,8 @@ object Dedup {
       .join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
-    val bucket = TextOps.splitBucket(col("cluster_id"))
     keyed.select(col("doc_id"), col("cluster_id"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
+      TextOps.splitLabel(col("cluster_id"), trainPct, valPct).as("split"))
   }
 
   /** Cross-SOURCE contamination matrix — the corpus-overlap measurement

@@ -129,14 +129,10 @@ object TextAnalysis {
     * split on every run, every engine, every cluster — the property a
     * training holdout actually requires (seeded `sample()` has none of
     * these guarantees). */
-  def stableSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = TextOps.splitBucket(col("doc_id"))
+  def stableSplit(docs: DataFrame, trainPct: Int = 80, valPct: Int = 10): DataFrame =
     docs.select(
       col("doc_id"), col("lang"),
-      when(bucket < trainPct, "train")
-        .when(bucket < trainPct + valPct, "val")
-        .otherwise("test").as("split"))
-  }
+      TextOps.splitLabel(col("doc_id"), trainPct, valPct).as("split"))
 
   /** DETERMINISTIC corpus SHUFFLE + SHARDING — the data-ordering step a
     * training run performs after curation and before packing/tokenization:
@@ -352,27 +348,40 @@ object TextAnalysis {
     * per-source cumulative token count BEFORE it (md5 order) is under
     * that row's `budget` column. `d` must carry (doc_id, source,
     * n_tokens, h, bkt, budget). */
-  private def admitUnderBudget(d: DataFrame): DataFrame = {
+  /** Whole-bucket exclusive prefix table of the salted per-source order
+    * machinery: `perBucket` aggregated per (source, bkt) — 16 rows per
+    * source, bounded by construction — then prefix-summed per source in
+    * bucket order. Shared by the budget samplers (token sums) and the
+    * mixture-order rank (counts): the salt-prefix-of-the-order-key
+    * argument (bucket-major md5 order IS global md5 order) lives in ONE
+    * shape. */
+  private def bucketPrefixes(d: DataFrame, perBucket: Column): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
-    // whole-bucket token totals -> exclusive prefix per (source, bucket);
-    // 16 rows per source, broadcast-joined back (bounded by construction)
-    val prefixes = d.groupBy(col("source"), col("bkt"))
-      .agg(sum(col("n_tokens")).as("bkt_tokens"))
+    d.groupBy(col("source"), col("bkt"))
+      .agg(perBucket.as("bv"))
       .withColumn("before_bkt",
-        coalesce(sum(col("bkt_tokens")).over(
+        coalesce(sum(col("bv")).over(
           W.partitionBy(col("source")).orderBy(col("bkt"))
             .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
       .select(col("source").as("p_source"), col("bkt").as("p_bkt"),
         col("before_bkt"))
+  }
+
+  /** NULL-SAFE prefix join back: groupBy keeps a null-source group (as
+    * do the oracles' PARTITION BY and S16's groupByKey), so a null-unsafe
+    * equality here would silently drop every null-source doc instead of
+    * treating them as their own group. Every salted-prefix consumer MUST
+    * join through this helper. */
+  private def joinPrefixes(d: DataFrame, prefixes: DataFrame): DataFrame =
+    d.join(broadcast(prefixes),
+      col("source") <=> col("p_source") && col("bkt") <=> col("p_bkt"))
+
+  private def admitUnderBudget(d: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
     val withinBefore = coalesce(sum(col("n_tokens")).over(
       W.partitionBy(col("source"), col("bkt")).orderBy(col("h"))
         .rowsBetween(W.unboundedPreceding, -1)), lit(0L))
-    // NULL-SAFE join back: groupBy keeps a null-source group (as does the
-    // oracle's PARTITION BY and S16's groupByKey), so a null-unsafe
-    // equality here would silently drop every null-source doc instead of
-    // budgeting them as their own group
-    d.join(broadcast(prefixes),
-        col("source") <=> col("p_source") && col("bkt") <=> col("p_bkt"))
+    joinPrefixes(d, bucketPrefixes(d, sum(col("n_tokens"))))
       .withColumn("before", col("before_bkt") + withinBefore)
       .filter(col("before") < col("budget"))
       .select(col("doc_id"), col("source"), col("n_tokens"))
@@ -569,20 +578,11 @@ object TextAnalysis {
     * aggregations. */
   def oovRateAudit(docs: DataFrame, vocabSize: Int = 500,
                    trainPct: Int = 80, valPct: Int = 10): DataFrame = {
-    val bucket = TextOps.splitBucket(col("doc_id"))
-    val split = when(bucket < trainPct, "train")
-      .when(bucket < trainPct + valPct, "val")
-      .otherwise("test")
-    val toks = col("toks")
     val bg = docs
-      .select(split.as("split"), col("source"),
-        TextOps.tokens(col("text")).as("toks"))
+      .select(TextOps.splitLabel(col("doc_id"), trainPct, valPct).as("split"),
+        col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(col("split"), col("source"),
-        explode(when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => concat_ws(" ",
-              element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("b"))
+        explode(TextOps.bigramOccurrences(col("toks"))).as("b"))
     val cellCounts = bg
       .groupBy(col("split"), col("source"), col("b"))
       .agg(count(lit(1)).as("cnt"))
@@ -646,20 +646,19 @@ object TextAnalysis {
       .agg(sum(col("n_tokens")).as("st"))
       .select(col("source").as("w_source"),
         sqrt(col("st").cast(DoubleType)).as("w"))
-    val prefixes = d.groupBy(col("source"), col("bkt"))
-      .agg(count(lit(1)).as("bkt_n"))
-      .withColumn("before_bkt",
-        coalesce(sum(col("bkt_n")).over(
-          W.partitionBy(col("source")).orderBy(col("bkt"))
-            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
-      .select(col("source").as("p_source"), col("bkt").as("p_bkt"),
-        col("before_bkt"))
     val withinRank = row_number().over(
       W.partitionBy(col("source"), col("bkt")).orderBy(col("h")))
-    d.join(broadcast(prefixes),
-        col("source") <=> col("p_source") && col("bkt") <=> col("p_bkt"))
+    // Degenerate-source rule: a source whose every doc has NULL text has
+    // zero tokens (budgetWorkingSet's rule), so w = 0 and rank/w would
+    // be a DIVIDE_BY_ZERO stage failure under ANSI mode (Spark 4
+    // default) — such a source has no trainable content, so it is
+    // DROPPED from the schedule by construction (the w > 0 filter below;
+    // pinned in LlmSpec). The declared oracle's contract covers only
+    // sources with tokens — the fixture plants no dead source.
+    joinPrefixes(d, bucketPrefixes(d, count(lit(1))))
       .withColumn("rank_in_source", col("before_bkt") + withinRank)
-      .join(broadcast(perSource), col("source") <=> col("w_source"))
+      .join(broadcast(perSource.filter(col("w") > 0.0)),
+        col("source") <=> col("w_source"))
       .select(col("doc_id"), col("source"), col("rank_in_source"),
         (col("rank_in_source").cast(DoubleType) / col("w")).as("order_key"))
   }

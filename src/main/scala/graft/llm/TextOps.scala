@@ -64,4 +64,29 @@ object TextOps {
     * diverges. DuckDB twin: ('0x' || substr(md5(id::VARCHAR),1,8))::BIGINT % 100. */
   def splitBucket(id: Column): Column =
     md5Int32(id.cast(StringType)) % 100
+
+  /** THE train/val/test LABEL over splitBucket — the same lockstep rule
+    * as the bucket itself: stableSplit, leakageSafeSplit (on the cluster
+    * key), and the OOV audit all derive their labels here, so a cut
+    * change (e.g. 90/5/5) moves every operator's membership together. */
+  def splitLabel(id: Column, trainPct: Int = 80, valPct: Int = 10): Column = {
+    val bucket = splitBucket(id)
+    when(bucket < trainPct, "train")
+      .when(bucket < trainPct + valPct, "val")
+      .otherwise("test")
+  }
+
+  /** Positional (overlapping) token-bigram occurrences from a BOUND token
+    * array — the one bigram definition shared by the batch OOV audit
+    * (TextAnalysis.oovRateAudit) and its streaming monitor
+    * (StreamOps.oovRateStream): their batch/stream equivalence contract
+    * depends on both reading this single expression. `toks` must be a
+    * bound attribute (shinglesFromTokens' rule — lambdas re-evaluate
+    * expression arguments on every reference). */
+  def bigramOccurrences(toks: Column): Column =
+    when(size(toks) >= 2,
+      transform(sequence(lit(0), size(toks) - 2),
+        i => concat_ws(" ",
+          element_at(toks, i + 1), element_at(toks, i + 2))))
+      .otherwise(array().cast("array<string>"))
 }

@@ -349,21 +349,20 @@ object StreamOps {
     * associative+commutative ⇒ the table is micro-batch-boundary
     * independent and equals the batch cells on the drained input
     * (tested in StreamingSpec). */
-  def oovRateStream(docs: DataFrame, vocab: DataFrame): DataFrame = {
-    val toks = col("toks")
+  def oovRateStream(docs: DataFrame, vocab: DataFrame): DataFrame =
     docs
       .select(col("source"), graft.llm.TextOps.tokens(col("text")).as("toks"))
       .select(col("source"),
-        explode(when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => concat_ws(" ",
-              element_at(toks, i + 1), element_at(toks, i + 2))))
-          .otherwise(array().cast("array<string>"))).as("b"))
-      .join(vocab.select(col("b"), lit(true).as("in_vocab")), Seq("b"), "left")
+        explode(graft.llm.TextOps.bigramOccurrences(col("toks"))).as("b"))
+      // distinct: the batch l59 vocab is distinct by construction
+      // (groupBy), but an arbitrary caller table with a repeated bigram
+      // would join-multiply its occurrences and silently UNDER-report the
+      // OOV rate; the static side is top-V rows, so this is free
+      .join(vocab.select(col("b")).distinct()
+        .withColumn("in_vocab", lit(true)), Seq("b"), "left")
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_bigrams"),
         sum(when(col("in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
-  }
 
   /** Typed rows for S16 streaming budget admission. */
   final case class StreamSrcDoc(doc_id: Long, text: String, source: String,

@@ -1402,6 +1402,22 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("mixtureOrder: a zero-token (all-null-text) source is dropped " +
+    "from the schedule, not a divide-by-zero") {
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Seq(
+      (1L, Option("a b"), "s0"), (2L, Option.empty[String], "dead"),
+      (3L, Option.empty[String], "dead"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.mixtureOrder(docs)
+      .orderBy("order_key", "source", "doc_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(3)))
+    // only the live source is scheduled; no ANSI DIVIDE_BY_ZERO failure
+    assert(got.map(_._2).toSeq === Seq("s0"))
+    assert(!got.head._3.isInfinite && got.head._3 > 0.0)
+  }
+
   test("vocabDrift: hand-computed chi-square incl. the zero-count cell, " +
     "layout-independent") {
     val spark2 = spark

@@ -336,17 +336,20 @@ class PlanSpec extends SparkSpec {
     // the doc-payload ban across every captured execution.
     // l56's corpus shuffle carries word atoms (the vocab hash-agg — the
     // BPE trainer's single corpus-sized exchange by design): tier 1.
-    // l58 embeds jaccardPairs (shingle atoms in the inverted index) and
-    // l59's one corpus exchange carries bigram atoms (the cell hash-agg)
-    // — tier 1 holds both to the document-payload ban everywhere.
+    // l58 embeds jaccardPairs (shingle atoms in the inverted index),
+    // l59's one corpus exchange carries bigram atoms (the cell hash-agg),
+    // and l63's carries word atoms (the l56 shape) — tier 1 holds all
+    // three to the document-payload ban everywhere. l61's shuffles carry
+    // only ids/counts (token counting happens in the scan): tier 2.
     val tier1 = Seq("l02_jaccard_pairs", "l16_dedup_clusters",
       "l27_containment_pairs", "l33_bloom_decontaminate",
-      "l56_bpe_pair_counts", "l58_leakage_safe_split", "l59_oov_rate")
+      "l56_bpe_pair_counts", "l58_leakage_safe_split", "l59_oov_rate",
+      "l63_vocab_drift")
     val tier2 = Seq(
       "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
       "l10_fingerprints", "l24_decontaminate",
       "l46_dup_shingle_profile", "l49_source_overlap",
-      "l51_bigram_fluency")
+      "l51_bigram_fluency", "l61_pack_efficiency")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -363,7 +366,9 @@ class PlanSpec extends SparkSpec {
     // embedding through ONE exchange by design — the max_by partial
     // carries it to its cell — and the probe window moves the
     // by-contract-small query side's arrays), l48 (has its own
-    // stricter pin).
+    // stricter pin), l60 (the centroid ASSEMBLY exchange carries
+    // labels × dim bounded struct arrays by design — its own pin below
+    // bans the corpus `embedding` column instead).
     import org.apache.spark.sql.types.ArrayType
     for (q <- Seq("l05_cosine_topk", "l06_ann_lsh", "l14_cosine_near_dups",
       "l40_semantic_decontaminate", "l44_lsh_recall_audit")) {
@@ -399,12 +404,19 @@ class PlanSpec extends SparkSpec {
     // receiving and sorting its whole corpus slice in one task).
     val plan = executedPlan(lq("l55_token_budget_sample"))
     assert(!plan.contains("CartesianProduct"))
-    // the key claim: a corpus window exchange partitioned on BOTH keys
-    // (Exchange lines do print partitioning keys, so this grep is sound)
-    val exchanges = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    assert(exchanges.exists(l => l.contains("source#") && l.contains("bkt#")),
-      exchanges.mkString("\n"))
+    // The key claim, tied to the WINDOW NODE itself (an exchange-line
+    // grep would pass vacuously — the (source, bkt) bucket-count
+    // aggregation produces such an exchange even if the window
+    // regressed): every window ORDERED BY the md5 key h — the
+    // corpus-sized one — must partition on (source, bkt); a window on
+    // source alone ordered by h is the single-key-straggler regression.
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(l =>
+      "\\], \\[source#\\d+, bkt#\\d+\\], \\[h#\\d+ ASC".r.findFirstIn(l).isDefined),
+      windows.mkString("\n"))
+    assert(!windows.exists(l =>
+      "\\], \\[source#\\d+\\], \\[h#\\d+ ASC".r.findFirstIn(l).isDefined),
+      "a corpus window partitions on source alone:\n" + windows.mkString("\n"))
     // the payload claim needs the real schemas: text stays out of every
     // shuffle (the windowed rows carry doc_id/source/n_tokens/h/bkt)
     assertNoShufflePayload(lq("l55_token_budget_sample"),
@@ -464,8 +476,10 @@ class PlanSpec extends SparkSpec {
       "d10_cross_join", "d36_scalar_subquery", "l05_cosine_topk",
       "l17_ann_ivf", "l21_tfidf_topk", "l28_domain_mix", "l31_boilerplate",
       "l37_ann_ivf_trained", "l44_lsh_recall_audit", "l48_int8_rerank",
-      // l57's Σ√tokens is a broadcast 1-row total, the l28 shape
-      "l57_temperature_sample")
+      // l57's Σ√tokens is a broadcast 1-row total, the l28 shape;
+      // l63's corpus total and per-word-share grids are the same
+      // broadcast tiny-side crossJoins (1 row and |vocabulary| rows)
+      "l57_temperature_sample", "l63_vocab_drift")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
@@ -515,6 +529,19 @@ class PlanSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("l60: centroid outliers broadcast the prototype table — the " +
+    "corpus embedding column never crosses a shuffle") {
+    // The scale claim in centroidOutliers' doc: scoring is a projection
+    // over the corpus against BROADCAST per-label centroid arrays. If
+    // the broadcast hint is ever lost, the label join becomes a shuffled
+    // join carrying the embedding array corpus-wide — banned here by
+    // attribute name across every captured execution.
+    val plan = executedPlan(lq("l60_centroid_outliers"))
+    assert(plan.contains("BroadcastHashJoin"), plan.take(800))
+    assertNoShufflePayload(lq("l60_centroid_outliers"),
+      Set("embedding"), "l60")
+  }
+
   test("l62: mixture-order rank window is salted — the corpus exchange " +
     "keys on (source, bkt), and text never crosses an exchange") {
     // Same claim as l55's pin, for the rank form: the within-bucket
@@ -523,12 +550,17 @@ class PlanSpec extends SparkSpec {
     // in one reducer task.
     val plan = executedPlan(lq("l62_mixture_order"))
     assert(!plan.contains("CartesianProduct"))
-    val exchanges = plan.linesIterator
-      .filter(_.contains("Exchange hashpartitioning")).toSeq
-    // (an exchange on source alone also exists — the bounded
-    // 16-rows-per-source bucket-total prefix window, same as l55's)
-    assert(exchanges.exists(l => l.contains("source#") && l.contains("bkt#")),
-      exchanges.mkString("\n"))
+    // Tied to the WINDOW NODE (same reasoning as l55's pin): the
+    // row_number window ordered by h must partition on (source, bkt);
+    // the bounded prefix window ([source], ordered by bkt) is exempt
+    // because its input is the 16-rows-per-source aggregate.
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(l =>
+      "\\], \\[source#\\d+, bkt#\\d+\\], \\[h#\\d+ ASC".r.findFirstIn(l).isDefined),
+      windows.mkString("\n"))
+    assert(!windows.exists(l =>
+      "\\], \\[source#\\d+\\], \\[h#\\d+ ASC".r.findFirstIn(l).isDefined),
+      "a corpus window partitions on source alone:\n" + windows.mkString("\n"))
     assertNoShufflePayload(lq("l62_mixture_order"),
       Set("text", "toks"), "l62")
   }
