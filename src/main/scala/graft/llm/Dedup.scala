@@ -663,6 +663,33 @@ object Dedup {
       TextOps.splitLabel(col("cluster_id"), trainPct, valPct).as("split"))
   }
 
+  /** Dedup-threshold SENSITIVITY sweep — the knob-tuning table read
+    * before fixing minJ: the full jaccard histogram of every
+    * shingle-sharing pair (decile buckets, floor(j·10)) with the
+    * cumulative "pairs at or above" count per bucket — n_pairs_ge AT a
+    * bucket is exactly the pair volume a dedup run at that threshold
+    * would process. A bimodal histogram (noise floor vs near-dup mass,
+    * this fixture's shape) certifies that any threshold between the
+    * modes is safe; mid-range mass warns the threshold choice is load-
+    * bearing.
+    *
+    * Scale: jaccardPairs' inverted-index machinery unchanged (minJ = 0
+    * keeps every sharing pair — candidate generation is identical, only
+    * the post-filter differs); the histogram is a ≤11-key hash-agg and
+    * the cumulative window runs over those ≤11 rows (pmod keeps the
+    * single-partition intent explicit, the l19 rule). */
+  def jaccardThresholdSweep(docs: DataFrame, n: Int = 3): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(pmod(col("bucket"), lit(1)))
+      .orderBy(col("bucket").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    jaccardPairs(docs, n, minJ = 0.0)
+      .groupBy(floor(col("jaccard") * 10).cast(LongType).as("bucket"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("n_pairs_ge", sum(col("n_pairs")).over(wCum))
+      .select(col("bucket"), col("n_pairs"), col("n_pairs_ge"))
+  }
+
   /** Cross-SOURCE contamination matrix — the corpus-overlap measurement
     * dataset papers publish before mixing sources: for every source pair,
     * the count of shared distinct n-gram shingles plus both containment

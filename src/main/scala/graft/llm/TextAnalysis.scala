@@ -706,6 +706,40 @@ object TextAnalysis {
       .select(col("source"), col("st").as("n_tokens"), col("chi2"))
   }
 
+  /** Quality-threshold SENSITIVITY sweep — the table a curator reads
+    * before fixing a quality-filter cutoff: per source, for nine
+    * stopword-ratio thresholds (k/50, spanning the corpus's observed
+    * 0–0.22 range), the count and fraction of documents that would pass
+    * `stop_ratio >= t`. The pass-fraction curve per source shows where
+    * each threshold bites and which sources a cutoff would gut — chosen
+    * over a quantile table because it answers the operational question
+    * ("what survives at t?") directly and stays exact cross-engine
+    * (integer counts, one division).
+    *
+    * Scale: ONE corpus pass computes the ratio in the scan (the same
+    * shared `ratioFor` expression l08 uses); the NINE thresholds fold as
+    * conditional sums in a single |sources|-key hash-agg (map-side
+    * partials — no 9× row expansion), and the unpivot explodes the
+    * 9-entry array on the aggregate, not the corpus. */
+  def qualityThresholdSweep(docs: DataFrame): DataFrame = {
+    val ks = 1 to 9
+    val scored = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"), ratioFor(col("toks"), stopwords("en")).as("sr"))
+    scored.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        ks.map(k => sum(when(col("sr") >= lit(k / 50.0), 1L).otherwise(0L))
+          .as(s"p$k")): _*)
+      .select(col("source"), col("n_docs"),
+        explode(array(ks.map(k =>
+          struct(lit(k / 50.0).as("threshold"), col(s"p$k").as("n_pass"))): _*))
+          .as("t"))
+      .select(col("source"), col("t.threshold").as("threshold"),
+        col("n_docs"), col("t.n_pass").as("n_pass"),
+        (col("t.n_pass").cast(DoubleType) / col("n_docs").cast(DoubleType))
+          .as("pass_frac"))
+  }
+
   /** Document CHUNKING into overlapping token windows — the segmentation
     * pass every embedding/RAG pipeline runs before encoding: windows of
     * `window` tokens starting every `stride` tokens (window − stride

@@ -6,8 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The LLM-training-data-pipeline declared queries (L1–L36 + the hex scalar
+/** The LLM-training-data-pipeline declared queries (L1–L63 + the hex scalar
   * D29): dedup, similarity search, text analysis, multimodal plumbing,
+  * splits/sampling/mixture scheduling, coverage and drift audits,
   * sketches/UDAF — each oracle-checked against DuckDB on the same parquet.
   *
   * Cross-engine determinism rules specific to this plane:
@@ -1734,11 +1735,66 @@ object LlmDeclared {
       FROM terms GROUP BY source, st
       ORDER BY source NULLS FIRST"""))
 
+  /** L64 — quality-threshold sensitivity sweep: per source, the pass
+    * count/fraction at nine stopword-ratio cutoffs (k/50). Oracle
+    * unpivots via a 9-way UNION ALL over one conditional aggregate. */
+  private val l64 = DeclaredQuery(
+    "l64_quality_sweep",
+    (s, dir) => TextAnalysis.qualityThresholdSweep(t(s, dir, "documents"))
+      .orderBy(col("source"), col("threshold")),
+    Some {
+      val stoplist = TextAnalysis.stopwords("en")
+        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val sums = (1 to 9).map(k =>
+        s"SUM(CASE WHEN sr >= CAST($k AS DOUBLE)/50 THEN 1 ELSE 0 END) AS p$k")
+        .mkString(", ")
+      val arms = (1 to 9).map(k =>
+        s"""SELECT source, CAST($k AS DOUBLE)/50 AS threshold,
+              n_docs, CAST(p$k AS BIGINT) AS n_pass,
+              CAST(p$k AS DOUBLE)/n_docs AS pass_frac FROM g""")
+        .mkString("\nUNION ALL ")
+      s"""WITH q AS (SELECT source,
+            CAST(len(list_filter(w, x -> list_contains($stoplist, x))) AS DOUBLE)
+              / CAST(len(w) AS DOUBLE) AS sr
+          FROM (SELECT source, string_split(text, ' ') AS w FROM documents)),
+        g AS (SELECT source, COUNT(*) AS n_docs, $sums
+              FROM q GROUP BY source)
+        $arms
+        ORDER BY source NULLS FIRST, threshold"""
+    })
+
+  /** L65 — dedup-threshold sensitivity sweep: the jaccard decile
+    * histogram over every shingle-sharing pair with cumulative at-or-
+    * above counts — the pair volume a dedup run at each threshold would
+    * process. */
+  private val l65 = DeclaredQuery(
+    "l65_dedup_sweep",
+    (s, dir) => Dedup.jaccardThresholdSweep(t(s, dir, "documents"))
+      .orderBy(col("bucket")),
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      j AS (SELECT CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) AS jac
+            FROM common
+            JOIN sizes sa ON sa.doc_id = doc_a
+            JOIN sizes sb ON sb.doc_id = doc_b),
+      g AS (SELECT CAST(FLOOR(jac * 10) AS BIGINT) AS bucket,
+              COUNT(*) AS n_pairs
+            FROM j GROUP BY bucket)
+      SELECT bucket, n_pairs,
+        CAST(SUM(n_pairs) OVER (ORDER BY bucket DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS n_pairs_ge
+      FROM g ORDER BY bucket"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
-    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63, d29)
+    l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
+    l64, l65, d29)
 }

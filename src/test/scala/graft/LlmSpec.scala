@@ -1441,6 +1441,33 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("qualityThresholdSweep: nine k/50 thresholds per source, " +
+    "hand-computed pass counts") {
+    val spark2 = spark
+    import spark2.implicits._
+    // src0: sr = 0.5 and sr = 0.0 → n_pass = 1 at every threshold
+    val docs = Seq((1L, "the a b c", "src0"), (2L, "b c d e", "src0"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.qualityThresholdSweep(docs)
+      .orderBy("threshold").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length === 9)
+    assert(got.map(_._2).toSeq === (1 to 9).map(_ / 50.0))
+    assert(got.forall(r => r._1 == "src0" && r._3 == 2L && r._4 == 1L
+      && r._5 == 0.5), got.toSeq)
+  }
+
+  test("jaccardThresholdSweep: hand-computed decile buckets and " +
+    "cumulative at-or-above counts") {
+    // docs 1/3 identical (j = 1.0, bucket 10); each vs doc 2 shares
+    // {abc, bcd} of 4 distinct shingles (j = 0.5, bucket 5)
+    val d = docsDf(1L -> "a b c d e", 2L -> "a b c d x", 3L -> "a b c d e")
+    val got = Dedup.jaccardThresholdSweep(d).orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq === Seq((5L, 2L, 3L), (10L, 1L, 1L)))
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
