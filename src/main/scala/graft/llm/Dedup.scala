@@ -675,15 +675,20 @@ object Dedup {
     *
     * Scale: jaccardPairs' inverted-index machinery unchanged (minJ = 0
     * keeps every sharing pair — candidate generation is identical, only
-    * the post-filter differs); the histogram is a ≤11-key hash-agg and
+    * the post-filter differs), INCLUDING the `maxDocFreq` hot-shingle
+    * guard: at real corpus sizes the sharing-pair count is governed by
+    * shingle document frequency, so a sweep over everything sets the
+    * guard (and/or runs on an l26 stratified sample — a threshold
+    * choice needs no more). The histogram is a ≤11-key hash-agg and
     * the cumulative window runs over those ≤11 rows (pmod keeps the
     * single-partition intent explicit, the l19 rule). */
-  def jaccardThresholdSweep(docs: DataFrame, n: Int = 3): DataFrame = {
+  def jaccardThresholdSweep(docs: DataFrame, n: Int = 3,
+                            maxDocFreq: Option[Long] = None): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val wCum = W.partitionBy(pmod(col("bucket"), lit(1)))
       .orderBy(col("bucket").desc)
       .rowsBetween(W.unboundedPreceding, 0)
-    jaccardPairs(docs, n, minJ = 0.0)
+    jaccardPairs(docs, n, minJ = 0.0, maxDocFreq)
       .groupBy(floor(col("jaccard") * 10).cast(LongType).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("n_pairs_ge", sum(col("n_pairs")).over(wCum))

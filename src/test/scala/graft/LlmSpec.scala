@@ -1466,6 +1466,13 @@ class LlmSpec extends SparkSpec {
     val got = Dedup.jaccardThresholdSweep(d).orderBy("bucket").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
     assert(got.toSeq === Seq((5L, 2L, 3L), (10L, 1L, 1L)))
+    // the hot-shingle guard passes through: dropping shingles with
+    // df > 2 removes {abc, bcd} (df 3), leaving cde/cdx/cde — docs 1/3
+    // still fully match (j = 1), doc 2 shares nothing
+    val guarded = Dedup.jaccardThresholdSweep(d, maxDocFreq = Some(2L))
+      .orderBy("bucket").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(guarded.toSeq === Seq((10L, 1L, 1L)))
   }
 
   test("SumSquares aggregator: exact decimal, partition-order independent") {
