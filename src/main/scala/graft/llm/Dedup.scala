@@ -689,7 +689,7 @@ object Dedup {
       .orderBy(col("bucket").desc)
       .rowsBetween(W.unboundedPreceding, 0)
     jaccardPairs(docs, n, minJ = 0.0, maxDocFreq)
-      .groupBy(floor(col("jaccard") * 10).cast(LongType).as("bucket"))
+      .groupBy(floor(col("jaccard") * 10).as("bucket"))
       .agg(count(lit(1)).as("n_pairs"))
       .withColumn("n_pairs_ge", sum(col("n_pairs")).over(wCum))
       .select(col("bucket"), col("n_pairs"), col("n_pairs_ge"))

@@ -1743,8 +1743,7 @@ object LlmDeclared {
     (s, dir) => TextAnalysis.qualityThresholdSweep(t(s, dir, "documents"))
       .orderBy(col("source"), col("threshold")),
     Some {
-      val stoplist = TextAnalysis.stopwords("en")
-        .map(w => s"'$w'").mkString("[", ", ", "]")
+      val stoplist = duckList(TextAnalysis.stopwords("en"))
       val sums = (1 to 9).map(k =>
         s"SUM(CASE WHEN sr >= CAST($k AS DOUBLE)/50 THEN 1 ELSE 0 END) AS p$k")
         .mkString(", ")
