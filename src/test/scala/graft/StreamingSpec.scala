@@ -331,6 +331,42 @@ class StreamingSpec extends SparkSpec {
     assert(oneBatch === Map("src0" -> ((4L, 1L)), "src1" -> ((2L, 2L))))
   }
 
+  test("S18: stream counters == l59's batch cells aggregated per source " +
+    "on the drained corpus under the same train vocabulary") {
+    import StreamOps.StreamSrcDoc
+    import graft.llm.{TextAnalysis, TextOps}
+    val spark2 = spark
+    import spark2.implicits._
+    val docs = Tables.load(spark, sf001, "documents")
+    // the exact vocabulary cut l59 derives internally (top-500 train
+    // bigrams, freq desc / bigram asc)
+    val vocab = docs
+      .select(TextOps.splitLabel(col("doc_id")).as("split"),
+        TextOps.tokens(col("text")).as("toks"))
+      .filter(col("split") === "train")
+      .select(explode(TextOps.bigramOccurrences(col("toks"))).as("b"))
+      .groupBy("b").agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("b")).limit(500).select("b")
+    val expected = TextAnalysis.oovRateAudit(docs, vocabSize = 500)
+      .groupBy("source")
+      .agg(sum("n_bigrams").as("nb"), sum("n_oov").as("no"))
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    val ts = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    val rows = docs.select("doc_id", "text", "source").collect()
+      .map(r => StreamSrcDoc(r.getLong(0), r.getString(1), r.getString(2), ts))
+    val in = MemoryStream[StreamSrcDoc]
+    val q = StreamOps.oovRateStream(in.toDF(), vocab)
+      .writeStream.format("memory").queryName("s18_corpus")
+      .outputMode("complete").start()
+    val got = try {
+      in.addData(rows.toIndexedSeq: _*); q.processAllAvailable()
+      spark.table("s18_corpus").collect()
+        .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    } finally q.stop()
+    assert(got === expected)
+  }
+
   test("S14: streaming semantic dedup == batch bucket first-occurrence replay; " +
     "exact re-embeds always dropped in-horizon") {
     import StreamOps.StreamVec
