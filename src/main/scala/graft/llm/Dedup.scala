@@ -663,6 +663,32 @@ object Dedup {
       TextOps.splitLabel(col("cluster_id"), trainPct, valPct).as("split"))
   }
 
+  /** Near-dup cluster-SIZE profile — the dedup-savings estimator read
+    * before committing to a full apply: for each cluster size k, the
+    * cluster count, the docs they hold, and the docs a keep-one apply
+    * would remove ((k−1) per cluster — Σ n_removable IS the apply's
+    * removal count, cross-checked against dedupApply in LlmSpec).
+    * Singletons (docs in no pair) appear as size-1 clusters, so n_docs
+    * totals the corpus and the singleton share is read off the first
+    * row. A heavy tail here (few giant clusters) also warns that the
+    * apply's anti-join side will be dominated by those clusters' losers.
+    *
+    * Scale: the cluster labeling is nearDupClustersAuto's story; after
+    * it, everything is id-arithmetic — one count per cluster id, one
+    * ≤|sizes|-key histogram agg, both map-side-combining. */
+  def clusterSizeProfile(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClustersAuto(pairs)
+    docs.select(col("doc_id"))
+      .join(clusters, Seq("doc_id"), "left")
+      .select(coalesce(col("cluster_id"), col("doc_id")).as("cid"))
+      .groupBy(col("cid")).agg(count(lit(1)).as("sz"))
+      .groupBy(col("sz").as("cluster_size"))
+      .agg(count(lit(1)).as("n_clusters"))
+      .select(col("cluster_size"), col("n_clusters"),
+        (col("cluster_size") * col("n_clusters")).as("n_docs"),
+        ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
+  }
+
   /** Dedup-threshold SENSITIVITY sweep — the knob-tuning table read
     * before fixing minJ: the full jaccard histogram of every
     * shingle-sharing pair (decile buckets, floor(j·10)) with the

@@ -1788,6 +1788,45 @@ object LlmDeclared {
           AS n_pairs_ge
       FROM g ORDER BY bucket"""))
 
+  /** L66 — near-dup cluster-size profile: per cluster size, the cluster
+    * count, member docs, and keep-one removal count (Σ n_removable = the
+    * dedup apply's savings). Singletons are size-1 clusters, so n_docs
+    * totals the corpus. Oracle: the l16 closure + two GROUP BYs. */
+  private val l66 = DeclaredQuery(
+    "l66_cluster_profile",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.clusterSizeProfile(docs,
+          Dedup.jaccardPairs(docs, n = 3, minJ = 0.5))
+        .orderBy(col("cluster_size"))
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                UNION SELECT doc_b, doc_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      keyed AS (SELECT COALESCE(c.cluster_id, d.doc_id) AS cid
+                FROM documents d LEFT JOIN clusters c USING (doc_id)),
+      cs AS (SELECT cid, COUNT(*) AS sz FROM keyed GROUP BY cid)
+      SELECT sz AS cluster_size,
+        CAST(COUNT(*) AS BIGINT) AS n_clusters,
+        CAST(sz * COUNT(*) AS BIGINT) AS n_docs,
+        CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
+      FROM cs GROUP BY sz ORDER BY cluster_size"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -1795,5 +1834,5 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, d29)
+    l64, l65, l66, d29)
 }

@@ -1475,6 +1475,27 @@ class LlmSpec extends SparkSpec {
     assert(guarded.toSeq === Seq((10L, 1L, 1L)))
   }
 
+  test("clusterSizeProfile: hand-computed histogram; total removals " +
+    "equal the dedup apply's savings on the corpus") {
+    // 3 identical docs (one size-3 cluster) + 1 singleton
+    val d = docsDf(1L -> "a b c d e", 2L -> "a b c d e", 3L -> "a b c d e",
+      4L -> "p q r s t")
+    val got = Dedup.clusterSizeProfile(d, Dedup.jaccardPairs(d))
+      .orderBy("cluster_size").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1L, 1L, 0L), (3L, 1L, 3L, 2L)))
+    // the estimator's contract on the real corpus: Σ n_removable ==
+    // docs removed by the keep-one apply (same pairs, same clusters)
+    val docs = Tables.load(spark, sf001, "documents")
+    val profile = Dedup.clusterSizeProfile(docs, Dedup.jaccardPairs(docs))
+    val removable = profile.agg(sum("n_removable")).head().getLong(0)
+    val total = docs.count()
+    val kept = Dedup.dedupApply(docs).count()
+    assert(removable === total - kept)
+    // and size-1 rows carry the whole corpus minus clustered docs
+    assert(profile.agg(sum("n_docs")).head().getLong(0) === total)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
