@@ -51,5 +51,9 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   // hot loops for a sustained window (observed round 8: l34-l36 ran 3-4x
   // slower with TIGHT min/max in the 88-query run while the same-run d01
   // sentinel was fast — a plan-independent, position-dependent slowdown).
-  "-XX:ReservedCodeCacheSize=512m",
+  // Env-overridable so a matched pair at a different reserve (the round-10
+  // deopt-arbitration experiment) needs no code change; Bench emits the
+  // actual occupancy per query, so the artifact self-reports whether the
+  // reserve was approached.
+  s"-XX:ReservedCodeCacheSize=${sys.env.getOrElse("SPARK_GRAFT_CODE_CACHE", "512m")}",
 )
