@@ -34,6 +34,36 @@ package graft
   *    record as a fast success.
   */
 object Bench {
+
+  /** JVM compilation-state telemetry (round-11 directive #1): the round-8
+    * and round-10 bench artifacts both contained ≥2×-normalized readings on
+    * UNCHANGED code that prose-matched the code-cache-overflow signature
+    * (tight min/max, calm sentinels, position-correlated) but carried no
+    * measurement to prove it. These two numbers make the diagnosis
+    * mechanical from the artifact alone:
+    *  - code-cache occupancy (sum of used bytes across the segmented
+    *    CodeHeap pools, or the single "Code Cache" pool pre-segmentation):
+    *    approaching the -XX:ReservedCodeCacheSize reserve ⇒ the sweeper
+    *    starts flushing JIT'd methods and hot loops deopt.
+    *  - cumulative JIT compilation time: a query whose timed window shows a
+    *    large jit_ms delta spent its wall-clock in the compiler
+    *    (re-compiling flushed methods), not the plan.
+    */
+  private val codePools = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getMemoryPoolMXBeans.asScala
+      .filter(p => p.getName.contains("CodeHeap") || p.getName.contains("Code Cache"))
+  }
+  def codeCacheUsedMb: Double =
+    codePools.map(_.getUsage.getUsed).sum / (1024.0 * 1024.0)
+  def codeCacheMaxMb: Double =
+    codePools.map(_.getUsage.getMax max 0L).sum / (1024.0 * 1024.0)
+  def jitMs: Long = {
+    val c = java.lang.management.ManagementFactory.getCompilationMXBean
+    if (c != null && c.isCompilationTimeMonitoringSupported)
+      c.getTotalCompilationTime else -1L
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
@@ -48,19 +78,39 @@ object Bench {
     // Dev-only narrowing for plan iteration (unset in driver runs).
     val only = sys.env.get("SPARK_GRAFT_ONLY")
       .map(_.split(",").map(_.trim).toSet)
-    val order = SparkEntry.allDeclared.map(_.name)
+    val stableOrder = SparkEntry.allDeclared.map(_.name)
       .filter(SparkEntry.queries.contains)
       .filter(n => only.forall(_.contains(n)))
+    // SPARK_GRAFT_BENCH_SEED (dev flag, round-11 directive #7): shuffle the
+    // query order deterministically so position-dependent effects (code-
+    // cache pressure landing on whichever queries run late) are diagnosable
+    // WITHIN one round: two differently-seeded runs that agree per-query
+    // rule out position; divergence localizes it. Sentinels stay pinned —
+    // the session warm-up above runs first and d01_end below runs last
+    // regardless of seed. Unset (driver runs) = stable declared order, so
+    // artifacts stay comparable round-over-round.
+    val seed = sys.env.get("SPARK_GRAFT_BENCH_SEED").map(_.toLong)
+    val order = seed.fold(stableOrder) { s =>
+      new scala.util.Random(s).shuffle(stableOrder)
+    }
     // min-of-2 timed runs: a single timed run is hostage to whichever GC
     // pause / compaction lands on it (round-5 data: d24 recorded 5.1 s vs
     // 0.8 s steady state, same code). The minimum of two steady-state runs
     // is the plan's sustainable cost; transient stalls inflate only the max
     // — which is recorded too (detail file), so variance is diagnosable
     // from the run's artifacts.
+    val ccStartMb = codeCacheUsedMb
+    val jitStartMs = jitMs
+    // Per-query telemetry: occupancy AFTER the query's three runs (the
+    // monotone-until-flush curve; a drop between consecutive queries =
+    // sweeper flush) and the JIT time spent across its warm+timed window
+    // (steady-state discipline predicts ~0 once warm; a big delta on a
+    // TIMED run means the compiler ate the clock).
     val results = order.map { n =>
+      val j0 = jitMs
       runOnce(n)
       val (a, b) = (runOnce(n), runOnce(n))
-      (n, math.min(a, b), math.max(a, b))
+      (n, math.min(a, b), math.max(a, b), codeCacheUsedMb, jitMs - j0)
     }
 
     // End-of-sequence sentinel: d01 re-timed AFTER the whole sequence. Read
@@ -98,11 +148,19 @@ object Bench {
         val norm = hostNorm.fold(raw)(raw * _)
         s""","ratio":${r3(raw)},"ratio_norm":${r3(norm)}"""
       }
-    val detail = (results.map { case (k, mn, mx) =>
-      s""""$k":{"min":${r3(mn)},"max":${r3(mx)}${ratios(k.split('_')(0), mn)}}""" } :+
-      s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)}}""").mkString("{", ",", "}")
+    val detail = (results.map { case (k, mn, mx, ccMb, jMs) =>
+      s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs${ratios(k.split('_')(0), mn)}}""" } :+
+      s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)},"cc_mb":${r3(codeCacheUsedMb)},"jit_ms":${jitMs - jitStartMs}}""").mkString("{", ",", "}")
     val totalMin = results.map(_._2).sum
     val totalMax = results.map(_._3).sum
+    // Run-level compilation-state summary: cc_reserve_mb is what the JVM
+    // actually reserved (the -XX flag as seen from inside), cc_peak_mb the
+    // high-water occupancy across queries. peak/reserve ≥ ~0.9 ⇒ the
+    // sweeper was active and deopt readings are expected; ≪ 1 ⇒ a slow
+    // reading is NOT code-cache overflow, look elsewhere.
+    val ccPeakMb = (results.map(_._4) :+ ccStartMb).max
+    val jvmMeta =
+      s""","jvm":{"cc_reserve_mb":${r3(codeCacheMaxMb)},"cc_start_mb":${r3(ccStartMb)},"cc_peak_mb":${r3(ccPeakMb)},"cc_end_mb":${r3(codeCacheUsedMb)},"jit_total_ms":${jitMs - jitStartMs},"seed":${seed.fold("null")(_.toString)}}"""
     // SPARK_GRAFT_ONLY runs write a SEPARATE detail file: BENCH_DETAIL.json
     // is the full-sequence per-query record BASELINE.md points readers at
     // for regression arbitration — a 3-query dev iteration must never
@@ -111,17 +169,17 @@ object Bench {
       if (only.isDefined) "BENCH_DETAIL_SUBSET.json" else "BENCH_DETAIL.json"
     java.nio.file.Files.write(
       java.nio.file.Paths.get(detailFile),
-      s"""{"metric":"total","min":${r3(totalMin)},"max":${r3(totalMax)},"unit":"sec","sf":"$sfDir","queries":$detail}"""
+      s"""{"metric":"total","min":${r3(totalMin)},"max":${r3(totalMax)},"unit":"sec","sf":"$sfDir"$jvmMeta,"queries":$detail}"""
         .getBytes("UTF-8"))
 
-    val qs = results.map { case (k, mn, _) =>
+    val qs = results.map { case (k, mn, _, _, _) =>
       "\"" + k.split('_')(0) + "\":" + r3(mn) }.mkString("{", ",", "}")
     // Compact normalized-gate summary on the printed line itself (the
     // full per-query ratios live in the detail file — the driver keeps
     // only the last 2000 chars of output, so this must stay small):
     // worst 5 normalized ratios + the count at or above 1.5x.
     val gate = if (baselineRows.isEmpty) "" else {
-      val normed = results.flatMap { case (k, mn, _) =>
+      val normed = results.flatMap { case (k, mn, _, _, _) =>
         val short = k.split('_')(0)
         baselineRows.get(short).filter(_ > 0).map { b =>
           short -> hostNorm.fold(mn / b)(mn / b * _) }
@@ -132,7 +190,11 @@ object Bench {
         hostNorm.fold("null")(r3)},"worst_norm":$worst,"n_norm_ge_1.5":${
         normed.count(_._2 >= 1.5)}"""
     }
-    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","queries":$qs,"sf":"$sfDir"$gate}""")
+    // cc_peak/cc_reserve + jit_total ride the printed line too (short keys,
+    // ~60 chars): the driver's 2000-char window must be able to answer "was
+    // this run deopt-contaminated?" without the detail file.
+    val jvmShort = s""","cc_peak_mb":${math.round(ccPeakMb)},"cc_reserve_mb":${math.round(codeCacheMaxMb)},"jit_total_ms":${jitMs - jitStartMs}"""
+    println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","queries":$qs,"sf":"$sfDir"$gate$jvmShort}""")
     spark.stop()
   }
 }
