@@ -388,6 +388,64 @@ object Similarity {
         col("nid"), col("sim"), col("approx_sim"))
   }
 
+  /** L48b — the BYTE-PACKED form of int8RerankTopK: identical semantics
+    * (same codes, same integer dot, same bounded_top_m shortlist, same
+    * exact re-rank — result-identical rows, shared oracle), but the coarse
+    * pass carries codes as a `binary` column (`int8_pack`) and computes the
+    * integer dot over raw byte arrays (`int8_packed_dot`).
+    *
+    * This completes the memory-bandwidth story the operator is named for:
+    * `array<long>` stores 8 B + offset metadata per code — the coarse scan
+    * read MORE bytes than the float embeddings it replaced; packed it reads
+    * 1 B per code (8× less scan/broadcast traffic at any scale) and the
+    * kernel is one tight byte loop with no per-element null/offset checks.
+    * The only payloads crossing the rank exchange are (qid, nid, double) —
+    * and the broadcast side carries binary codes, never long arrays
+    * (PlanSpec pins binary-only payloads for this plan). */
+  def int8RerankTopKPacked(vecs: DataFrame, k: Int = 3, m: Int = 10,
+                           queryMod: Int = 20): DataFrame = {
+    // fused quantize+pack (Int8QuantPack): one codegen'd pass computes the
+    // scale and the byte-packed codes — no intermediate double/long arrays,
+    // no interpreted transform() lambdas in the scan (the l25/Int8QuantStats
+    // fusion argument, applied to the coarse-pass representation)
+    val qz = vecs
+      .select(col("vec_id"), col("embedding"),
+        call_function("int8_quant_pack", col("embedding")).as("qp"))
+      .withColumn("nrm", sqrt(norm2(col("embedding"))))
+      .select(col("vec_id"), col("embedding"),
+        col("qp.scale").as("scale"), col("qp.codes").as("codes_bin"),
+        col("nrm"))
+    val queriesCoarse = broadcast(qz.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"),
+        col("scale").as("qs"), col("codes_bin").as("qc"), col("nrm").as("qn")))
+    val candsCoarse = qz.select(col("vec_id").as("nid"),
+      col("scale").as("cs"), col("codes_bin").as("cc"), col("nrm").as("cn"))
+    val approx = queriesCoarse.join(candsCoarse, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (col("qs") * col("cs") *
+          call_function("int8_packed_dot", col("qc"), col("cc"))
+            .cast(DoubleType) /
+          (col("qn") * col("cn"))).as("approx_sim"))
+    val shortlist = approx
+      .groupBy(col("qid"))
+      .agg(call_function("bounded_top_m",
+        col("approx_sim"), col("nid"), lit(m)).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"), col("e.score").as("approx_sim"))
+    val qEmb = broadcast(qz.filter(col("vec_id") % queryMod === 0)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("nrm").as("qn")))
+    val cEmb = qz.select(col("vec_id").as("nid"), col("embedding").as("ce"),
+      col("nrm").as("cn"))
+    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    broadcast(shortlist).join(cEmb, "nid").join(qEmb, "qid")
+      .select(col("qid"), col("nid"), col("approx_sim"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("sim"), col("approx_sim"))
+  }
+
   /** The HOF formulation of quantizeInt8 — kept as the semantic reference
     * the native expression is equality-tested against (ExpressionSpec),
     * the same twin pattern as dot/dotHof. */

@@ -780,6 +780,30 @@ object TextAnalysis {
     * Scale: one projection computes all flags, one aggregate computes all
     * cumulative counts — a single pass over the corpus regardless of gate
     * count, never one pass per gate. */
+  /** The l32 funnel as an ADMISSION filter: the full document rows that
+    * survive all four gates (same integer-exact predicates as
+    * `curationFunnel`, which reports the per-gate survivor COUNTS of this
+    * exact filter — the two are cross-checked in LlmPipelineSpec). This is
+    * the first stage of the composed curation pipeline: downstream stages
+    * (dedup apply, decontamination, split, pack, mixture order) consume its
+    * output. Scale: one codegen'd projection computes the token array once
+    * (bound attribute), one filter — no shuffle, no joins; at 100 TB this
+    * runs entirely in the scan stage of whatever consumes it. */
+  def curationAdmit(docs: DataFrame): DataFrame = {
+    val toks = col("__toks")
+    val nTok = size(toks).cast(LongType)
+    val ns = nTok - 2
+    val nd = size(TextOps.shinglesFromTokens(toks, 3)).cast(LongType)
+    val nStop = size(filter(toks, t => t.isInCollection(stopwords("en"))))
+      .cast(LongType)
+    docs.withColumn("__toks", TextOps.tokens(col("text")))
+      .filter(col("n_chars").between(200, 2000) &&
+        (nTok >= 40) &&
+        (ns <= 0 || nd * 100 >= ns * 99) &&
+        (nStop * 20 >= nTok))
+      .drop("__toks")
+  }
+
   def curationFunnel(docs: DataFrame): DataFrame = {
     val toks = col("toks")
     val nTok = size(toks).cast(LongType)

@@ -15,6 +15,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `int8_quant_stats(array<float>) -> struct` — see Int8QuantStats.
   *  - `ws_token_count(string) -> int` — see WsTokenCount.
   *  - `bounded_top_m(score, id, m) -> array<struct>` — see BoundedTopM.
+  *  - `int8_pack(array<bigint>) -> binary` / `int8_packed_dot(binary,
+  *    binary) -> bigint` — see Int8Packed (the l48b byte-packed codes path).
   *
   * Registered optimizer rules:
   *  - RewriteHofDotToFvecDot — user-written `aggregate(zip_with(...))`
@@ -68,6 +70,27 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 3, "bounded_top_m takes exactly 3 arguments")
         BoundedTopM(children.head, children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_pack"),
+      new ExpressionInfo(classOf[Int8Pack].getName, "int8_pack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_pack takes exactly 1 argument")
+        Int8Pack(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_quant_pack"),
+      new ExpressionInfo(classOf[Int8QuantPack].getName, "int8_quant_pack"),
+      (children: Seq[Expression]) => {
+        require(children.length == 1, "int8_quant_pack takes exactly 1 argument")
+        Int8QuantPack(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("int8_packed_dot"),
+      new ExpressionInfo(classOf[Int8PackedDot].getName, "int8_packed_dot"),
+      (children: Seq[Expression]) => {
+        require(children.length == 2, "int8_packed_dot takes exactly 2 arguments")
+        Int8PackedDot(children.head, children(1))
       }))
   }
 }

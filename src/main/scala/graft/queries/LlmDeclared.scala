@@ -1247,14 +1247,14 @@ object LlmDeclared {
     * an exact-integer code dot times doubles in a fixed association order,
     * so shortlist membership — and therefore the reranked output — is
     * bit-reproducible in DuckDB (codes share l25's portable rounding). */
-  private val l48 = {
+  /** Shared by l48 and l48b: the two Spark plans differ ONLY in the coarse
+    * pass's code representation (array<long> vs packed binary) — the codes,
+    * the integer dot, the shortlist, and the rerank are value-identical, so
+    * one oracle covers both. */
+  private val l48OracleSql: String = {
     def norm(col: String) =
       s"sqrt(list_reduce(list_apply($col, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))"
-    DeclaredQuery(
-      "l48_int8_rerank",
-      (s, dir) => Similarity.int8RerankTopK(t(s, dir, "embeddings"))
-        .orderBy(col("qid"), col("rank")),
-      Some(s"""WITH v AS (SELECT vec_id, embedding,
+    s"""WITH v AS (SELECT vec_id, embedding,
           list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
         sc AS (SELECT vec_id, embedding, e,
                  list_max(list_transform(e, x -> abs(x))) / 127.0 AS scale FROM v),
@@ -1280,8 +1280,25 @@ object LlmDeclared {
                  (PARTITION BY qid ORDER BY sim DESC, nid) AS rank
                FROM re)
         SELECT qid, CAST(rank AS BIGINT) AS rank, nid, sim, approx_sim
-        FROM rk WHERE rank <= 3 ORDER BY qid, rank"""))
+        FROM rk WHERE rank <= 3 ORDER BY qid, rank"""
   }
+
+  private val l48 = DeclaredQuery(
+    "l48_int8_rerank",
+    (s, dir) => Similarity.int8RerankTopK(t(s, dir, "embeddings"))
+      .orderBy(col("qid"), col("rank")),
+    Some(l48OracleSql))
+
+  /** L48b — l48 with the coarse-pass codes BYTE-PACKED into `binary`
+    * (`int8_pack` / `int8_packed_dot` native expressions): 1 B per code
+    * instead of array<long>'s 8 B + offsets — the scan/broadcast-bandwidth
+    * form the int8 rerank exists for. Value-identical to l48 (same codes,
+    * same integer dot, same shortlist), hence the shared oracle. */
+  private val l48b = DeclaredQuery(
+    "l48b_int8_rerank_packed",
+    (s, dir) => Similarity.int8RerankTopKPacked(t(s, dir, "embeddings"))
+      .orderBy(col("qid"), col("rank")),
+    Some(l48OracleSql))
 
   /** L49 — cross-source contamination matrix: shared distinct 3-gram
     * shingles per source pair with containments and Jaccard. Shingles are
@@ -1832,7 +1849,7 @@ object LlmDeclared {
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
     l21, l22, l23, l24, l25, l26, l27, l28, l29, l30,
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
-    l41, l42, l43, l44, l45, l46, l47, l48, l49, l50,
+    l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, d29)
 }

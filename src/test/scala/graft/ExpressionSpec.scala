@@ -324,4 +324,117 @@ class ExpressionSpec extends SparkSpec {
     assert(plan.contains("partial_bounded_top_m"), plan.take(1000))
     assert(plan.contains("ObjectHashAggregate"), plan.take(1000))
   }
+
+  test("int8_pack/int8_packed_dot: packed dot == long-array HOF dot on the " +
+    "corpus codes; roundtrip preserves every code") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    // codes via the l48 formulation, once per vector
+    val codes = em
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / 127.0)
+      .select(col("vec_id"), transform(col("e"), x =>
+        when(col("scale") === 0.0, lit(0L))
+          .otherwise(floor(x / col("scale") + 0.5).cast("long"))).as("codes"))
+    // packed self-join dot vs the HOF zip_with/aggregate fold over longs
+    val a = codes.select(col("vec_id").as("ida"), col("codes").as("ca"),
+      call_function("int8_pack", col("codes")).as("pa"))
+    val b = codes.select(col("vec_id").as("idb"), col("codes").as("cb"),
+      call_function("int8_pack", col("codes")).as("pb"))
+    val joined = a.join(b, col("ida") < col("idb") && col("ida") % 50 === 0)
+    val diff = joined.select(
+      call_function("int8_packed_dot", col("pa"), col("pb")).as("packed"),
+      aggregate(zip_with(col("ca"), col("cb"), (x, y) => x * y),
+        lit(0L), (s, v) => s + v).as("hof"))
+      .filter(not(col("packed") <=> col("hof"))).count()
+    assert(diff === 0)
+    assert(joined.count() > 0)
+    // roundtrip: sign-extending the packed bytes re-yields every code
+    a.select(col("ca"), col("pa")).collect().foreach { r =>
+      val cs = r.getSeq[Long](0)
+      val packed = r.getAs[Array[Byte]](1)
+      assert(packed.length === cs.length)
+      assert(packed.map(_.toLong).toSeq === cs)
+    }
+  }
+
+  test("int8_pack/int8_packed_dot edge semantics: out-of-range, null " +
+    "element, length mismatch, empty") {
+    val got = Seq(
+      (1L, Some(Seq[Option[Long]](Some(1L), Some(-127L)))), // packs
+      (2L, Some(Seq[Option[Long]](Some(200L)))),            // out of range -> null
+      (3L, Some(Seq[Option[Long]](Some(1L), None))),        // null element -> null
+      (4L, Some(Seq.empty[Option[Long]])),                  // empty -> empty binary
+      (5L, None)                                            // null array -> null
+    ).toDF("id", "codes")
+      .select(col("id"), call_function("int8_pack", col("codes")).as("p"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(got(1L).get.asInstanceOf[Array[Byte]].toSeq === Seq(1.toByte, (-127).toByte))
+    assert(got(2L).isEmpty && got(3L).isEmpty && got(5L).isEmpty)
+    assert(got(4L).get.asInstanceOf[Array[Byte]].isEmpty)
+    // dot: length mismatch -> null; empty x empty -> 0
+    val d = Seq((Array[Byte](1, 2), Array[Byte](3), Array.empty[Byte]))
+      .toDF("a", "b", "e")
+      .select(
+        call_function("int8_packed_dot", col("a"), col("b")).as("mismatch"),
+        call_function("int8_packed_dot", col("e"), col("e")).as("empty"),
+        call_function("int8_packed_dot", col("a"), col("a")).as("self"))
+      .collect()(0)
+    assert(d.isNullAt(0))
+    assert(d.getLong(1) === 0L)
+    assert(d.getLong(2) === 5L) // 1*1 + 2*2
+  }
+
+  test("int8_pack and int8_packed_dot run inside whole-stage codegen") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val df = Similarity.int8RerankTopKPacked(em)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the broadcast (query) side's projection sits under a
+    // BroadcastExchange outside any codegen span — the pin is that the
+    // CORPUS-side fused quantize+pack and the coarse dot run codegen'd, so
+    // assert SOME occurrence of each sits inside a `*(n)` span
+    def inSpan(needle: String): Boolean = plan.linesIterator
+      .filter(_.contains(needle))
+      .exists(l => """\*\(\d+\)""".r.findFirstIn(l).isDefined)
+    assert(plan.contains("int8_quant_pack"), plan.take(1000))
+    assert(inSpan("int8_quant_pack"),
+      plan.linesIterator.filter(_.contains("int8_quant_pack")).mkString("\n"))
+    assert(plan.contains("int8_packed_dot"), plan.take(1000))
+    assert(inSpan("int8_packed_dot"),
+      plan.linesIterator.filter(_.contains("int8_packed_dot")).mkString("\n"))
+  }
+
+  test("int8_quant_pack == HOF quantize + int8_pack, field for field, on " +
+    "the corpus; null/empty edges answer NULL") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val hof = em
+      .select(col("vec_id"),
+        transform(col("embedding"), _.cast("double")).as("e"))
+      .withColumn("scale", array_max(transform(col("e"), x => abs(x))) / 127.0)
+      .select(col("vec_id"), col("scale"),
+        call_function("int8_pack", transform(col("e"), x =>
+          when(col("scale") === 0.0, lit(0L))
+            .otherwise(floor(x / col("scale") + 0.5).cast("long")))).as("pk"))
+    val fused = em.select(col("vec_id"),
+      call_function("int8_quant_pack", col("embedding")).as("qp"))
+      .select(col("vec_id"), col("qp.scale").as("scale"), col("qp.codes").as("pk"))
+    val diff = fused.as("f").join(hof.as("h"), Seq("vec_id"))
+      .filter(not(col("f.scale") <=> col("h.scale"))
+        || not(col("f.pk") <=> col("h.pk"))).count()
+    assert(diff === 0)
+    assert(fused.count() > 0)
+    val edges = Seq(
+      (1L, Some(Array.empty[Float])),
+      (2L, None),
+      (3L, Some(Array(0.0f, 0.0f)))) // all-zero: scale 0, codes 0x0000
+      .toDF("vec_id", "embedding")
+      .select(col("vec_id"),
+        call_function("int8_quant_pack", col("embedding")).as("qp"))
+      .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+    assert(edges(1L).isEmpty && edges(2L).isEmpty)
+    val z = edges(3L).get.asInstanceOf[org.apache.spark.sql.Row]
+    assert(z.getDouble(0) === 0.0)
+    assert(z.getAs[Array[Byte]](1).toSeq === Seq(0.toByte, 0.toByte))
+  }
 }

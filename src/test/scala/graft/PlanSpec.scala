@@ -162,6 +162,29 @@ class PlanSpec extends SparkSpec {
         plan.take(1500))
   }
 
+  test("l48b: packed rerank ships NO array columns anywhere — codes are " +
+    "binary end to end, shuffles move scalars/heaps only") {
+    import org.apache.spark.sql.types.ArrayType
+    val df = lq("l48b_int8_rerank_packed")
+    df.collect()
+    // Stricter than l48's pin: the packed plan bans arrays not just from
+    // shuffles but from every BROADCAST side too (l48 broadcasts long-array
+    // codes; l48b's entire point is that the broadcast carries 1-byte-per-
+    // code binary). The coarse subtree must carry codes as BinaryType.
+    val shuffles = walkShuffles(df.queryExecution.executedPlan)
+    assert(shuffles.nonEmpty)
+    shuffles.foreach { attrs =>
+      val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty,
+        s"array columns ${arrays.map(_.name)} cross a shuffle in l48b")
+    }
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("int8_quant_pack"), plan.take(1500))
+    assert(plan.contains("int8_packed_dot"), plan.take(1500))
+    assert(plan.contains("partial_bounded_top_m"), plan.take(1500))
+  }
+
   test("l50/l51: exchanges are keyed on digests or doc ids — never on raw " +
     "span/bigram text") {
     for (q <- Seq("l50_span_dedup", "l51_bigram_fluency")) {
@@ -476,6 +499,9 @@ class PlanSpec extends SparkSpec {
       "d10_cross_join", "d36_scalar_subquery", "l05_cosine_topk",
       "l17_ann_ivf", "l21_tfidf_topk", "l28_domain_mix", "l31_boilerplate",
       "l37_ann_ivf_trained", "l44_lsh_recall_audit", "l48_int8_rerank",
+      // l48b: same broadcast-queries non-equi coarse join as l48, with
+      // the broadcast side byte-packed (strictly smaller than l48's)
+      "l48b_int8_rerank_packed",
       // l57's Σ√tokens is a broadcast 1-row total, the l28 shape;
       // l63's corpus total and per-word-share grids are the same
       // broadcast tiny-side crossJoins (1 row and |vocabulary| rows)
@@ -693,5 +719,112 @@ class PlanSpec extends SparkSpec {
     // as `*(n) HashAggregate` markers in the tree string.
     val plan = executedPlan(q("d02_pricing_summary"))
     assert("""\*\(\d+\)""".r.findFirstIn(plan).isDefined, plan.take(1500))
+  }
+
+  // ---------------------------------------------------------------------
+  // Streaming state-payload sweep (round-11 directive #6): the batch
+  // payload pins above assert that no document-scale column crosses a
+  // batch exchange; this is the same discipline held against the STATE
+  // STORE. For every stateful operator in each stream's micro-batch plan
+  // (dedupe, state-store save/restore, flatMapGroupsWithState), the rows
+  // flowing INTO it — key + buffer, i.e. what the state store persists and
+  // every micro-batch re-reads — must be digests/longs/bounded atoms only:
+  // no text, no token/char/embedding arrays. A text column in streaming
+  // state is worse than one in a batch shuffle — it is paid on every
+  // trigger for the state's whole lifetime.
+  // ---------------------------------------------------------------------
+
+  /** Run one micro-batch of `df` against a memory sink and return, for each
+    * stateful operator in the executed micro-batch plan, the attributes its
+    * state can persist: for dedupe operators that is the KEY only (the row
+    * passes through to the sink but the store keeps just key+timestamp —
+    * S11 deliberately dedupes full doc rows on a digest key); for
+    * aggregation saves/restores and flatMapGroupsWithState it is the rows
+    * the operator consumes (key + buffer / the grouped input). */
+  private def statefulInputs(df: DataFrame, mode: String)
+      : Seq[Seq[org.apache.spark.sql.catalyst.expressions.Attribute]] = {
+    import org.apache.spark.sql.execution.streaming.operators.stateful.{
+      BaseStreamingDeduplicateExec, StatefulOperator}
+    val name = s"state_pin_${statePinSeq.incrementAndGet()}"
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(mode).start()
+    try {
+      q.processAllAvailable()
+      val plan = q
+        .asInstanceOf[org.apache.spark.sql.execution.streaming.runtime.StreamingQueryWrapper]
+        .streamingQuery.lastExecution.executedPlan
+      val nodes = plan.collect {
+        case d: BaseStreamingDeduplicateExec => d.keyExpressions
+        case p if p.isInstanceOf[StatefulOperator] => p.children.flatMap(_.output)
+      }
+      assert(nodes.nonEmpty, "expected at least one stateful operator")
+      nodes
+    } finally q.stop()
+  }
+  private val statePinSeq = new java.util.concurrent.atomic.AtomicLong()
+
+  test("streaming state-payload sweep: S11-S18 stateful operators persist " +
+    "digests/longs/bounded atoms only - no text, token, or embedding arrays") {
+    import graft.streaming.StreamOps
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    val spark2 = spark
+    import spark2.implicits._
+    implicit val ctx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def doc(id: Long, text: String) = StreamOps.StreamDoc(id, text, t0)
+
+    // `h` (md5 hex), band/bucket longs, count buffers, and ≤2-word atom
+    // keys (S17's char pairs, S18's source) are legitimate state; document
+    // payloads and ANY array type (tokens, char splits, embeddings) are not.
+    val banned = Set("text", "toks", "embedding", "word", "cs", "b")
+    def check(label: String, df: DataFrame, mode: String): Unit =
+      statefulInputs(df, mode).foreach { attrs =>
+        val bad = attrs.filter(a => banned.contains(a.name) ||
+          a.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType])
+        assert(bad.isEmpty, s"$label: state payload carries " +
+          bad.map(a => s"${a.name}:${a.dataType.simpleString}").mkString(", ") +
+          s" in (${attrs.map(_.name).mkString(", ")})")
+      }
+
+    val corpus = Seq("a b c d e f g h" -> 1L).map(_.swap).toDF("doc_id", "text")
+
+    val in11 = MemoryStream[StreamOps.StreamDoc]
+    in11.addData(doc(1, "alpha beta gamma"), doc(2, "alpha beta gamma"))
+    check("S11", StreamOps.dedupDocuments(in11.toDF()), "append")
+
+    val in12 = MemoryStream[StreamOps.StreamDoc]
+    in12.addData(doc(1, "a b c d e f"), doc(2, "p q r s t u"))
+    check("S12", StreamOps.nearDupDocuments(in12.toDF()), "append")
+
+    val in13 = MemoryStream[StreamOps.StreamDoc]
+    in13.addData(doc(1, "alpha beta alpha"))
+    check("S13", StreamOps.cmsCounterStream(in13.toDF(), m = 64, d = 2),
+      "complete")
+
+    val in14 = MemoryStream[StreamOps.StreamVec]
+    in14.addData(StreamOps.StreamVec(1L,
+      Array(0.9f, -0.2f, 0.4f, 0.1f, -0.7f, 0.3f, -0.1f, 0.6f), t0))
+    check("S14", StreamOps.semanticDedupVectors(in14.toDF(),
+      planes = 4, dim = 8, tables = 2), "append")
+
+    val in15 = MemoryStream[StreamOps.StreamDoc]
+    in15.addData(doc(1, "the quick brown fox jumps over the lazy dog"))
+    check("S15", StreamOps.admitDocuments(in15.toDF(),
+      graft.llm.Dedup.bandIndex(corpus)), "append")
+
+    val in16 = MemoryStream[StreamOps.StreamSrcDoc]
+    in16.addData(StreamOps.StreamSrcDoc(1L, "one two three", "web", t0))
+    check("S16", StreamOps.budgetAdmit(in16.toDF(), budget = 100L), "append")
+
+    val in17 = MemoryStream[StreamOps.StreamDoc]
+    in17.addData(doc(1, "low lower lowest"))
+    check("S17", StreamOps.bpePairCountStream(in17.toDF()), "complete")
+
+    val in18 = MemoryStream[StreamOps.StreamDoc]
+    in18.addData(doc(1, "alpha beta gamma delta"))
+    val vocab = Seq("alpha beta").toDF("b")
+    check("S18", StreamOps.oovRateStream(
+      in18.toDF().withColumn("source", org.apache.spark.sql.functions.lit("web")),
+      vocab), "complete")
   }
 }
