@@ -64,6 +64,18 @@ object Bench {
       c.getTotalCompilationTime else -1L
   }
 
+  /** Cumulative stop-the-world GC time (all collectors). Round-12
+    * telemetry: l66's bimodal readings were sticky within a JVM session
+    * with flat jit_ms and calm sentinels — the remaining in-JVM suspect is
+    * collection pressure, and a per-query gc_ms delta answers "did GC eat
+    * the clock" from the artifact alone, the same way jit_ms answers it
+    * for the compiler. */
+  def gcMs: Long = {
+    import scala.jdk.CollectionConverters._
+    java.lang.management.ManagementFactory.getGarbageCollectorMXBeans.asScala
+      .map(_.getCollectionTime max 0L).sum
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.build("graft-bench")
@@ -106,11 +118,35 @@ object Bench {
     // sweeper flush) and the JIT time spent across its warm+timed window
     // (steady-state discipline predicts ~0 once warm; a big delta on a
     // TIMED run means the compiler ate the clock).
-    val results = order.map { n =>
+    // Round-12 finding: the recurring ≥2× readings with calm START/END
+    // sentinels (r11's l66 7.3 s, this round's l17–l20 4× stretch) carry
+    // flat jit_ms, ~0 gc_ms, and cc far from reserve — every in-JVM
+    // mechanism is instrumented away, leaving multi-minute HOST windows
+    // that start/end sentinels cannot see. Two time-resolved fields make
+    // that arbitration mechanical too:
+    //  - t_off: each query's wall-clock offset (sec since sequence start)
+    //    — elevated readings that are CONSECUTIVE IN TIME are one window,
+    //    not N plan regressions;
+    //  - d01_mid_k probes (min-of-2, no warm — the shape is hot) every
+    //    midEvery queries: an inflated probe brackets a degraded window
+    //    from inside the artifact. Probes are detail-file only and run
+    //    outside every query's timed region, so totals stay comparable.
+    val seqStart = System.nanoTime()
+    def tOff: Double = (System.nanoTime() - seqStart) / 1e9
+    val midProbes = scala.collection.mutable.ArrayBuffer.empty[(String, Double, Double)]
+    val midEvery = 29
+    val results = order.zipWithIndex.map { case (n, i) =>
+      if (i > 0 && i % midEvery == 0) {
+        val off = tOff
+        midProbes += ((s"d01_mid_${i / midEvery}",
+          math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")), off))
+      }
+      val off = tOff
       val j0 = jitMs
+      val g0 = gcMs
       runOnce(n)
       val (a, b) = (runOnce(n), runOnce(n))
-      (n, math.min(a, b), math.max(a, b), codeCacheUsedMb, jitMs - j0)
+      (n, math.min(a, b), math.max(a, b), codeCacheUsedMb, jitMs - j0, gcMs - g0, off)
     }
 
     // End-of-sequence sentinel: d01 re-timed AFTER the whole sequence. Read
@@ -118,9 +154,15 @@ object Bench {
     // any slow tail query is a real plan cost; inflated → JIT/code-cache
     // tail drift (the round-8 l41/l42 4× positional penalty), diagnosable
     // from artifacts alone. Detail-file only — it is a harness probe, not a
-    // query, and must not move the gated total.
+    // query, and must not move the gated total. Its jit_ms/gc_ms are the
+    // sentinel's OWN warm+timed window deltas (same contract as every
+    // queries{} entry — the run totals live in the jvm{} block).
+    val sentJit0 = jitMs
+    val sentGc0 = gcMs
     val sentinel = { runOnce("d01_scan_count");
       math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
+    val sentJitMs = jitMs - sentJit0
+    val sentGcMs = gcMs - sentGc0
 
     def r3(v: Double): String = "%.3f".formatLocal(java.util.Locale.US, v)
 
@@ -148,9 +190,11 @@ object Bench {
         val norm = hostNorm.fold(raw)(raw * _)
         s""","ratio":${r3(raw)},"ratio_norm":${r3(norm)}"""
       }
-    val detail = (results.map { case (k, mn, mx, ccMb, jMs) =>
-      s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs${ratios(k.split('_')(0), mn)}}""" } :+
-      s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)},"cc_mb":${r3(codeCacheUsedMb)},"jit_ms":${jitMs - jitStartMs}}""").mkString("{", ",", "}")
+    val detail = (results.map { case (k, mn, mx, ccMb, jMs, gMs, off) =>
+      s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"t_off":${r3(off)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs,"gc_ms":$gMs${ratios(k.split('_')(0), mn)}}""" } ++
+      midProbes.map { case (k, v, off) =>
+        s""""$k":{"min":${r3(v)},"max":${r3(v)},"t_off":${r3(off)}}""" } :+
+      s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)},"cc_mb":${r3(codeCacheUsedMb)},"jit_ms":$sentJitMs,"gc_ms":$sentGcMs}""").mkString("{", ",", "}")
     val totalMin = results.map(_._2).sum
     val totalMax = results.map(_._3).sum
     // Run-level compilation-state summary: cc_reserve_mb is what the JVM
@@ -160,7 +204,7 @@ object Bench {
     // reading is NOT code-cache overflow, look elsewhere.
     val ccPeakMb = (results.map(_._4) :+ ccStartMb).max
     val jvmMeta =
-      s""","jvm":{"cc_reserve_mb":${r3(codeCacheMaxMb)},"cc_start_mb":${r3(ccStartMb)},"cc_peak_mb":${r3(ccPeakMb)},"cc_end_mb":${r3(codeCacheUsedMb)},"jit_total_ms":${jitMs - jitStartMs},"seed":${seed.fold("null")(_.toString)}}"""
+      s""","jvm":{"cc_reserve_mb":${r3(codeCacheMaxMb)},"cc_start_mb":${r3(ccStartMb)},"cc_peak_mb":${r3(ccPeakMb)},"cc_end_mb":${r3(codeCacheUsedMb)},"jit_total_ms":${jitMs - jitStartMs},"gc_total_ms":${gcMs},"seed":${seed.fold("null")(_.toString)}}"""
     // SPARK_GRAFT_ONLY runs write a SEPARATE detail file: BENCH_DETAIL.json
     // is the full-sequence per-query record BASELINE.md points readers at
     // for regression arbitration — a 3-query dev iteration must never
@@ -172,14 +216,14 @@ object Bench {
       s"""{"metric":"total","min":${r3(totalMin)},"max":${r3(totalMax)},"unit":"sec","sf":"$sfDir"$jvmMeta,"queries":$detail}"""
         .getBytes("UTF-8"))
 
-    val qs = results.map { case (k, mn, _, _, _) =>
+    val qs = results.map { case (k, mn, _, _, _, _, _) =>
       "\"" + k.split('_')(0) + "\":" + r3(mn) }.mkString("{", ",", "}")
     // Compact normalized-gate summary on the printed line itself (the
     // full per-query ratios live in the detail file — the driver keeps
     // only the last 2000 chars of output, so this must stay small):
     // worst 5 normalized ratios + the count at or above 1.5x.
     val gate = if (baselineRows.isEmpty) "" else {
-      val normed = results.flatMap { case (k, mn, _, _, _) =>
+      val normed = results.flatMap { case (k, mn, _, _, _, _, _) =>
         val short = k.split('_')(0)
         baselineRows.get(short).filter(_ > 0).map { b =>
           short -> hostNorm.fold(mn / b)(mn / b * _) }

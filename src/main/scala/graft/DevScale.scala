@@ -42,6 +42,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("packed")) {
+      packedExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -190,25 +195,36 @@ object DevScale {
     * candidate-pair and near-dup-pair counts make any cross-replica
     * leakage visible: at constant occupancy, pairs should grow ~R×, not
     * R²×. */
-  private def embedExperiment(spark: org.apache.spark.sql.SparkSession,
-                              reps: Int): Unit = {
-    import graft.llm.{KnobSchedule, Similarity}
-    val dim = 64
+  /** The replica-isolated EMBEDDING transform shared by the embed and
+    * packed experiments: replica k applies a deterministic orthogonal
+    * transform (circular dimension shift by k + md5-derived sign flips),
+    * preserving every within-replica cosine exactly while scrambling
+    * cross-replica similarities toward zero. */
+  private val embedDim = 64
+  private def replicatedEmbeddings(spark: org.apache.spark.sql.SparkSession,
+                                   r: Int): DataFrame = {
     val base = Tables.load(spark, "/root/testdata/sf0.1", "embeddings")
-    val n1 = base.count()
     def signOf(k: Int, i: Int): Double = {
       val d = java.security.MessageDigest.getInstance("MD5")
         .digest(s"rep:$k:$i".getBytes("UTF-8"))
       if ((d(0) & 1) == 0) 1.0 else -1.0
     }
-    def replicated(r: Int): DataFrame = (0 until r).map { k =>
+    (0 until r).map { k =>
       base.select(
         (col("vec_id") + lit(k * 10000000L)).as("vec_id"),
-        array((0 until dim).map(i =>
-          (element_at(col("embedding"), ((i + k) % dim) + 1)
+        array((0 until embedDim).map(i =>
+          (element_at(col("embedding"), ((i + k) % embedDim) + 1)
             * lit(signOf(k, i))).cast("float")): _*).as("embedding"),
         col("label"))
     }.reduce(_ unionByName _)
+  }
+
+  private def embedExperiment(spark: org.apache.spark.sql.SparkSession,
+                              reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Similarity}
+    val dim = embedDim
+    val n1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").count()
+    def replicated(r: Int): DataFrame = replicatedEmbeddings(spark, r)
     val smallDir = "/tmp/graft_scale_embed_small"
     val bigDir = "/tmp/graft_scale_embed_big"
     replicated(1).write.mode("overwrite").parquet(s"$smallDir/embeddings.parquet")
@@ -233,5 +249,41 @@ object DevScale {
     run("1x control", smallDir, p1)
     run(s"${reps}x scheduled", bigDir, pR)
     run(s"${reps}x FIXED-KNOB control", bigDir, p1)
+  }
+
+  /** PACKED-RERANK scale-up (`runMain graft.DevScale R packed`) — the l48b
+    * claim measured at scale (round-12 directive #5): the byte-packed
+    * coarse pass reads 1 B/code vs array<long>'s 8 B + offsets, so its
+    * advantage should GROW with corpus size — the |Q|×N coarse scan is the
+    * term that scales, the m-row exact rerank is not. Both variants run on
+    * the SAME replica-isolated parquet at 1× and R× (queries grow with the
+    * corpus too — vec_id % 20 — so the coarse pass scales in both factors,
+    * exactly like a production store whose query log grows with its
+    * catalog). Printed speedup = unpacked/packed wall-clock at each scale;
+    * the 100 TB story holds if speedup(R×) ≥ speedup(1×). */
+  private def packedExperiment(spark: org.apache.spark.sql.SparkSession,
+                               reps: Int): Unit = {
+    import graft.llm.Similarity
+    val smallDir = "/tmp/graft_scale_packed_small"
+    val bigDir = "/tmp/graft_scale_packed_big"
+    replicatedEmbeddings(spark, 1)
+      .write.mode("overwrite").parquet(s"$smallDir/embeddings.parquet")
+    replicatedEmbeddings(spark, reps)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def em(dir: String) = Tables.load(spark, dir, "embeddings")
+    for ((tag, dir) <- Seq(("1x", smallDir), (s"${reps}x", bigDir))) {
+      val tU = BenchTiming.steadyOf(spark,
+        () => Similarity.int8RerankTopK(em(dir)))
+      val tP = BenchTiming.steadyOf(spark,
+        () => Similarity.int8RerankTopKPacked(em(dir)))
+      // value-identity spot check at every scale: the packed plan must
+      // return row-identical results, not just faster ones
+      val diff = Similarity.int8RerankTopK(em(dir))
+        .except(Similarity.int8RerankTopKPacked(em(dir))).count()
+      println(f"$tag%-6s unpacked(l48)=$tU%7.3f s  packed(l48b)=$tP%7.3f s  " +
+        f"speedup=${tU / tP}%5.2f  rowDiff=$diff")
+    }
   }
 }

@@ -27,6 +27,28 @@ import org.apache.spark.sql.types._
   */
 object Dedup {
 
+  /** Connected-components execution telemetry (round-12 directive #1a):
+    * l66's bimodal wall-clock (7.3 s vs 1.9 s on identical code+data)
+    * needed per-invocation evidence of WHICH algorithm the auto probe
+    * selected and WHERE the rounds spent their time — prose arbitration
+    * had run out. Every propagation/star round records its wall ms here;
+    * `nearDupClustersAuto` records the verdict. Dev probes read
+    * `CcLog.drain()` after an action; `GRAFT_DEBUG_CC=1` additionally
+    * prints each round as it completes. Zero overhead in the hot path
+    * beyond a few `System.nanoTime` calls per ROUND (not per row), and
+    * nothing reads it unless a harness asks. */
+  object CcLog {
+    final case class Round(algo: String, round: Int, changed: Long, ms: Double)
+    private val buf = scala.collection.mutable.ArrayBuffer.empty[Round]
+    @volatile var lastAlgo: String = ""
+    private[llm] def add(algo: String, round: Int, changed: Long, ms: Double): Unit = {
+      synchronized { buf += Round(algo, round, changed, ms) }
+      if (sys.env.contains("GRAFT_DEBUG_CC"))
+        println(f"[cc] $algo round $round changed=$changed ${ms}%.0f ms")
+    }
+    def drain(): Seq[Round] = synchronized { val r = buf.toList; buf.clear(); r }
+  }
+
   /** Exact duplicate groups: one row per distinct text, with the copy count
     * and the surviving (minimum) doc_id. The canonical "keep one copy"
     * compaction: group on md5(text) — the shuffle carries 32-byte digests,
@@ -464,9 +486,20 @@ object Dedup {
     * cheap label shuffles vs ~6 heavier stages PER star round). */
   def nearDupClustersAuto(pairs: DataFrame, probeRounds: Int = 6): DataFrame = {
     // One materialization shared by the probe and (if needed) the fallback
-    // — the pair generation upstream is usually the expensive subtree.
+    // — the pair generation upstream is usually the expensive subtree, so
+    // its materialization is timed into CcLog too ("ckpt" row): l66's
+    // round-12 diagnosis needed to split "pair generation slow" from
+    // "label loop slow" inside one invocation.
+    val t0 = System.nanoTime()
     val p = pairs.localCheckpoint()
-    propagateLabels(p, probeRounds).getOrElse(starContract(p, 48))
+    CcLog.add("ckpt", 0, -1L, (System.nanoTime() - t0) / 1e6)
+    val out = propagateLabels(p, probeRounds) match {
+      case Some(labels) => CcLog.lastAlgo = "propagate"; labels
+      case None         => CcLog.lastAlgo = "star"; starContract(p, 48)
+    }
+    if (sys.env.contains("GRAFT_DEBUG_CC"))
+      println(s"[cc] auto selected ${CcLog.lastAlgo}")
+    out
   }
 
   /** The min-label-propagation loop body over a PRE-MATERIALIZED pair
@@ -502,6 +535,7 @@ object Dedup {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
+      val tRound = System.nanoTime()
       // LAZY checkpoint + exact changed-count in ONE job: the count is the
       // first action over the checkpoint-marked RDD, so it materializes
       // (and persists) every partition as a side effect — an eager
@@ -521,8 +555,7 @@ object Dedup {
       iters += 1
       changed = next.filter(col("label") =!= col("prev")).count()
       labels = next.select(col("id"), col("label"))
-      if (sys.env.contains("GRAFT_DEBUG_CC"))
-        println(s"[cc] round $iters changed=$changed")
+      CcLog.add("propagate", iters, changed, (System.nanoTime() - tRound) / 1e6)
     }
     if (changed == 0)
       Some(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
@@ -589,6 +622,7 @@ object Dedup {
     var changed = 1L
     var iters = 0
     while (changed > 0 && iters < maxIters) {
+      val tRound = System.nanoTime()
       // large-star works on the symmetric view (every node sees ALL its
       // neighbors); emits (v, m) for strictly larger neighbors only —
       // output is canonical (v > m) by construction of m as a minimum
@@ -626,8 +660,7 @@ object Dedup {
       es = next
       esCount = nextCount
       esDigest = nextDigest
-      if (sys.env.contains("GRAFT_DEBUG_CC"))
-        println(s"[cc-star] round $iters changed=$changed")
+      CcLog.add("star", iters, changed, (System.nanoTime() - tRound) / 1e6)
     }
     require(changed == 0, s"star contraction did not converge in $maxIters rounds")
     // fixpoint = star forest: es is exactly (member, componentMin) for every

@@ -120,13 +120,12 @@ case class Int8QuantPack(child: Expression) extends UnaryExpression {
       if (a > maxAbs) maxAbs = a
       i += 1
     }
-    val scale = maxAbs / 127.0
+    val scale = Int8Quant.scaleOf(maxAbs)
     val out = new Array[Byte](n)
     i = 0
     while (i < n) {
       val v = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      out(i) =
-        if (scale == 0.0) 0 else math.floor(v / scale + 0.5).toLong.toByte
+      out(i) = Int8Quant.code(v, scale).toByte
       i += 1
     }
     new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
@@ -157,13 +156,11 @@ case class Int8QuantPack(child: Expression) extends UnaryExpression {
          |  if ($absV > $maxAbs) { $maxAbs = $absV; }
          |}
          |if (!${ev.isNull}) {
-         |  final double $scale = $maxAbs / 127.0;
+         |  final double $scale = ${Int8Quant.scaleCall}($maxAbs);
          |  final byte[] $out = new byte[$n];
          |  for (int $i = 0; $i < $n; $i++) {
          |    final double $v = $get;
-         |    $out[$i] = ($scale == 0.0)
-         |      ? (byte) 0
-         |      : (byte) ((long) Math.floor($v / $scale + 0.5));
+         |    $out[$i] = (byte) ${Int8Quant.codeCall}($v, $scale);
          |  }
          |  ${ev.value} = new $rowCls(new Object[] { $scale, $out });
          |}

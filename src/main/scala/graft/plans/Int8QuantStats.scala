@@ -79,7 +79,7 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
       if (a > maxAbs) maxAbs = a
       i += 1
     }
-    val scale = maxAbs / 127.0
+    val scale = Int8Quant.scaleOf(maxAbs)
     var cmin = Long.MaxValue
     var cmax = Long.MinValue
     var csum = 0L
@@ -87,7 +87,7 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
     i = 0
     while (i < n) {
       val v = if (elemFloat) arr.getFloat(i).toDouble else arr.getDouble(i)
-      val c = if (scale == 0.0) 0L else math.floor(v / scale + 0.5).toLong
+      val c = Int8Quant.code(v, scale)
       if (c < cmin) cmin = c
       if (c > cmax) cmax = c
       csum += c
@@ -129,15 +129,14 @@ case class Int8QuantStats(child: Expression) extends UnaryExpression {
          |  if ($absV > $maxAbs) { $maxAbs = $absV; }
          |}
          |if (!${ev.isNull} && $n > 0) {
-         |  final double $scale = $maxAbs / 127.0;
+         |  final double $scale = ${Int8Quant.scaleCall}($maxAbs);
          |  long $cmin = Long.MAX_VALUE;
          |  long $cmax = Long.MIN_VALUE;
          |  long $csum = 0L;
          |  double $err = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    final double $v = $get;
-         |    final long $c =
-         |      ($scale == 0.0) ? 0L : (long) Math.floor($v / $scale + 0.5);
+         |    final long $c = ${Int8Quant.codeCall}($v, $scale);
          |    if ($c < $cmin) { $cmin = $c; }
          |    if ($c > $cmax) { $cmax = $c; }
          |    $csum += $c;

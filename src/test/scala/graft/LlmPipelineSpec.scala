@@ -28,11 +28,13 @@ class LlmPipelineSpec extends SparkSpec {
 
   test("end-to-end curation: funnel -> keep-best dedup -> decontaminate -> " +
     "leakage-safe split -> pack -> mixture order") {
-    val tmp = java.nio.file.Files.createTempDirectory("graft_llm_e2e").toString
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_llm_e2e")
+    val tmp = tmpPath.toString
     def stage(df: DataFrame, name: String): DataFrame = {
       df.write.mode("overwrite").parquet(s"$tmp/$name")
       spark.read.parquet(s"$tmp/$name")
     }
+    try {
 
     val docs = Tables.load(spark, sf001, "documents")
     val n0 = docs.count()
@@ -144,5 +146,13 @@ class LlmPipelineSpec extends SparkSpec {
     val funnelN0 = TextAnalysis.curationFunnel(docs)
       .filter(col("stage") === 1).select("n_in").collect()(0).getLong(0)
     assert(funnelN0 === n0)
+    } finally {
+      // The six parquet stages are per-run scratch — delete them so
+      // repeated local runs don't accumulate temp directories.
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
   }
 }

@@ -566,6 +566,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("int8_quant_pack works in a streaming projection (l48b under a " +
+    "stream): packed codes match the batch expression row-for-row") {
+    // Round-12 directive #7: any future streaming rerank wants the packed
+    // codes representation; int8_quant_pack is a pure deterministic
+    // expression, so riding a stream projection must Just Work — this
+    // smoke test pins that no streaming-incompatible machinery (stateful
+    // ops, non-deterministic guards) ever creeps into the expression.
+    import StreamOps.StreamVec
+    def vec(id: Long, e: Array[Float]) =
+      StreamVec(id, e, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val rows = Seq(
+      vec(1, Array(0.5f, -1.0f, 0.25f, 0.0f)),
+      vec(2, Array(0.0f, 0.0f, 0.0f, 0.0f)),   // scale-0 guard
+      vec(3, Array(127.0f, -63.5f, 1.0f, -1.0f)))
+    val in = MemoryStream[StreamVec]
+    val packed = in.toDF().select(col("vec_id"),
+      call_function("int8_quant_pack", col("embedding")).as("qp"))
+      .select(col("vec_id"), col("qp.scale").as("scale"),
+        col("qp.codes").as("codes"))
+    val q = runToMemory(packed, "l48b_stream_out")
+    try {
+      in.addData(rows.take(2): _*); q.processAllAvailable()
+      in.addData(rows.drop(2): _*); q.processAllAvailable()
+      val streamed = spark.table("l48b_stream_out")
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getAs[Array[Byte]](2).toSeq)).toSet
+      val batch = rows.toDF()
+        .select(col("vec_id"),
+          call_function("int8_quant_pack", col("embedding")).as("qp"))
+        .select(col("vec_id"), col("qp.scale"), col("qp.codes"))
+        .collect().map(r => (r.getLong(0), r.getDouble(1),
+          r.getAs[Array[Byte]](2).toSeq)).toSet
+      assert(streamed === batch)
+      // the scale-0 vector packs to all-zero codes, not null/NaN
+      assert(streamed.exists { case (id, s, c) =>
+        id == 2L && s == 0.0 && c == Seq[Byte](0, 0, 0, 0) })
+    } finally q.stop()
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
