@@ -832,4 +832,85 @@ object TextAnalysis {
            4L, 'stopwords',  c3, c4) AS (stage, gate, n_in, n_out)""")
       .withColumn("dropped", col("n_in") - col("n_out"))
   }
+
+  /** Hashed-n-gram IMPORTANCE weights for domain-matched data selection —
+    * the DSIR shape (Xie et al. 2023, "Data Selection for Language Models
+    * via Importance Resampling"): featurize every document into hashed
+    * token-bigram buckets, estimate a bucket-probability model of the
+    * TARGET domain (`targetPred` rows) and of the corpus background, and
+    * score each document by how much more likely its features are under
+    * the target model. High-importance documents are the ones that "look
+    * like" the target domain; downstream selection is a threshold or
+    * top-k over the weight (the l64-style sweep pattern applies).
+    *
+    * Portability divergence from the paper, deliberate (the l51/l63
+    * rule): DSIR's log-likelihood-ratio Σ c_b·log(p_t[b]/p_s[b]) is not
+    * reproducible bit-for-bit across engines (log is not correctly
+    * rounded across libms), so the weight here is the RATIO of smoothed
+    * mean feature likelihoods
+    *   importance = [Σ_b c_b·(n_t[b]+1)] / (N_t+B)
+    *              ÷ [Σ_b c_b·(n_s[b]+1)] / (N_s+B)
+    * — the same "more target-like ⇒ larger" ordering signal, computed
+    * from INTEGER sums (exact, order-free) and exactly three correctly-
+    * rounded double divisions, so the DuckDB oracle reproduces every
+    * bit. Add-1 smoothing keeps unseen buckets finite, exactly as in the
+    * paper. Buckets come from md5 (md5Int32 % B — the portable hash).
+    *
+    * Scale: one exploded (doc_id, bucket) pass over the corpus (ints
+    * only — the bigram string dies inside the scan projection); the
+    * bucket model is B rows (broadcast), the totals one row (broadcast);
+    * the per-doc reduce is an integer-sum groupBy on doc_id. Nothing
+    * wider than (doc_id, bucket, count) ever crosses an exchange, and
+    * B bounds the model size regardless of corpus vocabulary. Integer
+    * headroom: num ≤ doc_len·max(n_t+1) — at 100 TB with B=4096 the
+    * per-doc sums stay well under 2^53 (the double-exact range) and
+    * under bigint by a wide margin. */
+  def importanceWeights(docs: DataFrame, targetPred: Column,
+                        nBuckets: Int = 256): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    // occurrences, not distinct features: DSIR's model is a distribution
+    // over feature OCCURRENCES, so repeated bigrams weigh repeatedly.
+    // ONE corpus pass reduces straight to (doc_id, tgt, bucket, c) cells
+    // (the l59 cell-table discipline, localCheckpointed because both the
+    // bucket model and the per-doc scorer read it): the expensive part is
+    // the tokenize + explode + per-bigram md5, and without the barrier
+    // Catalyst would re-run that whole scan once per consumer. The cell
+    // table is ints only, bounded by |docs| × min(doc_len, B) rows —
+    // far smaller than re-scanning the text corpus at any scale.
+    val cells = docs
+      .select(col("doc_id"), targetPred.as("tgt"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("tgt"),
+        explode(TextOps.bigramOccurrences(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"), col("tgt"),
+        pmod(TextOps.md5Int32(col("bg")), b).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      // lazy: the bucket-model broadcast is the first action over the
+      // cells and materializes the checkpoint as a side effect — an eager
+      // checkpoint here would pay a separate full-scan job (the CC-loop
+      // one-job-per-round discipline)
+      .localCheckpoint(eager = false)
+    val bucketStats = cells.groupBy(col("bucket")).agg(
+      sum(col("c")).as("n_s"),
+      sum(when(col("tgt"), col("c")).otherwise(lit(0L))).as("n_t"))
+    val totals = bucketStats.agg(
+      sum(col("n_s")).as("ns_tot"), sum(col("n_t")).as("nt_tot"))
+    val perDoc = cells
+      .join(broadcast(bucketStats), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * (col("n_t") + lit(1L))).as("num"),
+        sum(col("c") * (col("n_s") + lit(1L))).as("den"),
+        sum(col("c")).as("n_feat"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(totals))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        (coalesce(col("num"), lit(0L)).cast(DoubleType)
+          / (col("nt_tot") + b).cast(DoubleType)).as("t_score"),
+        (coalesce(col("den"), lit(0L)).cast(DoubleType)
+          / (col("ns_tot") + b).cast(DoubleType)).as("s_score"))
+      .withColumn("importance",
+        when(col("n_feat") > 0, col("t_score") / col("s_score")))
+  }
 }

@@ -1844,6 +1844,53 @@ object LlmDeclared {
         CAST((sz - 1) * COUNT(*) AS BIGINT) AS n_removable
       FROM cs GROUP BY sz ORDER BY cluster_size"""))
 
+  /** L67 — hashed-n-gram importance weights (DSIR-style domain-matched
+    * selection, Xie et al. 2023): score every document by the ratio of
+    * its smoothed mean feature likelihood under the TARGET domain model
+    * (here lang = 'en' — "select documents that look like the English
+    * reference corpus") vs the corpus background model, over B = 256
+    * md5-hashed token-bigram buckets. Integer bucket sums + exactly
+    * three correctly-rounded double divisions — no log (the l51/l63
+    * cross-libm rule), so the oracle reproduces every bit. */
+  private val l67 = DeclaredQuery(
+    "l67_importance_weights",
+    (s, dir) => TextAnalysis.importanceWeights(
+        t(s, dir, "documents"), col("lang") === "en")
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, source, lang,
+              string_split(text, ' ') AS toks FROM documents),
+      occ AS (SELECT doc_id, (lang = 'en') AS tgt,
+               ('0x' || substr(md5(toks[CAST(i+1 AS INTEGER)] || ' ' ||
+                  toks[CAST(i+2 AS INTEGER)]), 1, 8))::BIGINT % 256 AS bucket
+              FROM (SELECT doc_id, lang, toks, unnest(range(len(toks) - 1)) AS i
+                    FROM t WHERE len(toks) >= 2)),
+      bs AS (SELECT bucket, COUNT(*) AS n_s,
+               SUM(CASE WHEN tgt THEN 1 ELSE 0 END) AS n_t
+             FROM occ GROUP BY bucket),
+      tot AS (SELECT CAST(SUM(n_s) AS BIGINT) AS ns_tot,
+               CAST(SUM(n_t) AS BIGINT) AS nt_tot FROM bs),
+      db AS (SELECT doc_id, bucket, COUNT(*) AS c FROM occ
+             GROUP BY doc_id, bucket),
+      sc AS (SELECT doc_id,
+               CAST(SUM(c * (n_t + 1)) AS BIGINT) AS num,
+               CAST(SUM(c * (n_s + 1)) AS BIGINT) AS den,
+               CAST(SUM(c) AS BIGINT) AS n_feat
+             FROM db JOIN bs USING (bucket) GROUP BY doc_id)
+      SELECT d.doc_id, d.source,
+        CAST(COALESCE(sc.n_feat, 0) AS BIGINT) AS n_feat,
+        CAST(COALESCE(sc.num, 0) AS DOUBLE)
+          / CAST(tot.nt_tot + 256 AS DOUBLE) AS t_score,
+        CAST(COALESCE(sc.den, 0) AS DOUBLE)
+          / CAST(tot.ns_tot + 256 AS DOUBLE) AS s_score,
+        CASE WHEN COALESCE(sc.n_feat, 0) > 0
+          THEN (CAST(COALESCE(sc.num, 0) AS DOUBLE)
+                  / CAST(tot.nt_tot + 256 AS DOUBLE))
+             / (CAST(COALESCE(sc.den, 0) AS DOUBLE)
+                  / CAST(tot.ns_tot + 256 AS DOUBLE))
+        END AS importance
+      FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, tot
+      ORDER BY d.doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -1851,5 +1898,5 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, d29)
+    l64, l65, l66, l67, d29)
 }

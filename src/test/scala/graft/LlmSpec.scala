@@ -1496,6 +1496,61 @@ class LlmSpec extends SparkSpec {
     assert(profile.agg(sum("n_docs")).head().getLong(0) === total)
   }
 
+  // ------------------------------------------------- importance weights (l67)
+
+  test("importanceWeights: target-alike docs outrank disjoint-vocab docs; " +
+    "featureless docs get null importance; n_feat conserves occurrences") {
+    // target corpus: two docs sharing a bigram vocabulary; eval docs: one
+    // that reuses the target bigrams exactly, one with a disjoint
+    // vocabulary. Importance must rank the reuser strictly above the
+    // stranger — that ordering IS the operator's contract; with B = 256
+    // and four distinct bigrams a collision flipping it would require
+    // md5 32-bit prefixes to collide mod 256 across chosen strings.
+    val d = Seq(
+      (1L, "alpha beta gamma", "t"),
+      (2L, "alpha beta delta", "t"),
+      (3L, "alpha beta gamma", "e"),
+      (4L, "zeta eta theta", "e"),
+      (5L, "solo", "e") // one token -> zero bigram features
+    ).toDF("doc_id", "text", "source")
+    val w = TextAnalysis.importanceWeights(d, col("source") === "t")
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(2), if (r.isNullAt(5)) None else Some(r.getDouble(5))))
+      .toMap
+    // occurrence conservation: n_feat sums to the corpus bigram count
+    assert(w.values.map(_._1).sum ===
+      Seq("alpha beta gamma", "alpha beta delta", "alpha beta gamma",
+        "zeta eta theta", "solo")
+        .map(t => math.max(0, t.split(" ").length - 1)).sum)
+    assert(w(5L) === ((0L, None))) // featureless -> null importance
+    val imp3 = w(3L)._2.get
+    val imp4 = w(4L)._2.get
+    assert(imp3 > imp4,
+      s"target-alike doc must outrank disjoint-vocab doc: $imp3 vs $imp4")
+    // hand-computed exact values (no bucket collisions among the four
+    // distinct bigrams, N_t = 4, N_s = 8, B = 256):
+    //   doc3: num = 1·(2+1) + 1·(1+1) = 5, den = 1·(3+1) + 1·(2+1) = 7
+    //   doc4: num = 1·1 + 1·1 = 2,        den = 1·2 + 1·2 = 4
+    //   importance = (num/(N_t+B)) / (den/(N_s+B))
+    // — absolute magnitudes sit below 1 here because the add-1 smoothing
+    // mass (B = 256 buckets) dwarfs this micro-corpus; the weight is an
+    // ORDERING signal, and only the ordering is the contract.
+    assert(math.abs(imp3 - (5.0 / 260.0) / (7.0 / 264.0)) < 1e-12)
+    assert(math.abs(imp4 - (2.0 / 260.0) / (4.0 / 264.0)) < 1e-12)
+  }
+
+  test("importanceWeights: corpus-level sanity at sf0.001 - en docs " +
+    "average above non-en when en is the target") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val w = TextAnalysis.importanceWeights(docs, col("lang") === "en")
+      .join(docs.select(col("doc_id"), col("lang")), "doc_id")
+    val means = w.filter(col("importance").isNotNull)
+      .groupBy(col("lang") === "en").agg(avg(col("importance")))
+      .collect().map(r => r.getBoolean(0) -> r.getDouble(1)).toMap
+    assert(means(true) > means(false),
+      s"en mean ${means(true)} must exceed non-en mean ${means(false)}")
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

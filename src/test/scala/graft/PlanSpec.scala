@@ -285,6 +285,15 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("l67: importance weights shuffle ints only — the bigram string " +
+    "dies inside the scan projection, before any exchange") {
+    // the operator's scale claim: nothing wider than (doc_id, bucket,
+    // count) crosses an exchange — the exploded bigram string (bg) must
+    // be consumed by the bucket hash in the same projection that made it
+    assertNoShufflePayload(lq("l67_importance_weights"),
+      Set("text", "toks", "bg"), "l67")
+  }
+
   test("l52: incremental dedup shuffles band hashes and doc ids only — " +
     "no text crosses an exchange, no pair self-join anywhere") {
     val plan = executedPlan(lq("l52_incremental_dedup"))
@@ -505,7 +514,9 @@ class PlanSpec extends SparkSpec {
       // l57's Σ√tokens is a broadcast 1-row total, the l28 shape;
       // l63's corpus total and per-word-share grids are the same
       // broadcast tiny-side crossJoins (1 row and |vocabulary| rows)
-      "l57_temperature_sample", "l63_vocab_drift")
+      "l57_temperature_sample", "l63_vocab_drift",
+      // l67: broadcast 1-row (N_t, N_s) totals crossJoin (the l28 shape)
+      "l67_importance_weights")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
