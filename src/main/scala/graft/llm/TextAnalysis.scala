@@ -868,6 +868,10 @@ object TextAnalysis {
   def importanceWeights(docs: DataFrame, targetPred: Column,
                         nBuckets: Int = 256): DataFrame = {
     val b = lit(nBuckets.toLong)
+    // self-scoring fuses model building and scoring over ONE cell table;
+    // the split importanceModel/importanceScore pair below is the
+    // incremental form (model corpus ≠ scored corpus) and is
+    // equivalence-tested against this fused body in LlmSpec
     // occurrences, not distinct features: DSIR's model is a distribution
     // over feature OCCURRENCES, so repeated bigrams weigh repeatedly.
     // ONE corpus pass reduces straight to (doc_id, tgt, bucket, c) cells
@@ -910,6 +914,83 @@ object TextAnalysis {
           / (col("nt_tot") + b).cast(DoubleType)).as("t_score"),
         (coalesce(col("den"), lit(0L)).cast(DoubleType)
           / (col("ns_tot") + b).cast(DoubleType)).as("s_score"))
+      .withColumn("importance",
+        when(col("n_feat") > 0, col("t_score") / col("s_score")))
+  }
+
+  /** The importance-weight BUCKET MODEL as a standalone, persistable
+    * table — the incremental half of l67 (the l52 band-index pattern):
+    * build the model ONCE on the reference corpus, persist it, then
+    * score every future crawl against it with `importanceScore` — no
+    * re-scan of the reference corpus per batch. Exactly B rows
+    * (the full bucket domain, zero-filled for buckets the corpus never
+    * hit, so scoring joins are total) with the two occurrence totals
+    * riding every row: (bucket, n_t, n_s, nt_tot, ns_tot). */
+  def importanceModel(docs: DataFrame, targetPred: Column,
+                      nBuckets: Int = 256): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val stats = docs
+      .select(col("doc_id"), targetPred.as("tgt"),
+        TextOps.tokens(col("text")).as("toks"))
+      .select(col("tgt"),
+        explode(TextOps.bigramOccurrences(col("toks"))).as("bg"))
+      .groupBy(pmod(TextOps.md5Int32(col("bg")), b).as("bucket"))
+      .agg(count(lit(1)).as("n_s"),
+        count(when(col("tgt"), 1)).as("n_t"))
+    val totals = stats.agg(
+      coalesce(sum(col("n_s")), lit(0L)).as("ns_tot"),
+      coalesce(sum(col("n_t")), lit(0L)).as("nt_tot"))
+    docs.sparkSession.range(nBuckets.toLong)
+      .select(col("id").as("bucket"))
+      .join(stats, Seq("bucket"), "left")
+      .select(col("bucket"),
+        coalesce(col("n_t"), lit(0L)).as("n_t"),
+        coalesce(col("n_s"), lit(0L)).as("n_s"))
+      .crossJoin(broadcast(totals))
+  }
+
+  /** Score a document batch against a PRE-BUILT `importanceModel` —
+    * same output schema and identical values to the fused
+    * `importanceWeights` when the model was built on the same corpus
+    * (LlmSpec pins the equivalence). Because every document is a single
+    * row, the per-doc reduce never spans batches: scoring a stream
+    * micro-batch by micro-batch through `foreachBatch` against a static
+    * model is EXACT, not approximate — the streaming deployment is this
+    * function, unchanged (StreamingSpec runs it under a MemoryStream).
+    * The model is B rows and broadcasts; per-batch work is one explode +
+    * two int aggs, nothing wider than (doc_id, bucket, count) shuffles. */
+  def importanceScore(docs: DataFrame, model: DataFrame,
+                      nBuckets: Int = 256): DataFrame = {
+    val b = lit(nBuckets.toLong)
+    val perDoc = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"),
+        explode(TextOps.bigramOccurrences(col("toks"))).as("bg"))
+      .groupBy(col("doc_id"),
+        pmod(TextOps.md5Int32(col("bg")), b).as("bucket"))
+      .agg(count(lit(1)).as("c"))
+      .join(broadcast(model), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * (col("n_t") + lit(1L))).as("num"),
+        sum(col("c") * (col("n_s") + lit(1L))).as("den"),
+        sum(col("c")).as("n_feat"),
+        // constants per model, carried through the agg so featureful rows
+        // need no second totals join (max = the constant, deterministic)
+        max(col("nt_tot")).as("nt_tot"), max(col("ns_tot")).as("ns_tot"))
+    docs.select(col("doc_id"), col("source"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .crossJoin(broadcast(
+        model.select(col("nt_tot"), col("ns_tot")).limit(1)
+          .withColumnRenamed("nt_tot", "nt_tot0")
+          .withColumnRenamed("ns_tot", "ns_tot0")))
+      .select(col("doc_id"), col("source"),
+        coalesce(col("n_feat"), lit(0L)).as("n_feat"),
+        (coalesce(col("num"), lit(0L)).cast(DoubleType)
+          / (coalesce(col("nt_tot"), col("nt_tot0")) + b).cast(DoubleType))
+          .as("t_score"),
+        (coalesce(col("den"), lit(0L)).cast(DoubleType)
+          / (coalesce(col("ns_tot"), col("ns_tot0")) + b).cast(DoubleType))
+          .as("s_score"))
       .withColumn("importance",
         when(col("n_feat") > 0, col("t_score") / col("s_score")))
   }

@@ -1539,6 +1539,21 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(imp4 - (2.0 / 260.0) / (4.0 / 264.0)) < 1e-12)
   }
 
+  test("importanceModel + importanceScore == fused importanceWeights " +
+    "(the incremental split is value-identical to the declared op)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val model = TextAnalysis.importanceModel(docs, col("lang") === "en")
+    // the model is the FULL bucket domain (scoring joins are total) with
+    // constant totals on every row
+    assert(model.count() === 256L)
+    assert(model.select("nt_tot", "ns_tot").distinct().count() === 1L)
+    val composed = TextAnalysis.importanceScore(docs, model)
+    val fused = TextAnalysis.importanceWeights(docs, col("lang") === "en")
+    // identical integer sums and identical division order -> bit-equal
+    // doubles, so exact except() in both directions
+    assert(composed.except(fused).isEmpty && fused.except(composed).isEmpty)
+  }
+
   test("importanceWeights: corpus-level sanity at sf0.001 - en docs " +
     "average above non-en when en is the target") {
     val docs = Tables.load(spark, sf001, "documents")

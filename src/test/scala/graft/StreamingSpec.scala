@@ -605,6 +605,56 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("importanceScore under foreachBatch: streaming crawl scoring " +
+    "against a static target model is exact and batch-split independent") {
+    // The l67 deployment shape: the bucket model is built ONCE on a
+    // reference corpus (static), each arriving crawl batch is scored
+    // against it. A document is one row, so per-doc scoring never spans
+    // micro-batches — foreachBatch scoring must equal batch scoring of
+    // the drained input EXACTLY, however the stream is split.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.TextAnalysis
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val reference = Seq(
+      (101L, "alpha beta gamma alpha beta", "ref", "en"),
+      (102L, "delta epsilon zeta", "ref", "fr"),
+      (103L, "alpha beta delta", "ref", "en"))
+      .toDF("doc_id", "text", "source", "lang")
+    val model = TextAnalysis.importanceModel(reference, col("lang") === "en")
+      .localCheckpoint() // static table, as a persisted model would be
+    val crawl = Seq(
+      d(1, "alpha beta gamma", "crawl"),
+      d(2, "delta epsilon zeta", "crawl"),
+      d(3, "alpha beta", "crawl"),
+      d(4, "solo", "crawl"))
+    val got = scala.collection.mutable.Buffer[(Long, Long, Option[Double])]()
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        TextAnalysis.importanceScore(batch, model).collect().foreach { r =>
+          got.synchronized { got += ((r.getLong(0), r.getLong(2),
+            if (r.isNullAt(5)) None else Some(r.getDouble(5)))) }
+        }
+      }.start()
+    try {
+      in.addData(crawl.take(2): _*); q.processAllAvailable()
+      in.addData(crawl.drop(2): _*); q.processAllAvailable()
+      val batchRows = TextAnalysis.importanceScore(crawl.toDF(), model)
+        .collect().map(r => (r.getLong(0), r.getLong(2),
+          if (r.isNullAt(5)) None else Some(r.getDouble(5)))).toSet
+      assert(got.synchronized(got.toSet) === batchRows)
+      // the target-alike crawl doc outranks the one built from the
+      // non-target (fr) doc's bigrams — under add-1 occurrence
+      // smoothing, only source-side mass drives the ratio below the
+      // corpus constant; the featureless doc scores null
+      val byId = got.synchronized(
+        got.map { case (k, v, i) => k -> ((v, i)) }.toMap)
+      assert(byId(1L)._2.get > byId(2L)._2.get)
+      assert(byId(4L) === ((0L, None)))
+    } finally q.stop()
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
