@@ -722,6 +722,84 @@ object Dedup {
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
   }
 
+  /** Cross-source NEAR-DUP matrix — l49's question asked of the verified
+    * near-duplicate pair graph instead of raw shingle overlap: for every
+    * (unordered) source pair, how many near-dup DOCUMENT pairs connect
+    * them and how many distinct documents those pairs touch. The diagonal
+    * (src_a = src_b) is intra-source duplication — in real crawls most of
+    * the dup mass — and off-diagonal cells are the re-post/mirror edges
+    * that make naive per-source mixture weights double-count. l49 says
+    * "these sources share text"; this says "these sources share whole
+    * near-duplicate documents", the unit a dedup apply actually removes.
+    *
+    * Scale: pair generation is jaccardPairs' story (inverted index, digest
+    * shuffles, `maxDocFreq` skew guard at real scale — or feed
+    * minhashNearDups' pairs, any (doc_a, doc_b) frame works). Labeling is
+    * two id-keyed joins against an (id, source) projection — ids and short
+    * strings only; AQE broadcasts the pair side when it is small. The
+    * matrix itself folds in one lineage: explode each pair into its two
+    * endpoints, one (src_a, src_b, doc) hash-agg dedups endpoint
+    * multiplicity, one ≤|sources|²-key agg emits the cells — no second
+    * pass over the pair graph, nothing to checkpoint. */
+  def nearDupSourceMatrix(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("sa")),
+        Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("sb")),
+        Seq("doc_b"))
+      .select(least(col("sa"), col("sb")).as("src_a"),
+        greatest(col("sa"), col("sb")).as("src_b"),
+        explode(array(col("doc_a"), col("doc_b"))).as("d"))
+      .groupBy(col("src_a"), col("src_b"), col("d"))
+      .agg(count(lit(1)).as("m"))
+      .groupBy(col("src_a"), col("src_b"))
+      // Σm counts each pair once per endpoint, so pairs = Σm / 2 — always
+      // even, the cast is exact
+      .agg((sum(col("m")) / 2).cast(LongType).as("n_pairs"),
+        count(lit(1)).as("n_docs"))
+  }
+
+  /** Per-source EFFECTIVE-TOKEN audit — "how much unique data do I
+    * actually have": per source, the doc and whitespace-token totals, the
+    * docs/tokens surviving a keep-one near-dup apply (canonical = the
+    * cluster's minimum doc_id, l30's rule; singletons survive), and the
+    * duplicated-token fraction. This is the table mixture planning reads
+    * INSTEAD of raw source sizes — a source that is 40% near-duplicate
+    * text contributes far fewer unique tokens than its byte count claims,
+    * and weighting by raw size over-samples it (see epochPlan for the
+    * budget-side consumer).
+    *
+    * Scale: cluster labeling is nearDupClustersAuto's story (label-only
+    * shuffles, lazy checkpoints); after it this is one id-keyed left join
+    * (token counts ride as one long) and one ≤|sources|-key hash-agg with
+    * map-side partials. The keep verdict is derived per row from
+    * (cluster_id, doc_id) alone — no per-cluster subquery, no window. */
+  def effectiveTokens(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val clusters = nearDupClustersAuto(pairs)
+    docs
+      .select(col("doc_id"), col("source"),
+        coalesce(TextOps.tokenCount(col("text")).cast(LongType), lit(0L))
+          .as("n_tok"))
+      .join(clusters, Seq("doc_id"), "left")
+      .withColumn("keep",
+        coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tok")).as("n_tokens"),
+        count(when(col("keep"), 1)).as("n_docs_kept"),
+        sum(when(col("keep"), col("n_tok")).otherwise(lit(0L)))
+          .as("n_tokens_kept"))
+      .select(col("source"), col("n_docs"), col("n_tokens"),
+        col("n_docs_kept"), col("n_tokens_kept"),
+        // one correctly-rounded division of two exact longs (cross-engine
+        // bit-equal); an all-null-text source has zero tokens -> null, not
+        // a DIVIDE_BY_ZERO stage failure under ANSI mode
+        when(col("n_tokens") > 0,
+          (col("n_tokens") - col("n_tokens_kept")).cast(DoubleType)
+            / col("n_tokens").cast(DoubleType)).as("dup_token_frac"))
+  }
+
   /** Dedup-threshold SENSITIVITY sweep — the knob-tuning table read
     * before fixing minJ: the full jaccard histogram of every
     * shingle-sharing pair (decile buckets, floor(j·10)) with the

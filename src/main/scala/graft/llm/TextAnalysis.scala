@@ -994,4 +994,121 @@ object TextAnalysis {
       .withColumn("importance",
         when(col("n_feat") > 0, col("t_score") / col("s_score")))
   }
+
+  /** Repetition-aware EPOCH planning (Muennighoff et al. 2023, "Scaling
+    * Data-Constrained Language Models"): given a total training token
+    * budget, allocate it across sources by the α = 1/2 temperature rule
+    * (l57's weights) and report, per source, how many EPOCHS of that
+    * source the allocation implies — alloc_s / tokens_s. The paper's
+    * finding is that value decays past ~4 epochs, so `over_repeated`
+    * flags every source whose allocation would cycle it more than
+    * `maxEpochs` times: the signal to either cap that source (and
+    * re-spread the surplus) or go get more data. Raw whitespace tokens
+    * feed the plan; pair with effectiveTokens to budget on UNIQUE tokens
+    * instead when dedup savings are material.
+    *
+    * Cross-engine exactness: weights are sqrt (IEEE correctly rounded,
+    * the l57 α = 1/2 rule), Σ√ folds sequentially in source order, and
+    * every derived column is a left-assoc chain of single multiplications
+    * and divisions on identical operands — the oracle spells the same
+    * chain, so every double matches bit-for-bit. Scale: one corpus-pass
+    * hash-agg to |sources| rows; everything after is tiny-table work on
+    * a broadcast 1-row total. A zero-token source has no trainable
+    * content and is dropped (the l62 degenerate-source rule). */
+  def epochPlan(docs: DataFrame, totalBudget: Long,
+                maxEpochs: Double = 4.0): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(coalesce(TextOps.tokenCount(col("text")).cast(LongType),
+        lit(0L))).as("n_tokens"))
+      .select(col("source"), col("n_tokens"),
+        sqrt(col("n_tokens").cast(DoubleType)).as("w"))
+      .localCheckpoint()
+    val tot = perSource.agg(
+      aggregate(
+        transform(sort_array(collect_list(struct(col("source"), col("w")))),
+          x => x.getField("w")),
+        lit(0.0), (acc, x) => acc + x).as("tw"))
+    val alloc = lit(totalBudget.toDouble) * col("w") / col("tw")
+    val epochs = alloc / col("n_tokens").cast(DoubleType)
+    perSource.filter(col("n_tokens") > 0)
+      .crossJoin(broadcast(tot))
+      .select(col("source"), col("n_tokens"),
+        (col("w") / col("tw")).as("mix_weight"),
+        alloc.as("alloc_tokens"),
+        epochs.as("epochs"),
+        (epochs > lit(maxEpochs)).as("over_repeated"))
+  }
+
+  /** Exact global rank (1-based, total order (score, doc_id)) WITHOUT a
+    * global sort — the l55 salt argument applied to a score axis: a
+    * fixed-width monotone quantization of the score is a PREFIX of the
+    * order key, so bucket-major (bucket, score, doc_id) order IS global
+    * (score, doc_id) order; bucket counts prefix-sum on a broadcast
+    * ≤`nBuckets`-row aggregate and a within-bucket row_number finishes
+    * the rank. No window ever sees more than one bucket's rows (skew is
+    * bounded by the score distribution over the fixed grid — production
+    * would plant sampled quantile boundaries instead of a fixed width;
+    * the fixed grid is what makes the oracle bit-reproducible). The
+    * decile is integer arithmetic on (rank, n_total) — one
+    * correctly-rounded division + floor, identical cross-engine.
+    * Null-scored docs (null text) carry no rankable signal and are
+    * dropped. */
+  private def exactRanks(d: DataFrame, score: Column, nBuckets: Int,
+                         scale: Double): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val b = d.select(col("doc_id"), score.as("score"))
+      .filter(col("score").isNotNull)
+      .withColumn("bkt",
+        least(floor(col("score") * scale).cast(IntegerType),
+          lit(nBuckets - 1)))
+    val prefixes = b.groupBy(col("bkt"))
+      .agg(count(lit(1)).as("bv"))
+      .withColumn("before_bkt",
+        coalesce(sum(col("bv")).over(
+          W.partitionBy(pmod(col("bkt"), lit(1))).orderBy(col("bkt"))
+            .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+      .select(col("bkt").as("p_bkt"), col("before_bkt"))
+    val nTotal = b.agg(count(lit(1)).as("n_total"))
+    val within = row_number().over(
+      W.partitionBy(col("bkt")).orderBy(col("score"), col("doc_id")))
+    b.join(broadcast(prefixes), col("bkt") === col("p_bkt"))
+      .withColumn("rank", col("before_bkt") + within)
+      .crossJoin(broadcast(nTotal))
+      .select(col("doc_id"), col("score"), col("rank"),
+        floor(((col("rank") - 1) * 10).cast(DoubleType)
+          / col("n_total").cast(DoubleType)).cast(LongType).as("decile"))
+  }
+
+  /** Per-document exact QUALITY RANK + decile of the l08 stopword ratio —
+    * the exact-quantile primitive threshold tuning needs ("drop the
+    * bottom decile") computed scalably: see exactRanks for why no global
+    * sort happens. stop_ratio ∈ [0, 1], so a 256-cell fixed grid
+    * (floor(ratio·256), top cell absorbing ratio = 1) is the monotone
+    * bucket key. */
+  def qualityRanks(docs: DataFrame): DataFrame =
+    exactRanks(quality(docs), col("stop_ratio"), 256, 256.0)
+      .withColumnRenamed("score", "stop_ratio")
+      .withColumnRenamed("rank", "q_rank")
+
+  /** Quality-SIGNAL agreement audit — the joint decile contingency of two
+    * independent per-doc quality signals (l08's stopword ratio vs mean
+    * token length): cell (i, j) counts docs in stopword-decile i and
+    * length-decile j. Signals that agree pile mass near a diagonal band;
+    * a flat table says the two filters select DIFFERENT documents and
+    * thresholding one does not subsume the other — the calibration check
+    * run before composing quality filters into a funnel (l32). Deciles
+    * are exactRanks' exact ranks (mean_tok_len ∈ [1, ~16] on whitespace
+    * text, grid width 1/16 over 256 cells, top cell absorbing the tail).
+    * Scale: two rank passes + one id-keyed join (three ints wide) + one
+    * ≤100-key agg. */
+  def signalAgreement(docs: DataFrame): DataFrame = {
+    val q = quality(docs)
+    val a = exactRanks(q, col("stop_ratio"), 256, 256.0)
+      .select(col("doc_id"), col("decile").as("stop_decile"))
+    val b = exactRanks(q, col("mean_tok_len"), 256, 16.0)
+      .select(col("doc_id"), col("decile").as("len_decile"))
+    a.join(b, Seq("doc_id"))
+      .groupBy(col("stop_decile"), col("len_decile"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
 }

@@ -1852,12 +1852,7 @@ object LlmDeclared {
     * md5-hashed token-bigram buckets. Integer bucket sums + exactly
     * three correctly-rounded double divisions — no log (the l51/l63
     * cross-libm rule), so the oracle reproduces every bit. */
-  private val l67 = DeclaredQuery(
-    "l67_importance_weights",
-    (s, dir) => TextAnalysis.importanceWeights(
-        t(s, dir, "documents"), col("lang") === "en")
-      .orderBy(col("doc_id")),
-    Some("""WITH t AS (SELECT doc_id, source, lang,
+  private val l67OracleSql = """WITH t AS (SELECT doc_id, source, lang,
               string_split(text, ' ') AS toks FROM documents),
       occ AS (SELECT doc_id, (lang = 'en') AS tgt,
                ('0x' || substr(md5(toks[CAST(i+1 AS INTEGER)] || ' ' ||
@@ -1889,7 +1884,203 @@ object LlmDeclared {
                   / CAST(tot.ns_tot + 256 AS DOUBLE))
         END AS importance
       FROM documents d LEFT JOIN sc ON d.doc_id = sc.doc_id, tot
-      ORDER BY d.doc_id"""))
+      ORDER BY d.doc_id"""
+
+  private val l67 = DeclaredQuery(
+    "l67_importance_weights",
+    (s, dir) => TextAnalysis.importanceWeights(
+        t(s, dir, "documents"), col("lang") === "en")
+      .orderBy(col("doc_id")),
+    Some(l67OracleSql))
+
+  /** L67b — the INCREMENTAL importance-weight pipeline (model built as a
+    * standalone persistable table, batch scored against it) composed over
+    * one corpus — value-identical to the fused l67 by construction (the
+    * l48b pattern: same oracle, different execution), so the same oracle
+    * SQL gates both. The split is what a production deployment runs: the
+    * reference-corpus model is built once and every future crawl batch is
+    * scored against it with no reference re-scan (StreamingSpec runs the
+    * scoring half under foreachBatch). */
+  private val l67b = DeclaredQuery(
+    "l67b_importance_incremental",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.importanceScore(docs,
+          TextAnalysis.importanceModel(docs, col("lang") === "en"))
+        .orderBy(col("doc_id"))
+    },
+    Some(l67OracleSql))
+
+  /** L68 — cross-source NEAR-DUP matrix: per unordered source pair, the
+    * count of verified near-duplicate document pairs (exact jaccard ≥ 0.5
+    * over 3-gram shingles) connecting them and the distinct documents
+    * those pairs touch. The diagonal is intra-source duplication; the
+    * off-diagonal cells are mirror/re-post edges (l49 measures shared
+    * TEXT; this measures shared near-dup DOCUMENTS, the unit a dedup
+    * apply removes). Oracle: the l02 pair graph joined to sources, one
+    * endpoint-explode, two GROUP BYs. */
+  private val l68 = DeclaredQuery(
+    "l68_neardup_source_matrix",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.nearDupSourceMatrix(docs,
+          Dedup.jaccardPairs(docs, n = 3, minJ = 0.5))
+        .orderBy(col("src_a"), col("src_b"))
+    },
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      lab AS (SELECT least(da.source, db.source) AS src_a,
+                greatest(da.source, db.source) AS src_b,
+                unnest([prs.doc_a, prs.doc_b]) AS d
+              FROM prs
+              JOIN documents da ON da.doc_id = prs.doc_a
+              JOIN documents db ON db.doc_id = prs.doc_b),
+      g AS (SELECT src_a, src_b, d, COUNT(*) AS m
+            FROM lab GROUP BY src_a, src_b, d)
+      SELECT src_a, src_b,
+        CAST(SUM(m) // 2 AS BIGINT) AS n_pairs,
+        CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM g GROUP BY src_a, src_b ORDER BY src_a, src_b"""))
+
+  /** L69 — per-source EFFECTIVE-TOKEN audit: docs/tokens surviving a
+    * keep-one near-dup apply (canonical = cluster-minimum doc_id, l30's
+    * rule) vs raw totals, with the duplicated-token fraction — the table
+    * mixture planning reads instead of raw source sizes. Oracle: the l16
+    * recursive closure + whitespace token counts + one GROUP BY. */
+  private val l69 = DeclaredQuery(
+    "l69_effective_tokens",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      Dedup.effectiveTokens(docs,
+          Dedup.jaccardPairs(docs, n = 3, minJ = 0.5))
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                UNION SELECT doc_b, doc_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      tok AS (SELECT doc_id, source,
+                COALESCE(CAST(len(string_split(text, ' ')) AS BIGINT), 0)
+                  AS n_tok
+              FROM documents),
+      k AS (SELECT tk.source, tk.n_tok,
+              (COALESCE(c.cluster_id, tk.doc_id) = tk.doc_id) AS keep
+            FROM tok tk LEFT JOIN clusters c USING (doc_id))
+      SELECT source,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+        CAST(SUM(CASE WHEN keep THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_kept,
+        CAST(SUM(CASE WHEN keep THEN n_tok ELSE 0 END) AS BIGINT)
+          AS n_tokens_kept,
+        CASE WHEN SUM(n_tok) > 0 THEN
+          CAST(SUM(n_tok) - SUM(CASE WHEN keep THEN n_tok ELSE 0 END)
+            AS DOUBLE) / CAST(SUM(n_tok) AS DOUBLE) END AS dup_token_frac
+      FROM k GROUP BY source ORDER BY source"""))
+
+  /** L70 — repetition-aware EPOCH plan (Muennighoff et al. 2023): the
+    * α = 1/2 temperature allocation of a 50k-token training budget with
+    * per-source implied epochs and the > 4-epoch over-repetition flag.
+    * Every double is the same left-assoc mul/div chain on both engines
+    * (sqrt weights, sequential Σ√ fold — the l57 exactness rules). */
+  private val l70 = DeclaredQuery(
+    "l70_epoch_plan",
+    (s, dir) => TextAnalysis.epochPlan(t(s, dir, "documents"),
+        totalBudget = 50000L)
+      .orderBy(col("source")),
+    Some("""WITH ps AS (SELECT source,
+              CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS BIGINT)
+                AS n_tokens
+            FROM documents GROUP BY source),
+      w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+            FROM ps),
+      tot AS (SELECT list_reduce(list(w ORDER BY source NULLS FIRST),
+                (a, b) -> a + b) AS tw FROM w)
+      SELECT source, n_tokens,
+        w / tw AS mix_weight,
+        50000.0 * w / tw AS alloc_tokens,
+        50000.0 * w / tw / CAST(n_tokens AS DOUBLE) AS epochs,
+        50000.0 * w / tw / CAST(n_tokens AS DOUBLE) > 4.0 AS over_repeated
+      FROM w CROSS JOIN tot WHERE n_tokens > 0 ORDER BY source"""))
+
+  /** L71 — exact quality RANK + decile of the l08 stopword ratio with no
+    * global sort on the Spark side (salted bucket-prefix ranks, the l55
+    * argument on a score axis); oracle is the straight global
+    * row_number the Spark plan must reproduce exactly. */
+  private val l71 = DeclaredQuery(
+    "l71_quality_ranks",
+    (s, dir) => TextAnalysis.qualityRanks(t(s, dir, "documents"))
+      .orderBy(col("doc_id")),
+    Some(s"""WITH qsrc AS (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents),
+      q AS (SELECT doc_id,
+              CAST(len(list_filter(w, x -> list_contains(
+                ${duckList(TextAnalysis.stopwords("en"))}, x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS stop_ratio
+            FROM qsrc),
+      r AS (SELECT doc_id, stop_ratio,
+              row_number() OVER (ORDER BY stop_ratio, doc_id) AS rnk,
+              COUNT(*) OVER () AS n_total
+            FROM q WHERE stop_ratio IS NOT NULL)
+      SELECT doc_id, stop_ratio,
+        CAST(rnk AS BIGINT) AS q_rank,
+        CAST(FLOOR(CAST((rnk - 1) * 10 AS DOUBLE)
+          / CAST(n_total AS DOUBLE)) AS BIGINT) AS decile
+      FROM r ORDER BY doc_id"""))
+
+  /** L72 — quality-SIGNAL agreement: the joint decile contingency of the
+    * l08 stopword ratio vs mean token length (two independent quality
+    * signals), cell (i, j) = docs in stop-decile i and length-decile j —
+    * the calibration table read before composing quality filters into a
+    * funnel. Deciles on both sides are the same exact ranks as l71. */
+  private val l72 = DeclaredQuery(
+    "l72_signal_agreement",
+    (s, dir) => TextAnalysis.signalAgreement(t(s, dir, "documents"))
+      .orderBy(col("stop_decile"), col("len_decile")),
+    Some(s"""WITH qsrc AS (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents),
+      q AS (SELECT doc_id,
+              CAST(len(list_filter(w, x -> list_contains(
+                ${duckList(TextAnalysis.stopwords("en"))}, x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS stop_ratio,
+              CAST(length(text) - (len(w) - 1) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS mean_tok_len
+            FROM qsrc),
+      a AS (SELECT doc_id,
+              CAST(FLOOR(CAST((row_number() OVER (ORDER BY stop_ratio, doc_id)
+                - 1) * 10 AS DOUBLE) / CAST(COUNT(*) OVER () AS DOUBLE))
+                AS BIGINT) AS stop_decile
+            FROM q WHERE stop_ratio IS NOT NULL),
+      b AS (SELECT doc_id,
+              CAST(FLOOR(CAST((row_number() OVER (ORDER BY mean_tok_len,
+                doc_id) - 1) * 10 AS DOUBLE) / CAST(COUNT(*) OVER ()
+                AS DOUBLE)) AS BIGINT) AS len_decile
+            FROM q WHERE mean_tok_len IS NOT NULL)
+      SELECT stop_decile, len_decile, CAST(COUNT(*) AS BIGINT) AS n_docs
+      FROM a JOIN b USING (doc_id)
+      GROUP BY stop_decile, len_decile
+      ORDER BY stop_decile, len_decile"""))
 
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
@@ -1898,5 +2089,5 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, d29)
+    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, d29)
 }

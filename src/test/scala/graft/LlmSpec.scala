@@ -1566,6 +1566,144 @@ class LlmSpec extends SparkSpec {
       s"en mean ${means(true)} must exceed non-en mean ${means(false)}")
   }
 
+  // ------------------------------------------- cross-source near-dup matrix
+
+  /** Shared l68/l69 micro-fixture: near-dup cluster {1, 2} inside srcA,
+    * cluster {3, 4} straddling srcA/srcB, doc 5 a srcB singleton; every
+    * text is exactly 6 whitespace tokens. */
+  private def srcFixture = Seq(
+    (1L, "a b c d e f", "srcA"),
+    (2L, "a b c d e f", "srcA"),
+    (3L, "p q r s t u", "srcA"),
+    (4L, "p q r s t u", "srcB"),
+    (5L, "v w x y z zz", "srcB"))
+    .toDF("doc_id", "text", "source")
+
+  test("nearDupSourceMatrix: pairs land in the right unordered cells") {
+    val d = srcFixture
+    val got = Dedup.nearDupSourceMatrix(d, Dedup.jaccardPairs(d, n = 3, minJ = 0.5))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+      .toSet
+    // (1,2) is an intra-srcA pair touching 2 docs; (3,4) is the
+    // cross-source cell; doc 5 pairs with nothing and appears nowhere
+    assert(got === Set(
+      ("srcA", "srcA", 1L, 2L),
+      ("srcA", "srcB", 1L, 2L)))
+  }
+
+  test("nearDupSourceMatrix: cells total the pair graph (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, minJ = 0.5).localCheckpoint()
+    val m = Dedup.nearDupSourceMatrix(docs, pairs).localCheckpoint()
+    assert(m.agg(sum(col("n_pairs"))).first().getLong(0) === pairs.count())
+    assert(m.filter(col("src_a") > col("src_b")).isEmpty)
+  }
+
+  // ------------------------------------------------- effective-token audit
+
+  test("effectiveTokens: keep-one min-id rule, hand-computed totals") {
+    val d = srcFixture
+    val got = Dedup.effectiveTokens(d, Dedup.jaccardPairs(d, n = 3, minJ = 0.5))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+      .sortBy(_._1)
+    // srcA holds docs 1,2,3 — cluster {1,2} keeps 1, doc 3 is cluster
+    // {3,4}'s canonical: kept docs {1,3}. srcB holds 4 (loser to 3) and
+    // singleton 5: kept {5}.
+    assert(got.toSeq === Seq(
+      ("srcA", 3L, 18L, 2L, 12L, 6.0 / 18.0),
+      ("srcB", 2L, 12L, 1L, 6L, 6.0 / 12.0)))
+  }
+
+  test("effectiveTokens: reconciles with clusterSizeProfile (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val pairs = Dedup.jaccardPairs(docs, n = 3, minJ = 0.5).localCheckpoint()
+    val et = Dedup.effectiveTokens(docs, pairs).localCheckpoint()
+    val removable = Dedup.clusterSizeProfile(docs, pairs)
+      .agg(sum(col("n_removable"))).first().getLong(0)
+    assert(et.agg(sum(col("n_docs"))).first().getLong(0) === docs.count())
+    // docs removed by a keep-one apply == Σ (size-1) over clusters
+    val r = et.agg(sum(col("n_docs")), sum(col("n_docs_kept"))).first()
+    assert(r.getLong(0) - r.getLong(1) === removable)
+  }
+
+  // ------------------------------------------------------------ epoch plan
+
+  test("epochPlan: sqrt allocation, epochs, over-repetition flag") {
+    // srcS has 4 tokens, srcL has 16: w = 2 vs 4, tw = 6; budget 60 ->
+    // alloc 20/40 -> epochs 5.0/2.5 -> only the SMALL source over-repeats
+    // (the sqrt rule upweights small sources into repetition first).
+    val d = Seq(
+      (1L, "a b c d", "srcS"),
+      (2L, "e f g h", "srcL"),
+      (3L, "i j k l", "srcL"),
+      (4L, "m n o p", "srcL"),
+      (5L, "q r s t", "srcL"))
+      .toDF("doc_id", "text", "source")
+    val got = TextAnalysis.epochPlan(d, totalBudget = 60L)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getBoolean(5)))
+      .sortBy(_._1)
+    assert(got.toSeq === Seq(
+      ("srcL", 16L, 4.0 / 6.0, 40.0, 2.5, false),
+      ("srcS", 4L, 2.0 / 6.0, 20.0, 5.0, true)))
+  }
+
+  test("epochPlan: weights sum to 1, allocation spends the budget, " +
+    "epochs fall as source size grows (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val p = TextAnalysis.epochPlan(docs, totalBudget = 500000L).collect()
+    assert(math.abs(p.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    assert(math.abs(p.map(_.getDouble(3)).sum - 500000.0) < 1e-6)
+    p.foreach(r => assert(r.getBoolean(5) === (r.getDouble(4) > 4.0)))
+    // sqrt damping: strictly more epochs for strictly smaller sources
+    val bySize = p.sortBy(_.getLong(1))
+    bySize.sliding(2).foreach { case Array(a, b) =>
+      if (a.getLong(1) < b.getLong(1))
+        assert(a.getDouble(4) > b.getDouble(4))
+    }
+  }
+
+  // ------------------------------------------------------- exact ranks
+
+  test("qualityRanks: bucket-prefix rank == global sort rank, deciles " +
+    "partition the corpus near-evenly (sf0.001)") {
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("stop_ratio"), col("doc_id"))
+    val docs = Tables.load(spark, sf001, "documents")
+    val got = TextAnalysis.qualityRanks(docs).localCheckpoint()
+    val n = got.count()
+    // the salted two-level rank must equal the single-sort row_number
+    val want = TextAnalysis.quality(docs)
+      .filter(col("stop_ratio").isNotNull)
+      .select(col("doc_id"),
+        row_number().over(W).cast("long").as("want_rank"))
+    assert(got.join(want, "doc_id")
+      .filter(col("q_rank") =!= col("want_rank")).isEmpty)
+    // a permutation of 1..N
+    val mm = got.agg(min(col("q_rank")), max(col("q_rank")),
+      countDistinct(col("q_rank"))).first()
+    assert((mm.getLong(0), mm.getLong(1), mm.getLong(2)) === ((1L, n, n)))
+    // floor-rule deciles: sizes differ by at most one
+    val sizes = got.groupBy(col("decile")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 10 && sizes.max - sizes.min <= 1)
+  }
+
+  test("signalAgreement: cells total the corpus, deciles in range (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val cells = TextAnalysis.signalAgreement(docs).localCheckpoint()
+    val scored = TextAnalysis.quality(docs)
+      .filter(col("stop_ratio").isNotNull && col("mean_tok_len").isNotNull)
+      .count()
+    assert(cells.agg(sum(col("n_docs"))).first().getLong(0) === scored)
+    assert(cells.filter(col("stop_decile") < 0 || col("stop_decile") > 9 ||
+      col("len_decile") < 0 || col("len_decile") > 9).isEmpty)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))
