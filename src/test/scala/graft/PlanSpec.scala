@@ -373,15 +373,24 @@ class PlanSpec extends SparkSpec {
     // and l63's carries word atoms (the l56 shape) — tier 1 holds all
     // three to the document-payload ban everywhere. l61's shuffles carry
     // only ids/counts (token counting happens in the scan): tier 2.
+    // l68/l69 embed jaccardPairs (shingle atoms in the inverted index by
+    // design); their own downstream exchanges carry only sources, ids and
+    // counts — tier 1 holds them to the document-payload ban everywhere.
     val tier1 = Seq("l02_jaccard_pairs", "l16_dedup_clusters",
       "l27_containment_pairs", "l33_bloom_decontaminate",
       "l56_bpe_pair_counts", "l58_leakage_safe_split", "l59_oov_rate",
-      "l63_vocab_drift")
+      "l63_vocab_drift",
+      "l68_neardup_source_matrix", "l69_effective_tokens")
+    // l71/l72: quality scoring happens in the scan — every exchange
+    // carries only (id, score, bucket, count) scalars. l70 is not
+    // listed for the same reason l57 isn't: its Σ√ fold's weight column
+    // is literally named `w`, colliding with the banned token-array name.
     val tier2 = Seq(
       "l01_exact_dedup", "l03_minhash_lsh", "l04_simhash_pairs",
       "l10_fingerprints", "l24_decontaminate",
       "l46_dup_shingle_profile", "l49_source_overlap",
-      "l51_bigram_fluency", "l61_pack_efficiency")
+      "l51_bigram_fluency", "l61_pack_efficiency",
+      "l71_quality_ranks", "l72_signal_agreement")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -516,7 +525,13 @@ class PlanSpec extends SparkSpec {
       // broadcast tiny-side crossJoins (1 row and |vocabulary| rows)
       "l57_temperature_sample", "l63_vocab_drift",
       // l67: broadcast 1-row (N_t, N_s) totals crossJoin (the l28 shape)
-      "l67_importance_weights")
+      "l67_importance_weights",
+      // l67b: the model's broadcast totals row rides the same l28-shape
+      // crossJoins (B-row model itself joins by bucket equality);
+      // l70: broadcast 1-row Σ√tokens total (the l57 shape);
+      // l71/l72: broadcast 1-row n_total crossJoin for the decile
+      "l67b_importance_incremental", "l70_epoch_plan",
+      "l71_quality_ranks", "l72_signal_agreement")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
@@ -600,6 +615,30 @@ class PlanSpec extends SparkSpec {
       "a corpus window partitions on source alone:\n" + windows.mkString("\n"))
     assertNoShufflePayload(lq("l62_mixture_order"),
       Set("text", "toks"), "l62")
+  }
+
+  test("l71: exact ranks never globally sort the corpus — the rank window " +
+    "partitions on the score-grid bucket, not empty") {
+    // The operator's whole claim: rank = broadcast bucket prefix +
+    // within-bucket row_number, so NO corpus-wide single-partition sort
+    // exists. The only rangepartitioning exchange allowed is the declared
+    // output orderBy(doc_id); the rank window itself must partition on
+    // [bkt]. An unpartitioned corpus window (partition spec []) is the
+    // regression this pin exists to catch.
+    val plan = executedPlan(lq("l71_quality_ranks"))
+    val windows = plan.linesIterator.filter(_.contains("Window [")).toSeq
+    assert(windows.exists(l =>
+      "\\], \\[bkt#\\d+\\], \\[score#\\d+ ASC".r.findFirstIn(l).isDefined),
+      "rank window must partition on [bkt]:\n" + windows.mkString("\n"))
+    assert(!windows.exists(_.contains("], [], [")),
+      "an unpartitioned (global) window appeared:\n" + windows.mkString("\n"))
+    // exactly one range exchange: the declared output ordering, keyed on
+    // doc_id — none keyed on the score (a global score sort)
+    val ranges = plan.linesIterator
+      .filter(_.contains("rangepartitioning(")).toSeq
+    assert(ranges.forall(_.contains("doc_id")),
+      "a range exchange not keyed on doc_id (global score sort?):\n" +
+        ranges.mkString("\n"))
   }
 
   test("d41: salted agg shuffles on (user_id, salt) first, key alone second") {
