@@ -1090,6 +1090,43 @@ object TextAnalysis {
       .withColumnRenamed("score", "stop_ratio")
       .withColumnRenamed("rank", "q_rank")
 
+  /** Quality-vs-TOKEN-BUDGET tradeoff table — the filtering Pareto curve
+    * read before fixing a quality cutoff: per stopword-ratio decile
+    * (l71's exact deciles; higher ratio = more natural-language-like on
+    * this heuristic), the doc count and token mass in the decile, plus
+    * the cumulative token count and corpus fraction a filter KEEPING
+    * that decile and above would retain ("cutting below decile 3 keeps
+    * 82% of tokens"). The per-decile rows answer "where does the token
+    * mass live on the quality axis"; the cumulative column is the knob's
+    * direct cost readout.
+    *
+    * Scale: one exactRanks pass (no global sort — l71's story) joined
+    * id-to-id with the scan-side token counts (two longs wide), one
+    * ≤10-key hash-agg, and the cumulative window over those ≤10 rows
+    * (pmod single-partition intent, the l19/l65 rule). The fraction is
+    * one division of two exact longs per row. */
+  def qualityTokenTradeoff(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy(col("decile").desc)
+      .rowsBetween(W.unboundedPreceding, 0)
+    val wTot = W.partitionBy(pmod(col("decile"), lit(1)))
+    val toks = docs.select(col("doc_id"),
+      coalesce(TextOps.tokenCount(col("text")).cast(LongType), lit(0L))
+        .as("n_tok"))
+    exactRanks(quality(docs), col("stop_ratio"), 256, 256.0)
+      .select(col("doc_id"), col("decile"))
+      .join(toks, Seq("doc_id"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+      .withColumn("tokens_kept_at", sum(col("n_tokens")).over(wCum))
+      .withColumn("frac_kept_at",
+        col("tokens_kept_at").cast(DoubleType)
+          / sum(col("n_tokens")).over(wTot).cast(DoubleType))
+      .select(col("decile"), col("n_docs"), col("n_tokens"),
+        col("tokens_kept_at"), col("frac_kept_at"))
+  }
+
   /** Quality-SIGNAL agreement audit — the joint decile contingency of two
     * independent per-doc quality signals (l08's stopword ratio vs mean
     * token length): cell (i, j) counts docs in stopword-decile i and

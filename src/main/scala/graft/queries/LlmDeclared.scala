@@ -2082,6 +2082,40 @@ object LlmDeclared {
       GROUP BY stop_decile, len_decile
       ORDER BY stop_decile, len_decile"""))
 
+  /** L73 — quality-vs-token-budget TRADEOFF: per l71 quality decile, doc
+    * and token mass plus cumulative tokens (and corpus fraction) a filter
+    * keeping that decile and above retains — the Pareto table a quality
+    * cutoff is chosen from. Oracle: the l71 decile + token counts + a
+    * descending cumulative window. */
+  private val l73 = DeclaredQuery(
+    "l73_quality_token_tradeoff",
+    (s, dir) => TextAnalysis.qualityTokenTradeoff(t(s, dir, "documents"))
+      .orderBy(col("decile")),
+    Some(s"""WITH qsrc AS (SELECT doc_id, text, string_split(text, ' ') AS w
+              FROM documents),
+      q AS (SELECT doc_id,
+              COALESCE(CAST(len(w) AS BIGINT), 0) AS n_tok,
+              CAST(len(list_filter(w, x -> list_contains(
+                ${duckList(TextAnalysis.stopwords("en"))}, x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS stop_ratio
+            FROM qsrc),
+      r AS (SELECT doc_id, n_tok,
+              CAST(FLOOR(CAST((row_number() OVER (ORDER BY stop_ratio,
+                doc_id) - 1) * 10 AS DOUBLE) / CAST(COUNT(*) OVER ()
+                AS DOUBLE)) AS BIGINT) AS decile
+            FROM q WHERE stop_ratio IS NOT NULL),
+      g AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_docs,
+              CAST(SUM(n_tok) AS BIGINT) AS n_tokens
+            FROM r GROUP BY decile)
+      SELECT decile, n_docs, n_tokens,
+        CAST(SUM(n_tokens) OVER (ORDER BY decile DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS tokens_kept_at,
+        CAST(SUM(n_tokens) OVER (ORDER BY decile DESC
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE)
+          / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS frac_kept_at
+      FROM g ORDER BY decile"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2089,5 +2123,5 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, d29)
+    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, d29)
 }

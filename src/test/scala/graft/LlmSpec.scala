@@ -1704,6 +1704,40 @@ class LlmSpec extends SparkSpec {
       col("len_decile") < 0 || col("len_decile") > 9).isEmpty)
   }
 
+  test("epochPlan composed over keep-one survivors budgets on " +
+    "effectiveTokens' unique tokens") {
+    // the scaladoc'd composition: budget on UNIQUE tokens by feeding the
+    // plan the dedup survivors — its n_tokens column must equal
+    // effectiveTokens' n_tokens_kept per source
+    val d = srcFixture
+    val pairs = Dedup.jaccardPairs(d, n = 3, minJ = 0.5).localCheckpoint()
+    val et = Dedup.effectiveTokens(d, pairs)
+      .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
+    val kept = d.join(Dedup.nearDupClustersAuto(pairs), Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .select(col("doc_id"), col("text"), col("source"))
+    val plan = TextAnalysis.epochPlan(kept, totalBudget = 60L)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(plan === Map("srcA" -> 12L, "srcB" -> 6L))
+    assert(plan === et.filter(_._2 > 0))
+  }
+
+  test("qualityTokenTradeoff: suffix sums and kept fractions (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val rows = TextAnalysis.qualityTokenTradeoff(docs)
+      .orderBy(col("decile")).collect()
+    assert(rows.length === 10)
+    val total = rows.map(_.getLong(2)).sum
+    // keeping decile 0 and above keeps every token, fraction exactly 1
+    assert(rows.head.getLong(3) === total)
+    assert(rows.head.getDouble(4) === 1.0)
+    // the cumulative column IS the suffix-sum of per-decile masses
+    assert(rows.map(_.getLong(3)).toSeq ===
+      rows.map(_.getLong(2)).scanRight(0L)(_ + _).init.toSeq)
+    // the top decile keeps exactly its own mass
+    assert(rows.last.getLong(3) === rows.last.getLong(2))
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

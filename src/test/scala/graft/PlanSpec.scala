@@ -390,7 +390,8 @@ class PlanSpec extends SparkSpec {
       "l10_fingerprints", "l24_decontaminate",
       "l46_dup_shingle_profile", "l49_source_overlap",
       "l51_bigram_fluency", "l61_pack_efficiency",
-      "l71_quality_ranks", "l72_signal_agreement")
+      "l71_quality_ranks", "l72_signal_agreement",
+      "l73_quality_token_tradeoff")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -531,7 +532,8 @@ class PlanSpec extends SparkSpec {
       // l70: broadcast 1-row Σ√tokens total (the l57 shape);
       // l71/l72: broadcast 1-row n_total crossJoin for the decile
       "l67b_importance_incremental", "l70_epoch_plan",
-      "l71_quality_ranks", "l72_signal_agreement")
+      "l71_quality_ranks", "l72_signal_agreement",
+      "l73_quality_token_tradeoff")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
