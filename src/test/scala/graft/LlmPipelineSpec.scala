@@ -140,6 +140,40 @@ class LlmPipelineSpec extends SparkSpec {
       .filter(col("mx") =!= col("k") || col("dr") =!= col("k")).count()
     assert(badRanks === 0)
 
+    // stage 7 — budget planning over the train split (l69/l70/l73): the
+    // audits a pipeline runs before committing GPU-hours. Stage 2 removed
+    // every near-dup loser, so among the surviving canonicals NO pair can
+    // remain at the same threshold — the effective-token audit must
+    // certify zero duplicated tokens downstream (and exercises the
+    // empty-pair-graph path of the cluster machinery); the epoch plan
+    // budgets on exactly the train per-source token totals and spends the
+    // whole budget; the quality-token tradeoff accounts for every train
+    // token exactly once (same conservation rule as the packs).
+    val trainPairs = Dedup.jaccardPairs(trainDocs, n = 3, minJ = 0.5)
+      .localCheckpoint()
+    assert(trainPairs.isEmpty,
+      "near-dup pairs survived the dedup stage")
+    val audit = Dedup.effectiveTokens(trainDocs, trainPairs)
+    assert(audit.filter(col("n_tokens_kept") =!= col("n_tokens") ||
+      col("n_docs_kept") =!= col("n_docs")).isEmpty,
+      "effective-token audit found duplication after dedup")
+    val planBudget = 100000L
+    val plan = TextAnalysis.epochPlan(trainDocs, totalBudget = planBudget)
+      .localCheckpoint()
+    assert(math.abs(plan.agg(sum(col("alloc_tokens"))).first().getDouble(0)
+      - planBudget.toDouble) < 1e-6)
+    val perSrcTokens = trainDocs.groupBy(col("source"))
+      .agg(sum(coalesce(size(TextOps.tokens(col("text"))).cast("long"),
+        lit(0L))).as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    plan.collect().foreach { r =>
+      assert(r.getLong(1) === perSrcTokens(r.getString(0)),
+        s"epoch plan token total drifted for ${r.getString(0)}")
+    }
+    val pareto = TextAnalysis.qualityTokenTradeoff(trainDocs)
+    assert(pareto.agg(sum(col("n_tokens"))).first().getLong(0)
+      === trainTokens)
+
     // the funnel report is the pipeline's own audit trail: its stage-1
     // input count must equal the corpus size (report and lineage agree on
     // what entered the pipe).
