@@ -722,6 +722,25 @@ object Dedup {
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
   }
 
+  /** KEEP-ONE SURVIVORS — the canonical-per-cluster subset of the corpus
+    * (cluster-minimum doc_id wins, l30's rule; docs in no pair survive
+    * unchanged): the "unique data" view every dedup-adjusted downstream
+    * reads. Schema-preserving on the projected columns, so any corpus
+    * operator composes over it directly — effectiveTokens is its
+    * per-source audit, and epochPlan over it budgets on unique tokens
+    * (the l74 declared composition).
+    *
+    * Scale: cluster labeling is nearDupClustersAuto's story; the
+    * survivor filter is one id-keyed left join deciding keep from
+    * (cluster_id, doc_id) per row — no window, no anti-join (the losers
+    * set is never materialized). */
+  def keepOneSurvivors(docs: DataFrame, pairs: DataFrame): DataFrame = {
+    val cols = docs.columns.map(col).toSeq
+    docs.join(nearDupClustersAuto(pairs), Seq("doc_id"), "left")
+      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
+      .select(cols: _*)
+  }
+
   /** Cross-source NEAR-DUP matrix — l49's question asked of the verified
     * near-duplicate pair graph instead of raw shingle overlap: for every
     * (unordered) source pair, how many near-dup DOCUMENT pairs connect

@@ -1053,8 +1053,8 @@ object TextAnalysis {
     * correctly-rounded division + floor, identical cross-engine.
     * Null-scored docs (null text) carry no rankable signal and are
     * dropped. */
-  private def exactRanks(d: DataFrame, score: Column, nBuckets: Int,
-                         scale: Double): DataFrame = {
+  private[graft] def exactRanks(d: DataFrame, score: Column, nBuckets: Int,
+                                scale: Double): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
     val b = d.select(col("doc_id"), score.as("score"))
       .filter(col("score").isNotNull)

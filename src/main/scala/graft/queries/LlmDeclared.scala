@@ -2024,6 +2024,58 @@ object LlmDeclared {
         50000.0 * w / tw / CAST(n_tokens AS DOUBLE) > 4.0 AS over_repeated
       FROM w CROSS JOIN tot WHERE n_tokens > 0 ORDER BY source"""))
 
+  /** L74 — UNIQUE-TOKEN epoch plan: l70's budget allocation composed
+    * over the keep-one dedup survivors, so epochs are implied by each
+    * source's UNIQUE tokens (effectiveTokens' n_tokens_kept), not its
+    * raw size — a heavily-duplicated source stops hiding repetition
+    * behind its byte count. Oracle: the l16 closure selects survivors,
+    * then l70's allocation SQL verbatim over them. */
+  private val l74 = DeclaredQuery(
+    "l74_unique_token_epoch_plan",
+    (s, dir) => {
+      val docs = t(s, dir, "documents")
+      TextAnalysis.epochPlan(
+          Dedup.keepOneSurvivors(docs,
+            Dedup.jaccardPairs(docs, n = 3, minJ = 0.5)),
+          totalBudget = 50000L)
+        .orderBy(col("source"))
+    },
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      prs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM prs
+                UNION SELECT doc_b, doc_a FROM prs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      clusters AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+                   FROM reach GROUP BY a),
+      kept AS (SELECT d.source, d.text FROM documents d
+               LEFT JOIN clusters c USING (doc_id)
+               WHERE COALESCE(c.cluster_id, d.doc_id) = d.doc_id),
+      ps AS (SELECT source,
+              CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS BIGINT)
+                AS n_tokens
+            FROM kept GROUP BY source),
+      w AS (SELECT source, n_tokens, sqrt(CAST(n_tokens AS DOUBLE)) AS w
+            FROM ps),
+      tot AS (SELECT list_reduce(list(w ORDER BY source NULLS FIRST),
+                (a, b) -> a + b) AS tw FROM w)
+      SELECT source, n_tokens,
+        w / tw AS mix_weight,
+        50000.0 * w / tw AS alloc_tokens,
+        50000.0 * w / tw / CAST(n_tokens AS DOUBLE) AS epochs,
+        50000.0 * w / tw / CAST(n_tokens AS DOUBLE) > 4.0 AS over_repeated
+      FROM w CROSS JOIN tot WHERE n_tokens > 0 ORDER BY source"""))
+
   /** L71 — exact quality RANK + decile of the l08 stopword ratio with no
     * global sort on the Spark side (salted bucket-prefix ranks, the l55
     * argument on a score axis); oracle is the straight global
@@ -2123,5 +2175,5 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, d29)
+    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, d29)
 }

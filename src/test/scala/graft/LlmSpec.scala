@@ -1713,9 +1713,9 @@ class LlmSpec extends SparkSpec {
     val pairs = Dedup.jaccardPairs(d, n = 3, minJ = 0.5).localCheckpoint()
     val et = Dedup.effectiveTokens(d, pairs)
       .collect().map(r => r.getString(0) -> r.getLong(4)).toMap
-    val kept = d.join(Dedup.nearDupClustersAuto(pairs), Seq("doc_id"), "left")
-      .filter(coalesce(col("cluster_id"), col("doc_id")) === col("doc_id"))
-      .select(col("doc_id"), col("text"), col("source"))
+    val kept = Dedup.keepOneSurvivors(d, pairs)
+    assert(kept.select(col("doc_id")).collect().map(_.getLong(0)).sorted
+      === Array(1L, 3L, 5L))
     val plan = TextAnalysis.epochPlan(kept, totalBudget = 60L)
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(plan === Map("srcA" -> 12L, "srcB" -> 6L))

@@ -360,4 +360,31 @@ class PropertySpec extends SparkSpec {
       }
     }
   }
+
+  test("property: exactRanks' bucket-prefix rank equals the global sort " +
+    "rank on random tied/clustered score distributions") {
+    import spark.implicits._
+    // stress the monotone-prefix argument where it could break: exact
+    // bucket boundaries (k/256 lands ON a grid line), the capped top cell
+    // (score = 1.0 folds into bucket 255), and heavy ties (the within-
+    // bucket (score, doc_id) tiebreak carries the order)
+    val genScore: Gen[Double] = Gen.frequency(
+      (3, Gen.oneOf(0.0, 1.0, 0.5, 255.0 / 256.0)),
+      (3, Gen.chooseNum(0, 15).map(_ / 16.0)),
+      (4, Gen.chooseNum(0, 1 << 20).map(_ / (1 << 20).toDouble)))
+    Seq(7L, 11L).foreach { seed =>
+      val scores = sample(genScore, 400, seed)
+      val d = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }.toDF("doc_id", "sc")
+      val got = TextAnalysis.exactRanks(d, col("sc"), 256, 256.0)
+        .select(col("doc_id"), col("rank")).collect()
+        .map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val want = scores.zipWithIndex
+        .map { case (s, i) => (i.toLong, s) }
+        .sortBy { case (id, s) => (s, id) }
+        .zipWithIndex.map { case ((id, _), r) => id -> (r + 1).toLong }
+        .toMap
+      assert(got === want, s"seed=$seed")
+    }
+  }
 }
