@@ -1221,4 +1221,41 @@ object Dedup {
       .distinct()
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** EXCERPT-REMOVAL apply — the ASYMMETRIC dedup policy l27's
+    * containment pairs enable but symmetric keep-one can't express: drop
+    * every document whose shingle set is ≥ `minC` contained in another
+    * document's, keeping the supersets (quotes, excerpts and partial
+    * re-posts vanish; the fullest version of the content survives — the
+    * complement of jaccard dedup, which treats both members of an
+    * asymmetric pair as equals). Drop rule: doc A drops for pair (A, B)
+    * iff containment(A in B) ≥ minC AND A is the SMALLER side (fewer
+    * distinct shingles; equal sizes drop the larger doc_id). The rule is
+    * well-founded — each connected overlap group's maximal doc under
+    * (n_shingles, −doc_id) never drops, so a survivor always exists even
+    * under mutual containment (exact dups drop to the minimum id, the
+    * l01/l30 convention).
+    *
+    * Scale: pair generation is commonWithSizes' story (inverted index,
+    * posting-list pair streaming; at 100 TB apply the maxDocFreq guard
+    * upstream exactly as containmentPairs documents). The verdict is a
+    * per-row predicate over (na, nb, n_common) — no window, no second
+    * pass — and the loser set anti-joins the pre-digested corpus (the
+    * dedupApply shape: ids + 32-char digests only). */
+  def containmentDedupApply(docs: DataFrame, n: Int = 3,
+                            minC: Double = 0.9): DataFrame = {
+    val com = commonWithSizes(docs, n)
+    val losers = com
+      .select(col("doc_a"), col("na"), col("doc_b"), col("nb"),
+        col("n_common"))
+      .unionByName(com.select(col("doc_b").as("doc_a"),
+        col("nb").as("na"), col("doc_a").as("doc_b"),
+        col("na").as("nb"), col("n_common")))
+      .filter(col("n_common").cast(DoubleType) / col("na") >= minC &&
+        (col("na") < col("nb") ||
+          (col("na") === col("nb") && col("doc_a") > col("doc_b"))))
+      .select(col("doc_a").as("doc_id")).distinct()
+    docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
 }

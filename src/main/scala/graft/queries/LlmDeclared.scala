@@ -2076,6 +2076,35 @@ object LlmDeclared {
         50000.0 * w / tw / CAST(n_tokens AS DOUBLE) > 4.0 AS over_repeated
       FROM w CROSS JOIN tot WHERE n_tokens > 0 ORDER BY source"""))
 
+  /** L75 — excerpt-removal apply: asymmetric containment dedup — drop
+    * every doc ≥ 0.6-contained in another (smaller-side rule, equal
+    * sizes drop the larger id), keep the supersets. The declared minC
+    * matches l27's threshold so the fixture exercises real drops.
+    * Oracle: the l02 intersection table + the same directed predicate +
+    * an anti-join. */
+  private val l75 = DeclaredQuery(
+    "l75_containment_dedup",
+    (s, dir) => Dedup.containmentDedupApply(t(s, dir, "documents"),
+        n = 3, minC = 0.6)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      common AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+                 FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+                 GROUP BY x.doc_id, y.doc_id),
+      dirx AS (SELECT doc_a, doc_b, c FROM common
+               UNION ALL SELECT doc_b, doc_a, c FROM common),
+      losers AS (SELECT DISTINCT d.doc_a AS doc_id
+                 FROM dirx d
+                 JOIN sizes sa ON sa.doc_id = d.doc_a
+                 JOIN sizes sb ON sb.doc_id = d.doc_b
+                 WHERE CAST(c AS DOUBLE) / sa.n_sh >= 0.6
+                   AND (sa.n_sh < sb.n_sh OR
+                        (sa.n_sh = sb.n_sh AND d.doc_a > d.doc_b)))
+      SELECT doc_id, md5(text) AS text_md5 FROM documents
+      WHERE doc_id NOT IN (SELECT doc_id FROM losers)
+      ORDER BY doc_id"""))
+
   /** L71 — exact quality RANK + decile of the l08 stopword ratio with no
     * global sort on the Spark side (salted bucket-prefix ranks, the l55
     * argument on a score axis); oracle is the straight global
@@ -2175,5 +2204,5 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, d29)
+    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75, d29)
 }

@@ -1600,6 +1600,24 @@ class LlmSpec extends SparkSpec {
     assert(m.filter(col("src_a") > col("src_b")).isEmpty)
   }
 
+  // ---------------------------------------------------- excerpt removal
+
+  test("containmentDedupApply: excerpts drop, supersets and exact-dup " +
+    "min ids survive") {
+    val d = Seq(
+      (1L, "a b c d e f g h"), // superset — survives
+      (2L, "a b c d e"),       // all 3 shingles inside doc 1 — drops
+      (3L, "p q r s"),         // exact-dup pair: min id survives
+      (4L, "p q r s"),         // equal sizes, larger id — drops
+      (5L, "z1 z2 z3 z4"))     // shares nothing — survives
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentDedupApply(d, n = 3, minC = 0.9)
+      .select(col("doc_id")).collect().map(_.getLong(0)).sorted
+    // doc 1 survives because containment is ASYMMETRIC: 1-in-2 is only
+    // 3/6 = 0.5 — the fullest version of the content is kept
+    assert(got === Array(1L, 3L, 5L))
+  }
+
   // ------------------------------------------------- effective-token audit
 
   test("effectiveTokens: keep-one min-id rule, hand-computed totals") {

@@ -380,7 +380,8 @@ class PlanSpec extends SparkSpec {
       "l27_containment_pairs", "l33_bloom_decontaminate",
       "l56_bpe_pair_counts", "l58_leakage_safe_split", "l59_oov_rate",
       "l63_vocab_drift",
-      "l68_neardup_source_matrix", "l69_effective_tokens")
+      "l68_neardup_source_matrix", "l69_effective_tokens",
+      "l75_containment_dedup")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
