@@ -285,6 +285,24 @@ object Similarity {
       .withColumn("is_outlier", col("cent_sim") < minSim)
   }
 
+  /** Centroid-similarity OUTLIER RANKS — the embedding-plane form of the
+    * l71 exact-quantile primitive: every vector's exact global rank and
+    * decile under its centroid-cosine score (ties broken by vec_id),
+    * with NO global sort — decile 0 IS the "drop the bottom decile"
+    * set an embedding-quality filter removes, chosen by budget rather
+    * than l60's fixed threshold. Bucket key floor(cent_sim·128) is a
+    * monotone prefix of the (score, id) total order over cos ∈ [−1, 1]
+    * (≤257 grid cells, negative buckets included — the prefix table
+    * stays a broadcast aggregate); scoring inherits l60's
+    * no-array-shuffle story, ranking inherits l71's. */
+  def outlierRanks(vectors: DataFrame): DataFrame =
+    TextAnalysis.exactRanks(
+        centroidOutliers(vectors).withColumnRenamed("vec_id", "doc_id"),
+        col("cent_sim"), 256, 128.0)
+      .withColumnRenamed("doc_id", "vec_id")
+      .withColumnRenamed("score", "cent_sim")
+      .withColumnRenamed("rank", "sim_rank")
+
   /** Per-vector int8 scalar QUANTIZATION — the compression step of any
     * embedding store/ANN index at scale (4× smaller vectors, SIMD-friendly
     * integer distance kernels): scale = max|x|/127, code_i = ⌊x_i/scale +

@@ -1679,6 +1679,37 @@ object LlmDeclared {
       SELECT vec_id, label, cent_sim, cent_sim < 0.0 AS is_outlier
       FROM scored ORDER BY vec_id"""))
 
+  /** L76 — centroid-similarity outlier RANKS: the l71 exact-rank
+    * primitive on the embedding plane — every vector's exact global rank
+    * + decile under l60's centroid-cosine score, no global sort; decile
+    * 0 is the budgeted "drop the worst 10%" outlier set. Oracle: l60's
+    * scoring CTEs + a single row_number over (cent_sim, vec_id). */
+  private val l76 = DeclaredQuery(
+    "l76_outlier_ranks",
+    (s, dir) => Similarity.outlierRanks(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id")),
+    Some(s"""WITH c AS (SELECT label, pos,
+        SUM(CAST(round(CAST(embedding[CAST(pos + 1 AS INTEGER)] AS DOUBLE)
+                       * 1000000) AS BIGINT))
+          / (COUNT(*) * 1000000) AS centroid
+      FROM (SELECT label, embedding, unnest(range(len(embedding))) AS pos
+            FROM embeddings) x
+      GROUP BY label, pos),
+      ca AS (SELECT label, list(centroid ORDER BY pos) AS cent
+             FROM c GROUP BY label),
+      scored AS (SELECT e.vec_id,
+        ${duckCosine("e.embedding", "ca.cent")} AS cent_sim
+      FROM embeddings e JOIN ca USING (label)),
+      r AS (SELECT vec_id, cent_sim,
+              row_number() OVER (ORDER BY cent_sim, vec_id) AS rnk,
+              COUNT(*) OVER () AS n_total
+            FROM scored WHERE cent_sim IS NOT NULL)
+      SELECT vec_id, cent_sim,
+        CAST(rnk AS BIGINT) AS sim_rank,
+        CAST(FLOOR(CAST((rnk - 1) * 10 AS DOUBLE)
+          / CAST(n_total AS DOUBLE)) AS BIGINT) AS decile
+      FROM r ORDER BY vec_id"""))
+
   /** L61 — sequence-pack efficiency audit: per l19 pack, doc count,
     * exact token total, and fill rate vs the 2000-token budget (the
     * padding-waste table; fill > 1 = boundary straddle). */
@@ -2204,5 +2235,6 @@ object LlmDeclared {
     l31, l32, l33, l34, l35, l36, l37, l38, l39, l40,
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
-    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75, d29)
+    l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
+    l76, d29)
 }

@@ -1711,6 +1711,26 @@ class LlmSpec extends SparkSpec {
     assert(sizes.length === 10 && sizes.max - sizes.min <= 1)
   }
 
+  test("outlierRanks: embedding-plane exact ranks == global sort rank; " +
+    "decile 0 holds the worst centroid fit (sf0.001)") {
+    val W = org.apache.spark.sql.expressions.Window
+      .orderBy(col("cent_sim"), col("vec_id"))
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.outlierRanks(vecs).localCheckpoint()
+    val want = Similarity.centroidOutliers(vecs)
+      .select(col("vec_id"),
+        row_number().over(W).cast("long").as("want_rank"))
+    assert(got.join(want, "vec_id")
+      .filter(col("sim_rank") =!= col("want_rank")).isEmpty)
+    // decile sizes differ by at most one; the global minimum sits in
+    // decile 0 (the budgeted outlier set)
+    val sizes = got.groupBy(col("decile")).count()
+      .collect().map(_.getLong(1))
+    assert(sizes.length === 10 && sizes.max - sizes.min <= 1)
+    assert(got.orderBy(col("cent_sim")).limit(1)
+      .select(col("decile")).first().getLong(0) === 0L)
+  }
+
   test("signalAgreement: cells total the corpus, deciles in range (sf0.001)") {
     val docs = Tables.load(spark, sf001, "documents")
     val cells = TextAnalysis.signalAgreement(docs).localCheckpoint()

@@ -534,7 +534,8 @@ class PlanSpec extends SparkSpec {
       // l71/l72: broadcast 1-row n_total crossJoin for the decile
       "l67b_importance_incremental", "l70_epoch_plan",
       "l71_quality_ranks", "l72_signal_agreement",
-      "l73_quality_token_tradeoff", "l74_unique_token_epoch_plan")
+      "l73_quality_token_tradeoff", "l74_unique_token_epoch_plan",
+      "l76_outlier_ranks")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
