@@ -239,10 +239,14 @@ object DevScale {
           k = 3, planes = planes, dim = dim))
       val t39 = BenchTiming.steadyOf(spark, () =>
         Similarity.embeddingDedupApply(em(dir), minSim = 0.3, planes = planes))
+      // l76: rank machinery over the replicated corpus (centroids mix
+      // replicas — fine for a TIMING receipt, the plan shape is identical)
+      val t76 = BenchTiming.steadyOf(spark, () =>
+        Similarity.outlierRanks(em(dir)))
       // occupancy/isolation evidence: candidate pairs and near-dup pairs
       val pairs = Similarity.cosineNearDups(em(dir), minSim = 0.3,
         planes = planes, dim = dim).count()
-      println(f"$tag%-26s planes=$planes%2d  l06=$t06%7.3f s  l39=$t39%7.3f s  nearDupPairs=$pairs%7d")
+      println(f"$tag%-26s planes=$planes%2d  l06=$t06%7.3f s  l39=$t39%7.3f s  l76=$t76%7.3f s  nearDupPairs=$pairs%7d")
     }
     val p1 = KnobSchedule.lshPlanes(n1)
     val pR = KnobSchedule.lshPlanes(n1 * reps)
