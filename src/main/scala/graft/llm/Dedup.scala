@@ -1258,4 +1258,106 @@ object Dedup {
     docs.select(col("doc_id"), md5(col("text")).as("text_md5"))
       .join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** Corpus NOVELTY curve (Heaps'-law saturation audit) — per corpus
+    * decile in the content-independent md5(doc_id) order, the distinct
+    * n-gram shingles appearing in that decile, how many appear there for
+    * the FIRST time, the first-seen fraction, and the cumulative distinct
+    * vocabulary: the "is more crawl still adding new content" table read
+    * before paying for the next 10% of data. The md5 decile is a random
+    * permutation of the corpus (TextOps.splitBucket's discipline), so the
+    * curve is the unbiased expected-novelty-at-fraction-f estimate — the
+    * flattening of frac_new is Heaps-law saturation, and the marginal
+    * vocab per decile is the new-data value signal LLM52's incremental
+    * admission acts on at the document level.
+    *
+    * Scale: shingles become md5 digests in the scan projection and the
+    * decile is derivable per row (no rank, no sort, no join) — the only
+    * corpus-sized shuffles are the (digest, decile) distinct and the
+    * per-digest min agg, both digests+ints with map-side partials. The
+    * distinct cell table is localCheckpointed because both the seen and
+    * first-seen branches read it. Everything after is a ≤10-row table;
+    * the cumulative window runs over those rows (pmod single-partition
+    * intent, the l19/l65 rule). frac_new is one exact division. */
+  def noveltyCurve(docs: DataFrame, n: Int = 3): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy(col("decile"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cells = TextOps.docShingles(docs, n)
+      .select(md5(col("s")).as("h"),
+        floor(TextOps.splitBucket(col("doc_id")).cast(DoubleType) / 10.0)
+          .cast(LongType).as("decile"))
+      .distinct()
+      .localCheckpoint()
+    val seen = cells.groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_shingles_seen"))
+    val first = cells.groupBy(col("h"))
+      .agg(min(col("decile")).as("decile"))
+      .groupBy(col("decile"))
+      .agg(count(lit(1)).as("n_new_shingles"))
+    seen.join(first, Seq("decile"), "left")
+      .na.fill(0L, Seq("n_new_shingles"))
+      .withColumn("frac_new",
+        col("n_new_shingles").cast(DoubleType)
+          / col("n_shingles_seen").cast(DoubleType))
+      .withColumn("vocab_cumulative", sum(col("n_new_shingles")).over(wCum))
+      .select(col("decile"), col("n_shingles_seen"), col("n_new_shingles"),
+        col("frac_new"), col("vocab_cumulative"))
+  }
+
+  /** Source-overlap SKETCH audit — l49's pairwise source-Jaccard measured
+    * from per-source BOTTOM-K sketches (the k smallest 52-bit shingle
+    * hashes per source) instead of the full shingle inventory, with the
+    * exact l49 Jaccard and signed error alongside: the certification table
+    * read before trusting the sketch on a corpus where the exact pass is
+    * the expensive one. Estimator: with M = the k smallest of A ∪ B
+    * (computable from the two sketches alone), Ĵ = |M ∩ A ∩ B| / |M| —
+    * the standard bottom-k estimator; when |A ∪ B| ≤ k the sketch IS the
+    * set and Ĵ is exact by construction.
+    *
+    * Scale: the per-source sketch is `bounded_top_m` (plans.BoundedTopM)
+    * on the negated hash — map-side ≤k-entry heaps per source, the
+    * exchange carries |sources|·P serialized heaps, never a per-source
+    * window over the corpus-wide shingle set (the l48/l55 straggler
+    * shape). The sketch table is |sources|×k longs — persistable, and
+    * bottom-k merge is associative, so a new crawl batch extends it
+    * without re-scanning old sources (the l52 incremental discipline
+    * applied to the overlap measurement). Pair expansion happens on that
+    * tiny table only. Hashes are the first 13 md5 hex chars (52 bits —
+    * exactly representable in the aggregate's double score, so negation
+    * and selection are bit-exact cross-engine); the exact side reuses
+    * full-md5 distinct counts, so the reported error includes the 52-bit
+    * truncation's (negligible) collision contribution. */
+  def sourceSketchAudit(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
+    val srcSh = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
+    val hs = srcSh
+      .select(col("source"),
+        conv(substring(md5(col("s")), 1, 13), 16, 10).cast(LongType).as("h"))
+      .distinct()
+    val sketches = hs.groupBy(col("source"))
+      .agg(call_function("bounded_top_m",
+        negate(col("h").cast(DoubleType)), col("h"), lit(k)).as("tm"))
+      .select(col("source"),
+        transform(col("tm"), x => x.getField("id")).as("sk"))
+    val pairs = sketches.as("a")
+      .join(sketches.as("b"), col("a.source") < col("b.source"))
+      .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
+        col("a.sk").as("ska"), col("b.sk").as("skb"))
+      .withColumn("m",
+        slice(array_sort(array_union(col("ska"), col("skb"))), 1, k))
+      .select(col("src_a"), col("src_b"),
+        size(col("m")).cast(LongType).as("n_sketch"),
+        (size(array_intersect(array_intersect(col("m"), col("ska")),
+          col("skb"))).cast(DoubleType)
+          / size(col("m")).cast(DoubleType)).as("j_est"))
+    val exact = sourceOverlap(docs, n)
+      .select(col("src_a"), col("src_b"), col("jaccard").as("j_exact"))
+    pairs.join(exact, Seq("src_a", "src_b"), "left")
+      .na.fill(0.0, Seq("j_exact"))
+      .withColumn("err", col("j_est") - col("j_exact"))
+  }
 }

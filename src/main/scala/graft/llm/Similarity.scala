@@ -627,4 +627,44 @@ object Similarity {
     vectors.join(broadcast(losers), Seq("vec_id"), "left_anti")
       .select(col("vec_id"), col("label"))
   }
+
+  /** k-NN graph HUBNESS audit (Radovanović et al., JMLR 2010) — the
+    * in-degree distribution of the top-k neighbor graph over an
+    * md5-sampled query set: per in-degree value, how many corpus vectors
+    * are retrieved that often, plus the corpus fraction (in-degree 0 =
+    * vectors NO sampled query retrieves). High-dimensional embedding
+    * spaces concentrate retrieval onto a few "hub" vectors — a heavy
+    * right tail here warns that ANN-driven dedup/retrieval (l39, l48)
+    * will over-visit hubs and starve the antihub mass, the bias check run
+    * before trusting nearest-neighbor machinery on a new embedding model.
+    *
+    * Scale: the query sample is `samplePct` of the corpus by the
+    * content/layout-independent md5(vec_id) bucket (TextOps.splitBucket's
+    * discipline — the same sample on any engine), so the edge list is
+    * audit-sized: bruteForceTopK's broadcast-queries single corpus pass
+    * here; at 100 TB feed the same audit from l48's packed-rerank edges —
+    * it consumes any (qid, nid) edge list. After the edges everything is
+    * id-arithmetic: one count per nid, a ≤k·|Q|-bounded histogram agg,
+    * and the zero bin from two broadcast 1-row counts. */
+  def hubnessAudit(vectors: DataFrame, samplePct: Int = 20,
+                   k: Int = 5): DataFrame = {
+    val queries = vectors
+      .filter(graft.llm.TextOps.splitBucket(col("vec_id")) < samplePct)
+    val edges = bruteForceTopK(queries, vectors, k)
+    val deg = edges.groupBy(col("nid"))
+      .agg(count(lit(1)).as("in_degree"))
+    val hist = deg.groupBy(col("in_degree"))
+      .agg(count(lit(1)).as("n_vecs"))
+    val nCorpus = vectors.agg(count(lit(1)).as("n_corpus"))
+    val nHit = deg.agg(count(lit(1)).as("n_hit"))
+    val zero = nCorpus.crossJoin(broadcast(nHit))
+      .select(lit(0L).as("in_degree"),
+        (col("n_corpus") - col("n_hit")).as("n_vecs"))
+    hist.unionByName(zero)
+      .filter(col("n_vecs") > 0)
+      .crossJoin(broadcast(nCorpus))
+      .select(col("in_degree"), col("n_vecs"),
+        (col("n_vecs").cast(DoubleType)
+          / col("n_corpus").cast(DoubleType)).as("frac_vecs"))
+  }
 }

@@ -2228,6 +2228,112 @@ object LlmDeclared {
           / CAST(SUM(n_tokens) OVER () AS DOUBLE) AS frac_kept_at
       FROM g ORDER BY decile"""))
 
+  /** L77 — corpus NOVELTY curve (Heaps'-law saturation): per md5-order
+    * corpus decile, distinct shingles seen, first-seen count, first-seen
+    * fraction, and cumulative vocabulary — the "is more crawl still
+    * adding new content" audit. Oracle: the same md5(doc_id) decile and
+    * two grouped counts over the distinct (shingle, decile) cells. */
+  private val l77 = DeclaredQuery(
+    "l77_novelty_curve",
+    (s, dir) => Dedup.noveltyCurve(t(s, dir, "documents"))
+      .orderBy(col("decile")),
+    Some(s"""WITH $shingleCte,
+      cells AS (SELECT DISTINCT md5(s) AS h,
+          CAST(floor((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % 100) / 10.0) AS BIGINT) AS decile
+        FROM sh),
+      seen AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_shingles_seen
+               FROM cells GROUP BY decile),
+      fst AS (SELECT decile, CAST(COUNT(*) AS BIGINT) AS n_new_shingles
+              FROM (SELECT h, MIN(decile) AS decile FROM cells GROUP BY h)
+              GROUP BY decile)
+      SELECT s.decile, s.n_shingles_seen,
+        CAST(COALESCE(f.n_new_shingles, 0) AS BIGINT) AS n_new_shingles,
+        CAST(COALESCE(f.n_new_shingles, 0) AS DOUBLE)
+          / CAST(s.n_shingles_seen AS DOUBLE) AS frac_new,
+        CAST(SUM(COALESCE(f.n_new_shingles, 0)) OVER (ORDER BY s.decile
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+          AS vocab_cumulative
+      FROM seen s LEFT JOIN fst f USING (decile) ORDER BY decile"""))
+
+  /** L78 — source-overlap SKETCH audit: l49's pairwise source Jaccard
+    * estimated from per-source bottom-k (k = 128) hash sketches via the
+    * bounded_top_m aggregate, with the exact l49 Jaccard and signed error
+    * alongside. Oracle: per-source bottom-k by row_number, the same
+    * bottom-k-of-union estimator in list arithmetic, exact side from
+    * full-md5 distinct counts. */
+  private val l78 = DeclaredQuery(
+    "l78_source_sketch_audit",
+    (s, dir) => Dedup.sourceSketchAudit(t(s, dir, "documents"))
+      .orderBy(col("src_a"), col("src_b")),
+    Some(s"""WITH $shingleCte,
+      srcsh AS (SELECT DISTINCT d.source, sh.s
+                FROM sh JOIN documents d USING (doc_id)),
+      hs AS (SELECT DISTINCT source,
+               ('0x' || substr(md5(s), 1, 13))::BIGINT AS h FROM srcsh),
+      rk AS (SELECT source, h,
+               row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+             FROM hs),
+      sk AS (SELECT source, list(h ORDER BY h) AS sk
+             FROM rk WHERE rn <= 128 GROUP BY source),
+      sm AS (SELECT DISTINCT source, md5(s) AS hh FROM srcsh),
+      sizes AS (SELECT source, COUNT(*) AS ns FROM sm GROUP BY source),
+      com AS (SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS c
+              FROM sm a JOIN sm b ON a.hh = b.hh AND a.source < b.source
+              GROUP BY a.source, b.source),
+      est AS (SELECT a.source AS src_a, b.source AS src_b,
+          a.sk AS ska, b.sk AS skb,
+          (list_sort(list_distinct(a.sk || b.sk)))[1:128] AS m
+        FROM sk a JOIN sk b ON a.source < b.source)
+      SELECT e.src_a, e.src_b,
+        CAST(len(m) AS BIGINT) AS n_sketch,
+        CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+          / CAST(len(m) AS DOUBLE) AS j_est,
+        COALESCE(CAST(c AS DOUBLE)
+          / CAST(sa.ns + sb.ns - c AS DOUBLE), 0.0) AS j_exact,
+        CAST(len(list_intersect(list_intersect(m, ska), skb)) AS DOUBLE)
+          / CAST(len(m) AS DOUBLE)
+          - COALESCE(CAST(c AS DOUBLE)
+              / CAST(sa.ns + sb.ns - c AS DOUBLE), 0.0) AS err
+      FROM est e
+      LEFT JOIN com ON com.src_a = e.src_a AND com.src_b = e.src_b
+      JOIN sizes sa ON sa.source = e.src_a
+      JOIN sizes sb ON sb.source = e.src_b
+      ORDER BY e.src_a, e.src_b"""))
+
+  /** L79 — k-NN graph HUBNESS audit: in-degree distribution of the top-5
+    * neighbor graph over the 20% md5-sampled query set (in-degree 0 =
+    * never-retrieved vectors). Oracle: l05's exact-cosine machinery with
+    * the sample predicate, a rank-5 window, and two grouped counts. */
+  private val l79 = DeclaredQuery(
+    "l79_hubness_audit",
+    (s, dir) => Similarity.hubnessAudit(t(s, dir, "embeddings"))
+      .orderBy(col("in_degree")),
+    Some(s"""WITH sims AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          ${duckCosine("q.embedding", "c.embedding")} AS sim
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE ('0x' || substr(md5(q.vec_id::VARCHAR), 1, 8))::BIGINT
+          % 100 < 20),
+      top AS (SELECT qid, nid FROM (
+          SELECT qid, nid,
+            ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid)
+              AS rnk
+          FROM sims) r WHERE rnk <= 5),
+      deg AS (SELECT nid, COUNT(*) AS in_degree FROM top GROUP BY nid),
+      nc AS (SELECT COUNT(*) AS n_corpus FROM embeddings),
+      hist AS (
+        SELECT in_degree, CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM deg GROUP BY in_degree
+        UNION ALL
+        SELECT CAST(0 AS BIGINT),
+          (SELECT n_corpus FROM nc)
+            - (SELECT CAST(COUNT(*) AS BIGINT) FROM deg))
+      SELECT in_degree, n_vecs,
+        CAST(n_vecs AS DOUBLE)
+          / CAST((SELECT n_corpus FROM nc) AS DOUBLE) AS frac_vecs
+      FROM hist WHERE n_vecs > 0 ORDER BY in_degree"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2236,5 +2342,5 @@ object LlmDeclared {
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, d29)
+    l76, l77, l78, l79, d29)
 }

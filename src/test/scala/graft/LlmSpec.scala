@@ -1776,6 +1776,83 @@ class LlmSpec extends SparkSpec {
     assert(rows.last.getLong(3) === rows.last.getLong(2))
   }
 
+  test("noveltyCurve: mass conservation, first-decile novelty, layout " +
+    "independence (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val got = Dedup.noveltyCurve(docs).orderBy(col("decile"))
+      .localCheckpoint()
+    val rows = got.collect()
+    // every decile present is in [0, 9]; n_new <= n_seen per row
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) <= 9))
+    assert(rows.forall(r => r.getLong(2) <= r.getLong(1)))
+    // Σ n_new = corpus-wide distinct shingles; the last cumulative row
+    // equals that total (vocab is fully accounted for)
+    val totalDistinct = TextOps.docShingles(docs, 3)
+      .select(md5(col("s"))).distinct().count()
+    assert(rows.map(_.getLong(2)).sum === totalDistinct)
+    assert(rows.last.getLong(4) === totalDistinct)
+    // the earliest decile sees only new shingles: frac_new = 1.0 exactly
+    assert(rows.head.getLong(2) === rows.head.getLong(1))
+    assert(rows.head.getDouble(3) === 1.0)
+    // md5-decile assignment is content/layout independent: a repartition
+    // changes nothing
+    val re = Dedup.noveltyCurve(docs.repartition(7)).orderBy(col("decile"))
+    assert(got.exceptAll(re).isEmpty && re.exceptAll(got).isEmpty)
+  }
+
+  test("sourceSketchAudit: k >= union makes the estimate exact; sketch " +
+    "is the true bottom-k (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    // k larger than any source's shingle inventory: the sketch IS the
+    // set, M is the whole union, and the estimator must equal the exact
+    // Jaccard bit-for-bit
+    val exactK = Dedup.sourceSketchAudit(docs, n = 3, k = 1000000)
+    assert(exactK.filter(col("err") =!= 0.0).isEmpty)
+    // at k = 128 the sketch per source is exactly the 128 smallest
+    // distinct 52-bit hashes (cross-check bounded_top_m against a
+    // window-rank formulation)
+    val hs = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(TextOps.shinglesFromTokens(col("toks"), 3)).as("s"))
+      .select(col("source"),
+        conv(substring(md5(col("s")), 1, 13), 16, 10).cast("long").as("h"))
+      .distinct()
+    val W = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"))
+    val wantSk = hs.withColumn("rn", row_number().over(W))
+      .filter(col("rn") <= 128)
+      .groupBy(col("source"))
+      .agg(sort_array(collect_list(col("h"))).as("want"))
+    val gotSk = hs.groupBy(col("source"))
+      .agg(call_function("bounded_top_m",
+        negate(col("h").cast("double")), col("h"), lit(128)).as("tm"))
+      .select(col("source"),
+        transform(col("tm"), x => x.getField("id")).as("got"))
+    assert(gotSk.join(wantSk, "source")
+      .filter(col("got") =!= col("want")).isEmpty)
+    // the audit table itself: estimates in [0, 1], sketch size <= k
+    val audit = Dedup.sourceSketchAudit(docs, n = 3, k = 128)
+      .localCheckpoint()
+    assert(audit.filter(col("j_est") < 0.0 || col("j_est") > 1.0 ||
+      col("n_sketch") > 128).isEmpty)
+  }
+
+  test("hubnessAudit: vector and edge mass conservation (sf0.001)") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.hubnessAudit(vecs, samplePct = 20, k = 5)
+      .localCheckpoint()
+    val n = vecs.count()
+    val nQueries = vecs
+      .filter(TextOps.splitBucket(col("vec_id")) < 20).count()
+    // every corpus vector lands in exactly one in-degree bin
+    assert(got.agg(sum(col("n_vecs"))).first().getLong(0) === n)
+    // each query emits exactly k edges, so Σ degree·count = |Q|·k
+    assert(got.agg(sum(col("in_degree") * col("n_vecs"))).first()
+      .getLong(0) === nQueries * 5)
+    assert(got.filter(col("in_degree") < 0).isEmpty)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

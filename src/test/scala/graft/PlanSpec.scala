@@ -392,7 +392,12 @@ class PlanSpec extends SparkSpec {
       "l46_dup_shingle_profile", "l49_source_overlap",
       "l51_bigram_fluency", "l61_pack_efficiency",
       "l71_quality_ranks", "l72_signal_agreement",
-      "l73_quality_token_tradeoff")
+      "l73_quality_token_tradeoff",
+      // l77: shingles die into md5 digests in the scan projection; the
+      // two corpus-sized exchanges carry (digest, decile) ints only
+      // l78: sketch legs shuffle (source, 52-bit hash) and serialized
+      // bounded_top_m heaps; the exact leg is l49's digest story
+      "l77_novelty_curve", "l78_source_sketch_audit")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -414,7 +419,10 @@ class PlanSpec extends SparkSpec {
     // bans the corpus `embedding` column instead).
     import org.apache.spark.sql.types.ArrayType
     for (q <- Seq("l05_cosine_topk", "l06_ann_lsh", "l14_cosine_near_dups",
-      "l40_semantic_decontaminate", "l44_lsh_recall_audit")) {
+      "l40_semantic_decontaminate", "l44_lsh_recall_audit",
+      // l79: edges come from the broadcast-queries pass (the l05 shape);
+      // every post-edge exchange is id/count arithmetic
+      "l79_hubness_audit")) {
       allShufflePayloads(lq(q)).foreach { attrs =>
         val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
         assert(arrays.isEmpty,
@@ -535,7 +543,13 @@ class PlanSpec extends SparkSpec {
       "l67b_importance_incremental", "l70_epoch_plan",
       "l71_quality_ranks", "l72_signal_agreement",
       "l73_quality_token_tradeoff", "l74_unique_token_epoch_plan",
-      "l76_outlier_ranks")
+      "l76_outlier_ranks",
+      // l78: the pair expansion is a non-equi self-join of the
+      // |sources|×k SKETCH table (tiny by construction — that is the
+      // sketch's whole point); the corpus-sized legs are equality-keyed
+      // l79: broadcast-queries non-equi edge join (the l05 shape) plus
+      // two broadcast 1-row count crossJoins for the zero bin
+      "l78_source_sketch_audit", "l79_hubness_audit")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
