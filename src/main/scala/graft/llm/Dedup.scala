@@ -864,13 +864,21 @@ object Dedup {
     * (dozens), not the corpus — so the collect_set and the in-row pair
     * expansion are O(|sources|²) per shingle worst-case, never O(docs²).
     * One distinct, one groupBy(h), one tiny groupBy(pair). */
-  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame = {
-    val srcSh = docs
+  def sourceOverlap(docs: DataFrame, n: Int = 3): DataFrame =
+    sourceOverlapOnDigests(sourceShingleDigests(docs, n))
+
+  /** The distinct per-source shingle-digest table both overlap
+    * measurements read: (source, 32-char md5). Text and raw shingles die
+    * in the scan projection; the distinct's shuffle carries digests. */
+  private def sourceShingleDigests(docs: DataFrame, n: Int): DataFrame =
+    docs
       .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(col("source"),
         explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
       .select(col("source"), md5(col("s")).as("h"))
       .distinct()
+
+  private def sourceOverlapOnDigests(srcSh: DataFrame): DataFrame = {
     val sizes = srcSh.groupBy("source").agg(count(lit(1)).as("n_sh"))
     val common = srcSh.groupBy("h")
       .agg(sort_array(collect_set(col("source"))).as("srcs"))
@@ -1330,13 +1338,17 @@ object Dedup {
     * full-md5 distinct counts, so the reported error includes the 52-bit
     * truncation's (negligible) collision contribution. */
   def sourceSketchAudit(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame = {
-    val srcSh = docs
-      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+    // ONE tokenize+shingle+distinct pass feeds both legs: the sketch's
+    // 52-bit hash is a prefix of the full md5, so it derives from the
+    // shared digest table (localCheckpointed — the exact leg reads it
+    // too). The re-distinct after truncation collapses the (negligible)
+    // prefix collisions so the sketch input is a true SET of 52-bit
+    // values (the oracle's DISTINCT source, h) — a digest+int shuffle,
+    // not a second corpus scan.
+    val srcH = sourceShingleDigests(docs, n).localCheckpoint()
+    val hs = srcH
       .select(col("source"),
-        explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
-    val hs = srcSh
-      .select(col("source"),
-        conv(substring(md5(col("s")), 1, 13), 16, 10).cast(LongType).as("h"))
+        conv(substring(col("h"), 1, 13), 16, 10).cast(LongType).as("h"))
       .distinct()
     val sketches = hs.groupBy(col("source"))
       .agg(call_function("bounded_top_m",
@@ -1354,7 +1366,7 @@ object Dedup {
         (size(array_intersect(array_intersect(col("m"), col("ska")),
           col("skb"))).cast(DoubleType)
           / size(col("m")).cast(DoubleType)).as("j_est"))
-    val exact = sourceOverlap(docs, n)
+    val exact = sourceOverlapOnDigests(srcH)
       .select(col("src_a"), col("src_b"), col("jaccard").as("j_exact"))
     pairs.join(exact, Seq("src_a", "src_b"), "left")
       .na.fill(0.0, Seq("j_exact"))
