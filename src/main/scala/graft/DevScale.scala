@@ -47,6 +47,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("sketch")) {
+      sketchExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -176,6 +181,56 @@ object DevScale {
         .map(x => s"${x.getString(0)}=${x.getLong(1)}").sorted.mkString(" ")
       println(f"R=$r%-3d index=$nIdx%9d rows  incremental=$tInc%7.3f s  " +
         f"full-rededup=$tFull%8.3f s  verdicts: $verdicts")
+    }
+  }
+
+  /** SOURCE-SKETCH incremental scale-up (`runMain graft.DevScale R
+    * sketch`) — the l78 claim measured: the per-crawl cost of keeping the
+    * source-overlap sketch current as the already-sketched corpus grows
+    * R×. The old corpus's sketch table is PERSISTED parquet built outside
+    * the clock (it is the state the batch loop carries), so the timed
+    * incremental path is exactly what a pipeline pays per batch: sketch
+    * the 1× batch, merge ≤2k longs per source. The comparison rows are
+    * (a) re-sketching the grown corpus from scratch and (b) the exact l49
+    * matrix over it — both of which grow with the corpus. The printed
+    * equality check confirms merge(old, batch) == scratch at every scale
+    * (the associativity LlmSpec proves at sf0.001, re-verified on the
+    * scaled corpus). */
+  private def sketchExperiment(spark: org.apache.spark.sql.SparkSession,
+                               reps: Int): Unit = {
+    import graft.llm.Dedup
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    for (r <- Seq(math.max(2, reps / 5), reps)) {
+      val dir = s"/tmp/graft_scale_sketch_$r"
+      // batch = the newest replica alone (1×, shingle-isolated from the
+      // rest); old = everything sketched before it arrived
+      replicatedText(spark, r).filter(col("doc_id") < (r - 1) * 10000000L)
+        .write.mode("overwrite").parquet(s"$dir/old.parquet")
+      replicatedText(spark, r).filter(col("doc_id") >= (r - 1) * 10000000L)
+        .write.mode("overwrite").parquet(s"$dir/batch.parquet")
+      replicatedText(spark, r)
+        .write.mode("overwrite").parquet(s"$dir/big.parquet")
+      val old = spark.read.parquet(s"$dir/old.parquet")
+      val batch = spark.read.parquet(s"$dir/batch.parquet")
+      val big = spark.read.parquet(s"$dir/big.parquet")
+      Dedup.sourceSketchTable(old)
+        .write.mode("overwrite").parquet(s"$dir/sketch_old.parquet")
+      val oldSk = spark.read.parquet(s"$dir/sketch_old.parquet")
+      val tIncr = BenchTiming.steadyOf(spark,
+        () => Dedup.mergeSourceSketches(oldSk, Dedup.sourceSketchTable(batch)))
+      val tScratch = BenchTiming.steadyOf(spark,
+        () => Dedup.sourceSketchTable(big))
+      val tExact = BenchTiming.steadyOf(spark,
+        () => Dedup.sourceOverlap(big))
+      val merged = Dedup.mergeSourceSketches(
+        oldSk, Dedup.sourceSketchTable(batch))
+      val same = merged
+        .join(Dedup.sourceSketchTable(big).withColumnRenamed("sk", "want"),
+          "source")
+        .filter(col("sk") =!= col("want")).isEmpty
+      println(f"R=$r%-3d incr=$tIncr%7.3f s  scratch=$tScratch%7.3f s  " +
+        f"exact-l49=$tExact%8.3f s  merge==scratch: $same")
     }
   }
 

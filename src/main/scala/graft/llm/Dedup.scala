@@ -1346,15 +1346,7 @@ object Dedup {
     // values (the oracle's DISTINCT source, h) — a digest+int shuffle,
     // not a second corpus scan.
     val srcH = sourceShingleDigests(docs, n).localCheckpoint()
-    val hs = srcH
-      .select(col("source"),
-        conv(substring(col("h"), 1, 13), 16, 10).cast(LongType).as("h"))
-      .distinct()
-    val sketches = hs.groupBy(col("source"))
-      .agg(call_function("bounded_top_m",
-        negate(col("h").cast(DoubleType)), col("h"), lit(k)).as("tm"))
-      .select(col("source"),
-        transform(col("tm"), x => x.getField("id")).as("sk"))
+    val sketches = sketchFromDigests(srcH, k)
     val pairs = sketches.as("a")
       .join(sketches.as("b"), col("a.source") < col("b.source"))
       .select(col("a.source").as("src_a"), col("b.source").as("src_b"),
@@ -1372,4 +1364,116 @@ object Dedup {
       .na.fill(0.0, Seq("j_exact"))
       .withColumn("err", col("j_est") - col("j_exact"))
   }
+
+  /** Cross-SPLIT leakage matrix — l49's overlap measurement on the
+    * train/val/test axis: for every split pair, the count of shared
+    * distinct n-gram shingles plus both containment directions and
+    * Jaccard. The whole-boundary audit published WITH a benchmark result:
+    * l24/l54 decide per-document verdicts for the train side; this is the
+    * one-table summary of every boundary at once (a non-trivial
+    * train↔test cell is the "our eval is in our training set" headline
+    * number, val↔test overlap warns the two holdouts are not
+    * independent). Split membership is derivable per row from doc_id
+    * (TextOps.splitLabel — no join), so this IS sourceOverlap's machinery
+    * with the split label as the grouping key: digests before every
+    * shuffle, per-shingle postings bounded by the 3 split labels. */
+  def splitLeakageMatrix(docs: DataFrame, n: Int = 3,
+                         trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val labeled = docs.select(
+      TextOps.splitLabel(col("doc_id"), trainPct, valPct).as("source"),
+      col("text"))
+    sourceOverlapOnDigests(sourceShingleDigests(labeled, n))
+      .withColumnRenamed("src_a", "split_a")
+      .withColumnRenamed("src_b", "split_b")
+  }
+
+  /** Duplication TREND over the md5-order corpus deciles — the exact-dup
+    * rate of the MARGINAL crawl batch: per decile (the l77 random-order
+    * prefix discipline), how many docs duplicate a text already seen in
+    * an EARLIER decile, the within-decile novel-text count, and the
+    * running duplicate fraction. A rising dup_frac curve says each new
+    * 10% of crawl re-fetches more of what the corpus already holds — the
+    * diminishing-returns signal for continued crawling, the document-
+    * level twin of l77's shingle-novelty saturation (and the measurement
+    * behind l52's "dedup once, admit incrementally" operating model).
+    *
+    * Scale: decile and digest are scan projections (no join, no rank);
+    * ONE corpus-sized exchange — the per-digest hash-agg computing each
+    * text's earliest decile and per-decile copy counts via conditional
+    * sums (map-side partials, digests+ints only); the ≤10-row tail runs
+    * its cumulative window under the pmod single-partition intent. A doc
+    * in the same decile as its text's first occurrence is NOT an
+    * earlier-decile dup (first-decile copies count as novel mass there —
+    * the batch-internal dups l52's dup_batch verdict covers). */
+  def dupTrend(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val wCum = W.partitionBy(pmod(col("decile"), lit(1)))
+      .orderBy(col("decile"))
+      .rowsBetween(W.unboundedPreceding, 0)
+    val cells = docs.select(
+      md5(col("text")).as("h"),
+      floor(TextOps.splitBucket(col("doc_id")).cast(DoubleType) / 10.0)
+        .cast(LongType).as("decile"))
+    // (digest, decile) copy counts first — a viral text is ONE row per
+    // decile here, never a collected list — then the earliest decile as
+    // a ≤10-row-per-digest window over that bounded cell table
+    val cellCnt = cells.groupBy(col("h"), col("decile"))
+      .agg(count(lit(1)).as("n_in_cell"))
+    val wMin = W.partitionBy(col("h"))
+    cellCnt
+      .withColumn("first_decile", min(col("decile")).over(wMin))
+      .groupBy(col("decile"))
+      .agg(sum(col("n_in_cell")).as("n_docs"),
+        sum(when(col("first_decile") < col("decile"), col("n_in_cell"))
+          .otherwise(0L)).as("n_dup_of_earlier"))
+      .withColumn("dup_frac",
+        col("n_dup_of_earlier").cast(DoubleType)
+          / col("n_docs").cast(DoubleType))
+      .withColumn("cum_docs", sum(col("n_docs")).over(wCum))
+      .withColumn("cum_dups", sum(col("n_dup_of_earlier")).over(wCum))
+      .withColumn("cum_dup_frac",
+        col("cum_dups").cast(DoubleType) / col("cum_docs").cast(DoubleType))
+      .select(col("decile"), col("n_docs"), col("n_dup_of_earlier"),
+        col("dup_frac"), col("cum_docs"), col("cum_dups"),
+        col("cum_dup_frac"))
+  }
+
+  /** The per-source bottom-k sketch TABLE — (source, sk: array<long>,
+    * ascending) — as a standalone persistable artifact: build it once per
+    * crawl batch, keep it, and merge batches associatively with
+    * `mergeSourceSketches` (the l52 incremental discipline: the overlap
+    * measurement never re-scans already-sketched sources). */
+  def sourceSketchTable(docs: DataFrame, n: Int = 3, k: Int = 128): DataFrame =
+    sketchFromDigests(sourceShingleDigests(docs, n), k)
+
+  /** bottom-k over the distinct 52-bit truncations of a (source, md5)
+    * digest table. `bounded_top_m` on the negated hash: map-side ≤k-entry
+    * heaps, the exchange carries |sources|·P serialized heaps. */
+  private def sketchFromDigests(srcH: DataFrame, k: Int): DataFrame =
+    srcH
+      .select(col("source"),
+        conv(substring(col("h"), 1, 13), 16, 10).cast(LongType).as("h"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(call_function("bounded_top_m",
+        negate(col("h").cast(DoubleType)), col("h"), lit(k)).as("tm"))
+      .select(col("source"),
+        transform(col("tm"), x => x.getField("id")).as("sk"))
+
+  /** Associative MERGE of two sketch tables: bottom-k of the union of two
+    * bottom-k sketches IS the bottom-k of the united underlying sets (any
+    * value in the true bottom-k of A ∪ B is in the bottom-k of its own
+    * side — k values at most sit below it there). Sources present on one
+    * side pass through. The whole computation touches ≤ 2k longs per
+    * source — sketch-table work, no corpus anywhere. */
+  def mergeSourceSketches(a: DataFrame, b: DataFrame,
+                          k: Int = 128): DataFrame =
+    a.unionByName(b)
+      .select(col("source"), explode(col("sk")).as("h"))
+      .distinct()
+      .groupBy(col("source"))
+      .agg(call_function("bounded_top_m",
+        negate(col("h").cast(DoubleType)), col("h"), lit(k)).as("tm"))
+      .select(col("source"),
+        transform(col("tm"), x => x.getField("id")).as("sk"))
 }

@@ -2334,6 +2334,86 @@ object LlmDeclared {
           / CAST((SELECT n_corpus FROM nc) AS DOUBLE) AS frac_vecs
       FROM hist WHERE n_vecs > 0 ORDER BY in_degree"""))
 
+  /** L80 — cross-SPLIT leakage matrix: l49's overlap machinery on the
+    * train/val/test axis (shared shingles + containments + Jaccard per
+    * split pair) — the whole-boundary audit published with a benchmark
+    * result. Oracle: per-split distinct shingle digests from the same
+    * md5 split rule, then the l49 pair arithmetic. */
+  private val l80 = DeclaredQuery(
+    "l80_split_leakage_matrix",
+    (s, dir) => Dedup.splitLeakageMatrix(t(s, dir, "documents"))
+      .orderBy(col("split_a"), col("split_b")),
+    Some(s"""WITH $shingleCte,
+      lab AS (SELECT doc_id,
+          CASE WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 100 < 80 THEN 'train'
+               WHEN ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+                 % 100 < 90 THEN 'val'
+               ELSE 'test' END AS split
+        FROM documents),
+      ss AS (SELECT DISTINCT l.split AS source, md5(s) AS h
+             FROM sh JOIN lab l USING (doc_id)),
+      sizes AS (SELECT source, COUNT(*) AS n_sh FROM ss GROUP BY source),
+      com AS (SELECT a.source AS src_a, b.source AS src_b,
+                COUNT(*) AS n_common
+              FROM ss a JOIN ss b ON a.h = b.h AND a.source < b.source
+              GROUP BY a.source, b.source)
+      SELECT src_a AS split_a, src_b AS split_b, n_common,
+        CAST(n_common AS DOUBLE) / CAST(sa.n_sh AS DOUBLE) AS contain_a,
+        CAST(n_common AS DOUBLE) / CAST(sb.n_sh AS DOUBLE) AS contain_b,
+        CAST(n_common AS DOUBLE)
+          / CAST(sa.n_sh + sb.n_sh - n_common AS DOUBLE) AS jaccard
+      FROM com
+      JOIN sizes sa ON sa.source = src_a
+      JOIN sizes sb ON sb.source = src_b
+      ORDER BY split_a, split_b"""))
+
+  /** L81 — duplication TREND over md5-order corpus deciles: per decile,
+    * docs duplicating a text first seen in an EARLIER decile, plus
+    * running totals — the marginal-crawl dup rate (document-level twin of
+    * l77's shingle novelty). The fixture corpus is dup-free by
+    * construction, so the query runs over the corpus unioned with a
+    * doc_id-shifted copy (the l01 convention): every text has two copies
+    * whose deciles are independent md5 draws. */
+  private val l81 = DeclaredQuery(
+    "l81_dup_trend",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000L))
+      Dedup.dupTrend(corpus).orderBy(col("decile"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      cells AS (SELECT md5(text) AS h,
+          CAST(floor((('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT
+            % 100) / 10.0) AS BIGINT) AS decile
+        FROM corpus),
+      cc AS (SELECT h, decile, CAST(COUNT(*) AS BIGINT) AS n
+             FROM cells GROUP BY h, decile),
+      wf AS (SELECT decile, n,
+               MIN(decile) OVER (PARTITION BY h) AS fd FROM cc),
+      g AS (SELECT decile, CAST(SUM(n) AS BIGINT) AS n_docs,
+              CAST(SUM(CASE WHEN fd < decile THEN n ELSE 0 END) AS BIGINT)
+                AS n_dup_of_earlier
+            FROM wf GROUP BY decile),
+      g2 AS (SELECT decile, n_docs, n_dup_of_earlier,
+              CAST(SUM(n_docs) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_docs,
+              CAST(SUM(n_dup_of_earlier) OVER (ORDER BY decile
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS cum_dups
+            FROM g)
+      SELECT decile, n_docs, n_dup_of_earlier,
+        CAST(n_dup_of_earlier AS DOUBLE) / CAST(n_docs AS DOUBLE)
+          AS dup_frac,
+        cum_docs, cum_dups,
+        CAST(cum_dups AS DOUBLE) / CAST(cum_docs AS DOUBLE)
+          AS cum_dup_frac
+      FROM g2 ORDER BY decile"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2342,5 +2422,5 @@ object LlmDeclared {
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, d29)
+    l76, l77, l78, l79, l80, l81, d29)
 }

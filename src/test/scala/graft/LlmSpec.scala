@@ -1838,6 +1838,22 @@ class LlmSpec extends SparkSpec {
       col("n_sketch") > 128).isEmpty)
   }
 
+  test("mergeSourceSketches: sketching halves and merging equals " +
+    "sketching the union (sf0.001)") {
+    // the associativity the incremental claim rests on: bottom-k of the
+    // union of two bottom-k sketches IS the bottom-k of the united sets
+    val docs = Tables.load(spark, sf001, "documents")
+    val a = docs.filter(col("doc_id") % 2 === 0)
+    val b = docs.filter(col("doc_id") % 2 === 1)
+    val k = 16
+    val merged = Dedup.mergeSourceSketches(
+      Dedup.sourceSketchTable(a, 3, k), Dedup.sourceSketchTable(b, 3, k), k)
+    val direct = Dedup.sourceSketchTable(docs, 3, k)
+    assert(merged.join(direct.withColumnRenamed("sk", "want"), "source")
+      .filter(col("sk") =!= col("want")).isEmpty)
+    assert(merged.count() === direct.count())
+  }
+
   test("hubnessAudit: vector and edge mass conservation (sf0.001)") {
     val vecs = Tables.load(spark, sf001, "embeddings")
     val got = Similarity.hubnessAudit(vecs, samplePct = 20, k = 5)
@@ -1851,6 +1867,55 @@ class LlmSpec extends SparkSpec {
     assert(got.agg(sum(col("in_degree") * col("n_vecs"))).first()
       .getLong(0) === nQueries * 5)
     assert(got.filter(col("in_degree") < 0).isEmpty)
+  }
+
+  test("splitLeakageMatrix: pairs, bounds, and agreement with the " +
+    "decontamination verdict (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val m = Dedup.splitLeakageMatrix(docs).localCheckpoint()
+    val rows = m.collect()
+    // only the three boundary pairs can appear, in lexicographic order
+    val allowed = Set(("test", "train"), ("test", "val"), ("train", "val"))
+    assert(rows.forall(r => allowed(r.getString(0) -> r.getString(1))))
+    // containments and jaccard are fractions
+    assert(m.filter(col("contain_a") < 0 || col("contain_a") > 1 ||
+      col("contain_b") < 0 || col("contain_b") > 1 ||
+      col("jaccard") < 0 || col("jaccard") > 1).isEmpty)
+    // the train<->test cell is non-empty exactly when l24's per-doc
+    // decontamination (same split rule, same shingles) finds any
+    // contaminated train doc
+    val cellNonEmpty = rows.exists(r =>
+      r.getString(0) == "test" && r.getString(1) == "train" && r.getLong(2) > 0)
+    val l24NonEmpty = Dedup.decontaminate(docs).limit(1).count() > 0
+    assert(cellNonEmpty === l24NonEmpty)
+  }
+
+  test("dupTrend: mass conservation, exact dup totals on a twinned " +
+    "corpus, zero dups on the dup-free corpus (sf0.001)") {
+    val d = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    // dup-free corpus: no doc can duplicate an earlier decile
+    assert(Dedup.dupTrend(d).filter(col("n_dup_of_earlier") > 0).isEmpty)
+    val corpus = d.unionByName(
+      d.withColumn("doc_id", col("doc_id") + 1000000L))
+    val got = Dedup.dupTrend(corpus).orderBy(col("decile"))
+      .localCheckpoint()
+    val n = corpus.count()
+    assert(got.agg(sum(col("n_docs"))).first().getLong(0) === n)
+    // every text has exactly two copies; the later one is a dup iff the
+    // two copies' md5 deciles differ — count those digests directly
+    val dec = floor(TextOps.splitBucket(col("doc_id")).cast("double") / 10.0)
+    val wantDups = corpus
+      .select(md5(col("text")).as("h"), dec.as("b"))
+      .groupBy(col("h")).agg(countDistinct(col("b")).as("nb"))
+      .filter(col("nb") === 2).count()
+    assert(got.agg(sum(col("n_dup_of_earlier"))).first().getLong(0)
+      === wantDups)
+    // earliest decile present sees no earlier-decile dups; cum columns
+    // are monotone
+    assert(got.collect().head.getLong(2) === 0L)
+    val cum = got.collect().map(_.getLong(4))
+    assert(cum.sameElements(cum.sorted))
   }
 
   test("SumSquares aggregator: exact decimal, partition-order independent") {

@@ -397,7 +397,11 @@ class PlanSpec extends SparkSpec {
       // two corpus-sized exchanges carry (digest, decile) ints only
       // l78: sketch legs shuffle (source, 52-bit hash) and serialized
       // bounded_top_m heaps; the exact leg is l49's digest story
-      "l77_novelty_curve", "l78_source_sketch_audit")
+      // l80: l49's digest machinery with the per-row split label as key
+      // l81: text dies into md5 at the scan; exchanges carry
+      // (digest, decile, count) only
+      "l77_novelty_curve", "l78_source_sketch_audit",
+      "l80_split_leakage_matrix", "l81_dup_trend")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }

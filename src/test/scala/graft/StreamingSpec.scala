@@ -655,6 +655,45 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("S20: sketch maintenance under foreachBatch — merging per-batch " +
+    "sketches equals the batch sketch of the drained corpus") {
+    // The l78 deployment shape: the |sources|×k sketch table is the state
+    // a crawl loop carries (persisted parquet in production, a
+    // localCheckpoint here); each arriving batch is sketched alone and
+    // merged in — associativity (LlmSpec) makes the fold order
+    // irrelevant, so the maintained state must equal the from-scratch
+    // sketch of everything drained, however the stream was split.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.Dedup
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    // k = 4 with > 4 distinct shingles per source: eviction exercises on
+    // merge, and cross-batch repeats of the same shingle must collapse
+    val docs = Seq(
+      d(1, "a b c d e f g", "s0"), d(2, "h i j k l m n", "s1"),
+      d(3, "a b c d q r s", "s0"), d(4, "h i j k t u v", "s1"),
+      d(5, "w x y z a b c", "s0"), d(6, "n o p h i j k", "s1"))
+    val k = 4
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = Dedup.sourceSketchTable(batch.toDF(), 3, k).localCheckpoint()
+        state = Some(state.fold(bs)(s =>
+          Dedup.mergeSourceSketches(s, bs, k).localCheckpoint()))
+      }.start()
+    try {
+      in.addData(docs.take(1): _*); q.processAllAvailable()
+      in.addData(docs.slice(1, 4): _*); q.processAllAvailable()
+      in.addData(docs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = Dedup.sourceSketchTable(docs.toDF(), 3, k)
+      .withColumnRenamed("sk", "want")
+    val diff = state.get.join(want, "source")
+      .filter(col("sk") =!= col("want"))
+    assert(diff.isEmpty && state.get.count() === want.count())
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
