@@ -1476,4 +1476,131 @@ object Dedup {
         negate(col("h").cast(DoubleType)), col("h"), lit(k)).as("tm"))
       .select(col("source"),
         transform(col("tm"), x => x.getField("id")).as("sk"))
+
+  /** LSH BAND-CONFIG S-curve sweep — the measured recall/precision of
+    * every (bands, rows) tiling of one k-wide MinHash signature against
+    * the exact-Jaccard ground truth at `minJ`: the table the l03 knobs
+    * are chosen FROM before committing a 100 TB dedup run to one config
+    * (the l43 audit trusts a single config's estimator; this one ranks
+    * the configs). Emits per config: candidate-pair count, hits (candidates
+    * that are true >= minJ pairs), recall, precision, and the theoretical
+    * s-curve collision probability 1-(1-minJ^r)^b at the threshold — the
+    * measured-vs-theory column that makes a mis-tuned config visible.
+    *
+    * Scale: the corpus is touched ONCE — one shingle transform (doc-
+    * granularity, localCheckpoint barrier per commonWithSizes' rationale)
+    * feeds the exact-truth leg and ONE k-wide signature aggregation; each
+    * config then re-bands the |docs|-row signature table (a pure
+    * projection, no corpus re-scan) and self-joins on (band_idx,
+    * band_hash) — digest-only exchanges. Truth pairs and per-config
+    * counts are 1-row broadcast aggregates; the output is |configs| rows.
+    * recall/precision are single divisions of exact longs (null when the
+    * denominator is 0, same on both engines via nullif). */
+  def bandConfigSweep(docs: DataFrame, n: Int = 3, k: Int = 16,
+                      bandConfigs: Seq[Int] = Seq(2, 4, 8, 16),
+                      minJ: Double = 0.5): DataFrame = {
+    val docSh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), n).as("shs"))
+      .localCheckpoint()
+    val sh = docSh.select(col("doc_id"), explode(col("shs")).as("s"))
+    // exact ground truth >= minJ, consumed by every config's hit join
+    val truth = docSh
+      .select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"),
+        explode(col("shs")).as("s"))
+      .groupBy(col("s"))
+      .agg(array_sort(collect_list(struct(col("doc_id"), col("n_sh")))).as("ds"))
+      .filter(size(col("ds")) >= 2)
+      .select(col("ds"), posexplode(col("ds")).as(Seq("i", "a")))
+      .select(col("a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("b"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("a.n_sh").as("na"),
+        col("b.doc_id").as("doc_b"), col("b.n_sh").as("nb"))
+      .agg(count(lit(1)).as("n_common"))
+      .filter(col("n_common").cast(DoubleType)
+        / (col("na") + col("nb") - col("n_common")) >= minJ)
+      .select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val truthN = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    // ONE signature aggregation; each config re-bands this |docs|-row table
+    val sig = signaturesFromShingles(sh, k).localCheckpoint()
+    bandConfigs.map { b =>
+      val r = k / b
+      val bd = lshBands(sig, k, b)
+      val cand = bd.as("x").join(bd.as("y"),
+          col("x.band_idx") === col("y.band_idx")
+            && col("x.band_hash") === col("y.band_hash")
+            && col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"))
+        .distinct()
+        .localCheckpoint()
+      val hits = cand.join(truth, Seq("doc_a", "doc_b"), "left_semi")
+      // theory at the threshold: both engines read the same decimal literal
+      // (Java shortest-repr round-trips; strtod rounds once)
+      val theory = 1.0 - math.pow(1.0 - math.pow(minJ, r), b)
+      cand.agg(count(lit(1)).as("n_candidates"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(truthN)
+        .select(
+          lit(b.toLong).as("bands"), lit(r.toLong).as("rows_per_band"),
+          col("n_candidates"), col("n_hits"), col("n_truth"),
+          (col("n_hits").cast(DoubleType)
+            / nullif(col("n_truth"), lit(0L)).cast(DoubleType)).as("recall"),
+          (col("n_hits").cast(DoubleType)
+            / nullif(col("n_candidates"), lit(0L)).cast(DoubleType))
+            .as("precision"),
+          lit(theory).as("p_collide_at_minj"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** IDF-WEIGHTED Jaccard near-dup pairs — exact weighted-set similarity
+    * where each shingle carries the integer rarity weight w(h) =
+    * floor(N_docs / df(h)): a corpus-wide boilerplate shingle (df ~ N)
+    * weighs 1 while a near-unique one weighs ~N, so two documents sharing
+    * distinctive content score high even when template text dominates
+    * their plain-Jaccard union — the similarity the unweighted l02 pass
+    * under-reports on template-heavy corpora. Integer weights keep every
+    * sum exact cross-engine (the determinism reason to floor the classic
+    * log-idf: same ordering, no transcendental).
+    *
+    * J_w(A,B) = sum_{h in A∩B} w(h) / sum_{h in A∪B} w(h), emitted with
+    * the shared weight mass for pairs >= minW.
+    *
+    * Scale: ONE corpus shuffle builds the digest-keyed postings; df is
+    * size(postings) — free, no separate frequency pass; both consumers
+    * (per-doc weight totals, pair expansion) read the checkpointed
+    * postings, so weights never join back against the corpus. Pair
+    * expansion is the chained-generator stream of `common` (no
+    * materialized pair arrays); `maxDocFreq` is the same quadratic-hot-key
+    * guard as jaccardPairs — dropped shingles leave the denominators,
+    * which is exactly the weighted story (their weight ~ 1 anyway). */
+  def weightedJaccardPairs(docs: DataFrame, n: Int = 3, minW: Double = 0.5,
+                           maxDocFreq: Option[Long] = None): DataFrame = {
+    val sh = TextOps.docShingles(docs, n)
+      .select(col("doc_id"), md5(col("s")).as("h"))
+    val nDocs = broadcast(docs.agg(count(lit(1)).as("n_docs")))
+    val post0 = sh.groupBy(col("h"))
+      .agg(array_sort(collect_list(col("doc_id"))).as("ds"))
+    val post = maxDocFreq.fold(post0)(t => post0.filter(size(col("ds")) <= t))
+      .crossJoin(nDocs)
+      .select(col("ds"),
+        floor(col("n_docs") / size(col("ds"))).cast(LongType).as("wt"))
+      .localCheckpoint()
+    val docW = post
+      .select(col("wt"), explode(col("ds")).as("doc_id"))
+      .groupBy(col("doc_id")).agg(sum(col("wt")).as("w_doc"))
+    val pairW = post.filter(size(col("ds")) >= 2)
+      .select(col("wt"), col("ds"), posexplode(col("ds")).as(Seq("i", "doc_a")))
+      .select(col("wt"), col("doc_a"),
+        explode(slice(col("ds"), col("i") + lit(2), size(col("ds")))).as("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(col("wt")).as("w_common"))
+    pairW
+      .join(docW.select(col("doc_id").as("doc_a"), col("w_doc").as("wa")), "doc_a")
+      .join(docW.select(col("doc_id").as("doc_b"), col("w_doc").as("wb")), "doc_b")
+      .withColumn("jw", col("w_common").cast(DoubleType)
+        / (col("wa") + col("wb") - col("w_common")))
+      .filter(col("jw") >= minW)
+      .select(col("doc_a"), col("doc_b"), col("w_common"), col("jw"))
+  }
 }

@@ -667,4 +667,66 @@ object Similarity {
         (col("n_vecs").cast(DoubleType)
           / col("n_corpus").cast(DoubleType)).as("frac_vecs"))
   }
+
+  /** Embedding-space COVERAGE audit — occupancy of the 2^planes SimHash
+    * cells (the l06 hyperplane buckets used as a fixed, model-independent
+    * grid over the embedding space): per occupied cell its population,
+    * corpus fraction, and skew vs uniform (n_vecs·2^planes/N — 1.0 means
+    * the cell holds exactly its uniform share), with the occupied-cell
+    * count and occupancy fraction riding on every row. The diversity
+    * readout run before trusting a crawl snapshot: a corpus whose mass
+    * sits in a few cells is clustered/redundant (cap it with
+    * `diversitySample`); near-uniform occupancy says the embedding space
+    * is actually covered. Also the before/after receipt for any
+    * diversity-driven downsampling.
+    *
+    * Scale: bucket id is a pure codegen projection (planes·dim literal
+    * dot products — no shuffle, no index); ONE corpus-sized aggregation
+    * to <= 2^planes cells; summary stats are a broadcast 1-row aggregate
+    * over those cells. Every ratio is one division of exact longs. */
+  def embeddingCoverage(vectors: DataFrame, planes: Int = 8,
+                        dim: Int = 64): DataFrame = {
+    val nCells = 1L << planes
+    val cells = vectors
+      .select(bucketExpr(col("embedding"), planes, dim).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n_vecs"))
+    val tot = broadcast(cells.agg(
+      sum(col("n_vecs")).as("n_corpus"),
+      count(lit(1)).as("n_cells_occupied")))
+    cells.crossJoin(tot)
+      .select(col("bkt"), col("n_vecs"),
+        (col("n_vecs").cast(DoubleType)
+          / col("n_corpus").cast(DoubleType)).as("frac_vecs"),
+        (col("n_vecs").cast(DoubleType) * nCells
+          / col("n_corpus").cast(DoubleType)).as("skew_vs_uniform"),
+        col("n_cells_occupied"),
+        (col("n_cells_occupied").cast(DoubleType) / nCells)
+          .as("occupancy_frac"))
+  }
+
+  /** Cell-capped DIVERSITY sample — keep at most `cap` vectors per SimHash
+    * cell, chosen content-independently (ascending md5 of the vec_id, ties
+    * by id): the de-clustering downsample applied when `embeddingCoverage`
+    * shows a few cells hoarding the corpus (crawl dumps repeat topics; a
+    * topic is a dense region; capping per cell flattens topical redundancy
+    * while leaving sparse regions — the rare data — untouched). The md5
+    * draw makes the kept set a uniform sample WITHIN each cell, and
+    * deterministic: re-runs keep the same vectors.
+    *
+    * Scale: the per-cell top-cap is `bounded_top_m` (plans.BoundedTopM) on
+    * the negated md5 hash — map-side <= cap-entry heaps per cell, the
+    * exchange carries cells·P serialized heaps, never a per-cell window
+    * sort of the corpus (a dense cell is exactly where row_number's
+    * single-key sort would straggle). Output: (bkt, vec_id) kept rows. */
+  def diversitySample(vectors: DataFrame, cap: Int = 4, planes: Int = 8,
+                      dim: Int = 64): DataFrame =
+    vectors
+      .select(bucketExpr(col("embedding"), planes, dim).as("bkt"),
+        col("vec_id"),
+        graft.llm.TextOps.md5Int32(col("vec_id").cast(StringType)).as("h"))
+      .groupBy(col("bkt"))
+      .agg(call_function("bounded_top_m",
+        negate(col("h").cast(DoubleType)), col("vec_id"), lit(cap)).as("tm"))
+      .select(col("bkt"), explode(col("tm")).as("e"))
+      .select(col("bkt"), col("e.id").as("vec_id"))
 }

@@ -2414,6 +2414,151 @@ object LlmDeclared {
           AS cum_dup_frac
       FROM g2 ORDER BY decile"""))
 
+  /** L82 — LSH band-config S-CURVE sweep: measured recall/precision of
+    * every (bands, rows) tiling of the k=16 MinHash signature against the
+    * exact >= 0.5 Jaccard ground truth, next to the theoretical collision
+    * probability at the threshold — the table the l03 knobs are chosen
+    * from. Oracle: l03's signature/banding CTEs instantiated per config,
+    * truth from l02's pair arithmetic, counts via scalar subqueries. */
+  private val l82 = {
+    val k = 16; val minJ = 0.5
+    val configs = Seq(2, 4, 8, 16)
+    val sigCols = (0 until k)
+      .map(i => s"MIN((h * ${Dedup.minhashA(i)} + ${Dedup.minhashB(i)}) % ${Dedup.minhashP}) AS m$i")
+      .mkString(",\n        ")
+    def bandCtes(b: Int): String = {
+      val r = k / b
+      val sels = (0 until b).map { bi =>
+        // r = 1 has no '||' coercion to VARCHAR — cast the lone column
+        // (BIGINT::VARCHAR prints the same digits Spark's concat_ws does)
+        val cat =
+          if (r == 1) s"m${bi}::VARCHAR"
+          else (0 until r).map(j => s"m${r * bi + j}").mkString(" || ',' || ")
+        s"SELECT doc_id, $bi AS band_idx, md5($cat) AS band_hash FROM sig"
+      }.mkString("\n        UNION ALL ")
+      s"""bands$b AS (
+        $sels),
+      cand$b AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+               FROM bands$b x JOIN bands$b y
+                 ON x.band_idx = y.band_idx AND x.band_hash = y.band_hash
+                AND x.doc_id < y.doc_id)"""
+    }
+    def cfgRow(b: Int): String = {
+      val r = k / b
+      val theory = 1.0 - math.pow(1.0 - math.pow(minJ, r), b)
+      s"""SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b) AS n_candidates,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+           JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS n_hits,
+        (SELECT n_truth FROM tn) AS n_truth,
+        CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+           JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+          / NULLIF((SELECT n_truth FROM tn), 0) AS recall,
+        CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b c
+           JOIN truth t ON c.doc_a = t.doc_a AND c.doc_b = t.doc_b) AS DOUBLE)
+          / NULLIF((SELECT CAST(COUNT(*) AS BIGINT) FROM cand$b), 0) AS prec,
+        CAST('${theory}' AS DOUBLE) AS p_collide_at_minj"""
+    }
+    DeclaredQuery(
+      "l82_band_config_sweep",
+      (s, dir) => Dedup.bandConfigSweep(t(s, dir, "documents"), 3, k,
+          configs, minJ)
+        .withColumnRenamed("precision", "prec")
+        .orderBy(col("bands")),
+      Some(s"""WITH $shingleCte,
+      shh AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+      sig AS (SELECT doc_id,
+        $sigCols
+        FROM shh GROUP BY doc_id),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      com AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+      truth AS (SELECT doc_a, doc_b FROM com
+                JOIN sizes sa ON sa.doc_id = doc_a
+                JOIN sizes sb ON sb.doc_id = doc_b
+                WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= $minJ),
+      tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      ${configs.map(bandCtes).mkString(",\n      ")}
+      ${configs.map(cfgRow).mkString("\n      UNION ALL ")}
+      ORDER BY bands"""))
+  }
+
+  /** L83 — IDF-WEIGHTED Jaccard near-dup pairs: exact weighted-set
+    * similarity with integer rarity weights w(h) = floor(N/df(h)) —
+    * boilerplate shingles weigh 1, near-unique ones ~N, so shared
+    * DISTINCTIVE content dominates the score (the similarity plain l02
+    * under-reports on template-heavy corpora). Integer weights keep every
+    * sum exact cross-engine. Oracle: df/weights from a digest group-by,
+    * the l02 join shape with SUM(w) in place of COUNT. */
+  private val l83 = DeclaredQuery(
+    "l83_weighted_jaccard_pairs",
+    (s, dir) => Dedup.weightedJaccardPairs(t(s, dir, "documents"), 3, 0.5)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $shingleCte,
+      shh AS (SELECT doc_id, md5(s) AS h FROM sh),
+      nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM documents),
+      wts AS (SELECT h, CAST((SELECT n FROM nd) // COUNT(*) AS BIGINT) AS w
+              FROM shh GROUP BY h),
+      docw AS (SELECT doc_id, CAST(SUM(w) AS BIGINT) AS w_doc
+               FROM shh JOIN wts USING (h) GROUP BY doc_id),
+      com AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                CAST(SUM(w.w) AS BIGINT) AS w_common
+              FROM shh a JOIN shh b ON a.h = b.h AND a.doc_id < b.doc_id
+              JOIN wts w ON w.h = a.h
+              GROUP BY a.doc_id, b.doc_id)
+      SELECT doc_a, doc_b, w_common,
+        CAST(w_common AS DOUBLE) / (wa.w_doc + wb.w_doc - w_common) AS jw
+      FROM com
+      JOIN docw wa ON wa.doc_id = doc_a
+      JOIN docw wb ON wb.doc_id = doc_b
+      WHERE CAST(w_common AS DOUBLE) / (wa.w_doc + wb.w_doc - w_common) >= 0.5
+      ORDER BY doc_a, doc_b"""))
+
+  /** L84 — embedding-space COVERAGE audit: occupancy of the 256 SimHash
+    * cells (l06's hyperplane buckets as a fixed grid) — per occupied cell
+    * its population, corpus fraction, skew vs uniform, with occupied-cell
+    * count and occupancy fraction on every row; the diversity readout run
+    * before trusting a crawl snapshot. Oracle: the shared bucket CTE,
+    * one group-by, totals via scalar subqueries. */
+  private val l84 = DeclaredQuery(
+    "l84_embedding_coverage",
+    (s, dir) => Similarity.embeddingCoverage(t(s, dir, "embeddings"))
+      .orderBy(col("bkt")),
+    Some(s"""WITH $lshBucketsCte,
+      cells AS (SELECT CAST(bkt AS BIGINT) AS bkt,
+          CAST(COUNT(*) AS BIGINT) AS n_vecs
+        FROM buckets GROUP BY bkt),
+      tot AS (SELECT CAST(SUM(n_vecs) AS BIGINT) AS n_corpus,
+          CAST(COUNT(*) AS BIGINT) AS n_cells_occupied FROM cells)
+      SELECT bkt, n_vecs,
+        CAST(n_vecs AS DOUBLE)
+          / CAST((SELECT n_corpus FROM tot) AS DOUBLE) AS frac_vecs,
+        CAST(n_vecs AS DOUBLE) * 256
+          / CAST((SELECT n_corpus FROM tot) AS DOUBLE) AS skew_vs_uniform,
+        (SELECT n_cells_occupied FROM tot) AS n_cells_occupied,
+        CAST((SELECT n_cells_occupied FROM tot) AS DOUBLE) / 256
+          AS occupancy_frac
+      FROM cells ORDER BY bkt"""))
+
+  /** L85 — cell-capped DIVERSITY sample: keep at most 4 vectors per
+    * SimHash cell, chosen by ascending md5 of the vec_id (deterministic,
+    * content-independent) — the de-clustering downsample l84's audit
+    * motivates. Oracle: the bucket CTE + row_number over (md5, vec_id)
+    * within cell. */
+  private val l85 = DeclaredQuery(
+    "l85_diversity_sample",
+    (s, dir) => Similarity.diversitySample(t(s, dir, "embeddings"), cap = 4)
+      .orderBy(col("bkt"), col("vec_id")),
+    Some(s"""WITH $lshBucketsCte,
+      hq AS (SELECT CAST(bkt AS BIGINT) AS bkt, vec_id,
+          ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT AS h
+        FROM buckets),
+      r AS (SELECT bkt, vec_id,
+          ROW_NUMBER() OVER (PARTITION BY bkt ORDER BY h, vec_id) AS rn
+        FROM hq)
+      SELECT bkt, vec_id FROM r WHERE rn <= 4 ORDER BY bkt, vec_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2422,5 +2567,5 @@ object LlmDeclared {
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80, l81, d29)
+    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, d29)
 }

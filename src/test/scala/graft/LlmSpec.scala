@@ -1918,6 +1918,102 @@ class LlmSpec extends SparkSpec {
     assert(cum.sameElements(cum.sorted))
   }
 
+  test("bandConfigSweep: exact dup caught by every config; candidate sets " +
+    "nest as bands grow (sf0.001)") {
+    // an exact duplicate has identical signatures — every band of every
+    // config matches, so recall of the (1,2) truth pair is 1.0 per config
+    val d = docsDf(
+      1L -> "a b c d e f g h i j",
+      2L -> "a b c d e f g h i j",
+      3L -> "p q r s t u v w x y")
+    val micro = Dedup.bandConfigSweep(d, n = 3, k = 16,
+      bandConfigs = Seq(2, 4, 8, 16), minJ = 0.5)
+      .orderBy(col("bands")).collect()
+    assert(micro.length === 4)
+    micro.foreach { r =>
+      assert(r.getLong(4) === 1L, "n_truth")       // the (1,2) pair
+      assert(r.getLong(3) === 1L, "n_hits")
+      assert(r.getDouble(5) === 1.0, "recall")
+    }
+    // hierarchical tiling (2 | 4 | 8 | 16 with k = 16): an r=8 band match
+    // implies both r=4 sub-band matches, so candidate sets NEST and the
+    // counts are monotone nondecreasing in bands — verified on the corpus
+    val corp = Tables.load(spark, sf001, "documents")
+    val sweep = Dedup.bandConfigSweep(corp).orderBy(col("bands")).collect()
+    val cands = sweep.map(_.getLong(2))
+    val hits = sweep.map(_.getLong(3))
+    assert(cands.sameElements(cands.sorted), "n_candidates monotone")
+    assert(hits.sameElements(hits.sorted), "n_hits monotone")
+    assert(sweep.map(_.getLong(4)).distinct.length === 1,
+      "n_truth config-independent")
+  }
+
+  test("weightedJaccardPairs: hand-computed integer-IDF weighting; " +
+    "maxDocFreq drops template shingles from the denominators") {
+    // template trigrams df=4 (weight 1); shared distinctive content df=2
+    // (weight 2); per-doc unique tails df=1 (weight 4)
+    val d = docsDf(
+      1L -> "t1 t2 t3 t4 u v w x",
+      2L -> "t1 t2 t3 t4 u v w y",
+      3L -> "t1 t2 t3 t4",
+      4L -> "t1 t2 t3 t4")
+    // doc1/doc2: W=12 each, w_common=8 -> jw=8/16=0.5;
+    // doc3/doc4: exact dups among themselves -> jw=1
+    val got = Dedup.weightedJaccardPairs(d, n = 3, minW = 0.5)
+      .orderBy(col("doc_a"), col("doc_b")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.toSeq === Seq((1L, 2L, 8L, 0.5), (3L, 4L, 2L, 1.0)))
+    // guard at df<=3 removes the template shingles: the (1,2) overlap
+    // drops to 6/14 < 0.5 and docs 3/4 lose every posting -> empty
+    assert(Dedup.weightedJaccardPairs(d, n = 3, minW = 0.5,
+      maxDocFreq = Some(3L)).isEmpty)
+  }
+
+  test("embeddingCoverage: cell masses conserve the corpus; summary " +
+    "columns agree with the cell table (sf0.001)") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    val cov = Similarity.embeddingCoverage(vecs).localCheckpoint()
+    val rows = cov.collect()
+    assert(rows.map(_.getLong(1)).sum === vecs.count())
+    assert(rows.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 256))
+    val occ = rows.head.getLong(4)
+    assert(occ === rows.length.toLong, "n_cells_occupied = #rows")
+    assert(rows.forall(_.getLong(4) === occ))
+    assert(rows.head.getDouble(5) === occ.toDouble / 256)
+    // spot-check one cell's population against a direct recount
+    val r0 = rows.minBy(_.getLong(0))
+    val direct = vecs
+      .filter(Similarity.bucketExpr(col("embedding"), 8, 64) === r0.getLong(0))
+      .count()
+    assert(direct === r0.getLong(1))
+  }
+
+  test("diversitySample: equals the window formulation, caps every cell, " +
+    "keeps small cells whole (sf0.001)") {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    val cap = 4
+    val got = Similarity.diversitySample(vecs, cap = cap).localCheckpoint()
+    // the straggler-prone window formulation is the semantics oracle
+    val w = Window.partitionBy(col("bkt"))
+      .orderBy(col("h"), col("vec_id"))
+    val want = vecs
+      .select(Similarity.bucketExpr(col("embedding"), 8, 64).as("bkt"),
+        col("vec_id"),
+        TextOps.md5Int32(col("vec_id").cast("string")).as("h"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= cap)
+      .select(col("bkt"), col("vec_id"))
+    assert(got.exceptAll(want).isEmpty && want.exceptAll(got).isEmpty)
+    // every cell capped; cells smaller than the cap keep all members
+    val perCell = got.groupBy(col("bkt")).agg(count(lit(1)).as("n_kept"))
+    assert(perCell.filter(col("n_kept") > cap).isEmpty)
+    val small = Similarity.embeddingCoverage(vecs)
+      .filter(col("n_vecs") <= cap).select(col("bkt"), col("n_vecs"))
+    assert(small.join(perCell, "bkt")
+      .filter(col("n_kept") =!= col("n_vecs")).isEmpty)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

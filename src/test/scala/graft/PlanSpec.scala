@@ -381,7 +381,10 @@ class PlanSpec extends SparkSpec {
       "l56_bpe_pair_counts", "l58_leakage_safe_split", "l59_oov_rate",
       "l63_vocab_drift",
       "l68_neardup_source_matrix", "l69_effective_tokens",
-      "l75_containment_dedup")
+      "l75_containment_dedup",
+      // l82: the exact-truth leg is the inverted index (shingle atoms by
+      // design); the signature/band exchanges carry ints and band hashes
+      "l82_band_config_sweep")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
@@ -401,7 +404,10 @@ class PlanSpec extends SparkSpec {
       // l81: text dies into md5 at the scan; exchanges carry
       // (digest, decile, count) only
       "l77_novelty_curve", "l78_source_sketch_audit",
-      "l80_split_leakage_matrix", "l81_dup_trend")
+      "l80_split_leakage_matrix", "l81_dup_trend",
+      // l83: shingles die into md5 at the scan; postings/weights exchanges
+      // carry digests, ids and integer weights only
+      "l83_weighted_jaccard_pairs")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -426,7 +432,11 @@ class PlanSpec extends SparkSpec {
       "l40_semantic_decontaminate", "l44_lsh_recall_audit",
       // l79: edges come from the broadcast-queries pass (the l05 shape);
       // every post-edge exchange is id/count arithmetic
-      "l79_hubness_audit")) {
+      "l79_hubness_audit",
+      // l84/l85: bucket ids are scan projections; the cell aggregations
+      // exchange (bkt, counts) / serialized bounded_top_m heaps — the
+      // embedding array never leaves the scan
+      "l84_embedding_coverage", "l85_diversity_sample")) {
       allShufflePayloads(lq(q)).foreach { attrs =>
         val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
         assert(arrays.isEmpty,
@@ -553,7 +563,13 @@ class PlanSpec extends SparkSpec {
       // sketch's whole point); the corpus-sized legs are equality-keyed
       // l79: broadcast-queries non-equi edge join (the l05 shape) plus
       // two broadcast 1-row count crossJoins for the zero bin
-      "l78_source_sketch_audit", "l79_hubness_audit")
+      "l78_source_sketch_audit", "l79_hubness_audit",
+      // l82: per-config counts + truth count are broadcast 1-row
+      // crossJoins (the l28 shape); candidates/bands join by equality
+      // l83: broadcast 1-row N_docs total onto the postings table
+      // l84: broadcast 1-row (n_corpus, n_cells) summary onto ≤256 cells
+      "l82_band_config_sweep", "l83_weighted_jaccard_pairs",
+      "l84_embedding_coverage")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
