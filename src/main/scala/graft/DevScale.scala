@@ -52,6 +52,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("coverage")) {
+      coverageExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -308,6 +313,38 @@ object DevScale {
     run("1x control", smallDir, p1)
     run(s"${reps}x scheduled", bigDir, pR)
     run(s"${reps}x FIXED-KNOB control", bigDir, p1)
+  }
+
+  /** COVERAGE/DIVERSITY scale-up (`runMain graft.DevScale R coverage`) —
+    * the l84/l85 claims measured: both are single-pass codegen projections
+    * plus a ≤2^planes-cell aggregation, so wall-clock should grow ~R×
+    * (scan-bound, no superlinear term), and the DIVERSITY SAMPLE'S OUTPUT
+    * IS BOUNDED — ≤ 256·cap kept rows no matter how large the corpus —
+    * which is the de-clustering operator's whole point: at R× density the
+    * keep set stays fixed-size while the drop set absorbs the growth.
+    * Printed kept counts verify the bound at each scale. */
+  private def coverageExperiment(spark: org.apache.spark.sql.SparkSession,
+                                 reps: Int): Unit = {
+    import graft.llm.Similarity
+    val smallDir = "/tmp/graft_scale_cov_small"
+    val bigDir = "/tmp/graft_scale_cov_big"
+    replicatedEmbeddings(spark, 1)
+      .write.mode("overwrite").parquet(s"$smallDir/embeddings.parquet")
+    replicatedEmbeddings(spark, reps)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def em(dir: String) = Tables.load(spark, dir, "embeddings")
+    for ((tag, dir) <- Seq(("1x", smallDir), (s"${reps}x", bigDir))) {
+      val t84 = BenchTiming.steadyOf(spark,
+        () => Similarity.embeddingCoverage(em(dir)))
+      val t85 = BenchTiming.steadyOf(spark,
+        () => Similarity.diversitySample(em(dir), cap = 4))
+      val kept = Similarity.diversitySample(em(dir), cap = 4).count()
+      val cells = Similarity.embeddingCoverage(em(dir)).count()
+      println(f"$tag%-6s l84=$t84%7.3f s  l85=$t85%7.3f s  " +
+        f"cellsOccupied=$cells%4d  kept=$kept%6d (bound=${cells * 4})")
+    }
   }
 
   /** PACKED-RERANK scale-up (`runMain graft.DevScale R packed`) — the l48b
