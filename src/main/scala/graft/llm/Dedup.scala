@@ -722,6 +722,49 @@ object Dedup {
         ((col("cluster_size") - 1) * col("n_clusters")).as("n_removable"))
   }
 
+  /** Cluster COHESION audit — edge density of every multi-member near-dup
+    * cluster, aggregated by cluster size: n_clusters, total/min/max direct
+    * pair-edges, the possible-edge count, and the pooled density
+    * Σedges / Σpossible. The over-merge alarm read BEFORE trusting a
+    * transitive dedup apply: connected components merge by CHAINS (A~B,
+    * B~C puts A,C in one cluster with no direct pair), so a low-density
+    * size band says the minJ threshold is linking documents that are not
+    * pairwise similar — the classic MinHash-dedup hairball — while
+    * density ≈ 1 certifies clusters are near-cliques and keep-one loses
+    * nothing pairwise-distinct. Complements l66's size profile (how big)
+    * with the structural question (how tight).
+    *
+    * Scale: shares the pair table with every cluster consumer (the
+    * caller passes it; declared form reuses l16's jaccardPairs subtree);
+    * labeling is nearDupClustersAuto's story; after it everything is
+    * id-arithmetic — one membership join keyed on doc ids, one count per
+    * cluster, one ≤|sizes|-key histogram — and the output is bounded by
+    * the distinct-size count (the l66 discipline: a viral cluster is one
+    * row's max_edges, never a collected list). Density divides exact
+    * longs once; n(n−1)/2 is exact in double far past any real cluster
+    * size (< 2^26 members). */
+  def clusterCohesion(pairs: DataFrame): DataFrame = {
+    val p = pairs.select(col("doc_a"), col("doc_b")).localCheckpoint()
+    val clusters = nearDupClustersAuto(p)
+    val sizes = clusters.groupBy(col("cluster_id"))
+      .agg(count(lit(1)).as("n_members"))
+    val edges = p
+      .join(clusters.withColumnRenamed("doc_id", "doc_a"), "doc_a")
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n_edges"))
+    sizes.join(edges, "cluster_id")
+      .groupBy(col("n_members"))
+      .agg(count(lit(1)).as("n_clusters"),
+        sum(col("n_edges")).as("n_edges_total"),
+        min(col("n_edges")).as("min_edges"),
+        max(col("n_edges")).as("max_edges"))
+      .withColumn("n_edges_possible",
+        (col("n_clusters") * ((col("n_members") * (col("n_members") - 1)) / 2))
+          .cast(LongType))
+      .withColumn("pooled_density",
+        col("n_edges_total").cast(DoubleType)
+          / col("n_edges_possible").cast(DoubleType))
+  }
+
   /** KEEP-ONE SURVIVORS — the canonical-per-cluster subset of the corpus
     * (cluster-minimum doc_id wins, l30's rule; docs in no pair survive
     * unchanged): the "unique data" view every dedup-adjusted downstream
@@ -937,6 +980,51 @@ object Dedup {
       .agg(
         countDistinct(col("ev.doc_id")).as("n_eval_docs"),
         countDistinct(col("tr.sd")).as("n_shared_shingles"))
+  }
+
+  /** Decontamination N-GRAM-SIZE sweep — the "choose n" table read before
+    * fixing the contamination rule: for each shingle size n, how many
+    * train documents share at least one n-gram with the eval split, the
+    * train fraction that is, and the shared-digest count. Small n flags
+    * generously (any shared n-gram of a larger match is itself a match —
+    * the contaminated set at larger n is a SUBSET of the set at smaller n,
+    * so the curve is provably monotone non-increasing, asserted in
+    * LlmSpec); large n only catches verbatim spans. The spread between
+    * the n rows is the policy cost of strict vs loose decontamination in
+    * retained documents.
+    *
+    * Scale: the corpus TOKENIZES ONCE (one checkpointed (doc_id, bucket,
+    * tokens) projection serves every n — re-shingling is an in-row
+    * transform over the bound token array, not a corpus re-scan); each
+    * n's legs follow decontaminate's discipline — split before shingling,
+    * digests at the scan, eval side distinct-reduced first (broadcast by
+    * AQE); per-n counts are broadcast 1-row aggregates. */
+  def deconNgramSweep(docs: DataFrame, ns: Seq[Int] = Seq(2, 3, 5, 8),
+                      trainPct: Int = 80, evalFromPct: Int = 90): DataFrame = {
+    val toks = docs
+      .select(col("doc_id"), TextOps.splitBucket(col("doc_id")).as("bkt"),
+        TextOps.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val nTrain = broadcast(toks.filter(col("bkt") < trainPct)
+      .agg(count(lit(1)).as("n_train")))
+    ns.map { n =>
+      val tr = toks.filter(col("bkt") < trainPct)
+        .select(col("doc_id"),
+          explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
+        .select(col("doc_id"), md5(col("s")).as("sd"))
+      val ev = toks.filter(col("bkt") >= evalFromPct)
+        .select(explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
+        .select(md5(col("s")).as("sd")).distinct()
+      tr.join(ev, "sd")
+        .agg(countDistinct(col("doc_id")).as("n_contaminated"),
+          countDistinct(col("sd")).as("n_shared_digests"))
+        .crossJoin(nTrain)
+        .select(lit(n.toLong).as("n"), col("n_train"),
+          col("n_contaminated"),
+          (col("n_contaminated").cast(DoubleType)
+            / col("n_train").cast(DoubleType)).as("contaminated_frac"),
+          col("n_shared_digests"))
+    }.reduce(_ unionByName _)
   }
 
   /** GRADED decontamination — per-train-document contamination FRACTION:
@@ -1228,6 +1316,45 @@ object Dedup {
           .as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** SimHash ESTIMATOR audit — the l43 measurement for the OTHER sketch:
+    * every simhash band-candidate pair's Hamming distance next to its
+    * exact n-gram Jaccard (left-joined — a band collision between docs
+    * sharing no shingle must read j_exact = 0, not vanish). Hamming over
+    * the 32-bit signature is the simhash proxy for similarity; this table
+    * makes its correlation with ground truth VISIBLE at the corpus's own
+    * pair distribution, completing the estimator-audit family (l43
+    * MinHash, l44 embedding-LSH, l87 IVF, this one SimHash) — the four
+    * sketches a pipeline chooses between, each priced against exact truth.
+    *
+    * Scale: candidates are simhashNearDups' story (byte-banded equality
+    * join on the 32-bit signature — digest-only); the exact side verifies
+    * CANDIDATES ONLY (the l43 shape: shingles materialized once at doc
+    * granularity, sizes a pure projection). */
+  def simhashEstimateAudit(docs: DataFrame, n: Int = 3,
+                           maxHamming: Int = 6): DataFrame = {
+    val cand = simhashNearDups(docs, maxHamming).localCheckpoint()
+    val docSh = docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), TextOps.shinglesFromTokens(col("toks"), n).as("shs"))
+      .localCheckpoint()
+    val sh = docSh.select(col("doc_id"), explode(col("shs")).as("s"))
+    val sizes = docSh.select(col("doc_id"), size(col("shs")).cast("long").as("n_sh"))
+    val common = cand
+      .join(sh.as("sa"), col("doc_a") === col("sa.doc_id"))
+      .join(sh.as("sb"),
+        col("doc_b") === col("sb.doc_id") && col("sa.s") === col("sb.s"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("cc"))
+    cand
+      .join(common, Seq("doc_a", "doc_b"), "left")
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sh").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sh").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        (coalesce(col("cc"), lit(0L)).cast(DoubleType)
+          / (col("na") + col("nb") - coalesce(col("cc"), lit(0L))))
+          .as("j_exact"))
   }
 
   /** EXCERPT-REMOVAL apply — the ASYMMETRIC dedup policy l27's

@@ -687,9 +687,7 @@ object Similarity {
   def embeddingCoverage(vectors: DataFrame, planes: Int = 8,
                         dim: Int = 64): DataFrame = {
     val nCells = 1L << planes
-    val cells = vectors
-      .select(bucketExpr(col("embedding"), planes, dim).as("bkt"))
-      .groupBy(col("bkt")).agg(count(lit(1)).as("n_vecs"))
+    val cells = coverageCellTable(vectors, planes, dim)
     val tot = broadcast(cells.agg(
       sum(col("n_vecs")).as("n_corpus"),
       count(lit(1)).as("n_cells_occupied")))
@@ -703,6 +701,29 @@ object Similarity {
         (col("n_cells_occupied").cast(DoubleType) / nCells)
           .as("occupancy_frac"))
   }
+
+  /** The raw (bkt, n_vecs) CELL TABLE behind `embeddingCoverage` — the
+    * persistable artifact a monitoring loop carries (S22): build it per
+    * crawl batch, keep it, and fold batches with `mergeCoverageCells`.
+    * The summary view (fractions, skew, occupancy) derives from the
+    * carried table at read time; the corpus is never re-scanned. */
+  def coverageCellTable(vectors: DataFrame, planes: Int = 8,
+                        dim: Int = 64): DataFrame =
+    vectors
+      .select(bucketExpr(col("embedding"), planes, dim).as("bkt"))
+      .groupBy(col("bkt")).agg(count(lit(1)).as("n_vecs"))
+
+  /** Associative MERGE of two coverage cell tables: counts add per cell
+    * (plain sum — trivially associative and commutative, so any fold
+    * order over any batch split yields the drained corpus's cell table).
+    * Touches ≤ 2·2^planes rows — cell-table work, no corpus. Unlike the
+    * sketch/keep-table merges (which `distinct` into idempotence), COUNTS
+    * double on re-delivery: the S22 loop relies on foreachBatch's
+    * batchId-transactional write for exactly-once folding, the standard
+    * streaming-aggregation discipline. */
+  def mergeCoverageCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("bkt")).agg(sum(col("n_vecs")).as("n_vecs"))
 
   /** Cell-capped DIVERSITY sample — keep at most `cap` vectors per SimHash
     * cell, chosen content-independently (ascending md5 of the vec_id, ties
@@ -723,6 +744,98 @@ object Similarity {
     vectors
       .select(bucketExpr(col("embedding"), planes, dim).as("bkt"),
         col("vec_id"),
+        graft.llm.TextOps.md5Int32(col("vec_id").cast(StringType)).as("h"))
+      .groupBy(col("bkt"))
+      .agg(call_function("bounded_top_m",
+        negate(col("h").cast(DoubleType)), col("vec_id"), lit(cap)).as("tm"))
+      .select(col("bkt"), explode(col("tm")).as("e"))
+      .select(col("bkt"), col("e.id").as("vec_id"))
+
+  /** IVF PROBE-COUNT recall sweep — measured recall@k of the IVF index at
+    * every nProbe in `probes` against the exact brute-force ground truth
+    * over an md5-sampled query set: the l82/l44 audit family's missing
+    * member (l44 ranks LSH configs, l82 ranks MinHash band tilings; this
+    * ranks the IVF probe knob — the recall-vs-cost dial an ANN deployment
+    * actually turns at serving time). Because a query's probed cells at
+    * smaller nProbe are a PREFIX of its cells at larger nProbe, hit counts
+    * are provably monotone in nProbe (a truth pair can only be displaced
+    * by another truth pair) — asserted in LlmSpec.
+    *
+    * Scale: the probe-independent work is shared across ALL configs — one
+    * corpus assignment pass (annTopKIvf's max_by hash-agg shape), ONE
+    * cosine pass over the maximal probe set with the probe rank riding
+    * along (smaller configs are a `prn <= p` filter of the checkpointed
+    * sims table, not a re-scan); the truth leg is the broadcast-queries
+    * exact pass (its cost IS the ground-truth job, the l44 rule). Counts
+    * are broadcast 1-row aggregates; recall divides exact longs once. */
+  def ivfProbeSweep(vectors: DataFrame, k: Int = 3, nCells: Int = 16,
+                    probes: Seq[Int] = Seq(1, 2, 4),
+                    samplePct: Int = 20): DataFrame = {
+    val queries = vectors
+      .filter(graft.llm.TextOps.splitBucket(col("vec_id")) < samplePct)
+    val truth = bruteForceTopK(queries, vectors, k)
+      .select(col("qid"), col("nid")).localCheckpoint()
+    val nTruth = broadcast(truth.agg(count(lit(1)).as("n_truth")))
+    val pMax = probes.max
+    val cents = vectors.orderBy(col("vec_id")).limit(nCells)
+      .select(col("vec_id").as("cent_id"), col("embedding").as("cent"))
+    val assigned = vectors
+      .select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      .crossJoin(broadcast(cents))
+      .groupBy(col("nid"))
+      .agg(
+        max_by(col("cent_id"),
+          struct(cosine(col("ce"), col("cent")), -col("cent_id"))).as("cell"),
+        first(col("ce")).as("ce"))
+      .select(col("nid"), col("ce"), col("cell"))
+    val wProbe = Window.partitionBy(col("qid"))
+      .orderBy(cosine(col("qe"), col("cent")).desc, col("cent_id"))
+    val probed = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("prn", row_number().over(wProbe))
+      .filter(col("prn") <= pMax)
+      .select(col("qid"), col("qe"), col("cent_id").as("cell"), col("prn"))
+    val simsAll = broadcast(probed).join(assigned, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("prn"),
+        cosine(col("qe"), col("ce")).as("sim"))
+      .localCheckpoint()
+    probes.map { p =>
+      val w = Window.partitionBy(col("qid"))
+        .orderBy(col("sim").desc, col("nid"))
+      val got = simsAll.filter(col("prn") <= p)
+        .withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") <= k)
+        .select(col("qid"), col("nid"))
+      val hits = got.join(truth, Seq("qid", "nid"), "left_semi")
+      got.agg(count(lit(1)).as("n_retrieved"))
+        .crossJoin(broadcast(hits.agg(count(lit(1)).as("n_hits"))))
+        .crossJoin(nTruth)
+        .select(lit(p.toLong).as("nprobe"), col("n_retrieved"),
+          col("n_hits"), col("n_truth"),
+          (col("n_hits").cast(DoubleType) / col("n_truth").cast(DoubleType))
+            .as("recall"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Associative MERGE of two diversity-sample keep tables (the S21
+    * streaming-maintenance primitive, `mergeSourceSketches`' argument on
+    * the cell axis): the per-cell bottom-cap under the total order
+    * (md5(vec_id), vec_id) of A ∪ B equals the bottom-cap of
+    * bottom-cap(A) ∪ bottom-cap(B) — any globally-kept vector is kept on
+    * its own side (at most cap−1 cell-mates sit below it there). So a
+    * crawl loop samples each arriving batch alone and folds it into the
+    * carried keep table in any order; the maintained state equals the
+    * from-scratch sample of everything seen. The md5 key re-derives from
+    * vec_id (content-independent), so the state table stays two columns;
+    * `distinct` makes re-delivered rows a no-op (at-least-once safe).
+    * Touches ≤ 2·cells·cap rows — keep-table work, no corpus. */
+  def mergeDiversitySamples(a: DataFrame, b: DataFrame,
+                            cap: Int = 4): DataFrame =
+    a.unionByName(b)
+      .distinct()
+      .select(col("bkt"), col("vec_id"),
         graft.llm.TextOps.md5Int32(col("vec_id").cast(StringType)).as("h"))
       .groupBy(col("bkt"))
       .agg(call_function("bounded_top_m",

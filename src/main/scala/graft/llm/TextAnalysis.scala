@@ -44,6 +44,39 @@ object TextAnalysis {
         (-element_at(scored, 1).getField("neg")).as("score"))
   }
 
+  /** Language-ID AGREEMENT audit — the confusion matrix of the n-gram
+    * language heuristic (langId) against the corpus's own `lang` label:
+    * per (labeled, predicted) cell the doc count, the labeled-language
+    * total, the row fraction, and a diagonal flag. The calibration check
+    * run before trusting EITHER signal — a strong off-diagonal cell means
+    * the heuristic and the crawl metadata disagree systematically (mixed-
+    * language sources, mislabeled crawls, or a stopword list gap), and
+    * per-language filters (l26/l28's strata) are then built on sand.
+    *
+    * Scale: prediction is langId's pure projection WITH the label carried
+    * — ONE corpus scan, no id-keyed join of two scans; the corpus-sized
+    * agg lands on ≤ |langs|² cells; label totals fold the cell table
+    * itself (tiny), never the corpus again. Fractions divide exact longs
+    * once. */
+  def langIdAgreement(docs: DataFrame): DataFrame = {
+    val scored = sort_array(array(stopwords.toSeq.sortBy(_._1).map {
+      case (lang, words) =>
+        struct((-ratioFor(col("toks"), words)).as("neg"), lit(lang).as("lang"))
+    }: _*))
+    val cells = docs
+      .select(col("lang"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("lang"), element_at(scored, 1).getField("lang").as("pred_lang"))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+      .localCheckpoint()
+    val totals = cells.groupBy(col("lang")).agg(sum(col("n_docs")).as("n_label"))
+    cells.join(totals, "lang")
+      .select(col("lang"), col("pred_lang"), col("n_docs"), col("n_label"),
+        (col("n_docs").cast(DoubleType) / col("n_label").cast(DoubleType))
+          .as("frac_of_label"),
+        when(col("lang") === col("pred_lang"), 1L).otherwise(0L).as("is_match"))
+  }
+
   /** Quality metrics: token count, mean token length, punctuation ratio,
     * stopword ratio — the length/punct/stopword heuristics of corpus
     * filtering, as exact integer-derived doubles. */
@@ -623,6 +656,36 @@ object TextAnalysis {
       .select(col("pack_id"), col("n_docs"), col("pack_tokens"),
         (col("pack_tokens").cast(DoubleType) / budgetTokens.toDouble)
           .as("fill_rate"))
+
+  /** Pack-BUDGET sweep — the "choose the context length" table: for each
+    * candidate token budget, the pack count, corpus token mass (constant —
+    * conservation is the cross-row sanity check), total capacity, overall
+    * fill rate, and how many packs exceed their budget (a doc longer than
+    * the budget overflows its pack under the contiguous l19 rule — the
+    * count of those is the "this budget needs chunking first" signal,
+    * l35's composition). Complements l61 (per-pack detail at ONE budget)
+    * with the cross-budget summary a packing config is chosen from.
+    *
+    * Scale: each budget leg is sequencePack's story (token counts in the
+    * scan via the native expression, salted prefix-sum — no global-window
+    * straggler) folded to ≤|packs| rows then ONE summary row; budgets
+    * share nothing but the scan, and the output is |budgets| rows. Ratios
+    * divide exact longs once. */
+  def packBudgetSweep(docs: DataFrame,
+                      budgets: Seq[Long] = Seq(512L, 1024L, 2048L, 4096L))
+      : DataFrame =
+    budgets.map { b =>
+      packEfficiency(docs, b)
+        .agg(count(lit(1)).as("n_packs"),
+          sum(col("pack_tokens")).as("corpus_tokens"),
+          sum(when(col("pack_tokens") > b, 1L).otherwise(0L))
+            .as("n_over_budget_packs"))
+        .select(lit(b).as("budget"), col("n_packs"), col("corpus_tokens"),
+          (col("n_packs") * b).as("capacity"),
+          (col("corpus_tokens").cast(DoubleType)
+            / (col("n_packs") * b).cast(DoubleType)).as("fill_rate"),
+          col("n_over_budget_packs"))
+    }.reduce(_ unionByName _)
 
   /** Deterministic interleaved mixture ORDER — the epoch-schedule
     * materialization that turns per-source mixture weights into the

@@ -2559,6 +2559,285 @@ object LlmDeclared {
         FROM hq)
       SELECT bkt, vec_id FROM r WHERE rn <= 4 ORDER BY bkt, vec_id"""))
 
+  /** L86 — cluster COHESION audit: edge density of every multi-member
+    * near-dup cluster by size band — the over-merge (transitive-chain)
+    * alarm read before trusting a dedup apply. Oracle: l16's recursive-CC
+    * labeling + per-cluster edge counts + the size-band arithmetic. */
+  private val l86 = DeclaredQuery(
+    "l86_cluster_cohesion",
+    (s, dir) => Dedup.clusterCohesion(
+        Dedup.jaccardPairs(t(s, dir, "documents"), n = 3, minJ = 0.5))
+      .orderBy(col("n_members")),
+    Some(s"""WITH RECURSIVE $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      com AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+      pairs AS (
+        SELECT doc_a, doc_b FROM com
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM pairs
+                UNION SELECT doc_b, doc_a FROM pairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      csize AS (SELECT cluster_id, CAST(COUNT(*) AS BIGINT) AS n_members
+                FROM lab GROUP BY cluster_id),
+      cedge AS (SELECT l.cluster_id, CAST(COUNT(*) AS BIGINT) AS n_edges
+                FROM pairs p JOIN lab l ON l.doc_id = p.doc_a
+                GROUP BY l.cluster_id),
+      g AS (SELECT s.n_members,
+              CAST(COUNT(*) AS BIGINT) AS n_clusters,
+              CAST(SUM(e.n_edges) AS BIGINT) AS n_edges_total,
+              CAST(MIN(e.n_edges) AS BIGINT) AS min_edges,
+              CAST(MAX(e.n_edges) AS BIGINT) AS max_edges
+            FROM csize s JOIN cedge e USING (cluster_id)
+            GROUP BY s.n_members)
+      SELECT n_members, n_clusters, n_edges_total, min_edges, max_edges,
+        CAST(n_clusters * (n_members * (n_members - 1) // 2) AS BIGINT)
+          AS n_edges_possible,
+        CAST(n_edges_total AS DOUBLE)
+          / CAST(n_clusters * (n_members * (n_members - 1) // 2) AS DOUBLE)
+          AS pooled_density
+      FROM g ORDER BY n_members"""))
+
+  /** L87 — IVF probe-count recall sweep: measured recall@3 at nProbe ∈
+    * {1,2,4} vs the brute-force truth over the md5-sampled query set —
+    * the audit that prices the IVF serving knob (l44's table for the LSH
+    * knobs, l82's for the MinHash bands). Oracle: l17's cents/assignment
+    * CTEs, probe ranks kept to the max config, per-config top-3 +
+    * scalar-subquery counts. */
+  private val l87 = {
+    val k = 3; val nCells = 16; val probes = Seq(1, 2, 4)
+    val pMax = probes.max
+    def gotCte(p: Int): String =
+      s"""got$p AS (SELECT qid, nid FROM (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims WHERE prn <= $p) g WHERE rnk <= $k)"""
+    def cfgRow(p: Int): String =
+      s"""SELECT CAST($p AS BIGINT) AS nprobe,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM got$p) AS n_retrieved,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM got$p g
+           JOIN truth t ON g.qid = t.qid AND g.nid = t.nid) AS n_hits,
+        (SELECT n_truth FROM tn) AS n_truth,
+        CAST((SELECT CAST(COUNT(*) AS BIGINT) FROM got$p g
+           JOIN truth t ON g.qid = t.qid AND g.nid = t.nid) AS DOUBLE)
+          / CAST((SELECT n_truth FROM tn) AS DOUBLE) AS recall"""
+    DeclaredQuery(
+      "l87_ivf_probe_sweep",
+      (s, dir) => Similarity.ivfProbeSweep(t(s, dir, "embeddings"),
+          k, nCells, probes).orderBy(col("nprobe")),
+      Some(s"""WITH sampleq AS (
+        SELECT vec_id, embedding FROM embeddings
+        WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20),
+      cents AS (
+        SELECT vec_id AS cent_id, embedding AS cent
+        FROM embeddings ORDER BY vec_id LIMIT $nCells),
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN cents c) x
+        WHERE rn <= 1),
+      probed AS (
+        SELECT qid, qe, cell, prn FROM (
+          SELECT q.vec_id AS qid, q.embedding AS qe, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckCosine("q.embedding", "c.cent")} DESC, c.cent_id) AS prn
+          FROM sampleq q CROSS JOIN cents c) x
+        WHERE prn <= $pMax),
+      sims AS (
+        SELECT qid, nid, prn, ${duckCosine("qe", "ce")} AS sim
+        FROM probed p JOIN assigned a ON p.cell = a.cell
+        WHERE qid <> nid),
+      truth AS (SELECT qid, nid FROM (
+          SELECT q.vec_id AS qid, e.vec_id AS nid,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckCosine("q.embedding", "e.embedding")} DESC, e.vec_id) AS rnk
+          FROM sampleq q JOIN embeddings e ON q.vec_id <> e.vec_id) t
+        WHERE rnk <= $k),
+      tn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_truth FROM truth),
+      ${probes.map(gotCte).mkString(",\n      ")}
+      ${probes.map(cfgRow).mkString("\n      UNION ALL ")}
+      ORDER BY nprobe"""))
+  }
+
+  /** L88 — decontamination n-gram-size sweep: contaminated-train-doc
+    * counts/fractions and shared-digest counts at n ∈ {2,3,5,8} — the
+    * "choose n" table for the contamination rule (monotone non-increasing
+    * in n by construction). Oracle: a generic per-n shingle CTE over one
+    * tokenized projection, l24's join shape, scalar-subquery totals. */
+  private val l88 = {
+    val ns = Seq(2, 3, 5, 8)
+    def shCte(n: Int): String = {
+      val cat = (0 until n).map(j =>
+        if (j == 0) "w[i]" else s"w[i+$j]").mkString(" || ' ' || ")
+      s"""sh$n AS (SELECT doc_id, bkt, unnest(list_distinct(list_transform(
+        range(1, len(w) - ${n - 2}), i -> $cat))) AS s FROM tt),
+      tr$n AS (SELECT doc_id, md5(s) AS sd FROM sh$n WHERE bkt < 80),
+      ev$n AS (SELECT DISTINCT md5(s) AS sd FROM sh$n WHERE bkt >= 90),
+      c$n AS (SELECT CAST(COUNT(DISTINCT t.doc_id) AS BIGINT) AS n_cont,
+          CAST(COUNT(DISTINCT t.sd) AS BIGINT) AS n_sh
+        FROM tr$n t JOIN ev$n e USING (sd))"""
+    }
+    def cfgRow(n: Int): String =
+      s"""SELECT CAST($n AS BIGINT) AS n,
+        (SELECT n_train FROM nt) AS n_train,
+        n_cont AS n_contaminated,
+        CAST(n_cont AS DOUBLE)
+          / CAST((SELECT n_train FROM nt) AS DOUBLE) AS contaminated_frac,
+        n_sh AS n_shared_digests
+      FROM c$n"""
+    DeclaredQuery(
+      "l88_decon_ngram_sweep",
+      (s, dir) => Dedup.deconNgramSweep(t(s, dir, "documents"), ns)
+        .orderBy(col("n")),
+      Some(s"""WITH tt AS (
+        SELECT doc_id,
+          ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bkt,
+          string_split(text, ' ') AS w
+        FROM documents),
+      nt AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_train FROM tt WHERE bkt < 80),
+      ${ns.map(shCte).mkString(",\n      ")}
+      ${ns.map(cfgRow).mkString("\n      UNION ALL ")}
+      ORDER BY n"""))
+  }
+
+  /** L89 — pack-budget sweep: pack counts, capacity, fill rate and
+    * over-budget-pack counts at budgets {512,1024,2048,4096} — the
+    * "choose the context length" table over l19's contiguous packing
+    * (corpus tokens constant across rows = conservation check). Oracle:
+    * l19's prefix-sum SQL per budget + a one-row summary each. */
+  private val l89 = {
+    val budgets = Seq(512L, 1024L, 2048L, 4096L)
+    def pkCte(b: Long): String =
+      s"""pk$b AS (SELECT CAST(FLOOR(COALESCE(SUM(n_tok) OVER (ORDER BY doc_id
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) / $b) AS BIGINT)
+            AS pack_id, n_tok FROM base),
+      gp$b AS (SELECT pack_id, CAST(SUM(n_tok) AS BIGINT) AS pack_tokens
+               FROM pk$b GROUP BY pack_id)"""
+    def cfgRow(b: Long): String =
+      s"""SELECT CAST($b AS BIGINT) AS budget,
+        CAST(COUNT(*) AS BIGINT) AS n_packs,
+        CAST(SUM(pack_tokens) AS BIGINT) AS corpus_tokens,
+        CAST(COUNT(*) * $b AS BIGINT) AS capacity,
+        CAST(SUM(pack_tokens) AS DOUBLE)
+          / CAST(COUNT(*) * $b AS DOUBLE) AS fill_rate,
+        CAST(SUM(CASE WHEN pack_tokens > $b THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_over_budget_packs
+      FROM gp$b"""
+    DeclaredQuery(
+      "l89_pack_budget_sweep",
+      (s, dir) => TextAnalysis.packBudgetSweep(t(s, dir, "documents"),
+          budgets).orderBy(col("budget")),
+      Some(s"""WITH base AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents),
+      ${budgets.map(pkCte).mkString(",\n      ")}
+      ${budgets.map(cfgRow).mkString("\n      UNION ALL ")}
+      ORDER BY budget"""))
+  }
+
+  /** L90 — language-ID AGREEMENT confusion matrix: the langId heuristic
+    * vs the corpus's own `lang` label, per (labeled, predicted) cell with
+    * row fractions and the diagonal flag — the calibration check run
+    * before per-language filtering. Oracle: l07's scoring CTEs + the
+    * label join + cell/total arithmetic. */
+  private val l90 = {
+    val langs = TextAnalysis.stopwords.toSeq.sortBy(_._1)
+    val scoreCols = langs.map { case (lang, words) =>
+      s"CAST(len(list_filter(w, x -> list_contains(${duckList(words)}, x))) AS DOUBLE) / CAST(len(w) AS DOUBLE) AS s_$lang"
+    }.mkString(",\n        ")
+    val unpivot = langs.map { case (lang, _) =>
+      s"SELECT doc_id, '$lang' AS lang, s_$lang AS score FROM scores"
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l90_langid_agreement",
+      (s, dir) => TextAnalysis.langIdAgreement(t(s, dir, "documents"))
+        .orderBy(col("lang"), col("pred_lang")),
+      Some(s"""WITH tt AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      scores AS (SELECT doc_id,
+        $scoreCols
+        FROM tt),
+      unp AS (
+        $unpivot),
+      pred AS (SELECT doc_id, lang AS pred_lang FROM (
+          SELECT doc_id, lang, score,
+            ROW_NUMBER() OVER (PARTITION BY doc_id
+              ORDER BY score DESC, lang) AS rn
+          FROM unp) r
+        WHERE rn = 1),
+      cells AS (SELECT d.lang, p.pred_lang,
+          CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM documents d JOIN pred p USING (doc_id)
+        GROUP BY d.lang, p.pred_lang),
+      tot AS (SELECT lang, CAST(SUM(n_docs) AS BIGINT) AS n_label
+              FROM cells GROUP BY lang)
+      SELECT c.lang, c.pred_lang, c.n_docs, t.n_label,
+        CAST(c.n_docs AS DOUBLE) / CAST(t.n_label AS DOUBLE) AS frac_of_label,
+        CAST(CASE WHEN c.lang = c.pred_lang THEN 1 ELSE 0 END AS BIGINT)
+          AS is_match
+      FROM cells c JOIN tot t USING (lang)
+      ORDER BY lang, pred_lang"""))
+  }
+
+  /** L91 — SimHash ESTIMATOR audit (l43's measurement for the other
+    * sketch): every band-candidate pair's Hamming distance next to its
+    * exact Jaccard, collisions included at j_exact = 0 — completes the
+    * estimator-audit family across all four sketches. Oracle: l04's
+    * signature/banding CTEs + the candidate-verified exact side. */
+  private val l91 = {
+    val bits = 32
+    val sumCols = (0 until bits)
+      .map(i => s"SUM(CASE WHEN (h >> $i) & 1 = 1 THEN 1 ELSE -1 END) AS b$i")
+      .mkString(",\n        ")
+    val sigExpr = (0 until bits)
+      .map(i => s"(CASE WHEN b$i > 0 THEN ${1L << i} ELSE 0 END)")
+      .mkString(" + ")
+    val bandSelects = (0 until 4)
+      .map(b => s"SELECT doc_id, simhash, $b AS band_idx, (simhash >> ${8 * b}) & 255 AS band_val FROM sig")
+      .mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l91_simhash_estimate_audit",
+      (s, dir) => Dedup.simhashEstimateAudit(t(s, dir, "documents"))
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $shingleCte,
+      th AS (SELECT doc_id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+      sums AS (SELECT doc_id,
+        $sumCols
+        FROM th GROUP BY doc_id),
+      sig AS (SELECT doc_id, $sigExpr AS simhash FROM sums),
+      banded AS (
+        $bandSelects),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          CAST(bit_count(xor(x.simhash, y.simhash)) AS BIGINT) AS hamming
+        FROM banded x JOIN banded y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+         AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.simhash, y.simhash)) <= 6),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      cm AS (SELECT c.doc_a, c.doc_b, COUNT(*) AS cc
+             FROM cand c
+             JOIN sh sa ON sa.doc_id = c.doc_a
+             JOIN sh sb ON sb.doc_id = c.doc_b AND sb.s = sa.s
+             GROUP BY c.doc_a, c.doc_b)
+      SELECT c.doc_a, c.doc_b, c.hamming,
+        CAST(COALESCE(cm.cc, 0) AS DOUBLE)
+          / (sa.n_sh + sb.n_sh - COALESCE(cm.cc, 0)) AS j_exact
+      FROM cand c
+      LEFT JOIN cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+      JOIN sizes sa ON sa.doc_id = c.doc_a
+      JOIN sizes sb ON sb.doc_id = c.doc_b
+      ORDER BY c.doc_a, c.doc_b"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2567,5 +2846,6 @@ object LlmDeclared {
     l41, l42, l43, l44, l45, l46, l47, l48, l48b, l49, l50,
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
-    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, d29)
+    l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
+    l89, l90, l91, d29)
 }

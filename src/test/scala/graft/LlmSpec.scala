@@ -2014,6 +2014,150 @@ class LlmSpec extends SparkSpec {
       .filter(col("n_kept") =!= col("n_vecs")).isEmpty)
   }
 
+  test("clusterCohesion: hand-computed densities on a chain vs a clique; " +
+    "corpus totals reconcile with the pair table and size profile") {
+    import org.apache.spark.sql.functions.{col => c}
+    // chain cluster {1,2,3} (edges 1-2, 2-3 only: density 2/3) and
+    // clique pair {10,11} (density 1)
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("doc_a", "doc_b")
+    val got = Dedup.clusterCohesion(pairs).orderBy(c("n_members")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getDouble(6)))
+    assert(got.toSeq === Seq(
+      (2L, 1L, 1L, 1L, 1L, 1L, 1.0),
+      (3L, 1L, 2L, 2L, 2L, 3L, 2.0 / 3.0)))
+    // corpus: every pair is a within-cluster edge, so Σ n_edges_total =
+    // |pairs|; multi-member cluster counts per size must match the size
+    // profile's k >= 2 rows; density bounded by (0, 1]
+    val docs = Tables.load(spark, sf001, "documents")
+    val cp = Dedup.jaccardPairs(docs, n = 3, minJ = 0.5).localCheckpoint()
+    val coh = Dedup.clusterCohesion(cp).localCheckpoint()
+    assert(coh.agg(sum(c("n_edges_total"))).first().getLong(0) === cp.count())
+    assert(coh.filter(c("pooled_density") <= 0 || c("pooled_density") > 1
+      || c("n_edges_total") > c("n_edges_possible")).isEmpty)
+    val prof = Dedup.clusterSizeProfile(docs, cp)
+      .filter(c("cluster_size") >= 2)
+      .select(c("cluster_size").as("n_members"), c("n_clusters").as("want"))
+    assert(coh.join(prof, "n_members")
+      .filter(c("n_clusters") =!= c("want")).isEmpty)
+    assert(coh.count() === prof.count())
+  }
+
+  test("mergeDiversitySamples: associative fold equals the from-scratch " +
+    "sample; re-delivered rows are a no-op (sf0.001)") {
+    val vecs = Tables.load(spark, sf001, "embeddings").localCheckpoint()
+    val cap = 4
+    val whole = Similarity.diversitySample(vecs, cap = cap)
+    // arbitrary 3-way split by id arithmetic
+    val parts = Seq(
+      vecs.filter(col("vec_id") % 3 === 0),
+      vecs.filter(col("vec_id") % 3 === 1),
+      vecs.filter(col("vec_id") % 3 === 2))
+    val folded = parts.map(p => Similarity.diversitySample(p, cap = cap))
+      .reduce((a, b) => Similarity.mergeDiversitySamples(a, b, cap))
+    assert(folded.exceptAll(whole).isEmpty
+      && whole.exceptAll(folded).isEmpty)
+    // at-least-once safety: merging a state with itself changes nothing
+    val again = Similarity.mergeDiversitySamples(folded, folded, cap)
+    assert(again.exceptAll(folded).isEmpty
+      && folded.exceptAll(again).isEmpty)
+  }
+
+  test("ivfProbeSweep: hits monotone in nprobe; probing every cell " +
+    "recovers the brute-force truth exactly (sf0.001)") {
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    // include p = nCells: probing all 16 cells IS brute force (minus
+    // nothing — every vector's cell is probed), so recall must be 1.0
+    val sweep = Similarity.ivfProbeSweep(vecs, k = 3, nCells = 16,
+      probes = Seq(1, 2, 16)).orderBy(col("nprobe")).collect()
+    assert(sweep.length === 3)
+    val hits = sweep.map(_.getLong(2))
+    assert(hits.sameElements(hits.sorted), "n_hits monotone in nprobe")
+    assert(sweep.map(_.getLong(3)).distinct.length === 1, "n_truth constant")
+    val full = sweep.last
+    assert(full.getLong(2) === full.getLong(3) && full.getDouble(4) === 1.0,
+      "probing all cells = brute force")
+    assert(sweep.forall(r => r.getDouble(4) >= 0 && r.getDouble(4) <= 1))
+  }
+
+  test("deconNgramSweep: contaminated set shrinks as n grows; n_train " +
+    "constant (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val sweep = Dedup.deconNgramSweep(docs, ns = Seq(2, 3, 5, 8))
+      .orderBy(col("n")).collect()
+    assert(sweep.length === 4)
+    assert(sweep.map(_.getLong(1)).distinct.length === 1, "n_train constant")
+    // any shared n-gram contains shared m-grams for m < n, so the
+    // contaminated set at larger n is a subset of the smaller-n set
+    val cont = sweep.map(_.getLong(2))
+    assert(cont.reverse.sameElements(cont.reverse.sorted),
+      "contaminated count non-increasing in n")
+    val shared = sweep.map(_.getLong(4))
+    assert(cont.head > 0 && shared.head > 0,
+      "bigram level must flag something on the fixture corpus")
+    sweep.foreach(r => assert(
+      r.getDouble(3) === r.getLong(2).toDouble / r.getLong(1).toDouble))
+  }
+
+  test("packBudgetSweep: token conservation across budgets; capacity " +
+    "arithmetic; packs non-increasing on a doubling schedule (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val sweep = TextAnalysis.packBudgetSweep(docs,
+      budgets = Seq(512L, 1024L, 2048L, 4096L))
+      .orderBy(col("budget")).collect()
+    assert(sweep.length === 4)
+    assert(sweep.map(_.getLong(2)).distinct.length === 1,
+      "corpus tokens identical across budgets")
+    sweep.foreach { r =>
+      assert(r.getLong(3) === r.getLong(1) * r.getLong(0), "capacity")
+      assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+    // each budget doubles, so the coarser pack partition refines: the
+    // pack count cannot grow
+    val packs = sweep.map(_.getLong(1))
+    assert(packs.reverse.sameElements(packs.reverse.sorted))
+  }
+
+  test("langIdAgreement: cells reconcile with langId row-for-row; label " +
+    "totals conserve the corpus (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val m = TextAnalysis.langIdAgreement(docs).localCheckpoint()
+    // cell counts must equal a direct (label, prediction) recount from
+    // the standalone langId output
+    val want = docs.select(col("doc_id"), col("lang"))
+      .join(TextAnalysis.langId(docs).select(col("doc_id"), col("pred_lang")),
+        "doc_id")
+      .groupBy(col("lang"), col("pred_lang")).agg(count(lit(1)).as("want"))
+    assert(m.join(want, Seq("lang", "pred_lang"), "full")
+      .filter(col("n_docs").isNull || col("want").isNull
+        || col("n_docs") =!= col("want")).isEmpty)
+    // every labeled doc lands in exactly one cell
+    assert(m.select(col("lang"), col("n_label")).distinct()
+      .agg(sum(col("n_label"))).first().getLong(0) === docs.count())
+    // diagonal flag and fraction arithmetic
+    m.collect().foreach { r =>
+      assert(r.getLong(5) === (if (r.getString(0) == r.getString(1)) 1L else 0L))
+      assert(r.getDouble(4) === r.getLong(2).toDouble / r.getLong(3).toDouble)
+    }
+  }
+
+  test("simhashEstimateAudit: candidates match l04 exactly; j_exact " +
+    "agrees with jaccardPairs on the >= 0.5 overlap (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val audit = Dedup.simhashEstimateAudit(docs).localCheckpoint()
+    // same candidate set (and hamming) as the declared pair query
+    val pairs = Dedup.simhashNearDups(docs, maxHamming = 6)
+    assert(audit.select(col("doc_a"), col("doc_b"), col("hamming"))
+      .exceptAll(pairs).isEmpty)
+    assert(audit.count() === pairs.count())
+    // wherever a candidate is also an exact >= 0.5 jaccard pair, the
+    // audit's j_exact must equal that query's jaccard bit-for-bit
+    val exact = Dedup.jaccardPairs(docs, n = 3, minJ = 0.5)
+    assert(audit.join(exact, Seq("doc_a", "doc_b"))
+      .filter(col("j_exact") =!= col("jaccard")).isEmpty)
+    assert(audit.filter(col("j_exact") < 0 || col("j_exact") > 1).isEmpty)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

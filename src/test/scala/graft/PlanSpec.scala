@@ -384,7 +384,14 @@ class PlanSpec extends SparkSpec {
       "l75_containment_dedup",
       // l82: the exact-truth leg is the inverted index (shingle atoms by
       // design); the signature/band exchanges carry ints and band hashes
-      "l82_band_config_sweep")
+      "l82_band_config_sweep",
+      // l86: embeds jaccardPairs (shingle atoms in the inverted index);
+      // everything after the CC labels is id/count arithmetic
+      "l86_cluster_cohesion",
+      // l91: candidate generation is digest-only (byte-banded signature
+      // self-join); the exact verification joins shingle atoms by design
+      // (the l43 shape)
+      "l91_simhash_estimate_audit")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
@@ -569,7 +576,12 @@ class PlanSpec extends SparkSpec {
       // l83: broadcast 1-row N_docs total onto the postings table
       // l84: broadcast 1-row (n_corpus, n_cells) summary onto ≤256 cells
       "l82_band_config_sweep", "l83_weighted_jaccard_pairs",
-      "l84_embedding_coverage")
+      "l84_embedding_coverage",
+      // l87: broadcast nCells-centroid crossJoins (the l17 shape), the
+      // broadcast-queries brute-force truth leg (the l05 shape), and
+      // broadcast 1-row count crossJoins per config
+      // l88: broadcast 1-row n_train total per config row
+      "l87_ivf_probe_sweep", "l88_decon_ngram_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

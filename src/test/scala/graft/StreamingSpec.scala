@@ -694,6 +694,79 @@ class StreamingSpec extends SparkSpec {
     assert(diff.isEmpty && state.get.count() === want.count())
   }
 
+  test("S21: diversity-sample maintenance under foreachBatch — folding " +
+    "per-batch keep tables equals the batch sample of the drained corpus") {
+    // The l85 deployment shape: the ≤cells·cap keep table is the state a
+    // crawl loop carries; each arriving batch is sampled alone and merged
+    // in (mergeDiversitySamples — associative, so the fold order is
+    // irrelevant and the maintained state equals the from-scratch sample
+    // of everything drained, however the stream was split).
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val dim = 8; val planes = 4; val cap = 2
+    // 12 deterministic vectors spread over the 16 cells; cap = 2 with
+    // several same-cell vectors so eviction exercises on merge
+    def v(id: Long): StreamVec = StreamVec(id,
+      Array.tabulate(dim)(i => math.sin(id * 31 + i * 7).toFloat),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val vecs = (1L to 12L).map(v)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = Similarity.diversitySample(batch.toDF(), cap = cap,
+          planes = planes, dim = dim).localCheckpoint()
+        state = Some(state.fold(bs)(s =>
+          Similarity.mergeDiversitySamples(s, bs, cap).localCheckpoint()))
+      }.start()
+    try {
+      in.addData(vecs.take(2): _*); q.processAllAvailable()
+      in.addData(vecs.slice(2, 7): _*); q.processAllAvailable()
+      // re-deliver one already-seen vector with the final batch: the
+      // at-least-once distinct must make it a no-op
+      in.addData(vecs.drop(7) :+ vecs(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = Similarity.diversitySample(vecs.toDF(), cap = cap,
+      planes = planes, dim = dim)
+    assert(state.get.exceptAll(want).isEmpty
+      && want.exceptAll(state.get).isEmpty)
+    // the state is bounded: at most cap rows in any cell
+    assert(state.get.groupBy(col("bkt")).count()
+      .filter(col("count") > cap).isEmpty)
+  }
+
+  test("S22: coverage-cell maintenance under foreachBatch — summing " +
+    "per-batch cell tables equals the batch cell table of the drained " +
+    "corpus, and the coverage summary derives from the carried state") {
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val dim = 8; val planes = 4
+    def v(id: Long): StreamVec = StreamVec(id,
+      Array.tabulate(dim)(i => math.cos(id * 17 + i * 5).toFloat),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val vecs = (1L to 15L).map(v)
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = Similarity.coverageCellTable(batch.toDF(), planes, dim)
+          .localCheckpoint()
+        state = Some(state.fold(bs)(s =>
+          Similarity.mergeCoverageCells(s, bs).localCheckpoint()))
+      }.start()
+    try {
+      in.addData(vecs.take(4): _*); q.processAllAvailable()
+      in.addData(vecs.slice(4, 9): _*); q.processAllAvailable()
+      in.addData(vecs.drop(9): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = Similarity.coverageCellTable(vecs.toDF(), planes, dim)
+    assert(state.get.exceptAll(want).isEmpty
+      && want.exceptAll(state.get).isEmpty)
+    // the carried table conserves the corpus
+    assert(state.get.agg(sum(col("n_vecs"))).first().getLong(0)
+      === vecs.length.toLong)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
