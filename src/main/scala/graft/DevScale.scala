@@ -57,6 +57,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("sweepshare")) {
+      sweepShareExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -345,6 +350,53 @@ object DevScale {
       println(f"$tag%-6s l84=$t84%7.3f s  l85=$t85%7.3f s  " +
         f"cellsOccupied=$cells%4d  kept=$kept%6d (bound=${cells * 4})")
     }
+  }
+
+  /** SWEEP shared-pass receipts (`runMain graft.DevScale R sweepshare`) —
+    * the l87/l88 claims measured: a sweep that SHARES its config-
+    * independent work must beat running the per-config operators
+    * separately, and the gap should grow with corpus size (the shared
+    * term is the corpus-sized one). Legs:
+    *  - l88 vs 4 × decontaminate: the sweep tokenizes the corpus ONCE
+    *    for all four n's; the separate runs re-tokenize per n.
+    *  - l87 vs truth + 3 × annTopKIvf: the sweep runs one assignment
+    *    pass and one cosine pass for all three probe configs; the
+    *    separate runs re-assign and re-score per config (truth timed
+    *    once for both arms — it is common to any audit). */
+  private def sweepShareExperiment(spark: org.apache.spark.sql.SparkSession,
+                                   reps: Int): Unit = {
+    import graft.llm.{Dedup, Similarity, TextOps}
+    val textDir = "/tmp/graft_scale_sweep_text"
+    val embDir = "/tmp/graft_scale_sweep_emb"
+    replicatedText(spark, reps)
+      .write.mode("overwrite").parquet(s"$textDir/documents.parquet")
+    replicatedEmbeddings(spark, reps)
+      .write.mode("overwrite").parquet(s"$embDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    val docs = Tables.load(spark, textDir, "documents")
+    val ns = Seq(2, 3, 5, 8)
+    val tSweep88 = BenchTiming.steadyOf(spark,
+      () => Dedup.deconNgramSweep(docs, ns))
+    val tSep88 = ns.map(n => BenchTiming.steadyOf(spark,
+      () => Dedup.decontaminate(docs, n))).sum
+    println(f"${reps}x l88 sweep=$tSweep88%7.3f s  4 separate=$tSep88%7.3f s  " +
+      f"speedup=${tSep88 / tSweep88}%5.2f")
+    val em = Tables.load(spark, embDir, "embeddings")
+    val probes = Seq(1, 2, 4)
+    val tSweep87 = BenchTiming.steadyOf(spark,
+      () => Similarity.ivfProbeSweep(em, k = 3, nCells = 16, probes))
+    val tTruth = BenchTiming.steadyOf(spark, () => Similarity.bruteForceTopK(
+      em.filter(TextOps.splitBucket(col("vec_id")) < 20), em, 3))
+    val tIvfEach = probes.map(p => BenchTiming.steadyOf(spark,
+      () => Similarity.annTopKIvf(
+        em.filter(TextOps.splitBucket(col("vec_id")) < 20), em,
+        k = 3, nCells = 16, nProbe = p)))
+    val tSep87 = tTruth + tIvfEach.sum
+    println(f"${reps}x l87 sweep=$tSweep87%7.3f s  " +
+      f"truth+3 separate=$tSep87%7.3f s  speedup=${tSep87 / tSweep87}%5.2f  " +
+      f"[truth=$tTruth%7.3f s  ivf=${tIvfEach.map(t => f"$t%.2f").mkString("/")} s  " +
+      f"sweep-minus-truth=${tSweep87 - tTruth}%7.3f s  ivf-sum=${tIvfEach.sum}%7.3f s]")
   }
 
   /** PACKED-RERANK scale-up (`runMain graft.DevScale R packed`) — the l48b

@@ -763,11 +763,25 @@ object Similarity {
     *
     * Scale: the probe-independent work is shared across ALL configs — one
     * corpus assignment pass (annTopKIvf's max_by hash-agg shape), ONE
-    * cosine pass over the maximal probe set with the probe rank riding
-    * along (smaller configs are a `prn <= p` filter of the checkpointed
-    * sims table, not a re-scan); the truth leg is the broadcast-queries
-    * exact pass (its cost IS the ground-truth job, the l44 rule). Counts
-    * are broadcast 1-row aggregates; recall divides exact longs once. */
+    * cosine pass over the maximal probe set, and ONE window sort that
+    * computes every config's rank simultaneously: rank-within-config-p =
+    * a running sum of the `prn <= p` indicator under the global
+    * (sim desc, nid) order, so |probes| running sums over the SAME window
+    * spec collapse into one Window node and one sort. Only the rows in
+    * some config's top-k (≤ |probes|·k per query) materialize — the
+    * first cut checkpointed the full |Q|·probe-cells sims table and paid
+    * a materialization tax (measured at 10× embeddings: 30.2 s vs this
+    * form's 23.3 s). Measured honestly (DevScale `sweepshare`), the audit
+    * is TRUTH-DOMINATED: the exact leg is 9.9 s of the 23.3, and the
+    * shared probe side lands ≈ the sum of separate per-config IVF runs
+    * (13.4 vs 13.6 s — the single multi-rank window trades the saved
+    * re-scans for a wider per-row aggregate). What the sweep durably buys
+    * is ONE query instead of |probes|+1 (single truth evaluation, single
+    * corpus assignment, single scan lineage) and a plan whose cost is
+    * bounded by the pMax config alone as probes multiply. The truth leg
+    * is the broadcast-queries exact pass (its cost IS the ground-truth
+    * job, the l44 rule). Counts are broadcast 1-row aggregates; recall
+    * divides exact longs once. */
   def ivfProbeSweep(vectors: DataFrame, k: Int = 3, nCells: Int = 16,
                     probes: Seq[Int] = Seq(1, 2, 4),
                     samplePct: Int = 20): DataFrame = {
@@ -800,13 +814,22 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("prn"),
         cosine(col("qe"), col("ce")).as("sim"))
+    // every config's rank in one window pass: same partition/order/frame
+    // for all |probes| running sums ⇒ one Window node, one sort
+    val wRank = Window.partitionBy(col("qid"))
+      .orderBy(col("sim").desc, col("nid"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = simsAll.select(
+      Seq(col("qid"), col("nid"), col("prn")) ++
+        probes.map(p => sum(when(col("prn") <= p, 1L).otherwise(0L))
+          .over(wRank).as(s"r$p")): _*)
+    // keep only rows in SOME config's top-k — ≤ |probes|·k per query
+    val qual = ranked
+      .filter(probes.map(p => col("prn") <= p && col(s"r$p") <= k)
+        .reduce(_ || _))
       .localCheckpoint()
     probes.map { p =>
-      val w = Window.partitionBy(col("qid"))
-        .orderBy(col("sim").desc, col("nid"))
-      val got = simsAll.filter(col("prn") <= p)
-        .withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") <= k)
+      val got = qual.filter(col("prn") <= p && col(s"r$p") <= k)
         .select(col("qid"), col("nid"))
       val hits = got.join(truth, Seq("qid", "nid"), "left_semi")
       got.agg(count(lit(1)).as("n_retrieved"))

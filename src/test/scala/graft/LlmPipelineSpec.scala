@@ -189,4 +189,93 @@ class LlmPipelineSpec extends SparkSpec {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("end-to-end embedding curation: coverage audit -> outlier filter -> " +
+    "semantic dedup -> diversity sample -> post-audit -> retrieval sanity") {
+    // The EMBEDDING-plane twin of the text pipeline above — the lineage an
+    // embedding store runs before serving ANN/dedup from a crawl snapshot:
+    //
+    //   vectors → coverage audit (l84, the BEFORE receipt)
+    //           → drop the worst centroid-similarity decile (l76's
+    //             budgeted outlier set)
+    //           → semantic dedup apply (l39)
+    //           → cell-capped diversity sample (l85)
+    //           → coverage audit (the AFTER receipt) → brute-force top-k
+    //             sanity over the final set
+    //
+    // Stage boundaries are parquet (the lake discipline); the spec asserts
+    // the cross-stage facts no single-operator oracle sees: monotone
+    // survivor counts, the outlier drop being EXACTLY the decile-0 set,
+    // dedup idempotence (zero surviving near-dup pairs), the cap holding
+    // per cell on the final set, and retrieval returning only survivors.
+    import graft.llm.Similarity
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_emb_e2e")
+    val tmp = tmpPath.toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    try {
+      val vecs = Tables.load(spark, sf001, "embeddings")
+      val n0 = vecs.count()
+
+      // stage 1 — coverage BEFORE: the audit artifact a curation run files
+      val covBefore = stage(Similarity.embeddingCoverage(vecs), "cov_before")
+      assert(covBefore.agg(sum(col("n_vecs"))).first().getLong(0) === n0)
+
+      // stage 2 — drop the worst centroid-similarity decile (l76's
+      // budgeted outlier policy). Cross-check: the drop count must equal
+      // the rank table's decile-0 population exactly.
+      val ranks = Similarity.outlierRanks(vecs).localCheckpoint()
+      val keepIds = ranks.filter(col("decile") >= 1).select(col("vec_id"))
+      val s2 = stage(
+        vecs.join(keepIds, Seq("vec_id"), "left_semi"), "s2_inliers")
+      val n2 = s2.count()
+      val decile0 = ranks.filter(col("decile") === 0).count()
+      assert(n2 === n0 - decile0 && decile0 > 0)
+
+      // stage 3 — semantic dedup apply (l39): survivors only. Idempotence:
+      // every near-dup pair connected two same-cluster vectors and only
+      // the canonical member survives, so the survivor set must contain
+      // ZERO pairs at the same threshold.
+      val survivorIds = Similarity.embeddingDedupApply(s2, minSim = 0.3)
+        .select(col("vec_id"))
+      val s3 = stage(s2.join(survivorIds, Seq("vec_id"), "left_semi"),
+        "s3_deduped")
+      val n3 = s3.count()
+      assert(n3 <= n2 && n3 > 0)
+      assert(Similarity.cosineNearDups(s3, minSim = 0.3).isEmpty,
+        "semantic dedup must be idempotent on its own survivors")
+
+      // stage 4 — cell-capped diversity sample (l85)
+      val cap = 4
+      val kept = stage(Similarity.diversitySample(s3, cap = cap), "s4_kept")
+      val n4 = kept.count()
+      assert(n4 <= n3)
+      val s4 = stage(s3.join(kept.select(col("vec_id")),
+        Seq("vec_id"), "left_semi"), "s4_vectors")
+
+      // stage 5 — coverage AFTER: every cell holds at most cap vectors
+      // and no new cell appeared (the sample only removes)
+      val covAfter = stage(Similarity.embeddingCoverage(s4), "cov_after")
+      assert(covAfter.agg(sum(col("n_vecs"))).first().getLong(0) === n4)
+      assert(covAfter.filter(col("n_vecs") > cap).isEmpty)
+      assert(covAfter.select(col("bkt"))
+        .exceptAll(covBefore.select(col("bkt"))).isEmpty)
+
+      // stage 6 — retrieval sanity on the final store: exact top-k over
+      // the survivors returns k rows per query and only survivors
+      val k = 3
+      val queries = s4.orderBy(col("vec_id")).limit(4)
+      val hits = Similarity.bruteForceTopK(queries, s4, k).localCheckpoint()
+      assert(hits.count() === 4L * k)
+      assert(hits.select(col("nid").as("vec_id"))
+        .exceptAll(s4.select(col("vec_id"))).isEmpty)
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }
