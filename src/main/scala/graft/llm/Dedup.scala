@@ -1168,6 +1168,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("containment"))
   }
 
+  /** DIRECTIONAL source-containment matrix — "who copies whom": for every
+    * ORDERED source pair, how many ≥ minC containment pairs point from it
+    * (doc in src_contained is ≥ minC contained in a doc of src_container)
+    * and how many distinct documents are the contained side. l68's
+    * near-dup matrix is symmetric (who SHARES documents); this one is the
+    * asymmetry readout — a large (A→B) cell against a small (B→A) cell
+    * says A carries excerpts/re-posts OF B's content (aggregators,
+    * scrapers, quote-farms), the crawl-forensics fact that decides which
+    * source the l75 excerpt-removal apply should favor, and a mixture
+    * signal l49's symmetric overlap can't express. The diagonal is
+    * intra-source excerpting.
+    *
+    * Scale: pair generation is containmentPairs' story (inverted index,
+    * one symmetric aggregate emitting both directions, maxDocFreq guard
+    * at real scale); labeling is two id-keyed joins against an (id,
+    * source) projection (the l68 shape — ids and short strings only);
+    * the matrix agg lands on ≤ |sources|² cells. */
+  def sourceContainmentMatrix(docs: DataFrame, n: Int = 3,
+                              minC: Double = 0.6,
+                              maxDocFreq: Option[Long] = None): DataFrame = {
+    val pairs = containmentPairs(docs, n, minC, maxDocFreq)
+    val src = docs.select(col("doc_id"), col("source"))
+    pairs
+      .join(src.select(col("doc_id").as("doc_a"),
+        col("source").as("src_contained")), "doc_a")
+      .join(src.select(col("doc_id").as("doc_b"),
+        col("source").as("src_container")), "doc_b")
+      .groupBy(col("src_contained"), col("src_container"))
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct(col("doc_a")).as("n_docs_contained"))
+  }
+
   /** End-to-end dedup MATERIALIZATION — the query a pipeline user actually
     * runs ("give me the clean corpus"): compose near-dup pair generation →
     * connected-components clustering → survivor selection (each cluster's

@@ -2838,6 +2838,32 @@ object LlmDeclared {
       ORDER BY c.doc_a, c.doc_b"""))
   }
 
+  /** L92 — directional source-containment matrix ("who copies whom"):
+    * ordered-source-pair counts of ≥ 0.6 containment pairs plus distinct
+    * contained docs — the asymmetry readout l68's symmetric matrix can't
+    * express. Oracle: l27's directed containment + two label joins +
+    * the cell agg. */
+  private val l92 = DeclaredQuery(
+    "l92_source_containment_matrix",
+    (s, dir) => Dedup.sourceContainmentMatrix(t(s, dir, "documents"))
+      .orderBy(col("src_contained"), col("src_container")),
+    Some(s"""WITH $shingleCte,
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      com AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+              FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id <> y.doc_id
+              GROUP BY x.doc_id, y.doc_id),
+      cp AS (SELECT doc_a, doc_b
+             FROM com JOIN sizes sa ON sa.doc_id = doc_a
+             WHERE CAST(c AS DOUBLE) / sa.n_sh >= 0.6)
+      SELECT da.source AS src_contained, db.source AS src_container,
+        CAST(COUNT(*) AS BIGINT) AS n_pairs,
+        CAST(COUNT(DISTINCT p.doc_a) AS BIGINT) AS n_docs_contained
+      FROM cp p
+      JOIN documents da ON da.doc_id = p.doc_a
+      JOIN documents db ON db.doc_id = p.doc_b
+      GROUP BY da.source, db.source
+      ORDER BY src_contained, src_container"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2847,5 +2873,5 @@ object LlmDeclared {
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, d29)
+    l89, l90, l91, l92, d29)
 }

@@ -2158,6 +2158,25 @@ class LlmSpec extends SparkSpec {
     assert(audit.filter(col("j_exact") < 0 || col("j_exact") > 1).isEmpty)
   }
 
+  test("sourceContainmentMatrix: direction points excerpt -> superset; " +
+    "corpus cells conserve the pair count (sf0.001)") {
+    // doc1 (srcA) is a verbatim excerpt of doc2 (srcB): containment(1 in
+    // 2) = 1.0, the reverse 0.5 — only the A→B cell may appear
+    val d = Seq(
+      (1L, "a b c d e", "srcA"),
+      (2L, "a b c d e f g h", "srcB"),
+      (3L, "p q r s t u v", "srcC")).toDF("doc_id", "text", "source")
+    val got = Dedup.sourceContainmentMatrix(d).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq(("srcA", "srcB", 1L, 1L)))
+    // corpus: every directed containment pair lands in exactly one cell
+    val docs = Tables.load(spark, sf001, "documents")
+    val m = Dedup.sourceContainmentMatrix(docs).localCheckpoint()
+    val nPairs = Dedup.containmentPairs(docs, n = 3, minC = 0.6).count()
+    assert(m.agg(sum(col("n_pairs"))).first().getLong(0) === nPairs)
+    assert(m.filter(col("n_docs_contained") > col("n_pairs")).isEmpty)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

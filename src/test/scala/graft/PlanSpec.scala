@@ -391,7 +391,10 @@ class PlanSpec extends SparkSpec {
       // l91: candidate generation is digest-only (byte-banded signature
       // self-join); the exact verification joins shingle atoms by design
       // (the l43 shape)
-      "l91_simhash_estimate_audit")
+      "l91_simhash_estimate_audit",
+      // l92: embeds containmentPairs (shingle atoms in the inverted
+      // index); labeling joins move ids and short source strings only
+      "l92_source_containment_matrix")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
