@@ -234,4 +234,32 @@ object Multimodal {
       }
     }
   }
+
+  /** Per-source MEDIA STORAGE audit — the capacity-planning table of a
+    * multimodal lake: per source, blob count, total payload bytes, total
+    * pixels, the exact payload checksum (corruption tripwire for a
+    * landed batch — re-run it and a flipped byte shows), and mean bytes
+    * per blob. The numbers come from DECODING the real binary payloads
+    * (the l11 parser), not from trusting stored metadata — which is the
+    * point of the audit.
+    *
+    * Scale: decode is the mapPartitions codec boundary (the documented
+    * exception to the no-RDD-logic rule — per-blob imperative parsing);
+    * everything after is relational — one id-keyed join against an
+    * (id, source) projection and a map-side-partial agg to |sources|
+    * rows; the mean is one division of exact longs. */
+  def mediaStorageAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.DoubleType
+    decodeFeatures(spark, encodePpm(spark, docs).toDF()).toDF()
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_blobs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(col("width") * col("height")).as("total_pixels"),
+        sum(col("sum_bytes")).as("payload_checksum"))
+      .withColumn("mean_bytes_per_blob",
+        col("total_bytes").cast(DoubleType)
+          / col("n_blobs").cast(DoubleType))
+  }
 }

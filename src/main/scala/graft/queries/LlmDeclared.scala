@@ -6,7 +6,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
-/** The LLM-training-data-pipeline declared queries (L1–L63 + the hex scalar
+/** The LLM-training-data-pipeline declared queries (L1–L93 + the hex scalar
   * D29): dedup, similarity search, text analysis, multimodal plumbing,
   * splits/sampling/mixture scheduling, coverage and drift audits,
   * sketches/UDAF — each oracle-checked against DuckDB on the same parquet.
@@ -2864,6 +2864,32 @@ object LlmDeclared {
       GROUP BY da.source, db.source
       ORDER BY src_contained, src_container"""))
 
+  /** L93 — per-source media STORAGE audit: blob counts, payload bytes,
+    * pixels, exact checksum and mean bytes per blob, computed by decoding
+    * the real binary payloads (l11's parser) — the capacity-planning +
+    * corruption-tripwire table of a multimodal lake. Oracle: the ppm CTE
+    * regenerates every payload in SQL, then the same per-source sums. */
+  private val l93 = DeclaredQuery(
+    "l93_media_storage_audit",
+    (s, dir) => Multimodal.mediaStorageAudit(s, t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some(s"""WITH $ppmCte,
+      feats AS (SELECT doc_id,
+          CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS n_bytes,
+          CAST(w*h AS BIGINT) AS n_px,
+          CAST(list_reduce(list_transform(range(0, w*h*3),
+            k -> ${ppmPx("k")}), (x, y) -> x + y) AS BIGINT) AS sum_bytes
+        FROM ppm)
+      SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_blobs,
+        CAST(SUM(f.n_bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM(f.n_px) AS BIGINT) AS total_pixels,
+        CAST(SUM(f.sum_bytes) AS BIGINT) AS payload_checksum,
+        CAST(SUM(f.n_bytes) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS mean_bytes_per_blob
+      FROM feats f JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2873,5 +2899,5 @@ object LlmDeclared {
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, d29)
+    l89, l90, l91, l92, l93, d29)
 }

@@ -2177,6 +2177,31 @@ class LlmSpec extends SparkSpec {
     assert(m.filter(col("n_docs_contained") > col("n_pairs")).isEmpty)
   }
 
+  test("mediaStorageAudit: totals reconcile with per-blob decode; the " +
+    "checksum is a corruption tripwire (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val audit = Multimodal.mediaStorageAudit(spark, docs).localCheckpoint()
+    assert(audit.agg(sum(col("n_blobs"))).first().getLong(0) === docs.count())
+    val feats = Multimodal.decodeFeatures(spark,
+      Multimodal.encodePpm(spark, docs).toDF()).toDF()
+    val wantBytes = feats.agg(sum(col("n_bytes"))).first().getLong(0)
+    val wantSum = feats.agg(sum(col("sum_bytes"))).first().getLong(0)
+    assert(audit.agg(sum(col("total_bytes"))).first().getLong(0) === wantBytes)
+    assert(audit.agg(sum(col("payload_checksum"))).first().getLong(0) === wantSum)
+    audit.collect().foreach(r =>
+      assert(r.getDouble(5) === r.getLong(2).toDouble / r.getLong(1).toDouble))
+    // tripwire: flipping one PIXEL byte of one payload moves the checksum
+    val one = Multimodal.encodePpm(spark, docs.limit(1)).collect().head
+    val corrupted = one.payload.clone()
+    corrupted(corrupted.length - 1) = (corrupted(corrupted.length - 1) ^ 0x01).toByte
+    import spark.implicits._
+    val cleanSum = Multimodal.decodeFeatures(spark,
+      Seq(one).toDF()).collect().head.sum_bytes
+    val corruptSum = Multimodal.decodeFeatures(spark,
+      Seq(Multimodal.BlobRow(one.doc_id, corrupted)).toDF()).collect().head.sum_bytes
+    assert(cleanSum !== corruptSum)
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

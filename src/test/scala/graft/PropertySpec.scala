@@ -361,6 +361,67 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: weightedJaccardPairs equals a straight-line weighted-set " +
+    "reference on random overlapping corpora") {
+    import spark.implicits._
+    // small alphabet => dense shingle overlap: pairs actually survive the
+    // 0.5 threshold and the integer weights span 1..N
+    val word = Gen.oneOf("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta")
+    val genDoc: Gen[String] =
+      Gen.chooseNum(3, 10).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    def shingleSet(text: String): Set[String] =
+      text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    Seq(13L, 29L).foreach { seed =>
+      val texts = sample(genDoc, 30, seed)
+      val n = texts.length.toLong
+      val sets = texts.zipWithIndex.map { case (t, i) => (i.toLong, shingleSet(t)) }
+      val df = sets.flatMap(_._2).groupBy(identity).map { case (h, o) => h -> o.size.toLong }
+      def w(h: String): Long = n / df(h)
+      val want = (for {
+        (a, sa) <- sets; (b, sb) <- sets if a < b
+        common = (sa & sb).toSeq.map(w).sum if common > 0
+        wa = sa.toSeq.map(w).sum; wb = sb.toSeq.map(w).sum
+        jw = common.toDouble / (wa + wb - common) if jw >= 0.5
+      } yield (a, b, common, jw)).toSet
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val got = Dedup.weightedJaccardPairs(d, n = 3, minW = 0.5).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSet
+      assert(got === want, s"seed=$seed")
+    }
+  }
+
+  test("property: diversity-sample merge is order- and split-independent " +
+    "on random vector batches") {
+    import spark.implicits._
+    import graft.llm.Similarity
+    val dim = 8; val planes = 4; val cap = 2
+    val genVec: Gen[Seq[Float]] =
+      Gen.listOfN(dim, Gen.chooseNum(-1000, 1000).map(_ / 1000.0f)).map(_.toSeq)
+    Seq(17L, 43L).foreach { seed =>
+      val vecs = sample(genVec, 40, seed).zipWithIndex
+        .map { case (e, i) => (i.toLong, e.toArray) }
+      val all = vecs.toDF("vec_id", "embedding")
+      val whole = Similarity.diversitySample(all, cap, planes, dim)
+      // deterministic pseudo-random 3-way split from the same seed
+      val assign = sample(Gen.chooseNum(0, 2), 40, seed + 1)
+      val batches = (0 to 2).map(g =>
+        vecs.zip(assign).filter(_._2 == g).map(_._1).toDF("vec_id", "embedding"))
+      // fold in two different orders — both must equal the whole-corpus
+      // sample (associativity + commutativity of the bottom-cap merge)
+      for (order <- Seq(Seq(0, 1, 2), Seq(2, 0, 1))) {
+        val folded = order.map(batches)
+          .map(b => Similarity.diversitySample(b, cap, planes, dim))
+          .reduce((a, b) => Similarity.mergeDiversitySamples(a, b, cap))
+        assert(folded.exceptAll(whole).isEmpty
+          && whole.exceptAll(folded).isEmpty, s"seed=$seed order=$order")
+      }
+    }
+  }
+
   test("property: exactRanks' bucket-prefix rank equals the global sort " +
     "rank on random tied/clustered score distributions") {
     import spark.implicits._
