@@ -251,6 +251,19 @@ object Multimodal {
   def mediaStorageAudit(spark: SparkSession, docs: DataFrame): DataFrame = {
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.DoubleType
+    mediaAuditCells(spark, docs)
+      .withColumn("mean_bytes_per_blob",
+        col("total_bytes").cast(DoubleType)
+          / col("n_blobs").cast(DoubleType))
+  }
+
+  /** The SUMMABLE per-source cell table behind `mediaStorageAudit` — the
+    * persistable artifact a streaming ingest loop carries (S23): every
+    * column is a count or an exact sum, so batches merge by per-source
+    * addition and the derived view (the mean) recomputes from the carried
+    * table at read time. */
+  def mediaAuditCells(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
     decodeFeatures(spark, encodePpm(spark, docs).toDF()).toDF()
       .join(docs.select(col("doc_id"), col("source")), "doc_id")
       .groupBy(col("source"))
@@ -258,8 +271,24 @@ object Multimodal {
         sum(col("n_bytes")).as("total_bytes"),
         sum(col("width") * col("height")).as("total_pixels"),
         sum(col("sum_bytes")).as("payload_checksum"))
-      .withColumn("mean_bytes_per_blob",
-        col("total_bytes").cast(DoubleType)
-          / col("n_blobs").cast(DoubleType))
+  }
+
+  /** Associative MERGE of two media-audit cell tables: exact sums add per
+    * source (associative and commutative — any fold order over any batch
+    * split equals the drained corpus's table). Touches ≤ 2·|sources| rows
+    * — cell-table work, no blob is re-decoded. Like the S22 coverage
+    * counts, sums are NOT idempotent under re-delivery: the loop relies
+    * on foreachBatch's batchId-transactional write for exactly-once
+    * folding. */
+  def mergeMediaAuditCells(a: org.apache.spark.sql.DataFrame,
+                           b: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    a.unionByName(b)
+      .groupBy(col("source"))
+      .agg(sum(col("n_blobs")).as("n_blobs"),
+        sum(col("total_bytes")).as("total_bytes"),
+        sum(col("total_pixels")).as("total_pixels"),
+        sum(col("payload_checksum")).as("payload_checksum"))
   }
 }

@@ -767,6 +767,41 @@ class StreamingSpec extends SparkSpec {
       === vecs.length.toLong)
   }
 
+  test("S23: media-audit maintenance under foreachBatch — summing " +
+    "per-batch audit cells equals the batch audit of the drained corpus") {
+    // The l93 deployment shape: the |sources|-row summable cell table is
+    // the state a media-ingest loop carries; each arriving batch decodes
+    // its own blobs once and folds in by per-source addition — no blob is
+    // ever re-decoded, and the derived view (mean bytes per blob) reads
+    // off the carried table.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.Multimodal
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val docs = Seq(
+      d(1, "alpha beta gamma", "s0"), d(2, "delta epsilon", "s1"),
+      d(3, "zeta", "s0"), d(4, "", "s1"),
+      d(5, "eta theta iota kappa", "s0"), d(6, "lambda mu", "s2"))
+    var state: Option[org.apache.spark.sql.DataFrame] = None
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = Multimodal.mediaAuditCells(spark, batch.toDF())
+          .localCheckpoint()
+        state = Some(state.fold(bs)(s =>
+          Multimodal.mergeMediaAuditCells(s, bs).localCheckpoint()))
+      }.start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.slice(2, 5): _*); q.processAllAvailable()
+      in.addData(docs.drop(5): _*); q.processAllAvailable()
+    } finally q.stop()
+    val want = Multimodal.mediaAuditCells(spark, docs.toDF())
+    assert(state.get.exceptAll(want).isEmpty
+      && want.exceptAll(state.get).isEmpty)
+    assert(state.get.count() === 3L)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
