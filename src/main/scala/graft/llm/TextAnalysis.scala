@@ -1102,6 +1102,59 @@ object TextAnalysis {
         (epochs > lit(maxEpochs)).as("over_repeated"))
   }
 
+  /** Mixture-TEMPERATURE sweep — epochPlan's budget allocation at every
+    * α in the SQRT-EXACT family {0.25, 0.5, 1.0}: per (α, source) the
+    * mixture weight tokens^α / Σ tokens^α, allocated tokens, implied
+    * epochs, and the over-repetition flag — the "choose the mixture
+    * temperature" table (α = 1 is proportional sampling, α → 0 flattens
+    * toward uniform; the spread between the α rows shows which sources
+    * a flatter temperature over-repeats, the LLM70 data-constrained
+    * argument made comparative). α is restricted to powers expressible
+    * as sqrt CHAINS because sqrt is correctly rounded (IEEE) while
+    * pow(x, α) is not — sqrt∘sqrt is bit-identical cross-engine, a
+    * general pow is not; any other α throws rather than silently
+    * breaking the oracle contract.
+    *
+    * Scale: ONE corpus pass builds the per-source token totals
+    * (checkpointed — every α reads the |sources|-row table); each α's
+    * Σw is the l70 sequential fold over the sorted tiny table on a
+    * broadcast 1-row total. Output |alphas|·|sources| rows. */
+  def temperatureSweep(docs: DataFrame, totalBudget: Long,
+                       alphas: Seq[Double] = Seq(0.25, 0.5, 1.0),
+                       maxEpochs: Double = 4.0): DataFrame = {
+    val perSource = docs.groupBy(col("source"))
+      .agg(sum(coalesce(TextOps.tokenCount(col("text")).cast(LongType),
+        lit(0L))).as("n_tokens"))
+      .localCheckpoint()
+    alphas.map { a =>
+      val nd = col("n_tokens").cast(DoubleType)
+      val w = a match {
+        case 1.0 => nd
+        case 0.5 => sqrt(nd)
+        case 0.25 => sqrt(sqrt(nd))
+        case other => throw new IllegalArgumentException(
+          s"temperatureSweep: alpha $other is outside the sqrt-exact " +
+            "family {0.25, 0.5, 1.0} (general pow is not bit-stable " +
+            "cross-engine)")
+      }
+      val ps = perSource.select(col("source"), col("n_tokens"), w.as("w"))
+      val tot = ps.agg(
+        aggregate(
+          transform(sort_array(collect_list(struct(col("source"), col("w")))),
+            x => x.getField("w")),
+          lit(0.0), (acc, x) => acc + x).as("tw"))
+      val alloc = lit(totalBudget.toDouble) * col("w") / col("tw")
+      val epochs = alloc / col("n_tokens").cast(DoubleType)
+      ps.filter(col("n_tokens") > 0)
+        .crossJoin(broadcast(tot))
+        .select(lit(a).as("alpha"), col("source"), col("n_tokens"),
+          (col("w") / col("tw")).as("mix_weight"),
+          alloc.as("alloc_tokens"),
+          epochs.as("epochs"),
+          (epochs > lit(maxEpochs)).as("over_repeated"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Exact global rank (1-based, total order (score, doc_id)) WITHOUT a
     * global sort — the l55 salt argument applied to a score axis: a
     * fixed-width monotone quantization of the score is a PREFIX of the

@@ -2890,6 +2890,39 @@ object LlmDeclared {
       FROM feats f JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** L94 — mixture-TEMPERATURE sweep: l70's budget allocation at α ∈
+    * {0.25, 0.5, 1.0} (the sqrt-exact family — sqrt chains are bit-stable
+    * cross-engine where general pow is not): the "choose the mixture
+    * temperature" table. Oracle: l70's fold SQL per α with the weight
+    * expression swapped. */
+  private val l94 = {
+    val budget = 50000L
+    def leg(a: Double, wExpr: String): String =
+      s"""SELECT CAST($a AS DOUBLE) AS alpha, source, n_tokens,
+        w / tw AS mix_weight,
+        $budget.0 * w / tw AS alloc_tokens,
+        $budget.0 * w / tw / CAST(n_tokens AS DOUBLE) AS epochs,
+        $budget.0 * w / tw / CAST(n_tokens AS DOUBLE) > 4.0 AS over_repeated
+      FROM (SELECT source, n_tokens, $wExpr AS w FROM ps) w
+      CROSS JOIN (SELECT list_reduce(list($wExpr ORDER BY source NULLS FIRST),
+          (a, b) -> a + b) AS tw FROM ps) tot
+      WHERE n_tokens > 0"""
+    DeclaredQuery(
+      "l94_temperature_sweep",
+      (s, dir) => TextAnalysis.temperatureSweep(t(s, dir, "documents"),
+          totalBudget = budget)
+        .orderBy(col("alpha"), col("source")),
+      Some(s"""WITH ps AS (SELECT source,
+              CAST(SUM(COALESCE(len(string_split(text, ' ')), 0)) AS BIGINT)
+                AS n_tokens
+            FROM documents GROUP BY source)
+      ${Seq(
+        leg(0.25, "sqrt(sqrt(CAST(n_tokens AS DOUBLE)))"),
+        leg(0.5, "sqrt(CAST(n_tokens AS DOUBLE))"),
+        leg(1.0, "CAST(n_tokens AS DOUBLE)")).mkString("\n      UNION ALL ")}
+      ORDER BY alpha, source"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2899,5 +2932,5 @@ object LlmDeclared {
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, d29)
+    l89, l90, l91, l92, l93, l94, d29)
 }

@@ -2202,6 +2202,38 @@ class LlmSpec extends SparkSpec {
     assert(cleanSum !== corruptSum)
   }
 
+  test("temperatureSweep: budget conservation per alpha; alpha = 1 is " +
+    "proportional; flattening is monotone in alpha (sf0.001)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val budget = 50000L
+    val sweep = TextAnalysis.temperatureSweep(docs, budget).localCheckpoint()
+    val byAlpha = sweep.collect().groupBy(_.getDouble(0))
+    assert(byAlpha.keySet === Set(0.25, 0.5, 1.0))
+    byAlpha.foreach { case (a, rows) =>
+      assert(math.abs(rows.map(_.getDouble(4)).sum - budget.toDouble) < 1e-6,
+        s"alpha=$a allocation must conserve the budget")
+      assert(math.abs(rows.map(_.getDouble(3)).sum - 1.0) < 1e-12,
+        s"alpha=$a weights must sum to 1")
+    }
+    // alpha = 1 is proportional sampling: weight == tokens / total
+    val tokTotal = byAlpha(1.0).map(_.getLong(2)).sum.toDouble
+    byAlpha(1.0).foreach(r =>
+      assert(r.getDouble(3) === r.getLong(2).toDouble / tokTotal))
+    // flatter temperature shrinks the dominant source's share
+    def maxW(a: Double) = byAlpha(a).map(_.getDouble(3)).max
+    assert(maxW(0.25) <= maxW(0.5) && maxW(0.5) <= maxW(1.0))
+    // the alpha = 0.5 rows must agree with epochPlan exactly
+    val plan = TextAnalysis.epochPlan(docs, budget).collect()
+      .map(r => r.getString(0) -> r.getDouble(3)).toMap
+    byAlpha(0.5).foreach(r =>
+      assert(r.getDouble(4) === plan(r.getString(1)),
+        s"alpha=0.5 must reproduce epochPlan for ${r.getString(1)}"))
+    // invalid alpha fails loudly instead of silently using pow
+    intercept[IllegalArgumentException] {
+      TextAnalysis.temperatureSweep(docs, budget, alphas = Seq(0.3))
+    }
+  }
+
   test("SumSquares aggregator: exact decimal, partition-order independent") {
     val vals = Seq(1.11, 2.22, 3.33).map(java.lang.Double.valueOf)
     val expected = vals.map(v => BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP))

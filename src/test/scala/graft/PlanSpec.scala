@@ -584,7 +584,9 @@ class PlanSpec extends SparkSpec {
       // broadcast-queries brute-force truth leg (the l05 shape), and
       // broadcast 1-row count crossJoins per config
       // l88: broadcast 1-row n_train total per config row
-      "l87_ivf_probe_sweep", "l88_decon_ngram_sweep")
+      "l87_ivf_probe_sweep", "l88_decon_ngram_sweep",
+      // l94: broadcast 1-row Σw^α total per alpha leg (the l70 shape)
+      "l94_temperature_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
