@@ -422,6 +422,36 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: bandConfigSweep candidate sets nest and every planted " +
+    "exact dup is caught at every config on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf("w1", "w2", "w3", "w4", "w5", "w6", "w7", "w8",
+      "w9", "wa", "wb", "wc")
+    val genDoc: Gen[String] =
+      Gen.chooseNum(4, 12).flatMap(k => Gen.listOfN(k, word).map(_.mkString(" ")))
+    Seq(5L, 23L).foreach { seed =>
+      val base = sample(genDoc, 25, seed).distinct
+      // plant one exact duplicate of each of the first 3 docs: J = 1
+      // pairs that every (bands, rows) tiling MUST catch
+      val texts = base ++ base.take(3)
+      val d = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val sweep = Dedup.bandConfigSweep(d, n = 3, k = 16,
+        bandConfigs = Seq(2, 4, 8, 16), minJ = 1.0)
+        .orderBy(col("bands")).collect()
+      val nTruth = sweep.head.getLong(4)
+      assert(nTruth >= 3, s"seed=$seed: planted dups must be truth pairs")
+      sweep.foreach { r =>
+        assert(r.getLong(4) === nTruth, s"seed=$seed truth config-invariant")
+        assert(r.getLong(3) === nTruth && r.getDouble(5) === 1.0,
+          s"seed=$seed: exact dups caught at bands=${r.getLong(0)}")
+      }
+      val cands = sweep.map(_.getLong(2))
+      assert(cands.sameElements(cands.sorted),
+        s"seed=$seed: hierarchical tilings must nest")
+    }
+  }
+
   test("property: exactRanks' bucket-prefix rank equals the global sort " +
     "rank on random tied/clustered score distributions") {
     import spark.implicits._
