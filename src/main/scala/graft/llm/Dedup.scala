@@ -1782,4 +1782,38 @@ object Dedup {
       .filter(col("jw") >= minW)
       .select(col("doc_a"), col("doc_b"), col("w_common"), col("jw"))
   }
+
+  /** Dedup MODALITY-AGREEMENT matrix — the 2×2 contingency of the two
+    * near-dup verdict sets a curation pipeline runs side by side: text
+    * n-gram Jaccard pairs (jaccardPairs ≥ minJ) vs embedding cosine pairs
+    * (Similarity.cosineNearDups ≥ minSim) over id-aligned corpora. The
+    * (true, false) cell is copy/boilerplate duplication the embedding
+    * plane misses; (false, true) is paraphrase duplication text signatures
+    * miss; (true, true) is both — the table that decides whether one
+    * modality's dedup suffices or the pipeline needs both (and the sanity
+    * check that the two planes aren't accidentally uncorrelated).
+    *
+    * Scale: both pair sets come from their bounded generators (inverted-
+    * index postings with the maxDocFreq skew guard; LSH bucket-equality
+    * join) — never all-pairs; the FULL OUTER join keys on (a, b) id pairs
+    * (longs only — no text or embedding enters this plan after the
+    * generators), and the contingency agg lands on ≤4 cells with map-side
+    * partials. n_docs counts distinct documents touched per cell (each
+    * pair contributes two id rows; n_pairs = rows/2 exactly). */
+  def modalityAgreement(docs: DataFrame, vectors: DataFrame, n: Int = 3,
+                        minJ: Double = 0.5, minSim: Double = 0.3,
+                        planes: Int = 8, dim: Int = 64,
+                        maxDocFreq: Option[Long] = None): DataFrame = {
+    val tp = jaccardPairs(docs, n, minJ, maxDocFreq)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"), col("jaccard"))
+    val sp = Similarity.cosineNearDups(vectors, minSim, planes, dim)
+      .select(col("vec_a").as("a"), col("vec_b").as("b"), col("sim"))
+    tp.join(sp, Seq("a", "b"), "full_outer")
+      .select(col("jaccard").isNotNull.as("text_dup"),
+        col("sim").isNotNull.as("sem_dup"),
+        explode(array(col("a"), col("b"))).as("d"))
+      .groupBy(col("text_dup"), col("sem_dup"))
+      .agg((count(lit(1)) / 2).cast(LongType).as("n_pairs"),
+        countDistinct(col("d")).as("n_docs"))
+  }
 }

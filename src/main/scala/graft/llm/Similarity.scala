@@ -464,6 +464,190 @@ object Similarity {
         col("nid"), col("sim"), col("approx_sim"))
   }
 
+  /** Σ (a_i − b_i)² over two double arrays — sequential left fold, the
+    * L2 metric of the PQ codebook fit. Bit-identical to DuckDB's
+    * list_reduce over the same zip (both engines fold left-to-right). */
+  private def l2dist(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, v) => acc + v)
+
+  /** Explode a float-embedding corpus into per-subspace DOUBLE sub-vectors:
+    * one (vec_id, sub, sv) row per subspace, sv = dims [sub·d/m, (sub+1)·d/m).
+    * The decomposition step shared by pqFit / pqEncode / the ADC LUT. */
+  private def subVectors(vectors: DataFrame, m: Int, dim: Int): DataFrame = {
+    val subDim = dim / m
+    vectors
+      .select(col("vec_id"), col("embedding"),
+        explode(sequence(lit(0), lit(m - 1))).as("sub"))
+      .select(col("vec_id"), col("sub").cast(LongType).as("sub"),
+        transform(
+          slice(col("embedding"), col("sub") * subDim + 1, lit(subDim)),
+          _.cast(DoubleType)).as("sv"))
+  }
+
+  /** PRODUCT-QUANTIZATION codebook fit (Jégou, Douze, Schmid, "Product
+    * Quantization for Nearest Neighbor Search", TPAMI 2011): split the
+    * d-dim space into `m` orthogonal subspaces of d/m dims and run an
+    * independent k-means (`ks` codewords) in each — the cross product of
+    * the m small codebooks spans ks^m effective cells at m·ks·d/m stored
+    * doubles, the compression that scalar quantization (l25/l48) cannot
+    * reach.
+    *
+    * All m sub-fits run as ONE set of DataFrame jobs keyed by (sub,
+    * cent_id) — iters × (broadcast-assign + per-(sub,cent,dim) quantized
+    * mean), never m separate Lloyd loops: the corpus-sized work is m·N
+    * sub-vector rows totalling exactly the corpus's bytes, independent of
+    * m. Determinism is the l37 discipline end-to-end: first-ks init, L2
+    * argmin with (dist, cent_id) tie order, per-dimension means snapped to
+    * 1/quantum (integer sums, one division — aggregation-order-independent
+    * and SQL-replayable), keep-previous rule for starved codewords, and a
+    * dense `idx` (rank of cent_id within sub) so codes are stable 0..ks-1
+    * bytes.
+    *
+    * Returns (sub, cent_id, idx, cent: array<double>). */
+  def pqFit(vectors: DataFrame, m: Int = 16, ks: Int = 16, iters: Int = 2,
+            dim: Int = 64, quantum: Long = 1000000L): DataFrame = {
+    val sv = subVectors(vectors, m, dim)
+    var cents = subVectors(
+        vectors.orderBy(col("vec_id")).limit(ks), m, dim)
+      .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cent"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // same max_by/min_by one-pass argmin as fitCentroids — no per-row
+      // k·log k sort; ties (dist, cent_id) ascending
+      val assigned = sv.join(broadcast(cents), Seq("sub"))
+        .groupBy(col("vec_id"), col("sub"))
+        .agg(
+          min_by(col("cent_id"),
+            struct(l2dist(col("sv"), col("cent")), col("cent_id"))).as("cent_id"),
+          first(col("sv")).as("sv"))
+      val means = assigned
+        .select(col("sub"), col("cent_id"),
+          posexplode(col("sv")).as(Seq("pos", "v")))
+        .groupBy(col("sub"), col("cent_id"), col("pos"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("v") * quantum).cast(LongType)).as("sq"))
+        .select(col("sub"), col("cent_id"), col("pos"),
+          (col("sq") / (col("n") * quantum)).as("mn"))
+      val fresh = means
+        .groupBy(col("sub"), col("cent_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("mn")))).as("ps"))
+        .select(col("sub"), col("cent_id"),
+          transform(col("ps"), x => x.getField("mn")).as("cent"))
+      // keep-previous rule for codewords that win zero sub-vectors this
+      // iteration (mirrors fitCentroids; replayed by the oracle's
+      // LEFT JOIN + COALESCE)
+      cents = cents.select(col("sub"), col("cent_id"), col("cent").as("prev"))
+        .join(fresh.select(col("sub"), col("cent_id"), col("cent").as("next")),
+          Seq("sub", "cent_id"), "left")
+        .select(col("sub"), col("cent_id"),
+          coalesce(col("next"), col("prev")).as("cent"))
+        .localCheckpoint()
+    }
+    val wIdx = Window.partitionBy(col("sub")).orderBy(col("cent_id"))
+    cents.withColumn("idx", row_number().over(wIdx).cast(LongType) - 1)
+      .select(col("sub"), col("cent_id"), col("idx"), col("cent"))
+  }
+
+  /** PQ ENCODE: each vector → m codebook indices (the m-byte code a PQ
+    * store persists — 8 B/vector here vs 256 B of floats, 32×). One
+    * broadcast-assign pass over the m·N sub-vector rows, codes assembled
+    * in sub order by the sort_array discipline (layout-independent). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame, m: Int = 16,
+               dim: Int = 64): DataFrame =
+    subVectors(vectors, m, dim)
+      .join(broadcast(codebook), Seq("sub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min_by(col("idx"),
+        struct(l2dist(col("sv"), col("cent")), col("cent_id"))).as("idx"))
+      .groupBy(col("vec_id"))
+      .agg(sort_array(collect_list(struct(col("sub"), col("idx")))).as("ps"))
+      .select(col("vec_id"),
+        transform(col("ps"), x => x.getField("idx")).as("codes"))
+
+  /** L95 — PQ-ADC ANN with exact rerank: the product-quantization twin of
+    * l48's scalar-int8 path and the third point of the quantized-ANN
+    * family (scalar l48/l48b → sub-vector PQ). Fit m=16 codebooks of
+    * ks=16 codewords (pqFit), encode the corpus to m 4-bit codes —
+    * m·log₂(ks) = 8 BYTES per vector (pqEncode), then score
+    * query→candidate WITHOUT touching candidate floats: the
+    * Asymmetric Distance Computation of Jégou et al. — per query,
+    * precompute the m×ks lookup table lut[s·ks+j] = ⟨q_sub(s), cent(s,j)⟩
+    * (an |Q|·m·ks-row broadcast, corpus-independent), then the coarse scan
+    * reads each candidate's m codes and sums m table lookups.
+    *
+    * Scale shape: the corpus-sized pass touches ONLY the 8-bytes-of-
+    * information code rows (32× less scan bandwidth than floats; 8× less
+    * than int8 codes — carried as array<long> here for cross-engine
+    * comparability, the l48-vs-l48b representation argument applies); the
+    * ADC sum is a statically-unrolled chain of m array lookups + adds
+    * (GetArrayItem/Add — whole-stage-codegen'd, no HOF lambda, no loop);
+    * the shortlist collapses map-side through the same `bounded_top_m`
+    * heap aggregate as l48 (no |Q|-key straggler window), and only the
+    * |Q|·shortM survivors ever load float embeddings for the exact rerank.
+    *
+    * Determinism/oracle: codebooks are bit-replayable (pqFit's quantized
+    * means), LUT terms are sequential-fold dots, and the ADC total is a
+    * left-associated m-term sum — DuckDB replays it as
+    * list_reduce(list(term ORDER BY sub)). Ties everywhere break by nid.
+    * Recall vs bruteForceTopK is pinned in LlmSpec (the measured price of
+    * 32× bandwidth; rerank recovers exact order within the shortlist). */
+  def pqRerankTopK(vecs: DataFrame, k: Int = 3, shortM: Int = 20,
+                   queryMod: Int = 20, m: Int = 16, ks: Int = 16,
+                   iters: Int = 2, dim: Int = 64): DataFrame = {
+    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
+    val codes = pqEncode(vecs, cb, m, dim)
+    val nrm = vecs.select(col("vec_id"), sqrt(norm2(col("embedding"))).as("nrm"))
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+    // per-query ADC lookup table, ordered by (sub, idx) so position
+    // sub·ks + idx addresses it; dotHof = the same sequential fold the
+    // oracle's list_reduce replays (tiny table — |Q|·m·ks rows)
+    val lut = subVectors(queries, m, dim)
+      .join(broadcast(cb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("idx"),
+        aggregate(zip_with(col("sv"), col("cent"), (x, y) => x * y),
+          lit(0.0), (acc, v) => acc + v).as("term"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct(col("sub"), col("idx"), col("term")))).as("ps"))
+      .select(col("qid"), transform(col("ps"), x => x.getField("term")).as("lut"))
+      .join(nrm.withColumnRenamed("vec_id", "qid"), "qid")
+      .withColumnRenamed("nrm", "qn")
+    // coarse ADC scan: candidate side carries (nid, m codes, norm) only —
+    // floats never enter this join; the sum unrolls to m static lookups
+    val adc = (0 until m).map { s0 =>
+      element_at(col("lut"),
+        (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
+          .cast(IntegerType))
+    }.reduce(_ + _)
+    val cands = codes.join(nrm, "vec_id")
+      .select(col("vec_id").as("nid"), col("codes"), col("nrm").as("cn"))
+    val approx = broadcast(lut).join(cands, col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        (adc / (col("qn") * col("cn"))).as("approx_sim"))
+    val shortlist = approx
+      .groupBy(col("qid"))
+      .agg(call_function("bounded_top_m",
+        col("approx_sim"), col("nid"), lit(shortM)).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"), col("e.score").as("approx_sim"))
+    // exact rerank of the |Q|·shortM survivors (the l48 tail)
+    val qEmb = broadcast(queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(nrm.withColumnRenamed("vec_id", "qid"), "qid")
+      .withColumnRenamed("nrm", "qn"))
+    val cEmb = vecs.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      .join(nrm.withColumnRenamed("vec_id", "nid"), "nid")
+      .withColumnRenamed("nrm", "cn")
+    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    broadcast(shortlist).join(cEmb, "nid").join(qEmb, "qid")
+      .select(col("qid"), col("nid"), col("approx_sim"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("sim"), col("approx_sim"))
+  }
+
   /** The HOF formulation of quantizeInt8 — kept as the semantic reference
     * the native expression is equality-tested against (ExpressionSpec),
     * the same twin pattern as dot/dotHof. */

@@ -2923,6 +2923,185 @@ object LlmDeclared {
       ORDER BY alpha, source"""))
   }
 
+  /** L95 — PQ-ADC ANN with exact rerank (Jégou et al. TPAMI 2011): m=16
+    * sub-space codebooks of ks=16 codewords fit by 2 quantized-mean Lloyd
+    * iterations (the l37 discipline per subspace), corpus encoded to
+    * m·log₂(ks) = 8 bytes of code per vector, queries scored by
+    * Asymmetric Distance Computation (per-sub lookup of ⟨q_sub,
+    * codeword⟩, left-associated m-term sum), bounded_top_m shortlist,
+    * exact cosine rerank. The oracle replays the whole chain:
+    * sub-slicing, both Lloyd rounds (integer-snapped means, keep-previous
+    * for starved codewords), argmin encode with (dist, cent_id) ties, and
+    * the ADC sum as list_reduce over sub-ordered terms — so shortlist and
+    * final ranks are bit-identical across engines. Config measured in
+    * LlmSpec: (m=16, ks=16, shortM=20) reads 0.92 top-1 agreement vs
+    * brute force on the fixture corpus (coarser m=8/ks=8 read 0.16). */
+  private val l95 = {
+    val (m, ks, subDim, queryMod, shortM, k) = (16, 16, 4, 20, 20, 3)
+    def duckDot(a: String, b: String): String =
+      s"""list_reduce(list_apply(list_zip($a, $b),
+         |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
+    def duckL2(a: String, b: String): String =
+      s"""list_reduce(list_apply(list_zip($a, $b),
+         |  x -> (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))
+         |     * (CAST(x[1] AS DOUBLE) - CAST(x[2] AS DOUBLE))), (x, y) -> x + y)""".stripMargin
+    /** one Lloyd round keyed by (sub, cent_id): L2 argmin assign from
+      * c${i-1}, quantized per-dim means, keep-previous via LEFT JOIN. */
+    def pqFitIter(i: Int): String =
+      s"""a$i AS (
+       SELECT sub, cent_id, sv FROM (
+         SELECT v.sub, v.vec_id, v.sv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY ${duckL2("v.sv", "c.cent")} ASC, c.cent_id) AS rn
+         FROM sv v JOIN c${i - 1} c ON c.sub = v.sub) x
+       WHERE rn = 1),
+     f$i AS (
+       SELECT sub, cent_id, list(mn ORDER BY pos) AS cent FROM (
+         SELECT sub, cent_id, pos,
+           SUM(CAST(round(sv[CAST(pos + 1 AS INTEGER)] * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000) AS mn
+         FROM (SELECT sub, cent_id, sv, unnest(range(len(sv))) AS pos
+               FROM a$i) u
+         GROUP BY sub, cent_id, pos) g
+       GROUP BY sub, cent_id),
+     c$i AS (
+       SELECT p.sub, p.cent_id, COALESCE(n.cent, p.cent) AS cent
+       FROM c${i - 1} p LEFT JOIN f$i n
+         ON n.sub = p.sub AND n.cent_id = p.cent_id)"""
+    DeclaredQuery(
+      "l95_pq_ann",
+      (s, dir) => Similarity.pqRerankTopK(t(s, dir, "embeddings"),
+          k = k, shortM = shortM, queryMod = queryMod, m = m, ks = ks,
+          iters = 2, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk")),
+      Some(s"""WITH sv AS (
+        SELECT vec_id, s.sub,
+          list_apply(embedding[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)],
+                     x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+      c0 AS (
+        SELECT s.sub, e.vec_id AS cent_id,
+          list_apply(e.embedding[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)],
+                     x -> CAST(x AS DOUBLE)) AS cent
+        FROM (SELECT * FROM embeddings ORDER BY vec_id LIMIT $ks) e
+        CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+      ${pqFitIter(1)},
+      ${pqFitIter(2)},
+      enc AS (
+        SELECT vec_id, sub, cent FROM (
+          SELECT v.vec_id, v.sub, c.cent,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+              ORDER BY ${duckL2("v.sv", "c.cent")} ASC, c.cent_id) AS rn
+          FROM sv v JOIN c2 c ON c.sub = v.sub) x
+        WHERE rn = 1),
+      nrm AS (
+        SELECT vec_id,
+          sqrt(list_reduce(list_apply(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+            AS nrm
+        FROM embeddings),
+      terms AS (
+        SELECT q.vec_id AS qid, e.vec_id AS nid, e.sub,
+          ${duckDot("q.sv", "e.cent")} AS term
+        FROM sv q JOIN enc e ON e.sub = q.sub
+        WHERE q.vec_id % $queryMod = 0 AND q.vec_id <> e.vec_id),
+      adc AS (
+        SELECT qid, nid,
+          list_reduce(list(term ORDER BY sub), (x, y) -> x + y) AS dp
+        FROM terms GROUP BY qid, nid),
+      approx AS (
+        SELECT a.qid, a.nid, a.dp / (nq.nrm * nc.nrm) AS approx_sim
+        FROM adc a
+        JOIN nrm nq ON nq.vec_id = a.qid
+        JOIN nrm nc ON nc.vec_id = a.nid),
+      short AS (
+        SELECT qid, nid, approx_sim FROM (
+          SELECT qid, nid, approx_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY approx_sim DESC, nid) AS srn
+          FROM approx) x
+        WHERE srn <= $shortM),
+      rer AS (
+        SELECT s.qid, s.nid, s.approx_sim,
+          ${duckCosine("qe.embedding", "ce.embedding")} AS sim
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.qid
+        JOIN embeddings ce ON ce.vec_id = s.nid)
+      SELECT qid, rnk, nid, sim, approx_sim FROM (
+        SELECT qid, nid, sim, approx_sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM rer) r
+      WHERE rnk <= $k ORDER BY qid, rnk"""))
+  }
+
+  /** L96 — dedup MODALITY-AGREEMENT matrix: text-Jaccard pair verdicts vs
+    * embedding-cosine pair verdicts as a 2×2 contingency. The fixture
+    * corpora are modality-independent by construction (measured: zero
+    * overlap between the j ≥ 0.05 text pairs and the cos ≥ 0.3 embedding
+    * pairs), so — the l01/l38 planting precedent — the query runs over
+    * each table unioned with an id-shifted copy of itself: every planted
+    * (i, i+10⁶) pair is an exact dup in BOTH planes, exercising the
+    * (true, true) cell, while the corpora's own near-dup pairs populate
+    * the one-modality cells. Booleans and exact counts only — no floats
+    * in the output. */
+  private val l96 = DeclaredQuery(
+    "l96_modality_agreement",
+    (s, dir) => {
+      val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val corpus = d.unionByName(
+        d.withColumn("doc_id", col("doc_id") + 1000000L))
+      val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
+      val vecs = e.unionByName(
+        e.withColumn("vec_id", col("vec_id") + 1000000L))
+      Dedup.modalityAgreement(corpus, vecs, n = 3, minJ = 0.5, minSim = 0.3)
+        .orderBy(col("text_dup"), col("sem_dup"))
+    },
+    Some(s"""WITH corpus AS (
+        SELECT doc_id, text FROM documents
+        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+      vecs AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
+      sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+               range(1, len(w) - 1),
+               i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+             FROM t),
+      sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+      tp AS (
+        SELECT doc_a AS a, doc_b AS b FROM (
+          SELECT x.doc_id AS doc_a, y.doc_id AS doc_b, COUNT(*) AS c
+          FROM sh x JOIN sh y ON x.s = y.s AND x.doc_id < y.doc_id
+          GROUP BY x.doc_id, y.doc_id) cm
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE CAST(c AS DOUBLE) / (sa.n_sh + sb.n_sh - c) >= 0.5),
+      planes AS (
+        SELECT h, list_transform(range(64),
+          d -> ('0x' || substr(md5(h::VARCHAR || ':' || d::VARCHAR), 1, 8))::BIGINT
+               / 2147483648.0 - 1.0) AS plane
+        FROM range(8) AS pt(h)),
+      buckets AS (
+        SELECT e.vec_id, e.embedding,
+          SUM(CASE WHEN list_reduce(list_apply(list_zip(e.embedding, p.plane),
+                x -> CAST(x[1] AS DOUBLE) * x[2]), (x, y) -> x + y) >= 0
+              THEN 1 << h ELSE 0 END) AS bkt
+        FROM vecs e CROSS JOIN planes p
+        GROUP BY e.vec_id, e.embedding),
+      sp AS (
+        SELECT a.vec_id AS a, b.vec_id AS b
+        FROM buckets a JOIN buckets b
+          ON a.bkt = b.bkt AND a.vec_id < b.vec_id
+        WHERE ${duckCosine("a.embedding", "b.embedding")} >= 0.3),
+      u AS (
+        SELECT tp.a IS NOT NULL AS text_dup, sp.a IS NOT NULL AS sem_dup,
+          unnest([COALESCE(tp.a, sp.a), COALESCE(tp.b, sp.b)]) AS d
+        FROM tp FULL OUTER JOIN sp ON tp.a = sp.a AND tp.b = sp.b)
+      SELECT text_dup, sem_dup, CAST(COUNT(*) / 2 AS BIGINT) AS n_pairs,
+        COUNT(DISTINCT d) AS n_docs
+      FROM u GROUP BY text_dup, sem_dup ORDER BY text_dup, sem_dup"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -2932,5 +3111,5 @@ object LlmDeclared {
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, d29)
+    l89, l90, l91, l92, l93, l94, l95, l96, d29)
 }

@@ -363,6 +363,95 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("pqFit/pqEncode: m×ks codebook with dense per-sub idx; every code " +
+    "row is m entries in [0, ks)") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val cb = Similarity.pqFit(em, m = 16, ks = 16, iters = 2, dim = 64)
+    val rows = cb.collect()
+    assert(rows.length === 256) // 16 subs × 16 codewords
+    val bySub = rows.groupBy(_.getLong(0))
+    assert(bySub.keySet === (0L until 16L).toSet)
+    bySub.values.foreach { g =>
+      assert(g.map(_.getLong(2)).sorted.toSeq === (0L until 16L).toSeq)
+      g.foreach(r => assert(r.getSeq[Double](3).length === 4))
+    }
+    val codes = Similarity.pqEncode(em, cb, m = 16, dim = 64).collect()
+    assert(codes.length === em.count())
+    codes.foreach { r =>
+      val cs = r.getSeq[Long](1)
+      assert(cs.length === 16 && cs.forall(c => c >= 0 && c < 16))
+    }
+  }
+
+  test("pqRerankTopK: ADC approx_sim equals the decoded-reconstruction " +
+    "cosine; reranked sims are exact cosines; top-1 recall holds") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val (m, ks, subDim) = (16, 16, 4)
+    val got = Similarity.pqRerankTopK(em, k = 1, shortM = 20, queryMod = 20,
+        m = m, ks = ks)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val q = em.filter(col("vec_id") % 20 === 0)
+    val exact = Similarity.bruteForceTopK(q, em, k = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(2), r.getDouble(3))).toMap
+    assert(got.nonEmpty && got.keySet === exact.keySet)
+    // the 8-bytes-of-code shortlist keeps the true top-1 for most queries
+    // — measured 23/25 at (m=16, ks=16, shortM=20) on the fixture corpus,
+    // pinned at 0.8 as the price of 32× coarse-scan compression (the
+    // m=8/ks=8 config read 4/25 — the config sweep that chose these knobs)
+    val agree = exact.count { case (qid, (nid, _)) => got(qid)._1 == nid }
+    assert(agree.toDouble / exact.size >= 0.8,
+      s"PQ rerank top-1 agreement collapsed: $agree/${exact.size}")
+    // where it agrees, the reranked similarity IS the exact cosine
+    exact.foreach { case (qid, (nid, sim)) =>
+      if (got(qid)._1 == nid) assert(got(qid)._2 === sim)
+    }
+    // ADC lookup-sum == cosine of query against the DECODED reconstruction
+    // (per-sub assigned codewords), up to fp re-association (the ADC sums
+    // per-sub subtotals; a flat 64-dim fold associates differently)
+    val cbDf = Similarity.pqFit(em, m = m, ks = ks, iters = 2, dim = 64)
+      .localCheckpoint()
+    val cb = cbDf.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getSeq[Double](3)).toMap
+    val codes = Similarity.pqEncode(em, cbDf, m = m, dim = 64)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val vecs = em.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    def nrm(v: Seq[Float]) = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+    got.foreach { case (qid, (nid, _, approxSim)) =>
+      val qv = vecs(qid)
+      val recon = (0 until m).flatMap(s => cb((s.toLong, codes(nid)(s))))
+      val dp = (0 until m).map { s =>
+        (0 until subDim).map(i =>
+          qv(s * subDim + i).toDouble * recon(s * subDim + i)).sum
+      }.sum
+      val want = dp / (nrm(qv) * nrm(vecs(nid)))
+      assert(math.abs(approxSim - want) < 1e-9,
+        s"ADC mismatch for ($qid,$nid): $approxSim vs $want")
+    }
+  }
+
+  test("modalityAgreement: hand-built corpus with one both-modality pair, " +
+    "one text-only pair, one semantic-only pair") {
+    val docs = docsDf(
+      1L -> "a b c d e", 2L -> "a b c d e", // text dup (1,2)
+      3L -> "x y z w v", 5L -> "x y z w v", // text dup (3,5)
+      4L -> "p q r s t", 6L -> "m n o k l")
+    def v(xs: Double*) = xs.map(_.toFloat).toArray
+    val vecs = Seq(
+      (1L, v(1, 0, 0, 0)), (2L, v(1, 0, 0, 0)), // sem dup (1,2)
+      (3L, v(0, 1, 0, 0)), (5L, v(0, 0, 1, 0)),
+      (4L, v(0, 0, 0, 1)), (6L, v(0, 0, 0, 1))  // sem dup (4,6)
+    ).toDF("vec_id", "embedding")
+    val got = Dedup.modalityAgreement(docs, vecs, n = 3, minJ = 0.5,
+        minSim = 0.5, planes = 8, dim = 4)
+      .collect()
+      .map(r => (r.getBoolean(0), r.getBoolean(1), r.getLong(2), r.getLong(3)))
+      .sortBy(r => (r._1, r._2))
+    assert(got.toSeq === Seq(
+      (false, true, 1L, 2L),   // (4,6): embeddings identical, texts differ
+      (true, false, 1L, 2L),   // (3,5): texts identical, embeddings orthogonal
+      (true, true, 1L, 2L)))   // (1,2): identical in both planes
+  }
+
   test("IVF ANN: probing more cells monotonically improves top-1 recall") {
     val em = Tables.load(spark, sf001, "embeddings")
     val q = em.filter(col("vec_id") < 32)

@@ -586,7 +586,11 @@ class PlanSpec extends SparkSpec {
       // l88: broadcast 1-row n_train total per config row
       "l87_ivf_probe_sweep", "l88_decon_ngram_sweep",
       // l94: broadcast 1-row Σw^α total per alpha leg (the l70 shape)
-      "l94_temperature_sweep")
+      "l94_temperature_sweep",
+      // l95: the PQ coarse pass is the l48 broadcast-queries non-equi
+      // scan with the broadcast side a |Q|-row LUT table (m·ks doubles
+      // per query); the codebook fit joins subspaces by equality
+      "l95_pq_ann")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
