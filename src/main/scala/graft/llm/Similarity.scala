@@ -464,12 +464,26 @@ object Similarity {
         col("nid"), col("sim"), col("approx_sim"))
   }
 
-  /** Σ (a_i − b_i)² over two double arrays — sequential left fold, the
-    * L2 metric of the PQ codebook fit. Bit-identical to DuckDB's
-    * list_reduce over the same zip (both engines fold left-to-right). */
-  private def l2dist(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
-      lit(0.0), (acc, v) => acc + v)
+  /** Σ (a_i − b_i)² over two double arrays of STATICALLY-KNOWN length —
+    * unrolled to a GetArrayItem/Add chain so the PQ fit's hot argmin pass
+    * (m·N·ks distance evaluations) stays inside whole-stage codegen; a
+    * zip_with/aggregate HOF here ejects the stage and allocates an
+    * intermediate array per evaluation (measured 2.5 s → see BASELINE.md
+    * l95 note). Bit-identical to the sequential fold both engines run:
+    * the left-associated term sum equals the seed-0.0 left fold (x+0.0=x
+    * for the non-negative squares), which is DuckDB's list_reduce. */
+  private def l2dist(a: Column, b: Column, n: Int): Column =
+    (0 until n).map { i =>
+      val d = element_at(a, i + 1) - element_at(b, i + 1)
+      d * d
+    }.reduce(_ + _)
+
+  /** Σ a_i·b_i over double arrays of statically-known length — the
+    * unrolled twin of l2dist for the ADC lookup-table terms (same
+    * codegen and bit-identity argument). */
+  private def dotN(a: Column, b: Column, n: Int): Column =
+    (0 until n).map(i => element_at(a, i + 1) * element_at(b, i + 1))
+      .reduce(_ + _)
 
   /** Explode a float-embedding corpus into per-subspace DOUBLE sub-vectors:
     * one (vec_id, sub, sv) row per subspace, sv = dims [sub·d/m, (sub+1)·d/m).
@@ -507,7 +521,11 @@ object Similarity {
     * Returns (sub, cent_id, idx, cent: array<double>). */
   def pqFit(vectors: DataFrame, m: Int = 16, ks: Int = 16, iters: Int = 2,
             dim: Int = 64, quantum: Long = 1000000L): DataFrame = {
-    val sv = subVectors(vectors, m, dim)
+    // materialize the m·N sub-vector rows once: every Lloyd iteration's
+    // assignment re-consumes them, and without the barrier each blocking
+    // action re-reads the parquet and re-slices (the commonWithSizes
+    // materialization argument)
+    val sv = subVectors(vectors, m, dim).localCheckpoint()
     var cents = subVectors(
         vectors.orderBy(col("vec_id")).limit(ks), m, dim)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cent"))
@@ -519,7 +537,8 @@ object Similarity {
         .groupBy(col("vec_id"), col("sub"))
         .agg(
           min_by(col("cent_id"),
-            struct(l2dist(col("sv"), col("cent")), col("cent_id"))).as("cent_id"),
+            struct(l2dist(col("sv"), col("cent"), dim / m),
+              col("cent_id"))).as("cent_id"),
           first(col("sv")).as("sv"))
       val means = assigned
         .select(col("sub"), col("cent_id"),
@@ -559,7 +578,8 @@ object Similarity {
       .join(broadcast(codebook), Seq("sub"))
       .groupBy(col("vec_id"), col("sub"))
       .agg(min_by(col("idx"),
-        struct(l2dist(col("sv"), col("cent")), col("cent_id"))).as("idx"))
+        struct(l2dist(col("sv"), col("cent"), dim / m),
+          col("cent_id"))).as("idx"))
       .groupBy(col("vec_id"))
       .agg(sort_array(collect_list(struct(col("sub"), col("idx")))).as("ps"))
       .select(col("vec_id"),
@@ -600,13 +620,12 @@ object Similarity {
     val nrm = vecs.select(col("vec_id"), sqrt(norm2(col("embedding"))).as("nrm"))
     val queries = vecs.filter(col("vec_id") % queryMod === 0)
     // per-query ADC lookup table, ordered by (sub, idx) so position
-    // sub·ks + idx addresses it; dotHof = the same sequential fold the
-    // oracle's list_reduce replays (tiny table — |Q|·m·ks rows)
+    // sub·ks + idx addresses it; dotN = the same left-associated term
+    // sum the oracle's list_reduce replays (tiny table — |Q|·m·ks rows)
     val lut = subVectors(queries, m, dim)
       .join(broadcast(cb), Seq("sub"))
       .select(col("vec_id").as("qid"), col("sub"), col("idx"),
-        aggregate(zip_with(col("sv"), col("cent"), (x, y) => x * y),
-          lit(0.0), (acc, v) => acc + v).as("term"))
+        dotN(col("sv"), col("cent"), dim / m).as("term"))
       .groupBy(col("qid"))
       .agg(sort_array(collect_list(
         struct(col("sub"), col("idx"), col("term")))).as("ps"))

@@ -3040,29 +3040,35 @@ object LlmDeclared {
     * corpora are modality-independent by construction (measured: zero
     * overlap between the j ≥ 0.05 text pairs and the cos ≥ 0.3 embedding
     * pairs), so — the l01/l38 planting precedent — the query runs over
-    * each table unioned with an id-shifted copy of itself: every planted
-    * (i, i+10⁶) pair is an exact dup in BOTH planes, exercising the
-    * (true, true) cell, while the corpora's own near-dup pairs populate
-    * the one-modality cells. Booleans and exact counts only — no floats
-    * in the output. */
+    * each table unioned with an id-shifted copy of its doc_id % 10 = 0
+    * SLICE (a contaminated 10% tranche, not a wholesale corpus copy —
+    * keeps the planted-pair volume linear in the slice while the
+    * corpus-sized passes stay ~1.1×): every planted (i, i+10⁶) pair is
+    * an exact dup in BOTH planes, exercising the (true, true) cell,
+    * while the corpora's own near-dup pairs populate the one-modality
+    * cells. Booleans and exact counts only — no floats in the output. */
   private val l96 = DeclaredQuery(
     "l96_modality_agreement",
     (s, dir) => {
       val d = t(s, dir, "documents").select(col("doc_id"), col("text"))
       val corpus = d.unionByName(
-        d.withColumn("doc_id", col("doc_id") + 1000000L))
+        d.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
       val e = t(s, dir, "embeddings").select(col("vec_id"), col("embedding"))
       val vecs = e.unionByName(
-        e.withColumn("vec_id", col("vec_id") + 1000000L))
+        e.filter(col("vec_id") % 10 === 0)
+          .withColumn("vec_id", col("vec_id") + 1000000L))
       Dedup.modalityAgreement(corpus, vecs, n = 3, minJ = 0.5, minSim = 0.3)
         .orderBy(col("text_dup"), col("sem_dup"))
     },
     Some(s"""WITH corpus AS (
         SELECT doc_id, text FROM documents
-        UNION ALL SELECT doc_id + 1000000, text FROM documents),
+        UNION ALL SELECT doc_id + 1000000, text FROM documents
+        WHERE doc_id % 10 = 0),
       vecs AS (
         SELECT vec_id, embedding FROM embeddings
-        UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings),
+        UNION ALL SELECT vec_id + 1000000, embedding FROM embeddings
+        WHERE vec_id % 10 = 0),
       t AS (SELECT doc_id, string_split(text, ' ') AS w FROM corpus),
       sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
                range(1, len(w) - 1),
