@@ -47,6 +47,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("pq")) {
+      pqExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     if (rest == Seq("sketch")) {
       sketchExperiment(spark, reps)
       spark.stop()
@@ -409,6 +414,55 @@ object DevScale {
     * exactly like a production store whose query log grows with its
     * catalog). Printed speedup = unpacked/packed wall-clock at each scale;
     * the 100 TB story holds if speedup(R×) ≥ speedup(1×). */
+  /** PQ-ANN scale-up (`runMain graft.DevScale R pq`) — the l95 claims
+    * measured: serve a FIXED query log (the base replica's vec_id % 20
+    * set — `queryMax` pins it, so |Q| does NOT grow with the catalog)
+    * against a catalog growing R×. Legs per scale:
+    *  - fit: the codebook build — m·N sub-vector rows, should grow ~R×
+    *    (it is one corpus-bytes pass per Lloyd round, never m loops);
+    *  - pq-serve: full l95 (fit + encode + ADC coarse + exact rerank);
+    *  - exact: bruteForceTopK on the same queries — the float-bandwidth
+    *    alternative PQ's 8-byte codes replace; the pq-serve advantage
+    *    should GROW with R (both scans are |Q|·N, but PQ's touches codes
+    *    while exact touches full float vectors);
+    *  - top-1 agreement vs exact at each scale: codebook capacity is
+    *    FIXED (m=16, ks=16) while the catalog grows, so this prints the
+    *    recall price of not growing ks — the knob-schedule conversation
+    *    l87's probe sweep has for IVF. */
+  private def pqExperiment(spark: org.apache.spark.sql.SparkSession,
+                           reps: Int): Unit = {
+    import graft.llm.Similarity
+    val smallDir = "/tmp/graft_scale_pq_small"
+    val bigDir = "/tmp/graft_scale_pq_big"
+    replicatedEmbeddings(spark, 1)
+      .write.mode("overwrite").parquet(s"$smallDir/embeddings.parquet")
+    replicatedEmbeddings(spark, reps)
+      .write.mode("overwrite").parquet(s"$bigDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    val qMax = 10000000L // replica-0 ids only: fixed query set at every R
+    def em(dir: String) = Tables.load(spark, dir, "embeddings")
+    for ((tag, dir) <- Seq(("1x", smallDir), (s"${reps}x", bigDir))) {
+      val v = em(dir)
+      val q = v.filter(col("vec_id") % 20 === 0 && col("vec_id") < qMax)
+      val tFit = BenchTiming.steadyOf(spark, () => Similarity.pqFit(v))
+      val tServe = BenchTiming.steadyOf(spark,
+        () => Similarity.pqRerankTopK(v, queryMax = qMax))
+      val tExact = BenchTiming.steadyOf(spark,
+        () => Similarity.bruteForceTopK(q, v, k = 3))
+      val pq1 = Similarity.pqRerankTopK(v, k = 1, queryMax = qMax)
+        .select(col("qid"), col("nid"))
+      val ex1 = Similarity.bruteForceTopK(q, v, k = 1)
+        .select(col("qid"), col("nid").as("want"))
+      val nQ = ex1.count()
+      val agree = pq1.join(ex1, "qid")
+        .filter(col("nid") === col("want")).count()
+      println(f"$tag%-6s fit=$tFit%7.3f s  pq-serve(l95)=$tServe%7.3f s  " +
+        f"exact=$tExact%7.3f s  top1-agreement=$agree%4d/$nQ%-4d " +
+        f"(${agree.toDouble / nQ}%4.2f)")
+    }
+  }
+
   private def packedExperiment(spark: org.apache.spark.sql.SparkSession,
                                reps: Int): Unit = {
     import graft.llm.Similarity

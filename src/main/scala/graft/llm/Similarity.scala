@@ -612,13 +612,22 @@ object Similarity {
     * list_reduce(list(term ORDER BY sub)). Ties everywhere break by nid.
     * Recall vs bruteForceTopK is pinned in LlmSpec (the measured price of
     * 32× bandwidth; rerank recovers exact order within the shortlist). */
-  def pqRerankTopK(vecs: DataFrame, k: Int = 3, shortM: Int = 20,
-                   queryMod: Int = 20, m: Int = 16, ks: Int = 16,
-                   iters: Int = 2, dim: Int = 64): DataFrame = {
+  /** The PQ/ADC coarse-scoring pass shared by `pqRerankTopK` and
+    * `pqShortlistSweep`: fit, encode, build per-query LUTs, score every
+    * (query, candidate) pair → (qid, nid, approx_sim). See pqRerankTopK's
+    * scaladoc for the plan-shape and determinism story — this is a pure
+    * code factoring, the subtree is identical. */
+  private def pqApproxScores(vecs: DataFrame, queryMod: Int, m: Int,
+                             ks: Int, iters: Int, dim: Int,
+                             queryMax: Long): DataFrame = {
     val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
     val codes = pqEncode(vecs, cb, m, dim)
     val nrm = vecs.select(col("vec_id"), sqrt(norm2(col("embedding"))).as("nrm"))
-    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+    // queryMax (DevScale only — defaults to no-op) pins the query set to
+    // the base replica so the scale experiment measures a FIXED query log
+    // against a growing catalog; the declared query never sets it
+    val queries = vecs.filter(
+      col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
     // per-query ADC lookup table, ordered by (sub, idx) so position
     // sub·ks + idx addresses it; dotN = the same left-associated term
     // sum the oracle's list_reduce replays (tiny table — |Q|·m·ks rows)
@@ -641,9 +650,19 @@ object Similarity {
     }.reduce(_ + _)
     val cands = codes.join(nrm, "vec_id")
       .select(col("vec_id").as("nid"), col("codes"), col("nrm").as("cn"))
-    val approx = broadcast(lut).join(cands, col("qid") =!= col("nid"))
+    broadcast(lut).join(cands, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (adc / (col("qn") * col("cn"))).as("approx_sim"))
+  }
+
+  def pqRerankTopK(vecs: DataFrame, k: Int = 3, shortM: Int = 20,
+                   queryMod: Int = 20, m: Int = 16, ks: Int = 16,
+                   iters: Int = 2, dim: Int = 64,
+                   queryMax: Long = Long.MaxValue): DataFrame = {
+    val nrm = vecs.select(col("vec_id"), sqrt(norm2(col("embedding"))).as("nrm"))
+    val queries = vecs.filter(
+      col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
+    val approx = pqApproxScores(vecs, queryMod, m, ks, iters, dim, queryMax)
     val shortlist = approx
       .groupBy(col("qid"))
       .agg(call_function("bounded_top_m",
@@ -665,6 +684,92 @@ object Similarity {
       .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
         col("nid"), col("sim"), col("approx_sim"))
+  }
+
+  /** PQ SHORTLIST-SIZE recall sweep — the l95 serving knob priced the way
+    * l87 prices IVF's nProbe: for each candidate shortM, the fraction of
+    * the TRUE top-k (brute-force cosine on the sampled query set) that the
+    * ADC shortlist of that size captures. Since the exact rerank recovers
+    * exact order WITHIN the shortlist, shortlist recall IS end-to-end
+    * recall@k — this table is read before fixing shortM in production.
+    *
+    * Scale: ONE shared ADC pass at max(shortMs) serves every config (the
+    * l87/l88 shared-pass discipline) — the per-pair coarse scan happens
+    * once, `bounded_top_m` keeps max(shortMs) candidates map-side, and the
+    * per-config membership test is a ≤|Q|·k-row explode + hash-agg. Truth
+    * is |Q|·N exact cosines — the audit's inherent cost (l44's job),
+    * query-sampled by queryMod exactly like the coarse pass.
+    *
+    * Determinism: approx ranks come from bounded_top_m's total
+    * (score desc, id asc) order; truth ranks from bruteForceTopK's
+    * (sim desc, nid) — both replayed verbatim by the oracle's
+    * row_numbers; counts and the one recall division are exact. */
+  def pqShortlistSweep(vecs: DataFrame, shortMs: Seq[Int] = Seq(5, 10, 20),
+                       k: Int = 3, queryMod: Int = 20, m: Int = 16,
+                       ks: Int = 16, iters: Int = 2,
+                       dim: Int = 64): DataFrame = {
+    val maxM = shortMs.max
+    val approx = pqApproxScores(vecs, queryMod, m, ks, iters, dim,
+      Long.MaxValue)
+    val ranked = approx.groupBy(col("qid"))
+      .agg(call_function("bounded_top_m",
+        col("approx_sim"), col("nid"), lit(maxM)).as("top"))
+      .select(col("qid"), posexplode(col("top")))
+      .select(col("qid"), col("col.id").as("nid"),
+        (col("pos") + 1).cast(LongType).as("approx_rank"))
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+    val truth = bruteForceTopK(queries, vecs, k)
+      .select(col("qid"), col("nid"))
+    truth.join(ranked, Seq("qid", "nid"), "left")
+      .select(col("qid"), col("approx_rank"),
+        explode(array(shortMs.sorted.map(x => lit(x.toLong)): _*))
+          .as("short_m"))
+      .groupBy(col("short_m"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        sum(when(col("approx_rank") <= col("short_m"), 1L).otherwise(0L))
+          .as("n_hit"))
+      .select(col("short_m"), col("n_queries"), col("n_truth"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+          .as("recall"))
+  }
+
+  /** PQ CODEBOOK-health audit — the "is my codebook still fit for this
+    * corpus" table read before trusting l95's serving path: per
+    * (sub, cent_id), how many sub-vectors the codeword wins and its total
+    * squared reconstruction error, with DEAD codewords (zero assignments)
+    * kept at n_assigned = 0 — dead codewords and fat error cells are the
+    * retrain signals (codebook capacity vs corpus drift).
+    *
+    * Exactness: assignment replays pqEncode's argmin exactly (min over
+    * (dist, cent_id) structs); the per-assignment error is snapped to the
+    * 10⁻⁶ integer grid (floor(d·10⁶ + 0.5) — pqFit's quantum, the same
+    * half-up formula as l25) so the per-cell totals are LONG sums: exact,
+    * aggregation-order-free, bit-identical cross-engine. No corpus-sized
+    * ordered fold — the snap is what makes an exact error SUM scalable
+    * where a double fold would need an order.
+    *
+    * Scale: one broadcast-assign pass over the m·N sub-vector rows (the
+    * fit/encode shape), then an m·ks-row agg and an m·ks-row left join.
+    */
+  def pqCodebookAudit(vecs: DataFrame, m: Int = 16, ks: Int = 16,
+                      iters: Int = 2, dim: Int = 64): DataFrame = {
+    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
+    val asg = subVectors(vecs, m, dim)
+      .join(broadcast(cb), Seq("sub"))
+      .groupBy(col("vec_id"), col("sub"))
+      .agg(min(struct(l2dist(col("sv"), col("cent"), dim / m).as("d"),
+        col("cent_id").as("cent_id"))).as("best"))
+      .select(col("sub"), col("best.cent_id").as("cent_id"),
+        floor(col("best.d") * 1000000.0 + 0.5).cast(LongType).as("err_e6"))
+    val stats = asg.groupBy(col("sub"), col("cent_id"))
+      .agg(count(lit(1)).as("n_assigned"), sum(col("err_e6")).as("err_e6_sum"))
+    cb.select(col("sub"), col("cent_id"))
+      .join(stats, Seq("sub", "cent_id"), "left")
+      .select(col("sub").cast(LongType).as("sub"),
+        col("cent_id").cast(LongType).as("cent_id"),
+        coalesce(col("n_assigned"), lit(0L)).as("n_assigned"),
+        coalesce(col("err_e6_sum"), lit(0L)).as("err_e6_sum"))
   }
 
   /** The HOF formulation of quantizeInt8 — kept as the semantic reference

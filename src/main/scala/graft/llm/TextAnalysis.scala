@@ -1206,6 +1206,102 @@ object TextAnalysis {
       .withColumnRenamed("score", "stop_ratio")
       .withColumnRenamed("rank", "q_rank")
 
+  /** Per-source quality-DRIFT audit — each source's Mann–Whitney rank-sum
+    * and AUC against the REST of the corpus on the l08 stopword-ratio
+    * axis: AUC ≈ P(random doc from source scores above a random doc from
+    * elsewhere), the distribution-free "is this source systematically
+    * lower-quality" statistic read before per-source filter thresholds or
+    * mixture down-weighting. 0.5 = in family; the tails are the drifted
+    * sources.
+    *
+    * Exactness: ranks are l71's exact global ranks (no global sort —
+    * exactRanks' bucket-prefix story). Mann–Whitney needs TIE-AVERAGED
+    * ranks; within a tie group the unique ranks are consecutive integers,
+    * so avg = min + (c−1)/2 and 2·avg = 2·min + c − 1 stays INTEGRAL —
+    * carried as a long so the per-source rank sums, the U statistic
+    * (u_x2 = 2U = rank_sum_x2 − n(n+1)), and everything up to the final
+    * AUC division are exact integer arithmetic, bit-identical in any
+    * aggregation order and across engines; the one division
+    * u_x2 / (2·n·m) is correctly rounded on exact operands.
+    *
+    * Scale: one ranked corpus pass (id + score + rank longs only), the
+    * tie-group window partitions by score (skew bounded by the largest
+    * tie group — the same bound exactRanks already carries for its score
+    * buckets), an id-keyed source join, and a |sources|-row agg with a
+    * broadcast 1-row total. */
+  def sourceQualityDrift(docs: DataFrame): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val ranked = exactRanks(quality(docs), col("stop_ratio"), 256, 256.0)
+    val wS = W.partitionBy(col("score"))
+    val ar2 = (min(col("rank")).over(wS) * 2
+      + count(lit(1)).over(wS) - 1).as("ar2")
+    val total = ranked.agg(count(lit(1)).as("n_total"))
+    ranked.select(col("doc_id"), ar2)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("ar2")).as("rank_sum_x2"))
+      .crossJoin(broadcast(total))
+      .withColumn("u_x2",
+        col("rank_sum_x2") - col("n_docs") * (col("n_docs") + 1))
+      .select(col("source"), col("n_docs"), col("rank_sum_x2"), col("u_x2"),
+        (col("u_x2").cast(DoubleType)
+          / (lit(2.0) * col("n_docs") * (col("n_total") - col("n_docs"))))
+          .as("auc"))
+  }
+
+  /** Eval-CANARY tripwire — exact substring scan for a known list of
+    * canary strings (the planted GUIDs/sentences eval-set owners seed to
+    * detect training-data leakage): per canary, how many corpus docs
+    * contain it, across how many sources, and the first doc id (null
+    * when clean). A tripwire must report ZERO rows too — absent canaries
+    * come back with n_docs = 0, which is the reading that matters.
+    *
+    * Scale: the canary list broadcasts (it is tiny by construction), the
+    * substring test is a codegen'd Contains evaluated in the corpus scan
+    * (one pass, |canaries| probes per doc), and the only aggregation is
+    * |canaries|-row. With thousands of patterns a production scan would
+    * fuse them into one multi-pattern automaton (Aho–Corasick) instead
+    * of per-canary Contains probes; the plan shape — broadcast patterns,
+    * scan-side match, tiny agg — is unchanged. Null-text docs carry no
+    * match (three-valued Contains drops them from the inner join). */
+  def canaryScan(docs: DataFrame, canaries: DataFrame): DataFrame =
+    canaryReport(canaryCells(docs, canaries), canaries)
+
+  /** The canary tripwire's SUMMABLE state: per (canary, source) hit cell
+    * — doc count + first doc id, only for canaries that hit. ≤
+    * |canaries|·|sources| rows, merged across batches by per-cell
+    * addition/min (S25: each arriving crawl batch is scanned alone and
+    * folded in; no document is ever re-scanned). Counts are NOT
+    * idempotent under re-delivery — the S22 exactly-once foreachBatch
+    * discipline applies. */
+  def canaryCells(docs: DataFrame, canaries: DataFrame): DataFrame =
+    docs.join(broadcast(canaries), col("text").contains(col("phrase")))
+      .groupBy(col("canary_id"), col("phrase"), col("source"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("first_doc"))
+
+  /** Associative fold of two canary cell tables: exact sums add, first
+    * ids min — merge(a, b) == cells(a_docs ∪ b_docs) for any split. */
+  def mergeCanaryCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy(col("canary_id"), col("phrase"), col("source"))
+      .agg(sum(col("n_docs")).as("n_docs"), min(col("first_doc")).as("first_doc"))
+
+  /** The tripwire readout off a (possibly stream-maintained) cell table:
+    * per canary, total docs, distinct sources (= cell count — cells are
+    * keyed by source), first doc id; canaries with no cells report
+    * n_docs = 0. */
+  def canaryReport(cells: DataFrame, canaries: DataFrame): DataFrame = {
+    val agg = cells.groupBy(col("canary_id"), col("phrase"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        count(lit(1)).as("n_sources"),
+        min(col("first_doc")).as("first_doc"))
+    broadcast(canaries).join(agg, Seq("canary_id", "phrase"), "left")
+      .select(col("canary_id"), col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_sources"), lit(0L)).as("n_sources"),
+        col("first_doc"))
+  }
+
   /** Quality-vs-TOKEN-BUDGET tradeoff table — the filtering Pareto curve
     * read before fixing a quality cutoff: per stopword-ratio decile
     * (l71's exact deciles; higher ratio = more natural-language-like on

@@ -2936,8 +2936,12 @@ object LlmDeclared {
     * final ranks are bit-identical across engines. Config measured in
     * LlmSpec: (m=16, ks=16, shortM=20) reads 0.92 top-1 agreement vs
     * brute force on the fixture corpus (coarser m=8/ks=8 read 0.16). */
-  private val l95 = {
-    val (m, ks, subDim, queryMod, shortM, k) = (16, 16, 4, 20, 20, 3)
+  /** The PQ oracle's shared pieces (l95 + l98): sub-slicing, both Lloyd
+    * rounds, argmin encode, norms, and the ADC approx scores — everything
+    * up to the per-pair `approx` CTE that both the rerank and the
+    * shortlist sweep consume. */
+  private object PqOracle {
+    val (m, ks, subDim, queryMod) = (16, 16, 4, 20)
     def duckDot(a: String, b: String): String =
       s"""list_reduce(list_apply(list_zip($a, $b),
          |  x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE)), (x, y) -> x + y)""".stripMargin
@@ -2968,14 +2972,8 @@ object LlmDeclared {
        SELECT p.sub, p.cent_id, COALESCE(n.cent, p.cent) AS cent
        FROM c${i - 1} p LEFT JOIN f$i n
          ON n.sub = p.sub AND n.cent_id = p.cent_id)"""
-    DeclaredQuery(
-      "l95_pq_ann",
-      (s, dir) => Similarity.pqRerankTopK(t(s, dir, "embeddings"),
-          k = k, shortM = shortM, queryMod = queryMod, m = m, ks = ks,
-          iters = 2, dim = 64)
-        .withColumnRenamed("rank", "rnk")
-        .orderBy(col("qid"), col("rnk")),
-      Some(s"""WITH sv AS (
+    /** CTEs sv → approx: everything up to the per-pair ADC approx score. */
+    lazy val ctePrefix: String = s"""sv AS (
         SELECT vec_id, s.sub,
           list_apply(embedding[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)],
                      x -> CAST(x AS DOUBLE)) AS sv
@@ -3014,7 +3012,20 @@ object LlmDeclared {
         SELECT a.qid, a.nid, a.dp / (nq.nrm * nc.nrm) AS approx_sim
         FROM adc a
         JOIN nrm nq ON nq.vec_id = a.qid
-        JOIN nrm nc ON nc.vec_id = a.nid),
+        JOIN nrm nc ON nc.vec_id = a.nid)"""
+  }
+
+  private val l95 = {
+    import PqOracle.{m, ks, queryMod}
+    val (shortM, k) = (20, 3)
+    DeclaredQuery(
+      "l95_pq_ann",
+      (s, dir) => Similarity.pqRerankTopK(t(s, dir, "embeddings"),
+          k = k, shortM = shortM, queryMod = queryMod, m = m, ks = ks,
+          iters = 2, dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk")),
+      Some(s"""WITH ${PqOracle.ctePrefix},
       short AS (
         SELECT qid, nid, approx_sim FROM (
           SELECT qid, nid, approx_sim,
@@ -3108,6 +3119,159 @@ object LlmDeclared {
         COUNT(DISTINCT d) AS n_docs
       FROM u GROUP BY text_dup, sem_dup ORDER BY text_dup, sem_dup"""))
 
+  /** L97 — per-source quality-DRIFT audit: each source's Mann–Whitney
+    * rank-sum / AUC vs the rest of the corpus on the l08 stopword-ratio
+    * axis (tie-averaged ranks carried ×2 as exact longs — see
+    * `TextAnalysis.sourceQualityDrift`). AUC 0.5 = in family; tails =
+    * drifted sources. Oracle replays the l71 rank CTE plus the tie-group
+    * min/count fold. */
+  private val l97 = DeclaredQuery(
+    "l97_source_quality_drift",
+    (s, dir) => TextAnalysis.sourceQualityDrift(t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some(s"""WITH qsrc AS (SELECT doc_id, source, text,
+               string_split(text, ' ') AS w FROM documents),
+      q AS (SELECT doc_id, source,
+              CAST(len(list_filter(w, x -> list_contains(
+                ${duckList(TextAnalysis.stopwords("en"))}, x))) AS DOUBLE)
+                / CAST(len(w) AS DOUBLE) AS stop_ratio
+            FROM qsrc),
+      r AS (SELECT doc_id, source, stop_ratio,
+              row_number() OVER (ORDER BY stop_ratio, doc_id) AS rnk
+            FROM q WHERE stop_ratio IS NOT NULL),
+      g AS (SELECT stop_ratio, MIN(rnk) AS mn, COUNT(*) AS c
+            FROM r GROUP BY stop_ratio),
+      a AS (SELECT r.source, 2 * g.mn + g.c - 1 AS ar2
+            FROM r JOIN g USING (stop_ratio)),
+      t AS (SELECT COUNT(*) AS n_total FROM r)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(ar2) AS BIGINT) AS rank_sum_x2,
+        CAST(SUM(ar2) - COUNT(*) * (COUNT(*) + 1) AS BIGINT) AS u_x2,
+        CAST(SUM(ar2) - COUNT(*) * (COUNT(*) + 1) AS DOUBLE)
+          / (2.0 * COUNT(*) * (n_total - COUNT(*))) AS auc
+      FROM a CROSS JOIN t
+      GROUP BY source, n_total
+      ORDER BY source"""))
+
+  /** L98 — PQ SHORTLIST-SIZE recall sweep: recall@k of the l95 ADC
+    * shortlist at each candidate shortM vs brute-force truth on the same
+    * sampled query set, from ONE shared coarse pass (the l87/l88
+    * shared-pass discipline — l87 prices IVF's nProbe, this prices PQ's
+    * shortM). The oracle reuses l95's whole CTE chain through `approx`
+    * and replays the membership counts exactly. */
+  private val l98 = {
+    import PqOracle.{m, ks, queryMod}
+    val (k, shortMs) = (3, Seq(5, 10, 20))
+    DeclaredQuery(
+      "l98_pq_shortlist_sweep",
+      (s, dir) => Similarity.pqShortlistSweep(t(s, dir, "embeddings"),
+          shortMs = shortMs, k = k, queryMod = queryMod, m = m, ks = ks,
+          iters = 2, dim = 64)
+        .orderBy(col("short_m")),
+      Some(s"""WITH ${PqOracle.ctePrefix},
+      short AS (
+        SELECT qid, nid,
+          ROW_NUMBER() OVER (PARTITION BY qid
+            ORDER BY approx_sim DESC, nid) AS srn
+        FROM approx),
+      tq AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC,
+              c.vec_id) AS trn
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % $queryMod = 0),
+      truth AS (SELECT qid, nid FROM tq WHERE trn <= $k),
+      j AS (
+        SELECT t.qid, s.srn FROM truth t
+        LEFT JOIN short s ON s.qid = t.qid AND s.nid = t.nid)
+      SELECT short_m, CAST(COUNT(DISTINCT qid) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_truth,
+        CAST(SUM(CASE WHEN srn <= short_m THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        CAST(SUM(CASE WHEN srn <= short_m THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM j CROSS JOIN (SELECT CAST(unnest(${shortMs.mkString("[", ", ", "]")})
+        AS BIGINT) AS short_m) s
+      GROUP BY short_m ORDER BY short_m"""))
+  }
+
+  /** L99 — eval-CANARY tripwire: exact substring scan for a known canary
+    * list, zero-hit canaries reported with n_docs = 0 (the reading that
+    * matters). The declared query plants `__canary_alpha__` into a
+    * doc_id % 50 = 0 slice under shifted ids (the l96 planting precedent)
+    * so the hit path and the clean path both execute on fixture corpora. */
+  private val l99 = DeclaredQuery(
+    "l99_canary_tripwire",
+    (s, dir) => {
+      val d = t(s, dir, "documents")
+        .select(col("doc_id"), col("text"), col("source"))
+      val corpus = d.unionByName(
+        d.filter(col("doc_id") % 50 === 0)
+          .select((col("doc_id") + 1000000L).as("doc_id"),
+            concat(col("text"), lit(" __canary_alpha__")).as("text"),
+            col("source")))
+      val canaries = s.sql(
+        """SELECT CAST(canary_id AS BIGINT) AS canary_id, phrase
+           FROM VALUES (1, '__canary_alpha__'), (2, '__canary_never__')
+           AS t(canary_id, phrase)""")
+      TextAnalysis.canaryScan(corpus, canaries).orderBy(col("canary_id"))
+    },
+    Some("""WITH corpus AS (
+        SELECT doc_id, text, source FROM documents
+        UNION ALL
+        SELECT doc_id + 1000000, text || ' __canary_alpha__', source
+        FROM documents WHERE doc_id % 50 = 0),
+      can AS (SELECT CAST(canary_id AS BIGINT) AS canary_id, phrase
+              FROM (VALUES (1, '__canary_alpha__'), (2, '__canary_never__'))
+              AS t(canary_id, phrase)),
+      hits AS (
+        SELECT c.canary_id, c.phrase, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(COUNT(DISTINCT d.source) AS BIGINT) AS n_sources,
+          MIN(d.doc_id) AS first_doc
+        FROM corpus d JOIN can c ON contains(d.text, c.phrase)
+        GROUP BY c.canary_id, c.phrase)
+      SELECT c.canary_id, c.phrase,
+        COALESCE(h.n_docs, 0) AS n_docs,
+        COALESCE(h.n_sources, 0) AS n_sources,
+        h.first_doc
+      FROM can c LEFT JOIN hits h
+        ON h.canary_id = c.canary_id AND h.phrase = c.phrase
+      ORDER BY c.canary_id"""))
+
+  /** L100 — PQ CODEBOOK-health audit: per (sub, cent_id) assignment count
+    * and integer-snapped total squared reconstruction error, dead
+    * codewords kept at zero — the retrain-signal table completing the PQ
+    * family (fit → encode → serve → sweep → audit). The oracle reuses
+    * l95's fit CTEs and replays the argmin + the 10⁻⁶ error snap. */
+  private val l100 = {
+    import PqOracle.duckL2
+    DeclaredQuery(
+      "l100_pq_codebook_audit",
+      (s, dir) => Similarity.pqCodebookAudit(t(s, dir, "embeddings"),
+          m = PqOracle.m, ks = PqOracle.ks, iters = 2, dim = 64)
+        .orderBy(col("sub"), col("cent_id")),
+      Some(s"""WITH ${PqOracle.ctePrefix},
+      asg AS (
+        SELECT sub, cent_id,
+          CAST(floor(d * 1000000 + 0.5) AS BIGINT) AS err_e6
+        FROM (
+          SELECT v.sub, v.vec_id, c.cent_id, ${duckL2("v.sv", "c.cent")} AS d,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+              ORDER BY ${duckL2("v.sv", "c.cent")} ASC, c.cent_id) AS rn
+          FROM sv v JOIN c2 c ON c.sub = v.sub) x
+        WHERE rn = 1),
+      st AS (
+        SELECT sub, cent_id, CAST(COUNT(*) AS BIGINT) AS n_assigned,
+          CAST(SUM(err_e6) AS BIGINT) AS err_e6_sum
+        FROM asg GROUP BY sub, cent_id)
+      SELECT c.sub, c.cent_id,
+        COALESCE(st.n_assigned, 0) AS n_assigned,
+        COALESCE(st.err_e6_sum, 0) AS err_e6_sum
+      FROM c2 c LEFT JOIN st ON st.sub = c.sub AND st.cent_id = c.cent_id
+      ORDER BY c.sub, c.cent_id"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -3117,5 +3281,5 @@ object LlmDeclared {
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95, l96, d29)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, d29)
 }

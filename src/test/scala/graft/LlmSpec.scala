@@ -452,6 +452,136 @@ class LlmSpec extends SparkSpec {
       (true, true, 1L, 2L)))   // (1,2): identical in both planes
   }
 
+  test("sourceQualityDrift: fully separated sources read AUC 1 and 0; " +
+    "ties split to 0.5") {
+    // srcA: all-stopword text (stop_ratio 1.0), srcB: none (0.0) — every
+    // A-doc outranks every B-doc, so AUC_A = 1, AUC_B = 0
+    val sep = Seq(
+      (1L, "the a of", "A"), (2L, "and to in", "A"),
+      (3L, "xx yy zz", "B"), (4L, "qq ww ee", "B")
+    ).toDF("doc_id", "text", "source")
+    val gotSep = TextAnalysis.sourceQualityDrift(sep).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // B docs tie at 0.0: ranks {1,2} → avg 1.5 → ar2 = 3 each; A docs tie
+    // at 1.0: ranks {3,4} → avg 3.5 → ar2 = 7 each
+    assert(gotSep("A") === ((2L, 14L, 8L, 1.0)))
+    assert(gotSep("B") === ((2L, 6L, 0L, 0.0)))
+    // identical text across sources: complete tie → AUC exactly 0.5
+    val tied = Seq(
+      (1L, "the xx", "A"), (2L, "the xx", "B"), (3L, "the xx", "B")
+    ).toDF("doc_id", "text", "source")
+    val gotTied = TextAnalysis.sourceQualityDrift(tied).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(gotTied("A") === 0.5)
+    assert(gotTied("B") === 0.5)
+  }
+
+  test("sourceQualityDrift: brute-force tie-averaged rank-sum parity on " +
+    "the fixture corpus") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val got = TextAnalysis.sourceQualityDrift(docs).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toMap
+    // straight-line reference: collect scores, tie-averaged ranks ×2 in
+    // plain Scala, then per-source sums — the textbook Mann–Whitney
+    val scored = TextAnalysis.quality(docs)
+      .join(docs.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("doc_id"), col("source"), col("stop_ratio"))
+      .collect().filter(!_.isNullAt(2))
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+    val ranked = scored.sortBy(x => (x._3, x._1)).zipWithIndex
+      .map { case ((id, src, s), i) => (id, src, s, i + 1L) }
+    val ar2 = ranked.groupBy(_._3).toSeq.flatMap { case (_, grp) =>
+      val mn = grp.map(_._4).min
+      val c = grp.size
+      grp.toSeq.map(g => (g._2, 2 * mn + c - 1))
+    }
+    val nTotal = ranked.length.toLong
+    ar2.groupBy(_._1).foreach { case (src, xs) =>
+      val n = xs.size.toLong
+      val rs2 = xs.map(_._2).sum
+      val u2 = rs2 - n * (n + 1)
+      val auc = u2.toDouble / (2.0 * n * (nTotal - n))
+      assert(got(src) === ((n, rs2, u2, auc)), s"drift mismatch for $src")
+    }
+  }
+
+  test("pqShortlistSweep: recall monotone in shortM, truth sized |Q|·k, " +
+    "single-config runs equal the shared-pass rows") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val rows = Similarity.pqShortlistSweep(em, Seq(5, 10, 20), k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).sortBy(_._1)
+    assert(rows.map(_._1).toSeq === Seq(5L, 10L, 20L))
+    rows.foreach { case (_, nQ, nT, nH, rec) =>
+      assert(nT === nQ * 3, "every fixture query has >= k candidates")
+      assert(nH <= nT)
+      assert(rec === nH.toDouble / nT)
+    }
+    // recall never decreases as the shortlist grows (supersets capture
+    // supersets) and the 20-wide shortlist finds most of the true top-3
+    assert(rows.sliding(2).forall { case Array(a, b) => b._5 >= a._5 })
+    assert(rows.last._5 >= 0.5, s"recall@shortM=20 collapsed: ${rows.last._5}")
+    // shared-pass consistency: each single-config sweep reproduces its row
+    Seq(5, 10, 20).foreach { sm =>
+      val solo = Similarity.pqShortlistSweep(em, Seq(sm), k = 3).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+          r.getDouble(4))).head
+      assert(solo === rows.find(_._1 == sm).get,
+        s"single-config run diverged at shortM=$sm")
+    }
+  }
+
+  test("canaryScan: present canaries count docs/sources with first id; " +
+    "absent canaries report zero; null text never matches") {
+    val docs = Seq(
+      (1L, "hello world secret-xyz", "s0"),
+      (2L, "plain text", "s1"),
+      (3L, "another secret-xyz here", "s1"),
+      (4L, null.asInstanceOf[String], "s2")
+    ).toDF("doc_id", "text", "source")
+    val canaries = Seq((1L, "secret-xyz"), (2L, "unused-canary"))
+      .toDF("canary_id", "phrase")
+    val got = TextAnalysis.canaryScan(docs, canaries).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1)
+    assert(got.toSeq === Seq(
+      (1L, "secret-xyz", 2L, 2L, Some(1L)),
+      (2L, "unused-canary", 0L, 0L, None)))
+  }
+
+  test("pqCodebookAudit: every sub-vector assigned exactly once, dead " +
+    "codewords present at zero, errors consistent with the encode") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val (m, ks) = (16, 16)
+    val n = em.count()
+    val rows = Similarity.pqCodebookAudit(em, m = m, ks = ks).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    // full m×ks grid, dead codewords included
+    assert(rows.length === m * ks)
+    // conservation: every (vector, sub) pair assigned to exactly one cell
+    assert(rows.map(_._3).sum === m * n)
+    rows.foreach { case (_, _, nA, err) =>
+      assert(err >= 0L)
+      if (nA == 0) assert(err === 0L, "dead codeword must carry zero error")
+    }
+    // cross-check assignment counts against pqEncode's codes: the audit's
+    // per-(sub, cent_id) counts must equal the code histogram
+    val cb = Similarity.pqFit(em, m = m, ks = ks, iters = 2, dim = 64)
+      .localCheckpoint()
+    val idxToCent = cb.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getLong(1)).toMap
+    val hist = Similarity.pqEncode(em, cb, m = m, dim = 64).collect()
+      .flatMap(r => r.getSeq[Long](1).zipWithIndex.map { case (idx, s) =>
+        (s.toLong, idxToCent((s.toLong, idx))) })
+      .groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+    rows.foreach { case (sub, cent, nA, _) =>
+      assert(hist.getOrElse((sub, cent), 0L) === nA,
+        s"assignment count mismatch at ($sub, $cent)")
+    }
+  }
+
   test("IVF ANN: probing more cells monotonically improves top-1 recall") {
     val em = Tables.load(spark, sf001, "embeddings")
     val q = em.filter(col("vec_id") < 32)

@@ -294,6 +294,15 @@ class PlanSpec extends SparkSpec {
       Set("text", "toks", "bg"), "l67")
   }
 
+  test("l97: quality-drift audit shuffles ids/scores/ranks only — the " +
+    "text dies in the scan that scores it") {
+    // the operator's scale claim: stop_ratio computes in the scan, so
+    // every exchange after it carries (doc_id, score, rank, source)-width
+    // rows — never the document text or its token array
+    assertNoShufflePayload(lq("l97_source_quality_drift"),
+      Set("text", "toks"), "l97")
+  }
+
   test("l52: incremental dedup shuffles band hashes and doc ids only — " +
     "no text crosses an exchange, no pair self-join anywhere") {
     val plan = executedPlan(lq("l52_incremental_dedup"))
@@ -590,7 +599,16 @@ class PlanSpec extends SparkSpec {
       // l95: the PQ coarse pass is the l48 broadcast-queries non-equi
       // scan with the broadcast side a |Q|-row LUT table (m·ks doubles
       // per query); the codebook fit joins subspaces by equality
-      "l95_pq_ann")
+      "l95_pq_ann",
+      // l97: broadcast 1-row n_total crossJoin (the l71 decile shape)
+      "l97_source_quality_drift",
+      // l98: the shared PQ coarse pass (the l95 shape) plus the
+      // broadcast-queries brute-force truth leg (the l05 shape)
+      "l98_pq_shortlist_sweep",
+      // l99: the canary list broadcasts against the scan-side Contains
+      // probe (non-equi by nature), and the zero-reporting left join
+      // re-broadcasts the same tiny list
+      "l99_canary_tripwire")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -802,6 +802,85 @@ class StreamingSpec extends SparkSpec {
     assert(state.get.count() === 3L)
   }
 
+  test("S24: PQ encode under foreachBatch — a static codebook encodes " +
+    "arriving vectors exactly as the batch encode of the drained corpus") {
+    // The l95 serving shape: the codebook is trained offline (pqFit on
+    // the reference corpus) and persisted; each arriving vector batch is
+    // encoded against it stateless — a vector is one row and the argmin
+    // is per-(vector, sub), so encoding never spans micro-batches and
+    // stream output equals batch encoding of the drained input for ANY
+    // split. Model refresh = swap the static table at a trigger boundary
+    // (the S19 discipline).
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val em = Tables.load(spark, sf001, "embeddings")
+    val cb = Similarity.pqFit(em, m = 16, ks = 16, iters = 2, dim = 64)
+      .localCheckpoint()
+    val rows = em.limit(24).collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Float](1).toArray,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    val got = scala.collection.mutable.Buffer[(Long, Seq[Long])]()
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        Similarity.pqEncode(batch.toDF(), cb).collect().foreach { r =>
+          got.synchronized { got += ((r.getLong(0), r.getSeq[Long](1))) }
+        }
+      }.start()
+    try {
+      in.addData(rows.take(7): _*); q.processAllAvailable()
+      in.addData(rows.drop(7): _*); q.processAllAvailable()
+    } finally q.stop()
+    val ids = rows.map(_.vec_id)
+    val want = Similarity.pqEncode(
+        em.filter(col("vec_id").isin(ids: _*)), cb)
+      .collect().map(r => (r.getLong(0), r.getSeq[Long](1))).toSet
+    assert(got.synchronized(got.toSet) === want)
+    assert(want.size === 24)
+  }
+
+  test("S25: canary-tripwire maintenance under foreachBatch — folding " +
+    "per-batch hit cells equals the batch scan of the drained corpus") {
+    // The l99 deployment shape: the ≤|canaries|·|sources| cell table is
+    // the state a crawl-ingest tripwire carries; each arriving batch is
+    // scanned alone (broadcast canary list, scan-side Contains) and
+    // folded in by per-cell addition/min. The report — including the
+    // n_docs = 0 row for a clean canary — reads off the carried table.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.TextAnalysis
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val docs = Seq(
+      d(1, "x secret-7 y", "s0"), d(2, "clean", "s1"),
+      d(3, "secret-7", "s1"), d(4, null.asInstanceOf[String], "s0"),
+      d(5, "zz secret-7", "s0"), d(6, "other-mark", "s2"))
+    val canaries = Seq((1L, "secret-7"), (2L, "other-mark"), (3L, "absent"))
+      .toDF("canary_id", "phrase").localCheckpoint()
+    var state: Option[DataFrame] = None
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bs = TextAnalysis.canaryCells(batch.toDF(), canaries)
+          .localCheckpoint()
+        state = Some(state.fold(bs)(s =>
+          TextAnalysis.mergeCanaryCells(s, bs).localCheckpoint()))
+      }.start()
+    try {
+      in.addData(docs.take(2): _*); q.processAllAvailable()
+      in.addData(docs.slice(2, 4): _*); q.processAllAvailable()
+      in.addData(docs.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    val gotReport = TextAnalysis.canaryReport(state.get, canaries)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1)
+    val want = TextAnalysis.canaryScan(docs.toDF(), canaries)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) None else Some(r.getLong(4)))).sortBy(_._1)
+    assert(gotReport.toSeq === want.toSeq)
+    assert(gotReport.toSeq === Seq(
+      (1L, 3L, 2L, Some(1L)), (2L, 1L, 1L, Some(6L)), (3L, 0L, 0L, None)))
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
