@@ -90,8 +90,15 @@ object TextAnalysis {
       nTok.as("n_tok"),
       ((length(col("text")) - (nTok - 1)).cast(DoubleType)
         / nTok.cast(DoubleType)).as("mean_tok_len"),
-      ((length(col("text")) - letters).cast(DoubleType)
-        / length(col("text")).cast(DoubleType)).as("punct_ratio"),
+      // EMPTY docs (length 0) carry no punctuation signal: null, not a
+      // divide-by-zero — ANSI mode throws on 0/0 and DuckDB's x/0 is
+      // NULL, so the guard is both the crash fix (crawls contain empty
+      // docs; first hit by the l97 random-corpus property) and the
+      // cross-engine-convergent semantics. Fixture corpora contain no
+      // empty text, so every oracle is unaffected.
+      when(length(col("text")) > 0,
+        (length(col("text")) - letters).cast(DoubleType)
+          / length(col("text")).cast(DoubleType)).as("punct_ratio"),
       ratioFor(toks, stopwords("en")).as("stop_ratio"))
   }
 

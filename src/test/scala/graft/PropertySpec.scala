@@ -361,6 +361,41 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: sourceQualityDrift conserves rank mass (Σ2r = N(N+1)), " +
+    "AUC stays in [0,1], and the result is partition-layout-independent") {
+    import spark.implicits._
+    val genDoc = for {
+      len <- Gen.chooseNum(0, 8)
+      toks <- Gen.listOfN(len, Gen.oneOf("the", "a", "xx", "yy", "zz"))
+      // null text (unrankable, dropped) and null source (its own group)
+      text <- Gen.frequency(9 -> Gen.const(toks.mkString(" ")),
+        1 -> Gen.const(null: String))
+      src <- Gen.frequency(9 -> Gen.oneOf("s0", "s1", "s2"),
+        1 -> Gen.const(null: String))
+    } yield (text, src)
+    for (seed <- Seq(5L, 23L)) {
+      val rows = sample(genDoc, 60, seed).zipWithIndex
+        .map { case ((t, s), i) => (i.toLong, t, s) }
+      val d = rows.toDF("doc_id", "text", "source")
+      def run(df: org.apache.spark.sql.DataFrame) =
+        TextAnalysis.sourceQualityDrift(df).collect()
+          .map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2),
+            r.getLong(3), r.getDouble(4))).sortBy(_._1)
+      val out = run(d)
+      val nRanked = out.map(_._2).sum
+      // tie-averaged ranks (×2) of ALL ranked docs sum to N(N+1) no
+      // matter how ties group — the conservation a tie-handling bug
+      // would break first
+      assert(out.map(_._3).sum === nRanked * (nRanked + 1), s"seed=$seed")
+      out.foreach { case (src, n, _, _, auc) =>
+        if (nRanked - n > 0)
+          assert(auc >= 0.0 && auc <= 1.0, s"seed=$seed src=$src auc=$auc")
+      }
+      assert(run(d.repartition(7, col("doc_id"))).toSeq === out.toSeq,
+        s"seed=$seed: layout changed the drift table")
+    }
+  }
+
   test("property: weightedJaccardPairs equals a straight-line weighted-set " +
     "reference on random overlapping corpora") {
     import spark.implicits._
