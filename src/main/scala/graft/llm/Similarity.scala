@@ -628,6 +628,18 @@ object Similarity {
     // against a growing catalog; the declared query never sets it
     val queries = vecs.filter(
       col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
+    pqAdcScores(queries, codes, nrm, cb, m, ks, dim)
+  }
+
+  /** The ADC scoring core against an already-ENCODED corpus — the piece
+    * pqApproxScores (fused fit+encode+score, the l95 declared shape) and
+    * pqServeTopK (persisted codebook/codes, the production serving shape)
+    * share. `corpusNorms` is (vec_id, nrm) for the encoded rows. */
+  private[graft] def pqAdcScores(queries: DataFrame, codes: DataFrame,
+                                 corpusNorms: DataFrame, cb: DataFrame,
+                                 m: Int, ks: Int, dim: Int): DataFrame = {
+    val qNrm = queries.select(col("vec_id"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
     // per-query ADC lookup table, ordered by (sub, idx) so position
     // sub·ks + idx addresses it; dotN = the same left-associated term
     // sum the oracle's list_reduce replays (tiny table — |Q|·m·ks rows)
@@ -639,7 +651,7 @@ object Similarity {
       .agg(sort_array(collect_list(
         struct(col("sub"), col("idx"), col("term")))).as("ps"))
       .select(col("qid"), transform(col("ps"), x => x.getField("term")).as("lut"))
-      .join(nrm.withColumnRenamed("vec_id", "qid"), "qid")
+      .join(qNrm.withColumnRenamed("vec_id", "qid"), "qid")
       .withColumnRenamed("nrm", "qn")
     // coarse ADC scan: candidate side carries (nid, m codes, norm) only —
     // floats never enter this join; the sum unrolls to m static lookups
@@ -648,21 +660,30 @@ object Similarity {
         (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
           .cast(IntegerType))
     }.reduce(_ + _)
-    val cands = codes.join(nrm, "vec_id")
+    val cands = codes.join(corpusNorms, "vec_id")
       .select(col("vec_id").as("nid"), col("codes"), col("nrm").as("cn"))
     broadcast(lut).join(cands, col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"),
         (adc / (col("qn") * col("cn"))).as("approx_sim"))
   }
 
-  def pqRerankTopK(vecs: DataFrame, k: Int = 3, shortM: Int = 20,
-                   queryMod: Int = 20, m: Int = 16, ks: Int = 16,
-                   iters: Int = 2, dim: Int = 64,
-                   queryMax: Long = Long.MaxValue): DataFrame = {
-    val nrm = vecs.select(col("vec_id"), sqrt(norm2(col("embedding"))).as("nrm"))
-    val queries = vecs.filter(
-      col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
-    val approx = pqApproxScores(vecs, queryMod, m, ks, iters, dim, queryMax)
+  /** PQ SERVING — the l95 chain with the MODEL passed in instead of fit
+    * in-line: score a query table against a persisted codebook + encoded
+    * corpus (the state a production ANN store carries; refresh = retrain
+    * offline and swap, the S19/S24 discipline), ADC-shortlist, exact
+    * rerank. For queries drawn from the corpus itself this returns
+    * row-identical results to pqRerankTopK (tested) — it IS that
+    * operator's tail, factored at the model boundary so arriving query
+    * batches (S26) pay codes-scan + |Q_batch|-sized work only, never a
+    * refit. Output: (qid, rank, nid, sim, approx_sim). */
+  def pqServeTopK(queries: DataFrame, corpus: DataFrame, cb: DataFrame,
+                  codes: DataFrame, k: Int = 3, shortM: Int = 20,
+                  m: Int = 16, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val cNrm = corpus.select(col("vec_id"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    val qNrm = queries.select(col("vec_id"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    val approx = pqAdcScores(queries, codes, cNrm, cb, m, ks, dim)
     val shortlist = approx
       .groupBy(col("qid"))
       .agg(call_function("bounded_top_m",
@@ -672,10 +693,10 @@ object Similarity {
     // exact rerank of the |Q|·shortM survivors (the l48 tail)
     val qEmb = broadcast(queries
       .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .join(nrm.withColumnRenamed("vec_id", "qid"), "qid")
+      .join(qNrm.withColumnRenamed("vec_id", "qid"), "qid")
       .withColumnRenamed("nrm", "qn"))
-    val cEmb = vecs.select(col("vec_id").as("nid"), col("embedding").as("ce"))
-      .join(nrm.withColumnRenamed("vec_id", "nid"), "nid")
+    val cEmb = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      .join(cNrm.withColumnRenamed("vec_id", "nid"), "nid")
       .withColumnRenamed("nrm", "cn")
     val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     broadcast(shortlist).join(cEmb, "nid").join(qEmb, "qid")
@@ -684,6 +705,17 @@ object Similarity {
       .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
       .select(col("qid"), col("rank").cast(LongType).as("rank"),
         col("nid"), col("sim"), col("approx_sim"))
+  }
+
+  def pqRerankTopK(vecs: DataFrame, k: Int = 3, shortM: Int = 20,
+                   queryMod: Int = 20, m: Int = 16, ks: Int = 16,
+                   iters: Int = 2, dim: Int = 64,
+                   queryMax: Long = Long.MaxValue): DataFrame = {
+    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
+    val codes = pqEncode(vecs, cb, m, dim)
+    val queries = vecs.filter(
+      col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
+    pqServeTopK(queries, vecs, cb, codes, k, shortM, m, ks, dim)
   }
 
   /** PQ SHORTLIST-SIZE recall sweep — the l95 serving knob priced the way

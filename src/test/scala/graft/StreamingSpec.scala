@@ -881,6 +881,44 @@ class StreamingSpec extends SparkSpec {
       (1L, 3L, 2L, Some(1L)), (2L, 1L, 1L, Some(6L)), (3L, 0L, 0L, None)))
   }
 
+  test("S26: PQ ANN serving under foreachBatch — arriving query batches " +
+    "against a persisted codebook + codes equal the fused batch operator") {
+    // The l95 production split: fit + encode run offline (the persisted
+    // model), queries ARRIVE — each batch pays ADC scoring + rerank for
+    // its own queries only, never a refit. Per-query independence makes
+    // stream output equal the fused batch operator row-for-row
+    // (approx_sim and exact sim doubles included), for any batch split.
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val em = Tables.load(spark, sf001, "embeddings")
+    val cb = Similarity.pqFit(em, m = 16, ks = 16, iters = 2, dim = 64)
+      .localCheckpoint()
+    val codes = Similarity.pqEncode(em, cb, m = 16, dim = 64).localCheckpoint()
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    val fused = rowsOf(Similarity.pqRerankTopK(em, k = 3, shortM = 20,
+      queryMod = 20)).sortBy(r => (r._1, r._2))
+    val qRows = em.filter(col("vec_id") % 20 === 0).collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Float](1).toArray,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(qRows.nonEmpty)
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, Double, Double)]()
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val served = rowsOf(Similarity.pqServeTopK(batch.toDF(), em, cb,
+          codes, k = 3, shortM = 20))
+        got.synchronized { got ++= served; () }
+      }.start()
+    try {
+      in.addData(qRows.take(3): _*); q.processAllAvailable()
+      in.addData(qRows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.sortBy(r => (r._1, r._2)).toSeq)
+      === fused.toSeq)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
