@@ -92,6 +92,40 @@ object Bpe {
         count(lit(1)).as("n_words"))
   }
 
+  /** A FROZEN reference merge list — the first 10 rules a train() run
+    * produces on the reference corpus (count-desc, (l, r)-lex tie-break),
+    * hard-coded because the fertility audit's semantics is "measure the
+    * corpus under a PUBLISHED tokenizer", not "train then measure": the
+    * audit must be a pure function of the corpus so the oracle can apply
+    * the same fixed rules. Includes multi-symbol right-hand sides
+    * ((m, er), (p, ar)) so the merge fold's composed-symbol path is
+    * exercised, not just character pairs. */
+  val publishedMerges: Seq[(String, String)] = Seq(
+    ("e", "r"), ("i", "n"), ("o", "w"), ("o", "r"), ("s", "t"),
+    ("m", "er"), ("a", "t"), ("l", "u"), ("a", "r"), ("p", "ar"))
+
+  /** Tokenizer FERTILITY per language under a fixed merge list — the
+    * tokenizer-fairness audit (Petrov et al., NeurIPS 2023: languages a
+    * tokenizer under-serves pay more subword tokens per word, i.e. more
+    * compute and context for the same content). Per lang: doc count, word
+    * count, subword-token count, and fertility = subtokens/words (one
+    * exact division of LONG sums).
+    *
+    * Scale shape inherits `encode`'s vocabulary residence: the merge fold
+    * runs over the distinct-word table, the corpus-side exchange carries
+    * (doc_id, word) atoms, and the per-lang rollup moves five longs per
+    * language. */
+  def fertility(docs: DataFrame,
+                merges: Seq[(String, String)] = publishedMerges): DataFrame =
+    encode(docs, merges)
+      .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_words")).as("n_words"),
+        sum(col("n_bpe_tokens")).as("n_bpe_tokens"))
+      .withColumn("fertility",
+        col("n_bpe_tokens").cast("double") / col("n_words").cast("double"))
+
   /** Train `merges` BPE merge rules over the corpus. Returns the ordered
     * merge list and the final vocab symbolization (for tests/encoding).
     *

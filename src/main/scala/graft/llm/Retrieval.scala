@@ -1,0 +1,107 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sparse (lexical) retrieval over the `documents` corpus — the BM25
+  * query→document scorer (Robertson & Spärck Jones probabilistic
+  * relevance framework; the Okapi BM25 form with k1 = 1.2, b = 0.75).
+  * The LLM-pipeline uses for it: retrieval-based decontamination ("which
+  * train documents does this eval document retrieve"), RAG index
+  * construction, and attribution audits ("which corpus documents would
+  * surface for this probe query").
+  *
+  * Factored at the MODEL boundary (the l95/S24 discipline): `bm25Model`
+  * builds the postings + corpus statistics a production index persists;
+  * `bm25Serve` scores an arriving query table against that static model
+  * (per-query independence ⇒ the S27 streaming form equals batch for any
+  * micro-batch split); `bm25TopK` is the fused end-to-end declared form.
+  *
+  * Cross-engine exactness: ln-idf is not reproducible across engines
+  * (libm ulp differences), so scores use the RATIONAL Robertson idf
+  * (2(N−df)+1)/(2df+1) — the same ranking family — and the whole
+  * per-term score is ONE double division of two exact LONG polynomials
+  * (multiply numerator and denominator through by 10·S so k1 = 1.2 and
+  * b = 0.75 become integer coefficients):
+  *
+  *   term = (2(N−df)+1)·22·S·tf  /  (2df+1)·(10·S·tf + 3·S + 9·N·dl)
+  *
+  * snapped to ⌊10⁶·term⌋ and summed as BIGINT — order-independent and
+  * bit-identical in any engine. Query term frequency is saturated at 1
+  * (distinct query terms — the standard short-query simplification).
+  * LONG headroom: the numerator is ≤ 2N·22·S·tf_max ≈ 10⁶·22·10⁸·10² ≈
+  * 2·10¹⁷ at a 10⁸-token corpus shard; beyond that the model is built
+  * per-shard (and production ranking would drop the snap and use plain
+  * doubles — the snap exists for the oracle gate).
+  *
+  * Scale shape: the corpus is read once into (doc_id, tok, tf) + (doc_id,
+  * dl) — hash-aggs with map-side partials whose shuffles carry word atoms
+  * and ids, never documents. df is an agg OVER tf (vocabulary-sized). The
+  * query⋈postings join key is the term — Zipf-skewed, but high-df terms
+  * carry near-zero idf weight, so production serving prunes them
+  * (`dfCapPermille`, the WAND/impact-ordered analogue: skip query terms
+  * present in more than that ‰ of documents; the declared query runs
+  * exact with the cap off). Corpus stats are a broadcast 1-row cross
+  * join. Top-k is a per-query window over the candidate set — bounded by
+  * |terms per query| · max df, never |Q|·|corpus|.
+  */
+object Retrieval {
+
+  /** The persisted index: postings (tok, doc_id, tf, dl, df) and the
+    * 1-row corpus statistics (n_docs, sum_dl). dl rides denormalized on
+    * the postings row so serving joins once on the term only. */
+  def bm25Model(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    val dl = toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val postings = tf.join(dfT, Seq("tok")).join(dl, Seq("doc_id"))
+    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    (postings, stats)
+  }
+
+  /** Score a query table (q_id, text) against a static model; top-k per
+    * query by snapped BM25 score, ties broken on doc_id. Pure function of
+    * (queries, model) with per-query independence — the streaming serve
+    * (S27) wraps exactly this under foreachBatch. */
+  def bm25Serve(queries: DataFrame, postings: DataFrame, stats: DataFrame,
+                k: Int = 5, dfCapPermille: Int = 1000): DataFrame = {
+    val qterms = queries
+      .select(col("q_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val joined = qterms.join(postings, Seq("tok")).crossJoin(broadcast(stats))
+      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
+    val num = (lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
+      lit(22L) * col("sum_dl") * col("tf")
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("sum_dl") * col("tf") + lit(3L) * col("sum_dl") +
+        lit(9L) * col("n_docs") * col("dl"))
+    val snapped = floor((num.cast(DoubleType) / den.cast(DoubleType)) * lit(1000000.0))
+    val scored = joined
+      .select(col("q_id"), col("doc_id"), snapped.as("term_score"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(sum(col("term_score")).as("score"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("score"), col("rank"))
+  }
+
+  /** The fused declared form: index the TRAIN split, retrieve for every
+    * eval (val+test) document — the retrieval-based decontamination
+    * table ("which train docs surface for each held-out doc"). Split
+    * membership derives from THE shared split bucket (TextOps.splitBucket,
+    * the l15/l24 lockstep rule). */
+  def bm25TopK(docs: DataFrame, k: Int = 5, trainPct: Int = 80): DataFrame = {
+    val bucket = TextOps.splitBucket(col("doc_id"))
+    val train = docs.filter(bucket < trainPct)
+    val queries = docs.filter(bucket >= trainPct)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val (postings, stats) = bm25Model(train)
+    bm25Serve(queries, postings, stats, k)
+  }
+}

@@ -59,6 +59,47 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** HARD-NEGATIVE mining — the contrastive-training triplet constructor
+    * (FaceNet, Schroff et al. CVPR 2015; the SimCLR/DPR negative-selection
+    * step): for each sampled query vector, the top-k most-similar vectors
+    * carrying a DIFFERENT label (the hardest negatives), next to the
+    * query's best same-label similarity (its easiest positive) and the
+    * margin. `violates` marks negatives that outscore the best positive —
+    * the pairs a metric-learning loss actually moves.
+    *
+    * Exact-truth form (the l05/l44 discipline: its job is the audit/mining
+    * table, so it pays the full |Q|·|corpus| sequential-fold pass; the
+    * production path at 100 TB is the LSH/IVF/PQ candidate machinery with
+    * the label filter applied in the rerank). The query sample rides the
+    * shared md5 split bucket; one similarity pass feeds both the negative
+    * window and the positive max via localCheckpoint (the shared-subtree
+    * rule). Queries whose label has no other member keep NULL
+    * pos_sim/margin/violates (left join). */
+  def hardNegatives(vectors: DataFrame, k: Int = 3,
+                    samplePct: Int = 20): DataFrame = {
+    val q = broadcast(vectors
+      .filter(graft.llm.TextOps.splitBucket(col("vec_id")) < samplePct)
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        col("label").as("qlabel")))
+    val c = vectors.select(col("vec_id").as("nid"),
+      col("embedding").as("ce"), col("label").as("nlabel"))
+    val sims = q.join(c, col("qid") =!= col("nid"))
+      .select(col("qid"), col("qlabel"), col("nid"), col("nlabel"),
+        cosine(col("qe"), col("ce")).as("sim"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    val neg = sims.filter(col("nlabel") =!= col("qlabel"))
+      .withColumn("rnk", row_number().over(w).cast(LongType))
+      .filter(col("rnk") <= k)
+    val pos = sims.filter(col("nlabel") === col("qlabel"))
+      .groupBy(col("qid")).agg(max(col("sim")).as("pos_sim"))
+    neg.join(pos, Seq("qid"), "left")
+      .select(col("qid"), col("rnk"), col("nid"), col("nlabel"),
+        col("sim").as("neg_sim"), col("pos_sim"),
+        (col("sim") - col("pos_sim")).as("margin"),
+        (col("sim") > col("pos_sim")).cast(LongType).as("violates"))
+  }
+
   /** Deterministic pseudo-random hyperplane component in [-1, 1): the first
     * 8 md5 hex chars of "plane:dim" scaled — reproducible from SQL in any
     * engine with md5. */

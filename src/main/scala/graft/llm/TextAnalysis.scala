@@ -1367,4 +1367,100 @@ object TextAnalysis {
       .groupBy(col("stop_decile"), col("len_decile"))
       .agg(count(lit(1)).as("n_docs"))
   }
+
+  /** WINNOWING fingerprint selection (Schleimer, Wilkerson & Aiken,
+    * SIGMOD 2003) — the robust version of the mod-p sampler (`fingerprints`
+    * / LLM11): over the POSITIONAL n-gram hash sequence, every window of
+    * `w` consecutive hashes contributes its minimum (rightmost on ties),
+    * which guarantees any match of length ≥ w+n−1 tokens shares a selected
+    * fingerprint — the property mod-p sampling lacks (a long match can
+    * straddle only ≢0 hashes). Per doc: positional-gram count, selected
+    * count, distinct selected count, density, and the digest of the sorted
+    * selected hash multiset (the plagiarism-index key two docs are matched
+    * on).
+    *
+    * The whole selection runs INSIDE the row (nested array lambdas over
+    * the bound hash array): the corpus is never exploded, nothing
+    * shuffles but the final per-doc audit rows. Docs shorter than n
+    * tokens have no gram and are dropped (the `fingerprints` rule);
+    * 0 < G < w clamps the window to G (one whole-array window). */
+  def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+    val hs = filter(
+      transform(col("toks"), (_, i) =>
+        when(i <= size(col("toks")) - n,
+          TextOps.md5Int32(concat_ws(" ",
+            (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))),
+      x => x.isNotNull)
+    val g = size(col("hs"))
+    val wEff = least(lit(w), g)
+    // window starting at 0-based j selects position j + (rightmost argmin
+    // of slice(hs, j+1, wEff)); rightmost = wEff+1 − first position in the
+    // REVERSED slice (array_position is 1-based first-match)
+    val selPos = array_distinct(transform(sequence(lit(0), g - wEff), j => {
+      val sl = slice(col("hs"), j + 1, wEff)
+      // element_at takes an INT index; array_position returns BIGINT
+      (j + wEff + lit(1) - array_position(reverse(sl), array_min(sl)))
+        .cast(IntegerType)
+    }))
+    val selH = transform(col("sel_pos"), p => element_at(col("hs"), p))
+    docs
+      .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), hs.as("hs"))
+      .filter(size(col("hs")) > 0)
+      .select(col("doc_id"), col("hs"), selPos.as("sel_pos"))
+      .select(col("doc_id"), col("hs"), col("sel_pos"), selH.as("sel_h"))
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"),
+        size(col("sel_pos")).cast(LongType).as("n_sel"),
+        size(array_distinct(col("sel_h"))).cast(LongType).as("n_sel_distinct"),
+        (size(col("sel_pos")).cast(DoubleType) /
+          size(col("hs")).cast(DoubleType)).as("density"),
+        md5(concat_ws(",",
+          transform(sort_array(col("sel_h")), _.cast(StringType)))).as("fp"))
+  }
+
+  /** GOPHER-style quality-rule battery (Rae et al. 2021, table A1 — the
+    * word-form subset; the corpus has no line structure, so the line-based
+    * rules don't apply). Per source: document count and pass counts for
+    * each rule plus the all-rules conjunction — the "what fraction of this
+    * source survives the standard filter" table a crawl source is
+    * admitted on.
+    *
+    *   r_wc     50 ≤ word count ≤ 100 000
+    *   r_mwl    3 ≤ mean word length ≤ 10   (exact: 3n ≤ Σlen ≤ 10n)
+    *   r_alpha  ≥ 80% of words contain an alphabetic character
+    *   r_stop   ≥ 2 distinct profile stopwords present
+    *   r_sym    symbol words ('#' or '...'-bearing) ≤ 10% of words
+    *
+    * Every rule is integer arithmetic on per-row token folds (ratios
+    * compare products, never divide), so the per-source counts are exact
+    * in any engine. One projection + one per-source hash-agg; nothing but
+    * (source, five booleans) crosses the exchange. */
+  def gopherRules(docs: DataFrame): DataFrame = {
+    val nW = size(col("toks")).cast(LongType)
+    val sumLen = aggregate(col("toks"), lit(0L), (a, x) => a + length(x))
+    val nAlpha = size(filter(col("toks"), x => x.rlike("[A-Za-z]"))).cast(LongType)
+    val nSym = size(filter(col("toks"),
+      x => x.contains("#") || x.contains("..."))).cast(LongType)
+    val nStop = size(array_intersect(col("toks"),
+      array(stopwords("en").map(lit): _*))).cast(LongType)
+    val rules = docs
+      .select(col("doc_id"), col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        (nW >= 50L && nW <= 100000L).as("r_wc"),
+        (sumLen >= nW * 3L && sumLen <= nW * 10L).as("r_mwl"),
+        (nAlpha * 10L >= nW * 8L).as("r_alpha"),
+        (nStop >= 2L).as("r_stop"),
+        (nSym * 10L <= nW).as("r_sym"))
+    rules.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("r_wc").cast(LongType)).as("n_wc"),
+      sum(col("r_mwl").cast(LongType)).as("n_mwl"),
+      sum(col("r_alpha").cast(LongType)).as("n_alpha"),
+      sum(col("r_stop").cast(LongType)).as("n_stop"),
+      sum(col("r_sym").cast(LongType)).as("n_sym"),
+      sum((col("r_wc") && col("r_mwl") && col("r_alpha") &&
+        col("r_stop") && col("r_sym")).cast(LongType)).as("n_pass_all"))
+  }
 }

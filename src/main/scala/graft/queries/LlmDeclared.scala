@@ -1,7 +1,7 @@
 package graft.queries
 
 import graft.Tables
-import graft.llm.{Bpe, Dedup, Multimodal, Similarity, Sketches, TextAnalysis, TextOps}
+import graft.llm.{Bpe, Dedup, Multimodal, Retrieval, Similarity, Sketches, TextAnalysis, TextOps}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -3272,6 +3272,170 @@ object LlmDeclared {
       ORDER BY c.sub, c.cent_id"""))
   }
 
+  /** L101 — BM25 retrieval top-k (Okapi weighting, rational-idf integer-
+    * polynomial form; Retrieval.scala's scaladoc derives the formula):
+    * index the train split, retrieve for every eval doc — the retrieval-
+    * based decontamination table. The oracle mirrors the one-division
+    * snapped term score literally. */
+  private val l101 = DeclaredQuery(
+    "l101_bm25_topk",
+    (s, dir) => Retrieval.bm25TopK(t(s, dir, "documents"), k = 5)
+      .orderBy(col("q_id"), col("rank")),
+    Some("""WITH td AS (SELECT doc_id, string_split(text, ' ') AS w,
+               ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+             FROM documents),
+      train AS (SELECT doc_id, list_filter(w, x -> len(x) > 0) AS w
+                FROM td WHERE bucket < 80),
+      qr AS (SELECT doc_id AS q_id, unnest(list_distinct(list_filter(w, x -> len(x) > 0))) AS tok
+             FROM td WHERE bucket >= 80),
+      post AS (SELECT doc_id, unnest(w) AS tok FROM train),
+      tf AS (SELECT doc_id, tok, CAST(COUNT(*) AS BIGINT) AS tf
+             FROM post GROUP BY doc_id, tok),
+      dft AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+      dl AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS dl FROM train),
+      st AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+                    CAST(SUM(dl) AS BIGINT) AS sum_dl FROM dl),
+      terms AS (SELECT q.q_id, f.doc_id,
+          floor(CAST((2 * (st.n_docs - g.df) + 1) * 22 * st.sum_dl * f.tf AS DOUBLE)
+            / CAST((2 * g.df + 1) * (10 * st.sum_dl * f.tf + 3 * st.sum_dl
+                + 9 * st.n_docs * d.dl) AS DOUBLE) * 1000000.0) AS term_score
+        FROM qr q
+        JOIN tf f ON f.tok = q.tok
+        JOIN dft g ON g.tok = q.tok
+        JOIN dl d ON d.doc_id = f.doc_id
+        CROSS JOIN st),
+      sc AS (SELECT q_id, doc_id, CAST(SUM(CAST(term_score AS BIGINT)) AS BIGINT) AS score
+             FROM terms GROUP BY q_id, doc_id),
+      rk AS (SELECT q_id, doc_id, score,
+               ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
+             FROM sc)
+      SELECT q_id, doc_id, score, rank FROM rk
+      WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** L102 — winnowing fingerprint selection (Schleimer et al., SIGMOD'03):
+    * per-window rightmost-minimum over the positional 3-gram hash
+    * sequence, w = 4. The oracle replays the in-row selection with list
+    * lambdas (reverse + first-position = rightmost argmin). */
+  private val l102 = DeclaredQuery(
+    "l102_winnow",
+    (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"), n = 3, w = 4)
+      .orderBy(col("doc_id")),
+    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+      h AS (SELECT doc_id,
+              list_transform(range(1, len(w) - 1),
+                i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT) AS hs
+            FROM t WHERE len(w) >= 3),
+      p AS (SELECT doc_id, hs, len(hs) AS g, least(4, len(hs)) AS weff FROM h),
+      sel AS (SELECT doc_id, hs, g,
+              list_distinct(list_transform(range(0, g - weff + 1),
+                j -> j + weff + 1
+                  - list_position(list_reverse(list_slice(hs, j + 1, j + weff)),
+                      list_min(list_slice(hs, j + 1, j + weff))))) AS sel_pos
+            FROM p),
+      sh AS (SELECT doc_id, g, sel_pos,
+              list_transform(sel_pos, q -> hs[q]) AS sel_h
+            FROM sel)
+      SELECT doc_id, CAST(g AS BIGINT) AS n_grams,
+        CAST(len(sel_pos) AS BIGINT) AS n_sel,
+        CAST(len(list_distinct(sel_h)) AS BIGINT) AS n_sel_distinct,
+        CAST(len(sel_pos) AS DOUBLE) / CAST(g AS DOUBLE) AS density,
+        md5(array_to_string(list_transform(list_sort(sel_h), x -> x::VARCHAR), ',')) AS fp
+      FROM sh ORDER BY doc_id"""))
+
+  /** L103 — Gopher-style quality-rule battery (Rae et al. 2021): per
+    * source, pass counts for the five word-form rules and the
+    * conjunction. Exact integer comparisons only. */
+  private val l103 = DeclaredQuery(
+    "l103_gopher_rules",
+    (s, dir) => TextAnalysis.gopherRules(t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some(s"""WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS w
+               FROM documents),
+      r AS (SELECT source,
+          len(w) AS nw,
+          list_reduce(list_transform(w, x -> len(x)), (a, b) -> a + b) AS sumlen,
+          len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) AS nalpha,
+          len(list_filter(w, x -> contains(x, '#') OR contains(x, '...'))) AS nsym,
+          len(list_distinct(list_filter(w, x -> list_contains(
+            ${duckList(TextAnalysis.stopwords("en"))}, x)))) AS nstop
+        FROM t),
+      b AS (SELECT source,
+          (nw >= 50 AND nw <= 100000) AS r_wc,
+          (sumlen >= nw * 3 AND sumlen <= nw * 10) AS r_mwl,
+          (nalpha * 10 >= nw * 8) AS r_alpha,
+          (nstop >= 2) AS r_stop,
+          (nsym * 10 <= nw) AS r_sym
+        FROM r)
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN r_wc THEN 1 ELSE 0 END) AS BIGINT) AS n_wc,
+        CAST(SUM(CASE WHEN r_mwl THEN 1 ELSE 0 END) AS BIGINT) AS n_mwl,
+        CAST(SUM(CASE WHEN r_alpha THEN 1 ELSE 0 END) AS BIGINT) AS n_alpha,
+        CAST(SUM(CASE WHEN r_stop THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        CAST(SUM(CASE WHEN r_sym THEN 1 ELSE 0 END) AS BIGINT) AS n_sym,
+        CAST(SUM(CASE WHEN r_wc AND r_mwl AND r_alpha AND r_stop AND r_sym
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+      FROM b GROUP BY source ORDER BY source"""))
+
+  /** L104 — hard-negative mining (FaceNet triplet construction): top-k
+    * cross-label neighbors per sampled query next to its best same-label
+    * similarity; `violates` marks negatives outscoring the positive. */
+  private val l104 = DeclaredQuery(
+    "l104_hard_negatives",
+    (s, dir) => Similarity.hardNegatives(t(s, dir, "embeddings"),
+        k = 3, samplePct = 20)
+      .orderBy(col("qid"), col("rnk")),
+    Some(s"""WITH q AS (SELECT vec_id AS qid, embedding AS qe, label AS qlabel
+               FROM embeddings
+               WHERE ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 < 20),
+      sims AS (SELECT q.qid, q.qlabel, c.vec_id AS nid, c.label AS nlabel,
+          ${duckCosine("q.qe", "c.embedding")} AS sim
+        FROM q JOIN embeddings c ON q.qid <> c.vec_id),
+      neg AS (SELECT qid, nid, nlabel, sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM sims WHERE nlabel <> qlabel),
+      pos AS (SELECT qid, MAX(sim) AS pos_sim FROM sims
+              WHERE nlabel = qlabel GROUP BY qid)
+      SELECT n.qid, CAST(n.rnk AS BIGINT) AS rnk, n.nid, n.nlabel,
+        n.sim AS neg_sim, p.pos_sim,
+        n.sim - p.pos_sim AS margin,
+        CAST(n.sim > p.pos_sim AS BIGINT) AS violates
+      FROM neg n LEFT JOIN pos p USING (qid)
+      WHERE n.rnk <= 3 ORDER BY n.qid, n.rnk"""))
+
+  /** L105 — tokenizer fertility per language under the frozen published
+    * merge list (Petrov et al. 2023 tokenizer-fairness audit). The oracle
+    * replays the merge fold as boundary-preserving string rewriting: a
+    * symbol sequence is chr(1)chr(1)-delimited with a chr(1)chr(1) at
+    * each end; merge (l, r) is then replace(chr(1)+l+chr(1)chr(1)+r+chr(1)
+    * → chr(1)+lr+chr(1)) — each match consumes one chr(1) from each
+    * neighboring boundary pair and restores both, so left-to-right
+    * non-overlapping replace() IS the BPE merge fold (LlmSpec pins the
+    * equality against Bpe.encode). */
+  private val l105 = {
+    val sep2 = "chr(1) || chr(1)"
+    val base = s"$sep2 || array_to_string(string_split(word, ''), $sep2) || $sep2"
+    val folded = Bpe.publishedMerges.foldLeft(base) { case (e, (l, r)) =>
+      s"replace($e, chr(1) || '$l' || $sep2 || '$r' || chr(1), chr(1) || '$l$r' || chr(1))"
+    }
+    DeclaredQuery(
+      "l105_bpe_fertility",
+      (s, dir) => Bpe.fertility(t(s, dir, "documents")).orderBy(col("lang")),
+      Some(s"""WITH w AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS word
+                 FROM documents),
+        ww AS (SELECT doc_id, lang, word FROM w WHERE len(word) > 0),
+        enc AS (SELECT doc_id, lang,
+            len(string_split($folded, $sep2)) - 2 AS n_sym
+          FROM ww),
+        d AS (SELECT doc_id, lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+                CAST(SUM(n_sym) AS BIGINT) AS n_bpe
+              FROM enc GROUP BY doc_id, lang)
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs,
+          CAST(SUM(n_words) AS BIGINT) AS n_words,
+          CAST(SUM(n_bpe) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(n_bpe) AS DOUBLE) / CAST(SUM(n_words) AS DOUBLE) AS fertility
+        FROM d GROUP BY lang ORDER BY lang"""))
+  }
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -3281,5 +3445,6 @@ object LlmDeclared {
     l51, l52, l53, l54, l55, l56, l57, l58, l59, l60, l61, l62, l63,
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
-    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100, d29)
+    l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
+    l101, l102, l103, l104, l105, d29)
 }

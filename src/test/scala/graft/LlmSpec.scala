@@ -2464,4 +2464,167 @@ class LlmSpec extends SparkSpec {
       assert(got === expected, s"parts=$parts")
     }
   }
+
+  // ------------------------------------------------------- BM25 retrieval
+
+  test("bm25Serve: hand-computed snapped term scores, ranking, and the " +
+    "df-cap pruning; query tf saturates at 1") {
+    // train: d1 = "apple banana apple" (dl 3), d2 = "banana cherry" (dl 2)
+    // N = 2, S = 5. For query term apple (df 1, tf 2 in d1):
+    //   num = (2(2−1)+1)·22·5·2 = 660, den = 3·(10·5·2 + 3·5 + 9·2·3) = 1521?
+    //   den = (2·1+1)·(100 + 15 + 54) = 3·169 = 507 → ⌊10⁶·660/507⌋ = 1301775
+    // cherry (df 1, tf 1 in d2): num = 3·22·5 = 330,
+    //   den = 3·(50 + 15 + 36) = 303 → ⌊10⁶·330/303⌋ = 1089108
+    val corpus = docsDf(1L -> "apple banana apple", 2L -> "banana cherry")
+    val (postings, stats) = Retrieval.bm25Model(corpus)
+    val queries = Seq((10L, "apple cherry apple")).toDF("q_id", "text")
+    val got = Retrieval.bm25Serve(queries, postings, stats, k = 5)
+      .orderBy("rank").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(got.toSeq === Seq((1L, 1301775L, 1L), (2L, 1089108L, 2L)),
+      got.toSeq.toString)
+    // banana appears in 2/2 docs = 1000‰; a 999‰ cap prunes it but keeps
+    // the df-1 terms — with only "banana" as the query nothing scores
+    val qB = Seq((11L, "banana")).toDF("q_id", "text")
+    assert(Retrieval.bm25Serve(qB, postings, stats, 5, dfCapPermille = 999)
+      .count() === 0L)
+    assert(Retrieval.bm25Serve(qB, postings, stats, 5).count() === 2L)
+  }
+
+  test("bm25TopK: the split discipline — queries are eval docs, results " +
+    "are train docs, and every query with a shared term retrieves") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val bucket = (id: Long) => {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100).toInt
+    }
+    val got = Retrieval.bm25TopK(docs, k = 3)
+    val qids = got.select("q_id").distinct().collect().map(_.getLong(0))
+    val nids = got.select("doc_id").distinct().collect().map(_.getLong(0))
+    assert(qids.nonEmpty && qids.forall(bucket(_) >= 80))
+    assert(nids.nonEmpty && nids.forall(bucket(_) < 80))
+    // per-query ranks are 1..k dense
+    got.groupBy("q_id").agg(collect_list("rank").as("rs")).collect()
+      .foreach { r =>
+        val rs = r.getSeq[Long](1).sorted
+        assert(rs === (1L to rs.length).toSeq, s"q=${r.getLong(0)}")
+      }
+  }
+
+  // ------------------------------------------------------------ winnowing
+
+  test("winnow: equals a from-scratch Scala winnowing of the same hash " +
+    "sequence; guarantee holds for a shared (w+n-1)-token run") {
+    val shared = "q1 q2 q3 q4 q5 q6" // 6 tokens = w+n-1 at n=3, w=4
+    val docs = docsDf(
+      1L -> s"a b c d $shared e f g",
+      2L -> s"x y $shared z w v u t",
+      3L -> "p q r s",       // G = 2 < w: one clamped window
+      4L -> "s t")           // no 3-gram: dropped
+    // reference: positional hashes via the same md5-int32, winnowed in Scala
+    def h(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    def winnowRef(text: String, n: Int, w: Int): Seq[Long] = {
+      val toks = text.split(" ")
+      val hs = toks.sliding(n).filter(_.length == n).map(g => h(g.mkString(" "))).toVector
+      if (hs.isEmpty) Seq.empty
+      else {
+        val weff = math.min(w, hs.length)
+        (0 to hs.length - weff).map { j =>
+          val sl = hs.slice(j, j + weff)
+          val m = sl.min
+          j + sl.lastIndexOf(m) // selected position (0-based)
+        }.distinct.map(hs(_))
+      }
+    }
+    val got = TextAnalysis.winnow(docs, n = 3, w = 4).orderBy("doc_id").collect()
+    assert(got.map(_.getLong(0)).toSeq === Seq(1L, 2L, 3L))
+    val selByDoc = Map(
+      1L -> winnowRef(s"a b c d $shared e f g", 3, 4),
+      2L -> winnowRef(s"x y $shared z w v u t", 3, 4),
+      3L -> winnowRef("p q r s", 3, 4))
+    got.foreach { r =>
+      val ref = selByDoc(r.getLong(0))
+      assert(r.getLong(2) === ref.length, s"n_sel doc ${r.getLong(0)}")
+      assert(r.getLong(3) === ref.distinct.length,
+        s"n_sel_distinct doc ${r.getLong(0)}")
+      val fpRef = org.apache.commons.codec.digest.DigestUtils.md5Hex(
+        ref.sorted.mkString(","))
+      assert(r.getString(5) === fpRef, s"fp mismatch doc ${r.getLong(0)}")
+    }
+    // the winnowing guarantee: docs 1 and 2 share a 6-token run → their
+    // selected fingerprint sets intersect
+    assert(selByDoc(1L).toSet.intersect(selByDoc(2L).toSet).nonEmpty)
+    // G < w: exactly one selected fingerprint
+    assert(got.find(_.getLong(0) == 3L).get.getLong(2) === 1L)
+  }
+
+  // ----------------------------------------------------- gopher rule battery
+
+  test("gopherRules: hand-built pass/fail per rule; conjunction counted") {
+    val pass = ("the a of and " + Seq.fill(56)("word").mkString(" ")) // 60 words
+    val shortDoc = "tiny doc"                  // fails r_wc, r_stop
+    val longWords = Seq.fill(60)("abcdefghijkl").mkString(" ") // mwl 12 > 10
+    val symmy = ("the a of and " +
+      Seq.fill(46)("word").mkString(" ") + " " +
+      Seq.fill(10)("#tag").mkString(" "))      // 60 words, 10 symbol words > 10%
+    val docs = Seq(
+      (1L, pass, "en", "sA"), (2L, shortDoc, "en", "sA"),
+      (3L, longWords, "en", "sB"), (4L, symmy, "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.gopherRules(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6), r.getLong(7)))
+    // sA: pass passes all; shortDoc fails wc (2 words) + stop (0 stopwords)
+    //     but passes mwl (3.5), alpha, sym
+    assert(got(0) === (("sA", 2L, 1L, 2L, 2L, 1L, 2L, 1L)), got(0).toString)
+    // sB: longWords fails mwl (12 > 10) and stop (no stopwords);
+    //     symmy fails r_sym only (10/60 > 10%)
+    assert(got(1) === (("sB", 2L, 2L, 1L, 2L, 1L, 1L, 0L)), got(1).toString)
+  }
+
+  // ------------------------------------------------------- hard negatives
+
+  test("hardNegatives: hand-computed triplet — hardest negative outscores " +
+    "the best positive (violates), singleton label keeps NULL pos_sim") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),   // query (samplePct = 100 samples all)
+      (2L, Array(0.9f, 0.1f), 1),   // hardest negative, sim ≈ 0.9939
+      (3L, Array(0.8f, 0.2f), 0),   // best positive, sim ≈ 0.9701
+      (4L, Array(0.0f, 1.0f), 2))   // far negative; label-2 singleton
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.hardNegatives(vecs, k = 2, samplePct = 100)
+    val q1 = got.filter(col("qid") === 1L).orderBy("rnk").collect()
+    assert(q1.map(_.getLong(2)).toSeq === Seq(2L, 4L)) // neg ranks by sim
+    val top = q1(0)
+    assert(math.abs(top.getDouble(4) - 0.9) < 0.1)     // neg_sim ≈ 0.9939
+    assert(top.getDouble(5) < top.getDouble(4))        // pos_sim below
+    assert(top.getLong(7) === 1L)                      // violates
+    assert(q1(1).getLong(7) === 0L)                    // far neg doesn't
+    // label-2 singleton query: no same-label other vector → NULL pos cols
+    val q4 = got.filter(col("qid") === 4L).orderBy("rnk").collect()
+    assert(q4.nonEmpty && q4.forall(r => r.isNullAt(5) && r.isNullAt(6)
+      && r.isNullAt(7)))
+  }
+
+  // ----------------------------------------------------- tokenizer fertility
+
+  test("fertility: hand-applied published merges; per-lang aggregation") {
+    // "merger": m,e,r,g,e,r →(e,r)→ m,er,g,er →(m,er)→ mer,g,er = 3 syms
+    // "stat":   s,t,a,t →(s,t)→ st,a,t →(a,t)→ st,at = 2 syms
+    // "lu":     l,u →(l,u)→ lu = 1 sym
+    val docs = Seq(
+      (1L, "merger stat", "en", "s0"),
+      (2L, "lu lu merger", "fr", "s0"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = Bpe.fertility(docs).orderBy("lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got(0) === (("en", 1L, 2L, 5L, 2.5)), got(0).toString)
+    assert(got(1) === (("fr", 1L, 3L, 5L, 5.0 / 3.0)), got(1).toString)
+  }
 }

@@ -426,7 +426,13 @@ class PlanSpec extends SparkSpec {
       "l80_split_leakage_matrix", "l81_dup_trend",
       // l83: shingles die into md5 at the scan; postings/weights exchanges
       // carry digests, ids and integer weights only
-      "l83_weighted_jaccard_pairs")
+      "l83_weighted_jaccard_pairs",
+      // l102: the whole winnowing selection happens inside the row (the
+      // positional hash array never leaves its projection); the only
+      // exchanges are the per-doc audit rows and the declared orderBy
+      // l103: rule booleans are scan projections; the per-source agg
+      // exchange carries (source, counters) only
+      "l102_winnow", "l103_gopher_rules")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -455,7 +461,11 @@ class PlanSpec extends SparkSpec {
       // l84/l85: bucket ids are scan projections; the cell aggregations
       // exchange (bkt, counts) / serialized bounded_top_m heaps — the
       // embedding array never leaves the scan
-      "l84_embedding_coverage", "l85_diversity_sample")) {
+      "l84_embedding_coverage", "l85_diversity_sample",
+      // l104: the l05 broadcast-queries shape; the checkpointed sims
+      // table carries only (ids, labels, sim) — every post-checkpoint
+      // exchange (negative window, positive max) is array-free
+      "l104_hard_negatives")) {
       allShufflePayloads(lq(q)).foreach { attrs =>
         val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
         assert(arrays.isEmpty,
@@ -608,7 +618,12 @@ class PlanSpec extends SparkSpec {
       // l99: the canary list broadcasts against the scan-side Contains
       // probe (non-equi by nature), and the zero-reporting left join
       // re-broadcasts the same tiny list
-      "l99_canary_tripwire")
+      "l99_canary_tripwire",
+      // l101: broadcast 1-row (n_docs, sum_dl) corpus-stats crossJoin
+      // onto the query⋈postings candidates (the l83 postings shape)
+      "l101_bm25_topk",
+      // l104: broadcast-queries non-equi similarity join (the l05 shape)
+      "l104_hard_negatives")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
