@@ -919,6 +919,47 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S27: BM25 serving under foreachBatch — arriving query batches " +
+    "against a persisted postings model equal the fused batch operator") {
+    // The l101 production split: the postings + corpus-stats model is
+    // built offline on the train split and persisted; eval/probe queries
+    // ARRIVE — each batch pays the term join + top-k for its own queries
+    // only, never a re-index. Per-query independence makes stream output
+    // equal the fused batch operator row-for-row (snapped scores
+    // included), for any batch split.
+    import StreamOps.StreamDoc
+    import graft.llm.{Retrieval, TextOps}
+    val docs = Tables.load(spark, sf001, "documents")
+    val train = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+    val (postings0, stats0) = Retrieval.bm25Model(train)
+    val postings = postings0.localCheckpoint() // as a persisted index would be
+    val stats = stats0.localCheckpoint()
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fused = rowsOf(Retrieval.bm25TopK(docs, k = 5))
+      .sortBy(r => (r._1, r._4))
+    val qRows = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      .select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(qRows.length > 4)
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, Long)]()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val served = rowsOf(Retrieval.bm25Serve(
+          batch.toDF().select(col("doc_id").as("q_id"), col("text")),
+          postings, stats, k = 5))
+        got.synchronized { got ++= served; () }
+      }.start()
+    try {
+      in.addData(qRows.take(4): _*); q.processAllAvailable()
+      in.addData(qRows.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.sortBy(r => (r._1, r._4)).toSeq)
+      === fused.toSeq)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
