@@ -104,4 +104,65 @@ object Retrieval {
     val (postings, stats) = bm25Model(train)
     bm25Serve(queries, postings, stats, k)
   }
+
+  /** Retrieval-vs-n-gram DECONTAMINATION AGREEMENT audit — per eval doc,
+    * does BM25 retrieval surface the same train documents the exact
+    * shingle-overlap ranking names as contaminators? Two top-k lists per
+    * eval doc: the BM25 top-k (bm25TopK) and the exact top-k by shared
+    * distinct 3-gram shingle count (ties by doc_id — the l24 overlap
+    * measurement as a ranking); reported per eval doc as list sizes,
+    * intersection size, and whether the two rank-1 picks agree. The table
+    * that decides whether retrieval-based decontamination (cheap, serves
+    * incrementally — S27) can stand in for the n-gram join (exact,
+    * corpus-sized) on a given corpus.
+    *
+    * Scale shape: the BM25 leg is bm25TopK's (postings-bounded); the
+    * exact leg ships shingle ATOMS through the inverted-index join (the
+    * l02/l24 family — at 100 TB the digested LLM3 path replaces it); both
+    * collapse to ≤k (q_id, doc_id) rows before the id-only agreement
+    * joins. Eval docs with NO shared term/shingle appear with zeroes
+    * (driven from the eval-doc table, left joins). */
+  def deconAgreement(docs: DataFrame, k: Int = 5, n: Int = 3,
+                     trainPct: Int = 80): DataFrame = {
+    val bucket = TextOps.splitBucket(col("doc_id"))
+    val sh = TextOps.docShingles(docs, n)
+      .withColumn("bucket", TextOps.splitBucket(col("doc_id")))
+    val trainSh = sh.filter(col("bucket") < trainPct)
+      .select(col("doc_id"), col("s"))
+    val evalSh = sh.filter(col("bucket") >= trainPct)
+      .select(col("doc_id").as("q_id"), col("s"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("shared").desc, col("doc_id"))
+    val exactTop = evalSh.join(trainSh, Seq("s"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("shared"))
+      .withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val bm25Top = bm25TopK(docs, k, trainPct)
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val evalIds = docs.filter(bucket >= trainPct)
+      .select(col("doc_id").as("q_id"))
+    val nB = bm25Top.groupBy(col("q_id")).agg(count(lit(1)).as("n_bm25"))
+    val nE = exactTop.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
+    val common = bm25Top.select(col("q_id"), col("doc_id"))
+      .join(exactTop.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
+      .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
+    val top1 = bm25Top.filter(col("rank") === 1L)
+      .select(col("q_id"), col("doc_id").as("b1"))
+      .join(exactTop.filter(col("rank") === 1L)
+        .select(col("q_id"), col("doc_id").as("e1")), Seq("q_id"))
+      .select(col("q_id"),
+        (col("b1") === col("e1")).cast(LongType).as("top1_agree"))
+    evalIds
+      .join(nB, Seq("q_id"), "left")
+      .join(nE, Seq("q_id"), "left")
+      .join(common, Seq("q_id"), "left")
+      .join(top1, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("n_bm25"), lit(0L)).as("n_bm25"),
+        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col("n_common"), lit(0L)).as("n_common"),
+        coalesce(col("top1_agree"), lit(0L)).as("top1_agree"))
+  }
 }

@@ -59,6 +59,34 @@ object Similarity {
       .select(col("qid"), col("rank"), col("nid"), col("sim"))
   }
 
+  /** Embedding DIMENSION-health audit — per-dimension activation
+    * statistics over the whole corpus: count, integer-snapped sum,
+    * min/max, and exact zero count. The readouts an embedding pipeline
+    * checks before trusting a model dump: DEAD dimensions (n_zero = n —
+    * wasted index width), scale-outlier dimensions (|min/max| off the
+    * family — un-normalized dumps that break cosine-free dot-product
+    * shortcuts), and mean drift between snapshots.
+    *
+    * Exactness: each float widens to double (IEEE-exact) and snaps to the
+    * 10⁻⁶ grid with the l25 half-up formula ⌊x·10⁶ + 0.5⌋; per-dim totals
+    * are LONG sums — order-free, cross-engine exact (a raw double sum
+    * would hang the oracle on aggregation order). Scale shape: the
+    * posexplode emits N·dim rows but map-side partial aggregation reduces
+    * each partition to its ≤dim cells before the exchange — the shuffle
+    * is dim-sized, not corpus-sized. */
+  def dimStats(vectors: DataFrame): DataFrame =
+    vectors
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast(LongType).as("dim"),
+        col("v").cast(DoubleType).as("v"))
+      .withColumn("q", floor(col("v") * lit(1000000.0) + lit(0.5)))
+      .groupBy(col("dim"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(col("q")).as("sum_e6"),
+        min(col("q")).as("min_e6"),
+        max(col("q")).as("max_e6"),
+        sum((col("v") === 0.0).cast(LongType)).as("n_zero"))
+
   /** HARD-NEGATIVE mining — the contrastive-training triplet constructor
     * (FaceNet, Schroff et al. CVPR 2015; the SimCLR/DPR negative-selection
     * step): for each sampled query vector, the top-k most-similar vectors

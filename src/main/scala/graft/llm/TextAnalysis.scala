@@ -1463,4 +1463,71 @@ object TextAnalysis {
       sum((col("r_wc") && col("r_mwl") && col("r_alpha") &&
         col("r_stop") && col("r_sym")).cast(LongType)).as("n_pass_all"))
   }
+
+  /** Associative fold of two gopherRules cell tables — the S28 streaming
+    * maintenance primitive (the S22/S23 discipline): every column is a
+    * plain per-source count, so per-cell addition is associative AND
+    * commutative and the maintained table equals the from-scratch battery
+    * of the drained corpus for any batch split. Counts are NOT idempotent
+    * under re-delivery — the exactly-once foreachBatch discipline
+    * applies. */
+  def mergeGopherCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source")).agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("n_wc")).as("n_wc"),
+      sum(col("n_mwl")).as("n_mwl"), sum(col("n_alpha")).as("n_alpha"),
+      sum(col("n_stop")).as("n_stop"), sum(col("n_sym")).as("n_sym"),
+      sum(col("n_pass_all")).as("n_pass_all"))
+
+  /** Vocabulary COVERAGE curve — "how much of the corpus token mass does
+    * the top-X of the vocabulary cover": per vocab-rank decile (tokens
+    * ranked by frequency desc, ties by token), token count, token mass,
+    * cumulative mass and cumulative fraction. THE tokenizer/vocab-size
+    * policy table (pick V where the curve saturates), and the Zipf-shape
+    * readout next to LLM22's raw top-k.
+    *
+    * Scale design — NO per-token ranks at all: a tie group (freq f,
+    * count c, tokens-before b) occupies the contiguous rank interval
+    * [b+1, b+c], so each decile's overlap with it is pure interval
+    * arithmetic — n = max(0, min(hi, b+c) − max(lo, b+1) + 1), mass =
+    * n·f. The per-token row_number the naive form needs (and its hapax
+    * tie-group skew — at web scale HALF the vocabulary is freq = 1 and
+    * would land on one reducer) never happens: after the vocab hash-agg,
+    * everything is grid-sized (distinct FREQUENCY VALUES — tens of
+    * thousands at a 10M-token vocabulary). The grid prefix runs in one
+    * grid-sized window (the exactRanks single-partition idiom — documented
+    * bound: grid rows, not vocab rows); decile boundaries are exact
+    * (⌊i·V/10⌋ — the ×10 product stays far under 2^53). */
+  def vocabCoverage(docs: DataFrame, nDeciles: Int = 10): DataFrame = {
+    val W = org.apache.spark.sql.expressions.Window
+    val tf = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+      .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+    val grid = tf.groupBy(col("freq")).agg(count(lit(1)).as("c"))
+    val gridB = grid.withColumn("before",
+      coalesce(sum(col("c")).over(
+        W.partitionBy(pmod(col("freq"), lit(1))).orderBy(col("freq").desc)
+          .rowsBetween(W.unboundedPreceding, -1)), lit(0L)))
+    val totals = tf.agg(count(lit(1)).as("v_total"), sum(col("freq")).as("mass_total"))
+    val lo = floor((col("decile") * col("v_total")).cast(DoubleType) /
+      lit(nDeciles.toDouble)).cast(LongType) + 1L
+    val hi = floor(((col("decile") + 1L) * col("v_total")).cast(DoubleType) /
+      lit(nDeciles.toDouble)).cast(LongType)
+    val n = greatest(lit(0L),
+      least(hi, col("before") + col("c")) - greatest(lo, col("before") + 1L) + 1L)
+    gridB.crossJoin(broadcast(totals))
+      .select(col("freq"), col("c"), col("before"), col("v_total"),
+        explode(sequence(lit(0L), lit(nDeciles - 1L))).as("decile"))
+      .select(col("decile"), n.as("n"), (n * col("freq")).as("mass"))
+      .groupBy(col("decile"))
+      .agg(sum(col("n")).as("n_tokens"), sum(col("mass")).as("token_mass"))
+      .crossJoin(broadcast(totals))
+      .withColumn("cum_mass",
+        sum(col("token_mass")).over(
+          W.partitionBy(pmod(col("decile"), lit(1))).orderBy(col("decile"))
+            .rowsBetween(W.unboundedPreceding, 0)))
+      .select(col("decile"), col("n_tokens"), col("token_mass"),
+        col("cum_mass"),
+        (col("cum_mass").cast(DoubleType) /
+          col("mass_total").cast(DoubleType)).as("cum_frac"))
+  }
 }

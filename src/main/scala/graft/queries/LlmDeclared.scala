@@ -3277,11 +3277,10 @@ object LlmDeclared {
     * index the train split, retrieve for every eval doc — the retrieval-
     * based decontamination table. The oracle mirrors the one-division
     * snapped term score literally. */
-  private val l101 = DeclaredQuery(
-    "l101_bm25_topk",
-    (s, dir) => Retrieval.bm25TopK(t(s, dir, "documents"), k = 5)
-      .orderBy(col("q_id"), col("rank")),
-    Some("""WITH td AS (SELECT doc_id, string_split(text, ' ') AS w,
+  /** The l101 BM25 oracle chain (td → … → rk), shared with the l106
+    * agreement audit. */
+  private val bm25Cte =
+    """td AS (SELECT doc_id, string_split(text, ' ') AS w,
                ('0x' || substr(md5(doc_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
              FROM documents),
       train AS (SELECT doc_id, list_filter(w, x -> len(x) > 0) AS w
@@ -3308,7 +3307,13 @@ object LlmDeclared {
              FROM terms GROUP BY q_id, doc_id),
       rk AS (SELECT q_id, doc_id, score,
                ROW_NUMBER() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rank
-             FROM sc)
+             FROM sc)"""
+
+  private val l101 = DeclaredQuery(
+    "l101_bm25_topk",
+    (s, dir) => Retrieval.bm25TopK(t(s, dir, "documents"), k = 5)
+      .orderBy(col("q_id"), col("rank")),
+    Some(s"""WITH $bm25Cte
       SELECT q_id, doc_id, score, rank FROM rk
       WHERE rank <= 5 ORDER BY q_id, rank"""))
 
@@ -3436,6 +3441,105 @@ object LlmDeclared {
         FROM d GROUP BY lang ORDER BY lang"""))
   }
 
+  /** L106 — retrieval-vs-n-gram decontamination agreement: per eval doc,
+    * BM25 top-5 vs exact shared-shingle top-5 — list sizes, intersection,
+    * rank-1 agreement. The "can cheap retrieval stand in for the exact
+    * n-gram join" policy table. */
+  private val l106 = DeclaredQuery(
+    "l106_retrieval_decon_agreement",
+    (s, dir) => Retrieval.deconAgreement(t(s, dir, "documents"), k = 5)
+      .orderBy(col("q_id")),
+    Some(s"""WITH $bm25Cte,
+      t2 AS (SELECT doc_id, w, bucket FROM td),
+      shl AS (SELECT doc_id, bucket, unnest(list_distinct(list_transform(
+                range(1, len(w) - 1),
+                i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))) AS s
+              FROM t2),
+      tr_sh AS (SELECT doc_id, s FROM shl WHERE bucket < 80),
+      ev_sh AS (SELECT doc_id AS q_id, s FROM shl WHERE bucket >= 80),
+      ex AS (SELECT e.q_id, t.doc_id, COUNT(*) AS shared
+             FROM ev_sh e JOIN tr_sh t ON e.s = t.s
+             GROUP BY e.q_id, t.doc_id),
+      exr AS (SELECT q_id, doc_id, shared,
+                ROW_NUMBER() OVER (PARTITION BY q_id
+                  ORDER BY shared DESC, doc_id) AS rank
+              FROM ex),
+      exk AS (SELECT q_id, doc_id, rank FROM exr WHERE rank <= 5),
+      bmk AS (SELECT q_id, doc_id, rank FROM rk WHERE rank <= 5),
+      nb AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_bm25 FROM bmk GROUP BY q_id),
+      ne AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_exact FROM exk GROUP BY q_id),
+      cm AS (SELECT b.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+             FROM bmk b JOIN exk e ON e.q_id = b.q_id AND e.doc_id = b.doc_id
+             GROUP BY b.q_id),
+      t1 AS (SELECT b.q_id, CAST(b.doc_id = e.doc_id AS BIGINT) AS top1_agree
+             FROM bmk b JOIN exk e ON e.q_id = b.q_id
+             WHERE b.rank = 1 AND e.rank = 1),
+      ev AS (SELECT doc_id AS q_id FROM td WHERE bucket >= 80)
+      SELECT ev.q_id,
+        COALESCE(nb.n_bm25, 0) AS n_bm25,
+        COALESCE(ne.n_exact, 0) AS n_exact,
+        COALESCE(cm.n_common, 0) AS n_common,
+        COALESCE(t1.top1_agree, 0) AS top1_agree
+      FROM ev
+      LEFT JOIN nb USING (q_id) LEFT JOIN ne USING (q_id)
+      LEFT JOIN cm USING (q_id) LEFT JOIN t1 USING (q_id)
+      ORDER BY ev.q_id"""))
+
+  /** L107 — vocabulary coverage curve by vocab-rank decile: interval
+    * arithmetic on the (freq, count, before) grid — no per-token ranks,
+    * no hapax-tie-group skew (TextAnalysis.vocabCoverage scaladoc). */
+  private val l107 = DeclaredQuery(
+    "l107_vocab_coverage",
+    (s, dir) => TextAnalysis.vocabCoverage(t(s, dir, "documents"))
+      .orderBy(col("decile")),
+    Some("""WITH w AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tf AS (SELECT tok, CAST(COUNT(*) AS BIGINT) AS freq FROM w
+             WHERE len(tok) > 0 GROUP BY tok),
+      grid AS (SELECT freq, CAST(COUNT(*) AS BIGINT) AS c FROM tf GROUP BY freq),
+      gb AS (SELECT freq, c,
+               CAST(COALESCE(SUM(c) OVER (ORDER BY freq DESC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS before
+             FROM grid),
+      tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS v_total,
+                     CAST(SUM(freq) AS BIGINT) AS mass_total FROM tf),
+      dec AS (SELECT unnest(range(0, 10)) AS decile),
+      ov AS (SELECT d.decile, g.freq, g.c, g.before,
+               CAST(floor(CAST(d.decile * t.v_total AS DOUBLE) / 10.0) AS BIGINT) + 1 AS lo,
+               CAST(floor(CAST((d.decile + 1) * t.v_total AS DOUBLE) / 10.0) AS BIGINT) AS hi
+             FROM gb g CROSS JOIN dec d CROSS JOIN tot t),
+      nn AS (SELECT decile,
+               greatest(0, least(hi, before + c) - greatest(lo, before + 1) + 1) AS n,
+               freq
+             FROM ov),
+      agg AS (SELECT decile, CAST(SUM(n) AS BIGINT) AS n_tokens,
+                CAST(SUM(n * freq) AS BIGINT) AS token_mass
+              FROM nn GROUP BY decile),
+      cum AS (SELECT decile, n_tokens, token_mass,
+                CAST(SUM(token_mass) OVER (ORDER BY decile
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_mass
+              FROM agg)
+      SELECT c.decile, c.n_tokens, c.token_mass, c.cum_mass,
+        CAST(c.cum_mass AS DOUBLE) / CAST(t.mass_total AS DOUBLE) AS cum_frac
+      FROM cum c CROSS JOIN tot t ORDER BY c.decile"""))
+
+  /** L108 — embedding dimension-health audit: per-dim count, 10⁻⁶-snapped
+    * sum (l25 half-up), min/max codes, exact zero count. */
+  private val l108 = DeclaredQuery(
+    "l108_embedding_dim_stats",
+    (s, dir) => Similarity.dimStats(t(s, dir, "embeddings"))
+      .orderBy(col("dim")),
+    Some("""WITH v AS (SELECT vec_id,
+        list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e FROM embeddings),
+      u AS (SELECT vec_id, unnest(list_transform(range(1, len(e) + 1),
+              i -> {'d': i - 1, 'v': e[i]})) AS s FROM v),
+      q AS (SELECT CAST(s.d AS BIGINT) AS dim, s.v AS v,
+              CAST(floor(s.v * 1000000.0 + 0.5) AS BIGINT) AS q FROM u)
+      SELECT dim, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(q) AS BIGINT) AS sum_e6,
+        MIN(q) AS min_e6, MAX(q) AS max_e6,
+        CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
+      FROM q GROUP BY dim ORDER BY dim"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -3446,5 +3550,5 @@ object LlmDeclared {
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
-    l101, l102, l103, l104, l105, d29)
+    l101, l102, l103, l104, l105, l106, l107, l108, d29)
 }

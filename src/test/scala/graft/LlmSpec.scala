@@ -2611,6 +2611,83 @@ class LlmSpec extends SparkSpec {
       && r.isNullAt(7)))
   }
 
+  // ------------------------------------------- retrieval-decon agreement
+
+  test("deconAgreement: identical eval/train text agrees at rank 1; " +
+    "term-disjoint eval doc reports zeroes; n_common bounded") {
+    // pick ids by their actual md5 split bucket so the fixture controls
+    // membership: trainId < 80, evalIds >= 80
+    def bucket(id: Long): Int = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      (java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100).toInt
+    }
+    val trainIds = (1L to 200L).filter(bucket(_) < 80)
+    val evalIds = (1L to 200L).filter(bucket(_) >= 80)
+    val tA = trainIds.head; val tB = trainIds(1)
+    val qSame = evalIds.head; val qDisjoint = evalIds(1)
+    val docs = Seq(
+      (tA, "x1 x2 x3 x4 x5 x6"),        // train: the contaminator
+      (tB, "y1 y2 y3 y4 y5 y6"),        // train: unrelated
+      (qSame, "x1 x2 x3 x4 x5 x6"),     // eval: exact copy of tA
+      (qDisjoint, "z1 z2 z3 z4 z5 z6")) // eval: shares nothing
+      .toDF("doc_id", "text")
+    val got = Retrieval.deconAgreement(docs, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === Set(qSame, qDisjoint))
+    // the copy: both rankings put tA first → agree, intersection ≥ 1
+    val (nb, ne, nc, t1) = got(qSame)
+    assert(nb >= 1L && ne === 1L && nc >= 1L && t1 === 1L, got(qSame).toString)
+    assert(got(qDisjoint) === ((0L, 0L, 0L, 0L)), got(qDisjoint).toString)
+    // corpus-level invariants
+    val corpus = Tables.load(spark, sf001, "documents")
+    Retrieval.deconAgreement(corpus, k = 5).collect().foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)))
+      assert(r.getLong(1) <= 5L && r.getLong(2) <= 5L)
+      assert(r.getLong(4) === 0L || r.getLong(4) === 1L)
+    }
+  }
+
+  // ------------------------------------------------- vocabulary coverage
+
+  test("vocabCoverage: hand-computed interval arithmetic on a 3-token " +
+    "vocab; all deciles present; mass conserved") {
+    // tf: a=3, b=2, c=1 → V=3, mass=6; ranks a=1, b=2, c=3.
+    // decile d holds rank r iff ⌊d·3/10⌋+1 ≤ r ≤ ⌊(d+1)·3/10⌋ →
+    // a lands in d3, b in d6, c in d9; every other decile is empty.
+    val d = docsDf(1L -> "a a a b b c")
+    val got = TextAnalysis.vocabCoverage(d).orderBy("decile").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.length === 10)
+    val expMass = Map(3L -> 3L, 6L -> 2L, 9L -> 1L).withDefaultValue(0L)
+    val expCum = Map(0L -> 0L, 1L -> 0L, 2L -> 0L, 3L -> 3L, 4L -> 3L,
+      5L -> 3L, 6L -> 5L, 7L -> 5L, 8L -> 5L, 9L -> 6L)
+    got.foreach { case (dec, nTok, mass, cum, frac) =>
+      assert(mass === expMass(dec), s"decile $dec mass")
+      assert(nTok === (if (expMass(dec) > 0) 1L else 0L), s"decile $dec n")
+      assert(cum === expCum(dec), s"decile $dec cum")
+      assert(math.abs(frac - expCum(dec) / 6.0) < 1e-12, s"decile $dec frac")
+    }
+  }
+
+  // ------------------------------------------------- embedding dim stats
+
+  test("dimStats: hand-computed snapped sums, zero counts, half-up " +
+    "negative rounding") {
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0),
+      (2L, Array(0.5f, -0.25f), 0)).toDF("vec_id", "embedding", "label")
+    val got = Similarity.dimStats(vecs).orderBy("dim").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    // dim0: codes 1000000, 500000; dim1: codes ⌊0·10⁶+.5⌋=0 (and a zero),
+    // ⌊−250000+.5⌋ = −250000 (half-up keeps floor semantics on negatives)
+    assert(got(0) === ((0L, 2L, 1500000L, 500000L, 1000000L, 0L)), got(0).toString)
+    assert(got(1) === ((1L, 2L, -250000L, -250000L, 0L, 1L)), got(1).toString)
+  }
+
   // ----------------------------------------------------- tokenizer fertility
 
   test("fertility: hand-applied published merges; per-lang aggregation") {

@@ -465,7 +465,10 @@ class PlanSpec extends SparkSpec {
       // l104: the l05 broadcast-queries shape; the checkpointed sims
       // table carries only (ids, labels, sim) — every post-checkpoint
       // exchange (negative window, positive max) is array-free
-      "l104_hard_negatives")) {
+      "l104_hard_negatives",
+      // l108: the posexplode flattens embeddings INSIDE the scan stage;
+      // the per-dim agg exchange carries (dim, partial counters) only
+      "l108_embedding_dim_stats")) {
       allShufflePayloads(lq(q)).foreach { attrs =>
         val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
         assert(arrays.isEmpty,
@@ -623,7 +626,12 @@ class PlanSpec extends SparkSpec {
       // onto the query⋈postings candidates (the l83 postings shape)
       "l101_bm25_topk",
       // l104: broadcast-queries non-equi similarity join (the l05 shape)
-      "l104_hard_negatives")
+      "l104_hard_negatives",
+      // l106: embeds l101's broadcast 1-row stats crossJoin
+      "l106_retrieval_decon_agreement",
+      // l107: broadcast 1-row (v_total, mass_total) crossJoins onto the
+      // frequency grid and the 10-row decile table (the l28 shape)
+      "l107_vocab_coverage")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -960,6 +960,46 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S28: gopher-rule cell maintenance under foreachBatch — folding " +
+    "per-batch rule batteries equals the from-scratch battery") {
+    // The l103 deployment shape (the S22 discipline): each arriving crawl
+    // batch runs the rule battery alone; the per-source cells are plain
+    // counts, so per-cell addition folds associatively and the maintained
+    // table equals the from-scratch battery of the drained corpus for any
+    // batch split.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.TextAnalysis
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val passText = "the a of and " + Seq.fill(56)("word").mkString(" ")
+    val crawl = Seq(
+      d(1, passText, "sA"), d(2, "tiny doc", "sA"),
+      d(3, passText, "sB"), d(4, Seq.fill(60)("abcdefghijkl").mkString(" "), "sB"),
+      d(5, "the a of and word", "sA"))
+    val fromScratch = TextAnalysis.gopherRules(
+      crawl.toDF().select(col("doc_id"), col("text"), col("source")))
+      .collect().map(r => (r.getString(0), (1 to 7).map(r.getLong).toSeq))
+      .sortBy(_._1).toSeq
+    var state: Option[DataFrame] = None
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = TextAnalysis.gopherRules(
+          batch.toDF().select(col("doc_id"), col("text"), col("source")))
+        val merged = state.fold(cells)(s =>
+          TextAnalysis.mergeGopherCells(s, cells)).localCheckpoint()
+        state = Some(merged); ()
+      }.start()
+    try {
+      in.addData(crawl.take(2): _*); q.processAllAvailable()
+      in.addData(crawl.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val maintained = state.get.collect()
+      .map(r => (r.getString(0), (1 to 7).map(r.getLong).toSeq))
+      .sortBy(_._1).toSeq
+    assert(maintained === fromScratch)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
