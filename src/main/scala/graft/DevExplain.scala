@@ -5,7 +5,8 @@ object DevExplain {
     val dir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     args.foreach { n =>
       println(s"===== $n")
-      println(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(3500))
+      val budget = sys.env.get("SPARK_GRAFT_EXPLAIN_CHARS").map(_.toInt).getOrElse(3500)
+      println(SparkEntry.queries(n)(spark, dir).queryExecution.executedPlan.toString.take(budget))
     }
     spark.stop()
   }

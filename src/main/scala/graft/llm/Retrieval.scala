@@ -50,8 +50,31 @@ object Retrieval {
 
   /** The persisted index: postings (tok, doc_id, tf, dl, df) and the
     * 1-row corpus statistics (n_docs, sum_dl). dl rides denormalized on
-    * the postings row so serving joins once on the term only. */
+    * the postings row so serving joins once on the term only.
+    *
+    * The postings table leaves here CLUSTERED BY doc_id — the property
+    * bm25Serve's aggregation plan relies on: every (q_id, doc_id) score
+    * group lives entirely inside doc d's partition, so the per-pair sum
+    * completes in-stage and the candidate expansion NEVER crosses an
+    * exchange (round 12: the un-clustered form shuffled the full
+    * candidate set — ~73M (q, d, term_score) rows at sf0.1 — because the
+    * (doc_id, tok)-partitioned join output scattered each pair's terms
+    * across partitions and partial aggregation collapsed nothing; 34.9 s
+    * → 2.7 s isolated). The repartition moves index-sized rows (the tf
+    * exchange already reduced corpus tokens to per-doc term counts
+    * map-side), never document text.
+    *
+    * The repartition pins an explicit partition count (REPARTITION_BY_NUM)
+    * because AQE's coalescer sizes partitions by the EXCHANGE's bytes —
+    * the index is a few MB, so it would collapse to one partition — but
+    * the work downstream of this exchange is the candidate EXPANSION,
+    * ~630× the index rows on a skewed corpus: measured 29.8 s
+    * single-partition vs 1.6 s at 32 (round 12). AQE cannot see through
+    * a build-side blow-up; any exchange feeding a many-to-many broadcast
+    * probe must pin its own parallelism. */
   def bm25Model(corpus: DataFrame): (DataFrame, DataFrame) = {
+    val shufflePartitions =
+      corpus.sparkSession.sessionState.conf.numShufflePartitions
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
@@ -59,6 +82,7 @@ object Retrieval {
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val postings = tf.join(dfT, Seq("tok")).join(dl, Seq("doc_id"))
+      .repartition(shufflePartitions, col("doc_id"))
     val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     (postings, stats)
   }
@@ -72,16 +96,25 @@ object Retrieval {
     val qterms = queries
       .select(col("q_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
       .filter(length(col("tok")) > 0)
-    val joined = qterms.join(postings, Seq("tok")).crossJoin(broadcast(stats))
-      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
+    // The per-term weight is QUERY-INDEPENDENT (query tf saturates at 1),
+    // so it is computed once per POSTING — index-sized work — and the
+    // candidate expansion only sums precomputed longs (the impact-ordered-
+    // postings layout; round 12: evaluating the polynomial division per
+    // (q, d, t) contribution did ~630× the arithmetic). The query side
+    // broadcasts: a serving/eval batch is always vanishingly small next
+    // to the corpus index, and the broadcast probe keeps the expansion
+    // inside the postings' doc_id-clustered stage, where the (q_id,
+    // doc_id) sum then completes without an exchange (see bm25Model).
     val num = (lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
       lit(22L) * col("sum_dl") * col("tf")
     val den = (lit(2L) * col("df") + lit(1L)) *
       (lit(10L) * col("sum_dl") * col("tf") + lit(3L) * col("sum_dl") +
         lit(9L) * col("n_docs") * col("dl"))
     val snapped = floor((num.cast(DoubleType) / den.cast(DoubleType)) * lit(1000000.0))
-    val scored = joined
-      .select(col("q_id"), col("doc_id"), snapped.as("term_score"))
+    val weighted = postings.crossJoin(broadcast(stats))
+      .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
+      .select(col("tok"), col("doc_id"), snapped.as("term_score"))
+    val scored = broadcast(qterms).join(weighted, Seq("tok"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"))
     val w = org.apache.spark.sql.expressions.Window
@@ -127,13 +160,22 @@ object Retrieval {
     val bucket = TextOps.splitBucket(col("doc_id"))
     val sh = TextOps.docShingles(docs, n)
       .withColumn("bucket", TextOps.splitBucket(col("doc_id")))
+    // The bm25Serve join shape (see bm25Model's scaladoc): the EVAL side
+    // broadcasts (an eval set is vanishingly small next to the train
+    // corpus), the train shingles cluster by doc_id with pinned
+    // parallelism, so the shared-shingle expansion stays in the train
+    // partitions and the (q_id, doc_id) count completes in-stage — the
+    // shuffled-by-s form re-exchanged every candidate pair contribution.
+    val shufflePartitions =
+      docs.sparkSession.sessionState.conf.numShufflePartitions
     val trainSh = sh.filter(col("bucket") < trainPct)
       .select(col("doc_id"), col("s"))
+      .repartition(shufflePartitions, col("doc_id"))
     val evalSh = sh.filter(col("bucket") >= trainPct)
       .select(col("doc_id").as("q_id"), col("s"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("q_id")).orderBy(col("shared").desc, col("doc_id"))
-    val exactTop = evalSh.join(trainSh, Seq("s"))
+    val exactTop = broadcast(evalSh).join(trainSh, Seq("s"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(count(lit(1)).as("shared"))
       .withColumn("rank", row_number().over(w).cast(LongType))

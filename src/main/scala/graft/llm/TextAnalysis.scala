@@ -1383,14 +1383,17 @@ object TextAnalysis {
     * the bound hash array): the corpus is never exploded, nothing
     * shuffles but the final per-doc audit rows. Docs shorter than n
     * tokens have no gram and are dropped (the `fingerprints` rule);
-    * 0 < G < w clamps the window to G (one whole-array window). */
+    * 0 < G < w clamps the window to G (one whole-array window).
+    *
+    * The hash sequence itself is the native `positional_gram_hashes`
+    * expression (plans.PositionalGramHashes): the HOF form paid the
+    * interpreted-lambda tax on every gram — md5 through the hex
+    * expression chain per element, 5.6 s of the operator's 5.9 s at
+    * sf0.1 — where the native digest pass is ~0.1 s. The WINDOWING
+    * lambdas stay as HOFs deliberately: they move small long arrays,
+    * measured free. */
   def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
-    val hs = filter(
-      transform(col("toks"), (_, i) =>
-        when(i <= size(col("toks")) - n,
-          TextOps.md5Int32(concat_ws(" ",
-            (0 until n).map(k => element_at(col("toks"), i + k + 1)): _*)))),
-      x => x.isNotNull)
+    val hs = call_function("positional_gram_hashes", col("toks"), lit(n))
     val g = size(col("hs"))
     val wEff = least(lit(w), g)
     // window starting at 0-based j selects position j + (rightmost argmin

@@ -17,6 +17,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *  - `bounded_top_m(score, id, m) -> array<struct>` — see BoundedTopM.
   *  - `int8_pack(array<bigint>) -> binary` / `int8_packed_dot(binary,
   *    binary) -> bigint` — see Int8Packed (the l48b byte-packed codes path).
+  *  - `positional_gram_hashes(array<string>, n) -> array<bigint>` — see
+  *    PositionalGramHashes (the l102 winnowing hash sequence).
   *
   * Registered optimizer rules:
   *  - RewriteHofDotToFvecDot — user-written `aggregate(zip_with(...))`
@@ -84,6 +86,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       (children: Seq[Expression]) => {
         require(children.length == 1, "int8_quant_pack takes exactly 1 argument")
         Int8QuantPack(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("positional_gram_hashes"),
+      new ExpressionInfo(classOf[PositionalGramHashes].getName,
+        "positional_gram_hashes"),
+      (children: Seq[Expression]) => children match {
+        case Seq(toks, nExpr) =>
+          val n = nExpr match {
+            case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+            case _ => throw new IllegalArgumentException(
+              "positional_gram_hashes: n must be an integer literal")
+          }
+          PositionalGramHashes(toks, n)
+        case _ => throw new IllegalArgumentException(
+          "positional_gram_hashes takes exactly 2 arguments")
       }))
     ext.injectFunction((
       FunctionIdentifier("int8_packed_dot"),

@@ -437,4 +437,49 @@ class ExpressionSpec extends SparkSpec {
     assert(z.getDouble(0) === 0.0)
     assert(z.getAs[Array[Byte]](1).toSeq === Seq(0.toByte, 0.toByte))
   }
+
+  test("positional_gram_hashes == HOF md5Int32 twin, corpus + edges") {
+    import graft.llm.TextOps
+    val n = 3
+    // the l102 hash sequence as the original interpreted-HOF formulation
+    def hofHashes(toks: org.apache.spark.sql.Column) = filter(
+      transform(toks, (_, i) =>
+        when(i <= size(toks) - n,
+          TextOps.md5Int32(concat_ws(" ",
+            (0 until n).map(k => element_at(toks, i + k + 1)): _*)))),
+      x => x.isNotNull)
+    val docs = Tables.load(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq(
+        Some("one two"),            // shorter than n: empty hash array
+        Some("a b c"),              // exactly n: one gram
+        Some("x  y z w"),           // double space: empty token participates
+        Some(""), None).toDF("text"))
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      hofHashes(col("toks")).as("hof"),
+      call_function("positional_gram_hashes", col("toks"), lit(n)).as("native"))
+    assert(both.filter(not(col("hof") <=> col("native"))).count() === 0)
+    assert(both.filter(col("native").isNull).count() === 1) // the null text
+    assert(both.count() > 500)
+    // null ELEMENT mid-array: concat_ws skips it (value and separator) —
+    // the native loop must reproduce that, not emit a null gram
+    val withNullElem = Seq(1).toDF("i")
+      .select(array(lit("a"), lit(null.asInstanceOf[String]), lit("b"),
+        lit("c")).as("toks"))
+    val nn = withNullElem.select(
+      hofHashes(col("toks")).as("hof"),
+      call_function("positional_gram_hashes", col("toks"), lit(n)).as("native"))
+    assert(nn.filter(not(col("hof") <=> col("native"))).count() === 0)
+  }
+
+  test("positional_gram_hashes runs inside whole-stage codegen") {
+    import graft.llm.TextOps
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(TextOps.tokens(col("text")).as("toks"))
+      .select(call_function("positional_gram_hashes", col("toks"), lit(3)).as("hs"))
+    val plan = docs.queryExecution.executedPlan.toString
+    val exprLine = plan.linesIterator.find(_.contains("positional_gram_hashes"))
+    assert(exprLine.isDefined, plan.take(500))
+    assert("""\*\(\d+\)""".r.findFirstIn(exprLine.get).isDefined, exprLine.get)
+  }
 }
