@@ -185,26 +185,143 @@ object Retrieval {
       .select(col("q_id"), col("doc_id"), col("rank"))
     val evalIds = docs.filter(bucket >= trainPct)
       .select(col("doc_id").as("q_id"))
-    val nB = bm25Top.groupBy(col("q_id")).agg(count(lit(1)).as("n_bm25"))
-    val nE = exactTop.groupBy(col("q_id")).agg(count(lit(1)).as("n_exact"))
-    val common = bm25Top.select(col("q_id"), col("doc_id"))
-      .join(exactTop.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
+    agreementTable(evalIds, bm25Top, exactTop, "n_bm25", "n_exact")
+  }
+
+  /** Shared agreement-table core for the l106/l109 audits: per query id in
+    * `qIds`, the two top-k lists' sizes, intersection size, and rank-1
+    * agreement (zeroes for queries absent from a leg — left joins).
+    * Every input is an id-rank table (≤k rows per query), so all four
+    * comparison joins are id-only. */
+  private def agreementTable(qIds: DataFrame, aTop: DataFrame,
+                             bTop: DataFrame, aName: String,
+                             bName: String): DataFrame = {
+    val nA = aTop.groupBy(col("q_id")).agg(count(lit(1)).as(aName))
+    val nB = bTop.groupBy(col("q_id")).agg(count(lit(1)).as(bName))
+    val common = aTop.select(col("q_id"), col("doc_id"))
+      .join(bTop.select(col("q_id"), col("doc_id")), Seq("q_id", "doc_id"))
       .groupBy(col("q_id")).agg(count(lit(1)).as("n_common"))
-    val top1 = bm25Top.filter(col("rank") === 1L)
-      .select(col("q_id"), col("doc_id").as("b1"))
-      .join(exactTop.filter(col("rank") === 1L)
-        .select(col("q_id"), col("doc_id").as("e1")), Seq("q_id"))
+    val top1 = aTop.filter(col("rank") === 1L)
+      .select(col("q_id"), col("doc_id").as("a1"))
+      .join(bTop.filter(col("rank") === 1L)
+        .select(col("q_id"), col("doc_id").as("b1")), Seq("q_id"))
       .select(col("q_id"),
-        (col("b1") === col("e1")).cast(LongType).as("top1_agree"))
-    evalIds
+        (col("a1") === col("b1")).cast(LongType).as("top1_agree"))
+    qIds
+      .join(nA, Seq("q_id"), "left")
       .join(nB, Seq("q_id"), "left")
-      .join(nE, Seq("q_id"), "left")
       .join(common, Seq("q_id"), "left")
       .join(top1, Seq("q_id"), "left")
       .select(col("q_id"),
-        coalesce(col("n_bm25"), lit(0L)).as("n_bm25"),
-        coalesce(col("n_exact"), lit(0L)).as("n_exact"),
+        coalesce(col(aName), lit(0L)).as(aName),
+        coalesce(col(bName), lit(0L)).as(bName),
         coalesce(col("n_common"), lit(0L)).as("n_common"),
         coalesce(col("top1_agree"), lit(0L)).as("top1_agree"))
+  }
+
+  /** Dense (embedding-cosine) eval→train exact top-k — the dense leg of
+    * the hybrid-retrieval family, in (q_id, doc_id, rank) form. Exact
+    * brute force by design (the l44/l104 audit discipline: the agreement/
+    * fusion tables ARE ground-truth readouts; production serving runs the
+    * IVF/PQ/LSH candidate machinery shipped elsewhere). The id-aligned
+    * convention (modalityAgreement's): vec_id and doc_id share one id
+    * space, so split buckets agree across planes by construction. */
+  def denseEvalTopK(vectors: DataFrame, k: Int = 5,
+                    trainPct: Int = 80): DataFrame = {
+    val bucket = TextOps.splitBucket(col("vec_id"))
+    val trainV = vectors.filter(bucket < trainPct)
+    val evalV = vectors.filter(bucket >= trainPct)
+    Similarity.bruteForceTopK(evalV, trainV, k)
+      .select(col("qid").as("q_id"), col("nid").as("doc_id"), col("rank"))
+  }
+
+  /** SPARSE-vs-DENSE retrieval agreement audit (l109) — per eval query
+    * present in BOTH planes (id-aligned eval vectors): BM25 top-k over
+    * train documents vs exact-cosine top-k over train vectors — list
+    * sizes, intersection, rank-1 agreement. The hybrid-retrieval
+    * calibration table: high agreement says one index suffices; low
+    * agreement says the planes surface DIFFERENT neighbors and a fused
+    * serve (l110/S29) is worth its cost.
+    *
+    * Scale shape: both legs collapse to ≤k (q_id, doc_id) id-pairs before
+    * the agreement joins (the l106 discipline); the query universe is the
+    * eval VECTOR ids — vanishingly small, broadcast into the sparse
+    * restriction semi-join. */
+  def hybridAgreement(docs: DataFrame, vectors: DataFrame, k: Int = 5,
+                      trainPct: Int = 80): DataFrame = {
+    val qIds = vectors
+      .filter(TextOps.splitBucket(col("vec_id")) >= trainPct)
+      .select(col("vec_id").as("q_id"))
+    val sparse = bm25TopK(docs, k, trainPct)
+      .join(broadcast(qIds), Seq("q_id"), "left_semi")
+      .select(col("q_id"), col("doc_id"), col("rank"))
+    val dense = denseEvalTopK(vectors, k, trainPct)
+    agreementTable(qIds, sparse, dense, "n_sparse", "n_dense")
+  }
+
+  /** RECIPROCAL-RANK-FUSION of two (q_id, doc_id, rank) top-k tables
+    * (Cormack, Clarke & Büttner, SIGIR'09 — the standard hybrid-serving
+    * combiner): fused score = Σ_legs ⌊10⁶/(60+rank)⌋, summed as BIGINT
+    * (the l25 snap idiom — the floor makes the sum order-free and
+    * bit-identical cross-engine where the textbook 1/(60+r) double sum
+    * would hinge on addition order); fused top-k per query, ties on
+    * doc_id. Carries each leg's rank (null where a doc appeared in one
+    * leg only — the full-outer join IS the fusion's value add).
+    *
+    * Pure function of two rank tables: per-query independence makes the
+    * streaming serve (S29) equal batch fusion for any micro-batch split. */
+  def rrfFuse(sparseTop: DataFrame, denseTop: DataFrame, k: Int = 5,
+              k0: Int = 60): DataFrame = {
+    def contrib(r: Column): Column =
+      floor(lit(1000000.0) / (r.cast(DoubleType) + lit(k0.toDouble)))
+        .cast(LongType)
+    val joined = sparseTop
+      .select(col("q_id"), col("doc_id"), col("rank").as("sparse_rank"))
+      .join(denseTop
+        .select(col("q_id"), col("doc_id"), col("rank").as("dense_rank")),
+        Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        col("sparse_rank"), col("dense_rank"),
+        (coalesce(contrib(col("sparse_rank")), lit(0L)) +
+          coalesce(contrib(col("dense_rank")), lit(0L))).as("rrf_e6"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("rrf_e6").desc, col("doc_id"))
+    joined.withColumn("rank", row_number().over(w).cast(LongType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("doc_id"), col("rrf_e6"), col("rank"),
+        col("sparse_rank"), col("dense_rank"))
+  }
+
+  /** Hybrid SERVE — score an arriving query batch (q_id, text, embedding)
+    * against the static sparse model (postings + stats) AND the static
+    * train vectors, fused by RRF. The serving core shared by the batch
+    * declared form (hybridRrfTopK) and the streaming serve (S29) — the
+    * S26/S27 model-boundary discipline: each batch pays its own term join
+    * + |Q_batch|-sized dense scan only; index refresh = swap the persisted
+    * tables at a trigger boundary. */
+  def hybridServe(queries: DataFrame, postings: DataFrame, stats: DataFrame,
+                  trainVecs: DataFrame, k: Int = 5): DataFrame = {
+    val sparse = bm25Serve(queries.select(col("q_id"), col("text")),
+      postings, stats, k)
+    val dense = Similarity.bruteForceTopK(
+      queries.select(col("q_id").as("vec_id"), col("embedding")),
+      trainVecs, k)
+      .select(col("qid").as("q_id"), col("nid").as("doc_id"), col("rank"))
+    rrfFuse(sparse.select(col("q_id"), col("doc_id"), col("rank")), dense, k)
+  }
+
+  /** The fused declared form (l110): queries = eval-split ids present in
+    * BOTH planes (text from documents, vector from embeddings — the
+    * id-aligned join), models built on the train split. */
+  def hybridRrfTopK(docs: DataFrame, vectors: DataFrame, k: Int = 5,
+                    trainPct: Int = 80): DataFrame = {
+    val bucket = TextOps.splitBucket(col("doc_id"))
+    val (postings, stats) = bm25Model(docs.filter(bucket < trainPct))
+    val trainV = vectors.filter(TextOps.splitBucket(col("vec_id")) < trainPct)
+    val queries = docs.filter(bucket >= trainPct)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .join(vectors.filter(TextOps.splitBucket(col("vec_id")) >= trainPct)
+        .select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+    hybridServe(queries, postings, stats, trainV, k)
   }
 }

@@ -110,4 +110,75 @@ object Sketches {
       .join(broadcast(counters(1)), "p1")
       .select(col("tok"), col("n"), least(col("c0"), col("c1")).as("est"))
   }
+
+  /** HLL distinct-shingle cardinality audit per source (l111) — a
+    * REPLAYABLE HyperLogLog (Flajolet et al., AofA'07) built from the
+    * portable md5-int32 hash, next to the exact distinct count and the
+    * signed estimation error. Completes the estimator-audit family
+    * (CMS l34, bottom-k l78, MinHash l43, LSH l44, SimHash l91, IVF l87,
+    * PQ l98) with THE cardinality sketch a 100 TB profile pass runs when
+    * `approx_count_distinct`'s Spark-internal HLL++ can't be replayed by
+    * a second engine: every register here derives from md5 bit
+    * arithmetic both engines reproduce exactly.
+    *
+    * Construction (m = 2^b registers): h = md5-int32(shingle) (uint32);
+    * register j = ⌊h / 2^(32−b)⌋ (top b bits); ρ = position of the first
+    * 1-bit in the remaining (32−b)-bit suffix = (32−b+1) − bitlength(rem),
+    * with ρ = 32−b+1 for rem = 0. Per (source, register): max ρ, empty
+    * registers at ρ = 0 via the source × register grid. The harmonic sum
+    * Z = Σ 2^(−ρ_j) is carried as the EXACT LONG Σ 2^(50−ρ_j) (ρ ≤ 27 at
+    * b = 6 → max term 2^49; m·2^50 < 2^57 — no overflow), so the only
+    * double is the final α·m²·2^50/Z_e50 division — one op chain, bit-
+    * identical cross-engine. α = 0.709 (the published α_64 constant).
+    * The small-range linear-counting correction needs ln() — not
+    * bit-portable — so the audit reports est_raw plus n_zero_regs and
+    * lets the reader apply corrections; the signed error column is the
+    * point of the table anyway.
+    *
+    * Scale shape: one shingle pass → distinct (source, shingle) hash-agg
+    * (the exact count needs it regardless); registers collapse map-side
+    * to ≤|sources|·m cells; the grid crossJoin is |sources| × m rows. */
+  def hllShingleCardinality(docs: DataFrame, n: Int = 3,
+                            b: Int = 6): DataFrame = {
+    require(b >= 4 && b <= 16, s"hllShingleCardinality: b ($b) out of range")
+    val m = 1 << b
+    val suffixBits = 32 - b
+    val ss = docs
+      .select(col("source"), TextOps.tokens(col("text")).as("toks"))
+      .select(col("source"),
+        explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
+      .distinct()
+      .withColumn("h", TextOps.md5Int32(col("s")))
+      .localCheckpoint() // feeds the exact count AND the registers
+    val exact = ss.groupBy(col("source"))
+      .agg(count(lit(1)).as("exact_distinct"))
+    val rem = pmod(col("h"), lit(1L << suffixBits))
+    val rho = when(rem === 0L, lit(suffixBits + 1L))
+      .otherwise(lit(suffixBits.toLong) - (length(bin(rem)) - lit(1L)))
+    val regs = ss
+      .select(col("source"),
+        floor(col("h").cast(DoubleType) / lit(math.pow(2.0, suffixBits)))
+          .cast(LongType).as("reg"),
+        rho.as("rho"))
+      .groupBy(col("source"), col("reg"))
+      .agg(max(col("rho")).as("max_rho"))
+    val grid = docs.select(col("source")).distinct()
+      .select(col("source"),
+        explode(sequence(lit(0L), lit((m - 1).toLong))).as("reg"))
+    val cells = grid.join(regs, Seq("source", "reg"), "left")
+      .select(col("source"),
+        coalesce(col("max_rho"), lit(0L)).as("rho"))
+    val zE50 = floor(pow(lit(2.0), lit(50.0) - col("rho").cast(DoubleType)))
+      .cast(LongType)
+    cells.groupBy(col("source"))
+      .agg(sum((col("rho") === 0L).cast(LongType)).as("n_zero_regs"),
+        sum(zE50).as("z_e50"))
+      .join(exact, Seq("source"))
+      .withColumn("est_raw",
+        lit(0.709) * lit(m.toDouble) * lit(m.toDouble) *
+          pow(lit(2.0), lit(50.0)) / col("z_e50").cast(DoubleType))
+      .select(col("source"), col("exact_distinct"), col("n_zero_regs"),
+        col("z_e50"), col("est_raw"),
+        (col("est_raw") - col("exact_distinct").cast(DoubleType)).as("err"))
+  }
 }

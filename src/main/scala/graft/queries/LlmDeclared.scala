@@ -3540,6 +3540,126 @@ object LlmDeclared {
         CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       FROM q GROUP BY dim ORDER BY dim"""))
 
+  /** The dense-leg oracle chain (vb → ev/tv → ds → dr → dk): id-aligned
+    * eval vectors cosine-ranked against train vectors, shared by the
+    * l109 agreement and l110 fusion oracles. */
+  private val denseCte =
+    s"""vb AS (SELECT vec_id, embedding,
+               ('0x' || substr(md5(vec_id::VARCHAR), 1, 8))::BIGINT % 100 AS bucket
+             FROM embeddings),
+      qv AS (SELECT vec_id AS q_id FROM vb WHERE bucket >= 80),
+      ev AS (SELECT vec_id AS q_id, embedding FROM vb WHERE bucket >= 80),
+      tv AS (SELECT vec_id, embedding FROM vb WHERE bucket < 80),
+      ds AS (SELECT e.q_id, t.vec_id AS doc_id,
+               ${duckCosine("e.embedding", "t.embedding")} AS sim
+             FROM ev e JOIN tv t ON e.q_id <> t.vec_id),
+      dr AS (SELECT q_id, doc_id,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY sim DESC, doc_id) AS rank
+             FROM ds),
+      dk AS (SELECT q_id, doc_id, CAST(rank AS BIGINT) AS rank
+             FROM dr WHERE rank <= 5),
+      sp AS (SELECT r.q_id, r.doc_id, r.rank
+             FROM rk r JOIN qv ON qv.q_id = r.q_id WHERE r.rank <= 5)"""
+
+  /** L109 — sparse-vs-dense retrieval agreement: per id-aligned eval
+    * query, BM25 top-5 over train docs vs exact-cosine top-5 over train
+    * vectors — list sizes, intersection, rank-1 agreement. The hybrid-
+    * retrieval calibration table (Retrieval.hybridAgreement scaladoc). */
+  private val l109 = DeclaredQuery(
+    "l109_hybrid_retrieval_agreement",
+    (s, dir) => Retrieval.hybridAgreement(
+      t(s, dir, "documents"), t(s, dir, "embeddings"), k = 5)
+      .orderBy(col("q_id")),
+    Some(s"""WITH $bm25Cte, $denseCte,
+      nb AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_sparse FROM sp GROUP BY q_id),
+      ne AS (SELECT q_id, CAST(COUNT(*) AS BIGINT) AS n_dense FROM dk GROUP BY q_id),
+      cm AS (SELECT a.q_id, CAST(COUNT(*) AS BIGINT) AS n_common
+             FROM sp a JOIN dk b ON b.q_id = a.q_id AND b.doc_id = a.doc_id
+             GROUP BY a.q_id),
+      t1 AS (SELECT a.q_id, CAST(a.doc_id = b.doc_id AS BIGINT) AS top1_agree
+             FROM sp a JOIN dk b ON b.q_id = a.q_id
+             WHERE a.rank = 1 AND b.rank = 1)
+      SELECT qv.q_id,
+        COALESCE(nb.n_sparse, 0) AS n_sparse,
+        COALESCE(ne.n_dense, 0) AS n_dense,
+        COALESCE(cm.n_common, 0) AS n_common,
+        COALESCE(t1.top1_agree, 0) AS top1_agree
+      FROM qv
+      LEFT JOIN nb USING (q_id) LEFT JOIN ne USING (q_id)
+      LEFT JOIN cm USING (q_id) LEFT JOIN t1 USING (q_id)
+      ORDER BY qv.q_id"""))
+
+  /** L110 — hybrid RRF fusion top-k: the two legs full-outer joined per
+    * (q_id, doc_id), fused by Σ ⌊10⁶/(60+rank)⌋ summed as BIGINT (the
+    * snap makes the sum order-free and bit-portable — Retrieval.rrfFuse
+    * scaladoc), fused top-5 with each leg's rank carried (NULL where one
+    * leg missed the doc). */
+  private val l110 = DeclaredQuery(
+    "l110_hybrid_rrf_fusion",
+    (s, dir) => Retrieval.hybridRrfTopK(
+      t(s, dir, "documents"), t(s, dir, "embeddings"), k = 5)
+      .orderBy(col("q_id"), col("rank")),
+    Some(s"""WITH $bm25Cte, $denseCte,
+      fj AS (SELECT COALESCE(s.q_id, d.q_id) AS q_id,
+               COALESCE(s.doc_id, d.doc_id) AS doc_id,
+               s.rank AS sparse_rank, d.rank AS dense_rank
+             FROM sp s FULL OUTER JOIN dk d
+               ON d.q_id = s.q_id AND d.doc_id = s.doc_id),
+      fsc AS (SELECT q_id, doc_id, sparse_rank, dense_rank,
+               COALESCE(CAST(floor(1000000.0 /
+                 (CAST(sparse_rank AS DOUBLE) + 60.0)) AS BIGINT), 0)
+             + COALESCE(CAST(floor(1000000.0 /
+                 (CAST(dense_rank AS DOUBLE) + 60.0)) AS BIGINT), 0) AS rrf_e6
+             FROM fj),
+      fr AS (SELECT q_id, doc_id, rrf_e6, sparse_rank, dense_rank,
+               ROW_NUMBER() OVER (PARTITION BY q_id
+                 ORDER BY rrf_e6 DESC, doc_id) AS rank
+             FROM fsc)
+      SELECT q_id, doc_id, rrf_e6, CAST(rank AS BIGINT) AS rank,
+        sparse_rank, dense_rank
+      FROM fr WHERE rank <= 5 ORDER BY q_id, rank"""))
+
+  /** L111 — replayable-HLL distinct-shingle cardinality audit per source:
+    * exact distinct count next to the md5-register HLL estimate and the
+    * signed error (Sketches.hllShingleCardinality scaladoc — the
+    * cardinality sketch completing the estimator-audit family; every
+    * register derives from md5 bit arithmetic both engines replay). */
+  private val l111 = DeclaredQuery(
+    "l111_hll_shingle_cardinality",
+    (s, dir) => Sketches.hllShingleCardinality(t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some("""WITH w AS (SELECT source, doc_id, string_split(text, ' ') AS toks
+               FROM documents),
+      sh AS (SELECT DISTINCT source, unnest(list_distinct(list_transform(
+               range(1, len(toks) - 1),
+               i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS s
+             FROM w),
+      h AS (SELECT source, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM sh),
+      ex AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS exact_distinct
+             FROM h GROUP BY source),
+      r AS (SELECT source,
+              CAST(floor(h / 67108864.0) AS BIGINT) AS reg,
+              CASE WHEN h % 67108864 = 0 THEN 27
+                   ELSE 26 - (length(bin(h % 67108864)) - 1) END AS rho
+            FROM h),
+      mr AS (SELECT source, reg, MAX(rho) AS max_rho FROM r GROUP BY source, reg),
+      grid AS (SELECT d.source, g.reg
+               FROM (SELECT DISTINCT source FROM documents) d
+               CROSS JOIN (SELECT unnest(range(0, 64)) AS reg) g),
+      cells AS (SELECT grid.source, COALESCE(mr.max_rho, 0) AS rho
+                FROM grid LEFT JOIN mr
+                  ON mr.source = grid.source AND mr.reg = grid.reg),
+      agg AS (SELECT source,
+                CAST(SUM(CASE WHEN rho = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero_regs,
+                CAST(SUM(CAST(floor(power(2.0, 50.0 - rho)) AS BIGINT)) AS BIGINT) AS z_e50
+              FROM cells GROUP BY source)
+      SELECT a.source, ex.exact_distinct, a.n_zero_regs, a.z_e50,
+        0.709 * 64.0 * 64.0 * power(2.0, 50.0) / CAST(a.z_e50 AS DOUBLE) AS est_raw,
+        0.709 * 64.0 * 64.0 * power(2.0, 50.0) / CAST(a.z_e50 AS DOUBLE)
+          - CAST(ex.exact_distinct AS DOUBLE) AS err
+      FROM agg a JOIN ex USING (source) ORDER BY a.source"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -3550,5 +3670,5 @@ object LlmDeclared {
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
-    l101, l102, l103, l104, l105, l106, l107, l108, d29)
+    l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, d29)
 }

@@ -21,6 +21,13 @@ object StreamOps {
   final case class StreamVec(vec_id: Long, embedding: Array[Float],
                              ts: java.sql.Timestamp)
 
+  /** Typed row for S29 streaming hybrid (sparse + dense) retrieval serving:
+    * a query carries BOTH its text (the BM25 leg) and its embedding (the
+    * cosine leg). */
+  final case class StreamHybridQuery(q_id: Long, text: String,
+                                     embedding: Array[Float],
+                                     ts: java.sql.Timestamp)
+
   /** S1 — paced ingest (updateTables.py:56-59: one insert / 5 s over the
     * first 1000 ids). The pacing is *config* on a rate source, not a loop;
     * the row synthesis reuses the GEN2 expressions keyed by the rate

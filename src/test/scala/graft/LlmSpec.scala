@@ -2704,4 +2704,124 @@ class LlmSpec extends SparkSpec {
     assert(got(0) === (("en", 1L, 2L, 5L, 2.5)), got(0).toString)
     assert(got(1) === (("fr", 1L, 3L, 5L, 5.0 / 3.0)), got(1).toString)
   }
+
+  // -------------------------------------------------- hybrid retrieval
+
+  private def splitBucketOf(id: Long): Int = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.toString.getBytes("UTF-8"))
+    (java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16) % 100).toInt
+  }
+
+  test("hybridAgreement: id-aligned planted neighbor agrees at rank 1; " +
+    "corpus invariants hold over the query universe") {
+    val trainIds = (1L to 300L).filter(splitBucketOf(_) < 80)
+    val evalIds = (1L to 300L).filter(splitBucketOf(_) >= 80)
+    val tA = trainIds.head; val tB = trainIds(1)
+    val q = evalIds.head
+    // both planes point q at tA: identical text AND identical vector
+    val docs = Seq(
+      (tA, "x1 x2 x3 x4 x5 x6"),
+      (tB, "y1 y2 y3 y4 y5 y6"),
+      (q, "x1 x2 x3 x4 x5 x6")).toDF("doc_id", "text")
+    val vecs = Seq(
+      (tA, Array(1.0f, 0.0f)),
+      (tB, Array(0.0f, 1.0f)),
+      (q, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val got = Retrieval.hybridAgreement(docs, vecs, k = 5)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))).toMap
+    assert(got.keySet === Set(q))
+    val (ns, nd, nc, t1) = got(q)
+    // sparse surfaces tA (shared terms); dense ranks tA first (cos = 1)
+    assert(ns >= 1L && nd === 2L && nc >= 1L && t1 === 1L, got(q).toString)
+    // corpus: query universe == eval vec ids; bounds hold everywhere
+    val docsC = Tables.load(spark, sf001, "documents")
+    val vecsC = Tables.load(spark, sf001, "embeddings")
+    val rows = Retrieval.hybridAgreement(docsC, vecsC, k = 5).collect()
+    val evalVecIds = vecsC.filter(TextOps.splitBucket(col("vec_id")) >= 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.map(_.getLong(0)).toSet === evalVecIds)
+    rows.foreach { r =>
+      assert(r.getLong(3) <= math.min(r.getLong(1), r.getLong(2)))
+      assert(r.getLong(1) <= 5L && r.getLong(2) <= 5L)
+      assert(r.getLong(4) === 0L || r.getLong(4) === 1L)
+    }
+  }
+
+  test("rrfFuse: hand-computed fusion; hybridRrfTopK corpus invariants " +
+    "and leg-rank consistency") {
+    val sparse = Seq((10L, 1L, 1L), (10L, 2L, 2L))
+      .toDF("q_id", "doc_id", "rank")
+    val dense = Seq((10L, 2L, 1L), (10L, 3L, 2L))
+      .toDF("q_id", "doc_id", "rank")
+    // RRF_e6: d2 = ⌊1e6/62⌋+⌊1e6/61⌋ = 16129+16393 = 32522;
+    //         d1 = 16393 (sparse only); d3 = 16129 (dense only)
+    val fused = Retrieval.rrfFuse(sparse, dense, k = 5).orderBy("rank")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    assert(fused.toSeq === Seq(
+      (2L, 32522L, 1L, 2L, 1L),
+      (1L, 16393L, 2L, 1L, -1L),
+      (3L, 16129L, 3L, -1L, 2L)))
+    // corpus form: per-query ranks consecutive from 1, scores
+    // non-increasing, every row carries at least one leg rank
+    val docsC = Tables.load(spark, sf001, "documents")
+    val vecsC = Tables.load(spark, sf001, "embeddings")
+    val rows = Retrieval.hybridRrfTopK(docsC, vecsC, k = 5)
+      .orderBy("q_id", "rank").collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getLong(0)).foreach { case (_, rs) =>
+      val ranks = rs.map(_.getLong(3)).toSeq
+      assert(ranks === (1L to ranks.length).toSeq)
+      val scores = rs.sortBy(_.getLong(3)).map(_.getLong(2)).toSeq
+      assert(scores === scores.sorted(Ordering[Long].reverse))
+    }
+    rows.foreach { r => assert(!r.isNullAt(4) || !r.isNullAt(5)) }
+  }
+
+  test("hllShingleCardinality: exact counts match a direct distinct; " +
+    "register arithmetic replayed in-test; estimate within coarse bounds") {
+    val docsC = Tables.load(spark, sf001, "documents")
+    val got = Sketches.hllShingleCardinality(docsC).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    // exact leg == direct distinct (source, shingle) count
+    val direct = TextOps.docShingles(docsC, 3)
+      .join(docsC.select(col("doc_id"), col("source")), "doc_id")
+      .select(col("source"), col("s")).distinct()
+      .groupBy("source").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet === direct.keySet)
+    got.foreach { case (src, (exact, nZero, zE50, est, err)) =>
+      assert(exact === direct(src), s"$src exact")
+      assert(nZero >= 0L && nZero <= 64L, s"$src zeros")
+      // Z is bounded by the all-empty sketch (64 registers at ρ = 0)
+      assert(zE50 > 0L && zE50 <= 64L * (1L << 50), s"$src z")
+      assert(math.abs(err - (est - exact.toDouble)) < 1e-6, s"$src err")
+      // ±13% is the m=64 standard error; assert a loose 3-sigma envelope
+      // on the corpus (thousands of distinct shingles per source)
+      assert(est > exact * 0.5 && est < exact * 2.0, s"$src est=$est exact=$exact")
+    }
+    // replay the register formula for one synthetic shingle set
+    val one = docsDf(1L -> "a b c d e").withColumn("source", lit("s"))
+    val row = Sketches.hllShingleCardinality(one).collect().head
+    // three shingles: "a b c", "b c d", "c d e" — replay md5-int32 → reg/ρ
+    def h32(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(md.take(4).map("%02x".format(_)).mkString, 16)
+    }
+    val regs = Seq("a b c", "b c d", "c d e").map { s =>
+      val h = h32(s); val rem = h % (1L << 26)
+      val rho = if (rem == 0L) 27L
+        else 26L - (63 - java.lang.Long.numberOfLeadingZeros(rem))
+      (h / (1L << 26), rho)
+    }.groupBy(_._1).map { case (r, vs) => r -> vs.map(_._2).max }
+    val expZ = (0 until 64).map(r =>
+      math.pow(2.0, 50.0 - regs.getOrElse(r.toLong, 0L)).toLong).sum
+    assert(row.getLong(1) === 3L)
+    assert(row.getLong(3) === expZ)
+  }
 }

@@ -468,7 +468,11 @@ class PlanSpec extends SparkSpec {
       "l104_hard_negatives",
       // l108: the posexplode flattens embeddings INSIDE the scan stage;
       // the per-dim agg exchange carries (dim, partial counters) only
-      "l108_embedding_dim_stats")) {
+      "l108_embedding_dim_stats",
+      // l109/l110: the dense leg is the l05 broadcast-queries shape;
+      // every post-leg exchange (agreement joins / RRF fusion window)
+      // moves (q_id, doc_id, rank) ids only
+      "l109_hybrid_retrieval_agreement", "l110_hybrid_rrf_fusion")) {
       allShufflePayloads(lq(q)).foreach { attrs =>
         val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
         assert(arrays.isEmpty,
@@ -631,7 +635,12 @@ class PlanSpec extends SparkSpec {
       "l106_retrieval_decon_agreement",
       // l107: broadcast 1-row (v_total, mass_total) crossJoins onto the
       // frequency grid and the 10-row decile table (the l28 shape)
-      "l107_vocab_coverage")
+      "l107_vocab_coverage",
+      // l109/l110: embed l101's broadcast 1-row stats crossJoin (sparse
+      // leg) and the l05 broadcast-queries non-equi similarity join
+      // (dense leg)
+      "l109_hybrid_retrieval_agreement",
+      "l110_hybrid_rrf_fusion")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -960,6 +960,55 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S29: hybrid RRF serving under foreachBatch — arriving query " +
+    "batches against persisted sparse + dense models equal batch fusion") {
+    // The l110 production split: postings/stats and train vectors are
+    // built offline and persisted; queries ARRIVE carrying text AND
+    // embedding — each batch pays its own term join + dense scan + RRF
+    // window only. Per-query independence makes stream output equal the
+    // fused batch operator row-for-row (leg ranks and nulls included),
+    // for any batch split.
+    import StreamOps.StreamHybridQuery
+    import graft.llm.{Retrieval, TextOps}
+    val docs = Tables.load(spark, sf001, "documents")
+    val vecs = Tables.load(spark, sf001, "embeddings")
+    val train = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+    val (postings0, stats0) = Retrieval.bm25Model(train)
+    val postings = postings0.localCheckpoint()
+    val stats = stats0.localCheckpoint()
+    val trainV = vecs.filter(TextOps.splitBucket(col("vec_id")) < 80)
+      .localCheckpoint()
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        if (r.isNullAt(4)) -1L else r.getLong(4),
+        if (r.isNullAt(5)) -1L else r.getLong(5)))
+    val fused = rowsOf(Retrieval.hybridRrfTopK(docs, vecs, k = 5))
+      .sortBy(r => (r._1, r._4))
+    val qRows = docs.select(col("doc_id").as("q_id"), col("text"))
+      .join(vecs.filter(TextOps.splitBucket(col("vec_id")) >= 80)
+        .select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id"))
+      .collect()
+      .map(r => StreamHybridQuery(r.getLong(0), r.getString(1),
+        r.getSeq[Float](2).toArray,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(qRows.length > 4)
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, Long, Long, Long)]()
+    val in = MemoryStream[StreamHybridQuery]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val served = rowsOf(Retrieval.hybridServe(
+          batch.toDF().select(col("q_id"), col("text"), col("embedding")),
+          postings, stats, trainV, k = 5))
+        got.synchronized { got ++= served; () }
+      }.start()
+    try {
+      in.addData(qRows.take(4): _*); q.processAllAvailable()
+      in.addData(qRows.drop(4): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.sortBy(r => (r._1, r._4)).toSeq)
+      === fused.toSeq)
+  }
+
   test("S28: gopher-rule cell maintenance under foreachBatch — folding " +
     "per-batch rule batteries equals the from-scratch battery") {
     // The l103 deployment shape (the S22 discipline): each arriving crawl
