@@ -310,6 +310,38 @@ object Retrieval {
     rrfFuse(sparse.select(col("q_id"), col("doc_id"), col("rank")), dense, k)
   }
 
+  /** RETRIEVABILITY audit (l113; Azzopardi & Vinay, CIKM'08) — per TRAIN
+    * document: how many eval queries retrieve it in the sparse top-k and
+    * in the dense top-k, zeros included (the left joins are the point:
+    * documents NO query can surface are dead index weight — they pay
+    * storage and scan cost in every serve yet can never be returned —
+    * and documents with outsized counts are retrieval hubs, the sparse
+    * twin of l79's dense-only in-degree). `in_dense_index` marks
+    * id-aligned membership in the vector table so a dense zero is
+    * readable (absent ≠ never-retrieved).
+    *
+    * Scale shape: both legs collapse to ≤k·|eval| (q_id, doc_id) id-pairs
+    * before the per-doc counts; the train-doc spine is ids only. */
+  def retrievability(docs: DataFrame, vectors: DataFrame, k: Int = 5,
+                     trainPct: Int = 80): DataFrame = {
+    val sparseHits = bm25TopK(docs, k, trainPct)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_sparse_hits"))
+    val denseHits = denseEvalTopK(vectors, k, trainPct)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_dense_hits"))
+    val inDense = vectors
+      .filter(TextOps.splitBucket(col("vec_id")) < trainPct)
+      .select(col("vec_id").as("doc_id"), lit(1L).as("in_dense_index"))
+    docs.filter(TextOps.splitBucket(col("doc_id")) < trainPct)
+      .select(col("doc_id"))
+      .join(sparseHits, Seq("doc_id"), "left")
+      .join(denseHits, Seq("doc_id"), "left")
+      .join(inDense, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_sparse_hits"), lit(0L)).as("n_sparse_hits"),
+        coalesce(col("n_dense_hits"), lit(0L)).as("n_dense_hits"),
+        coalesce(col("in_dense_index"), lit(0L)).as("in_dense_index"))
+  }
+
   /** The fused declared form (l110): queries = eval-split ids present in
     * BOTH planes (text from documents, vector from embeddings — the
     * id-aligned join), models built on the train split. */

@@ -141,8 +141,6 @@ object Sketches {
   def hllShingleCardinality(docs: DataFrame, n: Int = 3,
                             b: Int = 6): DataFrame = {
     require(b >= 4 && b <= 16, s"hllShingleCardinality: b ($b) out of range")
-    val m = 1 << b
-    val suffixBits = 32 - b
     val ss = docs
       .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(col("source"),
@@ -152,20 +150,64 @@ object Sketches {
       .localCheckpoint() // feeds the exact count AND the registers
     val exact = ss.groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
+    hllEstimate(hllRegistersFromHashes(ss), docs.select(col("source")).distinct(), b)
+      .join(exact, Seq("source"))
+      .select(col("source"), col("exact_distinct"), col("n_zero_regs"),
+        col("z_e50"), col("est_raw"),
+        (col("est_raw") - col("exact_distinct").cast(DoubleType)).as("err"))
+  }
+
+  /** The occupied-register table (source, reg, max_rho) from a
+    * (source, h) hash table — the HLL sketch STATE the streaming monitor
+    * (S30) carries. */
+  def hllRegistersFromHashes(hashes: DataFrame, b: Int = 6): DataFrame = {
+    val suffixBits = 32 - b
     val rem = pmod(col("h"), lit(1L << suffixBits))
     val rho = when(rem === 0L, lit(suffixBits + 1L))
       .otherwise(lit(suffixBits.toLong) - (length(bin(rem)) - lit(1L)))
-    val regs = ss
+    hashes
       .select(col("source"),
         floor(col("h").cast(DoubleType) / lit(math.pow(2.0, suffixBits)))
           .cast(LongType).as("reg"),
         rho.as("rho"))
       .groupBy(col("source"), col("reg"))
       .agg(max(col("rho")).as("max_rho"))
-    val grid = docs.select(col("source")).distinct()
-      .select(col("source"),
-        explode(sequence(lit(0L), lit((m - 1).toLong))).as("reg"))
-    val cells = grid.join(regs, Seq("source", "reg"), "left")
+  }
+
+  /** Per-batch register table straight from a (source, text) document
+    * batch — the S30 per-arrival step (batch-local distinct is an
+    * optimization only; the max-merge absorbs duplicates). */
+  def hllShingleRegisters(docs: DataFrame, n: Int = 3,
+                          b: Int = 6): DataFrame =
+    hllRegistersFromHashes(
+      docs.select(col("source"), TextOps.tokens(col("text")).as("toks"))
+        .select(col("source"),
+          explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"))
+        .distinct()
+        .withColumn("h", TextOps.md5Int32(col("s"))), b)
+
+  /** Associative merge of two register tables — the S30 maintenance fold.
+    * Per-cell MAX is associative, commutative, AND IDEMPOTENT, which is
+    * strictly stronger than the S22 count discipline: re-delivered
+    * batches and cross-batch duplicate shingles are absorbed outright
+    * (same shingle → same register → same ρ → max unchanged), so the
+    * maintained table equals the from-scratch registers of the drained
+    * corpus under ANY delivery semantics, not just exactly-once. State is
+    * ≤ |sources|·2^b rows of three longs. */
+  def mergeHllRegisters(a: DataFrame, bTab: DataFrame): DataFrame =
+    a.unionByName(bTab).groupBy(col("source"), col("reg"))
+      .agg(max(col("max_rho")).as("max_rho"))
+
+  /** The estimate readout over a register table: empty registers at
+    * ρ = 0 via the sources × 2^b grid, harmonic sum as the exact LONG
+    * Σ 2^(50−ρ), α·m²·2⁵⁰/Z as the one double op chain (scaladoc of
+    * hllShingleCardinality). */
+  def hllEstimate(registers: DataFrame, sources: DataFrame,
+                  b: Int = 6): DataFrame = {
+    val m = 1 << b
+    val grid = sources.select(col("source"),
+      explode(sequence(lit(0L), lit((m - 1).toLong))).as("reg"))
+    val cells = grid.join(registers, Seq("source", "reg"), "left")
       .select(col("source"),
         coalesce(col("max_rho"), lit(0L)).as("rho"))
     val zE50 = floor(pow(lit(2.0), lit(50.0) - col("rho").cast(DoubleType)))
@@ -173,12 +215,8 @@ object Sketches {
     cells.groupBy(col("source"))
       .agg(sum((col("rho") === 0L).cast(LongType)).as("n_zero_regs"),
         sum(zE50).as("z_e50"))
-      .join(exact, Seq("source"))
       .withColumn("est_raw",
         lit(0.709) * lit(m.toDouble) * lit(m.toDouble) *
           pow(lit(2.0), lit(50.0)) / col("z_e50").cast(DoubleType))
-      .select(col("source"), col("exact_distinct"), col("n_zero_regs"),
-        col("z_e50"), col("est_raw"),
-        (col("est_raw") - col("exact_distinct").cast(DoubleType)).as("err"))
   }
 }

@@ -1392,7 +1392,22 @@ object TextAnalysis {
     * sf0.1 — where the native digest pass is ~0.1 s. The WINDOWING
     * lambdas stay as HOFs deliberately: they move small long arrays,
     * measured free. */
-  def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
+  def winnow(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame =
+    winnowTable(docs, n, w)
+      .select(
+        col("doc_id"),
+        size(col("hs")).cast(LongType).as("n_grams"),
+        size(col("sel_pos")).cast(LongType).as("n_sel"),
+        size(array_distinct(col("sel_h"))).cast(LongType).as("n_sel_distinct"),
+        (size(col("sel_pos")).cast(DoubleType) /
+          size(col("hs")).cast(DoubleType)).as("density"),
+        md5(concat_ws(",",
+          transform(sort_array(col("sel_h")), _.cast(StringType)))).as("fp"))
+
+  /** The per-doc winnow selection table (doc_id, hs, sel_pos, sel_h) —
+    * the pre-aggregation projection shared by the l102 audit (winnow) and
+    * the l112 match-pair operator (winnowMatchPairs). */
+  def winnowTable(docs: DataFrame, n: Int = 3, w: Int = 4): DataFrame = {
     val hs = call_function("positional_gram_hashes", col("toks"), lit(n))
     val g = size(col("hs"))
     val wEff = least(lit(w), g)
@@ -1412,15 +1427,48 @@ object TextAnalysis {
       .filter(size(col("hs")) > 0)
       .select(col("doc_id"), col("hs"), selPos.as("sel_pos"))
       .select(col("doc_id"), col("hs"), col("sel_pos"), selH.as("sel_h"))
-      .select(
-        col("doc_id"),
-        size(col("hs")).cast(LongType).as("n_grams"),
-        size(col("sel_pos")).cast(LongType).as("n_sel"),
-        size(array_distinct(col("sel_h"))).cast(LongType).as("n_sel_distinct"),
-        (size(col("sel_pos")).cast(DoubleType) /
-          size(col("hs")).cast(DoubleType)).as("density"),
-        md5(concat_ws(",",
-          transform(sort_array(col("sel_h")), _.cast(StringType)))).as("fp"))
+  }
+
+  /** WINNOW MATCH PAIRS (l112) — the matching half of the winnowing
+    * scheme the l102 selection exists FOR (Schleimer et al. §4: docs are
+    * matched on shared selected fingerprints): pairs of documents sharing
+    * ≥ `minShared` distinct selected hashes, with each side's distinct-
+    * selection size and the containment fraction shared/min(na, nb) — the
+    * plagiarism/copy-detection pair table. The winnow guarantee transfers:
+    * any common token run of length ≥ w+n−1 forces a shared fingerprint,
+    * so long matches cannot score zero (the property the mod-p l10/l11
+    * sampler lacks).
+    *
+    * Scale shape: the l02 inverted-index discipline on an ~1/w-compressed
+    * universe — only (doc_id, hash-long) atoms leave the scan, the
+    * posting join keys on the hash, and `maxHashFreq` is the same hot-key
+    * guard as jaccardPairs' maxDocFreq (a fingerprint in half the corpus
+    * is boilerplate, not plagiarism; the declared query runs exact with
+    * the guard off). */
+  def winnowMatchPairs(docs: DataFrame, n: Int = 3, w: Int = 4,
+                       minShared: Long = 2,
+                       maxHashFreq: Option[Long] = None): DataFrame = {
+    val selAll = winnowTable(docs, n, w)
+      .select(col("doc_id"), explode(array_distinct(col("sel_h"))).as("h"))
+      .localCheckpoint() // feeds sizes + postings (+ the hot set)
+    val sel = maxHashFreq.fold(selAll) { t =>
+      val hot = selAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > t).select(col("h"))
+      selAll.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val sizes = sel.groupBy(col("doc_id")).agg(count(lit(1)).as("n_sel"))
+    sel.as("a")
+      .join(sel.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n_sel").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n_sel").as("nb")), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("n_shared"),
+        col("na"), col("nb"),
+        (col("n_shared").cast(DoubleType) /
+          least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
   }
 
   /** GOPHER-style quality-rule battery (Rae et al. 2021, table A1 — the

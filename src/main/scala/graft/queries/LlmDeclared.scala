@@ -3321,11 +3321,10 @@ object LlmDeclared {
     * per-window rightmost-minimum over the positional 3-gram hash
     * sequence, w = 4. The oracle replays the in-row selection with list
     * lambdas (reverse + first-position = rightmost argmin). */
-  private val l102 = DeclaredQuery(
-    "l102_winnow",
-    (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"), n = 3, w = 4)
-      .orderBy(col("doc_id")),
-    Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
+  /** The l102 winnow-selection oracle chain (t → h → p → sel → sh),
+    * shared with the l112 match-pair oracle. */
+  private val winnowCte =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS w FROM documents),
       h AS (SELECT doc_id,
               list_transform(range(1, len(w) - 1),
                 i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT) AS hs
@@ -3339,7 +3338,13 @@ object LlmDeclared {
             FROM p),
       sh AS (SELECT doc_id, g, sel_pos,
               list_transform(sel_pos, q -> hs[q]) AS sel_h
-            FROM sel)
+            FROM sel)"""
+
+  private val l102 = DeclaredQuery(
+    "l102_winnow",
+    (s, dir) => TextAnalysis.winnow(t(s, dir, "documents"), n = 3, w = 4)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $winnowCte
       SELECT doc_id, CAST(g AS BIGINT) AS n_grams,
         CAST(len(sel_pos) AS BIGINT) AS n_sel,
         CAST(len(list_distinct(sel_h)) AS BIGINT) AS n_sel_distinct,
@@ -3660,6 +3665,54 @@ object LlmDeclared {
           - CAST(ex.exact_distinct AS DOUBLE) AS err
       FROM agg a JOIN ex USING (source) ORDER BY a.source"""))
 
+  /** L112 — winnow match pairs: docs sharing ≥ 2 distinct selected
+    * fingerprints, with selection sizes and containment — the matching
+    * half of l102's selection (TextAnalysis.winnowMatchPairs scaladoc). */
+  private val l112 = DeclaredQuery(
+    "l112_winnow_match_pairs",
+    (s, dir) => TextAnalysis.winnowMatchPairs(t(s, dir, "documents"))
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $winnowCte,
+      e AS (SELECT DISTINCT doc_id, unnest(list_distinct(sel_h)) AS fh FROM sh),
+      sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM e GROUP BY doc_id),
+      pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(COUNT(*) AS BIGINT) AS n_shared
+             FROM e a JOIN e b ON b.fh = a.fh AND a.doc_id < b.doc_id
+             GROUP BY a.doc_id, b.doc_id)
+      SELECT pr.doc_a, pr.doc_b, pr.n_shared, sa.n AS na, sb.n AS nb,
+        CAST(pr.n_shared AS DOUBLE) / CAST(least(sa.n, sb.n) AS DOUBLE)
+          AS containment
+      FROM pr
+      JOIN sz sa ON sa.doc_id = pr.doc_a
+      JOIN sz sb ON sb.doc_id = pr.doc_b
+      WHERE pr.n_shared >= 2 ORDER BY pr.doc_a, pr.doc_b"""))
+
+  /** L113 — retrievability audit (Azzopardi–Vinay): per train doc, eval-
+    * query hit counts in the sparse and dense top-k legs, zeros included;
+    * in_dense_index marks id-aligned vector membership
+    * (Retrieval.retrievability scaladoc). */
+  private val l113 = DeclaredQuery(
+    "l113_retrievability",
+    (s, dir) => Retrieval.retrievability(
+      t(s, dir, "documents"), t(s, dir, "embeddings"), k = 5)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $bm25Cte, $denseCte,
+      sh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sparse_hits
+             FROM rk WHERE rank <= 5 GROUP BY doc_id),
+      dh AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dense_hits
+             FROM dk GROUP BY doc_id),
+      iv AS (SELECT vec_id AS doc_id, CAST(1 AS BIGINT) AS in_dense_index
+             FROM vb WHERE bucket < 80),
+      spine AS (SELECT doc_id FROM td WHERE bucket < 80)
+      SELECT spine.doc_id,
+        COALESCE(sh.n_sparse_hits, 0) AS n_sparse_hits,
+        COALESCE(dh.n_dense_hits, 0) AS n_dense_hits,
+        COALESCE(iv.in_dense_index, 0) AS in_dense_index
+      FROM spine
+      LEFT JOIN sh USING (doc_id) LEFT JOIN dh USING (doc_id)
+      LEFT JOIN iv USING (doc_id)
+      ORDER BY spine.doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -3670,5 +3723,6 @@ object LlmDeclared {
     l64, l65, l66, l67, l67b, l68, l69, l70, l71, l72, l73, l74, l75,
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
-    l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111, d29)
+    l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111,
+    l112, l113, d29)
 }

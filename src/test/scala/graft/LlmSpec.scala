@@ -2804,6 +2804,23 @@ class LlmSpec extends SparkSpec {
       // on the corpus (thousands of distinct shingles per source)
       assert(est > exact * 0.5 && est < exact * 2.0, s"$src est=$est exact=$exact")
     }
+    // streaming maintenance contract: max-merge of per-batch register
+    // tables equals from-scratch registers, and is IDEMPOTENT under
+    // re-delivery (same batch folded twice changes nothing)
+    val docsC2 = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+    val half = docsC2.filter(col("doc_id") % 2 === 0)
+    val other = docsC2.filter(col("doc_id") % 2 =!= 0)
+    def regSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fromScratch = regSet(Sketches.hllShingleRegisters(docsC2))
+    val folded = regSet(Sketches.mergeHllRegisters(
+      Sketches.mergeHllRegisters(
+        Sketches.hllShingleRegisters(half),
+        Sketches.hllShingleRegisters(other)),
+      Sketches.hllShingleRegisters(half))) // re-delivery of `half`
+    assert(folded === fromScratch)
+
     // replay the register formula for one synthetic shingle set
     val one = docsDf(1L -> "a b c d e").withColumn("source", lit("s"))
     val row = Sketches.hllShingleCardinality(one).collect().head
@@ -2823,5 +2840,62 @@ class LlmSpec extends SparkSpec {
       math.pow(2.0, 50.0 - regs.getOrElse(r.toLong, 0L)).toLong).sum
     assert(row.getLong(1) === 3L)
     assert(row.getLong(3) === expZ)
+  }
+
+  test("winnowMatchPairs: verbatim copy shares every fingerprint at " +
+    "containment 1; disjoint docs never pair; guarantee on a planted run") {
+    // doc 2 is a verbatim copy of doc 1; doc 3 shares nothing; doc 4
+    // embeds doc 1's token run inside fresh context — the winnow
+    // guarantee (any common run >= w+n-1 = 6 tokens shares a selected
+    // fingerprint) forces the (1,4) pair to surface
+    val base = "p1 p2 p3 p4 p5 p6 p7 p8"
+    val d = docsDf(
+      1L -> base,
+      2L -> base,
+      3L -> "z1 z2 z3 z4 z5 z6 z7 z8",
+      4L -> ("u1 u2 " + base + " u3 u4"))
+    val got = TextAnalysis.winnowMatchPairs(d, minShared = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5))).toMap
+    val (sh12, na12, nb12, c12) = got((1L, 2L))
+    assert(sh12 === na12 && na12 === nb12 && c12 === 1.0)
+    assert(got.contains((1L, 4L)), got.keySet.toString) // the guarantee
+    assert(!got.keys.exists { case (a, b) => a == 3L || b == 3L })
+    // corpus invariants: shared <= min(na, nb), containment in (0, 1]
+    val rows = TextAnalysis.winnowMatchPairs(
+      Tables.load(spark, sf001, "documents")).collect()
+    rows.foreach { r =>
+      assert(r.getLong(2) <= math.min(r.getLong(3), r.getLong(4)))
+      assert(r.getDouble(5) > 0.0 && r.getDouble(5) <= 1.0)
+      assert(r.getLong(0) < r.getLong(1))
+    }
+  }
+
+  test("retrievability: hit counts reconcile with the top-k tables; " +
+    "spine covers every train doc; dense zeros readable via the flag") {
+    val docsC = Tables.load(spark, sf001, "documents")
+    val vecsC = Tables.load(spark, sf001, "embeddings")
+    val rows = Retrieval.retrievability(docsC, vecsC, k = 5).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // spine = exactly the train docs
+    val trainIds = docsC.filter(TextOps.splitBucket(col("doc_id")) < 80)
+      .collect().map(_.getLong(0)).toSet
+    assert(rows.keySet === trainIds)
+    // conservation: per-doc hit counts sum to the top-k tables' row counts
+    val sparseTotal = Retrieval.bm25TopK(docsC, 5).count()
+    val denseTotal = Retrieval.denseEvalTopK(vecsC, 5).count()
+    assert(rows.values.map(_._1).sum === sparseTotal)
+    assert(rows.values.map(_._2).sum === denseTotal)
+    // a doc outside the dense index never has dense hits; flag matches
+    // vector membership
+    val trainVecIds = vecsC.filter(TextOps.splitBucket(col("vec_id")) < 80)
+      .collect().map(_.getLong(0)).toSet
+    rows.foreach { case (id, (_, nd, flag)) =>
+      assert(flag === (if (trainVecIds(id)) 1L else 0L), s"doc $id flag")
+      if (flag == 0L) assert(nd === 0L, s"doc $id dense hits w/o vector")
+    }
+    // the dead-weight readout exists: at least one never-retrieved doc
+    assert(rows.values.exists(v => v._1 === 0L))
   }
 }

@@ -472,7 +472,10 @@ class PlanSpec extends SparkSpec {
       // l109/l110: the dense leg is the l05 broadcast-queries shape;
       // every post-leg exchange (agreement joins / RRF fusion window)
       // moves (q_id, doc_id, rank) ids only
-      "l109_hybrid_retrieval_agreement", "l110_hybrid_rrf_fusion")) {
+      "l109_hybrid_retrieval_agreement", "l110_hybrid_rrf_fusion",
+      // l113: the dense leg again; the hit-count and spine joins move
+      // (doc_id, counts) only
+      "l113_retrievability")) {
       allShufflePayloads(lq(q)).foreach { attrs =>
         val arrays = attrs.filter(_.dataType.isInstanceOf[ArrayType])
         assert(arrays.isEmpty,
@@ -640,7 +643,10 @@ class PlanSpec extends SparkSpec {
       // leg) and the l05 broadcast-queries non-equi similarity join
       // (dense leg)
       "l109_hybrid_retrieval_agreement",
-      "l110_hybrid_rrf_fusion")
+      "l110_hybrid_rrf_fusion",
+      // l113: same two embedded shapes (l101 stats crossJoin + l05
+      // non-equi dense leg)
+      "l113_retrievability")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -960,6 +960,53 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S30: HLL register maintenance under foreachBatch — max-folding " +
+    "per-batch register tables equals from-scratch, re-delivery absorbed") {
+    // The l111 deployment shape, with a STRONGER contract than the S22
+    // count discipline: per-cell MAX is idempotent, so re-delivered
+    // batches and cross-batch duplicate shingles are absorbed outright —
+    // the maintained registers equal the from-scratch sketch of the
+    // drained corpus under ANY delivery semantics. The estimate derives
+    // from the carried table at read time.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.Sketches
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val crawl = Seq(
+      d(1, "a b c d e f", "sA"), d(2, "c d e f g h", "sA"),
+      d(3, "x y z w v u", "sB"), d(4, "a b c", "sB"),
+      d(5, "m n o p q r s", "sA"))
+    val crawlDf = crawl.toDF().select(col("doc_id"), col("text"), col("source"))
+    def regSet(df: DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val fromScratch = regSet(Sketches.hllShingleRegisters(crawlDf))
+    var state: Option[DataFrame] = None
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val regs = Sketches.hllShingleRegisters(
+          batch.toDF().select(col("doc_id"), col("text"), col("source")))
+        val merged = state.fold(regs)(s =>
+          Sketches.mergeHllRegisters(s, regs)).localCheckpoint()
+        state = Some(merged); ()
+      }.start()
+    try {
+      in.addData(crawl.take(2): _*); q.processAllAvailable()
+      in.addData(crawl.drop(2): _*); q.processAllAvailable()
+      in.addData(crawl.take(2): _*); q.processAllAvailable() // re-delivery
+    } finally q.stop()
+    assert(regSet(state.get) === fromScratch)
+    // the derived estimate equals the fused batch audit's
+    val est = Sketches.hllEstimate(state.get,
+      crawlDf.select(col("source")).distinct()).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3)))
+      .toMap
+    val batchEst = Sketches.hllShingleCardinality(crawlDf).collect()
+      .map(r => r.getString(0) -> (r.getLong(2), r.getLong(3), r.getDouble(4)))
+      .toMap
+    assert(est === batchEst)
+  }
+
   test("S29: hybrid RRF serving under foreachBatch — arriving query " +
     "batches against persisted sparse + dense models equal batch fusion") {
     // The l110 production split: postings/stats and train vectors are
