@@ -73,13 +73,44 @@ object Retrieval {
     * a build-side blow-up; any exchange feeding a many-to-many broadcast
     * probe must pin its own parallelism. */
   def bm25Model(corpus: DataFrame): (DataFrame, DataFrame) = {
-    val shufflePartitions =
-      corpus.sparkSession.sessionState.conf.numShufflePartitions
+    val (tf, dl) = bm25Core(corpus)
+    bm25FromCore(tf, dl)
+  }
+
+  /** The INCREMENTAL index core (S31): per-doc rows only — term counts
+    * (doc_id, tok, tf) and lengths (doc_id, dl). Deliberately df-free and
+    * stats-free: document frequency and corpus totals are GLOBAL, so any
+    * carried form of them would need re-aggregation on every arrival
+    * anyway — what CAN merge by plain union is exactly the per-doc rows,
+    * and `mergeBm25Core` is that union (associative and commutative over
+    * DISJOINT doc batches; re-delivery is NOT idempotent — duplicate rows
+    * would double tf — so the S22 exactly-once foreachBatch discipline
+    * applies). The serving index derives at REFRESH time via
+    * `bm25FromCore` (one vocab-sized df agg + the doc_id re-cluster),
+    * the l52 persisted-model discipline: arriving batches pay per-batch
+    * work, the global recompute happens once per index swap, and the
+    * maintained index equals the from-scratch model of the drained
+    * corpus for any batch split (tested in StreamingSpec). */
+  def bm25Core(corpus: DataFrame): (DataFrame, DataFrame) = {
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
     val dl = toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
+    (tf, dl)
+  }
+
+  /** Disjoint-doc-batch merge of two index cores (see bm25Core). */
+  def mergeBm25Core(a: (DataFrame, DataFrame),
+                    b: (DataFrame, DataFrame)): (DataFrame, DataFrame) =
+    (a._1.unionByName(b._1), a._2.unionByName(b._2))
+
+  /** Derive the serving index (postings + stats) from a core — the
+    * refresh step of the incremental loop, and the second half of the
+    * fused bm25Model. */
+  def bm25FromCore(tf: DataFrame, dl: DataFrame): (DataFrame, DataFrame) = {
+    val shufflePartitions =
+      tf.sparkSession.sessionState.conf.numShufflePartitions
     val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val postings = tf.join(dfT, Seq("tok")).join(dl, Seq("doc_id"))
       .repartition(shufflePartitions, col("doc_id"))

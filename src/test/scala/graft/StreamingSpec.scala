@@ -960,6 +960,50 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S31: incremental BM25 index maintenance under foreachBatch — " +
+    "merged per-batch cores + one refresh equal the from-scratch model") {
+    // The l52 discipline applied to the retrieval index: corpus batches
+    // ARRIVE; each pays only its own tokenize/count work (bm25Core);
+    // cores merge by disjoint-doc union; the global df/stats recompute
+    // happens ONCE at index-refresh time (bm25FromCore), not per batch.
+    // Serving from the maintained index equals the fused batch operator
+    // row-for-row for any batch split.
+    import StreamOps.StreamDoc
+    import graft.llm.{Retrieval, TextOps}
+    val docs = Tables.load(spark, sf001, "documents")
+    val train = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val fused = rowsOf(Retrieval.bm25TopK(docs, k = 5))
+      .sortBy(r => (r._1, r._4))
+    val trainRows = train.select("doc_id", "text").collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(trainRows.length > 10)
+    var core: Option[(DataFrame, DataFrame)] = None
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = Retrieval.bm25Core(
+          batch.toDF().select(col("doc_id"), col("text")))
+        val merged = core.fold(b)(c => Retrieval.mergeBm25Core(c, b))
+        core = Some((merged._1.localCheckpoint(), merged._2.localCheckpoint()))
+        ()
+      }.start()
+    try {
+      in.addData(trainRows.take(7): _*); q.processAllAvailable()
+      in.addData(trainRows.slice(7, 20): _*); q.processAllAvailable()
+      in.addData(trainRows.drop(20): _*); q.processAllAvailable()
+    } finally q.stop()
+    // index refresh: derive postings/stats from the maintained core
+    val (postings, stats) = Retrieval.bm25FromCore(core.get._1, core.get._2)
+    val queries = docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val served = rowsOf(Retrieval.bm25Serve(queries, postings, stats, k = 5))
+      .sortBy(r => (r._1, r._4))
+    assert(served === fused)
+  }
+
   test("S30: HLL register maintenance under foreachBatch — max-folding " +
     "per-batch register tables equals from-scratch, re-delivery absorbed") {
     // The l111 deployment shape, with a STRONGER contract than the S22
