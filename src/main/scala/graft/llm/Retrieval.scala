@@ -111,10 +111,18 @@ object Retrieval {
   def bm25FromCore(tf: DataFrame, dl: DataFrame): (DataFrame, DataFrame) = {
     val shufflePartitions =
       tf.sparkSession.sessionState.conf.numShufflePartitions
-    val dfT = tf.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val postings = tf.join(dfT, Seq("tok")).join(dl, Seq("doc_id"))
+    // Materialize each core table once: tf feeds BOTH the postings join
+    // and the df aggregation, dl feeds BOTH the postings join and the
+    // corpus stats — without the checkpoints every consumer branch
+    // re-ran the corpus tokenize/count from the scan (round 12: two full
+    // extra corpus passes inside every model build). Index-sized rows;
+    // a production build persists exactly these tables anyway.
+    val tfC = tf.localCheckpoint()
+    val dlC = dl.localCheckpoint()
+    val dfT = tfC.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val postings = tfC.join(dfT, Seq("tok")).join(dlC, Seq("doc_id"))
       .repartition(shufflePartitions, col("doc_id"))
-    val stats = dl.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
+    val stats = dlC.agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
     (postings, stats)
   }
 
@@ -189,8 +197,12 @@ object Retrieval {
   def deconAgreement(docs: DataFrame, k: Int = 5, n: Int = 3,
                      trainPct: Int = 80): DataFrame = {
     val bucket = TextOps.splitBucket(col("doc_id"))
+    // one checkpointed shingle pass feeds BOTH split sides (the
+    // boilerplateStrip precedent) — without it each filter branch
+    // re-ran the scan + shingle transform, the operator's dominant cost
     val sh = TextOps.docShingles(docs, n)
       .withColumn("bucket", TextOps.splitBucket(col("doc_id")))
+      .localCheckpoint()
     // The bm25Serve join shape (see bm25Model's scaladoc): the EVAL side
     // broadcasts (an eval set is vanishingly small next to the train
     // corpus), the train shingles cluster by doc_id with pinned
