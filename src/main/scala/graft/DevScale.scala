@@ -57,6 +57,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("bm25")) {
+      bm25Experiment(spark, reps)
+      spark.stop()
+      return
+    }
     if (rest == Seq("coverage")) {
       coverageExperiment(spark, reps)
       spark.stop()
@@ -158,6 +163,75 @@ object DevScale {
       val tRound = BenchTiming.steadyOf(spark, () => Bpe.pairCounts(vocab))
       println(f"$label%-12s R=$r%-3d vocab=$nVocab%8d words  " +
         f"word-agg=$tAgg%7.3f s  pair-round=$tRound%7.3f s")
+    }
+  }
+
+  /** BM25 retrieval scale-up (`runMain graft.DevScale R bm25`) — the
+    * LLM101/S27/S31 serving claims measured at corpus scale. The index
+    * (postings + stats) is PERSISTED parquet built outside the clock (it
+    * is the model a production serve carries); replica-isolated tokens
+    * mean a fixed replica-0 query set matches ONLY replica-0 postings, so
+    * the CANDIDATE volume stays constant while the index grows R× — the
+    * printed rows separate the two cost terms the scaladoc claims:
+    * per-query work bounded by matched postings (flat candidates), index
+    * scan growing with corpus (the term a term-partitioned physical
+    * layout removes on a real cluster). The incremental row is the S31
+    * receipt: admitting a FIXED batch into the core costs the batch's
+    * own tokenize/count regardless of corpus size, vs the from-scratch
+    * model rebuild growing R×. */
+  private def bm25Experiment(spark: org.apache.spark.sql.SparkSession,
+                             reps: Int): Unit = {
+    import graft.llm.{Retrieval, TextOps}
+    // fixed query set: replica-0 eval docs (bucket >= 80), text already
+    // in replica-0 token space
+    val queriesDir = "/tmp/graft_scale_bm25_queries"
+    replicatedText(spark, 1)
+      .filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .write.mode("overwrite").parquet(queriesDir)
+    val queries = spark.read.parquet(queriesDir)
+    val nQ = queries.count()
+    // fixed admission batch: 1x-sized novel docs (disjoint ids + tokens)
+    val batchDir = "/tmp/graft_scale_bm25_batch"
+    replicatedText(spark, 1)
+      .select((col("doc_id") + 95000000L).as("doc_id"),
+        concat_ws(" ", transform(split(col("text"), " "),
+          t => concat(lit("new_"), t))).as("text"))
+      .write.mode("overwrite").parquet(batchDir)
+    val batch = spark.read.parquet(batchDir)
+
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s  queries=$nQ")
+    for (r <- Seq(1, reps)) {
+      val dir = s"/tmp/graft_scale_bm25_$r"
+      val corpus = replicatedText(spark, r)
+        .filter(TextOps.splitBucket(col("doc_id")) < 80)
+        .select(col("doc_id"), col("text"))
+      val (postings0, stats0) = Retrieval.bm25Model(corpus)
+      postings0.write.mode("overwrite").parquet(s"$dir/postings.parquet")
+      stats0.write.mode("overwrite").parquet(s"$dir/stats.parquet")
+      val postings = spark.read.parquet(s"$dir/postings.parquet")
+      val stats = spark.read.parquet(s"$dir/stats.parquet")
+      val nPost = postings.count()
+      val candidates = queries
+        .select(col("q_id"), explode(array_distinct(
+          TextOps.tokens(col("text")))).as("tok"))
+        .filter(length(col("tok")) > 0)
+        .join(postings, Seq("tok")).count()
+      val tServe = BenchTiming.steadyOf(spark,
+        () => Retrieval.bm25Serve(queries, postings, stats, k = 5))
+      val tAdmit = BenchTiming.steadyOf(spark, () => {
+        val (tf, dl) = Retrieval.bm25Core(batch)
+        tf.unionByName(dl.withColumn("tok", lit("")).withColumn("tf", lit(0L))
+          .select(col("doc_id"), col("tok"), col("tf")))
+      })
+      val tRebuild = BenchTiming.steadyOf(spark, () => {
+        val (p, s) = Retrieval.bm25Model(corpus.unionByName(batch))
+        p.crossJoin(s)
+      })
+      println(f"R=$r%-3d postings=$nPost%9d rows  candidates=$candidates%9d  " +
+        f"serve=$tServe%7.3f s  admit-batch=$tAdmit%7.3f s  " +
+        f"rebuild=$tRebuild%8.3f s")
     }
   }
 
