@@ -278,4 +278,106 @@ class LlmPipelineSpec extends SparkSpec {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("end-to-end retrieval: build+persist index -> serve -> hybrid " +
+    "fusion -> agreement/retrievability reconcile against the leg tables") {
+    // The round-12 retrieval plane wired as one lineage: the index is
+    // built once and PERSISTED (the model boundary every serve shares),
+    // then every downstream table — the BM25 serve, the dense leg, the
+    // RRF fusion, the l106/l109 agreements, the l113 retrievability —
+    // derives from the same persisted state, and the spec asserts the
+    // cross-table facts no single oracle sees: fused results containing
+    // only leg-sourced docs with correctly-copied leg ranks, agreement
+    // intersections consistent with the raw top-k tables, and hit-count
+    // conservation between retrievability and the legs.
+    import graft.llm.{Retrieval, Similarity, TextOps}
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_retr_e2e")
+    val tmp = tmpPath.toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    try {
+      val docs = Tables.load(spark, sf001, "documents")
+      val vecs = Tables.load(spark, sf001, "embeddings")
+      val train = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+
+      // stage 1 — build + persist the sparse index and the dense store
+      val (p0, s0) = Retrieval.bm25Model(train)
+      val postings = stage(p0, "postings")
+      val stats = stage(s0, "stats")
+      val trainV = stage(
+        vecs.filter(TextOps.splitBucket(col("vec_id")) < 80), "train_vecs")
+
+      // stage 2 — serve both legs from the persisted state for the
+      // id-aligned hybrid query set
+      val queries = stage(
+        docs.filter(TextOps.splitBucket(col("doc_id")) >= 80)
+          .select(col("doc_id").as("q_id"), col("text"))
+          .join(vecs.filter(TextOps.splitBucket(col("vec_id")) >= 80)
+            .select(col("vec_id").as("q_id"), col("embedding")), Seq("q_id")),
+        "queries")
+      val sparseTop = stage(
+        Retrieval.bm25Serve(queries.select(col("q_id"), col("text")),
+          postings, stats, k = 5), "sparse_top")
+      val denseTop = stage(
+        Similarity.bruteForceTopK(
+          queries.select(col("q_id").as("vec_id"), col("embedding")),
+          trainV, k = 5)
+          .select(col("qid").as("q_id"), col("nid").as("doc_id"),
+            col("rank")), "dense_top")
+
+      // stage 3 — RRF fusion from the persisted legs; every fused row
+      // traces to a leg and carries that leg's rank verbatim
+      val fused = stage(Retrieval.rrfFuse(
+        sparseTop.select(col("q_id"), col("doc_id"), col("rank")),
+        denseTop, k = 5), "fused")
+      assert(fused.filter(col("sparse_rank").isNull &&
+        col("dense_rank").isNull).isEmpty)
+      assert(fused.filter(col("sparse_rank").isNotNull)
+        .select(col("q_id"), col("doc_id"), col("sparse_rank").as("rank"))
+        .exceptAll(sparseTop.select(col("q_id"), col("doc_id"), col("rank")))
+        .isEmpty)
+      assert(fused.filter(col("dense_rank").isNotNull)
+        .select(col("q_id"), col("doc_id"), col("dense_rank").as("rank"))
+        .exceptAll(denseTop.select(col("q_id"), col("doc_id"), col("rank")))
+        .isEmpty)
+      // the serving core produces the same fusion end-to-end
+      val servedFused = Retrieval.hybridServe(queries, postings, stats,
+        trainV, k = 5)
+      assert(servedFused.exceptAll(fused).isEmpty &&
+        fused.exceptAll(servedFused).isEmpty)
+
+      // stage 4 — the l109 agreement reconciles against the raw legs:
+      // n_common equals the materialized intersection per query
+      val agree = Retrieval.hybridAgreement(docs, vecs, k = 5)
+        .localCheckpoint()
+      val inter = sparseTop.select(col("q_id"), col("doc_id"))
+        .join(denseTop.select(col("q_id"), col("doc_id")),
+          Seq("q_id", "doc_id"))
+        .groupBy(col("q_id")).agg(count(lit(1)).as("n"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      agree.collect().foreach { r =>
+        assert(r.getLong(3) === inter.getOrElse(r.getLong(0), 0L),
+          s"q ${r.getLong(0)} n_common")
+      }
+
+      // stage 5 — retrievability conserves the legs' hit mass over the
+      // SAME persisted tables (dense counts restricted to the hybrid
+      // query set equal the dense leg's rows)
+      val retr = Retrieval.retrievability(docs, vecs, k = 5)
+        .localCheckpoint()
+      assert(retr.agg(sum(col("n_dense_hits"))).first().getLong(0)
+        === denseTop.count())
+      // sparse counts cover ALL eval doc queries, a superset of the
+      // hybrid set — bounded below by the hybrid sparse leg's rows
+      val sparseSum = retr.agg(sum(col("n_sparse_hits"))).first().getLong(0)
+      assert(sparseSum >= sparseTop.count())
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }
