@@ -960,6 +960,50 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S32: incremental winnow matching under foreachBatch — per-batch " +
+    "new pairs union to the fused match table; index grows by union") {
+    // The l52 admission loop applied to the plagiarism index: a pair
+    // surfaces exactly once — when the later of its docs arrives — so
+    // the accumulated per-batch outputs equal the fused batch operator
+    // for any batch split, and the carried postings index is never
+    // re-paired against itself.
+    import StreamOps.StreamDoc
+    import graft.llm.TextAnalysis
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getDouble(5)))).toMap
+    val fused = pairSet(TextAnalysis.winnowMatchPairs(docs))
+    val rows = docs.collect().map(r => StreamDoc(r.getLong(0),
+      r.getString(1), java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    var index: Option[DataFrame] = None
+    val got = scala.collection.mutable.Map[(Long, Long), (Long, Long, Long, Double)]()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val bIdx = TextAnalysis.winnowIndex(
+          batch.toDF().select(col("doc_id"), col("text"))).localCheckpoint()
+        val idx = index.getOrElse(bIdx.limit(0))
+        val newPairs = pairSet(
+          TextAnalysis.winnowMatchIncrement(bIdx, idx))
+        got.synchronized {
+          newPairs.foreach { case (k, v) =>
+            assert(!got.contains(k), s"pair $k emitted twice")
+            got(k) = v
+          }
+        }
+        index = Some(idx.unionByName(bIdx).localCheckpoint()); ()
+      }.start()
+    try {
+      in.addData(rows.take(150): _*); q.processAllAvailable()
+      in.addData(rows.slice(150, 350): _*); q.processAllAvailable()
+      in.addData(rows.drop(350): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.toMap) === fused)
+    assert(fused.nonEmpty)
+  }
+
   test("S31: incremental BM25 index maintenance under foreachBatch — " +
     "merged per-batch cores + one refresh equal the from-scratch model") {
     // The l52 discipline applied to the retrieval index: corpus batches
