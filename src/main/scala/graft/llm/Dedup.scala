@@ -262,8 +262,14 @@ object Dedup {
       .filter(size(col("shs")) >= 1)
       // Materialize the 32-bit shingle hashes ONCE: HOF lambdas re-evaluate
       // their argument per reference (the round-3 trap, SURVEY §2.7), and
-      // the k min-folds below each reference this array.
-      .withColumn("hs", transform(col("shs"), s => TextOps.md5Int32(s)))
+      // the k min-folds below each reference this array. The hashes come
+      // from the NATIVE positional_gram_hashes at n = 1 (per-element
+      // md5-int32 in one codegen digest pass — pinned equal to the
+      // md5Int32 HOF twin in ExpressionSpec): the interpreted
+      // transform(shs, s => md5Int32(s)) paid the ~50× HOF interpreter
+      // tax on every shingle of the S12/S14/S15 streaming ingest path.
+      .withColumn("hs",
+        call_function("positional_gram_hashes", col("shs"), lit(1)))
       .select(col("doc_id") +: carry.map(col) ++: (0 until k).map(i =>
         array_min(transform(col("hs"),
           h => (h * minhashA(i) + minhashB(i)) % minhashP)).as(s"m$i")): _*)
@@ -1288,12 +1294,18 @@ object Dedup {
     def nSpans: Column = floor(size(toks) / k).cast("int")
     def spanText(i: Column): Column =
       concat_ws(" ", slice(toks, i * k + 1, lit(k)))
+    // posexplode the START INDEX sequence, then hash as a TOP-LEVEL
+    // projection: md5 inside a transform lambda runs interpreted (HOFs
+    // have no codegen — the ~50× tax, SURVEY §2.6 traps), while this
+    // Generate + Project shape keeps the digest inside whole-stage
+    // codegen and the 32-char hex value — which the oracle replays
+    // verbatim — unchanged.
     val spans = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"),
-        posexplode(when(size(toks) >= k,
-          transform(sequence(lit(0), nSpans - 1), i => md5(spanText(i))))
-          .otherwise(array().cast("array<string>"))).as(Seq("idx", "h")))
+      .select(col("doc_id"), col("toks"),
+        posexplode(when(size(toks) >= k, sequence(lit(0), nSpans - 1))
+          .otherwise(array().cast("array<int>"))).as(Seq("idx", "i")))
+      .select(col("doc_id"), col("idx"), md5(spanText(col("i"))).as("h"))
     val winners = spans
       .groupBy(col("h"))
       .agg(min(struct(col("doc_id"), col("idx"))).as("w"))

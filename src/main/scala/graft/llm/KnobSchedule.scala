@@ -145,4 +145,67 @@ object KnobSchedule {
     val cells = ivfCells(corpusSize)
     (cells, ivfProbeForRecall(vectors, cells, targetRecall, minSim, dim, sampleMod))
   }
+
+  /** MEASURED BM25 term-pruning knob (the l101/S27 serving config): the
+    * smallest `dfCapPermille` whose capped top-k keeps ≥ `targetRecall`
+    * of the UNCAPPED top-k pairs on a query sample — the WAND/impact-
+    * ordering analogue's aggressiveness, data-derived the way nProbe is
+    * (a Zipf-flat corpus tolerates a tight cap, a skewed one does not).
+    *
+    * One scoring pass serves EVERY candidate cap (the l64/l88/l98
+    * shared-pass discipline): each (q, doc) pair's per-cap scores are
+    * conditional sums over the SAME weighted-postings join — a term
+    * admitted at cap c is admitted at every larger cap, so the sweep is
+    * |caps| conditional aggregates in one hash-agg, never |caps| joins.
+    * Self-hits (a query document retrieving itself when queries are
+    * drawn from the corpus) are excluded from the calibration — they
+    * survive any cap and would inflate recall. The per-cap recall table
+    * is |caps| rows (driver-as-planner, the ivfProbeForRecall pattern).
+    * cap = 1000 (no pruning) is always the truth leg and the fallback
+    * when no candidate cap reaches the target. */
+  def bm25DfCapForRecall(corpus: DataFrame, queries: DataFrame,
+                         targetRecall: Double,
+                         caps: Seq[Int] = Seq(5, 10, 20, 50, 100, 200, 500),
+                         k: Int = 5): Int = {
+    require(targetRecall > 0 && targetRecall <= 1)
+    val candidateCaps = caps.filter(c => c >= 1 && c < 1000).distinct.sorted
+    require(candidateCaps.nonEmpty, "need at least one cap < 1000")
+    val allCaps = candidateCaps :+ 1000
+    val (postings, stats) = Retrieval.bm25Model(corpus)
+    val qterms = queries
+      .select(col("q_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    val contrib = broadcast(qterms)
+      .join(Retrieval.weightedPostings(postings, stats), Seq("tok"))
+      .filter(col("q_id") =!= col("doc_id"))
+    val capSums = allCaps.map(c =>
+      sum(when(col("df") * 1000 <= col("n_docs") * c, col("term_score")))
+        .as(s"s$c"))
+    val perCap = contrib.groupBy(col("q_id"), col("doc_id"))
+      .agg(capSums.head, capSums.tail: _*)
+    val long = perCap.select(col("q_id"), col("doc_id"),
+        explode(array(allCaps.map(c =>
+          struct(lit(c).as("cap"), col(s"s$c").as("score"))): _*)).as("e"))
+      .select(col("q_id"), col("doc_id"), col("e.cap").as("cap"),
+        col("e.score").as("score"))
+      .filter(col("score").isNotNull)
+    val w = Window.partitionBy(col("cap"), col("q_id"))
+      .orderBy(col("score").desc, col("doc_id"))
+    val top = long.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= k)
+      .select(col("cap"), col("q_id"), col("doc_id"))
+      .localCheckpoint() // truth leg + per-cap hit join both read it
+    val truth = top.filter(col("cap") === 1000)
+      .select(col("q_id"), col("doc_id"))
+    val nTruth = truth.count()
+    require(nTruth > 0, "no truth pairs — nothing to calibrate against")
+    val hits = top.filter(col("cap") =!= 1000)
+      .join(truth, Seq("q_id", "doc_id"))
+      .groupBy(col("cap")).agg(count(lit(1)).as("hit"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    candidateCaps
+      .find(c => hits.getOrElse(c, 0L).toDouble / nTruth >= targetRecall)
+      .getOrElse(1000)
+  }
 }

@@ -93,7 +93,12 @@ object Retrieval {
     * corpus for any batch split (tested in StreamingSpec). */
   def bm25Core(corpus: DataFrame): (DataFrame, DataFrame) = {
     val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-    val dl = toks.select(col("doc_id"), size(col("toks")).cast(LongType).as("dl"))
+    // dl counts the SAME tokens that can appear in postings (len > 0):
+    // consecutive/leading/trailing spaces split into empty tokens that tf
+    // filters out, and the l101 oracle's dl is len(list_filter(w, len>0))
+    // — an unfiltered size() here diverged on any such document.
+    val dl = toks.select(col("doc_id"),
+      size(filter(col("toks"), t => length(t) > 0)).cast(LongType).as("dl"))
     val tf = toks.select(col("doc_id"), explode(col("toks")).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("doc_id"), col("tok")).agg(count(lit(1)).as("tf"))
@@ -130,6 +135,24 @@ object Retrieval {
     * query by snapped BM25 score, ties broken on doc_id. Pure function of
     * (queries, model) with per-query independence — the streaming serve
     * (S27) wraps exactly this under foreachBatch. */
+  /** Per-posting snapped BM25 term weight with (df, n_docs) carried — the
+    * impact-ordered-postings layout shared by bm25Serve and the
+    * dfCapPermille calibration sweep (KnobSchedule.bm25DfCapForRecall).
+    * The weight is query-independent (query tf saturates at 1): one
+    * rational Robertson-idf × saturation division per POSTING, snapped to
+    * ⌊10⁶·term⌋ so the per-(q, doc) sum is an order-free BIGINT. */
+  def weightedPostings(postings: DataFrame, stats: DataFrame): DataFrame = {
+    val num = (lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
+      lit(22L) * col("sum_dl") * col("tf")
+    val den = (lit(2L) * col("df") + lit(1L)) *
+      (lit(10L) * col("sum_dl") * col("tf") + lit(3L) * col("sum_dl") +
+        lit(9L) * col("n_docs") * col("dl"))
+    val snapped = floor((num.cast(DoubleType) / den.cast(DoubleType)) * lit(1000000.0))
+    postings.crossJoin(broadcast(stats))
+      .select(col("tok"), col("doc_id"), col("df"), col("n_docs"),
+        snapped.as("term_score"))
+  }
+
   def bm25Serve(queries: DataFrame, postings: DataFrame, stats: DataFrame,
                 k: Int = 5, dfCapPermille: Int = 1000): DataFrame = {
     val qterms = queries
@@ -144,15 +167,9 @@ object Retrieval {
     // to the corpus index, and the broadcast probe keeps the expansion
     // inside the postings' doc_id-clustered stage, where the (q_id,
     // doc_id) sum then completes without an exchange (see bm25Model).
-    val num = (lit(2L) * (col("n_docs") - col("df")) + lit(1L)) *
-      lit(22L) * col("sum_dl") * col("tf")
-    val den = (lit(2L) * col("df") + lit(1L)) *
-      (lit(10L) * col("sum_dl") * col("tf") + lit(3L) * col("sum_dl") +
-        lit(9L) * col("n_docs") * col("dl"))
-    val snapped = floor((num.cast(DoubleType) / den.cast(DoubleType)) * lit(1000000.0))
-    val weighted = postings.crossJoin(broadcast(stats))
+    val weighted = weightedPostings(postings, stats)
       .filter(col("df") * 1000 <= col("n_docs") * dfCapPermille)
-      .select(col("tok"), col("doc_id"), snapped.as("term_score"))
+      .select(col("tok"), col("doc_id"), col("term_score"))
     val scored = broadcast(qterms).join(weighted, Seq("tok"))
       .groupBy(col("q_id"), col("doc_id"))
       .agg(sum(col("term_score")).as("score"))

@@ -140,7 +140,9 @@ object Sketches {
     * to ≤|sources|·m cells; the grid crossJoin is |sources| × m rows. */
   def hllShingleCardinality(docs: DataFrame, n: Int = 3,
                             b: Int = 6): DataFrame = {
-    require(b >= 4 && b <= 16, s"hllShingleCardinality: b ($b) out of range")
+    // b ≤ 12 because hllEstimate's exact LONG harmonic sum caps at
+    // m·2^50 = 2^(b+50): b = 12 → 2^62 < 2^63 fits; b = 13 wraps.
+    require(b >= 4 && b <= 12, s"hllShingleCardinality: b ($b) out of range")
     val ss = docs
       .select(col("source"), TextOps.tokens(col("text")).as("toks"))
       .select(col("source"),
@@ -150,7 +152,8 @@ object Sketches {
       .localCheckpoint() // feeds the exact count AND the registers
     val exact = ss.groupBy(col("source"))
       .agg(count(lit(1)).as("exact_distinct"))
-    hllEstimate(hllRegistersFromHashes(ss), docs.select(col("source")).distinct(), b)
+    hllEstimate(hllRegistersFromHashes(ss, b),
+        docs.select(col("source")).distinct(), b)
       .join(exact, Seq("source"))
       .select(col("source"), col("exact_distinct"), col("n_zero_regs"),
         col("z_e50"), col("est_raw"),
@@ -204,6 +207,9 @@ object Sketches {
     * hllShingleCardinality). */
   def hllEstimate(registers: DataFrame, sources: DataFrame,
                   b: Int = 6): DataFrame = {
+    // same bound as hllShingleCardinality: the LONG Σ 2^(50−ρ) needs
+    // m·2^50 = 2^(b+50) < 2^63 headroom in the worst (all-empty) case
+    require(b >= 4 && b <= 12, s"hllEstimate: b ($b) out of range")
     val m = 1 << b
     val grid = sources.select(col("source"),
       explode(sequence(lit(0L), lit((m - 1).toLong))).as("reg"))

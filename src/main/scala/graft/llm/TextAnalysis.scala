@@ -569,20 +569,23 @@ object TextAnalysis {
     * log-probability formulation would hang the oracle on libm ulp
     * differences between engines).
     *
-    * Scale shape: bigrams leave the scan as md5 digests (text never
-    * shuffles); one count groupBy on the digest (map-side partials), one
-    * digest-keyed join back, one per-doc aggregate; zero-bigram docs are
-    * restored by a narrow doc_id left join. */
+    * Scale shape: bigrams leave the scan as md5-int32 HASH LONGS (text
+    * never shuffles, and the digest key is 8 bytes, not a 32-char hex
+    * string — the narrowest possible corpus-sized exchange); one count
+    * groupBy on the hash (map-side partials), one hash-keyed join back,
+    * one per-doc aggregate; zero-bigram docs are restored by a narrow
+    * doc_id left join. The hash sequence is the native codegen
+    * `positional_gram_hashes` at n = 2 (the l102 expression — the
+    * previous md5-inside-transform lambda ran interpreted and paid the
+    * ~50× HOF tax on every bigram of the corpus); the oracle replays the
+    * identical int32 grid, so the rare 32-bit collision folds two
+    * bigrams into one count bucket IDENTICALLY in both engines. */
   def bigramFluency(docs: DataFrame, rareMax: Long = 1L): DataFrame = {
-    val toks = col("toks")
     val bi = docs
       .select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .select(col("doc_id"),
-        explode(when(size(toks) >= 2,
-          transform(sequence(lit(0), size(toks) - 2),
-            i => md5(concat_ws(" ",
-              element_at(toks, i + 1), element_at(toks, i + 2)))))
-          .otherwise(array().cast("array<string>"))).as("h"))
+        explode(call_function("positional_gram_hashes", col("toks"), lit(2)))
+          .as("h"))
     val counts = bi.groupBy(col("h")).agg(count(lit(1)).as("c"))
     val perDoc = bi.join(counts, "h")
       .groupBy(col("doc_id"))
@@ -825,12 +828,17 @@ object TextAnalysis {
     require(stride >= 1 && stride <= window,
       s"chunk: stride ($stride) must be in [1, window ($window)]")
     val toks = col("toks")
+    // posexplode the chunk-START sequence, hash as a top-level projection
+    // (md5 inside the transform lambda ran interpreted — the HOF trap,
+    // SURVEY §2.6; this keeps the hex digest and the whole-stage codegen)
     docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
-      .select(col("doc_id"), size(toks).cast(LongType).as("n_tok"),
-        posexplode(transform(
-          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)),
-          st => md5(concat_ws(" ", slice(toks, st + 1, lit(window))))))
-          .as(Seq("chunk_id", "chunk_md5")))
+      .select(col("doc_id"), col("toks"), size(toks).cast(LongType).as("n_tok"),
+        posexplode(
+          sequence(lit(0), greatest(size(toks) - 1, lit(0)), lit(stride)))
+          .as(Seq("chunk_id", "st")))
+      .select(col("doc_id"), col("n_tok"), col("chunk_id"),
+        md5(concat_ws(" ", slice(toks, col("st") + 1, lit(window))))
+          .as("chunk_md5"))
       .select(col("doc_id"), col("chunk_id").cast(LongType).as("chunk_id"),
         least(lit(window.toLong),
           col("n_tok") - col("chunk_id") * stride).as("n_chunk_tok"),
@@ -1512,6 +1520,113 @@ object TextAnalysis {
           least(col("na"), col("nb")).cast(DoubleType)).as("containment"))
   }
 
+  /** SUBSTRING-granularity dedup APPLY (l114) — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * maximal-repeated-substring removal, approximated at winnowing
+    * anchors so it stays JOIN-SHAPED and oracle-replayable: l50 strips
+    * repeats on a fixed non-overlapping k-token grid; this removes every
+    * VARIABLE-LENGTH cross-document repeated token run of ≥ `minTok`
+    * tokens from the later document (keep-first: doc_a < doc_b ⇒ doc_b
+    * loses the span), at any alignment.
+    *
+    * Why anchors suffice (the Schleimer–Wilkerson–Aiken guarantee
+    * transfers): any common run of ≥ w+n−1 tokens contains at least one
+    * w-gram window ENTIRELY inside the run; that window's contents are
+    * identical in both documents, so the rightmost-minimum rule selects
+    * the same run-relative fingerprint in BOTH — an aligned anchor
+    * exists, and the maximal extension around it recovers the full run.
+    * Hence `minTok ≥ w+n−1` (required) detects every qualifying run.
+    * Approximation boundaries, both deterministic and replayed
+    * identically by the oracle: (i) matching is on the 32-bit positional
+    * gram hashes, so a hash collision can extend a run past the true
+    * token match; (ii) scope is cross-document (intra-document repeats
+    * are l29/l46's plane).
+    *
+    * Scale shape: the anchor join is l112's inverted-index discipline on
+    * the ~1/w-compressed fingerprint universe ((doc_id, pos, h) atoms
+    * only; `maxHashFreq` is the same hot-key guard — a fingerprint in
+    * half the corpus is boilerplate); the extension join is id-keyed and
+    * carries the two documents' HASH arrays (longs, never text) to the
+    * anchor rows, where the outward scan is per-row long-array lambda
+    * work (the measured-free l102 class); removed-token volume is
+    * bounded by the corpus's duplicated mass; the one text-carrying
+    * exchange is the final doc_id-keyed rewrite join (the l50 rule —
+    * co-located on a doc_id-bucketed table).
+    *
+    * Output per input doc: (doc_id, n_tok, n_removed, clean_md5) where
+    * clean_md5 hashes the kept tokens joined in original order — the l50
+    * output contract at substring granularity. */
+  def substringDedupApply(docs: DataFrame, n: Int = 3, w: Int = 4,
+                          minTok: Int = 8,
+                          maxHashFreq: Option[Long] = None): DataFrame = {
+    require(minTok >= w + n - 1,
+      s"substringDedupApply: minTok ($minTok) must be >= w+n-1 (${w + n - 1})" +
+        " — shorter runs can evade winnow selection")
+    val wt = winnowTable(docs, n, w)
+      .localCheckpoint() // feeds postings AND the hash-array sides
+    // (doc_id, p, h) anchor postings — sel_pos is distinct per doc by
+    // construction (array_distinct over positions), so no dedup needed
+    val postsAll = wt.select(col("doc_id"),
+        explode(arrays_zip(col("sel_pos"), col("sel_h"))).as("z"))
+      .select(col("doc_id"), col("z.sel_pos").as("p"), col("z.sel_h").as("h"))
+    val posts = maxHashFreq.fold(postsAll) { t =>
+      val hot = postsAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > t).select(col("h"))
+      postsAll.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+    val anchors = posts.as("a")
+      .join(posts.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.p").as("pa"),
+        col("b.doc_id").as("b_id"), col("b.p").as("pb"))
+    val hsTab = wt.select(col("doc_id"), col("hs"))
+    // maximal extension around the anchor: scan outward while the gram
+    // hashes agree (array_position finds the FIRST mismatch offset;
+    // 0 = no mismatch within the bound → the run reaches the boundary).
+    // The sequence is guarded behind `bound >= 1`: Spark's sequence(1, 0)
+    // DESCENDS ([1, 0]) instead of yielding empty.
+    def extent(bound: Column, mismatchAt: Column => Column): Column = {
+      val mism = array_position(
+        transform(sequence(lit(1), bound), t => mismatchAt(t)), true)
+      when(bound < 1, lit(0L))
+        .when(mism === 0, bound.cast(LongType)).otherwise(mism - 1)
+    }
+    def at(hs: String, p: Column): Column =
+      element_at(col(hs), p.cast(IntegerType))
+    val maxBack = least(col("pa"), col("pb")) - 1
+    val maxFwd = least(size(col("ha")) - col("pa"), size(col("hb")) - col("pb"))
+    val ext = anchors
+      .join(hsTab.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(hsTab.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .withColumn("l", extent(maxBack,
+        t => at("ha", col("pa") - t) =!= at("hb", col("pb") - t)))
+      .withColumn("r", extent(maxFwd,
+        t => at("ha", col("pa") + t) =!= at("hb", col("pb") + t)))
+    // gram run [pb−l, pb+r] covers tokens pb−l .. pb+r+n−1
+    val marked = ext
+      .filter(col("l") + col("r") + lit(1L + (n - 1)) >= minTok)
+      .select(col("b_id").as("doc_id"),
+        (col("pb") - col("l")).cast(LongType).as("s"),
+        (col("pb") + col("r") + lit((n - 1).toLong)).cast(LongType).as("e"))
+      .distinct()
+    val remSets = marked
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("i"))
+      .distinct()
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("i"))).as("rem"))
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+      .join(remSets, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tok"),
+        coalesce(size(col("rem")), lit(0)).cast(LongType).as("n_removed"),
+        md5(concat_ws(" ", filter(
+          transform(sequence(lit(1L), size(col("toks")).cast(LongType)),
+            i => when(array_contains(coalesce(col("rem"),
+                array().cast("array<bigint>")), i), lit(null))
+              .otherwise(element_at(col("toks"), i.cast(IntegerType)))),
+          x => x.isNotNull))).as("clean_md5"))
+  }
+
   /** GOPHER-style quality-rule battery (Rae et al. 2021, table A1 — the
     * word-form subset; the corpus has no line structure, so the line-based
     * rules don't apply). Per source: document count and pass counts for
@@ -1591,9 +1706,13 @@ object TextAnalysis {
     * (⌊i·V/10⌋ — the ×10 product stays far under 2^53). */
   def vocabCoverage(docs: DataFrame, nDeciles: Int = 10): DataFrame = {
     val W = org.apache.spark.sql.expressions.Window
+    // vocabulary-sized; feeds THREE consumers (grid + the two totals
+    // crossJoins) — without the checkpoint each branch re-ran the corpus
+    // tokenize/explode/agg from the scan (the bm25FromCore trap)
     val tf = docs.select(explode(TextOps.tokens(col("text"))).as("tok"))
       .filter(length(col("tok")) > 0)
       .groupBy(col("tok")).agg(count(lit(1)).as("freq"))
+      .localCheckpoint()
     val grid = tf.groupBy(col("freq")).agg(count(lit(1)).as("c"))
     val gridB = grid.withColumn("before",
       coalesce(sum(col("c")).over(

@@ -1361,14 +1361,19 @@ object LlmDeclared {
   /** L51 — bigram fluency: per-doc mean corpus frequency of its token
     * bigrams + corpus-hapax fraction (the exact-integer stand-in for the
     * CCNet LM-perplexity quality filter; a log-prob formulation would
-    * hang the oracle on cross-libm ulp differences). */
+    * hang the oracle on cross-libm ulp differences). The bigram key is
+    * the md5-int32 hash grid (the l102 convention) — the Spark side
+    * computes it with the native positional_gram_hashes(toks, 2), and
+    * the oracle replays the identical 32-bit values, so any hash
+    * collision folds the same two bigrams in both engines. */
   private val l51 = DeclaredQuery(
     "l51_bigram_fluency",
     (s, dir) => TextAnalysis.bigramFluency(t(s, dir, "documents"))
       .orderBy(col("doc_id")),
     Some("""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       b AS (SELECT doc_id,
-              toks[CAST(i+1 AS INTEGER)] || ' ' || toks[CAST(i+2 AS INTEGER)] AS bg
+              ('0x' || substr(md5(toks[CAST(i+1 AS INTEGER)] || ' '
+                || toks[CAST(i+2 AS INTEGER)]), 1, 8))::BIGINT AS bg
             FROM (SELECT doc_id, toks, unnest(range(len(toks) - 1)) AS i
                   FROM t WHERE len(toks) >= 2)),
       c AS (SELECT bg, COUNT(*) AS cnt FROM b GROUP BY bg),
@@ -3713,6 +3718,75 @@ object LlmDeclared {
       LEFT JOIN iv USING (doc_id)
       ORDER BY spine.doc_id"""))
 
+  /** L114 — substring-granularity dedup apply (Lee et al. 2022 maximal
+    * repeated substring removal, winnow-anchored approximation): remove
+    * every cross-document repeated token run of ≥ 8 tokens from the
+    * later document, at any alignment (l50's fixed-grid spans can miss a
+    * misaligned repeat; this cannot, for runs ≥ w+n−1). The declared
+    * query plants full doc copies into a doc_id % 10 = 0 slice (the
+    * l52/l96 precedent) so complete-removal, partial natural near-dup,
+    * and untouched paths all execute; the oracle replays the winnow
+    * selection, anchor extension, and interval removal with DuckDB list
+    * lambdas bit-for-bit. */
+  private val l114 = DeclaredQuery(
+    "l114_substring_dedup",
+    (s, dir) => {
+      val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+      val planted = docs.unionByName(
+        docs.filter(col("doc_id") % 10 === 0)
+          .withColumn("doc_id", col("doc_id") + 1000000L))
+      TextAnalysis.substringDedupApply(planted).orderBy(col("doc_id"))
+    },
+    Some("""WITH ad AS (SELECT doc_id, text FROM documents
+              UNION ALL SELECT doc_id + 1000000, text FROM documents
+              WHERE doc_id % 10 = 0),
+      t AS (SELECT doc_id, string_split(text, ' ') AS w FROM ad),
+      h AS (SELECT doc_id, list_transform(range(1, len(w) - 1),
+              i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1] || ' ' || w[i+2]), 1, 8))::BIGINT) AS hs
+            FROM t WHERE len(w) >= 3),
+      p AS (SELECT doc_id, hs, len(hs) AS g, least(4, len(hs)) AS weff FROM h),
+      sel AS (SELECT doc_id, hs,
+              list_distinct(list_transform(range(0, g - weff + 1),
+                j -> j + weff + 1
+                  - list_position(list_reverse(list_slice(hs, j + 1, j + weff)),
+                      list_min(list_slice(hs, j + 1, j + weff))))) AS sel_pos
+            FROM p),
+      posts AS (SELECT doc_id, hs, unnest(sel_pos) AS p FROM sel),
+      anch AS (SELECT a.doc_id AS a_id, a.p AS pa, a.hs AS ha,
+                      b.doc_id AS b_id, b.p AS pb, b.hs AS hb
+               FROM posts a JOIN posts b
+                 ON a.hs[a.p] = b.hs[b.p] AND a.doc_id < b.doc_id),
+      ext AS (SELECT b_id, pa, pb, ha, hb,
+        least(pa, pb) - 1 AS maxback,
+        least(len(ha) - pa, len(hb) - pb) AS maxfwd,
+        list_position(list_transform(range(1, least(pa, pb)),
+          q -> ha[pa - q] != hb[pb - q]), true) AS mismb,
+        list_position(list_transform(
+          range(1, least(len(ha) - pa, len(hb) - pb) + 1),
+          q -> ha[pa + q] != hb[pb + q]), true) AS mismf
+        FROM anch),
+      lr AS (SELECT b_id, pb,
+        CASE WHEN maxback < 1 THEN 0
+             WHEN mismb IS NULL OR mismb = 0 THEN maxback
+             ELSE mismb - 1 END AS l,
+        CASE WHEN maxfwd < 1 THEN 0
+             WHEN mismf IS NULL OR mismf = 0 THEN maxfwd
+             ELSE mismf - 1 END AS r
+        FROM ext),
+      iv AS (SELECT DISTINCT b_id AS doc_id, pb - l AS s, pb + r + 2 AS e
+             FROM lr WHERE l + r + 3 >= 8),
+      rem AS (SELECT DISTINCT doc_id, unnest(range(s, e + 1)) AS i FROM iv),
+      rs AS (SELECT doc_id, list_sort(list(i)) AS rem FROM rem GROUP BY doc_id)
+      SELECT t.doc_id, CAST(len(t.w) AS BIGINT) AS n_tok,
+        CAST(COALESCE(len(rs.rem), 0) AS BIGINT) AS n_removed,
+        md5(COALESCE(array_to_string(list_filter(
+          list_transform(range(1, len(t.w) + 1),
+            i -> CASE WHEN rs.rem IS NOT NULL AND list_contains(rs.rem, i)
+                 THEN NULL ELSE t.w[i] END),
+          x -> x IS NOT NULL), ' '), '')) AS clean_md5
+      FROM t LEFT JOIN rs ON t.doc_id = rs.doc_id
+      ORDER BY t.doc_id"""))
+
   val all: Seq[DeclaredQuery] = Seq(
     l01, l02, l03, l04, l05, l06, l07, l08, l09, l10,
     l11, l12, l13, l14, l15, l16, l17, l18, l19, l20,
@@ -3724,5 +3798,5 @@ object LlmDeclared {
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
     l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111,
-    l112, l113, d29)
+    l112, l113, l114, d29)
 }

@@ -438,6 +438,45 @@ class ExpressionSpec extends SparkSpec {
     assert(z.getAs[Array[Byte]](1).toSeq === Seq(0.toByte, 0.toByte))
   }
 
+  test("positional_gram_hashes n=1 == per-element md5Int32 (bandSignatures' shape)") {
+    import graft.llm.TextOps
+    // n = 1 hashes each element alone — the per-shingle md5Int32 the
+    // S12/S14/S15 streaming band projection needs (Dedup.bandSignatures).
+    // Null-FREE arrays only: shinglesFromTokens filters nulls, and the
+    // n = 1 null-element semantics differ by design (the HOF yields a
+    // null element, the native loop hashes the empty gram) — no call
+    // site feeds nulls at n = 1.
+    val docs = Tables.load(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq(Some("a"), Some("x y z"), Some("")).toDF("text"))
+      .select(TextOps.shinglesFromTokens(TextOps.tokens(col("text")), 3).as("shs"))
+    val both = docs.select(
+      transform(col("shs"), s => TextOps.md5Int32(s)).as("hof"),
+      call_function("positional_gram_hashes", col("shs"), lit(1)).as("native"))
+    assert(both.filter(not(col("hof") <=> col("native"))).count() === 0)
+    assert(both.count() > 500)
+  }
+
+  test("positional_gram_hashes n=2 == HOF bigram md5Int32 twin (l51's grid)") {
+    import graft.llm.TextOps
+    // the l51 bigram digest as the original interpreted-HOF formulation
+    val docs = Tables.load(spark, sf001, "documents").select(col("text"))
+      .unionByName(Seq(Some("one"), Some("a b"), Some("x  y"),
+        Some(""), None).toDF("text"))
+      .select(TextOps.tokens(col("text")).as("toks"))
+    val both = docs.select(
+      when(size(col("toks")) >= 2,
+        transform(sequence(lit(0), size(col("toks")) - 2),
+          i => TextOps.md5Int32(concat_ws(" ",
+            element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))))
+        .otherwise(array().cast("array<bigint>")).as("hof"),
+      call_function("positional_gram_hashes", col("toks"), lit(2)).as("native"))
+    // the when/otherwise twin maps null toks to the otherwise branch
+    // (empty), the native to null — compare only where toks is bound
+    assert(both.filter(col("native").isNotNull)
+      .filter(not(col("hof") <=> col("native"))).count() === 0)
+    assert(both.filter(col("native").isNull).count() === 1)
+  }
+
   test("positional_gram_hashes == HOF md5Int32 twin, corpus + edges") {
     import graft.llm.TextOps
     val n = 3

@@ -1115,6 +1115,70 @@ class LlmSpec extends SparkSpec {
     assert(a.nonEmpty)
   }
 
+  test("substringDedupApply: misaligned variable-length repeat removed " +
+    "exactly where fixed-grid spanDedupApply misses it") {
+    // doc 2 embeds doc 1's tokens a5..a14 (10 tokens) at offset 3 — a
+    // misaligned repeat: l50's non-overlapping 8-token grid sees no equal
+    // span, the winnow-anchored extension recovers the exact run.
+    val aToks = (1 to 20).map(i => s"a$i")
+    val run = aToks.slice(4, 14) // a5..a14
+    val bToks = Seq("b1", "b2", "b3") ++ run ++ Seq("b4", "b5", "b6")
+    val d = docsDf(1L -> aToks.mkString(" "), 2L -> bToks.mkString(" "))
+    val got = TextAnalysis.substringDedupApply(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((20L, 0L, md5hex(aToks.mkString(" ")))))
+    assert(got(2L) === ((16L, 10L, md5hex("b1 b2 b3 b4 b5 b6"))))
+    // the fixed grid misses it entirely
+    val l50 = Dedup.spanDedupApply(d, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(l50(2L) === ((2L, 2L))) // both grid spans unique -> all kept
+  }
+
+  test("substringDedupApply: full duplicate guts the later doc; " +
+    "grid-aligned spans are a strict subset of the substring removal") {
+    val toks = (1 to 16).map(i => s"t$i")
+    val d = docsDf(1L -> toks.mkString(" "), 2L -> toks.mkString(" "))
+    val got = TextAnalysis.substringDedupApply(d).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L) === ((16L, 0L, md5hex(toks.mkString(" ")))))
+    assert(got(2L) === ((16L, 16L, md5hex(""))))
+    // composition vs l50 on the aligned case: every cross-doc grid span
+    // l50 strips is >= minTok tokens of cross-doc repeat, so l114 strips
+    // at least that mass (here: both of doc 2's spans, i.e. everything)
+    val l50 = Dedup.spanDedupApply(d, k = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val (nSpans, nKept) = l50(2L)
+    assert(got(2L)._2 >= 8L * (nSpans - nKept))
+  }
+
+  test("substringDedupApply: minTok threshold — an 8-token run strips, " +
+    "a 7-token run survives") {
+    val aToks = (1 to 20).map(i => s"a$i")
+    val b = Seq("c1", "c2") ++ aToks.take(8) ++ Seq("c3", "c4", "c5", "c6")
+    val c = Seq("d1", "d2") ++ aToks.take(7) ++ Seq("d3", "d4", "d5", "d6", "d7")
+    val d = docsDf(1L -> aToks.mkString(" "), 2L -> b.mkString(" "),
+      3L -> c.mkString(" "))
+    val got = TextAnalysis.substringDedupApply(d, minTok = 8).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(2), r.getString(3)))).toMap
+    assert(got(1L)._1 === 0L)
+    assert(got(2L) === ((8L, md5hex("c1 c2 c3 c4 c5 c6"))))
+    // doc 3's shared run is 7 tokens — below threshold on BOTH pairs
+    assert(got(3L) === ((0L, md5hex(c.mkString(" ")))))
+  }
+
+  test("substringDedupApply: partition-layout independent on the corpus") {
+    val base = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val a = TextAnalysis.substringDedupApply(base.repartition(1)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    val b = TextAnalysis.substringDedupApply(base.repartition(13)).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(a === b)
+    assert(a.nonEmpty)
+    // sanity: removals never exceed the doc, untouched docs keep their text
+    assert(a.forall { case (_, nTok, nRem, _) => nRem >= 0L && nRem <= nTok })
+  }
+
   test("bigramFluency: exact corpus-frequency arithmetic, zero-bigram docs kept") {
     val d = docsDf(1L -> "a b a b", 2L -> "a b", 3L -> "z")
     val got = TextAnalysis.bigramFluency(d).collect()
@@ -1272,6 +1336,69 @@ class LlmSpec extends SparkSpec {
     val one = Similarity.annTopKIvf(q, em, k = 500, nCells = cells, nProbe = 1)
       .filter(col("sim") >= 0.3).select(col("qid"), col("nid"))
     assert(truth.intersect(one).count() <= nFound)
+  }
+
+  test("KnobSchedule BM25 dfCap knob: measured cap meets the recall target " +
+    "against l101-exact serving") {
+    import graft.llm.{KnobSchedule, Retrieval, TextOps}
+    // the l101 split: train split is the index corpus, eval docs are the
+    // query sample (disjoint from the index — no self-hit ambiguity)
+    val docs = Tables.load(spark, sf001, "documents")
+    val bucket = TextOps.splitBucket(col("doc_id"))
+    val corpus = docs.filter(bucket < 80)
+    val queries = docs.filter(bucket >= 80)
+      .select(col("doc_id").as("q_id"), col("text"))
+    val cap = KnobSchedule.bm25DfCapForRecall(corpus, queries,
+      targetRecall = 0.7)
+    info(s"measured dfCapPermille for recall 0.7: $cap")
+    assert(cap >= 1 && cap <= 1000)
+    // independent end-to-end validation against the exact l101 serve:
+    // bm25Serve at the chosen cap retains >= target of the uncapped top-k
+    val (postings0, stats0) = Retrieval.bm25Model(corpus)
+    val postings = postings0.localCheckpoint()
+    val stats = stats0.localCheckpoint()
+    def pairs(dfCap: Int) =
+      Retrieval.bm25Serve(queries, postings, stats, k = 5, dfCapPermille = dfCap)
+        .select(col("q_id"), col("doc_id"))
+    val truth = pairs(1000)
+    val nTruth = truth.count()
+    val nKeep = truth.intersect(pairs(cap)).count()
+    info(s"bm25 dfCap end-to-end: $nKeep / $nTruth uncapped pairs survive cap $cap")
+    assert(nTruth > 0)
+    assert(nKeep.toDouble / nTruth >= 0.7)
+    // a stricter target can only loosen (raise) the cap: same recall
+    // table, weaker predicate admits earlier caps
+    val capStrict = KnobSchedule.bm25DfCapForRecall(corpus, queries,
+      targetRecall = 0.99)
+    assert(capStrict >= cap)
+    // full-recall target: serving at the measured cap reproduces the
+    // uncapped pair set on this sample exactly
+    val capFull = KnobSchedule.bm25DfCapForRecall(corpus, queries,
+      targetRecall = 1.0)
+    assert(truth.intersect(pairs(capFull)).count() === nTruth)
+    // On the fixture word-salad corpus every term is hot, so the knob
+    // honestly refuses to prune (cap = 1000). On a Zipf-shaped corpus —
+    // one rare discriminative token per doc over heavy boilerplate — the
+    // cap must BIND: rare terms (df = 1/200 docs = 5 permille) carry the
+    // top-1, boilerplate (df = 100%) is prunable.
+    val hand = (1L to 200L)
+      .map(i => (i, s"rare$i common1 common2 common3 common4"))
+      .toDF("doc_id", "text")
+    val handQ = (1L to 200L by 10)
+      .map(i => (i + 1000L, s"rare$i common1"))
+      .toDF("q_id", "text")
+    val handCap = KnobSchedule.bm25DfCapForRecall(hand, handQ,
+      targetRecall = 0.9, k = 1)
+    info(s"hand-corpus measured cap: $handCap")
+    assert(handCap < 1000)
+    // serving at the bound cap keeps the rare-term-driven top-1 exactly
+    val (hp0, hs0) = Retrieval.bm25Model(hand)
+    val hp = hp0.localCheckpoint(); val hs = hs0.localCheckpoint()
+    def handPairs(dfCap: Int) =
+      Retrieval.bm25Serve(handQ, hp, hs, k = 1, dfCapPermille = dfCap)
+        .select(col("q_id"), col("doc_id"))
+    val handTruth = handPairs(1000)
+    assert(handTruth.intersect(handPairs(handCap)).count() === handTruth.count())
   }
 
   // ------------------------------------------------------------- multimodal
