@@ -202,14 +202,21 @@ object Similarity {
     val cents = centroids.getOrElse(
       candidates.orderBy(col("vec_id")).limit(nCells)
         .select(col("vec_id").as("cent_id"), col("embedding").as("cent")))
-    // Corpus-side assignment needs only the ARGMAX centroid — max_by over a
-    // (cosine, -cent_id) struct (ties break toward the smaller cent_id,
-    // identical to the previous rank-window's ORDER BY). A hash aggregate
-    // instead of a per-vector sort: no k·log k comparison per vector, and
-    // the map-side partial collapses the nCells-wide fan-out back to one
-    // row per vector BEFORE the shuffle — the window formulation shuffled
-    // the full corpus × nCells expansion.
-    val assigned = candidates.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+    ivfServeTopK(queries, cents, ivfIndex(candidates, cents), k, nProbe)
+  }
+
+  /** The IVF INDEX — per-vector cell assignment against a fixed centroid
+    * table: the corpus-side precompute an IVF store persists (alongside
+    * the centroids themselves) so serving never re-assigns the corpus.
+    * Corpus-side assignment needs only the ARGMAX centroid — max_by over
+    * a (cosine, -cent_id) struct (ties break toward the smaller cent_id,
+    * identical to a rank-window's ORDER BY). A hash aggregate instead of
+    * a per-vector sort: no k·log k comparison per vector, and the
+    * map-side partial collapses the nCells-wide fan-out back to one row
+    * per vector BEFORE the shuffle — a window formulation shuffled the
+    * full corpus × nCells expansion. Output: (nid, ce, cell). */
+  def ivfIndex(candidates: DataFrame, cents: DataFrame): DataFrame =
+    candidates.select(col("vec_id").as("nid"), col("embedding").as("ce"))
       .crossJoin(broadcast(cents))
       .groupBy(col("nid"))
       .agg(
@@ -217,6 +224,17 @@ object Similarity {
           struct(cosine(col("ce"), col("cent")), -col("cent_id"))).as("cell"),
         first(col("ce")).as("ce")) // constant within the group (one vector)
       .select(col("nid"), col("ce"), col("cell"))
+
+  /** IVF SERVING — score a query table against a PERSISTED model
+    * (centroids + ivfIndex assignment), the l37/l87 production split: an
+    * arriving query batch pays its own nProbe cell ranking plus the exact
+    * rerank of ~nProbe/nCells of the corpus, never a re-fit or corpus
+    * re-assignment. Pure function of (queries, model) with per-query
+    * independence — the streaming serve (S33) wraps exactly this under
+    * foreachBatch, completing the serving family next to PQ (S26), BM25
+    * (S27), and hybrid (S29). Output: (qid, rank, nid, sim). */
+  def ivfServeTopK(queries: DataFrame, cents: DataFrame, index: DataFrame,
+                   k: Int = 3, nProbe: Int = 2): DataFrame = {
     // Query probes keep the rank window: top-nProbe is a genuine per-query
     // ranking, and the query side is small by contract (it is broadcast).
     val probes = {
@@ -232,7 +250,7 @@ object Similarity {
     // cell and probes has distinct (qid, cell) rows, so the join cannot
     // produce a duplicate (qid, nid) — a distinct would be a full extra
     // shuffle of the sims table for nothing.
-    val sims = broadcast(probes).join(assigned, Seq("cell"))
+    val sims = broadcast(probes).join(index, Seq("cell"))
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), cosine(col("qe"), col("ce")).as("sim"))
     val w = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))

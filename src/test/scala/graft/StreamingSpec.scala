@@ -1048,6 +1048,49 @@ class StreamingSpec extends SparkSpec {
     assert(served === fused)
   }
 
+  test("S33: IVF ANN serving under foreachBatch — arriving query batches " +
+    "against persisted trained centroids + cell index equal the fused batch") {
+    // The l37/l87 production split, completing the serving family next to
+    // PQ (S26), BM25 (S27), and hybrid (S29): the spherical-k-means fit
+    // (l37's trained centroids) and the corpus cell assignment (ivfIndex)
+    // run OFFLINE and persist; query batches ARRIVE — each pays its own
+    // nProbe cell ranking plus the exact rerank of ~nProbe/nCells of the
+    // corpus, never a re-fit or corpus re-assignment. Per-query
+    // independence makes stream output equal the fused batch operator
+    // row-for-row (sim doubles included) for any batch split; model
+    // refresh = retrain offline and swap at a trigger boundary (the
+    // S19/S24/S26 discipline).
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val em = Tables.load(spark, sf001, "embeddings")
+    val cents = Similarity.fitCentroids(em, k = 16, iters = 3,
+      quantum = Some(1000000L)).localCheckpoint()
+    val index = Similarity.ivfIndex(em, cents).localCheckpoint()
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val queries = em.filter(col("vec_id") % 20 === 0)
+    val fused = rowsOf(Similarity.annTopKIvf(queries, em, k = 3,
+      nProbe = 2, centroids = Some(cents))).sortBy(r => (r._1, r._2))
+    val qRows = queries.collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Float](1).toArray,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(qRows.length > 3)
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, Double)]()
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val served = rowsOf(Similarity.ivfServeTopK(batch.toDF(), cents,
+          index, k = 3, nProbe = 2))
+        got.synchronized { got ++= served; () }
+      }.start()
+    try {
+      in.addData(qRows.take(3): _*); q.processAllAvailable()
+      in.addData(qRows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.sortBy(r => (r._1, r._2)).toSeq)
+      === fused.toSeq)
+  }
+
   test("S30: HLL register maintenance under foreachBatch — max-folding " +
     "per-batch register tables equals from-scratch, re-delivery absorbed") {
     // The l111 deployment shape, with a STRONGER contract than the S22
