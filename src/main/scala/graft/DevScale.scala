@@ -117,6 +117,22 @@ object DevScale {
     }.reduce(_ unionByName _)
   }
 
+  /** SHARED-token replication (ids shifted, text UNCHANGED) — the Zipf
+    * stress shape the dfCapPermille receipt needs: every replica shares
+    * the token space, so term df grows R× with the corpus (df‰ constant,
+    * absolute posting lists R×-long) and a fixed query's candidate volume
+    * grows R× — exactly the skew the term-pruning cap exists to bound.
+    * (replicatedText's isolated tokens keep candidates FLAT by design —
+    * right for the serve-cost claim, blind to the pruning claim.) */
+  private def sharedText(spark: org.apache.spark.sql.SparkSession,
+                         r: Int): DataFrame = {
+    val base = Tables.load(spark, "/root/testdata/sf0.1", "documents")
+    (0 until r).map { k =>
+      base.select((col("doc_id") + lit(k * 10000000L)).as("doc_id"),
+        col("text"))
+    }.reduce(_ unionByName _)
+  }
+
   /** INCREMENTAL-dedup scale-up (`runMain graft.DevScale R incr`) — the
     * l52 claim measured: the per-crawl cost of admitting a FIXED-SIZE
     * batch as the curated corpus grows R×. The corpus band index is
@@ -232,6 +248,49 @@ object DevScale {
       println(f"R=$r%-3d postings=$nPost%9d rows  candidates=$candidates%9d  " +
         f"serve=$tServe%7.3f s  admit-batch=$tAdmit%7.3f s  " +
         f"rebuild=$tRebuild%8.3f s")
+    }
+
+    // SHARED-TOKEN leg — the dfCapPermille receipt: with every replica in
+    // ONE token space, df grows R× and a fixed query's candidate volume
+    // grows R× (the Zipf-skew regime); the measured cap
+    // (KnobSchedule.bm25DfCapForRecall at recall 0.95) bounds the
+    // expansion where the exact serve pays it in full. A 20-query sample
+    // keeps the uncapped truth leg affordable at R=50.
+    import graft.llm.KnobSchedule
+    val sharedQDir = "/tmp/graft_scale_bm25_sharedq"
+    sharedText(spark, 1)
+      .filter(TextOps.splitBucket(col("doc_id")) >= 80)
+      .filter(TextOps.md5Int32(col("doc_id").cast("string")) % 20 === 0)
+      .select(col("doc_id").as("q_id"), col("text"))
+      .write.mode("overwrite").parquet(sharedQDir)
+    val sharedQ = spark.read.parquet(sharedQDir)
+    println(s"shared-token leg: queries=${sharedQ.count()}")
+    for (r <- Seq(1, reps)) {
+      val dir = s"/tmp/graft_scale_bm25_shared_$r"
+      val corpus = sharedText(spark, r)
+        .filter(TextOps.splitBucket(col("doc_id") % 10000000L) < 80)
+      val (postings0, stats0) = Retrieval.bm25Model(corpus)
+      postings0.write.mode("overwrite").parquet(s"$dir/postings.parquet")
+      stats0.write.mode("overwrite").parquet(s"$dir/stats.parquet")
+      val postings = spark.read.parquet(s"$dir/postings.parquet")
+      val stats = spark.read.parquet(s"$dir/stats.parquet")
+      val qt = sharedQ.select(col("q_id"), explode(array_distinct(
+          TextOps.tokens(col("text")))).as("tok"))
+        .filter(length(col("tok")) > 0)
+      val cap = KnobSchedule.bm25DfCapForRecall(corpus, sharedQ,
+        targetRecall = 0.95)
+      val candAll = qt.join(postings, Seq("tok")).count()
+      val candCap = qt.join(postings
+        .crossJoin(broadcast(stats.select(col("n_docs"))))
+        .filter(col("df") * 1000 <= col("n_docs") * cap), Seq("tok")).count()
+      val tExact = BenchTiming.steadyOf(spark,
+        () => Retrieval.bm25Serve(sharedQ, postings, stats, k = 5))
+      val tCapped = BenchTiming.steadyOf(spark,
+        () => Retrieval.bm25Serve(sharedQ, postings, stats, k = 5,
+          dfCapPermille = cap))
+      println(f"R=$r%-3d shared: cap(0.95)=$cap%4d  cand_exact=$candAll%10d  " +
+        f"cand_capped=$candCap%10d  serve_exact=$tExact%7.3f s  " +
+        f"serve_capped=$tCapped%7.3f s")
     }
   }
 
