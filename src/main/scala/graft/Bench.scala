@@ -190,8 +190,45 @@ object Bench {
         val norm = hostNorm.fold(raw)(raw * _)
         s""","ratio":${r3(raw)},"ratio_norm":${r3(norm)}"""
       }
+    // ARBITRATION pass (round-12 directive #2): BENCH_r11 and BENCH_r12
+    // both landed half-contaminated by multi-minute host windows, and the
+    // flags ratio_norm raised could only be adjudicated against builder-
+    // side dev/ runs by hand. This makes the artifact self-arbitrating:
+    // every query whose end-sentinel-normalized ratio is >= 1.5 is
+    // RE-MEASURED after the sequence — a fresh hot d01 probe brackets the
+    // retry window, the query re-runs under the full steady discipline
+    // (warm + min-of-2), and the retry ratio normalizes against the
+    // retry's OWN probe (so a still-degraded host cancels out to first
+    // order). Verdict: retry_norm < 1.5 -> "host_noise" (the in-sequence
+    // reading was a degraded window; the clean number is recorded),
+    // else "regression" (confirmed on a bracketed probe). Capped at 12
+    // retries worst-first — a run with more flags than that is a degraded
+    // HOST run by construction, and the probes say so.
+    val arb: Map[String, (Double, Double, Double, String)] = {
+      val flagged = results.flatMap { case (k, mn, _, _, _, _, _) =>
+        val short = k.split('_')(0)
+        for {
+          b <- baselineRows.get(short) if b > 0
+          hn <- hostNorm
+          norm = mn / b * hn if norm >= 1.5
+        } yield (k, short, b, norm)
+      }.sortBy(-_._4).take(12)
+      flagged.map { case (k, short, b, _) =>
+        val probe = { runOnce("d01_scan_count");
+          math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
+        val retry = BenchTiming.steady(spark, k, sfDir)
+        val retryNorm = baselineRows.get("d01_end").filter(_ > 0 && probe > 0)
+          .fold(retry / b)(bd01 => retry / b * (bd01 / probe))
+        val verdict = if (retryNorm < 1.5) "host_noise" else "regression"
+        k -> (retry, probe, retryNorm, verdict)
+      }.toMap
+    }
+    def arbJson(k: String): String = arb.get(k).fold("") {
+      case (retry, probe, rn, v) =>
+        s""","retry_sec":${r3(retry)},"retry_d01":${r3(probe)},"retry_norm":${r3(rn)},"verdict":"$v""""
+    }
     val detail = (results.map { case (k, mn, mx, ccMb, jMs, gMs, off) =>
-      s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"t_off":${r3(off)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs,"gc_ms":$gMs${ratios(k.split('_')(0), mn)}}""" } ++
+      s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"t_off":${r3(off)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs,"gc_ms":$gMs${ratios(k.split('_')(0), mn)}${arbJson(k)}}""" } ++
       midProbes.map { case (k, v, off) =>
         s""""$k":{"min":${r3(v)},"max":${r3(v)},"t_off":${r3(off)}}""" } :+
       s""""d01_end":{"min":${r3(sentinel)},"max":${r3(sentinel)},"cc_mb":${r3(codeCacheUsedMb)},"jit_ms":$sentJitMs,"gc_ms":$sentGcMs}""").mkString("{", ",", "}")
@@ -230,9 +267,16 @@ object Bench {
       }
       val worst = normed.sortBy(-_._2).take(5)
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
+      // compact per-flag arbitration verdicts on the printed line itself:
+      // the gate must be readable from the 2000-char window alone
+      val arbShort = arb.toSeq.sortBy(-_._2._3).map { case (k, (_, _, rn, v)) =>
+        "\"" + k.split('_')(0) + "\":{\"rn\":" + r3(rn) + ",\"v\":\"" +
+          (if (v == "host_noise") "host" else "reg") + "\"}"
+      }.mkString("{", ",", "}")
       s""","d01_end":${r3(sentinel)},"host_norm":${
         hostNorm.fold("null")(r3)},"worst_norm":$worst,"n_norm_ge_1.5":${
-        normed.count(_._2 >= 1.5)}"""
+        normed.count(_._2 >= 1.5)},"arb":$arbShort,"n_arb_reg":${
+        arb.values.count(_._4 == "regression")}"""
     }
     // cc_peak/cc_reserve + jit_total ride the printed line too (short keys,
     // ~60 chars): the driver's 2000-char window must be able to answer "was
