@@ -1580,28 +1580,22 @@ object TextAnalysis {
       .select(col("a.doc_id").as("a_id"), col("a.p").as("pa"),
         col("b.doc_id").as("b_id"), col("b.p").as("pb"))
     val hsTab = wt.select(col("doc_id"), col("hs"))
-    // maximal extension around the anchor: scan outward while the gram
-    // hashes agree (array_position finds the FIRST mismatch offset;
-    // 0 = no mismatch within the bound → the run reaches the boundary).
-    // The sequence is guarded behind `bound >= 1`: Spark's sequence(1, 0)
-    // DESCENDS ([1, 0]) instead of yielding empty.
-    def extent(bound: Column, mismatchAt: Column => Column): Column = {
-      val mism = array_position(
-        transform(sequence(lit(1), bound), t => mismatchAt(t)), true)
-      when(bound < 1, lit(0L))
-        .when(mism === 0, bound.cast(LongType)).otherwise(mism - 1)
-    }
-    def at(hs: String, p: Column): Column =
-      element_at(col(hs), p.cast(IntegerType))
-    val maxBack = least(col("pa"), col("pb")) - 1
-    val maxFwd = least(size(col("ha")) - col("pa"), size(col("hb")) - col("pb"))
+    // maximal extension around the anchor — the NATIVE gram_extent
+    // expression (plans.GramExtent): two primitive equality scans per
+    // anchor. The HOF formulation (array_position over a transform'd
+    // mismatch sequence) ran interpreted AND evaluated twice per anchor
+    // through its when/otherwise consumer — ~7 of the operator's 8.5 s
+    // at sf0.1 across 431k anchors (equality pinned in ExpressionSpec).
+    // The hash-array joins broadcast (hsTab is docs-count rows of long
+    // arrays), so the wide anchor rows live only inside the pipelined
+    // stage — nothing but (doc_id, s, e) reaches the next exchange.
     val ext = anchors
       .join(hsTab.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
       .join(hsTab.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
-      .withColumn("l", extent(maxBack,
-        t => at("ha", col("pa") - t) =!= at("hb", col("pb") - t)))
-      .withColumn("r", extent(maxFwd,
-        t => at("ha", col("pa") + t) =!= at("hb", col("pb") + t)))
+      .withColumn("ext", call_function("gram_extent",
+        col("ha"), col("pa"), col("hb"), col("pb")))
+      .withColumn("l", col("ext").getItem(0))
+      .withColumn("r", col("ext").getItem(1))
     // gram run [pb−l, pb+r] covers tokens pb−l .. pb+r+n−1
     val marked = ext
       .filter(col("l") + col("r") + lit(1L + (n - 1)) >= minTok)

@@ -19,6 +19,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *    binary) -> bigint` — see Int8Packed (the l48b byte-packed codes path).
   *  - `positional_gram_hashes(array<string>, n) -> array<bigint>` — see
   *    PositionalGramHashes (the l102 winnowing hash sequence).
+  *  - `gram_extent(ha, pa, hb, pb) -> array<bigint>` — see GramExtent
+  *    (the l114 anchor extension).
   *
   * Registered optimizer rules:
   *  - RewriteHofDotToFvecDot — user-written `aggregate(zip_with(...))`
@@ -101,6 +103,13 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           PositionalGramHashes(toks, n)
         case _ => throw new IllegalArgumentException(
           "positional_gram_hashes takes exactly 2 arguments")
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("gram_extent"),
+      new ExpressionInfo(classOf[GramExtent].getName, "gram_extent"),
+      (children: Seq[Expression]) => {
+        require(children.length == 4, "gram_extent takes exactly 4 arguments")
+        GramExtent(children.head, children(1), children(2), children(3))
       }))
     ext.injectFunction((
       FunctionIdentifier("int8_packed_dot"),

@@ -511,6 +511,52 @@ class ExpressionSpec extends SparkSpec {
     assert(nn.filter(not(col("hof") <=> col("native"))).count() === 0)
   }
 
+  test("gram_extent == HOF longest-common-extension twin on corpus anchors") {
+    import graft.llm.TextAnalysis
+    import org.apache.spark.sql.Column
+    // the original interpreted formulation, kept as the semantic reference
+    def extentHof(bound: Column, mismatchAt: Column => Column): Column = {
+      val mism = array_position(
+        transform(sequence(lit(1), bound), t => mismatchAt(t)), true)
+      when(bound < 1, lit(0L))
+        .when(mism === 0, bound.cast("long")).otherwise(mism - 1)
+    }
+    def at(hs: String, p: Column): Column =
+      element_at(col(hs), p.cast("int"))
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val wt = TextAnalysis.winnowTable(docs, 3, 4).localCheckpoint()
+    val posts = wt.select(col("doc_id"),
+        explode(arrays_zip(col("sel_pos"), col("sel_h"))).as("z"))
+      .select(col("doc_id"), col("z.sel_pos").as("p"), col("z.sel_h").as("h"))
+    val anchors = posts.as("a").join(posts.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.p").as("pa"),
+        col("b.doc_id").as("b_id"), col("b.p").as("pb"))
+      .join(wt.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(wt.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+    val maxBack = least(col("pa"), col("pb")) - 1
+    val maxFwd = least(size(col("ha")) - col("pa"), size(col("hb")) - col("pb"))
+    val both = anchors.select(
+      extentHof(maxBack, t => at("ha", col("pa") - t) =!= at("hb", col("pb") - t)).as("lh"),
+      extentHof(maxFwd, t => at("ha", col("pa") + t) =!= at("hb", col("pb") + t)).as("rh"),
+      call_function("gram_extent",
+        col("ha"), col("pa"), col("hb"), col("pb")).as("ext"))
+    assert(both.filter(not(col("lh") <=> col("ext").getItem(0))
+      || not(col("rh") <=> col("ext").getItem(1))).count() === 0)
+    assert(both.count() > 100)
+    // hand edges: anchor at both array boundaries, full-equality arrays
+    val edges = Seq(
+      (Seq(1L, 2L, 3L), 1, Seq(9L, 2L, 3L), 1),  // left boundary: l=0, fwd runs
+      (Seq(1L, 2L, 3L), 2, Seq(1L, 2L, 3L), 2),  // identical arrays, mid anchor
+      (Seq(5L), 1, Seq(5L), 1))                  // single-element arrays
+      .toDF("ha", "pa", "hb", "pb")
+      .select(call_function("gram_extent",
+        col("ha"), col("pa"), col("hb"), col("pb")).as("ext"))
+      .collect().map(_.getSeq[Long](0).toSeq)
+    assert(edges.toSeq === Seq(Seq(0L, 2L), Seq(1L, 1L), Seq(0L, 0L)))
+  }
+
   test("positional_gram_hashes runs inside whole-stage codegen") {
     import graft.llm.TextOps
     val docs = Tables.load(spark, sf001, "documents")
