@@ -1,0 +1,176 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.llm._
+
+/** Declared queries — multimodal binary-payload family (llm/Multimodal.scala operators).
+  *
+  * Mechanical split of the single LlmDeclared registry (round 13,
+  * VERDICT directive #8) — every member moved verbatim; `LlmDeclared.all`
+  * preserves the original declaration order, so bench sequence and
+  * artifacts stay comparable round-over-round.
+  */
+private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
+
+  // ------------------------------------------------- multimodal + sketches
+
+  /** The DuckDB twin of `Multimodal.encodePpm`'s derivation: per doc, the
+    * P6 dimensions (w, h), text length, and header string. Pixel-plane
+    * byte k is then `ppmPx` below — the text bytes tiling the raster
+    * cyclically ('0' = 48 for empty text). The corpus is printable ASCII
+    * (verified), so ascii(substr) = byte and md5-of-string = md5-of-bytes. */
+  protected val ppmCte =
+    """ppm AS (
+      SELECT doc_id, text, length(text) AS len,
+        1 + CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(substr(text, 1, 1)) END % 16 AS w,
+        1 + CASE WHEN length(text) = 0 THEN 0
+              ELSE ascii(substr(text, length(text), 1)) END % 16 AS h
+      FROM documents)"""
+
+
+  /** Pixel-plane byte at 0-based index `k` (SQL fragment). */
+  protected def ppmPx(k: String) =
+    s"""CASE WHEN len = 0 THEN 48
+        ELSE ascii(substr(text, CAST(($k) % len + 1 AS INTEGER), 1)) END"""
+
+
+  /** P6 header string for dimensions (`w`, `h`) (SQL fragment). */
+  protected def ppmHdr(w: String, h: String) =
+    s"""'P6' || chr(10) || CAST($w AS VARCHAR) || ' ' || CAST($h AS VARCHAR)
+        || chr(10) || '255' || chr(10)"""
+
+
+  /** L11 — multimodal decode: deterministic P6 PPM payloads through the
+    * REAL netpbm parser (`Multimodal.parsePpm` — magic, comments, ASCII
+    * decimal fields), features = header dims + exact pixel checksum. The
+    * oracle regenerates the same image in SQL and replays the decode. */
+  protected val l11 = DeclaredQuery(
+    "l11_multimodal_decode",
+    (s, dir) =>
+      Multimodal.decodeFeatures(s,
+        Multimodal.encodePpm(s, t(s, dir, "documents")).toDF())
+        .toDF().orderBy(col("doc_id")),
+    Some(s"""WITH $ppmCte
+      SELECT doc_id,
+        CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS n_bytes,
+        CAST(w AS BIGINT) AS width,
+        CAST(h AS BIGINT) AS height,
+        CAST(list_reduce(list_transform(range(0, w*h*3),
+          k -> ${ppmPx("k")}), (x, y) -> x + y) AS BIGINT) AS sum_bytes
+      FROM ppm ORDER BY doc_id"""))
+
+
+  /** L20 — multimodal frame sampling: every scanline of each image as one
+    * checksum row — the 1→N table-generating decode shape (video frame
+    * extraction), as a typed flatMap over parsed P6 payloads. */
+  protected val l20 = DeclaredQuery(
+    "l20_frame_sample",
+    (s, dir) =>
+      Multimodal.frameSample(s,
+        Multimodal.encodePpm(s, t(s, dir, "documents")).toDF())
+        .toDF().orderBy(col("doc_id"), col("frame_idx")),
+    Some(s"""WITH $ppmCte,
+      f AS (SELECT doc_id, text, len, w, unnest(range(h)) AS frame_idx FROM ppm)
+      SELECT doc_id, frame_idx,
+        CAST(list_reduce(list_transform(range(0, w*3),
+          x -> ${ppmPx("frame_idx * w * 3 + x")}), (a, b) -> a + b)
+          AS BIGINT) AS frame_sum
+      FROM f ORDER BY doc_id, frame_idx"""))
+
+
+  /** L41 — multimodal FEATURE-EXTRACT: per-CHANNEL pixel statistics over
+    * the parsed P6 raster (the embedding-extractor stand-in; same
+    * mapPartitions plumbing as l11's decode). mean_px = exact long sum /
+    * one division, so it is aggregation-order independent. */
+  protected val l41 = DeclaredQuery(
+    "l41_multimodal_features",
+    (s, dir) =>
+      Multimodal.featureExtract(s,
+        Multimodal.encodePpm(s, t(s, dir, "documents")).toDF())
+        .toDF().orderBy(col("doc_id")),
+    Some(s"""WITH $ppmCte,
+      px AS (SELECT doc_id, w, h,
+        list_transform(range(0, w*h*3), k -> ${ppmPx("k")}) AS bs,
+        list_reduce(list_transform(range(0, w*h),
+          i -> ${ppmPx("3*i")}), (x, y) -> x + y) AS r_sum,
+        list_reduce(list_transform(range(0, w*h),
+          i -> ${ppmPx("3*i + 1")}), (x, y) -> x + y) AS g_sum,
+        list_reduce(list_transform(range(0, w*h),
+          i -> ${ppmPx("3*i + 2")}), (x, y) -> x + y) AS b_sum
+        FROM ppm)
+      SELECT doc_id,
+        CAST(w*h AS BIGINT) AS n_px,
+        CAST(r_sum AS BIGINT) AS r_sum,
+        CAST(g_sum AS BIGINT) AS g_sum,
+        CAST(b_sum AS BIGINT) AS b_sum,
+        CAST(list_min(bs) AS BIGINT) AS px_min,
+        CAST(list_max(bs) AS BIGINT) AS px_max,
+        CAST(r_sum + g_sum + b_sum AS DOUBLE) / (3 * w * h) AS mean_px
+      FROM px ORDER BY doc_id"""))
+
+
+  /** L42 — multimodal RESIZE: true 2-D nearest-neighbor ÷2 downsample on
+    * the parsed raster, re-encoded as VALID P6 (payload → payload),
+    * audited by before/after sizes and the resized digest. The corpus is
+    * printable ASCII (verified) and the P6 header is ASCII, so DuckDB's
+    * md5-of-string hashes the same bytes Spark's md5-of-binary does. */
+  protected val l42 = DeclaredQuery(
+    "l42_multimodal_resize",
+    (s, dir) => {
+      val blobs = Multimodal.encodePpm(s, t(s, dir, "documents")).toDF()
+      val orig = blobs.select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("orig_bytes"))
+      Multimodal.resize(s, blobs, factor = 2).toDF()
+        .select(col("doc_id"),
+          length(col("payload")).cast(LongType).as("resized_bytes"),
+          md5(col("payload")).as("resized_md5"))
+        .join(orig, "doc_id")
+        .select(col("doc_id"), col("orig_bytes"), col("resized_bytes"),
+          col("resized_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $ppmCte,
+      d AS (SELECT doc_id, text, len, w, h,
+              (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM ppm)
+      SELECT doc_id,
+        CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS orig_bytes,
+        CAST(length(${ppmHdr("w2", "h2")}) + w2*h2*3 AS BIGINT) AS resized_bytes,
+        md5(${ppmHdr("w2", "h2")} ||
+          array_to_string(list_transform(range(0, w2*h2*3), k ->
+            CASE WHEN len = 0 THEN '0' ELSE substr(text,
+              CAST((((k // (w2*3)) * 2 * w + ((k % (w2*3)) // 3) * 2) * 3
+                + k % 3) % len + 1 AS INTEGER), 1) END), '')) AS resized_md5
+      FROM d ORDER BY doc_id"""))
+
+
+  /** L93 — per-source media STORAGE audit: blob counts, payload bytes,
+    * pixels, exact checksum and mean bytes per blob, computed by decoding
+    * the real binary payloads (l11's parser) — the capacity-planning +
+    * corruption-tripwire table of a multimodal lake. Oracle: the ppm CTE
+    * regenerates every payload in SQL, then the same per-source sums. */
+  protected val l93 = DeclaredQuery(
+    "l93_media_storage_audit",
+    (s, dir) => Multimodal.mediaStorageAudit(s, t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some(s"""WITH $ppmCte,
+      feats AS (SELECT doc_id,
+          CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS n_bytes,
+          CAST(w*h AS BIGINT) AS n_px,
+          CAST(list_reduce(list_transform(range(0, w*h*3),
+            k -> ${ppmPx("k")}), (x, y) -> x + y) AS BIGINT) AS sum_bytes
+        FROM ppm)
+      SELECT d.source,
+        CAST(COUNT(*) AS BIGINT) AS n_blobs,
+        CAST(SUM(f.n_bytes) AS BIGINT) AS total_bytes,
+        CAST(SUM(f.n_px) AS BIGINT) AS total_pixels,
+        CAST(SUM(f.sum_bytes) AS BIGINT) AS payload_checksum,
+        CAST(SUM(f.n_bytes) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+          AS mean_bytes_per_blob
+      FROM feats f JOIN documents d USING (doc_id)
+      GROUP BY d.source ORDER BY d.source"""))
+}
