@@ -1564,34 +1564,55 @@ object TextAnalysis {
         " — shorter runs can evade winnow selection")
     val wt = winnowTable(docs, n, w)
       .localCheckpoint() // feeds postings AND the hash-array sides
-    // (doc_id, p, h) anchor postings — sel_pos is distinct per doc by
-    // construction (array_distinct over positions), so no dedup needed
-    val postsAll = wt.select(col("doc_id"),
-        explode(arrays_zip(col("sel_pos"), col("sel_h"))).as("z"))
-      .select(col("doc_id"), col("z.sel_pos").as("p"), col("z.sel_h").as("h"))
-    val posts = maxHashFreq.fold(postsAll) { t =>
-      val hot = postsAll.groupBy(col("h")).agg(count(lit(1)).as("df"))
-        .filter(col("df") > t).select(col("h"))
-      postsAll.join(broadcast(hot), Seq("h"), "left_anti")
-    }
+    val posts = hotHashGuard(selPostings(wt), maxHashFreq)
     val anchors = posts.as("a")
       .join(posts.as("b"),
         col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("a_id"), col("a.p").as("pa"),
         col("b.doc_id").as("b_id"), col("b.p").as("pb"))
     val hsTab = wt.select(col("doc_id"), col("hs"))
-    // maximal extension around the anchor — the NATIVE gram_extent
-    // expression (plans.GramExtent): two primitive equality scans per
-    // anchor. The HOF formulation (array_position over a transform'd
-    // mismatch sequence) ran interpreted AND evaluated twice per anchor
-    // through its when/otherwise consumer — ~7 of the operator's 8.5 s
-    // at sf0.1 across 431k anchors (equality pinned in ExpressionSpec).
-    // The hash-array joins broadcast (hsTab is docs-count rows of long
-    // arrays), so the wide anchor rows live only inside the pipelined
-    // stage — nothing but (doc_id, s, e) reaches the next exchange.
+    stripMatchedRuns(docs, anchors, hsTab, hsTab, n, minTok)
+  }
+
+  /** (doc_id, p, h) selected-fingerprint postings WITH gram positions —
+    * the anchor-join input of the substring-dedup family. sel_pos is
+    * distinct per doc by construction (array_distinct over positions),
+    * so no dedup is needed. */
+  private def selPostings(wt: DataFrame): DataFrame =
+    wt.select(col("doc_id"),
+        explode(arrays_zip(col("sel_pos"), col("sel_h"))).as("z"))
+      .select(col("doc_id"), col("z.sel_pos").as("p"), col("z.sel_h").as("h"))
+
+  /** The l112/l114 hot-fingerprint guard: drop postings whose hash
+    * appears in more than `maxHashFreq` postings (a fingerprint in half
+    * the corpus is boilerplate, not plagiarism). */
+  private def hotHashGuard(posts: DataFrame,
+                           maxHashFreq: Option[Long]): DataFrame =
+    maxHashFreq.fold(posts) { t =>
+      val hot = posts.groupBy(col("h")).agg(count(lit(1)).as("df"))
+        .filter(col("df") > t).select(col("h"))
+      posts.join(broadcast(hot), Seq("h"), "left_anti")
+    }
+
+  /** The extension + removal + rewrite core shared by the fused apply
+    * (l114) and the incremental admission (S34): for each `targets` doc
+    * (always the b-side of an anchor), strip every anchored run of
+    * ≥ `minTok` tokens and emit (doc_id, n_tok, n_removed, clean_md5).
+    *
+    * The extension is the NATIVE gram_extent expression (plans.GramExtent
+    * — two primitive equality scans per anchor; the HOF mismatch-scan
+    * form ran interpreted AND double-evaluated through its when/otherwise
+    * consumer: ~7 of the operator's 8.5 s at sf0.1 across 431k anchors,
+    * equality pinned in ExpressionSpec). The hash-array joins broadcast
+    * (docs-count rows of long arrays), so the wide anchor rows live only
+    * inside the pipelined stage — nothing but (doc_id, s, e) reaches the
+    * next exchange. */
+  private def stripMatchedRuns(targets: DataFrame, anchors: DataFrame,
+                               hsA: DataFrame, hsB: DataFrame,
+                               n: Int, minTok: Int): DataFrame = {
     val ext = anchors
-      .join(hsTab.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
-      .join(hsTab.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
+      .join(hsA.select(col("doc_id").as("a_id"), col("hs").as("ha")), "a_id")
+      .join(hsB.select(col("doc_id").as("b_id"), col("hs").as("hb")), "b_id")
       .withColumn("ext", call_function("gram_extent",
         col("ha"), col("pa"), col("hb"), col("pb")))
       .withColumn("l", col("ext").getItem(0))
@@ -1608,7 +1629,7 @@ object TextAnalysis {
       .distinct()
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("i"))).as("rem"))
-    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+    targets.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
       .join(remSets, Seq("doc_id"), "left")
       .select(col("doc_id"),
         size(col("toks")).cast(LongType).as("n_tok"),
@@ -1619,6 +1640,58 @@ object TextAnalysis {
                 array().cast("array<bigint>")), i), lit(null))
               .otherwise(element_at(col("toks"), i.cast(IntegerType)))),
           x => x.isNotNull))).as("clean_md5"))
+  }
+
+  /** Incremental substring-dedup ADMISSION (S34; the l52 arrival-order
+    * discipline at substring granularity): strip from each ARRIVING
+    * document every ≥ `minTok`-token run matching the persisted corpus
+    * state (an already-admitted doc always beats an arriving one) or an
+    * earlier (smaller doc_id) document of the same batch. The carried
+    * state IS `winnowTable`'s output (doc_id, hs, sel_pos, sel_h) —
+    * persisted once for the curated corpus and extended by DISJOINT
+    * union with each admitted batch's own winnowTable (NOT idempotent:
+    * the S22 exactly-once foreachBatch discipline applies).
+    *
+    * Equivalence contract (tested in StreamingSpec): when batches arrive
+    * in increasing doc_id order over an initial state, the per-batch
+    * outputs equal the fused `substringDedupApply` of the drained corpus
+    * row-for-row for the batch's documents — keep-first by doc_id and
+    * keep-first by arrival coincide. Out-of-order arrival degrades
+    * conservatively, exactly like l52: the LATER arrival loses the span
+    * regardless of id.
+    *
+    * Per-batch cost: the batch's own winnow selection, one batch⋈state
+    * posting join (the index is never re-paired against itself), and
+    * extension/rewrite work proportional to the batch — never a corpus
+    * re-scan. */
+  def substringDedupIncrement(batch: DataFrame, state: DataFrame,
+                              n: Int = 3, w: Int = 4, minTok: Int = 8,
+                              maxHashFreq: Option[Long] = None): DataFrame = {
+    require(minTok >= w + n - 1,
+      s"substringDedupIncrement: minTok ($minTok) must be >= w+n-1" +
+        s" (${w + n - 1})")
+    val bt = winnowTable(batch, n, w).localCheckpoint()
+    // the hot-hash guard sees the FULL posting universe (state ∪ batch),
+    // so a boilerplate fingerprint is dropped consistently on both sides
+    val all = hotHashGuard(
+      selPostings(bt).withColumn("from_batch", lit(true))
+        .unionByName(selPostings(state).withColumn("from_batch", lit(false))),
+      maxHashFreq).localCheckpoint(eager = false)
+    val bPosts = all.filter(col("from_batch")).drop("from_batch")
+    val sPosts = all.filter(!col("from_batch")).drop("from_batch")
+    val cross = bPosts.as("b")
+      .join(sPosts.as("a"), col("a.h") === col("b.h"))
+      .select(col("a.doc_id").as("a_id"), col("a.p").as("pa"),
+        col("b.doc_id").as("b_id"), col("b.p").as("pb"))
+    val within = bPosts.as("a")
+      .join(bPosts.as("b"),
+        col("a.h") === col("b.h") && col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("a_id"), col("a.p").as("pa"),
+        col("b.doc_id").as("b_id"), col("b.p").as("pb"))
+    val hsA = state.select(col("doc_id"), col("hs"))
+      .unionByName(bt.select(col("doc_id"), col("hs")))
+    stripMatchedRuns(batch, cross.unionByName(within),
+      hsA, bt.select(col("doc_id"), col("hs")), n, minTok)
   }
 
   /** GOPHER-style quality-rule battery (Rae et al. 2021, table A1 — the

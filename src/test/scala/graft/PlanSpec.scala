@@ -365,9 +365,13 @@ class PlanSpec extends SparkSpec {
     // shingle ATOMS (bounded ~n-word strings, the oracle-checked exact
     // set-overlap identity — never documents), so they sit in tier 1.
     // Excluded entirely by design: l45 (shard shuffle IS a text
-    // repartition), l50 (the rewrite join carries text keyed on doc_id —
-    // documented), and any query whose OUTPUT contains text (the
-    // declared orderBy's range exchange then legitimately carries it).
+    // repartition), l50 and l114 (their rewrite joins carry the token
+    // payload keyed on doc_id — the one documented text-carrying
+    // exchange of any apply operator; at local scale AQE broadcasts the
+    // removal/kept table and toks stays in-stage, but the scale
+    // fallback is a legitimate doc_id-clustered shuffle), and any query
+    // whose OUTPUT contains text (the declared orderBy's range exchange
+    // then legitimately carries it).
     val docPayload = Set("text", "toks", "w", "tok")
     val atomPayload = docPayload ++ Set("s", "shs", "span", "sh")
     // l16 sits in tier 1 because the capture listener (round-10 upgrade)

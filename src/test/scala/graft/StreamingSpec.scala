@@ -1091,6 +1091,59 @@ class StreamingSpec extends SparkSpec {
       === fused.toSeq)
   }
 
+  test("S34: incremental substring-dedup admission under foreachBatch — " +
+    "per-batch strips against the persisted winnow state equal the fused l114") {
+    // The l52 arrival-order discipline at substring granularity: the
+    // curated corpus's winnowTable persists as the carried state; each
+    // arriving batch pays its own selection + one batch-vs-state posting
+    // join + extension/rewrite, never a corpus re-scan; the state grows
+    // by disjoint union (S22 exactly-once discipline). With batches
+    // arriving in increasing doc_id order, keep-first-by-arrival and
+    // keep-first-by-id coincide, so the union of per-batch outputs
+    // equals the fused substringDedupApply of the drained corpus
+    // row-for-row for the streamed documents.
+    import StreamOps.StreamDoc
+    import graft.llm.TextAnalysis
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    // plant full copies (id-shifted -> always later than their originals)
+    // so complete-removal, partial, and untouched paths all stream
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val cut = 300L
+    val corpus = planted.filter(col("doc_id") < cut)
+    val arriving = planted.filter(col("doc_id") >= cut)
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val fusedAll = rowsOf(TextAnalysis.substringDedupApply(planted))
+    val fused = fusedAll.filter(_._1 >= cut).sortBy(_._1)
+    assert(fused.exists(_._3 > 0L)) // something actually strips
+    val arrivingRows = arriving.collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .sortBy(_.doc_id)
+    assert(arrivingRows.length > 10)
+    var state = TextAnalysis.winnowTable(corpus).localCheckpoint()
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, String)]()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().select(col("doc_id"), col("text"))
+        val out = rowsOf(TextAnalysis.substringDedupIncrement(b, state))
+        got.synchronized { got ++= out; () }
+        state = state.unionByName(TextAnalysis.winnowTable(b))
+          .localCheckpoint()
+      }.start()
+    try {
+      // increasing doc_id order across batches (the equivalence contract)
+      in.addData(arrivingRows.take(5): _*); q.processAllAvailable()
+      in.addData(arrivingRows.slice(5, 60): _*); q.processAllAvailable()
+      in.addData(arrivingRows.drop(60): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.sortBy(_._1).toSeq) === fused.toSeq)
+  }
+
   test("S30: HLL register maintenance under foreachBatch — max-folding " +
     "per-batch register tables equals from-scratch, re-delivery absorbed") {
     // The l111 deployment shape, with a STRONGER contract than the S22
