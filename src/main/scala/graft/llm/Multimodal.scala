@@ -235,6 +235,203 @@ object Multimodal {
     }
   }
 
+  // ------------------------------------------------------------- audio
+
+  /** Typed features the audio decoder emits per payload: container size,
+    * header sample rate, sample count, and exact integer sample stats
+    * (sum, min, max, Σs² energy — all LONG, aggregation-order free);
+    * mean_amp is the exact sum over one division. */
+  final case class AudioFeatures(
+      doc_id: Long, n_bytes: Long, sample_rate: Long, n_samples: Long,
+      sum_s: Long, min_s: Long, max_s: Long, energy: Long, mean_amp: Double)
+
+  /** Deterministic 16-bit PCM mono WAV payload per document — the audio
+    * twin of `encodePpm`, and the same oracle trick: the derivation is
+    * pure byte arithmetic over the text (n = 1 + (first·31 + last) % 200
+    * samples at 8 kHz; sample k = signed16(text[k % len] << 8 |
+    * text[(k+5) % len]); empty/null text → one zero sample), so the
+    * DuckDB side regenerates the same samples in SQL and replays the
+    * decode exactly. The container is a REAL RIFF/WAVE file — canonical
+    * 44-byte header (PCM fmt chunk + data chunk), playable by any audio
+    * tool. */
+  def encodeWav(spark: SparkSession, docs: DataFrame): Dataset[BlobRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes =
+          if (text == null) Array.empty[Byte]
+          else text.getBytes(StandardCharsets.UTF_8)
+        val len = bytes.length
+        val n =
+          if (len == 0) 1
+          else 1 + ((bytes(0) & 0xff) * 31 + (bytes(len - 1) & 0xff)) % 200
+        val sampleRate = 8000
+        val dataSize = 2 * n
+        val out = new Array[Byte](44 + dataSize)
+        def le32(off: Int, v: Int): Unit = {
+          out(off) = (v & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte
+          out(off + 2) = ((v >> 16) & 0xff).toByte
+          out(off + 3) = ((v >> 24) & 0xff).toByte
+        }
+        def le16(off: Int, v: Int): Unit = {
+          out(off) = (v & 0xff).toByte
+          out(off + 1) = ((v >> 8) & 0xff).toByte
+        }
+        def tag(off: Int, s: String): Unit = {
+          val b = s.getBytes(StandardCharsets.US_ASCII)
+          System.arraycopy(b, 0, out, off, 4)
+        }
+        tag(0, "RIFF"); le32(4, 36 + dataSize); tag(8, "WAVE")
+        tag(12, "fmt "); le32(16, 16)
+        le16(20, 1) // PCM
+        le16(22, 1) // mono
+        le32(24, sampleRate)
+        le32(28, sampleRate * 2) // byte rate
+        le16(32, 2)  // block align
+        le16(34, 16) // bits per sample
+        tag(36, "data"); le32(40, dataSize)
+        var k = 0
+        while (k < n) {
+          val s =
+            if (len == 0) 0
+            else {
+              val u = ((bytes(k % len) & 0xff) << 8) | (bytes((k + 5) % len) & 0xff)
+              if (u >= 32768) u - 65536 else u
+            }
+          le16(44 + 2 * k, s & 0xffff)
+          k += 1
+        }
+        BlobRow(id, out)
+      })
+  }
+
+  /** Parsed view of a PCM16 mono WAV: sample rate + the sample-plane
+    * offset/count into the payload. */
+  private final case class Wav(sampleRate: Int, offset: Int, nSamples: Int)
+
+  /** The real RIFF/WAVE walk — magic + riff-size check, chunk iteration
+    * with even-padding (unknown chunks like LIST/fact are SKIPPED, so any
+    * spec-valid PCM16-mono file parses, not just the encoder's canonical
+    * layout), fmt validation (PCM, mono, 16-bit), data chunk location.
+    * Rejects everything else loudly with the doc id (the parsePpm
+    * fail-fast contract). */
+  private def parseWav(p: Array[Byte], docId: Long): Wav = {
+    def fail(why: String): Nothing =
+      throw new IllegalArgumentException(s"doc $docId: invalid WAV — $why")
+    def u32(off: Int): Long =
+      if (off + 4 > p.length) fail(s"truncated at $off")
+      else (p(off) & 0xffL) | ((p(off + 1) & 0xffL) << 8) |
+        ((p(off + 2) & 0xffL) << 16) | ((p(off + 3) & 0xffL) << 24)
+    def u16(off: Int): Int =
+      if (off + 2 > p.length) fail(s"truncated at $off")
+      else (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    def tagAt(off: Int, s: String): Boolean =
+      off + 4 <= p.length && (0 until 4).forall(i => p(off + i) == s.charAt(i))
+    if (!tagAt(0, "RIFF")) fail("bad RIFF magic")
+    if (u32(4) != p.length - 8) fail(s"riff size ${u32(4)} vs ${p.length - 8}")
+    if (!tagAt(8, "WAVE")) fail("bad WAVE form type")
+    var i = 12
+    var sampleRate = -1
+    var dataOff = -1
+    var dataLen = -1
+    while (i + 8 <= p.length) {
+      val size = u32(i + 4).toInt
+      if (tagAt(i, "fmt ")) {
+        if (size < 16) fail(s"fmt chunk too small ($size)")
+        if (u16(i + 8) != 1) fail(s"not PCM (format ${u16(i + 8)})")
+        if (u16(i + 10) != 1) fail(s"not mono (${u16(i + 10)} channels)")
+        if (u16(i + 22) != 16) fail(s"not 16-bit (${u16(i + 22)})")
+        sampleRate = u32(i + 12).toInt
+      } else if (tagAt(i, "data")) {
+        dataOff = i + 8
+        dataLen = size
+      }
+      i += 8 + size + (size & 1) // chunks are even-padded
+    }
+    if (sampleRate <= 0) fail("no fmt chunk")
+    if (dataOff < 0) fail("no data chunk")
+    if (dataOff + dataLen > p.length) fail("data chunk overruns payload")
+    if (dataLen % 2 != 0) fail(s"odd PCM16 data size $dataLen")
+    Wav(sampleRate, dataOff, dataLen / 2)
+  }
+
+  /** Signed 16-bit little-endian sample at `off`. */
+  private def s16le(p: Array[Byte], off: Int): Int = {
+    val u = (p(off) & 0xff) | ((p(off + 1) & 0xff) << 8)
+    if (u >= 32768) u - 65536 else u
+  }
+
+  /** AUDIO DECODE + FEATURE stage: parse the container, compute exact
+    * integer sample statistics (the embedding/transcription-model
+    * stand-in — swap the stats loop for a model call and nothing else
+    * changes). Same mapPartitions codec-boundary contract as the image
+    * stages. */
+  def audioFeatures(spark: SparkSession, blobs: DataFrame): Dataset[AudioFeatures] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val wav = parseWav(b.payload, b.doc_id)
+      var sum = 0L
+      var energy = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      var k = 0
+      while (k < wav.nSamples) {
+        val s = s16le(b.payload, wav.offset + 2 * k).toLong
+        sum += s
+        energy += s * s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+        k += 1
+      }
+      AudioFeatures(b.doc_id, b.payload.length.toLong, wav.sampleRate.toLong,
+        wav.nSamples.toLong, sum, mn, mx, energy,
+        sum.toDouble / wav.nSamples.toDouble)
+    })
+  }
+
+  /** RESAMPLE stage (the audio twin of `resize`): decimate by `factor` —
+    * output sample j = input sample j·factor, ⌈n/factor⌉ samples at
+    * sampleRate/factor — re-encoded as a VALID canonical WAV, so
+    * `audioFeatures` composes on the output unchanged (tested). */
+  def resample(spark: SparkSession, blobs: DataFrame, factor: Int = 2): Dataset[BlobRow] = {
+    import spark.implicits._
+    require(factor >= 1, s"resample factor must be >= 1: $factor")
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val wav = parseWav(b.payload, b.doc_id)
+      val n2 = (wav.nSamples + factor - 1) / factor
+      val rate2 = math.max(1, wav.sampleRate / factor)
+      val dataSize = 2 * n2
+      val out = new Array[Byte](44 + dataSize)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def tag(off: Int, s: String): Unit = {
+        val bb = s.getBytes(StandardCharsets.US_ASCII)
+        System.arraycopy(bb, 0, out, off, 4)
+      }
+      tag(0, "RIFF"); le32(4, 36 + dataSize); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, rate2); le32(28, rate2 * 2); le16(32, 2); le16(34, 16)
+      tag(36, "data"); le32(40, dataSize)
+      var j = 0
+      while (j < n2) {
+        val src = wav.offset + 2 * (j * factor)
+        out(44 + 2 * j) = b.payload(src)
+        out(44 + 2 * j + 1) = b.payload(src + 1)
+        j += 1
+      }
+      BlobRow(b.doc_id, out)
+    })
+  }
+
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a
     * multimodal lake: per source, blob count, total payload bytes, total
     * pixels, the exact payload checksum (corruption tripwire for a

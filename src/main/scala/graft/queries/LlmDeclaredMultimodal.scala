@@ -173,4 +173,59 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
           AS mean_bytes_per_blob
       FROM feats f JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
+
+  /** The deterministic WAV sample value for index `k` (SQL fragment) —
+    * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
+    * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so
+    * ascii(substr(..)) IS the byte. */
+  protected def wavSample(k: String) =
+    s"""CASE WHEN len = 0 THEN 0 ELSE
+        CASE WHEN ascii(substr(text, CAST(($k) % len + 1 AS INTEGER), 1)) * 256
+              + ascii(substr(text, CAST((($k) + 5) % len + 1 AS INTEGER), 1)) >= 32768
+        THEN ascii(substr(text, CAST(($k) % len + 1 AS INTEGER), 1)) * 256
+           + ascii(substr(text, CAST((($k) + 5) % len + 1 AS INTEGER), 1)) - 65536
+        ELSE ascii(substr(text, CAST(($k) % len + 1 AS INTEGER), 1)) * 256
+           + ascii(substr(text, CAST((($k) + 5) % len + 1 AS INTEGER), 1)) END END"""
+
+  /** L115 — multimodal AUDIO decode: deterministic 16-bit PCM mono WAV
+    * payloads (real RIFF/WAVE container, canonical 44-byte header)
+    * through the REAL chunk-walking parser (`Multimodal.parseWav` —
+    * magic + riff-size check, even-padded chunk iteration that skips
+    * LIST/fact chunks, PCM/mono/16-bit fmt validation); features =
+    * container size + header sample rate + exact integer sample stats
+    * (sum, min, max, Σs² energy) + the one-division mean. Completes the
+    * multimodal plane across modalities: image decode/features/resize/
+    * frame-sample (l11/l41/l42/l20) + audio decode/features/resample.
+    * The oracle regenerates the same samples in SQL (the l11 trick) and
+    * replays the stats exactly — all LONG arithmetic, order-free. */
+  protected val l115 = DeclaredQuery(
+    "l115_audio_decode",
+    (s, dir) =>
+      Multimodal.audioFeatures(s,
+        Multimodal.encodeWav(s, t(s, dir, "documents")).toDF())
+        .toDF().orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+               length(COALESCE(text, '')) AS len FROM documents),
+      wav AS (SELECT doc_id, text, len,
+          CASE WHEN len = 0 THEN 1
+               ELSE 1 + (ascii(substr(text, 1, 1)) * 31
+                 + ascii(substr(text, len, 1))) % 200 END AS n
+        FROM t),
+      smp AS (SELECT doc_id, n,
+          -- BIGINT elements: the energy fold (x*x sums) overflows INT32
+          list_transform(range(0, n),
+            k -> CAST(${wavSample("k")} AS BIGINT)) AS ss
+        FROM wav)
+      SELECT doc_id,
+        CAST(44 + 2 * n AS BIGINT) AS n_bytes,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(n AS BIGINT) AS n_samples,
+        CAST(list_reduce(ss, (x, y) -> x + y) AS BIGINT) AS sum_s,
+        CAST(list_min(ss) AS BIGINT) AS min_s,
+        CAST(list_max(ss) AS BIGINT) AS max_s,
+        CAST(list_reduce(list_transform(ss, x -> x * x),
+          (x, y) -> x + y) AS BIGINT) AS energy,
+        CAST(list_reduce(ss, (x, y) -> x + y) AS DOUBLE)
+          / CAST(n AS DOUBLE) AS mean_amp
+      FROM smp ORDER BY doc_id"""))
 }

@@ -1403,6 +1403,102 @@ class LlmSpec extends SparkSpec {
 
   // ------------------------------------------------------------- multimodal
 
+  test("audio decode: encodeWav round-trips through the real RIFF parser, " +
+    "stats match a straight-line replay") {
+    // replay encodeWav's derivation in plain Scala and compare the
+    // distributed decode row-for-row (incl. the empty-text zero sample)
+    val d = docsDf(1L -> "ab", 2L -> "hello world", 3L -> "")
+    def expect(id: Long, text: String) = {
+      val bytes = text.getBytes("UTF-8")
+      val len = bytes.length
+      val n = if (len == 0) 1
+        else 1 + ((bytes(0) & 0xff) * 31 + (bytes(len - 1) & 0xff)) % 200
+      val ss = (0 until n).map { k =>
+        if (len == 0) 0
+        else {
+          val u = ((bytes(k % len) & 0xff) << 8) | (bytes((k + 5) % len) & 0xff)
+          if (u >= 32768) u - 65536 else u
+        }
+      }
+      (id, 44L + 2 * n, 8000L, n.toLong, ss.map(_.toLong).sum,
+        ss.min.toLong, ss.max.toLong, ss.map(s => s.toLong * s).sum,
+        ss.map(_.toLong).sum.toDouble / n)
+    }
+    val got = Multimodal.audioFeatures(spark,
+        Multimodal.encodeWav(spark, d).toDF())
+      .collect().map(f => (f.doc_id, f.n_bytes, f.sample_rate, f.n_samples,
+        f.sum_s, f.min_s, f.max_s, f.energy, f.mean_amp)).sortBy(_._1)
+    assert(got.toSeq === Seq(expect(1L, "ab"), expect(2L, "hello world"),
+      expect(3L, "")))
+  }
+
+  test("audio parser: spec-valid foreign chunk layouts parse, corrupt " +
+    "containers fail loudly with the doc id") {
+    import org.apache.spark.sql.Row
+    import Multimodal.BlobRow
+    val base = Multimodal.encodeWav(spark, docsDf(7L -> "xy")).collect().head
+    // splice a LIST chunk between fmt and data — a layout the encoder
+    // never emits but the RIFF spec allows; the chunk walk must skip it
+    val p = base.payload
+    val extra = "LIST".getBytes("US-ASCII") ++
+      Array[Byte](6, 0, 0, 0) ++ "INFOab".getBytes("US-ASCII")
+    val spliced = new Array[Byte](p.length + extra.length)
+    System.arraycopy(p, 0, spliced, 0, 36) // RIFF..fmt chunk end
+    System.arraycopy(extra, 0, spliced, 36, extra.length)
+    System.arraycopy(p, 36, spliced, 36 + extra.length, p.length - 36)
+    // fix the riff size for the added bytes
+    val riffSize = spliced.length - 8
+    spliced(4) = (riffSize & 0xff).toByte
+    spliced(5) = ((riffSize >> 8) & 0xff).toByte
+    spliced(6) = ((riffSize >> 16) & 0xff).toByte
+    spliced(7) = ((riffSize >> 24) & 0xff).toByte
+    val clean = Multimodal.audioFeatures(spark,
+      spark.createDataFrame(Seq(BlobRow(7L, base.payload)))).collect().head
+    val viaList = Multimodal.audioFeatures(spark,
+      spark.createDataFrame(Seq(BlobRow(7L, spliced)))).collect().head
+    assert(viaList === clean.copy(n_bytes = clean.n_bytes + extra.length))
+    // corrupt magic fails loudly with the doc id
+    val bad = base.payload.clone(); bad(0) = 'X'.toByte
+    val e = intercept[org.apache.spark.SparkException] {
+      Multimodal.audioFeatures(spark,
+        spark.createDataFrame(Seq(BlobRow(42L, bad)))).collect()
+    }
+    assert(e.getMessage.contains("doc 42") || Option(e.getCause)
+      .exists(_.getMessage.contains("doc 42")))
+  }
+
+  test("audio resample composes: features of the decimated payload equal " +
+    "a straight-line decimation") {
+    val d = docsDf(1L -> "some tokens for a longer waveform here", 2L -> "q")
+    val full = Multimodal.audioFeatures(spark,
+        Multimodal.encodeWav(spark, d).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    val down = Multimodal.audioFeatures(spark,
+        Multimodal.resample(spark,
+          Multimodal.encodeWav(spark, d).toDF(), factor = 4).toDF())
+      .collect().map(f => f.doc_id -> f).toMap
+    d.collect().map(r => (r.getLong(0), r.getString(1))).foreach { case (id, text) =>
+      val bytes = text.getBytes("UTF-8")
+      val len = bytes.length
+      val n = if (len == 0) 1
+        else 1 + ((bytes(0) & 0xff) * 31 + (bytes(len - 1) & 0xff)) % 200
+      val ss = (0 until n).map { k =>
+        if (len == 0) 0
+        else {
+          val u = ((bytes(k % len) & 0xff) << 8) | (bytes((k + 5) % len) & 0xff)
+          if (u >= 32768) u - 65536 else u
+        }
+      }
+      val dec = ss.indices.collect { case k if k % 4 == 0 => ss(k) }
+      val f = down(id)
+      assert(f.n_samples === dec.length.toLong)
+      assert(f.sample_rate === 2000L)
+      assert(f.sum_s === dec.map(_.toLong).sum)
+      assert(f.energy === dec.map(s => s.toLong * s).sum)
+      assert(full(id).n_samples === n.toLong)
+    }
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically
