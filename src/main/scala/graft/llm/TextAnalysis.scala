@@ -1752,6 +1752,98 @@ object TextAnalysis {
       sum(col("n_stop")).as("n_stop"), sum(col("n_sym")).as("n_sym"),
       sum(col("n_pass_all")).as("n_pass_all"))
 
+  /** GOPHER-style REPETITION filter battery (Rae et al. 2021, table A1 —
+    * the repetition subset; completes LLM103's word-form subset. The
+    * corpus has no line structure, so the line/paragraph duplicate rules
+    * don't apply; the n-gram rules are line-independent and do). Per
+    * source: document count and pass counts for each rule plus the
+    * all-rules conjunction:
+    *
+    *   r_top{2,3,4}  chars covered by the MOST FREQUENT word n-gram
+    *                 (count × gram chars) ≤ {20,18,16}% of doc chars
+    *   r_dup{5,6}    chars covered by DUPLICATED word n-grams
+    *                 (Σ count × gram chars over grams with count ≥ 2)
+    *                 ≤ {15,14}% of doc chars
+    *
+    * Coverage counts every occurrence's characters without overlap
+    * subtraction — the standard simplification of the published filters
+    * (overlapping occurrences double-count, making the measure an upper
+    * bound; the thresholds are calibrated against exactly this form).
+    * Every rule is an integer cross-multiplication (coverage × 100 vs
+    * threshold × chars) — no division, exact in any engine; a doc too
+    * short for an n has zero coverage and passes.
+    *
+    * Scale shape: ONE corpus pass builds all five gram streams
+    * positionally (slice over the token array; the string materializes
+    * as a TOP-LEVEL codegen'd concat_ws AFTER the explode — never inside
+    * the lambda, the round-12 interpreted-HOF trap), the (doc_id, n,
+    * gram) hash-agg partial-aggregates map-side (a doc's grams all live
+    * in its partition), and everything after the per-(doc, n) coverage
+    * fold is doc-sized then source-sized. At 100 TB the gram strings in
+    * the shuffle key give way to the LLM3 digest discipline (hash the
+    * gram, carry its char length) — documented, not needed at this SF. */
+  def repetitionRules(docs: DataFrame): DataFrame = {
+    val topThr = Seq(2 -> 20L, 3 -> 18L, 4 -> 16L)
+    val dupThr = Seq(5 -> 15L, 6 -> 14L)
+    val ns = (topThr ++ dupThr).map(_._1)
+    val base = docs.select(col("doc_id"), col("source"),
+      length(col("text")).cast(LongType).as("total"),
+      TextOps.tokens(col("text")).as("toks"))
+    // all five positional gram streams in one explode: grams at invalid
+    // tail positions come out short and the size filter drops them —
+    // avoids sequence(1, L-n+1) which REVERSES when L < n
+    val grams = base.select(col("doc_id"),
+      explode(flatten(array(ns.map { n =>
+        filter(
+          transform(sequence(lit(1), size(col("toks"))),
+            i => struct(lit(n).as("n"), slice(col("toks"), i, lit(n)).as("g"))),
+          s => size(s.getField("g")) === n)
+      }: _*))).as("gs"))
+      .select(col("doc_id"), col("gs.n").as("n"),
+        concat_ws(" ", col("gs.g")).as("gram"))
+    val gcnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+    val covChars = col("c") * length(col("gram")).cast(LongType)
+    val cov = gcnt.groupBy(col("doc_id"), col("n")).agg(
+      max(covChars).as("top_cov"),
+      sum(when(col("c") >= 2L, covChars).otherwise(lit(0L))).as("dup_cov"))
+    val pivCols =
+      topThr.map { case (n, _) =>
+        coalesce(max(when(col("n") === n, col("top_cov"))), lit(0L)).as(s"top$n") } ++
+      dupThr.map { case (n, _) =>
+        coalesce(max(when(col("n") === n, col("dup_cov"))), lit(0L)).as(s"dup$n") }
+    val perDoc = cov.groupBy(col("doc_id")).agg(pivCols.head, pivCols.tail: _*)
+    val ruleCols =
+      topThr.map { case (n, thr) =>
+        (coalesce(col(s"top$n"), lit(0L)) * 100L <= lit(thr) * col("total"))
+          .as(s"r_top$n") } ++
+      dupThr.map { case (n, thr) =>
+        (coalesce(col(s"dup$n"), lit(0L)) * 100L <= lit(thr) * col("total"))
+          .as(s"r_dup$n") }
+    val rules = base.select(col("doc_id"), col("source"), col("total"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("source") +: ruleCols: _*)
+    val names = topThr.map(t => s"top${t._1}") ++ dupThr.map(d => s"dup${d._1}")
+    rules.groupBy(col("source")).agg(
+      count(lit(1)).as("n_docs"),
+      names.map(nm => sum(col(s"r_$nm").cast(LongType)).as(s"n_$nm")) :+
+        sum(names.map(nm => col(s"r_$nm")).reduce(_ && _).cast(LongType))
+          .as("n_pass_all"): _*)
+  }
+
+  /** Associative fold of two repetitionRules cell tables — the S35
+    * streaming maintenance primitive (the S28 gopher-cell discipline):
+    * plain per-source counts, so per-cell addition is associative and
+    * commutative and the maintained table equals the from-scratch battery
+    * of the drained corpus for any batch split. NOT idempotent under
+    * re-delivery — the exactly-once foreachBatch discipline applies. */
+  def mergeRepetitionCells(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("source")).agg(
+      sum(col("n_docs")).as("n_docs"), sum(col("n_top2")).as("n_top2"),
+      sum(col("n_top3")).as("n_top3"), sum(col("n_top4")).as("n_top4"),
+      sum(col("n_dup5")).as("n_dup5"), sum(col("n_dup6")).as("n_dup6"),
+      sum(col("n_pass_all")).as("n_pass_all"))
+
   /** Vocabulary COVERAGE curve — "how much of the corpus token mass does
     * the top-X of the vocabulary cover": per vocab-rank decile (tokens
     * ranked by frequency desc, ties by token), token count, token mass,

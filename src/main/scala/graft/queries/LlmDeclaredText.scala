@@ -1160,4 +1160,61 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
           x -> x IS NOT NULL), ' '), '')) AS clean_md5
       FROM t LEFT JOIN rs ON t.doc_id = rs.doc_id
       ORDER BY t.doc_id"""))
+
+
+  /** L116 — Gopher-style REPETITION filter battery (Rae et al. 2021,
+    * table A1 repetition subset — completes l103's word-form subset):
+    * per source, pass counts for top-{2,3,4}-gram and dup-{5,6}-gram
+    * char-coverage rules and the conjunction. Exact integer
+    * cross-multiplications only (TextAnalysis.repetitionRules). */
+  protected val l116 = DeclaredQuery(
+    "l116_repetition_rules",
+    (s, dir) => TextAnalysis.repetitionRules(t(s, dir, "documents"))
+      .orderBy(col("source")),
+    Some("""WITH t AS (SELECT doc_id, source, CAST(len(text) AS BIGINT) AS total,
+               string_split(text, ' ') AS w FROM documents),
+      g AS (
+        SELECT doc_id, 2 AS n, unnest(list_transform(range(1, len(w) - 0),
+          i -> array_to_string(w[i:i+1], ' '))) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, 3 AS n, unnest(list_transform(range(1, len(w) - 1),
+          i -> array_to_string(w[i:i+2], ' '))) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, 4 AS n, unnest(list_transform(range(1, len(w) - 2),
+          i -> array_to_string(w[i:i+3], ' '))) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, 5 AS n, unnest(list_transform(range(1, len(w) - 3),
+          i -> array_to_string(w[i:i+4], ' '))) AS gram FROM t
+        UNION ALL
+        SELECT doc_id, 6 AS n, unnest(list_transform(range(1, len(w) - 4),
+          i -> array_to_string(w[i:i+5], ' '))) AS gram FROM t),
+      gc AS (SELECT doc_id, n, gram, CAST(COUNT(*) AS BIGINT) AS c
+             FROM g GROUP BY doc_id, n, gram),
+      cov AS (SELECT doc_id, n,
+               MAX(c * len(gram)) AS top_cov,
+               SUM(CASE WHEN c >= 2 THEN c * len(gram) ELSE 0 END) AS dup_cov
+             FROM gc GROUP BY doc_id, n),
+      piv AS (SELECT doc_id,
+               COALESCE(MAX(CASE WHEN n = 2 THEN top_cov END), 0) AS top2,
+               COALESCE(MAX(CASE WHEN n = 3 THEN top_cov END), 0) AS top3,
+               COALESCE(MAX(CASE WHEN n = 4 THEN top_cov END), 0) AS top4,
+               COALESCE(MAX(CASE WHEN n = 5 THEN dup_cov END), 0) AS dup5,
+               COALESCE(MAX(CASE WHEN n = 6 THEN dup_cov END), 0) AS dup6
+             FROM cov GROUP BY doc_id),
+      r AS (SELECT t.source,
+               (COALESCE(p.top2, 0) * 100 <= 20 * t.total) AS r_top2,
+               (COALESCE(p.top3, 0) * 100 <= 18 * t.total) AS r_top3,
+               (COALESCE(p.top4, 0) * 100 <= 16 * t.total) AS r_top4,
+               (COALESCE(p.dup5, 0) * 100 <= 15 * t.total) AS r_dup5,
+               (COALESCE(p.dup6, 0) * 100 <= 14 * t.total) AS r_dup6
+             FROM t LEFT JOIN piv p USING (doc_id))
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+        CAST(SUM(CASE WHEN r_top2 THEN 1 ELSE 0 END) AS BIGINT) AS n_top2,
+        CAST(SUM(CASE WHEN r_top3 THEN 1 ELSE 0 END) AS BIGINT) AS n_top3,
+        CAST(SUM(CASE WHEN r_top4 THEN 1 ELSE 0 END) AS BIGINT) AS n_top4,
+        CAST(SUM(CASE WHEN r_dup5 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup5,
+        CAST(SUM(CASE WHEN r_dup6 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup6,
+        CAST(SUM(CASE WHEN r_top2 AND r_top3 AND r_top4 AND r_dup5 AND r_dup6
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+      FROM r GROUP BY source ORDER BY source"""))
 }

@@ -2810,6 +2810,30 @@ class LlmSpec extends SparkSpec {
     assert(got(1) === (("sB", 2L, 2L, 1L, 2L, 1L, 1L, 0L)), got(1).toString)
   }
 
+  test("repetitionRules: repeated-bigram doc fails every rule; distinct-token" +
+    " and single-token docs pass; block-copy doc fails only dup5/dup6") {
+    // docA: "x y" * 30 — every n-gram stream is dominated by repeats
+    val docA = Seq.fill(30)("x y").mkString(" ")
+    // docB: 60 distinct len-3 tokens — every gram count is 1, dup cov 0
+    val docB = (1 to 60).map(i => f"t$i%02d").mkString(" ")
+    // docC: one token — too short for any n, zero coverage, passes all
+    val docC = "hello"
+    // docD: a 7-token block repeated around 30 distinct fillers — the
+    // duplicated 5/6-grams trip dup rules while every top gram stays
+    // under its threshold (total chars 161 sized to clear r_top4)
+    val block = (1 to 7).map(i => s"c$i").mkString(" ")
+    val docD = block + " " + (1 to 30).map(i => f"z$i%02d").mkString(" ") +
+      " " + block
+    val docs = Seq(
+      (1L, docA, "en", "sA"), (2L, docB, "en", "sA"),
+      (3L, docC, "en", "sB"), (4L, docD, "en", "sB"))
+      .toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.repetitionRules(docs).orderBy("source").collect()
+      .map(r => (r.getString(0), (1 to 7).map(r.getLong).toSeq))
+    assert(got(0) === (("sA", Seq(2L, 1L, 1L, 1L, 1L, 1L, 1L))), got(0).toString)
+    assert(got(1) === (("sB", Seq(2L, 2L, 2L, 2L, 1L, 1L, 1L))), got(1).toString)
+  }
+
   // ------------------------------------------------------- hard negatives
 
   test("hardNegatives: hand-computed triplet — hardest negative outscores " +

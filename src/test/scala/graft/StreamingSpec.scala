@@ -1280,6 +1280,45 @@ class StreamingSpec extends SparkSpec {
     assert(maintained === fromScratch)
   }
 
+  test("S35: repetition-rule cell maintenance under foreachBatch — folding " +
+    "per-batch rule batteries equals the from-scratch battery") {
+    // The l116 deployment shape, same discipline as S28: per-source cells
+    // are plain counts, so per-cell addition folds associatively and the
+    // maintained table equals the from-scratch battery for any batch split.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.TextAnalysis
+    def d(id: Long, text: String, src: String) =
+      StreamSrcDoc(id, text, src, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val crawl = Seq(
+      d(1, Seq.fill(30)("x y").mkString(" "), "sA"),
+      d(2, (1 to 60).map(i => f"t$i%02d").mkString(" "), "sA"),
+      d(3, "hello", "sB"),
+      d(4, (1 to 40).map(i => f"u$i%02d").mkString(" "), "sB"),
+      d(5, Seq.fill(20)("p q r").mkString(" "), "sA"))
+    val fromScratch = TextAnalysis.repetitionRules(
+      crawl.toDF().select(col("doc_id"), col("text"), col("source")))
+      .collect().map(r => (r.getString(0), (1 to 7).map(r.getLong).toSeq))
+      .sortBy(_._1).toSeq
+    var state: Option[DataFrame] = None
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val cells = TextAnalysis.repetitionRules(
+          batch.toDF().select(col("doc_id"), col("text"), col("source")))
+        val merged = state.fold(cells)(s =>
+          TextAnalysis.mergeRepetitionCells(s, cells)).localCheckpoint()
+        state = Some(merged); ()
+      }.start()
+    try {
+      in.addData(crawl.take(2): _*); q.processAllAvailable()
+      in.addData(crawl.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    val maintained = state.get.collect()
+      .map(r => (r.getString(0), (1 to 7).map(r.getLong).toSeq))
+      .sortBy(_._1).toSeq
+    assert(maintained === fromScratch)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
