@@ -1844,6 +1844,109 @@ object TextAnalysis {
       sum(col("n_dup5")).as("n_dup5"), sum(col("n_dup6")).as("n_dup6"),
       sum(col("n_pass_all")).as("n_pass_all"))
 
+  /** DSIR importance-weight MODEL (Xie et al., NeurIPS 2023 "Data
+    * Selection for Language Models via Importance Resampling"): hashed
+    * n-gram features (len>0 unigrams + positional bigrams, md5-hashed
+    * into `buckets` buckets — the paper's hashed feature space), bucket
+    * counts under the TARGET distribution (the eval split — the corpus's
+    * own held-out slice stands in for the paper's high-quality target,
+    * the l15/l24 lockstep split rule) and the RAW distribution (the train
+    * split), folded into one per-bucket importance weight with add-one
+    * smoothing:
+    *
+    *   λ_b = ⌊10⁶ · ((c_t(b)+1) · (T_r+B)) / ((c_r(b)+1) · (T_t+B))⌋
+    *
+    * The published weight sums LOG likelihood ratios; this is the
+    * RATIONAL-SNAPPED surrogate (the BM25 rational-idf dialect, SURVEY
+    * §7.4): per-feature evidence keeps its ordering, the snap is one
+    * exact-rounded double division of two BIGINTs — bit-identical in any
+    * engine, so the declared query hash-matches the oracle. Headroom:
+    * (c+1)·(T+B) long products are exact while c·T < 2⁶³ — at petabyte
+    * feature counts compute the two smoothed probabilities as doubles
+    * first (documented trade, not needed below ~10¹⁸ feature-pairs).
+    *
+    * Scale shape: ONE corpus pass explodes features (the hash is a
+    * TOP-LEVEL codegen'd projection after the explode — never inside the
+    * lambda); the (doc_id, is_target, b) count partial-aggregates
+    * map-side; everything global is bucket-sized (B rows → broadcast). */
+  def dsirModel(docs: DataFrame, buckets: Int = 1024,
+                trainPct: Int = 80): DataFrame = {
+    require(buckets >= 2, s"dsirModel: buckets ($buckets) must be >= 2")
+    dsirModelFromDb(dsirDocBuckets(
+      docs.select(col("doc_id"), col("text"),
+        (TextOps.splitBucket(col("doc_id")) >= trainPct).as("is_target")),
+      buckets), buckets)
+  }
+
+  /** λ table from an already-built (doc_id, is_target, b, c) count table
+    * — lets the fused form share ONE feature pass between model build and
+    * train-side scoring (the vocabCoverage shared-subtree rule). */
+  private def dsirModelFromDb(db: DataFrame, buckets: Int): DataFrame = {
+    val cnt = db.groupBy(col("b")).agg(
+      sum(when(col("is_target"), col("c")).otherwise(lit(0L))).as("c_t"),
+      sum(when(!col("is_target"), col("c")).otherwise(lit(0L))).as("c_r"))
+    val tot = cnt.agg(sum(col("c_t")).as("t_t"), sum(col("c_r")).as("t_r"))
+    cnt.crossJoin(broadcast(tot)).select(col("b"),
+      floor(
+        ((col("c_t") + 1L) * (col("t_r") + buckets)).cast(DoubleType) /
+          ((col("c_r") + 1L) * (col("t_t") + buckets)).cast(DoubleType) *
+          lit(1000000.0)).cast(LongType).as("lam"))
+  }
+
+  /** Per-(doc, bucket) hashed-feature counts — the shared feature pass of
+    * model build and scoring (callers add `is_target`; the serve side
+    * scores everything it is given). */
+  private def dsirDocBuckets(docs: DataFrame, buckets: Int): DataFrame = {
+    val cols = docs.columns.filter(_ != "text").map(col).toSeq
+    docs.select(cols :+ TextOps.tokens(col("text")).as("toks"): _*)
+      .select(cols :+ explode(concat(
+        filter(col("toks"), t => length(t) > 0),
+        TextOps.bigramOccurrences(col("toks")))).as("feat"): _*)
+      .select(cols :+
+        pmod(TextOps.md5Int32(col("feat")), lit(buckets.toLong)).as("b"): _*)
+      .groupBy(cols :+ col("b"): _*).agg(count(lit(1)).as("c"))
+  }
+
+  /** Score a document batch against a static λ table — per doc: hashed
+    * feature count and Σ c_b·λ_b. Pure function of (batch, model) with
+    * per-doc independence: the streaming admission (S36) wraps exactly
+    * this under foreachBatch (the l52/S26 persisted-model discipline —
+    * arriving docs pay their own feature pass, never a model rebuild). */
+  def dsirScore(batch: DataFrame, lam: DataFrame, buckets: Int = 1024): DataFrame =
+    dsirDocBuckets(batch.select(col("doc_id"), col("text")), buckets)
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lam")).as("score"), sum(col("c")).as("n_feats"))
+
+  /** The fused declared form (l117): build the model on the split corpus,
+    * score every TRAIN document, keep the top-k selection head by
+    * (score desc, doc_id) — deterministic zero-temperature resampling
+    * (the paper samples Gumbel-proportionally; rank-by-weight is its
+    * deterministic limit, the l26 sampling-family precedent). The top-k
+    * runs as TakeOrderedAndProject (distributed per-partition heaps, no
+    * global sort); source labels join AFTER the k-row cut. */
+  def dsirSelect(docs: DataFrame, buckets: Int = 1024, trainPct: Int = 80,
+                 k: Int = 50): DataFrame = {
+    // ONE feature pass feeds both the λ build and the train-side scoring
+    // (doc×bucket-sized — ≤ min(doc tokens, B) rows per doc)
+    val db = dsirDocBuckets(
+      docs.select(col("doc_id"), col("text"),
+        (TextOps.splitBucket(col("doc_id")) >= trainPct).as("is_target")),
+      buckets).localCheckpoint()
+    val lam = dsirModelFromDb(db, buckets)
+    val top = db.filter(!col("is_target"))
+      .join(broadcast(lam), Seq("b"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("c") * col("lam")).as("score"), sum(col("c")).as("n_feats"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+      .withColumn("rank", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("score").desc, col("doc_id"))).cast(LongType))
+    top.join(docs.select(col("doc_id"), col("source")), Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("n_feats"), col("score"),
+        col("rank"))
+  }
+
   /** Vocabulary COVERAGE curve — "how much of the corpus token mass does
     * the top-X of the vocabulary cover": per vocab-rank decile (tokens
     * ranked by frequency desc, ties by token), token count, token mass,

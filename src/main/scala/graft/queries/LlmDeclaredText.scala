@@ -1217,4 +1217,52 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
         CAST(SUM(CASE WHEN r_top2 AND r_top3 AND r_top4 AND r_dup5 AND r_dup6
              THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
       FROM r GROUP BY source ORDER BY source"""))
+
+
+  /** L117 — DSIR data selection via importance resampling (Xie et al.,
+    * NeurIPS 2023): hashed unigram+bigram features (1024 buckets), λ_b
+    * the rational-snapped add-one likelihood ratio of the eval-split
+    * (target) vs train-split (raw) bucket distributions, per-train-doc
+    * importance score Σ c_b·λ_b, top-50 selection head by (score desc,
+    * doc_id) — the deterministic zero-temperature resampling limit
+    * (TextAnalysis.dsirSelect). */
+  protected val l117 = DeclaredQuery(
+    "l117_dsir_select",
+    (s, dir) => TextAnalysis.dsirSelect(t(s, dir, "documents"))
+      .orderBy(col("rank")),
+    Some("""WITH t AS (SELECT doc_id, source,
+               ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100 AS sb,
+               string_split(text, ' ') AS w
+             FROM documents),
+      f AS (SELECT doc_id, sb >= 80 AS is_target,
+              unnest(list_concat(
+                list_filter(w, x -> len(x) > 0),
+                list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1]))) AS feat
+            FROM t),
+      fb AS (SELECT doc_id, is_target,
+               ('0x' || substr(md5(feat), 1, 8))::BIGINT % 1024 AS b
+             FROM f),
+      db AS (SELECT doc_id, is_target, b, CAST(COUNT(*) AS BIGINT) AS c
+             FROM fb GROUP BY doc_id, is_target, b),
+      cnt AS (SELECT b,
+               CAST(SUM(CASE WHEN is_target THEN c ELSE 0 END) AS BIGINT) AS c_t,
+               CAST(SUM(CASE WHEN NOT is_target THEN c ELSE 0 END) AS BIGINT) AS c_r
+             FROM db GROUP BY b),
+      tot AS (SELECT CAST(SUM(c_t) AS BIGINT) AS t_t,
+                     CAST(SUM(c_r) AS BIGINT) AS t_r FROM cnt),
+      lam AS (SELECT b, CAST(floor(
+                CAST((c_t + 1) * (t_r + 1024) AS DOUBLE) /
+                CAST((c_r + 1) * (t_t + 1024) AS DOUBLE) * 1000000.0)
+              AS BIGINT) AS lam
+             FROM cnt CROSS JOIN tot),
+      sc AS (SELECT d.doc_id, CAST(SUM(d.c * l.lam) AS BIGINT) AS score,
+                    CAST(SUM(d.c) AS BIGINT) AS n_feats
+             FROM db d JOIN lam l USING (b) WHERE NOT d.is_target
+             GROUP BY d.doc_id),
+      top AS (SELECT doc_id, n_feats, score,
+                CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS BIGINT) AS rank
+              FROM sc ORDER BY score DESC, doc_id LIMIT 50)
+      SELECT p.doc_id, d2.source, p.n_feats, p.score, p.rank
+      FROM top p JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
+      ORDER BY p.rank"""))
 }

@@ -2834,6 +2834,32 @@ class LlmSpec extends SparkSpec {
     assert(got(1) === (("sB", Seq(2L, 2L, 2L, 2L, 1L, 1L, 1L))), got(1).toString)
   }
 
+  test("dsirSelect: the raw doc matching the target distribution outranks " +
+    "off-distribution raw docs; model/score factoring agrees with the fused form") {
+    // derive target/raw membership from the REAL split rule so the test
+    // exercises the lockstep splitBucket discipline
+    val sb = spark.range(1, 61)
+      .select(col("id"), TextOps.splitBucket(col("id")).as("sb"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val targetIds = sb.filter(_._2 >= 80).keys.toSeq.sorted
+    val rawIds = sb.filter(_._2 < 80).keys.toSeq.sorted
+    assert(targetIds.nonEmpty && rawIds.size >= 2)
+    val special = rawIds.head
+    val docs = (targetIds.map(i => (i, "alpha beta alpha beta", "en", "tgt")) ++
+      rawIds.map { i =>
+        if (i == special) (i, "alpha beta alpha beta alpha beta", "en", "raw")
+        else (i, "zz ww vv uu", "en", "raw")
+      }).toDF("doc_id", "text", "lang", "source")
+    val got = TextAnalysis.dsirSelect(docs, k = 5).orderBy("rank").collect()
+    assert(got.head.getLong(0) === special, got.map(_.toString).mkString(","))
+    // factored model + score reproduces the fused head's score exactly
+    val lam = TextAnalysis.dsirModel(docs)
+    val train = docs.filter(TextOps.splitBucket(col("doc_id")) < 80)
+    val scored = TextAnalysis.dsirScore(train, lam)
+      .filter(col("doc_id") === special).collect()
+    assert(scored.head.getLong(1) === got.head.getLong(3)) // score column
+  }
+
   // ------------------------------------------------------- hard negatives
 
   test("hardNegatives: hand-computed triplet — hardest negative outscores " +

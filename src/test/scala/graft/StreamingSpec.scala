@@ -1319,6 +1319,44 @@ class StreamingSpec extends SparkSpec {
     assert(maintained === fromScratch)
   }
 
+  test("S36: streaming DSIR admission — scoring arriving batches against a " +
+    "persisted λ table equals the fused batch scoring row-for-row") {
+    // The l117 deployment shape (the l52/S26 persisted-model discipline):
+    // the λ table is built offline on the curated split corpus and
+    // persists; arriving candidate docs pay only their own feature pass.
+    // Per-doc independence makes the union of per-batch outputs equal the
+    // fused scoring of all arrivals for any batch split.
+    import StreamOps.StreamSrcDoc
+    import graft.llm.TextAnalysis
+    def d(id: Long, text: String) =
+      StreamSrcDoc(id, text, "s", java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    val corpus = (1L to 40L).map(i =>
+        (i, if (i % 3 == 0) "alpha beta gamma" else "zz ww vv", "en", "src"))
+      .toDF("doc_id", "text", "lang", "source")
+    val lam = TextAnalysis.dsirModel(corpus).localCheckpoint()
+    val arrivals = Seq(
+      d(101, "alpha beta alpha"), d(102, "zz ww"), d(103, "gamma gamma gamma"),
+      d(104, "uu tt"), d(105, "alpha zz beta ww"))
+    val fused = TextAnalysis.dsirScore(
+      arrivals.toDF().select(col("doc_id"), col("text")), lam)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1).toSeq
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Long)]()
+    val in = MemoryStream[StreamSrcDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        out ++= TextAnalysis.dsirScore(
+          batch.toDF().select(col("doc_id"), col("text")), lam)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+        ()
+      }.start()
+    try {
+      in.addData(arrivals.take(2): _*); q.processAllAvailable()
+      in.addData(arrivals.drop(2): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(out.sortBy(_._1).toSeq === fused)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
