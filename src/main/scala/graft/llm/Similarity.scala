@@ -325,6 +325,56 @@ object Similarity {
     cents
   }
 
+  /** SemDeDup — SEMANTIC deduplication scoped by a trained coarse
+    * quantizer (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+    * web-scale through semantic deduplication"): k-means-cluster the
+    * embedding corpus (fitCentroids' quantized spherical Lloyd's — the
+    * l37 fit, oracle-replayable), then inside each cluster mark as
+    * duplicates the vectors with cosine ≥ tau to an EARLIER vector in the
+    * cluster's keep order. The keep order is ascending centroid
+    * similarity (ties by vec_id) — the paper's policy of retaining the
+    * most ATYPICAL member of each duplicate set (the released
+    * implementation's upper-triangle max-sim test over exactly this
+    * ordering: drop i iff max_{j earlier} sim(i,j) ≥ τ — NOT iterative
+    * greedy, so the verdict is a pure pairwise predicate and replays in
+    * SQL). Output per vector: (vec_id, cell, cent_sim, n_dup_earlier,
+    * dropped), the curation table LLM39's LSH-bucketed CC form lacks a
+    * cluster-scoped, representative-principled twin of.
+    *
+    * Scale shape — the paper's own point: clustering is what makes
+    * web-scale pairwise feasible. Pair generation is strictly
+    * within-cell (corpus²/k work at uniform occupancy, never all-pairs);
+    * the centroid table broadcasts twice (assignment + cent_sim); the
+    * verdict collapses to an id-keyed count before the output join. A
+    * pathologically hot cell at 100 TB gets the maxDocFreq treatment:
+    * recurse the fit inside the cell (hierarchical k-means), the
+    * documented knob — occupancy is data-dependent, not plan-dependent. */
+  def semDedup(vectors: DataFrame, nCells: Int = 16, iters: Int = 3,
+               tau: Double = 0.35): DataFrame = {
+    val cents = fitCentroids(vectors, nCells, iters, quantum = Some(1000000L))
+    // one assignment pass; carries (vector, cell, cent_sim) to BOTH pair
+    // sides — localCheckpoint so the Lloyd lineage + assignment argmax
+    // doesn't re-run per consumer (the vocabCoverage shared-subtree rule)
+    val cs = ivfIndex(vectors, cents)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("nid"), col("ce"), col("cell"),
+        cosine(col("ce"), col("cent")).as("cent_sim"))
+      .localCheckpoint()
+    val a = cs.select(col("cell"), col("nid").as("a_id"), col("ce").as("ae"),
+      col("cent_sim").as("a_cs"))
+    val b = cs.select(col("cell"), col("nid").as("b_id"), col("ce").as("be"),
+      col("cent_sim").as("b_cs"))
+    val dupEarlier = a.join(b, Seq("cell"))
+      .filter(col("a_cs") < col("b_cs") ||
+        (col("a_cs") === col("b_cs") && col("a_id") < col("b_id")))
+      .filter(cosine(col("ae"), col("be")) >= tau)
+      .groupBy(col("b_id")).agg(count(lit(1)).as("n_dup_earlier"))
+    cs.join(dupEarlier, col("nid") === col("b_id"), "left")
+      .select(col("nid").as("vec_id"), col("cell"), col("cent_sim"),
+        coalesce(col("n_dup_earlier"), lit(0L)).as("n_dup_earlier"),
+        (col("b_id").isNotNull).cast(LongType).as("dropped"))
+  }
+
   /** Per-label embedding centroid, quantized for cross-engine exactness:
     * each coordinate is snapped to 1/quantum resolution (round(x·quantum)
     * as int64), summed exactly in longs, and divided once — so the result

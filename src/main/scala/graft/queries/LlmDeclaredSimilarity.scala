@@ -891,4 +891,47 @@ private[queries] trait LlmDeclaredSimilarity extends LlmDeclaredBase {
         MIN(q) AS min_e6, MAX(q) AS max_e6,
         CAST(SUM(CASE WHEN v = 0.0 THEN 1 ELSE 0 END) AS BIGINT) AS n_zero
       FROM q GROUP BY dim ORDER BY dim"""))
+
+
+  /** L118 — SemDeDup semantic deduplication (Abbas et al. 2023): the l37
+    * trained-k-means fit scopes within-cluster pairwise cosine; a vector
+    * is a duplicate iff it has sim ≥ 0.35 to an EARLIER vector in its
+    * cluster's keep order (ascending centroid similarity, ties by
+    * vec_id — the paper's keep-the-most-atypical policy as a pure
+    * pairwise predicate). The oracle replays the identical 3 Lloyd
+    * iterations (quantized means), assignment, centroid sims, and the
+    * upper-triangle verdict (Similarity.semDedup). */
+  protected val l118 = DeclaredQuery(
+    "l118_semdedup",
+    (s, dir) => Similarity.semDedup(t(s, dir, "embeddings"))
+      .orderBy(col("vec_id")),
+    Some(s"""WITH c0 AS (
+        SELECT vec_id AS cent_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      ${ivfFitIter(1)},
+      ${ivfFitIter(2)},
+      ${ivfFitIter(3)},
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN c3 c) x
+        WHERE rn <= 1),
+      cs AS (
+        SELECT a.nid, a.ce, a.cell,
+          ${duckCosine("a.ce", "c.cent")} AS cent_sim
+        FROM assigned a JOIN c3 c ON a.cell = c.cent_id),
+      dup AS (
+        SELECT b.nid AS b_id, CAST(COUNT(*) AS BIGINT) AS n_dup
+        FROM cs a JOIN cs b ON a.cell = b.cell
+          AND (a.cent_sim < b.cent_sim
+               OR (a.cent_sim = b.cent_sim AND a.nid < b.nid))
+        WHERE ${duckCosine("a.ce", "b.ce")} >= 0.35
+        GROUP BY b.nid)
+      SELECT cs.nid AS vec_id, cs.cell, cs.cent_sim,
+        COALESCE(d.n_dup, 0) AS n_dup_earlier,
+        CAST(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dropped
+      FROM cs LEFT JOIN dup d ON cs.nid = d.b_id
+      ORDER BY vec_id"""))
 }

@@ -2862,6 +2862,27 @@ class LlmSpec extends SparkSpec {
 
   // ------------------------------------------------------- hard negatives
 
+  test("semDedup: two hand-built clusters — every duplicate set keeps exactly " +
+    "its most atypical member (min centroid-sim), cross-cluster pairs never flag") {
+    // vec_ids 1..2 seed the two Lloyd inits on the two cluster anchors;
+    // all within-cluster sims ≥ 0.9, cross-cluster sims ≈ 0.59 < 0.9
+    val vecs = Seq(
+      (1L, Array(1.0f, 0.0f), 0), (2L, Array(0.0f, 1.0f), 1),
+      (3L, Array(0.95f, 0.31f), 0), (4L, Array(0.31f, 0.95f), 1),
+      (5L, Array(0.99f, 0.141f), 0), (6L, Array(0.141f, 0.99f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.semDedup(vecs, nCells = 2, iters = 2, tau = 0.9)
+      .orderBy("vec_id").collect()
+    assert(got.length === 6)
+    assert(got.map(_.getLong(4)).sum === 4L) // 2 kept, 4 dropped
+    got.groupBy(_.getLong(1)).foreach { case (_, members) =>
+      val kept = members.filter(_.getLong(4) === 0L)
+      assert(kept.length === 1)
+      // the kept member is the cluster's min centroid-sim (most atypical)
+      assert(kept.head.getDouble(2) === members.map(_.getDouble(2)).min)
+    }
+  }
+
   test("hardNegatives: hand-computed triplet — hardest negative outscores " +
     "the best positive (violates), singleton label keeps NULL pos_sim") {
     val vecs = Seq(
