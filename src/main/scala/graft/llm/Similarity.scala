@@ -355,24 +355,76 @@ object Similarity {
     // one assignment pass; carries (vector, cell, cent_sim) to BOTH pair
     // sides — localCheckpoint so the Lloyd lineage + assignment argmax
     // doesn't re-run per consumer (the vocabCoverage shared-subtree rule)
-    val cs = ivfIndex(vectors, cents)
+    val cs = cellAssignments(vectors, cents).localCheckpoint()
+    semDedupVerdict(cs, cs, tau, withinBatch = true)
+  }
+
+  /** The SemDeDup assignment table (nid, ce, cell, cent_sim) — semDedup's
+    * per-vector state, and the carried state of the streaming admission
+    * (S37): ALL seen vectors persist (a dropped vector still rejects
+    * later arrivals — the fused predicate counts every earlier member,
+    * kept or not, so carrying only survivors would silently admit what
+    * the batch operator drops). */
+  def cellAssignments(vectors: DataFrame, cents: DataFrame): DataFrame =
+    ivfIndex(vectors, cents)
       .join(broadcast(cents), col("cell") === col("cent_id"))
       .select(col("nid"), col("ce"), col("cell"),
         cosine(col("ce"), col("cent")).as("cent_sim"))
-      .localCheckpoint()
-    val a = cs.select(col("cell"), col("nid").as("a_id"), col("ce").as("ae"),
-      col("cent_sim").as("a_cs"))
-    val b = cs.select(col("cell"), col("nid").as("b_id"), col("ce").as("be"),
-      col("cent_sim").as("b_cs"))
+
+  /** The upper-triangle duplicate verdict of `batch` against `earlierPool`
+    * (+ optionally its own earlier-in-keep-order members): per batch
+    * vector (vec_id, cell, cent_sim, n_dup_earlier, dropped). When
+    * earlierPool is a PERSISTED state, every pool member rejects
+    * unconditionally (it arrived earlier by definition); the keep-order
+    * predicate applies only within the batch. */
+  private def semDedupVerdict(batch: DataFrame, earlierPool: DataFrame,
+                              tau: Double, withinBatch: Boolean): DataFrame = {
+    val b = batch.select(col("cell"), col("nid").as("b_id"),
+      col("ce").as("be"), col("cent_sim").as("b_cs"))
+    val a = earlierPool.select(col("cell"), col("nid").as("a_id"),
+      col("ce").as("ae"), col("cent_sim").as("a_cs"))
+    val orderPred =
+      if (withinBatch)
+        col("a_cs") < col("b_cs") ||
+          (col("a_cs") === col("b_cs") && col("a_id") < col("b_id"))
+      else lit(true)
     val dupEarlier = a.join(b, Seq("cell"))
-      .filter(col("a_cs") < col("b_cs") ||
-        (col("a_cs") === col("b_cs") && col("a_id") < col("b_id")))
+      .filter(orderPred)
       .filter(cosine(col("ae"), col("be")) >= tau)
       .groupBy(col("b_id")).agg(count(lit(1)).as("n_dup_earlier"))
-    cs.join(dupEarlier, col("nid") === col("b_id"), "left")
+    batch.join(dupEarlier, col("nid") === col("b_id"), "left")
       .select(col("nid").as("vec_id"), col("cell"), col("cent_sim"),
         coalesce(col("n_dup_earlier"), lit(0L)).as("n_dup_earlier"),
         (col("b_id").isNotNull).cast(LongType).as("dropped"))
+  }
+
+  /** Streaming SemDeDup ADMISSION (S37) — the l52/S34 arrival-order
+    * discipline on the semantic plane: the trained centroids and the
+    * assignment table of every SEEN vector persist; an arriving batch
+    * pays its own assignment pass, is verdicted against the state pool
+    * (every state member rejects — it arrived earlier) PLUS its own
+    * earlier-in-keep-order members, and its assignments append to state
+    * by disjoint union. With batches arriving in the canonical keep
+    * order (ascending cent_sim, ties by nid), per-batch verdicts equal
+    * the fused semDedup of the drained corpus ROW-FOR-ROW (tested in
+    * StreamingSpec); out-of-order arrival degrades conservatively — the
+    * later arrival is the one dropped (l52's documented policy). Returns
+    * (verdicts, batchAssignments) — the caller appends the assignments
+    * (ALL of them, dropped included) to its state. */
+  def semDedupIncrement(batch: DataFrame, state: DataFrame, cents: DataFrame,
+                        tau: Double = 0.35): (DataFrame, DataFrame) = {
+    val bs = cellAssignments(batch, cents).localCheckpoint()
+    val vsState = semDedupVerdict(bs, state, tau, withinBatch = false)
+    val vsBatch = semDedupVerdict(bs, bs, tau, withinBatch = true)
+    val merged = vsState.select(col("vec_id"), col("cell"), col("cent_sim"),
+        col("n_dup_earlier").as("n_state"), col("dropped").as("d_state"))
+      .join(vsBatch.select(col("vec_id"),
+        col("n_dup_earlier").as("n_batch"), col("dropped").as("d_batch")),
+        Seq("vec_id"))
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        (col("n_state") + col("n_batch")).as("n_dup_earlier"),
+        greatest(col("d_state"), col("d_batch")).as("dropped"))
+    (merged, bs)
   }
 
   /** Per-label embedding centroid, quantized for cross-engine exactness:

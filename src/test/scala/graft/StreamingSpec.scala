@@ -1357,6 +1357,53 @@ class StreamingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === fused)
   }
 
+  test("S37: streaming SemDeDup admission — canonical-order arrivals " +
+    "reproduce the fused batch verdicts row-for-row; state carries ALL seen") {
+    // The l118 deployment shape (the l52/S34 arrival-order discipline on
+    // the semantic plane): centroids + the assignment table of every SEEN
+    // vector persist; arriving batches verdict against state (every state
+    // member rejects — it arrived earlier) plus their own earlier-in-keep-
+    // order members. Feeding the canonical order makes streaming == fused.
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val rows = Seq(
+      (1L, Array(1.0f, 0.0f)), (2L, Array(0.0f, 1.0f)),
+      (3L, Array(0.95f, 0.31f)), (4L, Array(0.31f, 0.95f)),
+      (5L, Array(0.99f, 0.141f)), (6L, Array(0.141f, 0.99f)))
+    val vecs = rows.toDF("vec_id", "embedding")
+    val cents = Similarity.fitCentroids(vecs, k = 2, iters = 2,
+      quantum = Some(1000000L)).localCheckpoint()
+    val fused = Similarity.semDedup(vecs, nCells = 2, iters = 2, tau = 0.9)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getLong(3),
+        r.getLong(4))).sortBy(_._1).toSeq
+    // canonical keep order from the persisted assignment table
+    val order = Similarity.cellAssignments(vecs, cents)
+      .orderBy(col("cent_sim"), col("nid")).collect().map(_.getLong(0))
+    val byId = rows.toMap
+    def sv(id: Long) = StreamVec(id, byId(id),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    var state = Similarity.cellAssignments(vecs.limit(0), cents)
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, Long, Double, Long, Long)]()
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (verdicts, bs) = Similarity.semDedupIncrement(
+          batch.toDF().select(col("vec_id"), col("embedding")), state, cents,
+          tau = 0.9)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getLong(1),
+          r.getDouble(2), r.getLong(3), r.getLong(4)))
+        state = state.unionByName(bs).localCheckpoint()
+        ()
+      }.start()
+    try {
+      in.addData(order.take(3).map(sv): _*); q.processAllAvailable()
+      in.addData(order.drop(3).map(sv): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(out.sortBy(_._1).toSeq === fused)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
