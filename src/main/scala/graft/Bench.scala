@@ -24,12 +24,15 @@ package graft
   *    commit rerun — a sustained degraded window, not a plan change. Per-
   *    query cleanup removes the mechanism; min/max in the detail file makes
   *    any recurrence visible from artifacts alone.)
-  *  - The printed JSON line uses SHORT query ids (d01, l16 — the same ids as
-  *    BASELINE.md's per-query table) and 3-decimal seconds: the driver keeps
-  *    only the last 2000 chars of output, and the full-name full-precision
-  *    line (~2600 chars) overflowed that buffer in 5 of 6 rounds
-  *    ("parsed": null in BENCH_r0{1,2,4,5,6}.json). Full names plus the
-  *    min AND max of the two timed runs go to BENCH_DETAIL.json instead.
+  *  - TWO printed JSON lines, both with SHORT query ids (d01, l16 — the
+  *    same ids as BASELINE.md's per-query table): a full-precision line
+  *    first (3-decimal seconds + the whole gate/arbitration block) and a
+  *    COMPACT line last (1-decimal seconds + the arbitration headline,
+  *    sized <= 1900 chars). The driver keeps only the last 2000 chars of
+  *    output; at 169 queries even the short-id 3-decimal line runs ~2900
+  *    chars, so every round through r14 recorded "parsed": null — the
+  *    compact line is the parse target that ends that. Full names plus the
+  *    min AND max of the two timed runs go to BENCH_DETAIL.json as before.
   *  - Failures are NOT swallowed — a broken query must fail the bench, not
   *    record as a fast success.
   */
@@ -190,42 +193,94 @@ object Bench {
         val norm = hostNorm.fold(raw)(raw * _)
         s""","ratio":${r3(raw)},"ratio_norm":${r3(norm)}"""
       }
-    // ARBITRATION pass (round-12 directive #2): BENCH_r11 and BENCH_r12
-    // both landed half-contaminated by multi-minute host windows, and the
-    // flags ratio_norm raised could only be adjudicated against builder-
-    // side dev/ runs by hand. This makes the artifact self-arbitrating:
+    // ARBITRATION pass (round-12 directive #2 + round-13 directive #3):
     // every query whose end-sentinel-normalized ratio is >= 1.5 is
-    // RE-MEASURED after the sequence — a fresh hot d01 probe brackets the
-    // retry window, the query re-runs under the full steady discipline
-    // (warm + min-of-2), and the retry ratio normalizes against the
-    // retry's OWN probe (so a still-degraded host cancels out to first
-    // order). Verdict: retry_norm < 1.5 -> "host_noise" (the in-sequence
-    // reading was a degraded window; the clean number is recorded),
-    // else "regression" (confirmed on a bracketed probe). Capped at 12
-    // retries worst-first — a run with more flags than that is a degraded
-    // HOST run by construction, and the probes say so.
-    val arb: Map[String, (Double, Double, Double, String)] = {
-      val flagged = results.flatMap { case (k, mn, _, _, _, _, _) =>
-        val short = k.split('_')(0)
-        for {
-          b <- baselineRows.get(short) if b > 0
-          hn <- hostNorm
-          norm = mn / b * hn if norm >= 1.5
-        } yield (k, short, b, norm)
-      }.sortBy(-_._4).take(12)
-      flagged.map { case (k, short, b, _) =>
-        val probe = { runOnce("d01_scan_count");
-          math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
-        val retry = BenchTiming.steady(spark, k, sfDir)
-        val retryNorm = baselineRows.get("d01_end").filter(_ > 0 && probe > 0)
-          .fold(retry / b)(bd01 => retry / b * (bd01 / probe))
-        val verdict = if (retryNorm < 1.5) "host_noise" else "regression"
-        k -> (retry, probe, retryNorm, verdict)
-      }.toMap
+    // RE-MEASURED after the sequence. The retry runs in a FRESH JVM
+    // (BenchRetry, one spawn for the whole flagged set): the round-13
+    // bracket reran inside the end-of-suite JVM and could not separate
+    // host noise from suite-state pollution (code cache, JIT deopt) —
+    // l102's 1.614 "regression" on byte-identical code was exactly that
+    // ambiguity. The child re-runs each flag under the full steady
+    // discipline (warm + min-of-2) with hot d01 probes bracketing the
+    // set, and the retry ratio normalizes against the child's own probe
+    // (so a still-degraded host cancels to first order while suite state
+    // is gone by construction). Verdict: retry_norm < 1.5 -> "host_noise"
+    // (clean number recorded), else "regression" — now trustworthy,
+    // because nothing of the 170-plan suite JVM survives into the
+    // measurement. Capped at 12 retries worst-first — a run with more
+    // flags than that is a degraded HOST run by construction, and the
+    // probes say so. If the spawn fails (classpath oddity under a future
+    // launcher), the bracket falls back to the old same-JVM retry and the
+    // artifact says so ("bracket":"same_jvm").
+    val flagged = results.flatMap { case (k, mn, _, _, _, _, _) =>
+      val short = k.split('_')(0)
+      for {
+        b <- baselineRows.get(short) if b > 0
+        hn <- hostNorm
+        norm = mn / b * hn if norm >= 1.5
+      } yield (k, short, b, norm)
+    }.sortBy(-_._4).take(12)
+    def freshJvmRetry(names: Seq[String]): Option[Map[String, Double]] =
+      try {
+        import scala.jdk.CollectionConverters._
+        val javaBin = java.nio.file.Paths
+          .get(System.getProperty("java.home"), "bin", "java").toString
+        val jvmArgs = java.lang.management.ManagementFactory
+          .getRuntimeMXBean.getInputArguments.asScala.toSeq
+          .filterNot(a => a.startsWith("-agentlib") || a.startsWith("-javaagent"))
+        val cmd = Seq(javaBin) ++ jvmArgs ++ Seq(
+          "-cp", System.getProperty("java.class.path"),
+          "graft.BenchRetry", sfDir, names.mkString(","))
+        val pb = new ProcessBuilder(cmd.asJava)
+        // Spark logs ride the child's stderr — keep them out of the
+        // parent's tail window (the driver keeps only the last 2000 chars)
+        pb.redirectError(new java.io.File("/tmp/graft_bench_retry.err"))
+        val p = pb.start()
+        val out = scala.io.Source.fromInputStream(p.getInputStream)
+          .getLines().toVector
+        if (p.waitFor() != 0) None
+        else {
+          val times = out.collect {
+            case s if s.startsWith("RETRY:") =>
+              val Array(k, v) = s.stripPrefix("RETRY:").split("=", 2)
+              k -> v.toDouble
+          }.toMap
+          val probes = out.collect {
+            case s if s.startsWith("RETRY_PROBE") =>
+              s.split("=", 2)(1).toDouble
+          }
+          if (probes.isEmpty || !names.forall(times.contains)) None
+          else Some(times + ("__probe__" -> probes.min))
+        }
+      } catch { case _: Throwable => None }
+    def verdictOf(retry: Double, probe: Double, b: Double): (Double, String) = {
+      val rn = baselineRows.get("d01_end").filter(_ > 0 && probe > 0)
+        .fold(retry / b)(bd01 => retry / b * (bd01 / probe))
+      (rn, if (rn < 1.5) "host_noise" else "regression")
     }
+    // (retry_sec, probe_sec, retry_norm, verdict, bracket)
+    val arb: Map[String, (Double, Double, Double, String, String)] =
+      if (flagged.isEmpty) Map.empty
+      else freshJvmRetry(flagged.map(_._1)) match {
+        case Some(m) =>
+          val probe = m("__probe__")
+          flagged.map { case (k, _, b, _) =>
+            val retry = m(k)
+            val (rn, v) = verdictOf(retry, probe, b)
+            k -> ((retry, probe, rn, v, "fresh_jvm"))
+          }.toMap
+        case None =>
+          flagged.map { case (k, _, b, _) =>
+            val probe = { runOnce("d01_scan_count");
+              math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
+            val retry = BenchTiming.steady(spark, k, sfDir)
+            val (rn, v) = verdictOf(retry, probe, b)
+            k -> ((retry, probe, rn, v, "same_jvm"))
+          }.toMap
+      }
     def arbJson(k: String): String = arb.get(k).fold("") {
-      case (retry, probe, rn, v) =>
-        s""","retry_sec":${r3(retry)},"retry_d01":${r3(probe)},"retry_norm":${r3(rn)},"verdict":"$v""""
+      case (retry, probe, rn, v, br) =>
+        s""","retry_sec":${r3(retry)},"retry_d01":${r3(probe)},"retry_norm":${r3(rn)},"verdict":"$v","bracket":"$br""""
     }
     val detail = (results.map { case (k, mn, mx, ccMb, jMs, gMs, off) =>
       s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"t_off":${r3(off)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs,"gc_ms":$gMs${ratios(k.split('_')(0), mn)}${arbJson(k)}}""" } ++
@@ -269,20 +324,50 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       // compact per-flag arbitration verdicts on the printed line itself:
       // the gate must be readable from the 2000-char window alone
-      val arbShort = arb.toSeq.sortBy(-_._2._3).map { case (k, (_, _, rn, v)) =>
+      val arbShort = arb.toSeq.sortBy(-_._2._3).map { case (k, (_, _, rn, v, _)) =>
         "\"" + k.split('_')(0) + "\":{\"rn\":" + r3(rn) + ",\"v\":\"" +
           (if (v == "host_noise") "host" else "reg") + "\"}"
       }.mkString("{", ",", "}")
+      val bracket = arb.values.headOption.fold("none")(_._5)
       s""","d01_end":${r3(sentinel)},"host_norm":${
         hostNorm.fold("null")(r3)},"worst_norm":$worst,"n_norm_ge_1.5":${
-        normed.count(_._2 >= 1.5)},"arb":$arbShort,"n_arb_reg":${
+        normed.count(_._2 >= 1.5)},"arb":$arbShort,"arb_bracket":"$bracket","n_arb_reg":${
         arb.values.count(_._4 == "regression")}"""
     }
     // cc_peak/cc_reserve + jit_total ride the printed line too (short keys,
     // ~60 chars): the driver's 2000-char window must be able to answer "was
     // this run deopt-contaminated?" without the detail file.
     val jvmShort = s""","cc_peak_mb":${math.round(ccPeakMb)},"cc_reserve_mb":${math.round(codeCacheMaxMb)},"jit_total_ms":${jitMs - jitStartMs}"""
+    // Full-precision line FIRST (humans, grep, cross-check vs the detail
+    // file). At 169 queries it runs ~2900 chars — it can never fit the
+    // driver's 2000-char tail window, which is why every round so far
+    // recorded "parsed": null. The COMPACT line below is the parse target
+    // and must come LAST so the window always holds it whole.
     println(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","queries":$qs,"sf":"$sfDir"$gate$jvmShort}""")
+    // Compact parse-target line: same contract fields (metric/value/unit/
+    // queries/sf) with 1-decimal per-query values (full precision lives in
+    // BENCH_DETAIL.json and the line above) plus the arbitration headline.
+    // Budget: 2000-char window minus the ~80-char sbt "[success]" trailer
+    // leaves ~1920; the queries map at 1 decimal is ~1710, headline ~150.
+    // If a future query-count growth overruns the budget, the reg map then
+    // the counts are dropped before the queries map is ever truncated.
+    def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.US, v)
+    val qs1 = results.map { case (k, mn, _, _, _, _, _) =>
+      "\"" + k.split('_')(0) + "\":" + r1(mn) }.mkString("{", ",", "}")
+    val regShort = arb.toSeq.filter(_._2._4 == "regression")
+      .sortBy(-_._2._3).take(3)
+      .map { case (k, (_, _, rn, _, _)) =>
+        "\"" + k.split('_')(0) + "\":" + r3(rn) }.mkString("{", ",", "}")
+    val headline = s""","d01_end":${r3(sentinel)},"host_norm":${
+      hostNorm.fold("null")(r3)},"n_ge1.5":${flagged.size},"n_reg":${
+      arb.values.count(_._4 == "regression")},"reg":$regShort,"arb_jvm":"${
+      arb.values.headOption.fold("none")(_._5)}""""
+    val base = s""""unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$qs1"""
+    val compact = Seq(headline, "").map(h =>
+      s"""{"metric":"total","value":${r3(totalMin)}$h,$base}""")
+      .find(_.length <= 1900)
+      .getOrElse(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}"}""")
+    println(compact)
     spark.stop()
   }
 }

@@ -373,7 +373,7 @@ class PlanSpec extends SparkSpec {
     // whose OUTPUT contains text (the declared orderBy's range exchange
     // then legitimately carries it).
     val docPayload = Set("text", "toks", "w", "tok")
-    val atomPayload = docPayload ++ Set("s", "shs", "span", "sh")
+    val atomPayload = docPayload ++ Set("s", "shs", "span", "sh", "feat")
     // l16 sits in tier 1 because the capture listener (round-10 upgrade)
     // sees its CHECKPOINTED pair-generation executions too: the inverted
     // index inside jaccardPairs ships shingle atoms by design; l16's own
@@ -407,7 +407,12 @@ class PlanSpec extends SparkSpec {
       "l91_simhash_estimate_audit",
       // l92: embeds containmentPairs (shingle atoms in the inverted
       // index); labeling joins move ids and short source strings only
-      "l92_source_containment_matrix")
+      "l92_source_containment_matrix",
+      // l116: the (doc_id, n, gram) hash-agg exchange carries word-gram
+      // strings by design today (the l02/l56 atom dialect); the digest
+      // form (gram_key knob — hash + char length instead of the string)
+      // is the documented 100 TB discipline, pinned in its own test below
+      "l116_repetition_rules")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
@@ -436,7 +441,12 @@ class PlanSpec extends SparkSpec {
       // exchanges are the per-doc audit rows and the declared orderBy
       // l103: rule booleans are scan projections; the per-source agg
       // exchange carries (source, counters) only
-      "l102_winnow", "l103_gopher_rules")
+      "l102_winnow", "l103_gopher_rules",
+      // l117: features die into pmod(md5) bucket ids in the scan stage —
+      // every exchange carries (doc_id, is_target, b, partial count)
+      // ints; the banned `feat` name would surface on a regression that
+      // shuffles the exploded feature strings before hashing
+      "l117_dsir_select")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
   }
@@ -455,7 +465,11 @@ class PlanSpec extends SparkSpec {
     // by-contract-small query side's arrays), l48 (has its own
     // stricter pin), l60 (the centroid ASSEMBLY exchange carries
     // labels × dim bounded struct arrays by design — its own pin below
-    // bans the corpus `embedding` column instead).
+    // bans the corpus `embedding` column instead), l118 (SemDeDup's
+    // within-cell pair join moves each cell's embedding arrays through
+    // the cell-keyed exchange BY DESIGN — the paper's corpus²/k cost
+    // center, bounded by the KnobSchedule-derived cell occupancy; its
+    // own test below pins the join to cell EQUALITY instead).
     import org.apache.spark.sql.types.ArrayType
     for (q <- Seq("l05_cosine_topk", "l06_ann_lsh", "l14_cosine_near_dups",
       "l40_semantic_decontaminate", "l44_lsh_recall_audit",
@@ -486,6 +500,39 @@ class PlanSpec extends SparkSpec {
           s"$q: array columns ${arrays.map(_.name)} cross a shuffle")
       }
     }
+  }
+
+  test("multimodal sweep: blob payloads stay inside the codec stage — no " +
+    "binary column crosses a shuffle in any media operator") {
+    // The codec boundary contract (SURVEY multimodal rows): decode /
+    // feature-extract / resize / resample run as mapPartitions over the
+    // blob INSIDE its scan stage; everything that crosses an exchange
+    // afterwards is ids + typed metadata + exact integer stats. A binary
+    // column in a shuffle payload means a blob-sized repartition — the
+    // one thing a 100 TB media lake cannot afford per operator.
+    import org.apache.spark.sql.types.BinaryType
+    for (q <- Seq("l11_multimodal_decode", "l20_frame_sample",
+      "l41_multimodal_features", "l42_multimodal_resize",
+      "l93_media_storage_audit", "l115_audio_decode")) {
+      val payloads = allShufflePayloads(lq(q))
+      assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
+      payloads.foreach { attrs =>
+        val bins = attrs.filter(_.dataType == BinaryType)
+        assert(bins.isEmpty,
+          s"$q: binary columns ${bins.map(_.name)} cross a shuffle")
+      }
+    }
+  }
+
+  test("l118: SemDeDup pair generation joins cells by EQUALITY — the " +
+    "within-cell exchange is the paper's cost center, never a cartesian") {
+    // The within-cell pair join legitimately moves embedding arrays on
+    // the cell key (hence l118's exemption from the embedding-plane
+    // array sweep above); what must hold is that the join stays
+    // cell-equality-keyed — a CartesianProduct (or a non-broadcast BNLJ)
+    // here means the cell scoping was lost and the plan is all-pairs.
+    val plan = executedPlan(lq("l118_semdedup"))
+    assert(!plan.contains("CartesianProduct"))
   }
 
   test("l54: contamination fraction joins on shingle digests — no raw " +
@@ -650,7 +697,11 @@ class PlanSpec extends SparkSpec {
       "l110_hybrid_rrf_fusion",
       // l113: same two embedded shapes (l101 stats crossJoin + l05
       // non-equi dense leg)
-      "l113_retrievability")
+      "l113_retrievability",
+      // l117: broadcast 1-row (t_t, t_r) corpus-totals crossJoin onto the
+      // bucket-count table (the l28/l67 shape — dsirModelFromDb's
+      // IdentityBroadcastMode 1-row aggregate)
+      "l117_dsir_select")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
