@@ -1781,11 +1781,22 @@ object TextAnalysis {
     * tax: 4.1 s vs ~1.4 s at sf0.1 for the same semantics); the (doc_id,
     * n, gram) hash-agg partial-aggregates map-side (a doc's grams all
     * live in its partition), and everything after the per-(doc, n)
-    * coverage fold is doc-sized then source-sized. At 100 TB the gram
-    * strings in the shuffle key give way to the LLM3 digest discipline
-    * (hash the gram, carry its char length) — documented, not needed at
-    * this SF. */
-  def repetitionRules(docs: DataFrame): DataFrame = {
+    * coverage fold is doc-sized then source-sized.
+    *
+    * `digestGrams` (default ON — the declared l116 shape) is the LLM3
+    * digest discipline applied to the one corpus-token-sized exchange:
+    * the gram string dies inside its scan-stage projection into
+    * (xxhash64(gram), char length) — the count key needs only identity,
+    * the coverage arithmetic needs only the length — so the hash-agg's
+    * partials and any reducer-side exchange carry two LONGS per key
+    * instead of up to ~6 words of text (~5 string copies of the corpus
+    * at 100 TB across the five gram streams). Results are identical to
+    * the exact form unless two distinct grams of the same (doc, n)
+    * collide in 64 bits (p ≈ g²·2⁻⁶⁴ per doc — immaterial at any real
+    * per-doc gram count; equality exact-vs-digest is pinned in LlmSpec,
+    * the digest-only payload in PlanSpec's sweep). `false` keeps the
+    * raw-string key as the semantic reference. */
+  def repetitionRules(docs: DataFrame, digestGrams: Boolean = true): DataFrame = {
     val topThr = Seq(2 -> 20L, 3 -> 18L, 4 -> 16L)
     val dupThr = Seq(5 -> 15L, 6 -> 14L)
     val ns = (topThr ++ dupThr).map(_._1)
@@ -1811,9 +1822,21 @@ object TextAnalysis {
       }: _*)).as("gs"))
       .select(col("doc_id"), col("gs.n").as("n"), col("gs.gram").as("gram"))
       .filter(col("gram").isNotNull)
-    val gcnt = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+    // the gram leaves its projection as (identity key, char length): the
+    // digest form hashes it to a long IN THE SCAN STAGE so the hash-agg
+    // key is (doc_id, n, long, long); the exact form keeps the string.
+    // glen is functionally dependent on the key either way, so grouping
+    // by it changes no group.
+    val keyed =
+      if (digestGrams)
+        grams.select(col("doc_id"), col("n"), xxhash64(col("gram")).as("gk"),
+          length(col("gram")).cast(LongType).as("glen"))
+      else
+        grams.select(col("doc_id"), col("n"), col("gram").as("gk"),
+          length(col("gram")).cast(LongType).as("glen"))
+    val gcnt = keyed.groupBy(col("doc_id"), col("n"), col("gk"), col("glen"))
       .agg(count(lit(1)).as("c"))
-    val covChars = col("c") * length(col("gram")).cast(LongType)
+    val covChars = col("c") * col("glen")
     val cov = gcnt.groupBy(col("doc_id"), col("n")).agg(
       max(covChars).as("top_cov"),
       sum(when(col("c") >= 2L, covChars).otherwise(lit(0L))).as("dup_cov"))

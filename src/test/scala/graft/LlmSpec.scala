@@ -2834,6 +2834,19 @@ class LlmSpec extends SparkSpec {
     assert(got(1) === (("sB", Seq(2L, 2L, 2L, 2L, 1L, 1L, 1L))), got(1).toString)
   }
 
+  test("repetitionRules: digest gram key (the declared 100 TB shape) equals " +
+    "the exact raw-string key on the real corpus") {
+    // the l116 scale discipline: (xxhash64(gram), char length) replaces
+    // the gram string on the corpus-token-sized exchange — same counts,
+    // same coverage, same rule verdicts, absent a 64-bit in-doc collision
+    val docs = Tables.load(spark, sf001, "documents")
+    val digest = TextAnalysis.repetitionRules(docs, digestGrams = true)
+      .orderBy("source").collect().toSeq
+    val exact = TextAnalysis.repetitionRules(docs, digestGrams = false)
+      .orderBy("source").collect().toSeq
+    assert(digest === exact)
+  }
+
   test("dsirSelect: the raw doc matching the target distribution outranks " +
     "off-distribution raw docs; model/score factoring agrees with the fused form") {
     // derive target/raw membership from the REAL split rule so the test

@@ -407,12 +407,7 @@ class PlanSpec extends SparkSpec {
       "l91_simhash_estimate_audit",
       // l92: embeds containmentPairs (shingle atoms in the inverted
       // index); labeling joins move ids and short source strings only
-      "l92_source_containment_matrix",
-      // l116: the (doc_id, n, gram) hash-agg exchange carries word-gram
-      // strings by design today (the l02/l56 atom dialect); the digest
-      // form (gram_key knob — hash + char length instead of the string)
-      // is the documented 100 TB discipline, pinned in its own test below
-      "l116_repetition_rules")
+      "l92_source_containment_matrix")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
@@ -449,6 +444,12 @@ class PlanSpec extends SparkSpec {
       "l117_dsir_select")
     tier1.foreach { q => assertNoShufflePayload(lq(q), docPayload, q) }
     tier2.foreach { q => assertNoShufflePayload(lq(q), atomPayload, q) }
+    // l116 (round-16): the digest gram key is now the declared shape —
+    // the (doc_id, n, gram) hash-agg keys on (xxhash64, char length)
+    // LONGS, so the gram string itself joins the ban list: its only
+    // legal life is inside the scan-stage projection that hashes it.
+    assertNoShufflePayload(lq("l116_repetition_rules"),
+      atomPayload + "gram", "l116")
   }
 
   test("embedding-plane sweep: no array column crosses a shuffle in the " +
