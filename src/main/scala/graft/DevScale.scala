@@ -72,6 +72,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("semdedup")) {
+      semDedupExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -456,6 +461,78 @@ object DevScale {
     run("1x control", smallDir, p1)
     run(s"${reps}x scheduled", bigDir, pR)
     run(s"${reps}x FIXED-KNOB control", bigDir, p1)
+  }
+
+  /** SEMDEDUP cell-schedule receipt (`runMain graft.DevScale R semdedup`)
+    * — the round-13 directive-#4 evidence for l118's 100 TB plan: the
+    * within-cell pair volume of SemDeDup is Σ occ·(occ−1)/2, and the
+    * claim is that under the √n schedule (nCells = KnobSchedule.ivfCells)
+    * per-vector pair work grows ~√R at R× corpus while a FIXED k grows
+    * it ~R× (quadratic in disguise), and that the hot-cell guard
+    * (refineHotCells) caps max-cell occupancy near the target when
+    * k-means hands one cell a disproportionate share. Prints, per
+    * config: k, target occupancy, max occupancy and pairs/vector BEFORE
+    * and AFTER the guard, hot-cell count, and the measured wall-clock of
+    * the within-cell pair pass itself (join-on-cell + cosine + count —
+    * the operator's cost center). */
+  private def semDedupExperiment(spark: org.apache.spark.sql.SparkSession,
+                                 reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Similarity}
+    val n1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").count()
+    val smallDir = "/tmp/graft_scale_sd_small"
+    val bigDir = "/tmp/graft_scale_sd_big"
+    replicatedEmbeddings(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/embeddings.parquet")
+    replicatedEmbeddings(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def occStats(cs: DataFrame): (Long, Long, Long) = {
+      val r = cs.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        .agg(max(col("occ")),
+          sum((col("occ") * (col("occ") - 1) / 2).cast("long")),
+          sum(col("occ"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def run(tag: String, dir: String, n: Long, k: Int,
+            guard: Boolean): Unit = {
+      val em = Tables.load(spark, dir, "embeddings")
+      val cents = Similarity.fitCentroids(em, k, iters = 2)
+      val cs = Similarity.cellAssignments(em, cents).localCheckpoint()
+      val (mx0, p0, nn) = occStats(cs)
+      val refined = if (guard)
+        Similarity.refineHotCells(cs, n, k, hotFactor = 4.0, iters = 2)
+          .localCheckpoint()
+        else cs
+      val (mx1, p1, _) = occStats(refined)
+      // distinct composite subcell ids (guarded runs only — unguarded
+      // cells keep raw cent ids, where the mod test is meaningless)
+      val nHot = if (!guard) 0L else refined
+        .filter(col("cell") % (1L << 20) =!= 0L)
+        .select(col("cell")).distinct().count()
+      // the cost center, measured: within-cell pair pass over the
+      // (possibly refined) assignment table. Persisted to parquet first —
+      // BenchTiming's cleanup unpersists localCheckpoint blocks, and the
+      // persisted-assignment read IS the serving-boundary shape anyway.
+      val asgDir = s"/tmp/graft_scale_sd_asg_${tag.replace(' ', '_')}"
+      refined.write.mode("overwrite").parquet(asgDir)
+      val tPair = BenchTiming.steadyOf(spark, () => {
+        val a = spark.read.parquet(asgDir)
+        a.select(col("cell"), col("nid").as("a"), col("ce").as("ae"))
+          .join(a.select(col("cell"), col("nid").as("b"),
+            col("ce").as("be")), Seq("cell"))
+          .filter(col("a") < col("b"))
+          .filter(Similarity.cosine(col("ae"), col("be")) >= 0.35)
+          .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      })
+      val tgt = math.max(1L, n / k)
+      println(f"$tag%-24s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%6d pairs/vec=${p0.toDouble / nn}%9.1f | post: maxOcc=$mx1%6d pairs/vec=${p1.toDouble / nn}%9.1f subcells=$nHot%3d | pairPass=$tPair%7.3f s")
+    }
+    run("1x scheduled", smallDir, n1, KnobSchedule.ivfCells(n1), guard = true)
+    run(s"${reps}x scheduled", bigDir, n1 * reps,
+      KnobSchedule.ivfCells(n1 * reps), guard = true)
+    run(s"${reps}x FIXED-KNOB ctl", bigDir, n1 * reps,
+      KnobSchedule.ivfCells(n1), guard = false)
   }
 
   /** COVERAGE/DIVERSITY scale-up (`runMain graft.DevScale R coverage`) —

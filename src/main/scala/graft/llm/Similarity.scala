@@ -345,10 +345,11 @@ object Similarity {
     * web-scale pairwise feasible. Pair generation is strictly
     * within-cell (corpus²/k work at uniform occupancy, never all-pairs);
     * the centroid table broadcasts twice (assignment + cent_sim); the
-    * verdict collapses to an id-keyed count before the output join. A
-    * pathologically hot cell at 100 TB gets the maxDocFreq treatment:
-    * recurse the fit inside the cell (hierarchical k-means), the
-    * documented knob — occupancy is data-dependent, not plan-dependent. */
+    * verdict collapses to an id-keyed count before the output join.
+    * This fixed-k form is the oracle-replayable declared shape (l118
+    * pins k=16 so DuckDB can replay the fit); production runs
+    * `semDedupAuto`, which schedules k = ivfCells(n) = √n and CODES the
+    * hot-cell recursion instead of documenting it. */
   def semDedup(vectors: DataFrame, nCells: Int = 16, iters: Int = 3,
                tau: Double = 0.35): DataFrame = {
     val cents = fitCentroids(vectors, nCells, iters, quantum = Some(1000000L))
@@ -357,6 +358,131 @@ object Similarity {
     // doesn't re-run per consumer (the vocabCoverage shared-subtree rule)
     val cs = cellAssignments(vectors, cents).localCheckpoint()
     semDedupVerdict(cs, cs, tau, withinBatch = true)
+  }
+
+  /** Refined-cell id layout for the scheduled/guarded SemDeDup: every
+    * cell id is composite — cold cells map to cell·STRIDE, a hot cell's
+    * s-th subcell to cell·STRIDE + s + 1 — so refined and unrefined ids
+    * can never collide (s + 1 < STRIDE). */
+  private val SubcellStride = 1L << 20
+
+  /** SemDeDup at the 100 TB discipline (round-13 directive #4): the
+    * paper's k-means scoping with k SCHEDULED from corpus size —
+    * nCells = KnobSchedule.ivfCells(n) = √n, the occupancy balance point
+    * (within-cell pair volume n²/k is quadratic growth in disguise at
+    * any FIXED k; at k = √n per-vector pair work is √n and the centroid
+    * broadcast is √n rows) — plus the hot-cell guard as CODE: k-means
+    * occupancy is data-dependent, and one pathological cell re-creates
+    * the all-pairs blow-up the clustering exists to prevent. Any cell
+    * with occupancy > hotFactor·(n/nCells) gets ONE level of
+    * hierarchical recursion — a within-cell spherical-k-means sub-fit
+    * (ceil(occ/targetOcc) subcells, ALL hot cells fitted in one set of
+    * grouped Lloyd jobs keyed by (cell, sub_id), never a per-cell loop)
+    * — and the verdict runs on the refined cells. The guard's trade is
+    * the hierarchical-SemDeDup one: pairs straddling two subcells of the
+    * same hot cell are no longer compared (the paper's single-level
+    * clustering makes the identical trade at cell granularity).
+    * cent_sim and the keep order are relative to the REFINED cell's
+    * centroid, the policy applied at the finer scope.
+    *
+    * Output schema = semDedup's; `cell` is the composite refined id
+    * (see SubcellStride). DevScale's `semdedup` experiment is the
+    * receipt: under the schedule, per-vector within-cell pair volume
+    * grows ~√R at R× corpus (vs R× at fixed k) and the guard caps
+    * max-cell occupancy near target. */
+  def semDedupAuto(vectors: DataFrame, tau: Double = 0.35, iters: Int = 3,
+                   hotFactor: Double = 4.0): DataFrame = {
+    val n = vectors.count()
+    val nCells = KnobSchedule.ivfCells(n)
+    val cents = fitCentroids(vectors, nCells, iters, quantum = Some(1000000L))
+    val cs0 = cellAssignments(vectors, cents).localCheckpoint()
+    val cs = refineHotCells(cs0, n, nCells, hotFactor, iters).localCheckpoint()
+    semDedupVerdict(cs, cs, tau, withinBatch = true)
+  }
+
+  /** The hot-cell guard: split every cell whose occupancy exceeds
+    * hotFactor × (n/nCells) into ceil(occ/targetOcc) subcells by a
+    * within-cell spherical-k-means sub-fit (first-k-by-nid init,
+    * quantized means, keep-previous — the fitCentroids discipline keyed
+    * by (cell, sub_id) so ALL hot cells train in one set of DataFrame
+    * jobs). Cold cells pass through relabeled to the composite id space.
+    * Input/output: (nid, ce, cell, cent_sim) — an assignment table. */
+  private[graft] def refineHotCells(cs: DataFrame, n: Long, nCells: Int,
+                                    hotFactor: Double,
+                                    iters: Int): DataFrame = {
+    val targetOcc = math.max(1L, n / nCells)
+    // ≤ nCells rows — the knob-table size class (collect-free: broadcast)
+    val hot = cs.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > lit(hotFactor) * targetOcc)
+      .select(col("cell"),
+        ceil(col("occ").cast(DoubleType) / targetOcc).cast(IntegerType)
+          .as("ksub"))
+    val cold = cs.join(broadcast(hot.select(col("cell"))),
+        Seq("cell"), "left_anti")
+      .select(col("nid"), col("ce"),
+        (col("cell") * SubcellStride).as("cell"), col("cent_sim"))
+    if (hot.isEmpty) return cold
+    val members = cs.join(broadcast(hot), Seq("cell"))
+      .select(col("cell"), col("nid"), col("ce")).localCheckpoint()
+    // init: the first ksub members by nid of each hot cell (row_number
+    // over a per-cell window — hot cells are few and bounded, and this
+    // runs once, not per iteration)
+    val wInit = Window.partitionBy(col("cell")).orderBy(col("nid"))
+    var sub = members
+      .join(broadcast(hot), Seq("cell"))
+      .withColumn("rn", row_number().over(wInit))
+      .filter(col("rn") <= col("ksub"))
+      .select(col("cell"), col("nid").as("sub_id"),
+        transform(col("ce"), _.cast(DoubleType)).as("scent"))
+      .localCheckpoint()
+    for (_ <- 1 to iters) {
+      // grouped Lloyd round: the same max_by argmax / quantized-mean /
+      // keep-previous discipline as fitCentroids, keyed by (cell, sub_id)
+      val assigned = members
+        .join(broadcast(sub), Seq("cell"))
+        .groupBy(col("cell"), col("nid"))
+        .agg(max_by(col("sub_id"),
+            struct(cosine(col("ce"), col("scent")), -col("sub_id")))
+          .as("sub_id"),
+          first(col("ce")).as("ce"))
+      val means = assigned
+        .select(col("cell"), col("sub_id"),
+          posexplode(col("ce")).as(Seq("pos", "v")))
+        .groupBy(col("cell"), col("sub_id"), col("pos"))
+        .agg(count(lit(1)).as("cnt"),
+          sum(round(col("v").cast(DoubleType) * 1000000L).cast(LongType))
+            .as("sq"))
+        .select(col("cell"), col("sub_id"), col("pos"),
+          (col("sq") / (col("cnt") * 1000000L)).as("m"))
+      val fresh = means
+        .groupBy(col("cell"), col("sub_id"))
+        .agg(sort_array(collect_list(struct(col("pos"), col("m")))).as("ps"))
+        .select(col("cell"), col("sub_id"),
+          transform(col("ps"), x => x.getField("m")).as("scent"))
+      sub = sub.select(col("cell"), col("sub_id"), col("scent").as("prev"))
+        .join(fresh.select(col("cell"), col("sub_id"),
+          col("scent").as("next")), Seq("cell", "sub_id"), "left")
+        .select(col("cell"), col("sub_id"),
+          coalesce(col("next"), col("prev")).as("scent"))
+        .localCheckpoint()
+    }
+    // dense subcell rank (stable 0..ksub-1 within cell) for the composite
+    // id; final argmax assignment + cent_sim against the REFINED centroid
+    val wRank = Window.partitionBy(col("cell")).orderBy(col("sub_id"))
+    val subRank = sub.withColumn("srank",
+      row_number().over(wRank).cast(LongType) - 1L)
+    val refined = members
+      .join(broadcast(sub), Seq("cell"))
+      .groupBy(col("cell"), col("nid"))
+      .agg(max_by(col("sub_id"),
+          struct(cosine(col("ce"), col("scent")), -col("sub_id")))
+        .as("sub_id"),
+        first(col("ce")).as("ce"))
+      .join(broadcast(subRank), Seq("cell", "sub_id"))
+      .select(col("nid"), col("ce"),
+        (col("cell") * SubcellStride + col("srank") + 1L).as("cell"),
+        cosine(col("ce"), col("scent")).as("cent_sim"))
+    cold.unionByName(refined)
   }
 
   /** The SemDeDup assignment table (nid, ce, cell, cent_sim) — semDedup's
@@ -425,6 +551,46 @@ object Similarity {
         (col("n_state") + col("n_batch")).as("n_dup_earlier"),
         greatest(col("d_state"), col("d_batch")).as("dropped"))
     (merged, bs)
+  }
+
+  /** SemDeDup τ-SENSITIVITY sweep — the "choose τ" table the paper
+    * publishes (Abbas et al. 2023 §4 sweep τ against retained fraction):
+    * for each candidate threshold, how many vectors the within-cluster
+    * verdict would drop and keep. The l64/l88/l98 shared-pass
+    * discipline applied to l118's pair table: ONE within-cell pair pass
+    * computes each vector's MAX cosine to any EARLIER member of its
+    * cell's keep order (max is order-independent — no fp-association
+    * hazard), and every τ row is a conditional sum over that per-vector
+    * scalar — the ladder costs one extra |corpus|×|ladder| explode, not
+    * |ladder| pair passes. A vector drops at τ iff max_early_sim ≥ τ,
+    * so n_dropped is non-increasing in τ (pinned in LlmSpec) and
+    * the τ = 0.35 row equals l118's dropped count by construction. */
+  def semDedupTauSweep(vectors: DataFrame,
+                       taus: Seq[Double] = Seq(0.2, 0.35, 0.5, 0.65, 0.8),
+                       nCells: Int = 16, iters: Int = 3): DataFrame = {
+    val cents = fitCentroids(vectors, nCells, iters, quantum = Some(1000000L))
+    val cs = cellAssignments(vectors, cents).localCheckpoint()
+    val a = cs.select(col("cell"), col("nid").as("a_id"),
+      col("ce").as("ae"), col("cent_sim").as("a_cs"))
+    val b = cs.select(col("cell"), col("nid").as("b_id"),
+      col("ce").as("be"), col("cent_sim").as("b_cs"))
+    val maxEarly = a.join(b, Seq("cell"))
+      .filter(col("a_cs") < col("b_cs") ||
+        (col("a_cs") === col("b_cs") && col("a_id") < col("b_id")))
+      .groupBy(col("b_id"))
+      .agg(max(cosine(col("ae"), col("be"))).as("mes"))
+    cs.select(col("nid"))
+      .join(maxEarly, col("nid") === col("b_id"), "left")
+      .select(col("nid"),
+        explode(array(taus.map(lit): _*)).as("tau"), col("mes"))
+      .groupBy(col("tau"))
+      .agg(count(lit(1)).as("n_vecs"),
+        sum(when(col("mes") >= col("tau"), 1L).otherwise(0L))
+          .as("n_dropped"))
+      .select(col("tau"), col("n_vecs"), col("n_dropped"),
+        (col("n_vecs") - col("n_dropped")).as("n_kept"),
+        (col("n_dropped").cast(DoubleType) / col("n_vecs"))
+          .as("drop_rate"))
   }
 
   /** Per-label embedding centroid, quantized for cross-engine exactness:
@@ -905,6 +1071,155 @@ object Similarity {
     val queries = vecs.filter(
       col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
     pqServeTopK(queries, vecs, cb, codes, k, shortM, m, ks, dim)
+  }
+
+  /** vector − centroid, element-wise, as a statically-unrolled double
+    * array (no zip_with lambda — the l2dist/dotN codegen argument; the
+    * oracle replays it as list_apply over list_zip, the same per-element
+    * CAST-then-subtract). */
+  private def residualArr(ce: Column, cent: Column, dim: Int): Column =
+    array((0 until dim).map(i =>
+      element_at(ce, i + 1).cast(DoubleType) - element_at(cent, i + 1)): _*)
+
+  /** IVF-PQ composed index — the FAISS IVFADC deployment shape (Jégou,
+    * Douze, Schmid, TPAMI 2011 §V: "IVFADC: coarse quantizer + PQ
+    * encoding of residuals"), the one standard 100 TB vector-lake index
+    * the suite's separate IVF (l37) and PQ (l95) halves couldn't express
+    * composed: coarse-quantize the corpus into nCells trained cells
+    * (fitCentroids — the l37/l118 fit), then product-quantize each
+    * vector's RESIDUAL r(x) = x − c(x) with ONE codebook shared across
+    * cells (pqFit over the residual corpus — the paper's choice: per-cell
+    * codebooks multiply memory by nCells for marginal gain).
+    *
+    * The serving identity: dot(q, x) ≈ dot(q, c(x)) + Σ_s ⟨q_s, r̂_s(x)⟩
+    * — the first term is per-(query, probed cell) (nProbe scalars per
+    * query), the second is the SAME per-query ADC lookup table l95
+    * builds, because the codebook is cell-independent. So a probe scan
+    * touches only (cell, m code bytes, norm) per candidate: IVF's
+    * nProbe/nCells scan fraction × PQ's 32× bandwidth compression,
+    * composed.
+    *
+    * Returns (cents, rcb, index): the coarse centroids, the residual
+    * codebook (sub, cent_id, idx, cent), and the serving index
+    * (nid, cell, codes, nrm) — norms are of the ORIGINAL vectors (cosine
+    * needs |x|; the residual is only a dot-product decomposition). */
+  def ivfPqFit(vectors: DataFrame, nCells: Int = 16, coarseIters: Int = 3,
+               m: Int = 16, ks: Int = 16, pqIters: Int = 2, dim: Int = 64)
+      : (DataFrame, DataFrame, DataFrame) = {
+    val cents = fitCentroids(vectors, nCells, coarseIters,
+      quantum = Some(1000000L)).localCheckpoint()
+    // (nid, ce, cell) — one corpus assignment pass, then residuals; the
+    // barrier stops fit-lineage re-runs across the three consumers
+    val resid = ivfIndex(vectors, cents)
+      .join(broadcast(cents), col("cell") === col("cent_id"))
+      .select(col("nid").as("vec_id"),
+        residualArr(col("ce"), col("cent"), dim).as("embedding"),
+        col("cell"))
+      .localCheckpoint()
+    val rcb = pqFit(resid.select(col("vec_id"), col("embedding")),
+      m, ks, pqIters, dim).localCheckpoint()
+    val codes = pqEncode(resid.select(col("vec_id"), col("embedding")),
+      rcb, m, dim)
+    val nrm = vectors.select(col("vec_id"),
+      sqrt(norm2(col("embedding"))).as("nrm"))
+    val index = resid.select(col("vec_id"), col("cell"))
+      .join(codes, "vec_id").join(nrm, "vec_id")
+      .select(col("vec_id").as("nid"), col("cell"), col("codes"), col("nrm"))
+    (cents, rcb, index)
+  }
+
+  /** L119 serving — IVF-PQ/ADC with exact rerank against a PERSISTED
+    * model (cents + residual codebook + coded index — the state a
+    * production IVFADC store carries; refresh = retrain offline and
+    * swap): per query, rank cells by centroid cosine and probe the top
+    * nProbe (the l17/l37 window on the by-contract-small query side),
+    * build the per-query residual-codebook LUT once (|Q|·m·ks rows,
+    * corpus-independent), then scan ONLY probed cells' code rows —
+    * approx_sim = (⟨q, c⟩ + Σ_s lut[s, code_s]) / (|q|·|x|) — shortlist
+    * through the map-side `bounded_top_m` heap, and exact-rerank the
+    * |Q|·shortM survivors (the only rows that ever load floats).
+    *
+    * Scale shape: corpus-sized work is the probed-cell code scan —
+    * nProbe/nCells of the corpus at 8 information bytes per row; every
+    * per-query structure (probes, LUT, shortlist) broadcasts. No
+    * duplicate (qid, nid) is possible: each nid lives in exactly one
+    * cell and probes are distinct per (qid, cell) (the ivfServeTopK
+    * argument). Determinism: coarse dot + left-associated ADC sum are
+    * sequential folds, ties break by nid — the oracle replays the whole
+    * chain. Output: (qid, rank, nid, sim, approx_sim). */
+  def ivfPqServeTopK(queries: DataFrame, corpus: DataFrame,
+                     cents: DataFrame, rcb: DataFrame, index: DataFrame,
+                     k: Int = 3, nProbe: Int = 2, shortM: Int = 20,
+                     m: Int = 16, ks: Int = 16, dim: Int = 64): DataFrame = {
+    val wP = Window.partitionBy(col("qid")).orderBy(
+      cosine(col("qe"), col("cent")).desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("rn", row_number().over(wP))
+      .filter(col("rn") <= nProbe)
+      .select(col("qid"), col("cent_id").as("cell"),
+        dot(col("qe"), col("cent")).as("qcd"))
+    val qn = queries.select(col("vec_id").as("qid"),
+      sqrt(norm2(col("embedding"))).as("qn"))
+    // per-query ADC LUT against the residual codebook (the pqAdcScores
+    // shape — position sub·ks + idx addresses it)
+    val lut = subVectors(queries, m, dim)
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("idx"),
+        dotN(col("sv"), col("cent"), dim / m).as("term"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct(col("sub"), col("idx"), col("term")))).as("ps"))
+      .select(col("qid"),
+        transform(col("ps"), x => x.getField("term")).as("lut"))
+    val probeSide = broadcast(probes.join(lut, "qid").join(qn, "qid"))
+    val adc = (0 until m).map { s0 =>
+      element_at(col("lut"),
+        (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
+          .cast(IntegerType))
+    }.reduce(_ + _)
+    val approx = probeSide.join(index, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"),
+        ((col("qcd") + adc) / (col("qn") * col("nrm"))).as("approx_sim"))
+    val shortlist = approx.groupBy(col("qid"))
+      .agg(call_function("bounded_top_m",
+        col("approx_sim"), col("nid"), lit(shortM)).as("top"))
+      .select(col("qid"), explode(col("top")).as("e"))
+      .select(col("qid"), col("e.id").as("nid"),
+        col("e.score").as("approx_sim"))
+    // exact rerank of the |Q|·shortM survivors (the l48/l95 tail)
+    val qEmb = broadcast(queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .join(qn, "qid"))
+    val cNrm = corpus.select(col("vec_id"),
+      sqrt(norm2(col("embedding"))).as("cn"))
+    val cEmb = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"))
+      .join(cNrm.withColumnRenamed("vec_id", "nid"), "nid")
+    val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
+    broadcast(shortlist).join(cEmb, "nid").join(qEmb, "qid")
+      .select(col("qid"), col("nid"), col("approx_sim"),
+        (dot(col("qe"), col("ce")) / (col("qn") * col("cn"))).as("sim"))
+      .withColumn("rank", row_number().over(wE)).filter(col("rank") <= k)
+      .select(col("qid"), col("rank").cast(LongType).as("rank"),
+        col("nid"), col("sim"), col("approx_sim"))
+  }
+
+  /** L119 — the fused fit+serve form (the declared-query shape, queries
+    * drawn from the corpus by the l95 sampling rule). queryMax is the
+    * DevScale fixed-query-log pin; the declared query never sets it. */
+  def ivfPqRerankTopK(vecs: DataFrame, k: Int = 3, nProbe: Int = 2,
+                      shortM: Int = 20, queryMod: Int = 20,
+                      nCells: Int = 16, coarseIters: Int = 3, m: Int = 16,
+                      ks: Int = 16, pqIters: Int = 2, dim: Int = 64,
+                      queryMax: Long = Long.MaxValue): DataFrame = {
+    val (cents, rcb, index) =
+      ivfPqFit(vecs, nCells, coarseIters, m, ks, pqIters, dim)
+    val queries = vecs.filter(
+      col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
+    ivfPqServeTopK(queries, vecs, cents, rcb, index,
+      k, nProbe, shortM, m, ks, dim)
   }
 
   /** PQ SHORTLIST-SIZE recall sweep — the l95 serving knob priced the way

@@ -934,4 +934,199 @@ private[queries] trait LlmDeclaredSimilarity extends LlmDeclaredBase {
         CAST(CASE WHEN d.b_id IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS dropped
       FROM cs LEFT JOIN dup d ON cs.nid = d.b_id
       ORDER BY vec_id"""))
+
+
+  /** L120 — SemDeDup τ-sensitivity sweep: dropped/kept counts at a τ
+    * ladder from ONE within-cell pair pass over l118's assignment table
+    * (per-vector MAX earlier-member cosine — order-independent, so
+    * cross-engine exact — then conditional sums per τ; the l64/l88/l98
+    * shared-pass discipline). The oracle replays the l118 fit/assignment
+    * CTEs, the pair max, and the ladder counts. */
+  protected val l120 = DeclaredQuery(
+    "l120_semdedup_tau_sweep",
+    (s, dir) => Similarity.semDedupTauSweep(t(s, dir, "embeddings"))
+      .orderBy(col("tau")),
+    Some(s"""WITH c0 AS (
+        SELECT vec_id AS cent_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings ORDER BY vec_id LIMIT 16),
+      ${ivfFitIter(1)},
+      ${ivfFitIter(2)},
+      ${ivfFitIter(3)},
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN c3 c) x
+        WHERE rn <= 1),
+      cs AS (
+        SELECT a.nid, a.ce, a.cell,
+          ${duckCosine("a.ce", "c.cent")} AS cent_sim
+        FROM assigned a JOIN c3 c ON a.cell = c.cent_id),
+      mx AS (
+        SELECT b.nid AS b_id, MAX(${duckCosine("a.ce", "b.ce")}) AS mes
+        FROM cs a JOIN cs b ON a.cell = b.cell
+          AND (a.cent_sim < b.cent_sim
+               OR (a.cent_sim = b.cent_sim AND a.nid < b.nid))
+        GROUP BY b.nid),
+      per AS (
+        SELECT cs.nid, m.mes FROM cs LEFT JOIN mx m ON cs.nid = m.b_id),
+      t AS (SELECT CAST(unnest([0.2, 0.35, 0.5, 0.65, 0.8]) AS DOUBLE) AS tau)
+      SELECT tau, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+        CAST(SUM(CASE WHEN mes >= tau THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_dropped,
+        CAST(COUNT(*) - SUM(CASE WHEN mes >= tau THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_kept,
+        CAST(SUM(CASE WHEN mes >= tau THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS drop_rate
+      FROM per CROSS JOIN t GROUP BY tau ORDER BY tau"""))
+
+
+  /** One residual-PQ Lloyd round (pc/pa/pf-prefixed so the CTE names
+    * never collide with the coarse fit's c/a/f chain): L2 argmin assign
+    * over the residual sub-vectors `sv`, quantized per-dim means,
+    * keep-previous — PqOracle.pqFitIter's body verbatim modulo names. */
+  private def ivfPqFitIter(i: Int): String =
+    s"""pa$i AS (
+       SELECT sub, cent_id, sv FROM (
+         SELECT v.sub, v.vec_id, v.sv, c.cent_id,
+           ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+             ORDER BY ${PqOracle.duckL2("v.sv", "c.cent")} ASC, c.cent_id) AS rn
+         FROM sv v JOIN pc${i - 1} c ON c.sub = v.sub) x
+       WHERE rn = 1),
+     pf$i AS (
+       SELECT sub, cent_id, list(mn ORDER BY pos) AS cent FROM (
+         SELECT sub, cent_id, pos,
+           SUM(CAST(round(sv[CAST(pos + 1 AS INTEGER)] * 1000000) AS BIGINT))
+             / (COUNT(*) * 1000000) AS mn
+         FROM (SELECT sub, cent_id, sv, unnest(range(len(sv))) AS pos
+               FROM pa$i) u
+         GROUP BY sub, cent_id, pos) g
+       GROUP BY sub, cent_id),
+     pc$i AS (
+       SELECT p.sub, p.cent_id, COALESCE(n.cent, p.cent) AS cent
+       FROM pc${i - 1} p LEFT JOIN pf$i n
+         ON n.sub = p.sub AND n.cent_id = p.cent_id)"""
+
+  /** L119 — IVF-PQ composed serving (the FAISS IVFADC shape, Jégou et
+    * al. TPAMI 2011 §V): the l37 trained coarse quantizer scopes the
+    * scan to nProbe probed cells per query, and the candidate score is
+    * ADC over ONE residual codebook shared across cells —
+    * approx_sim = (⟨q, c(x)⟩ + Σ_s lut[s, code_s(x)]) / (|q|·|x|) —
+    * then the l95 exact rerank of the bounded_top_m shortlist. The
+    * oracle replays the full chain: 3 coarse Lloyd rounds (quantized
+    * means), assignment, residuals, 2 residual-PQ rounds, argmin
+    * encode, probe windows, the qcd + ordered-term list_reduce ADC sum,
+    * shortlist and rerank windows — bit-identical end to end. */
+  protected val l119 = {
+    import PqOracle.{m, ks, subDim, queryMod}
+    // nProbe = 4 by the measured-recall discipline (the l87/ivfProbeForRecall
+    // knob): recall@3 vs brute force on the fixture corpus reads 0.44/0.67/
+    // 0.72/0.69 at nProbe 2/4/6/8 — the 8-probe DIP is the composed-index
+    // signature (more probed cells let more ADC-approximate candidates
+    // displace true neighbors from the fixed shortM=20 shortlist), so more
+    // probes need a wider shortlist, and 4 is the knee at this config.
+    val (nCells, nProbe, shortM, k) = (16, 4, 20, 3)
+    DeclaredQuery(
+      "l119_ivfpq_ann",
+      (s, dir) => Similarity.ivfPqRerankTopK(t(s, dir, "embeddings"),
+          k = k, nProbe = nProbe, shortM = shortM, queryMod = queryMod,
+          nCells = nCells, coarseIters = 3, m = m, ks = ks, pqIters = 2,
+          dim = 64)
+        .withColumnRenamed("rank", "rnk")
+        .orderBy(col("qid"), col("rnk")),
+      Some(s"""WITH c0 AS (
+        SELECT vec_id AS cent_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings ORDER BY vec_id LIMIT $nCells),
+      ${ivfFitIter(1)},
+      ${ivfFitIter(2)},
+      ${ivfFitIter(3)},
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN c3 c) x
+        WHERE rn <= 1),
+      resid AS (
+        SELECT a.nid AS vec_id,
+          list_apply(list_zip(a.ce, c.cent),
+            x -> CAST(x[1] AS DOUBLE) - x[2]) AS emb,
+          a.cell
+        FROM assigned a JOIN c3 c ON a.cell = c.cent_id),
+      sv AS (
+        SELECT vec_id, s.sub, r.emb[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)] AS sv
+        FROM resid r CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+      pc0 AS (
+        SELECT s.sub, r.vec_id AS cent_id,
+          r.emb[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)] AS cent
+        FROM (SELECT * FROM resid ORDER BY vec_id LIMIT $ks) r
+        CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+      ${ivfPqFitIter(1)},
+      ${ivfPqFitIter(2)},
+      enc AS (
+        SELECT vec_id, sub, cent FROM (
+          SELECT v.vec_id, v.sub, c.cent,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+              ORDER BY ${PqOracle.duckL2("v.sv", "c.cent")} ASC, c.cent_id) AS rn
+          FROM sv v JOIN pc2 c ON c.sub = v.sub) x
+        WHERE rn = 1),
+      nrm AS (
+        SELECT vec_id,
+          sqrt(list_reduce(list_apply(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+            AS nrm
+        FROM embeddings),
+      probes AS (
+        SELECT qid, cell, qcd FROM (
+          SELECT q.vec_id AS qid, c.cent_id AS cell,
+            ${PqOracle.duckDot("q.embedding", "c.cent")} AS qcd,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckCosine("q.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings q CROSS JOIN c3 c
+          WHERE q.vec_id % $queryMod = 0) x
+        WHERE rn <= $nProbe),
+      qsv AS (
+        SELECT vec_id, s.sub,
+          list_apply(embedding[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)],
+                     x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(range($m)) AS sub) s
+        WHERE vec_id % $queryMod = 0),
+      terms AS (
+        SELECT p.qid, r.vec_id AS nid, q.sub,
+          ${PqOracle.duckDot("q.sv", "e.cent")} AS term
+        FROM probes p
+        JOIN resid r ON r.cell = p.cell AND r.vec_id <> p.qid
+        JOIN qsv q ON q.vec_id = p.qid
+        JOIN enc e ON e.vec_id = r.vec_id AND e.sub = q.sub),
+      adc AS (
+        SELECT qid, nid,
+          list_reduce(list(term ORDER BY sub), (x, y) -> x + y) AS rdp
+        FROM terms GROUP BY qid, nid),
+      approx AS (
+        SELECT a.qid, a.nid, (p.qcd + a.rdp) / (nq.nrm * nc.nrm) AS approx_sim
+        FROM adc a
+        JOIN resid r ON r.vec_id = a.nid
+        JOIN probes p ON p.qid = a.qid AND p.cell = r.cell
+        JOIN nrm nq ON nq.vec_id = a.qid
+        JOIN nrm nc ON nc.vec_id = a.nid),
+      short AS (
+        SELECT qid, nid, approx_sim FROM (
+          SELECT qid, nid, approx_sim,
+            ROW_NUMBER() OVER (PARTITION BY qid
+              ORDER BY approx_sim DESC, nid) AS srn
+          FROM approx) x
+        WHERE srn <= $shortM),
+      rer AS (
+        SELECT s.qid, s.nid, s.approx_sim,
+          ${duckCosine("qe.embedding", "ce.embedding")} AS sim
+        FROM short s
+        JOIN embeddings qe ON qe.vec_id = s.qid
+        JOIN embeddings ce ON ce.vec_id = s.nid)
+      SELECT qid, rnk, nid, sim, approx_sim FROM (
+        SELECT qid, nid, sim, approx_sim,
+          ROW_NUMBER() OVER (PARTITION BY qid ORDER BY sim DESC, nid) AS rnk
+        FROM rer) r
+      WHERE rnk <= $k ORDER BY qid, rnk"""))
+  }
 }

@@ -383,6 +383,49 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("ivfPqRerankTopK: recall@3 vs brute force holds; reranked sims are " +
+    "exact cosines; serve over persisted model equals the fused form") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val got = Similarity.ivfPqRerankTopK(em, k = 3, nProbe = 4, shortM = 20,
+      queryMod = 20)
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.select(col("qid"), col("nid")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val q = em.filter(col("vec_id") % 20 === 0)
+    val truth = Similarity.bruteForceTopK(q, em, k = 3)
+    val truthPairs = pairs(truth)
+    val gotRows = got.collect()
+    assert(gotRows.nonEmpty)
+    // composed recall@3: IVF probe loss (nProbe/16 cells) × PQ shortlist
+    // loss — measured 0.44/0.67/0.72/0.69 at nProbe 2/4/6/8 on the
+    // fixture corpus (the 8-probe dip: more probed cells let more
+    // ADC-approximate candidates displace true neighbors from the fixed
+    // shortM shortlist). The declared knob nProbe=4 pins ≥ 0.6; the
+    // 2-probe floor pins the probe ladder's monotone leg.
+    val recall = truthPairs.count(pairs(got).contains).toDouble / truthPairs.size
+    assert(recall >= 0.6, s"IVF-PQ recall@3 collapsed: $recall")
+    val got2 = Similarity.ivfPqRerankTopK(em, k = 3, nProbe = 2,
+      shortM = 20, queryMod = 20)
+    val recall2 = truthPairs.count(pairs(got2).contains).toDouble / truthPairs.size
+    assert(recall2 >= 0.3 && recall2 <= recall,
+      s"probe-ladder leg broke: nProbe2=$recall2 vs nProbe4=$recall")
+    // where the composed index finds a true neighbor, the reranked sim
+    // is the exact cosine (bit-equal — the rerank loads real floats)
+    val truthSim = truth.collect()
+      .map(r => (r.getLong(0), r.getLong(2)) -> r.getDouble(3)).toMap
+    gotRows.foreach { r =>
+      truthSim.get((r.getLong(0), r.getLong(2)))
+        .foreach(s => assert(r.getDouble(3) === s))
+    }
+    // model-boundary factoring: serve(persisted fit) == fused, row-identical
+    val (cents, rcb, index) = Similarity.ivfPqFit(em)
+    val served = Similarity.ivfPqServeTopK(q, em, cents, rcb, index,
+      k = 3, nProbe = 4, shortM = 20)
+    def full(df: org.apache.spark.sql.DataFrame) = df.orderBy(col("qid"), col("rank")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(full(served) === full(got))
+  }
+
   test("pqRerankTopK: ADC approx_sim equals the decoded-reconstruction " +
     "cosine; reranked sims are exact cosines; top-1 recall holds") {
     val em = Tables.load(spark, sf001, "embeddings")
@@ -2894,6 +2937,89 @@ class LlmSpec extends SparkSpec {
       // the kept member is the cluster's min centroid-sim (most atypical)
       assert(kept.head.getDouble(2) === members.map(_.getDouble(2)).min)
     }
+  }
+
+  test("semDedupTauSweep: drop count non-increasing in tau; the tau=0.35 " +
+    "row equals semDedup's dropped count on the real corpus") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val rows = Similarity.semDedupTauSweep(em).orderBy(col("tau")).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.map(_._1).toSeq === Seq(0.2, 0.35, 0.5, 0.65, 0.8))
+    val n = em.count()
+    assert(rows.forall(r => r._2 === n && r._3 + r._4 === n))
+    // monotone: a higher threshold can only drop fewer
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._3 >= hi._3, s"drop count rose with tau: $lo -> $hi") }
+    // the ladder's 0.35 row IS l118's verdict count (shared predicate)
+    val dropped035 = Similarity.semDedup(em).agg(sum(col("dropped")))
+      .collect()(0).getLong(0)
+    assert(rows.find(_._1 == 0.35).get._3 === dropped035)
+  }
+
+  test("semDedupAuto: scheduled k with balanced cells equals fixed-k " +
+    "semDedup modulo the composite cell relabel") {
+    // 8 well-separated directions × 8 members in 64 dims; ids arranged so
+    // the first 8 by vec_id seed one Lloyd init per direction. n = 64 →
+    // ivfCells = 8, targetOcc = 8, occupancy 8 per cell — the guard
+    // (hotFactor 4 → threshold 32) never fires, so the auto path must be
+    // byte-equal to semDedup(nCells = 8) up to cell·STRIDE relabeling.
+    val vecs = (for (j <- 0 until 8; d <- 0 until 8) yield {
+      val e = Array.fill(64)(0.0f)
+      e(8 * d) = 1.0f
+      e(8 * d + j) = if (j == 0) 1.0f else 0.3f
+      ((j * 8 + d).toLong, e)
+    }).toDF("vec_id", "embedding")
+    val fixed = Similarity.semDedup(vecs, nCells = 8, iters = 3, tau = 0.8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    val auto = Similarity.semDedupAuto(vecs, tau = 0.8, iters = 3)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getLong(1) / (1L << 20), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(auto.toSeq === fixed.toSeq)
+    // and no refined (subcell) id exists: every composite id is ≡ 0 mod STRIDE
+    assert(Similarity.semDedupAuto(vecs, tau = 0.8, iters = 3)
+      .filter(col("cell") % (1L << 20) =!= 0L).count() === 0L)
+  }
+
+  test("refineHotCells: a planted hot cell splits into direction-pure " +
+    "subcells; cold cells pass through relabeled with cent_sim intact") {
+    // assignment table: cell 1 holds 40 members in 4 well-separated
+    // directions (10 each, first 4 nids one per direction → sub-fit
+    // inits on the anchors); cell 2 holds 4 members. n = 44, nCells = 4
+    // → targetOcc = 11; hotFactor 1.0 flags cell 1 (40 > 11), ksub = 4.
+    def vec(d: Int, wob: Int): Array[Float] = {
+      val e = Array.fill(16)(0.0f)
+      e(4 * d) = 1.0f
+      e(4 * d + 1 + (wob % 3)) = 0.2f + 0.05f * wob
+      e
+    }
+    val hotRows = for (j <- 0 until 10; d <- 0 until 4)
+      yield ((j * 4 + d).toLong, vec(d, j), 1L, 0.5)
+    val coldRows = (100L to 103L).map(i =>
+      (i, Array.fill(16)(1.0f), 2L, 0.9))
+    val cs = (hotRows ++ coldRows).toDF("nid", "ce", "cell", "cent_sim")
+    val got = Similarity.refineHotCells(cs, n = 44L, nCells = 4,
+      hotFactor = 1.0, iters = 3).collect()
+    assert(got.length === 44)
+    assert(got.map(_.getLong(0)).distinct.length === 44)
+    val stride = 1L << 20
+    // cold members: relabeled 2·STRIDE, cent_sim untouched
+    val cold = got.filter(_.getLong(0) >= 100L)
+    assert(cold.forall(r => r.getLong(2) === 2L * stride
+      && r.getDouble(3) === 0.9))
+    // hot members land in subcells 1·STRIDE+1 .. 1·STRIDE+4, and the
+    // sub-fit separates the 4 planted directions exactly: every subcell
+    // is direction-pure with occupancy 10 (< 40 — the guard's point)
+    val hotGot = got.filter(_.getLong(0) < 100L)
+    val byCell = hotGot.groupBy(_.getLong(2))
+    assert(byCell.keys.forall(c =>
+      c > 1L * stride && c <= 1L * stride + 4L))
+    assert(byCell.values.forall(_.length === 10))
+    byCell.values.foreach { ms =>
+      assert(ms.map(r => r.getLong(0) % 4).distinct.length === 1) }
   }
 
   test("hardNegatives: hand-computed triplet — hardest negative outscores " +

@@ -1404,6 +1404,51 @@ class StreamingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === fused)
   }
 
+  test("S38: IVF-PQ ANN serving under foreachBatch — arriving query " +
+    "batches against the persisted composed model equal the fused batch") {
+    // The l119 production split, completing the serving family next to
+    // PQ (S26), BM25 (S27), hybrid (S29) and IVF (S33): the coarse fit,
+    // residual codebook, and coded index (ivfPqFit) train OFFLINE and
+    // persist; query batches ARRIVE — each pays its own nProbe cell
+    // ranking, its |Q_batch|·m·ks LUT, the probed-cell code scan, and
+    // the exact rerank of its shortlist — never a re-fit, re-encode, or
+    // full-corpus scan. Per-query independence makes stream output equal
+    // the fused operator row-for-row (sim doubles included) for any
+    // batch split; model refresh = retrain offline and swap at a
+    // trigger boundary (the S19/S24/S26 discipline).
+    import StreamOps.StreamVec
+    import graft.llm.Similarity
+    val em = Tables.load(spark, sf001, "embeddings")
+    val (cents, rcb, index) = Similarity.ivfPqFit(em)
+    val centsP = cents.localCheckpoint()
+    val rcbP = rcb.localCheckpoint()
+    val indexP = index.localCheckpoint()
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    val queries = em.filter(col("vec_id") % 20 === 0)
+    val fused = rowsOf(Similarity.ivfPqRerankTopK(em, k = 3, nProbe = 2,
+      shortM = 20, queryMod = 20)).sortBy(r => (r._1, r._2))
+    val qRows = queries.collect()
+      .map(r => StreamVec(r.getLong(0), r.getSeq[Float](1).toArray,
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    assert(qRows.length > 3)
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, Double, Double)]()
+    val in = MemoryStream[StreamVec]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val served = rowsOf(Similarity.ivfPqServeTopK(batch.toDF(), em,
+          centsP, rcbP, indexP, k = 3, nProbe = 2, shortM = 20))
+        got.synchronized { got ++= served; () }
+      }.start()
+    try {
+      in.addData(qRows.take(3): _*); q.processAllAvailable()
+      in.addData(qRows.drop(3): _*); q.processAllAvailable()
+    } finally q.stop()
+    assert(got.synchronized(got.sortBy(r => (r._1, r._2)).toSeq)
+      === fused.toSeq)
+  }
+
   test("S2: envelope encode/decode composes over a stream") {
     val in = MemoryStream[CustomerActivity]
     in.addData(baseRows: _*)
