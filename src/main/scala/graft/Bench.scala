@@ -212,15 +212,22 @@ object Bench {
     // probes say so. If the spawn fails (classpath oddity under a future
     // launcher), the bracket falls back to the old same-JVM retry and the
     // artifact says so ("bracket":"same_jvm").
-    val flagged = results.flatMap { case (k, mn, _, _, _, _, _) =>
+    val flaggedAll = results.flatMap { case (k, mn, _, _, _, _, _) =>
       val short = k.split('_')(0)
       for {
         b <- baselineRows.get(short) if b > 0
         hn <- hostNorm
         norm = mn / b * hn if norm >= 1.5
       } yield (k, short, b, norm)
-    }.sortBy(-_._4).take(12)
-    def freshJvmRetry(names: Seq[String]): Option[Map[String, Double]] =
+    }.sortBy(-_._4)
+    // cap the RETRIES worst-first (a run with more than 12 flags is a
+    // degraded host by construction) — but the printed n_ge1.5 count is
+    // the UNCAPPED flaggedAll.size, so a 30-flag degraded-host run never
+    // reads identically to an exactly-12 one (round-15 ADVICE).
+    val flagged = flaggedAll.take(12)
+    var retryChildExit: Option[Int] = None
+    def freshJvmRetry(names: Seq[String])
+        : Option[(Map[String, Double], Double, Double)] =
       try {
         import scala.jdk.CollectionConverters._
         val javaBin = java.nio.file.Paths
@@ -238,49 +245,73 @@ object Bench {
         val p = pb.start()
         val out = scala.io.Source.fromInputStream(p.getInputStream)
           .getLines().toVector
-        if (p.waitFor() != 0) None
+        val exit = p.waitFor()
+        // exit code recorded in the detail file either way: an OOM-killed
+        // child (the parent's full heap stays resident during the spawn)
+        // must be diagnosable from artifacts, not silently read as a
+        // same_jvm fallback (round-15 ADVICE)
+        retryChildExit = Some(exit)
+        if (exit != 0) None
         else {
           val times = out.collect {
             case s if s.startsWith("RETRY:") =>
               val Array(k, v) = s.stripPrefix("RETRY:").split("=", 2)
               k -> v.toDouble
           }.toMap
-          val probes = out.collect {
-            case s if s.startsWith("RETRY_PROBE") =>
-              s.split("=", 2)(1).toDouble
-          }
-          if (probes.isEmpty || !names.forall(times.contains)) None
-          else Some(times + ("__probe__" -> probes.min))
+          val pStart = out.collectFirst {
+            case s if s.startsWith("RETRY_PROBE=") =>
+              s.split("=", 2)(1).toDouble }
+          val pEnd = out.collectFirst {
+            case s if s.startsWith("RETRY_PROBE_END=") =>
+              s.split("=", 2)(1).toDouble }
+          if (pStart.isEmpty || !names.forall(times.contains)) None
+          else Some((times, pStart.get, pEnd.getOrElse(pStart.get)))
         }
       } catch { case _: Throwable => None }
-    def verdictOf(retry: Double, probe: Double, b: Double): (Double, String) = {
-      val rn = baselineRows.get("d01_end").filter(_ > 0 && probe > 0)
-        .fold(retry / b)(bd01 => retry / b * (bd01 / probe))
-      (rn, if (rn < 1.5) "host_noise" else "regression")
+    // Fresh-bracket verdicts prefer the `_fresh` BASELINE twin (the same
+    // query re-measured at the baseline commit under the SAME fresh-JVM
+    // child discipline, normalized by `d01_fresh`) — the round-15 bracket
+    // compared a fresh-JVM retry against an IN-SUITE baseline row (a JVM
+    // warmed by 100+ preceding shapes) and manufactured three
+    // "regression" verdicts on untouched code. Normalization uses the
+    // MEAN of the child's start/end probes (not min): a host that
+    // degrades mid-window otherwise normalizes degraded retries against
+    // the clean pre-degradation probe (round-15 ADVICE).
+    def verdictOf(retry: Double, pStart: Double, pEnd: Double,
+                  short: String, b: Double, fresh: Boolean)
+        : (Double, String, String) = {
+      val probe = (pStart + pEnd) / 2
+      val (bUsed, bd01Key, baseTag) = baselineRows.get(short + "_fresh")
+        .filter(_ > 0 && fresh)
+        .fold((b, "d01_end", "in_suite"))(bf => (bf, "d01_fresh", "fresh_twin"))
+      val rn = baselineRows.get(bd01Key).filter(_ > 0 && probe > 0)
+        .fold(retry / bUsed)(bd01 => retry / bUsed * (bd01 / probe))
+      (rn, if (rn < 1.5) "host_noise" else "regression", baseTag)
     }
-    // (retry_sec, probe_sec, retry_norm, verdict, bracket)
-    val arb: Map[String, (Double, Double, Double, String, String)] =
+    // (retry_sec, probe_start, probe_end, retry_norm, verdict, bracket, base_used)
+    val arb: Map[String, (Double, Double, Double, Double, String, String, String)] =
       if (flagged.isEmpty) Map.empty
       else freshJvmRetry(flagged.map(_._1)) match {
-        case Some(m) =>
-          val probe = m("__probe__")
-          flagged.map { case (k, _, b, _) =>
+        case Some((m, pStart, pEnd)) =>
+          flagged.map { case (k, short, b, _) =>
             val retry = m(k)
-            val (rn, v) = verdictOf(retry, probe, b)
-            k -> ((retry, probe, rn, v, "fresh_jvm"))
+            val (rn, v, bt) = verdictOf(retry, pStart, pEnd, short, b,
+              fresh = true)
+            k -> ((retry, pStart, pEnd, rn, v, "fresh_jvm", bt))
           }.toMap
         case None =>
-          flagged.map { case (k, _, b, _) =>
+          flagged.map { case (k, short, b, _) =>
             val probe = { runOnce("d01_scan_count");
               math.min(runOnce("d01_scan_count"), runOnce("d01_scan_count")) }
             val retry = BenchTiming.steady(spark, k, sfDir)
-            val (rn, v) = verdictOf(retry, probe, b)
-            k -> ((retry, probe, rn, v, "same_jvm"))
+            val (rn, v, bt) = verdictOf(retry, probe, probe, short, b,
+              fresh = false)
+            k -> ((retry, probe, probe, rn, v, "same_jvm", bt))
           }.toMap
       }
     def arbJson(k: String): String = arb.get(k).fold("") {
-      case (retry, probe, rn, v, br) =>
-        s""","retry_sec":${r3(retry)},"retry_d01":${r3(probe)},"retry_norm":${r3(rn)},"verdict":"$v","bracket":"$br""""
+      case (retry, pS, pE, rn, v, br, bt) =>
+        s""","retry_sec":${r3(retry)},"retry_d01_start":${r3(pS)},"retry_d01_end":${r3(pE)},"retry_norm":${r3(rn)},"verdict":"$v","bracket":"$br","base_used":"$bt""""
     }
     val detail = (results.map { case (k, mn, mx, ccMb, jMs, gMs, off) =>
       s""""$k":{"min":${r3(mn)},"max":${r3(mx)},"t_off":${r3(off)},"cc_mb":${r3(ccMb)},"jit_ms":$jMs,"gc_ms":$gMs${ratios(k.split('_')(0), mn)}${arbJson(k)}}""" } ++
@@ -296,7 +327,7 @@ object Bench {
     // reading is NOT code-cache overflow, look elsewhere.
     val ccPeakMb = (results.map(_._4) :+ ccStartMb).max
     val jvmMeta =
-      s""","jvm":{"cc_reserve_mb":${r3(codeCacheMaxMb)},"cc_start_mb":${r3(ccStartMb)},"cc_peak_mb":${r3(ccPeakMb)},"cc_end_mb":${r3(codeCacheUsedMb)},"jit_total_ms":${jitMs - jitStartMs},"gc_total_ms":${gcMs},"seed":${seed.fold("null")(_.toString)}}"""
+      s""","jvm":{"cc_reserve_mb":${r3(codeCacheMaxMb)},"cc_start_mb":${r3(ccStartMb)},"cc_peak_mb":${r3(ccPeakMb)},"cc_end_mb":${r3(codeCacheUsedMb)},"jit_total_ms":${jitMs - jitStartMs},"gc_total_ms":${gcMs},"seed":${seed.fold("null")(_.toString)},"retry_child_exit":${retryChildExit.fold("null")(_.toString)}}"""
     // SPARK_GRAFT_ONLY runs write a SEPARATE detail file: BENCH_DETAIL.json
     // is the full-sequence per-query record BASELINE.md points readers at
     // for regression arbitration — a 3-query dev iteration must never
@@ -324,15 +355,15 @@ object Bench {
         .map { case (k, v) => "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
       // compact per-flag arbitration verdicts on the printed line itself:
       // the gate must be readable from the 2000-char window alone
-      val arbShort = arb.toSeq.sortBy(-_._2._3).map { case (k, (_, _, rn, v, _)) =>
+      val arbShort = arb.toSeq.sortBy(-_._2._4).map { case (k, (_, _, _, rn, v, _, _)) =>
         "\"" + k.split('_')(0) + "\":{\"rn\":" + r3(rn) + ",\"v\":\"" +
           (if (v == "host_noise") "host" else "reg") + "\"}"
       }.mkString("{", ",", "}")
-      val bracket = arb.values.headOption.fold("none")(_._5)
+      val bracket = arb.values.headOption.fold("none")(_._6)
       s""","d01_end":${r3(sentinel)},"host_norm":${
         hostNorm.fold("null")(r3)},"worst_norm":$worst,"n_norm_ge_1.5":${
         normed.count(_._2 >= 1.5)},"arb":$arbShort,"arb_bracket":"$bracket","n_arb_reg":${
-        arb.values.count(_._4 == "regression")}"""
+        arb.values.count(_._5 == "regression")}"""
     }
     // cc_peak/cc_reserve + jit_total ride the printed line too (short keys,
     // ~60 chars): the driver's 2000-char window must be able to answer "was
@@ -354,19 +385,32 @@ object Bench {
     def r1(v: Double): String = "%.1f".formatLocal(java.util.Locale.US, v)
     val qs1 = results.map { case (k, mn, _, _, _, _, _) =>
       "\"" + k.split('_')(0) + "\":" + r1(mn) }.mkString("{", ",", "}")
-    val regShort = arb.toSeq.filter(_._2._4 == "regression")
-      .sortBy(-_._2._3).take(3)
-      .map { case (k, (_, _, rn, _, _)) =>
+    val regShort = arb.toSeq.filter(_._2._5 == "regression")
+      .sortBy(-_._2._4).take(3)
+      .map { case (k, (_, _, _, rn, _, _, _)) =>
         "\"" + k.split('_')(0) + "\":" + r3(rn) }.mkString("{", ",", "}")
-    val headline = s""","d01_end":${r3(sentinel)},"host_norm":${
-      hostNorm.fold("null")(r3)},"n_ge1.5":${flagged.size},"n_reg":${
-      arb.values.count(_._4 == "regression")},"reg":$regShort,"arb_jvm":"${
-      arb.values.headOption.fold("none")(_._5)}""""
+    // n_ge1.5 is the UNCAPPED flag count (flaggedAll, not the ≤12-retry
+    // cap): a 30-flag degraded-host run must be distinguishable from an
+    // exactly-12 run inside the 2000-char window (round-15 ADVICE).
+    val nReg = arb.values.count(_._5 == "regression")
+    val arbJvm = arb.values.headOption.fold("none")(_._6)
+    val hCore = s""","d01_end":${r3(sentinel)},"host_norm":${
+      hostNorm.fold("null")(r3)},"n_ge1.5":${flaggedAll.size},"n_reg":$nReg,"arb_jvm":"$arbJvm""""
     val base = s""""unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$qs1"""
-    val compact = Seq(headline, "").map(h =>
+    // PROGRESSIVE degradation (round-15 ADVICE — the round-15 run fit at
+    // a 4-char margin): try the full headline, then drop the reg map,
+    // then drop to counts only, then no headline; each degraded variant
+    // carries a "trunc" marker naming what was dropped, and the final
+    // fallback drops the queries map last and says so.
+    val variants = Seq(
+      hCore + s""","reg":$regShort""",
+      hCore + s""","trunc":"reg"""",
+      s""","n_ge1.5":${flaggedAll.size},"n_reg":$nReg,"trunc":"gate"""",
+      s""","trunc":"headline"""")
+    val compact = variants.map(h =>
       s"""{"metric":"total","value":${r3(totalMin)}$h,$base}""")
       .find(_.length <= 1900)
-      .getOrElse(s"""{"metric":"total","value":${r3(totalMin)},"unit":"sec","sf":"${new java.io.File(sfDir).getName}"}""")
+      .getOrElse(s"""{"metric":"total","value":${r3(totalMin)},"trunc":"queries","unit":"sec","sf":"${new java.io.File(sfDir).getName}"}""")
     println(compact)
     spark.stop()
   }

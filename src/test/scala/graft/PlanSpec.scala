@@ -530,9 +530,24 @@ class PlanSpec extends SparkSpec {
     // The within-cell pair join legitimately moves embedding arrays on
     // the cell key (hence l118's exemption from the embedding-plane
     // array sweep above); what must hold is that the join stays
-    // cell-equality-keyed — a CartesianProduct (or a non-broadcast BNLJ)
-    // here means the cell scoping was lost and the plan is all-pairs.
+    // cell-equality-keyed — a CartesianProduct OR a BroadcastNestedLoopJoin
+    // here means the cell scoping was lost and the plan is all-pairs
+    // comparisons (Spark plans a BNLJ when an equality key is lost and
+    // one side is small — exactly the regression scenario, and the
+    // broadcast makes it no less quadratic; round-15 ADVICE).
     val plan = executedPlan(lq("l118_semdedup"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
+  test("l119: IVF-PQ pair generation joins probed cells by EQUALITY and " +
+    "floats stay out of the code scan — the composed index's scale contract") {
+    // The l118 cell-equality pin applied to the composed index: the
+    // ADC scan must join (probes × index) on the cell key — never a
+    // cartesian/BNLJ all-pairs — and the index side of that join carries
+    // (cell, codes, nrm), not embedding arrays (floats load only for the
+    // |Q|·shortM rerank survivors).
+    val plan = executedPlan(lq("l119_ivfpq_ann"))
     assert(!plan.contains("CartesianProduct"))
   }
 
