@@ -77,6 +77,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("ivfpq")) {
+      ivfPqExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -533,6 +538,70 @@ object DevScale {
       KnobSchedule.ivfCells(n1 * reps), guard = true)
     run(s"${reps}x FIXED-KNOB ctl", bigDir, n1 * reps,
       KnobSchedule.ivfCells(n1), guard = false)
+  }
+
+  /** IVF-PQ serving scale-up (`runMain graft.DevScale R ivfpq`) — the
+    * l119 100 TB claim measured: with coarse cells SCHEDULED
+    * (KnobSchedule.ivfCells = √n), a FIXED query log served against a
+    * growing catalog pays probe-scan work |Q|·nProbe·(n/k) ≈ |Q|·nProbe·√n
+    * — √R growth at R× corpus — while brute-force truth pays |Q|·n (R×),
+    * and the scanned rows carry 8 information bytes of codes, not 256 B
+    * of floats. Model trains once per scale and persists to parquet (the
+    * serving boundary; also keeps BenchTiming's cleanup from killing
+    * checkpoint blocks). Prints per scale: k, serve wall-clock,
+    * ADC-candidate rows (the probe-scan volume), and the brute-force
+    * control. */
+  private def ivfPqExperiment(spark: org.apache.spark.sql.SparkSession,
+                              reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Similarity}
+    val n1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").count()
+    val smallDir = "/tmp/graft_scale_ivfpq_small"
+    val bigDir = "/tmp/graft_scale_ivfpq_big"
+    replicatedEmbeddings(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/embeddings.parquet")
+    replicatedEmbeddings(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def run(tag: String, dir: String, n: Long): Unit = {
+      val em = Tables.load(spark, dir, "embeddings")
+      val k = KnobSchedule.ivfCells(n)
+      val (cents, rcb, index) =
+        Similarity.ivfPqFit(em, nCells = k, coarseIters = 2, pqIters = 2)
+      val mdl = s"/tmp/graft_scale_ivfpq_model_${tag.replace(' ', '_')}"
+      cents.write.mode("overwrite").parquet(s"$mdl/cents")
+      rcb.write.mode("overwrite").parquet(s"$mdl/rcb")
+      index.write.mode("overwrite").parquet(s"$mdl/index")
+      def qlog(e: DataFrame) = e.filter(
+        col("vec_id") % 20 === 0 && col("vec_id") < 10000000L)
+      def serve() = Similarity.ivfPqServeTopK(
+        qlog(Tables.load(spark, dir, "embeddings")),
+        Tables.load(spark, dir, "embeddings"),
+        spark.read.parquet(s"$mdl/cents"),
+        spark.read.parquet(s"$mdl/rcb"),
+        spark.read.parquet(s"$mdl/index"),
+        k = 3, nProbe = 4, shortM = 20)
+      val tServe = BenchTiming.steadyOf(spark, () => serve())
+      val tBrute = BenchTiming.steadyOf(spark, () =>
+        Similarity.bruteForceTopK(qlog(em), em, k = 3))
+      // probe-scan volume: ADC candidate rows = Σ_q Σ_probed-cells occ
+      val wP = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("qid"))
+        .orderBy(Similarity.cosine(col("qe"), col("cent")).desc,
+          col("cent_id"))
+      val probes = qlog(em)
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+        .crossJoin(broadcast(spark.read.parquet(s"$mdl/cents")))
+        .withColumn("rn", row_number().over(wP))
+        .filter(col("rn") <= 4)
+        .select(col("qid"), col("cent_id").as("cell"))
+      val cand = probes.join(
+        spark.read.parquet(s"$mdl/index").select(col("cell")), Seq("cell"))
+        .count()
+      println(f"$tag%-16s n=$n%7d k=$k%4d | serve=$tServe%7.3f s candRows=$cand%9d | brute=$tBrute%7.3f s")
+    }
+    run("1x", smallDir, n1)
+    run(s"${reps}x", bigDir, n1 * reps)
   }
 
   /** COVERAGE/DIVERSITY scale-up (`runMain graft.DevScale R coverage`) —

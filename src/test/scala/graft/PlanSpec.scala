@@ -687,6 +687,11 @@ class PlanSpec extends SparkSpec {
       // scan with the broadcast side a |Q|-row LUT table (m·ks doubles
       // per query); the codebook fit joins subspaces by equality
       "l95_pq_ann",
+      // l119: the probe window is the l17/l37 broadcast-centroid
+      // crossJoin (queries × nCells); the ADC scan itself joins probed
+      // cells by EQUALITY (its own pin above) and the rerank broadcasts
+      // the |Q|·shortM shortlist
+      "l119_ivfpq_ann",
       // l97: broadcast 1-row n_total crossJoin (the l71 decile shape)
       "l97_source_quality_drift",
       // l98: the shared PQ coarse pass (the l95 shape) plus the

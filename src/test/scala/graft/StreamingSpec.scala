@@ -1144,6 +1144,79 @@ class StreamingSpec extends SparkSpec {
     assert(got.synchronized(got.sortBy(_._1).toSeq) === fused.toSeq)
   }
 
+  test("S34 shuffled arrival: admission degrades CONSERVATIVELY — the " +
+    "later arrival loses the span (l52's policy), one copy per planted " +
+    "pair survives, kept-token totals track the fused operator") {
+    // The round-15 stretch quantified: S34's row-for-row equivalence
+    // contract assumes ascending-doc_id arrival; this fixture feeds the
+    // SAME arriving set in DESCENDING order (every planted copy, id
+    // +1e6, arrives before its original) and pins the degradation mode:
+    //  - for each planted full-copy pair with both members arriving,
+    //    the stream fully strips the ORIGINAL (the later arrival) while
+    //    the fused operator strips the copy (keep-first-by-id) — the
+    //    content survives exactly once either way;
+    //  - verdicts genuinely differ from fused (the degradation is real
+    //    on this fixture), but total kept tokens stay within 10% of the
+    //    fused total — role swaps, not over- or under-removal.
+    import StreamOps.StreamDoc
+    import graft.llm.TextAnalysis
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .withColumn("doc_id", col("doc_id") + 1000000L))
+    val cut = 300L
+    val corpus = planted.filter(col("doc_id") < cut)
+    val arriving = planted.filter(col("doc_id") >= cut)
+    def rowsOf(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+    val fused = rowsOf(TextAnalysis.substringDedupApply(planted))
+      .filter(_._1 >= cut).map(r => r._1 -> r).toMap
+    // DESCENDING arrival: copies (1e6+) stream before every original
+    val arrivingRows = arriving.collect()
+      .map(r => StreamDoc(r.getLong(0), r.getString(1),
+        java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .sortBy(-_.doc_id)
+    var state = TextAnalysis.winnowTable(corpus).localCheckpoint()
+    val got = scala.collection.mutable.Buffer[(Long, Long, Long, String)]()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val b = batch.toDF().select(col("doc_id"), col("text"))
+        val out = rowsOf(TextAnalysis.substringDedupIncrement(b, state))
+        got.synchronized { got ++= out; () }
+        state = state.unionByName(TextAnalysis.winnowTable(b))
+          .localCheckpoint()
+      }.start()
+    try {
+      in.addData(arrivingRows.take(40): _*); q.processAllAvailable()
+      in.addData(arrivingRows.drop(40): _*); q.processAllAvailable()
+    } finally q.stop()
+    val gotMap = got.synchronized(got.map(r => r._1 -> r).toMap)
+    // planted pairs with BOTH members in the arriving set, long enough
+    // for the minTok=8 winnow floor to guarantee a full-copy match
+    val pairs = gotMap.keys.filter(o =>
+      o >= cut && o < 1000000L && o % 10 == 0 &&
+        gotMap.contains(o + 1000000L) && gotMap(o)._2 >= 8L).toSeq.sorted
+    assert(pairs.nonEmpty)
+    pairs.foreach { o =>
+      val c = o + 1000000L
+      // fused: the COPY is fully stripped (keep-first-by-id)
+      assert(fused(c)._3 === fused(c)._2, s"fused kept copy $c")
+      // stream: the ORIGINAL — the later arrival — is the one stripped
+      assert(gotMap(o)._3 === gotMap(o)._2,
+        s"stream kept the later-arriving original $o")
+    }
+    // the degradation is real (verdicts differ from fused) …
+    val nDiffer = gotMap.count { case (id, r) => fused(id) != r }
+    assert(nDiffer >= pairs.size)
+    // … but conservative: kept-token totals track the fused operator
+    val keptStream = gotMap.values.map(r => r._2 - r._3).sum.toDouble
+    val keptFused = fused.values.map(r => r._2 - r._3).sum.toDouble
+    assert(math.abs(keptStream - keptFused) <= 0.10 * keptFused,
+      s"kept-token drift: stream $keptStream vs fused $keptFused")
+  }
+
   test("S30: HLL register maintenance under foreachBatch — max-folding " +
     "per-batch register tables equals from-scratch, re-delivery absorbed") {
     // The l111 deployment shape, with a STRONGER contract than the S22
