@@ -146,6 +146,23 @@ object KnobSchedule {
     (cells, ivfProbeForRecall(vectors, cells, targetRecall, minSim, dim, sampleMod))
   }
 
+  /** IVF-PQ (l119) knob COUPLING: cells from the corpus-size schedule,
+    * and the ADC shortlist scaled WITH the probe count — shortM =
+    * shortPerProbe·nProbe. The measured failure mode this encodes
+    * (fixture-corpus recall@3 ladder, LlmSpec/BASELINE round 16): at a
+    * FIXED shortM=20, recall reads 0.44/0.67/0.72/0.69 at nProbe
+    * 2/4/6/8 — the 8-probe DIP is shortlist starvation (more probed
+    * cells push more ADC-approximate candidates into the same fixed
+    * shortlist, displacing true neighbors); coupling shortM = 5·nProbe
+    * restores monotonicity — 0.667/0.747/0.773 at (4,20)/(6,30)/(8,40),
+    * 0.960 at the (16,80) full-scan limit (the residual loss there is
+    * pure PQ quantization, the l98 axis). Per-query serve cost stays
+    * linear in nProbe on both terms: probed-cell scan ∝ nProbe·(n/k),
+    * rerank ∝ shortM ∝ nProbe. */
+  def ivfPqKnobs(corpusSize: Long, nProbe: Int = 4,
+                 shortPerProbe: Int = 5): (Int, Int, Int) =
+    (ivfCells(corpusSize), nProbe, shortPerProbe * nProbe)
+
   /** MEASURED BM25 term-pruning knob (the l101/S27 serving config): the
     * smallest `dfCapPermille` whose capped top-k keeps ≥ `targetRecall`
     * of the UNCAPPED top-k pairs on a query sample — the WAND/impact-

@@ -408,6 +408,15 @@ class LlmSpec extends SparkSpec {
     val recall2 = truthPairs.count(pairs(got2).contains).toDouble / truthPairs.size
     assert(recall2 >= 0.3 && recall2 <= recall,
       s"probe-ladder leg broke: nProbe2=$recall2 vs nProbe4=$recall")
+    // the KnobSchedule.ivfPqKnobs COUPLING (shortM = 5·nProbe) restores
+    // monotonicity past the fixed-shortlist dip: (8, 40) must beat (4, 20)
+    // — measured 0.773 vs 0.667 (vs 0.693 at the starved (8, 20))
+    val (_, np8, sm8) = graft.llm.KnobSchedule.ivfPqKnobs(em.count(), nProbe = 8)
+    val got8 = Similarity.ivfPqRerankTopK(em, k = 3, nProbe = np8,
+      shortM = sm8, queryMod = 20)
+    val recall8 = truthPairs.count(pairs(got8).contains).toDouble / truthPairs.size
+    assert(recall8 >= recall,
+      s"coupled-knob ladder broke: (8,$sm8)=$recall8 < (4,20)=$recall")
     // where the composed index finds a true neighbor, the reranked sim
     // is the exact cosine (bit-equal — the rerank loads real floats)
     val truthSim = truth.collect()
