@@ -1206,6 +1206,94 @@ object Similarity {
         col("nid"), col("sim"), col("approx_sim"))
   }
 
+  /** L121 — IVF-PQ COUPLED-KNOB recall sweep: the l87/l98 discipline on
+    * the composed index, pricing the (nProbe, shortM) ladder that
+    * `KnobSchedule.ivfPqKnobs` encodes — for each coupled config, the
+    * fraction of brute-force top-k pairs the probed-cell ADC shortlist
+    * of that config captures (shortlist recall IS end-to-end recall: the
+    * exact rerank recovers exact order within the shortlist). The ladder
+    * varies BOTH knobs, so unlike l98's single shared ranking, each
+    * config ranks its OWN candidate set (cells ranked ≤ its nProbe) —
+    * the honest audit cost is |configs| rank passes over ONE shared ADC
+    * scan at maxProbe cells (fit, probes, LUT, and the probed-cell code
+    * scan all run once; the explode multiplies only (qid, nid, rank,
+    * sim) id-rows, never codes or floats).
+    *
+    * Output per config: (n_probe, short_m, n_queries, n_truth, n_hit,
+    * recall). Determinism: the shared approx pass is l119's (sequential
+    * folds, nid ties); per-config ranks are total-ordered windows; the
+    * one division is exact-operand double division. */
+  def ivfPqProbeSweep(vecs: DataFrame,
+                      configs: Seq[(Int, Int)] = Seq((2, 10), (4, 20), (8, 40)),
+                      k: Int = 3, queryMod: Int = 20, nCells: Int = 16,
+                      coarseIters: Int = 3, m: Int = 16, ks: Int = 16,
+                      pqIters: Int = 2, dim: Int = 64): DataFrame = {
+    val maxProbe = configs.map(_._1).max
+    val (cents, rcb, index) =
+      ivfPqFit(vecs, nCells, coarseIters, m, ks, pqIters, dim)
+    val queries = vecs.filter(col("vec_id") % queryMod === 0)
+    val wP = Window.partitionBy(col("qid")).orderBy(
+      cosine(col("qe"), col("cent")).desc, col("cent_id"))
+    val probes = queries
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      .crossJoin(broadcast(cents))
+      .withColumn("cell_rank", row_number().over(wP))
+      .filter(col("cell_rank") <= maxProbe)
+      .select(col("qid"), col("cent_id").as("cell"), col("cell_rank"),
+        dot(col("qe"), col("cent")).as("qcd"))
+    val qn = queries.select(col("vec_id").as("qid"),
+      sqrt(norm2(col("embedding"))).as("qn"))
+    val lut = subVectors(queries, m, dim)
+      .join(broadcast(rcb), Seq("sub"))
+      .select(col("vec_id").as("qid"), col("sub"), col("idx"),
+        dotN(col("sv"), col("cent"), dim / m).as("term"))
+      .groupBy(col("qid"))
+      .agg(sort_array(collect_list(
+        struct(col("sub"), col("idx"), col("term")))).as("ps"))
+      .select(col("qid"),
+        transform(col("ps"), x => x.getField("term")).as("lut"))
+    val probeSide = broadcast(probes.join(lut, "qid").join(qn, "qid"))
+    val adc = (0 until m).map { s0 =>
+      element_at(col("lut"),
+        (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
+          .cast(IntegerType))
+    }.reduce(_ + _)
+    val approx = probeSide.join(index, Seq("cell"))
+      .filter(col("qid") =!= col("nid"))
+      .select(col("qid"), col("nid"), col("cell_rank"),
+        ((col("qcd") + adc) / (col("qn") * col("nrm"))).as("approx_sim"))
+      .localCheckpoint() // one shared ADC pass feeds every config rank
+    val cfgCol = explode(array(configs.map { case (np, sm) =>
+      struct(lit(np.toLong).as("n_probe"), lit(sm.toLong).as("short_m"))
+    }: _*))
+    val wR = Window.partitionBy(col("n_probe"), col("short_m"), col("qid"))
+      .orderBy(col("approx_sim").desc, col("nid"))
+    val short = approx.select(col("qid"), col("nid"), col("cell_rank"),
+        col("approx_sim"), cfgCol.as("cfg"))
+      .select(col("qid"), col("nid"), col("cell_rank"), col("approx_sim"),
+        col("cfg.n_probe").as("n_probe"), col("cfg.short_m").as("short_m"))
+      .filter(col("cell_rank") <= col("n_probe"))
+      .withColumn("srn", row_number().over(wR))
+      .filter(col("srn") <= col("short_m"))
+      .select(col("n_probe"), col("short_m"), col("qid"), col("nid"))
+    // truth × config grid (the l98 membership-test shape), hit = the
+    // pair appears in that config's shortlist
+    val grid = bruteForceTopK(queries, vecs, k)
+      .select(col("qid"), col("nid"), cfgCol.as("cfg"))
+      .select(col("qid"), col("nid"),
+        col("cfg.n_probe").as("n_probe"), col("cfg.short_m").as("short_m"))
+    grid.join(short.withColumn("hit", lit(1L)),
+        Seq("n_probe", "short_m", "qid", "nid"), "left")
+      .groupBy(col("n_probe"), col("short_m"))
+      .agg(countDistinct(col("qid")).as("n_queries"),
+        count(lit(1)).as("n_truth"),
+        sum(coalesce(col("hit"), lit(0L))).as("n_hit"))
+      .select(col("n_probe"), col("short_m"), col("n_queries"),
+        col("n_truth"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_truth").cast(DoubleType))
+          .as("recall"))
+  }
+
   /** L119 — the fused fit+serve form (the declared-query shape, queries
     * drawn from the corpus by the l95 sampling rule). queryMax is the
     * DevScale fixed-query-log pin; the declared query never sets it. */

@@ -1129,4 +1129,136 @@ private[queries] trait LlmDeclaredSimilarity extends LlmDeclaredBase {
         FROM rer) r
       WHERE rnk <= $k ORDER BY qid, rnk"""))
   }
+
+
+  /** L121 — IVF-PQ coupled-knob recall sweep: the l87/l98 pricing
+    * discipline on the composed index, over the (nProbe, shortM) ladder
+    * `KnobSchedule.ivfPqKnobs` encodes (shortM = 5·nProbe — the coupling
+    * that removes the fixed-shortlist dip). ONE shared ADC pass at
+    * maxProbe cells; each config ranks its own probed subset; recall =
+    * fraction of brute-force top-k pairs in that config's shortlist.
+    * The oracle reuses l119's whole fit/encode chain, carries the cell
+    * rank through the probe window, and replays the per-config ranks
+    * and membership counts. */
+  protected val l121 = {
+    import PqOracle.{m, ks, subDim, queryMod}
+    val (nCells, k) = (16, 3)
+    val configs = Seq((2, 10), (4, 20), (8, 40))
+    val maxProbe = configs.map(_._1).max
+    DeclaredQuery(
+      "l121_ivfpq_probe_sweep",
+      (s, dir) => Similarity.ivfPqProbeSweep(t(s, dir, "embeddings"),
+          configs = configs, k = k, queryMod = queryMod, nCells = nCells,
+          coarseIters = 3, m = m, ks = ks, pqIters = 2, dim = 64)
+        .orderBy(col("n_probe"), col("short_m")),
+      Some(s"""WITH c0 AS (
+        SELECT vec_id AS cent_id, list_apply(embedding, x -> CAST(x AS DOUBLE)) AS cent
+        FROM embeddings ORDER BY vec_id LIMIT $nCells),
+      ${ivfFitIter(1)},
+      ${ivfFitIter(2)},
+      ${ivfFitIter(3)},
+      assigned AS (
+        SELECT nid, ce, cell FROM (
+          SELECT e.vec_id AS nid, e.embedding AS ce, c.cent_id AS cell,
+            ROW_NUMBER() OVER (PARTITION BY e.vec_id
+              ORDER BY ${duckCosine("e.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings e CROSS JOIN c3 c) x
+        WHERE rn <= 1),
+      resid AS (
+        SELECT a.nid AS vec_id,
+          list_apply(list_zip(a.ce, c.cent),
+            x -> CAST(x[1] AS DOUBLE) - x[2]) AS emb,
+          a.cell
+        FROM assigned a JOIN c3 c ON a.cell = c.cent_id),
+      sv AS (
+        SELECT vec_id, s.sub, r.emb[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)] AS sv
+        FROM resid r CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+      pc0 AS (
+        SELECT s.sub, r.vec_id AS cent_id,
+          r.emb[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)] AS cent
+        FROM (SELECT * FROM resid ORDER BY vec_id LIMIT $ks) r
+        CROSS JOIN (SELECT unnest(range($m)) AS sub) s),
+      ${ivfPqFitIter(1)},
+      ${ivfPqFitIter(2)},
+      enc AS (
+        SELECT vec_id, sub, cent FROM (
+          SELECT v.vec_id, v.sub, c.cent,
+            ROW_NUMBER() OVER (PARTITION BY v.vec_id, v.sub
+              ORDER BY ${PqOracle.duckL2("v.sv", "c.cent")} ASC, c.cent_id) AS rn
+          FROM sv v JOIN pc2 c ON c.sub = v.sub) x
+        WHERE rn = 1),
+      nrm AS (
+        SELECT vec_id,
+          sqrt(list_reduce(list_apply(embedding,
+            x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), (x, y) -> x + y))
+            AS nrm
+        FROM embeddings),
+      probes AS (
+        SELECT qid, cell, qcd, rn AS cell_rank FROM (
+          SELECT q.vec_id AS qid, c.cent_id AS cell,
+            ${PqOracle.duckDot("q.embedding", "c.cent")} AS qcd,
+            ROW_NUMBER() OVER (PARTITION BY q.vec_id
+              ORDER BY ${duckCosine("q.embedding", "c.cent")} DESC, c.cent_id) AS rn
+          FROM embeddings q CROSS JOIN c3 c
+          WHERE q.vec_id % $queryMod = 0) x
+        WHERE rn <= $maxProbe),
+      qsv AS (
+        SELECT vec_id, s.sub,
+          list_apply(embedding[(s.sub*$subDim+1):(s.sub*$subDim+$subDim)],
+                     x -> CAST(x AS DOUBLE)) AS sv
+        FROM embeddings CROSS JOIN (SELECT unnest(range($m)) AS sub) s
+        WHERE vec_id % $queryMod = 0),
+      terms AS (
+        SELECT p.qid, r.vec_id AS nid, q.sub,
+          ${PqOracle.duckDot("q.sv", "e.cent")} AS term
+        FROM probes p
+        JOIN resid r ON r.cell = p.cell AND r.vec_id <> p.qid
+        JOIN qsv q ON q.vec_id = p.qid
+        JOIN enc e ON e.vec_id = r.vec_id AND e.sub = q.sub),
+      adc AS (
+        SELECT qid, nid,
+          list_reduce(list(term ORDER BY sub), (x, y) -> x + y) AS rdp
+        FROM terms GROUP BY qid, nid),
+      approxr AS (
+        SELECT a.qid, a.nid, p.cell_rank,
+          (p.qcd + a.rdp) / (nq.nrm * nc.nrm) AS approx_sim
+        FROM adc a
+        JOIN resid r ON r.vec_id = a.nid
+        JOIN probes p ON p.qid = a.qid AND p.cell = r.cell
+        JOIN nrm nq ON nq.vec_id = a.qid
+        JOIN nrm nc ON nc.vec_id = a.nid),
+      cfgs AS (
+        SELECT CAST(n_probe AS BIGINT) AS n_probe,
+               CAST(short_m AS BIGINT) AS short_m
+        FROM (VALUES ${configs.map { case (np, sm) => s"($np, $sm)" }
+          .mkString(", ")}) AS t(n_probe, short_m)),
+      cand AS (
+        SELECT c.n_probe, c.short_m, a.qid, a.nid,
+          ROW_NUMBER() OVER (PARTITION BY c.n_probe, c.short_m, a.qid
+            ORDER BY a.approx_sim DESC, a.nid) AS srn
+        FROM approxr a JOIN cfgs c ON a.cell_rank <= c.n_probe),
+      short AS (
+        SELECT n_probe, short_m, qid, nid FROM cand WHERE srn <= short_m),
+      tq AS (
+        SELECT q.vec_id AS qid, c.vec_id AS nid,
+          ROW_NUMBER() OVER (PARTITION BY q.vec_id
+            ORDER BY ${duckCosine("q.embedding", "c.embedding")} DESC,
+              c.vec_id) AS trn
+        FROM embeddings q JOIN embeddings c ON q.vec_id <> c.vec_id
+        WHERE q.vec_id % $queryMod = 0),
+      grid AS (
+        SELECT t.qid, t.nid, c.n_probe, c.short_m
+        FROM (SELECT qid, nid FROM tq WHERE trn <= $k) t CROSS JOIN cfgs c)
+      SELECT g.n_probe, g.short_m,
+        CAST(COUNT(DISTINCT g.qid) AS BIGINT) AS n_queries,
+        CAST(COUNT(*) AS BIGINT) AS n_truth,
+        CAST(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_hit,
+        CAST(SUM(CASE WHEN s.nid IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+          / CAST(COUNT(*) AS DOUBLE) AS recall
+      FROM grid g LEFT JOIN short s
+        ON s.n_probe = g.n_probe AND s.short_m = g.short_m
+        AND s.qid = g.qid AND s.nid = g.nid
+      GROUP BY g.n_probe, g.short_m ORDER BY g.n_probe, g.short_m"""))
+  }
 }

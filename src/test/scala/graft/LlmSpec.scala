@@ -435,6 +435,21 @@ class LlmSpec extends SparkSpec {
     assert(full(served) === full(got))
   }
 
+  test("ivfPqProbeSweep: recall non-decreasing along the coupled ladder; " +
+    "truth sized |Q|*k per config") {
+    val em = Tables.load(spark, sf001, "embeddings")
+    val rows = Similarity.ivfPqProbeSweep(em).orderBy(col("n_probe"))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getDouble(5)))
+    assert(rows.map(r => (r._1, r._2)).toSeq === Seq((2L, 10L), (4L, 20L), (8L, 40L)))
+    // truth = exactly k per sampled query, identical across configs
+    assert(rows.forall(r => r._4 === r._3 * 3))
+    // the coupling's point: wider probes + proportionally wider shortlist
+    // never lose recall (the fixed-shortM dip is the broken alternative)
+    rows.sliding(2).foreach { case Array(lo, hi) =>
+      assert(lo._6 <= hi._6, s"coupled ladder dipped: $lo -> $hi") }
+  }
+
   test("pqRerankTopK: ADC approx_sim equals the decoded-reconstruction " +
     "cosine; reranked sims are exact cosines; top-1 recall holds") {
     val em = Tables.load(spark, sf001, "embeddings")
