@@ -692,6 +692,9 @@ class PlanSpec extends SparkSpec {
       // cells by EQUALITY (its own pin above) and the rerank broadcasts
       // the |Q|·shortM shortlist
       "l119_ivfpq_ann",
+      // l121: l119's probe crossJoin plus the broadcast-queries
+      // brute-force truth leg (the l05/l98 audit shape)
+      "l121_ivfpq_probe_sweep",
       // l97: broadcast 1-row n_total crossJoin (the l71 decile shape)
       "l97_source_quality_drift",
       // l98: the shared PQ coarse pass (the l95 shape) plus the
