@@ -82,6 +82,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("semdedupskew")) {
+      semDedupSkewExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -506,8 +511,7 @@ object DevScale {
       val cs = Similarity.cellAssignments(em, cents).localCheckpoint()
       val (mx0, p0, nn) = occStats(cs)
       val refined = if (guard)
-        Similarity.refineHotCells(cs, n, k, hotFactor = 4.0, iters = 2)
-          .localCheckpoint()
+        Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2)
         else cs
       val (mx1, p1, _) = occStats(refined)
       // distinct composite subcell ids (guarded runs only — unguarded
@@ -538,6 +542,85 @@ object DevScale {
       KnobSchedule.ivfCells(n1 * reps), guard = true)
     run(s"${reps}x FIXED-KNOB ctl", bigDir, n1 * reps,
       KnobSchedule.ivfCells(n1), guard = false)
+  }
+
+  /** SEMDEDUP HOT-CELL-GUARD receipt (`runMain graft.DevScale R
+    * semdedupskew`) — the balanced `semdedup` leg showed the guard
+    * correctly DORMANT (spherical k-means balances the replicated
+    * corpus); this leg plants the case the guard exists for: a
+    * near-duplicate pile — 25% of the corpus concentrated in ONE tight
+    * direction (unit e0 + small per-vector noise in a rotating second
+    * dimension — near-identical, so k-means cannot split it at the top
+    * level but CAN split it on the noise dimensions when recursed).
+    * k-means parks one centroid on the pile → one cell holds ~25% of
+    * the corpus → within-cell pair volume ~(n/4)²/2 re-creates the
+    * all-pairs blow-up clustering was supposed to prevent. The guard
+    * (occ > 4×target) sub-fits the pile into ceil(occ/target)
+    * subcells. Printed per scale: pre/post max occupancy, pre/post
+    * pairs/vector, subcell count, and the measured within-cell pair
+    * pass — the post numbers are the receipt that the recursion caps
+    * the quadratic term. */
+  private def semDedupSkewExperiment(spark: org.apache.spark.sql.SparkSession,
+                                     reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Similarity}
+    val dim = embedDim
+    // hot pile: id-disjoint vectors clustered around e0 with ±0.05 noise
+    // in a rotating dimension — near-dups (pairwise cosine ≈ 0.996+)
+    def pile(count: Int): DataFrame = {
+      import spark.implicits._
+      (0 until count).map { i =>
+        val e = Array.fill(dim)(0.0f)
+        e(0) = 1.0f
+        e(1 + (i % (dim - 1))) = 0.05f + 0.0005f * (i % 7)
+        (900000000L + i, e)
+      }.toDF("vec_id", "embedding")
+    }
+    def corpus(r: Int, dir: String): Long = {
+      val base = replicatedEmbeddings(spark, r)
+        .select(col("vec_id"), col("embedding"))
+      val n0 = base.count()
+      val full = base.unionByName(pile((n0 / 3).toInt)) // pile = 25% of total
+      full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+      n0 + n0 / 3
+    }
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def occStats(cs: DataFrame): (Long, Long, Long) = {
+      val r = cs.groupBy(col("cell")).agg(count(lit(1)).as("occ"))
+        .agg(max(col("occ")),
+          sum((col("occ") * (col("occ") - 1) / 2).cast("long")),
+          sum(col("occ"))).collect()(0)
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    def run(tag: String, r: Int): Unit = {
+      val dir = s"/tmp/graft_scale_sdskew_$r"
+      val n = corpus(r, dir)
+      val em = spark.read.parquet(s"$dir/embeddings.parquet")
+      val k = KnobSchedule.ivfCells(n)
+      val cents = Similarity.fitCentroids(em, k, iters = 2)
+      val cs = Similarity.cellAssignments(em, cents).localCheckpoint()
+      val (mx0, p0, nn) = occStats(cs)
+      val refined = Similarity.refineHotCellsDeep(cs, n, k,
+        hotFactor = 4.0, iters = 2)
+      val (mx1, p1, _) = occStats(refined)
+      val nSub = refined.filter(col("cell") % (1L << 20) =!= 0L)
+        .select(col("cell")).distinct().count()
+      val asgDir = s"$dir/asg"
+      refined.write.mode("overwrite").parquet(asgDir)
+      val tPair = BenchTiming.steadyOf(spark, () => {
+        val a = spark.read.parquet(asgDir)
+        a.select(col("cell"), col("nid").as("a"), col("ce").as("ae"))
+          .join(a.select(col("cell"), col("nid").as("b"),
+            col("ce").as("be")), Seq("cell"))
+          .filter(col("a") < col("b"))
+          .filter(Similarity.cosine(col("ae"), col("be")) >= 0.35)
+          .groupBy(col("cell")).agg(count(lit(1)).as("c"))
+      })
+      val tgt = math.max(1L, n / k)
+      println(f"$tag%-14s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%7d pairs/vec=${p0.toDouble / nn}%10.1f | post: maxOcc=$mx1%7d pairs/vec=${p1.toDouble / nn}%10.1f subcells=$nSub%4d | pairPass=$tPair%7.3f s")
+    }
+    run("1x+pile", 1)
+    run(s"${reps}x+pile", reps)
   }
 
   /** IVF-PQ serving scale-up (`runMain graft.DevScale R ivfpq`) — the

@@ -2982,12 +2982,13 @@ class LlmSpec extends SparkSpec {
   }
 
   test("semDedupAuto: scheduled k with balanced cells equals fixed-k " +
-    "semDedup modulo the composite cell relabel") {
+    "semDedup exactly — the dormant guard touches nothing") {
     // 8 well-separated directions × 8 members in 64 dims; ids arranged so
     // the first 8 by vec_id seed one Lloyd init per direction. n = 64 →
     // ivfCells = 8, targetOcc = 8, occupancy 8 per cell — the guard
-    // (hotFactor 4 → threshold 32) never fires, so the auto path must be
-    // byte-equal to semDedup(nCells = 8) up to cell·STRIDE relabeling.
+    // (hotFactor 4 → threshold 32) never fires, and the deep-guard
+    // wrapper returns the assignment UNTOUCHED (raw cent ids included),
+    // so the auto path must be byte-equal to semDedup(nCells = 8).
     val vecs = (for (j <- 0 until 8; d <- 0 until 8) yield {
       val e = Array.fill(64)(0.0f)
       e(8 * d) = 1.0f
@@ -3000,12 +3001,53 @@ class LlmSpec extends SparkSpec {
         r.getLong(3), r.getLong(4)))
     val auto = Similarity.semDedupAuto(vecs, tau = 0.8, iters = 3)
       .orderBy("vec_id").collect()
-      .map(r => (r.getLong(0), r.getLong(1) / (1L << 20), r.getDouble(2),
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3), r.getLong(4)))
     assert(auto.toSeq === fixed.toSeq)
-    // and no refined (subcell) id exists: every composite id is ≡ 0 mod STRIDE
-    assert(Similarity.semDedupAuto(vecs, tau = 0.8, iters = 3)
-      .filter(col("cell") % (1L << 20) =!= 0L).count() === 0L)
+  }
+
+  test("refineHotCellsDeep: a near-duplicate pile that defeats one guard " +
+    "level drains over iterated levels") {
+    // the orthogonal-noise pile (the DevScale semdedupskew shape): 120
+    // near-identical vectors — unit e0 + tiny noise in a rotating
+    // dimension — plus 40 scattered. One refine level inits ksub
+    // subcentroids on near-identical members and the cosine argmax
+    // concentrates non-matching members; iterating peels the pile.
+    def pileVec(i: Int): Array[Float] = {
+      val e = Array.fill(32)(0.0f)
+      e(0) = 1.0f
+      e(1 + (i % 31)) = 0.05f + 0.001f * (i % 5)
+      e
+    }
+    def farVec(i: Int): Array[Float] = {
+      val e = Array.fill(32)(0.0f)
+      e(1 + (i % 31)) = 1.0f
+      e
+    }
+    // 240-member pile over 31 noise groups: one level's ksub =
+    // ceil(240/20) = 12 ≪ 31 groups, so the non-matching majority
+    // concentrates and stays hot; later levels re-init on the
+    // survivors' own members and keep peeling
+    val rows = (0 until 240).map(i => (i.toLong, pileVec(i), 1L, 0.9)) ++
+      (0 until 40).map(i => (1000L + i, farVec(i), 2L + (i % 4), 0.5))
+    val cs = rows.toDF("nid", "ce", "cell", "cent_sim")
+    // n=280, nCells=14 → targetOcc=20, hot threshold 80 < 240
+    def maxOcc(df: org.apache.spark.sql.DataFrame): Long =
+      df.groupBy(col("cell")).agg(count(lit(1)).as("o"))
+        .agg(max(col("o"))).collect()(0).getLong(0)
+    val one = Similarity.refineHotCells(cs, n = 280L, nCells = 14,
+      hotFactor = 4.0, iters = 2)
+    val deep = Similarity.refineHotCellsDeep(cs, n = 280L, nCells = 14,
+      hotFactor = 4.0, iters = 2)
+    assert(deep.count() === 280L)
+    assert(deep.select(col("nid")).distinct().count() === 280L)
+    // one level must still be hot on this geometry (else the fixture is
+    // too easy to witness iteration); the deep guard must converge under
+    // the hot threshold (4 × target = 80)
+    val (m1, mD) = (maxOcc(one), maxOcc(deep))
+    assert(m1 > 80L, s"one-level fixture too easy: maxOcc $m1")
+    assert(mD < m1, s"deep guard did not improve: $mD vs $m1")
+    assert(mD <= 80L, s"deep guard left a hot cell: maxOcc $mD")
   }
 
   test("refineHotCells: a planted hot cell splits into direction-pure " +
