@@ -516,7 +516,10 @@ object DevScale {
       val (mx1, p1, _) = occStats(refined)
       // distinct composite subcell ids (guarded runs only — unguarded
       // cells keep raw cent ids, where the mod test is meaningless)
-      val nHot = if (!guard) 0L else refined
+      // refineHotCellsDeep returns the SAME reference when the guard is
+      // dormant (raw cent ids, no composite relabel) — the mod test is
+      // only meaningful on a refined table
+      val nHot = if (!guard || (refined eq cs)) 0L else refined
         .filter(col("cell") % (1L << 20) =!= 0L)
         .select(col("cell")).distinct().count()
       // the cost center, measured: within-cell pair pass over the
@@ -603,7 +606,8 @@ object DevScale {
       val refined = Similarity.refineHotCellsDeep(cs, n, k,
         hotFactor = 4.0, iters = 2)
       val (mx1, p1, _) = occStats(refined)
-      val nSub = refined.filter(col("cell") % (1L << 20) =!= 0L)
+      val nSub = if (refined eq cs) 0L else refined
+        .filter(col("cell") % (1L << 20) =!= 0L)
         .select(col("cell")).distinct().count()
       val asgDir = s"$dir/asg"
       refined.write.mode("overwrite").parquet(asgDir)
