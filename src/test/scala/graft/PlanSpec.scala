@@ -540,6 +540,17 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
+  test("l120: tau-sweep pair pass joins cells by EQUALITY — one shared " +
+    "pair pass, never an all-pairs shape") {
+    // l118's cell-equality contract carried to the sweep: the per-vector
+    // max-earlier-sim pass is the SAME within-cell join, and the ladder
+    // is an explode over its per-vector scalar — no shape in the final
+    // plan may be cartesian/BNLJ.
+    val plan = executedPlan(lq("l120_semdedup_tau_sweep"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+  }
+
   test("l119: IVF-PQ pair generation joins probed cells by EQUALITY and " +
     "floats stay out of the code scan — the composed index's scale contract") {
     // The l118 cell-equality pin applied to the composed index: the
