@@ -286,7 +286,17 @@ object Bench {
         .fold((b, "d01_end", "in_suite"))(bf => (bf, "d01_fresh", "fresh_twin"))
       val rn = baselineRows.get(bd01Key).filter(_ > 0 && probe > 0)
         .fold(retry / bUsed)(bd01 => retry / bUsed * (bd01 / probe))
-      (rn, if (rn < 1.5) "host_noise" else "regression", baseTag)
+      // A fresh-JVM retry judged against an IN-SUITE row carries the
+      // measured 1.4–2.1× suite-warmth bias (plateau warming shrinks but
+      // does not eliminate it — round-16 ADVICE), so a "regression" read
+      // off that mismatched pair is PROVISIONAL until a `<short>_fresh`
+      // twin is recorded at the baseline commit; only a twin-backed or
+      // same-JVM comparison may emit the unqualified verdict.
+      val verdict =
+        if (rn < 1.5) "host_noise"
+        else if (fresh && baseTag == "in_suite") "regression_provisional"
+        else "regression"
+      (rn, verdict, baseTag)
     }
     // (retry_sec, probe_start, probe_end, retry_norm, verdict, bracket, base_used)
     val arb: Map[String, (Double, Double, Double, Double, String, String, String)] =
@@ -357,13 +367,18 @@ object Bench {
       // the gate must be readable from the 2000-char window alone
       val arbShort = arb.toSeq.sortBy(-_._2._4).map { case (k, (_, _, _, rn, v, _, _)) =>
         "\"" + k.split('_')(0) + "\":{\"rn\":" + r3(rn) + ",\"v\":\"" +
-          (if (v == "host_noise") "host" else "reg") + "\"}"
+          (v match {
+            case "host_noise" => "host"
+            case "regression_provisional" => "prov"
+            case _ => "reg"
+          }) + "\"}"
       }.mkString("{", ",", "}")
       val bracket = arb.values.headOption.fold("none")(_._6)
       s""","d01_end":${r3(sentinel)},"host_norm":${
         hostNorm.fold("null")(r3)},"worst_norm":$worst,"n_norm_ge_1.5":${
         normed.count(_._2 >= 1.5)},"arb":$arbShort,"arb_bracket":"$bracket","n_arb_reg":${
-        arb.values.count(_._5 == "regression")}"""
+        arb.values.count(_._5 == "regression")},"n_arb_prov":${
+        arb.values.count(_._5 == "regression_provisional")}"""
     }
     // cc_peak/cc_reserve + jit_total ride the printed line too (short keys,
     // ~60 chars): the driver's 2000-char window must be able to answer "was
@@ -393,9 +408,10 @@ object Bench {
     // cap): a 30-flag degraded-host run must be distinguishable from an
     // exactly-12 run inside the 2000-char window (round-15 ADVICE).
     val nReg = arb.values.count(_._5 == "regression")
+    val nProv = arb.values.count(_._5 == "regression_provisional")
     val arbJvm = arb.values.headOption.fold("none")(_._6)
     val hCore = s""","d01_end":${r3(sentinel)},"host_norm":${
-      hostNorm.fold("null")(r3)},"n_ge1.5":${flaggedAll.size},"n_reg":$nReg,"arb_jvm":"$arbJvm""""
+      hostNorm.fold("null")(r3)},"n_ge1.5":${flaggedAll.size},"n_reg":$nReg,"n_prov":$nProv,"arb_jvm":"$arbJvm""""
     val base = s""""unit":"sec","sf":"${new java.io.File(sfDir).getName}","queries":$qs1"""
     // PROGRESSIVE degradation (round-15 ADVICE — the round-15 run fit at
     // a 4-char margin): try the full headline, then drop the reg map,

@@ -514,14 +514,16 @@ object DevScale {
         Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2)
         else cs
       val (mx1, p1, _) = occStats(refined)
-      // distinct composite subcell ids (guarded runs only — unguarded
-      // cells keep raw cent ids, where the mod test is meaningless)
-      // refineHotCellsDeep returns the SAME reference when the guard is
-      // dormant (raw cent ids, no composite relabel) — the mod test is
-      // only meaningful on a refined table
-      val nHot = if (!guard || (refined eq cs)) 0L else refined
-        .filter(col("cell") % (1L << 20) =!= 0L)
-        .select(col("cell")).distinct().count()
+      // net cells ADDED by splitting = distinct-cell count post − pre
+      // (round-16 ADVICE: the old composite-id-offset test undercounted
+      // after multi-level refineHotCellsDeep — each level's dense relabel
+      // maps prior-level subcells back to rank·STRIDE, so only the FINAL
+      // level's subcells carried a non-zero offset; the pre/post distinct
+      // diff counts every level's splitting, and the dense relabel
+      // preserves distinct counts so levels compose)
+      val nHot = if (!guard || (refined eq cs)) 0L else
+        refined.select(col("cell")).distinct().count() -
+          cs.select(col("cell")).distinct().count()
       // the cost center, measured: within-cell pair pass over the
       // (possibly refined) assignment table. Persisted to parquet first —
       // BenchTiming's cleanup unpersists localCheckpoint blocks, and the
@@ -538,7 +540,7 @@ object DevScale {
           .groupBy(col("cell")).agg(count(lit(1)).as("c"))
       })
       val tgt = math.max(1L, n / k)
-      println(f"$tag%-24s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%6d pairs/vec=${p0.toDouble / nn}%9.1f | post: maxOcc=$mx1%6d pairs/vec=${p1.toDouble / nn}%9.1f subcells=$nHot%3d | pairPass=$tPair%7.3f s")
+      println(f"$tag%-24s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%6d pairs/vec=${p0.toDouble / nn}%9.1f | post: maxOcc=$mx1%6d pairs/vec=${p1.toDouble / nn}%9.1f cellsAdded=$nHot%3d | pairPass=$tPair%7.3f s")
     }
     run("1x scheduled", smallDir, n1, KnobSchedule.ivfCells(n1), guard = true)
     run(s"${reps}x scheduled", bigDir, n1 * reps,
@@ -606,9 +608,11 @@ object DevScale {
       val refined = Similarity.refineHotCellsDeep(cs, n, k,
         hotFactor = 4.0, iters = 2)
       val (mx1, p1, _) = occStats(refined)
-      val nSub = if (refined eq cs) 0L else refined
-        .filter(col("cell") % (1L << 20) =!= 0L)
-        .select(col("cell")).distinct().count()
+      // pre/post distinct-cell diff — counts ALL levels' splitting (see
+      // the semDedupExperiment note on the round-16 ADVICE fix)
+      val nSub = if (refined eq cs) 0L else
+        refined.select(col("cell")).distinct().count() -
+          cs.select(col("cell")).distinct().count()
       val asgDir = s"$dir/asg"
       refined.write.mode("overwrite").parquet(asgDir)
       val tPair = BenchTiming.steadyOf(spark, () => {
@@ -621,7 +625,7 @@ object DevScale {
           .groupBy(col("cell")).agg(count(lit(1)).as("c"))
       })
       val tgt = math.max(1L, n / k)
-      println(f"$tag%-14s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%7d pairs/vec=${p0.toDouble / nn}%10.1f | post: maxOcc=$mx1%7d pairs/vec=${p1.toDouble / nn}%10.1f subcells=$nSub%4d | pairPass=$tPair%7.3f s")
+      println(f"$tag%-14s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%7d pairs/vec=${p0.toDouble / nn}%10.1f | post: maxOcc=$mx1%7d pairs/vec=${p1.toDouble / nn}%10.1f cellsAdded=$nSub%4d | pairPass=$tPair%7.3f s")
     }
     run("1x+pile", 1)
     run(s"${reps}x+pile", reps)

@@ -551,15 +551,38 @@ class PlanSpec extends SparkSpec {
     assert(!plan.contains("BroadcastNestedLoopJoin"))
   }
 
-  test("l119: IVF-PQ pair generation joins probed cells by EQUALITY and " +
-    "floats stay out of the code scan — the composed index's scale contract") {
-    // The l118 cell-equality pin applied to the composed index: the
-    // ADC scan must join (probes × index) on the cell key — never a
-    // cartesian/BNLJ all-pairs — and the index side of that join carries
-    // (cell, codes, nrm), not embedding arrays (floats load only for the
-    // |Q|·shortM rerank survivors).
+  test("l119: IVF-PQ code scan joins probes×index by cell EQUALITY — a " +
+    "positive hash-join pin the allowlisted probe BNLJ cannot mask") {
+    // Round-16 verdict: `!contains("CartesianProduct")` alone had a hole
+    // — l119's plan legitimately contains a BNLJ (the probe window's
+    // broadcast centroid crossJoin, covered by the crossJoin allowlist
+    // test below), so a regression that turned the (probeSide × index)
+    // code scan itself into a BNLJ would have passed. Assert POSITIVELY
+    // that the scan join survives as a hash/sort-merge join KEYED ON
+    // `cell`, and negative-test the matcher on a deliberately
+    // key-dropped twin of the same join shape.
     val plan = executedPlan(lq("l119_ivfpq_ann"))
     assert(!plan.contains("CartesianProduct"))
+    val cellKeyed =
+      ("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) " +
+        "\\[cell#\\d+L?\\], \\[cell#\\d+L?\\]").r
+    assert(cellKeyed.findFirstIn(plan).isDefined,
+      "no hash/SMJ join keyed on cell in:\n" + plan.take(3000))
+    // The negative twin: the same two-sided join with the equality key
+    // replaced by a non-equi sandwich (cell <= cell && cell >= cell) —
+    // semantically identical, but Spark can only plan a nested loop.
+    // The matcher must NOT fire on it, proving the pin actually fails
+    // when the cell key is dropped.
+    import spark.implicits._
+    val probes = Seq((1L, 10L), (2L, 11L)).toDF("cell", "qid")
+    val index = Seq((1L, 20L), (2L, 21L)).toDF("cell", "nid")
+    val dropped = probes.as("p").join(index.as("i"),
+      col("p.cell") <= col("i.cell") && col("p.cell") >= col("i.cell"))
+    val planDropped = executedPlan(dropped)
+    assert(planDropped.contains("BroadcastNestedLoopJoin") ||
+      planDropped.contains("CartesianProduct"), planDropped.take(1500))
+    assert(cellKeyed.findFirstIn(planDropped).isEmpty,
+      "matcher fired on the key-dropped twin:\n" + planDropped.take(1500))
   }
 
   test("l54: contamination fraction joins on shingle digests — no raw " +
