@@ -570,21 +570,25 @@ object DevScale {
     import graft.llm.{KnobSchedule, Similarity}
     val dim = embedDim
     // hot pile: id-disjoint vectors clustered around e0 with ±0.05 noise
-    // in a rotating dimension — near-dups (pairwise cosine ≈ 0.996+)
-    def pile(count: Int): DataFrame = {
+    // in a rotating dimension — near-dups (pairwise cosine ≈ 0.996+).
+    // exact = true drops the noise: BYTE-IDENTICAL copies, the pile the
+    // guard's sub-fits cannot split (no geometry) and the round-17
+    // collapseExactDups pre-collapse exists for.
+    def pile(count: Int, exact: Boolean): DataFrame = {
       import spark.implicits._
       (0 until count).map { i =>
         val e = Array.fill(dim)(0.0f)
         e(0) = 1.0f
-        e(1 + (i % (dim - 1))) = 0.05f + 0.0005f * (i % 7)
+        if (!exact) e(1 + (i % (dim - 1))) = 0.05f + 0.0005f * (i % 7)
         (900000000L + i, e)
       }.toDF("vec_id", "embedding")
     }
-    def corpus(r: Int, dir: String): Long = {
+    def corpus(r: Int, dir: String, exact: Boolean): Long = {
       val base = replicatedEmbeddings(spark, r)
         .select(col("vec_id"), col("embedding"))
       val n0 = base.count()
-      val full = base.unionByName(pile((n0 / 3).toInt)) // pile = 25% of total
+      // pile = 25% of total
+      val full = base.unionByName(pile((n0 / 3).toInt, exact))
       full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
       n0 + n0 / 3
     }
@@ -597,16 +601,28 @@ object DevScale {
           sum(col("occ"))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    def run(tag: String, r: Int): Unit = {
-      val dir = s"/tmp/graft_scale_sdskew_$r"
-      val n = corpus(r, dir)
+    def run(tag: String, r: Int, exact: Boolean = false): Unit = {
+      val dir = s"/tmp/graft_scale_sdskew_${r}_$exact"
+      val n = corpus(r, dir, exact)
       val em = spark.read.parquet(s"$dir/embeddings.parquet")
       val k = KnobSchedule.ivfCells(n)
       val cents = Similarity.fitCentroids(em, k, iters = 2)
       val cs = Similarity.cellAssignments(em, cents).localCheckpoint()
       val (mx0, p0, nn) = occStats(cs)
-      val refined = Similarity.refineHotCellsDeep(cs, n, k,
-        hotFactor = 4.0, iters = 2)
+      // the exact leg runs the round-17 production path: collapse
+      // byte-identical values BEFORE the guard (one rep per value enters
+      // the occupancy math and the pair pass); the near-dup leg keeps
+      // the guard-only path (noise ⇒ every vector is a distinct value,
+      // collapse would be a no-op there)
+      val guarded = if (exact) {
+        val (reps, _) = Similarity.collapseExactDups(cs)
+        val nReps = reps.count()
+        println(f"$tag%-14s collapse: $nn rows -> $nReps reps")
+        Similarity.refineHotCellsDeep(reps.localCheckpoint(), nReps, k,
+          hotFactor = 4.0, iters = 2)
+      } else cs
+      val refined = if (exact) guarded else
+        Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2)
       val (mx1, p1, _) = occStats(refined)
       // pre/post distinct-cell diff — counts ALL levels' splitting (see
       // the semDedupExperiment note on the round-16 ADVICE fix)
@@ -629,6 +645,12 @@ object DevScale {
     }
     run("1x+pile", 1)
     run(s"${reps}x+pile", reps)
+    // the round-17 receipt: the SAME pile made byte-identical — the
+    // sub-fit guard alone cannot split it (post numbers would stay at
+    // occ ≈ n/4); with the collapse the pile enters as ONE row and the
+    // pair pass reads flat
+    run("1x+exactpile", 1, exact = true)
+    run(s"${reps}x+exactpile", reps, exact = true)
   }
 
   /** IVF-PQ serving scale-up (`runMain graft.DevScale R ivfpq`) — the

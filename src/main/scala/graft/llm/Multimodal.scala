@@ -4,6 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded per-partition into feature rows.
@@ -430,6 +431,128 @@ object Multimodal {
       }
       BlobRow(b.doc_id, out)
     })
+  }
+
+  // ---------------------------------------------------- image near-dup
+
+  /** Per-image perceptual signature: the 64-bit difference hash plus the
+    * 9×8 grayscale grid it was read from (the grid is the exact ground
+    * truth the hash approximates — kept for the estimator-audit column). */
+  final case class ImageSig(doc_id: Long, dhash: Long, grid: Array[Int])
+
+  /** 64-bit dHash (difference hash) at the codec boundary — the standard
+    * perceptual image fingerprint: resample the decoded raster to a 9×8
+    * grayscale grid (nearest-neighbor source pixel sx = ⌊gx·w/9⌋,
+    * sy = ⌊gy·h/8⌋ — the `resize` stage's index arithmetic, so the
+    * SQL oracle replays it; gray = r+g+b, an exact integer luminance
+    * proxy: dHash compares adjacent cells, so any monotone channel
+    * combination gives the same bits), then bit (gy·8+gx) is set iff
+    * grid(gy,gx) > grid(gy,gx+1) — 8 horizontal gradient signs per row.
+    * Gradient signs survive re-encoding, uniform brightness shifts and
+    * (approximately) resizing — exactly the duplicate classes byte/text
+    * dedup cannot see. Hamming distance between hashes is the duplicate
+    * score. The hash computes INSIDE the blob's mapPartitions scan stage
+    * (the l93 codec-boundary discipline): the payload never crosses an
+    * exchange — 8 bytes of hash + 72 ints of grid do. */
+  def dHash(spark: SparkSession, blobs: DataFrame): Dataset[ImageSig] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val img = parsePpm(b.payload, b.doc_id)
+      val grid = new Array[Int](72)
+      var gy = 0
+      while (gy < 8) {
+        val sy = gy * img.height / 8
+        var gx = 0
+        while (gx < 9) {
+          val sx = gx * img.width / 9
+          val base = img.offset + (sy * img.width + sx) * 3
+          grid(gy * 9 + gx) = (b.payload(base) & 0xff) +
+            (b.payload(base + 1) & 0xff) + (b.payload(base + 2) & 0xff)
+          gx += 1
+        }
+        gy += 1
+      }
+      var dh = 0L
+      var by = 0
+      while (by < 8) {
+        var bx = 0
+        while (bx < 8) {
+          if (grid(by * 9 + bx) > grid(by * 9 + bx + 1))
+            dh |= 1L << (by * 8 + bx)
+          bx += 1
+        }
+        by += 1
+      }
+      ImageSig(b.doc_id, dh, grid)
+    })
+  }
+
+  /** L122 — IMAGE near-duplicate pairs: the one duplicate class the
+    * text/embedding dedup planes are blind to (a re-encoded, resized or
+    * brightness-shifted image re-post). dHash per image at the codec
+    * boundary, then the l04 byte-banding discipline on the 64-bit
+    * signature: 8 bands of 8 bits, candidates = pairs agreeing on ANY
+    * band (a pair within Hamming 7 MUST agree on some band — pigeonhole
+    * — so banding is recall-lossless for maxHamming < 8), verified by
+    * XOR + popcount ≤ maxHamming. Each surviving pair carries the exact
+    * 9×8-grid L1 distance next to its Hamming (the l43/l91
+    * estimator-audit column: the ground truth the hash approximates,
+    * dimension-independent because the grid is) — the correlation is
+    * what a pipeline reads before trusting the hash at a new corpus.
+    *
+    * Scale shape: the corpus-sized exchanges carry (doc_id, dhash,
+    * band) longs — the blob never leaves its scan stage (PlanSpec
+    * binary sweep) and the grid rides only the candidate-pair joins.
+    * Hot-band guard (the l02 maxDocFreq / l112 maxHashFreq discipline):
+    * a band value shared by a large fraction of the corpus (tiny/flat
+    * images all hash near 0) would stream occ²/2 candidate pairs while
+    * carrying no discriminative signal; buckets with occupancy >
+    * maxBandOcc are excluded from candidate generation (pairs agreeing
+    * ONLY on hot bands are the documented recall trade — LlmSpec pins
+    * the planted-dup recall). The guard table is ≤ 8·256 rows —
+    * knob-table sized, broadcast. */
+  def imageNearDups(spark: SparkSession, docs: DataFrame,
+                    maxHamming: Int = 2, maxBandOcc: Int = 500): DataFrame =
+    imageNearDupsFromBlobs(spark, encodePpm(spark, docs).toDF(),
+      maxHamming, maxBandOcc)
+
+  /** The blob-level form of `imageNearDups` — what a real media lake
+    * calls (its payloads exist; the declared query's encoder is the
+    * corpus stand-in), and the surface LlmSpec's planted-duplicate
+    * recall receipts drive directly. */
+  def imageNearDupsFromBlobs(spark: SparkSession, blobs: DataFrame,
+                             maxHamming: Int = 2,
+                             maxBandOcc: Int = 500): DataFrame = {
+    val sig = dHash(spark, blobs).toDF().localCheckpoint()
+    val bands = sig.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 8).map(bi =>
+        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val hot = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("band_idx"), col("band_val"))
+    val live = bands.join(broadcast(hot), Seq("band_idx", "band_val"),
+      "left_anti")
+    val cand = live.as("x").join(live.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+    val g = sig.select(col("doc_id"), col("grid"))
+    cand
+      .join(g.select(col("doc_id").as("doc_a"), col("grid").as("ga")),
+        "doc_a")
+      .join(g.select(col("doc_id").as("doc_b"), col("grid").as("gb")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        aggregate(
+          zip_with(col("ga"), col("gb"), (a, b) => abs(a - b)),
+          lit(0L), (acc, x) => acc + x).as("grid_l1"))
   }
 
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a

@@ -396,8 +396,132 @@ object Similarity {
     val nCells = KnobSchedule.ivfCells(n)
     val cents = fitCentroids(vectors, nCells, iters, quantum = Some(1000000L))
     val cs0 = cellAssignments(vectors, cents).localCheckpoint()
-    val cs = refineHotCellsDeep(cs0, n, nCells, hotFactor, iters)
-    semDedupVerdict(cs, cs, tau, withinBatch = true)
+    // exact-duplicate pre-collapse (round-16 directive #2): byte-identical
+    // vectors were refineHotCellsDeep's documented irreducible limit (no
+    // geometry to sub-fit — their occ² pair cost survived maxDepth).
+    // Collapsing them to one representative BEFORE the guard removes the
+    // limit outright: the pile enters the occupancy math as ONE row, so
+    // the guard usually never needs to fire on it, and the pair pass
+    // touches each distinct value once. The fit above still sees every
+    // copy (the paper's centroid weighting — and what keeps this path
+    // byte-equal to the uncollapsed verdict, pinned in LlmSpec); nCells
+    // stays scheduled from the full corpus for the same reason, while
+    // the guard's occupancy target is measured against the COLLAPSED
+    // row count — the rows the pair pass actually pays for.
+    val (reps, meta) = collapseExactDups(cs0)
+    val nReps = reps.count()
+    val cs = refineHotCellsDeep(reps, nReps, nCells, hotFactor, iters)
+    semDedupVerdictCollapsed(cs, meta, tau)
+  }
+
+  /** Fixed-k semDedup THROUGH the exact-duplicate collapse — the
+    * LlmSpec equality surface: same fit, same assignment as `semDedup`,
+    * but the pair pass runs on one representative per distinct embedding
+    * value and verdicts expand back. Byte-equal to `semDedup` on any
+    * corpus (planted exact-dup piles included) by the expansion argument
+    * on `semDedupVerdictCollapsed`. */
+  def semDedupCollapsed(vectors: DataFrame, nCells: Int = 16,
+                        iters: Int = 3, tau: Double = 0.35): DataFrame = {
+    val cents = fitCentroids(vectors, nCells, iters, quantum = Some(1000000L))
+    val cs = cellAssignments(vectors, cents).localCheckpoint()
+    val (reps, meta) = collapseExactDups(cs)
+    semDedupVerdictCollapsed(reps, meta, tau)
+  }
+
+  /** Collapse byte-identical embedding vectors of an assignment table
+    * (nid, ce, cell, cent_sim) to one representative per distinct value:
+    * the group key is (cell, digest) where digest = (xxhash64, md5 of
+    * the JSON encoding) of the float array — 160 bits, so a cross-value
+    * collision is not a practical event, and the grouping exchange
+    * carries digests, never a widened array key. Identical vectors land
+    * in the same cell with the same cent_sim (assignment is a pure
+    * function of the value), so the representative keeps the group's
+    * (cell, cent_sim) and the group's keep-order anchor is its MIN nid.
+    * Returns (reps, meta): reps is an assignment table over
+    * representatives (feeds refine/pair passes unchanged); meta is
+    * (rep_id, dg, mult, nids — the group's ids sorted ascending, i.e.
+    * in within-group keep order). */
+  private[graft] def collapseExactDups(cs: DataFrame)
+      : (DataFrame, DataFrame) = {
+    val groups = cs
+      .withColumn("dg",
+        struct(xxhash64(col("ce")), md5(to_json(col("ce")))))
+      .groupBy(col("cell"), col("dg"))
+      .agg(min(col("nid")).as("nid"),
+        count(lit(1)).as("mult"),
+        sort_array(collect_list(col("nid"))).as("nids"),
+        first(col("ce")).as("ce"),
+        first(col("cent_sim")).as("cent_sim"))
+      .localCheckpoint()
+    (groups.select(col("nid"), col("ce"), col("cell"), col("cent_sim")),
+      groups.select(col("nid").as("rep_id"), col("dg"), col("mult"),
+        col("nids")))
+  }
+
+  /** The upper-triangle verdict over COLLAPSED representatives, expanded
+    * back to per-member rows — byte-equal to `semDedupVerdict(cs, cs,
+    * tau, withinBatch = true)` on the uncollapsed table. The expansion
+    * argument, member by member:
+    *  - CROSS groups: a group A of mult m earlier than entity B in keep
+    *    order contributes m identical pairs (every copy has the same
+    *    cosine to B), so the weighted pair pass sums a_mult instead of
+    *    counting rows. "Earlier" is uniform across A's members iff no
+    *    OTHER value ties B's (cell, cent_sim) — the tie VALVE below
+    *    explodes every (cell, cent_sim) key carrying >1 distinct digest
+    *    back to singletons, after which ties resolve by nid exactly as
+    *    the uncollapsed predicate does (same-value members never tie
+    *    cross-entity: they are one group by construction).
+    *  - WITHIN a group: member at keep-order rank i (0-based over the
+    *    sorted nids) has exactly i earlier same-value members, each a
+    *    duplicate iff cosine(ce, ce) ≥ τ — computed once per group as
+    *    self_dup (the uncollapsed filter evaluates the same expression
+    *    on the same values), so n_dup_earlier = c_cross + i·self_dup
+    *    and dropped = (n_dup_earlier > 0), the uncollapsed left-join
+    *    IS-NOT-NULL in closed form. */
+  private[graft] def semDedupVerdictCollapsed(reps: DataFrame,
+                                              meta: DataFrame,
+                                              tau: Double): DataFrame = {
+    val ent0 = reps.join(meta, col("nid") === col("rep_id"))
+      .select(col("nid"), col("ce"), col("cell"), col("cent_sim"),
+        col("dg"), col("mult"), col("nids"))
+    // the tie valve (≤ a handful of rows on real data — fp cent_sim
+    // equality across DIFFERENT values is a contrived event, but the
+    // byte-equality contract is unconditional)
+    val tieKeys = ent0.groupBy(col("cell"), col("cent_sim"))
+      .agg(countDistinct(col("dg")).as("ndg"))
+      .filter(col("ndg") > 1)
+      .select(col("cell"), col("cent_sim"))
+    val safe = ent0.join(tieKeys, Seq("cell", "cent_sim"), "left_anti")
+      .select(col("nid"), col("ce"), col("cell"), col("cent_sim"),
+        col("mult"), col("nids"))
+    val exploded = ent0.join(tieKeys, Seq("cell", "cent_sim"), "left_semi")
+      .select(col("cell"), col("cent_sim"), col("ce"),
+        explode(col("nids")).as("m_id"))
+      .select(col("m_id").as("nid"), col("ce"), col("cell"),
+        col("cent_sim"), lit(1L).as("mult"), array(col("m_id")).as("nids"))
+    val entities = safe.unionByName(exploded).localCheckpoint()
+    val a = entities.select(col("cell"), col("nid").as("a_id"),
+      col("ce").as("ae"), col("cent_sim").as("a_cs"),
+      col("mult").as("a_mult"))
+    val b = entities.select(col("cell"), col("nid").as("b_id"),
+      col("ce").as("be"), col("cent_sim").as("b_cs"))
+    val cross = a.join(b, Seq("cell"))
+      .filter(col("a_cs") < col("b_cs") ||
+        (col("a_cs") === col("b_cs") && col("a_id") < col("b_id")))
+      .filter(cosine(col("ae"), col("be")) >= tau)
+      .groupBy(col("b_id")).agg(sum(col("a_mult")).as("c_cross"))
+    entities.join(cross, col("nid") === col("b_id"), "left")
+      .select(col("cell"), col("cent_sim"),
+        coalesce(col("c_cross"), lit(0L)).as("c_cross"),
+        (cosine(col("ce"), col("ce")) >= tau).as("self_dup"),
+        col("nids"))
+      .select(col("cell"), col("cent_sim"), col("c_cross"), col("self_dup"),
+        posexplode(col("nids")).as(Seq("rk", "vec_id")))
+      .withColumn("n_dup_earlier", col("c_cross") +
+        when(col("self_dup"), col("rk").cast(LongType)).otherwise(0L))
+      .select(col("vec_id"), col("cell"), col("cent_sim"),
+        col("n_dup_earlier"),
+        (col("n_dup_earlier") > 0).cast(LongType).as("dropped"))
   }
 
   /** The guard ITERATED to convergence (bounded depth): one
@@ -412,10 +536,12 @@ object Similarity {
     * members, peeling another ksub noise-groups, so iterating drains
     * the pile geometrically. Levels run only while some cell exceeds
     * hotFactor × target (one occupancy count per level — knob-table
-    * cost); `maxDepth` bounds a truly unsplittable pile (exact
-    * duplicate vectors — no geometry to separate; their occ² cost is
-    * irreducible without changing the verdict semantics, and SemDeDup
-    * drops them all against the cell's first member anyway). Cells are
+    * cost); `maxDepth` bounds a truly unsplittable pile (byte-identical
+    * vectors have no geometry to separate — but since round 17 those
+    * never reach this guard from `semDedupAuto`: `collapseExactDups`
+    * removes them upstream, one representative per distinct value, so
+    * maxDepth remains only as a backstop for adversarial
+    * near-identical-but-not-byte-equal geometry). Cells are
     * DENSE-RELABELED (rank among distinct ids) at each level so
     * composite ids never overflow the SubcellStride layout at depth. */
   private[graft] def refineHotCellsDeep(cs0: DataFrame, n: Long,
@@ -549,8 +675,8 @@ object Similarity {
     * earlierPool is a PERSISTED state, every pool member rejects
     * unconditionally (it arrived earlier by definition); the keep-order
     * predicate applies only within the batch. */
-  private def semDedupVerdict(batch: DataFrame, earlierPool: DataFrame,
-                              tau: Double, withinBatch: Boolean): DataFrame = {
+  private[graft] def semDedupVerdict(batch: DataFrame, earlierPool: DataFrame,
+                                     tau: Double, withinBatch: Boolean): DataFrame = {
     val b = batch.select(col("cell"), col("nid").as("b_id"),
       col("ce").as("be"), col("cent_sim").as("b_cs"))
     val a = earlierPool.select(col("cell"), col("nid").as("a_id"),

@@ -174,6 +174,70 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       FROM feats f JOIN documents d USING (doc_id)
       GROUP BY d.source ORDER BY d.source"""))
 
+  /** L122 — IMAGE near-duplicate pairs via 64-bit dHash: the duplicate
+    * class every text/embedding dedup operator is blind to (re-encoded /
+    * resized / brightness-shifted image re-posts). The hash computes at
+    * the codec boundary (gradient signs over a 9×8 nearest-neighbor
+    * grayscale grid of the parsed P6 raster); candidates come from the
+    * l04 byte-banding discipline on the signature (8×8-bit bands,
+    * recall-lossless for Hamming < 8 by pigeonhole) behind a hot-band
+    * occupancy guard; each verified pair carries the exact grid-L1
+    * distance (the l91 estimator-audit column). The oracle regenerates
+    * the image in SQL (the l11 trick), replays grid/hash/banding/guard/
+    * popcount bit-identically — integer arithmetic end to end. */
+  protected val l122 = {
+    // the 9×8 grayscale grid cell at flat index i (0..71): source pixel
+    // sx = ⌊(i%9)·w/9⌋, sy = ⌊(i//9)·h/8⌋, gray = byte sum over the 3
+    // channels — ppmPx replays the tiled pixel plane
+    val grayCell = "(" + (0 until 3).map(c =>
+      ppmPx(s"((((i//9)*h//8)*w + ((i%9)*w//9))*3 + $c)")).mkString(" + ") + ")"
+    // bit b of the dHash: grid(gy,gx) > grid(gy,gx+1) at gx = b%8,
+    // gy = b//8 (1-based list indexing in DuckDB); the b = 63 term is
+    // spelled MIN_BIGINT (1<<63 overflows DuckDB's checked shift — the
+    // two's-complement value is what Spark's `1L << 63` produces)
+    val bitTerm =
+      """CASE WHEN grid[CAST((b//8)*9 + (b%8) + 1 AS INTEGER)] >
+                grid[CAST((b//8)*9 + (b%8) + 2 AS INTEGER)]
+           THEN CASE WHEN b = 63
+                THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+           ELSE CAST(0 AS BIGINT) END"""
+    DeclaredQuery(
+      "l122_image_near_dups",
+      (s, dir) => Multimodal.imageNearDups(s, t(s, dir, "documents"),
+        maxHamming = 2, maxBandOcc = 500)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $ppmCte,
+      g AS (SELECT doc_id,
+          list_transform(range(72), i -> $grayCell) AS grid FROM ppm),
+      dh AS (SELECT doc_id, grid,
+          list_reduce(list_transform(range(64), b -> $bitTerm),
+            (x, y) -> x + y) AS dhash FROM g),
+      bands AS (SELECT doc_id, dhash, band_idx,
+          (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
+        FROM (SELECT doc_id, dhash, unnest(range(8)) AS band_idx FROM dh)),
+      hot AS (SELECT band_idx, band_val FROM bands
+        GROUP BY band_idx, band_val HAVING count(*) > 500),
+      live AS (SELECT b.* FROM bands b WHERE NOT EXISTS
+        (SELECT 1 FROM hot h WHERE h.band_idx = b.band_idx
+          AND h.band_val = b.band_val)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+        FROM live x JOIN live y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2)
+      SELECT c.doc_a, c.doc_b, c.hamming,
+        CAST(list_reduce(list_transform(range(72),
+          i -> abs(ga.grid[CAST(i + 1 AS INTEGER)]
+                 - gb.grid[CAST(i + 1 AS INTEGER)])),
+          (x, y) -> x + y) AS BIGINT) AS grid_l1
+      FROM cand c
+      JOIN dh ga ON ga.doc_id = c.doc_a
+      JOIN dh gb ON gb.doc_id = c.doc_b
+      ORDER BY doc_a, doc_b"""))
+  }
+
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
     * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so

@@ -1566,6 +1566,111 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  // ------------------------------------------------------ image near-dup
+
+  /** A hand-built 36×16 P6 payload whose pixel (x, y) value comes from
+    * `px` — 36×16 is grid-aligned (w/9, w2/9, h/8, h2/8 all integral),
+    * so the ÷2 nearest-neighbor resize samples EXACTLY the source pixels
+    * the 9×8 dHash grid reads: the invariance receipts below are
+    * structural, not statistical. */
+  private def ppm36x16(id: Long, px: (Int, Int) => Int): Multimodal.BlobRow = {
+    val (w, h) = (36, 16)
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val out = new Array[Byte](header.length + w * h * 3)
+    System.arraycopy(header, 0, out, 0, header.length)
+    for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+      out(header.length + (y * w + x) * 3 + c) = (px(x, y) & 0xff).toByte
+    Multimodal.BlobRow(id, out)
+  }
+
+  test("dHash recall receipt: resized and brightness-shifted duplicates " +
+    "hash identically on grid-aligned images — banding finds every pair") {
+    // 40 images with per-image pseudo-random (but smooth-free — the
+    // receipt is exact, smoothness not required) pixel fields; for each,
+    // a ÷2-resized copy at id+10000 and a +25-brightness copy at
+    // id+20000 (values capped ≤ 230 so the shift never clamps: gradient
+    // SIGNS are exactly preserved).
+    val orig = (0 until 40).map(i => ppm36x16(i.toLong,
+      (x, y) => (x * 7 + y * 13 + i * 31 + (x * y * (i + 3)) % 97) % 231))
+    val resized = Multimodal.resize(spark,
+        orig.toDF().select((col("doc_id") + 10000L).as("doc_id"),
+          col("payload")),
+        factor = 2)
+      .collect().toSeq
+    val bright = orig.map(b => Multimodal.BlobRow(b.doc_id + 20000L, {
+      val p = b.payload.clone()
+      val off = p.length - 36 * 16 * 3
+      for (k <- off until p.length) p(k) = ((p(k) & 0xff) + 25).toByte
+      p
+    }))
+    val all = (orig ++ resized ++ bright).toDF()
+    val sig = Multimodal.dHash(spark, all).collect()
+      .map(s => s.doc_id -> s.dhash).toMap
+    for (i <- 0 until 40) {
+      assert(sig(i + 10000L) === sig(i.toLong),
+        s"resize changed dhash of image $i")
+      assert(sig(i + 20000L) === sig(i.toLong),
+        s"brightness shift changed dhash of image $i")
+    }
+    // and the OPERATOR finds them: every planted (orig, transformed)
+    // pair appears in the banded candidate output at hamming 0
+    val pairs = Multimodal.imageNearDupsFromBlobs(spark, all.toDF(),
+        maxHamming = 0, maxBandOcc = 500)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    for (i <- 0 until 40) {
+      assert(pairs.contains((i.toLong, i + 10000L)), s"missed resize pair $i")
+      assert(pairs.contains((i.toLong, i + 20000L)), s"missed bright pair $i")
+    }
+    // distinct source images must NOT all collide (the fixture is
+    // discriminative): most cross-image pairs are absent
+    val crossHits = pairs.count { case (a, b) => b - a != 10000L &&
+      b - a != 20000L && (b - a) % 10000L != 0L }
+    assert(crossHits < 40, s"fixture degenerate: $crossHits cross pairs")
+  }
+
+  test("imageNearDups hot-band guard: a flat-image pile pairs only until " +
+    "the band occupancy cap; cold-bucket pairs survive") {
+    // 30 byte-identical flat images (every band bucket hits occupancy
+    // 30) + 2 structured near-identical images in cold buckets. With
+    // maxBandOcc = 10 the pile's buckets are ALL hot -> zero pile
+    // pairs; the structured pair survives. With the cap lifted the pile
+    // pairs appear — the guard, witnessed from both sides.
+    val flat = (0 until 30).map(i => ppm36x16(i.toLong, (_, _) => 100))
+    val structured = Seq(
+      ppm36x16(100L, (x, y) => (x * 11 + y * 29) % 231),
+      ppm36x16(101L, (x, y) => (x * 11 + y * 29) % 231))
+    val all = (flat ++ structured).toDF()
+    val guarded = Multimodal.imageNearDupsFromBlobs(spark, all,
+        maxHamming = 0, maxBandOcc = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(guarded === Set((100L, 101L)),
+      s"guard failed: $guarded")
+    val unguarded = Multimodal.imageNearDupsFromBlobs(spark, all,
+        maxHamming = 0, maxBandOcc = 1000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(unguarded.contains((0L, 1L)) && unguarded.contains((100L, 101L)))
+    assert(unguarded.size === 30 * 29 / 2 + 1)
+  }
+
+  test("imageNearDups grid_l1 audit column: zero for exact duplicates, " +
+    "exact hand-computed L1 for a one-cell perturbation") {
+    // image B = image A with ONE dHash-grid-sampled pixel raised by 40:
+    // grid cell (gx=2, gy=3) samples source pixel (2*36/9, 3*16/8) =
+    // (8, 6); hamming can move by at most the 2 bits that compare that
+    // cell, and grid_l1 must read exactly 3*40 = 120 (three channels).
+    val a = ppm36x16(1L, (x, y) => (x * 5 + y * 17) % 200)
+    val b = ppm36x16(2L, (x, y) =>
+      if (x == 8 && y == 6) (8 * 5 + 6 * 17) % 200 + 40 else (x * 5 + y * 17) % 200)
+    val c = ppm36x16(3L, (x, y) => (x * 5 + y * 17) % 200) // exact dup of a
+    val got = Multimodal.imageNearDupsFromBlobs(spark, Seq(a, b, c).toDF(),
+        maxHamming = 4, maxBandOcc = 100)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    assert(got((1L, 3L)) === ((0L, 0L)))
+    assert(got.contains((1L, 2L)), s"perturbed pair missed: $got")
+    assert(got((1L, 2L))._2 === 120L)
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically
@@ -3004,6 +3109,102 @@ class LlmSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getLong(3), r.getLong(4)))
     assert(auto.toSeq === fixed.toSeq)
+  }
+
+  test("semDedupCollapsed: byte-equal to semDedup on a planted exact-dup " +
+    "pile — the collapse/expansion is a pure plan rewrite") {
+    // The round-16 directive-#2 contract: collapsing byte-identical
+    // vectors to one representative (with multiplicity) before the pair
+    // pass and expanding verdicts back must change NOTHING in the output.
+    // Fixture: the 8-direction corpus PLUS a 30-copy exact-dup pile of a
+    // fresh direction AND 5 exact copies of an existing vector (so the
+    // expansion exercises both a pure pile and copies interleaved with
+    // distinct neighbors in the same cell).
+    val base = for (j <- 0 until 8; d <- 0 until 8) yield {
+      val e = Array.fill(64)(0.0f)
+      e(8 * d) = 1.0f
+      e(8 * d + j) = if (j == 0) 1.0f else 0.3f
+      ((j * 8 + d).toLong, e)
+    }
+    val pileVec = Array.fill(64)(0.0f)
+    pileVec(0) = 1.0f; pileVec(3) = 0.7f
+    val pile = (0 until 30).map(i => (2000L + i, pileVec))
+    val copies = (0 until 5).map(i => (3000L + i, base(5)._2))
+    val vecs = (base ++ pile ++ copies).toDF("vec_id", "embedding")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+    val plain = canon(Similarity.semDedup(vecs, nCells = 8, iters = 3,
+      tau = 0.8))
+    val collapsed = canon(Similarity.semDedupCollapsed(vecs, nCells = 8,
+      iters = 3, tau = 0.8))
+    assert(collapsed === plain)
+    // the pile itself: first copy's verdict is whatever its cell says;
+    // every later copy is dropped (sim(x,x) ≥ τ against an earlier copy)
+    val pileRows = plain.filter(t => t._1 >= 2000L && t._1 < 3000L)
+    assert(pileRows.count(_._5 == 1L) >= 29,
+      s"pile copies not dropped: $pileRows")
+  }
+
+  test("semDedupVerdictCollapsed tie valve: cent_sim ties across DIFFERENT " +
+    "values fall back to singletons — byte-equal where mult-weighting alone " +
+    "would mis-order") {
+    // Hand-built assignment table forcing the contrived case the valve
+    // exists for: in cell 1, value X sits at nids (1, 4, 6) and value Y
+    // at nid 3, ALL at the same cent_sim — keep order inside the tie is
+    // by nid, so Y at nid 3 is later than X@1 but EARLIER than X@4 and
+    // X@6: a collapsed group (anchor nid 1, mult 3) would credit Y with
+    // 3 earlier copies instead of 1. cos(X, Y) ≈ 0.98 ≥ τ so the tie
+    // actually matters; cell 2 is an untied control.
+    val x = Array(1.0f, 0.1f, 0.0f)
+    val y = Array(1.0f, 0.0f, 0.1f)
+    val z = Array(0.0f, 1.0f, 0.0f)
+    val cs = Seq(
+      (1L, x, 1L, 0.5), (4L, x, 1L, 0.5), (6L, x, 1L, 0.5),
+      (3L, y, 1L, 0.5),
+      (10L, z, 2L, 0.9), (11L, z, 2L, 0.9)
+    ).toDF("nid", "ce", "cell", "cent_sim")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.orderBy("vec_id").collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getDouble(2), r.getLong(3), r.getLong(4))).toSeq
+    val plain = canon(Similarity.semDedupVerdict(cs, cs, tau = 0.9,
+      withinBatch = true))
+    val (reps, meta) = Similarity.collapseExactDups(cs)
+    val collapsed = canon(Similarity.semDedupVerdictCollapsed(reps, meta,
+      tau = 0.9))
+    assert(collapsed === plain)
+    // the specific row the valve protects: Y (nid 3) has exactly ONE
+    // earlier duplicate (X@1), not the group's full multiplicity
+    assert(plain.find(_._1 == 3L).get._4 === 1L)
+  }
+
+  test("semDedupAuto: exact-dup pile collapses before the guard — the " +
+    "assignment entering the pair pass carries one row per value") {
+    // the byte-identical pile that used to be refineHotCellsDeep's
+    // documented irreducible case: 90 exact copies + 30 scattered
+    // distinct vectors. The collapse removes the pile pre-guard, and
+    // the expanded output must still carry every input id exactly once
+    // with all copies after the first dropped.
+    val pileVec = Array.fill(32)(0.0f)
+    pileVec(0) = 1.0f
+    val rows = (0 until 90).map(i => (i.toLong, pileVec)) ++
+      (0 until 30).map { i =>
+        val e = Array.fill(32)(0.0f)
+        e(1 + (i % 31)) = 1.0f
+        (1000L + i, e)
+      }
+    val vecs = rows.toDF("vec_id", "embedding")
+    val got = Similarity.semDedupAuto(vecs, tau = 0.8, iters = 2)
+      .orderBy("vec_id").collect()
+    assert(got.length === 120)
+    assert(got.map(_.getLong(0)).distinct.length === 120)
+    val pileVerdicts = got.filter(_.getLong(0) < 90L)
+    assert(pileVerdicts.head.getLong(4) === 0L) // keep-order anchor kept
+    assert(pileVerdicts.tail.forall(_.getLong(4) == 1L),
+      "a later exact copy survived")
+    // n_dup_earlier of copy at rank i counts its i earlier copies
+    assert(pileVerdicts.map(_.getLong(3)).toSeq ===
+      (0 until 90).map(_.toLong))
   }
 
   test("refineHotCellsDeep: a near-duplicate pile that defeats one guard " +

@@ -514,7 +514,10 @@ class PlanSpec extends SparkSpec {
     import org.apache.spark.sql.types.BinaryType
     for (q <- Seq("l11_multimodal_decode", "l20_frame_sample",
       "l41_multimodal_features", "l42_multimodal_resize",
-      "l93_media_storage_audit", "l115_audio_decode")) {
+      "l93_media_storage_audit", "l115_audio_decode",
+      // l122: the dHash computes inside the blob scan stage; exchanges
+      // carry (doc_id, dhash, band) longs and the 72-int audit grid only
+      "l122_image_near_dups")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
