@@ -1,0 +1,212 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
+
+/** Distributed UNIGRAM-LM tokenizer training statistics (Kudo, ACL'18 —
+  * the SentencePiece unigram model): the l56/l105 BPE family's missing
+  * sibling, and the tokenizer most modern pipelines actually ship.
+  *
+  * Scale design is the Bpe discipline verbatim: statistics live on the
+  * VOCABULARY, not the corpus. The corpus is read once into
+  * (distinct word, freq) — the only corpus-sized shuffle — and
+  * everything after (the candidate-piece table, the per-word
+  * forward–backward E-step, the Viterbi fertility) is vocab-table work:
+  * at 100 TB of text with a bounded word-form vocabulary, EM rounds cost
+  * the same as at 1 GB.
+  *
+  * Cross-engine determinism (the l101/l117 rational dialect):
+  *  - piece probabilities are ONE exact-rounded double division of two
+  *    BIGINTs (seed_freq / T);
+  *  - the forward (α) and backward (β) lattice passes are SEQUENTIAL
+  *    folds in a pinned span order (position ascending, span start
+  *    ascending — same values, same operation order ⇒ bit-identical
+  *    doubles in Spark's `aggregate` and the oracle's unrolled-CTE
+  *    chain);
+  *  - per-SPAN posteriors are snapped to ⌊10⁹·e⌋ BIGINTs before any
+  *    cross-word aggregation (the DSIR λ-snap rule), so the corpus-wide
+  *    expected counts are exact integer sums — aggregation-order free.
+  */
+object UnigramLm {
+
+  /** The candidate-piece SEED table (piece, seed_freq): every substring
+    * of length 1..maxLen of every corpus word, corpus-weighted
+    * (overlapping occurrences each count — the suffix-array seed
+    * statistic of the paper §3), cut to the top `vocabSize` by
+    * (freq desc, piece asc) UNION every single character (segmentation
+    * coverage: the lattice must always reach every position). */
+  def seedVocab(docs: DataFrame, vocabSize: Int = 40,
+                maxLen: Int = 4): DataFrame = {
+    val occ = wordSpans(words(docs), maxLen)
+      .groupBy(col("piece")).agg(sum(col("freq")).as("seed_freq"))
+    val w = Window.orderBy(col("seed_freq").desc, col("piece"))
+    occ.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= vocabSize || length(col("piece")) === 1)
+      .select(col("piece"), col("seed_freq"))
+  }
+
+  /** The distinct-word working set (word, freq) — the one corpus-sized
+    * shuffle (Bpe.wordSymbols without the split). */
+  def words(docs: DataFrame): DataFrame =
+    docs.select(explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** All (j, k, piece) substring spans of each word, 0-based start j,
+    * length k ≤ maxLen — the lattice edge candidates. Emitted in-row
+    * (flatten of nested transforms); rows = Σ len·maxLen per DISTINCT
+    * word — vocab-table sized. */
+  private def wordSpans(w: DataFrame, maxLen: Int): DataFrame =
+    w.select(col("word"), col("freq"),
+      explode(flatten(transform(
+        sequence(lit(0), length(col("word")) - 1), j =>
+          transform(sequence(lit(1),
+            least(lit(maxLen), length(col("word")) - j)), k =>
+            struct(j.cast(IntegerType).as("j"), k.cast(IntegerType).as("k"),
+              col("word").substr(j + 1, k).as("piece")))))).as("sp"))
+      .select(col("word"), col("freq"), col("sp.j").as("j"),
+        col("sp.k").as("k"), col("sp.piece").as("piece"))
+
+  /** Per-word lattice table: (word, freq, n, sps) where sps is the array
+    * of vocab-matched spans struct(end, j, p, piece) sorted by
+    * (end, j) — the PINNED fold order of every pass below. p is the
+    * piece's unigram probability seed_freq/T (T = total seed mass). */
+  private def lattice(docs: DataFrame, vocabSize: Int,
+                      maxLen: Int): DataFrame = {
+    val seed = seedVocab(docs, vocabSize, maxLen).localCheckpoint()
+    val t = seed.agg(sum(col("seed_freq")).as("t_mass"))
+    val matched = wordSpans(words(docs), maxLen)
+      .join(broadcast(seed), Seq("piece"))
+      .crossJoin(broadcast(t))
+      .select(col("word"), col("freq"), col("j"), col("k"), col("piece"),
+        (col("seed_freq").cast(DoubleType) / col("t_mass").cast(DoubleType))
+          .as("p"))
+    matched.groupBy(col("word"), col("freq"))
+      .agg(sort_array(collect_list(struct(
+        (col("j") + col("k")).as("end"), col("j"), col("p"),
+        col("piece")))).as("sps"))
+      .withColumn("n", length(col("word")).cast(IntegerType))
+  }
+
+  /** Forward lattice pass: α(0..n) as an in-row array — α(0) = 1,
+    * α(i) = Σ_{spans (j→i), j asc} α(j)·p. Left fold in the pinned
+    * span order. */
+  private def alphaArr(sps: Column, n: Column): Column =
+    aggregate(sequence(lit(1), n), array(lit(1.0)),
+      (acc, i) => concat(acc, array(
+        aggregate(filter(sps, sp => sp.getField("end") === i),
+          lit(0.0), (a2, sp) =>
+            a2 + element_at(acc, sp.getField("j") + 1) * sp.getField("p")))))
+
+  /** Backward lattice pass, stored by DISTANCE from the word end:
+    * β(d=0) = 1, β at distance d (i.e. position i = n−d) =
+    * Σ_{spans (i→end), end asc} p·β(n−end). */
+  private def betaArr(sps: Column, n: Column): Column =
+    aggregate(sequence(lit(1), n), array(lit(1.0)),
+      (acc, d) => concat(acc, array(
+        aggregate(filter(sps, sp => sp.getField("j") === n - d),
+          lit(0.0), (a2, sp) =>
+            a2 + sp.getField("p")
+              * element_at(acc, n - sp.getField("end") + 1)))))
+
+  /** Per-SPAN posterior table — the E-step's atoms: for every matched
+    * span of every distinct word, e = α(j)·p·β(end)/α(n) (the
+    * probability the unigram model segments the word THROUGH this
+    * span), plus its ⌊10⁹·e⌋ snap and the corpus weight. Public for
+    * the conservation receipts in LlmSpec (per word, the first-piece
+    * posteriors sum to 1). */
+  def spanPosteriors(docs: DataFrame, vocabSize: Int = 40,
+                     maxLen: Int = 4): DataFrame = {
+    val lat = lattice(docs, vocabSize, maxLen)
+      .withColumn("alpha", alphaArr(col("sps"), col("n")))
+      .withColumn("beta", betaArr(col("sps"), col("n")))
+    lat.select(col("word"), col("freq"), col("n"), col("alpha"),
+        col("beta"), explode(col("sps")).as("sp"))
+      .select(col("word"), col("freq"), col("sp.piece").as("piece"),
+        col("sp.j").as("j"), col("sp.end").as("end"),
+        (element_at(col("alpha"), col("sp.j") + 1) * col("sp.p")
+          * element_at(col("beta"), col("n") - col("sp.end") + 1)
+          / element_at(col("alpha"), col("n") + 1)).as("e"))
+      .withColumn("e_snap", floor(lit(1e9) * col("e")).cast(LongType))
+  }
+
+  /** L123 — unigram-LM ROUND-1 EM statistics: per seed piece, its seed
+    * frequency and the corpus-weighted round-1 expected count
+    * Σ_words freq·Σ_spans ⌊10⁹·posterior⌋ — exactly what the M-step
+    * renormalizes and the prune step ranks. The declared, oracle-
+    * replayable form of the trainer's first iteration (the l56
+    * precedent: round-1 statistics ARE the training primitive). */
+  def emRound1(docs: DataFrame, vocabSize: Int = 40,
+               maxLen: Int = 4): DataFrame = {
+    val em = spanPosteriors(docs, vocabSize, maxLen)
+      .groupBy(col("piece"))
+      .agg(sum(col("e_snap") * col("freq")).as("em_count"))
+    seedVocab(docs, vocabSize, maxLen)
+      .join(em, Seq("piece"), "left")
+      .select(col("piece"), col("seed_freq"),
+        coalesce(col("em_count"), lit(0L)).as("em_count"))
+  }
+
+  /** Per-word Viterbi piece count under the seed model: the 1-best
+    * segmentation's length, by the pinned argmax — fold spans ending at
+    * each position in start-ascending order, a candidate replaces the
+    * incumbent only on STRICTLY greater path score (ties keep the
+    * earliest = longest-final-piece path). Scores are products of the
+    * bit-identical p's in pinned order, so the comparison replays. */
+  def viterbiPieceCounts(docs: DataFrame, vocabSize: Int = 40,
+                         maxLen: Int = 4): DataFrame = {
+    val lat = lattice(docs, vocabSize, maxLen)
+    val vit = aggregate(sequence(lit(1), col("n")),
+      array(struct(lit(1.0).as("s"), lit(0).cast(IntegerType).as("c"))),
+      (acc, i) => concat(acc, array(
+        aggregate(filter(col("sps"), sp => sp.getField("end") === i),
+          struct(lit(-1.0).as("s"), lit(0).cast(IntegerType).as("c")),
+          (best, sp) => {
+            val prev = element_at(acc, sp.getField("j") + 1)
+            val cs = prev.getField("s") * sp.getField("p")
+            when(cs > best.getField("s"),
+              struct(cs.as("s"),
+                (prev.getField("c") + 1).cast(IntegerType).as("c")))
+              .otherwise(best)
+          }))))
+    lat.withColumn("v", vit)
+      .select(col("word"),
+        element_at(col("v"), col("n") + 1).getField("c")
+          .cast(LongType).as("n_pieces"))
+  }
+
+  /** L124 — tokenizer-family FERTILITY comparison: per language, the
+    * corpus fertility (subword tokens per word) under the BPE published
+    * merge list (l105's number, same legs) NEXT TO the unigram-LM
+    * Viterbi segmentation — the table a pipeline reads when choosing
+    * its tokenizer family (Kudo §5 reports exactly this comparison).
+    * Corpus-side exchanges carry (doc_id, word) atoms (the Bpe.encode
+    * vocabulary-residence shape); both per-word token counts come from
+    * vocab-table work. */
+  def tokenizerFertilityCompare(docs: DataFrame, vocabSize: Int = 40,
+                                maxLen: Int = 4): DataFrame = {
+    val bpeSyms = Bpe.publishedMerges
+      .foldLeft(Bpe.wordSymbols(docs).select(col("word"), col("syms"))) {
+        case (v, (l, r)) => v.withColumn("syms", Bpe.mergePair(col("syms"), l, r))
+      }
+      .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
+    val uni = viterbiPieceCounts(docs, vocabSize, maxLen)
+    val perWord = bpeSyms.join(uni, Seq("word"))
+    docs.select(col("doc_id"), col("lang"),
+        explode(TextOps.tokens(col("text"))).as("word"))
+      .filter(length(col("word")) > 0)
+      .join(broadcast(perWord), Seq("word"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("n_bpe")).as("n_bpe_tokens"),
+        sum(col("n_pieces")).as("n_unigram_tokens"))
+      .select(col("lang"), col("n_words"), col("n_bpe_tokens"),
+        col("n_unigram_tokens"),
+        (col("n_bpe_tokens").cast(DoubleType)
+          / col("n_words").cast(DoubleType)).as("bpe_fertility"),
+        (col("n_unigram_tokens").cast(DoubleType)
+          / col("n_words").cast(DoubleType)).as("unigram_fertility"))
+  }
+}

@@ -55,5 +55,6 @@ object LlmDeclared
     l76, l77, l78, l79, l80, l81, l82, l83, l84, l85, l86, l87, l88,
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
     l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111,
-    l112, l113, l114, l115, l116, l117, l118, l119, l120, l121, l122, d29)
+    l112, l113, l114, l115, l116, l117, l118, l119, l120, l121, l122,
+    l123, l124, d29)
 }

@@ -1265,4 +1265,200 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
       SELECT p.doc_id, d2.source, p.n_feats, p.score, p.rank
       FROM top p JOIN (SELECT doc_id, source FROM documents) d2 USING (doc_id)
       ORDER BY p.rank"""))
+
+
+  // ------------------------------------------------ unigram-LM tokenizer
+
+  /** Shared DuckDB CTE prefix for the unigram-LM oracles: distinct words
+    * with corpus freq, the candidate-span table, the ranked seed, the
+    * probability-annotated match table `m`. WORDS must come from `ww`
+    * (the caller defines it — l123 needs only words, l124 carries
+    * doc_id/lang). */
+  private def unigramBaseCtes(vocabSize: Int, maxLen: Int): String =
+    s"""v AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM ww GROUP BY word),
+      spn AS (SELECT word, freq, j, k, substr(word, j + 1, k) AS piece
+        FROM (SELECT word, freq, unnest(range(0, len(word))) AS j FROM v) jt
+        CROSS JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS k) ks
+        WHERE j + k <= len(word)),
+      occ AS (SELECT piece, CAST(SUM(freq) AS BIGINT) AS seed_freq
+        FROM spn GROUP BY piece),
+      seed AS MATERIALIZED (SELECT piece, seed_freq FROM (
+          SELECT piece, seed_freq,
+            ROW_NUMBER() OVER (ORDER BY seed_freq DESC, piece) AS rk
+          FROM occ) rkt
+        WHERE rk <= $vocabSize OR len(piece) = 1),
+      tm AS (SELECT CAST(SUM(seed_freq) AS BIGINT) AS t_mass FROM seed),
+      m AS MATERIALIZED (SELECT s.word, s.freq, s.j, s.k, s.piece,
+          s.j + s.k AS e,
+          CAST(sd.seed_freq AS DOUBLE) / CAST(tm.t_mass AS DOUBLE) AS p
+        FROM spn s JOIN seed sd USING (piece) CROSS JOIN tm)"""
+
+  /** Unrolled forward/backward lattice CTEs (α by absolute position i,
+    * β by distance d from the word end), replaying UnigramLm's pinned
+    * fold orders exactly: α sums spans ending at i in START-ascending
+    * order (k descending — the left-assoc chain below), β sums spans
+    * starting at n−d in END-ascending order (k ascending). A missing
+    * span contributes +0.0, which is a fold no-op on the positive
+    * partials, so the chain equals Spark's skip-missing fold
+    * bit-for-bit. */
+  private def unigramLatticeCtes(maxLen: Int, maxWordLen: Int): String = {
+    val aLvls = (1 to maxWordLen).map { i =>
+      val ks = (math.min(maxLen, i) to 1 by -1)
+      val joins = ks.map { k =>
+        s"""LEFT JOIN m s$k ON s$k.word = v.word AND s$k.j = ${i - k} AND s$k.k = $k
+        LEFT JOIN a${i - k} ap$k ON ap$k.word = v.word"""
+      }.mkString("\n        ")
+      val sum = ks.map(k => s"COALESCE(s$k.p * ap$k.a, 0)")
+        .reduce((l, r) => s"($l + $r)")
+      // MATERIALIZED: each level references up to maxLen prior levels —
+      // inlined, the reference tree is exponential in word length and
+      // every leaf re-opens the parquet scan (observed: fd exhaustion)
+      s"""a$i AS MATERIALIZED (SELECT v.word, $sum AS a FROM v
+        $joins
+        WHERE len(v.word) >= $i)"""
+    }
+    val bLvls = (1 to maxWordLen).map { d =>
+      val ks = 1 to math.min(maxLen, d)
+      val joins = ks.map { k =>
+        s"""LEFT JOIN m s$k ON s$k.word = v.word AND s$k.j = len(v.word) - $d AND s$k.k = $k
+        LEFT JOIN b${d - k} bp$k ON bp$k.word = v.word"""
+      }.mkString("\n        ")
+      val sum = ks.map(k => s"COALESCE(s$k.p * bp$k.a, 0)")
+        .reduce((l, r) => s"($l + $r)")
+      s"""b$d AS MATERIALIZED (SELECT v.word, $sum AS a FROM v
+        $joins
+        WHERE len(v.word) >= $d)"""
+    }
+    val aAll = (0 to maxWordLen)
+      .map(i => s"SELECT word, $i AS i, a FROM a$i")
+      .mkString("\n        UNION ALL ")
+    val bAll = (0 to maxWordLen)
+      .map(d => s"SELECT word, $d AS d, a FROM b$d")
+      .mkString("\n        UNION ALL ")
+    s"""a0 AS (SELECT word, 1.0 AS a FROM v),
+      b0 AS (SELECT word, 1.0 AS a FROM v),
+      ${(aLvls ++ bLvls).mkString(",\n      ")},
+      aall AS (
+        $aAll),
+      ball AS (
+        $bAll),
+      an AS (SELECT aall.word, aall.a FROM aall
+        JOIN v ON v.word = aall.word WHERE aall.i = len(v.word))"""
+  }
+
+  /** L123 — unigram-LM tokenizer ROUND-1 EM statistics (Kudo ACL'18 /
+    * SentencePiece — the l56 BPE precedent: round-1 statistics ARE the
+    * training primitive). Per seed candidate piece: its substring-seed
+    * frequency and the round-1 E-step expected count — the
+    * forward–backward span posteriors of the whole-corpus word lattice,
+    * snapped per span to ⌊10⁹·e⌋ (the l117 λ-snap rule) and summed as
+    * exact corpus-weighted BIGINTs. Oracle: the same lattice, unrolled
+    * one CTE per position — both engines fold the same doubles in the
+    * same pinned order. */
+  protected val l123 = DeclaredQuery(
+    "l123_unigram_round1",
+    (s, dir) => UnigramLm.emRound1(t(s, dir, "documents"))
+      .orderBy(col("piece")),
+    Some(s"""WITH ww AS (SELECT word FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) uw
+          WHERE len(word) > 0),
+      ${unigramBaseCtes(40, 4)},
+      ${unigramLatticeCtes(4, 12)},
+      post AS (SELECT m.piece, m.freq,
+          CAST(floor(1e9 * (((aj.a * m.p) * bd.a) / an.a)) AS BIGINT)
+            AS e_snap
+        FROM m
+        JOIN aall aj ON aj.word = m.word AND aj.i = m.j
+        JOIN ball bd ON bd.word = m.word AND bd.d = len(m.word) - m.e
+        JOIN an ON an.word = m.word)
+      SELECT sd.piece, sd.seed_freq,
+        CAST(COALESCE(em.em_count, 0) AS BIGINT) AS em_count
+      FROM seed sd LEFT JOIN (
+        SELECT piece, SUM(e_snap * freq) AS em_count FROM post
+        GROUP BY piece) em USING (piece)
+      ORDER BY piece"""))
+
+  /** Unrolled Viterbi CTEs: per position i, the 1-best (score, pieces)
+    * state — candidates folded in START-ascending order (k descending),
+    * a candidate replacing the incumbent only on strictly greater
+    * score (NULL-propagating products skip missing spans; ties keep the
+    * earliest = longest-final-piece path — UnigramLm's pinned rule).
+    * Uses DuckDB lateral column aliases for the in-SELECT fold. */
+  private def unigramViterbiCtes(maxLen: Int, maxWordLen: Int): String = {
+    val lvls = (1 to maxWordLen).map { i =>
+      val ks = (math.min(maxLen, i) to 1 by -1)
+      val joins = ks.map { k =>
+        s"""LEFT JOIN m s$k ON s$k.word = v.word AND s$k.j = ${i - k} AND s$k.k = $k
+        LEFT JOIN vt${i - k} p$k ON p$k.word = v.word"""
+      }.mkString("\n        ")
+      // the LAST fold element is the level's result — name it (s, c) so
+      // every level exposes the same schema vt0 does (downstream levels
+      // join p$k.s / p$k.c)
+      val chain = ks.zipWithIndex.map { case (k, ix) =>
+        val (ps, pc) = if (ix == 0) ("-1.0", "0")
+          else (s"s${ks(ix - 1)}v", s"c${ks(ix - 1)}v")
+        val (as_, ac) = if (ix == ks.length - 1) ("s", "c")
+          else (s"s${k}v", s"c${k}v")
+        s"""CASE WHEN p$k.s * s$k.p > $ps THEN p$k.s * s$k.p ELSE $ps END AS $as_,
+        CASE WHEN p$k.s * s$k.p > $ps THEN p$k.c + 1 ELSE $pc END AS $ac"""
+      }.mkString(",\n        ")
+      // inner wrap: only (word, s, c) escape the level — the fold's
+      // intermediate aliases would otherwise collide with the SAME
+      // aliases exposed by the joined prior levels
+      s"""vt$i AS MATERIALIZED (SELECT word, s, c FROM (
+        SELECT v.word, $chain FROM v
+        $joins
+        WHERE len(v.word) >= $i) lvl$i)"""
+    }
+    val vAll = (1 to maxWordLen)
+      .map(i => s"SELECT word, $i AS i, c FROM vt$i")
+      .mkString("\n        UNION ALL ")
+    s"""vt0 AS (SELECT word, 1.0 AS s, 0 AS c FROM v),
+      ${lvls.mkString(",\n      ")},
+      vtall AS (
+        $vAll),
+      np AS (SELECT vtall.word, CAST(vtall.c AS BIGINT) AS n_pieces
+        FROM vtall JOIN v ON v.word = vtall.word
+        WHERE vtall.i = len(v.word))"""
+  }
+
+  /** L124 — tokenizer-FAMILY fertility comparison: per language, the
+    * corpus fertility under the frozen BPE merge list (l105's number)
+    * next to the unigram-LM Viterbi segmentation under the l123 seed
+    * model — the table a pipeline reads when choosing its tokenizer
+    * family (Kudo §5 publishes exactly this BPE-vs-unigram comparison).
+    * Both token counts are vocab-table work joined back to (doc_id,
+    * word) atoms — the Bpe.encode vocabulary-residence shape. */
+  protected val l124 = {
+    val sep2 = "chr(1) || chr(1)"
+    val base = s"$sep2 || array_to_string(string_split(word, ''), $sep2) || $sep2"
+    val folded = Bpe.publishedMerges.foldLeft(base) { case (e, (l, r)) =>
+      s"replace($e, chr(1) || '$l' || $sep2 || '$r' || chr(1), chr(1) || '$l$r' || chr(1))"
+    }
+    DeclaredQuery(
+      "l124_tokenizer_fertility",
+      (s, dir) => UnigramLm.tokenizerFertilityCompare(t(s, dir, "documents"))
+        .orderBy(col("lang")),
+      Some(s"""WITH wd AS (SELECT doc_id, lang,
+            unnest(string_split(text, ' ')) AS word FROM documents),
+        ww AS (SELECT word FROM wd WHERE len(word) > 0),
+        ${unigramBaseCtes(40, 4)},
+        ${unigramViterbiCtes(4, 12)},
+        nb AS (SELECT word,
+            CAST(len(string_split($folded, $sep2)) - 2 AS BIGINT) AS n_bpe
+          FROM v)
+        SELECT wd.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(nb.n_bpe) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(np.n_pieces) AS BIGINT) AS n_unigram_tokens,
+          CAST(SUM(nb.n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS bpe_fertility,
+          CAST(SUM(np.n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS unigram_fertility
+        FROM wd
+        JOIN nb ON nb.word = wd.word
+        JOIN np ON np.word = wd.word
+        WHERE len(wd.word) > 0
+        GROUP BY wd.lang ORDER BY wd.lang"""))
+  }
 }

@@ -1566,6 +1566,57 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  // --------------------------------------------------------- unigram LM
+
+  test("unigram-LM span posteriors: hand-computed forward-backward on 'ab' " +
+    "(uniform seed); first-piece posteriors sum to 1") {
+    // corpus = one word "ab": seed pieces {a, b, ab} each freq 1, T = 3,
+    // p = 1/3 each. Segmentations: [ab] mass p, [a,b] mass p² —
+    // posteriors p/(p+p²) = 3/4 and p²/(p+p²) = 1/4.
+    val d = docsDf(1L -> "ab")
+    val post = UnigramLm.spanPosteriors(d).collect()
+      .map(r => (r.getAs[String]("piece"), r.getAs[Double]("e"))).toMap
+    val p = 1.0 / 3.0
+    val a2 = (0.0 + 1.0 * p) + (p * p)
+    assert(math.abs(post("ab") - ((1.0 * p) * 1.0) / a2) < 1e-15)
+    assert(math.abs(post("a") - ((1.0 * p) * p) / a2) < 1e-15)
+    assert(math.abs(post("b") - ((p * p) * 1.0) / a2) < 1e-15)
+    assert(math.abs(post("ab") - 0.75) < 1e-12)
+    assert(math.abs(post("a") + post("ab") - 1.0) < 1e-12)
+  }
+
+  test("unigram-LM conservation on the real corpus: per word, the " +
+    "first-piece posteriors sum to 1 (the lattice is a proper " +
+    "distribution over segmentations)") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val bad = UnigramLm.spanPosteriors(docs)
+      .filter(col("j") === 0)
+      .groupBy(col("word")).agg(sum(col("e")).as("mass"))
+      .filter(abs(col("mass") - 1.0) > 1e-9)
+      .collect()
+    assert(bad.isEmpty, s"non-conserving words: ${bad.mkString(", ")}")
+  }
+
+  test("unigram-LM Viterbi + fertility comparison: hand-computed corpus — " +
+    "whole-word pieces win, fertility table exact") {
+    // corpus "ab ab abc": seed freqs a=3 b=3 ab=3 c=1 bc=1 abc=1, T=12.
+    // Viterbi(ab): [ab] 1/4 beats [a,b] 1/16; Viterbi(abc): [abc] 1/12
+    // beats [ab,c] and [a,bc] at 1/48 — both words segment as ONE piece.
+    val d = Seq((1L, "ab ab abc", "en")).toDF("doc_id", "text", "lang")
+    val vit = UnigramLm.viterbiPieceCounts(d).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    assert(vit === Map("ab" -> 1L, "abc" -> 1L))
+    // BPE under publishedMerges: no rule applies to ab/abc -> char counts
+    val f = UnigramLm.tokenizerFertilityCompare(d).collect()
+    assert(f.length === 1)
+    val r = f.head
+    assert(r.getAs[Long]("n_words") === 3L)
+    assert(r.getAs[Long]("n_bpe_tokens") === 7L)      // 2 + 2 + 3
+    assert(r.getAs[Long]("n_unigram_tokens") === 3L)  // 1 + 1 + 1
+    assert(math.abs(r.getAs[Double]("bpe_fertility") - 7.0 / 3.0) < 1e-15)
+    assert(math.abs(r.getAs[Double]("unigram_fertility") - 1.0) < 1e-15)
+  }
+
   // ------------------------------------------------------ image near-dup
 
   /** A hand-built 36×16 P6 payload whose pixel (x, y) value comes from
