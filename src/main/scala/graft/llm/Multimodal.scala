@@ -2,7 +2,7 @@ package graft.llm
 
 import java.nio.charset.StandardCharsets
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 
@@ -553,6 +553,62 @@ object Multimodal {
         aggregate(
           zip_with(col("ga"), col("gb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("grid_l1"))
+  }
+
+  /** Streaming IMAGE near-dup ADMISSION (S39) — the l52/S34/S37
+    * arrival-order discipline on the perceptual plane: the carried state
+    * is the (doc_id, dhash) signature table of every SEEN image (ALL of
+    * them, dropped included — a rejected image still rejects later
+    * re-posts, exactly as every earlier doc pairs in the fused l122).
+    * An arriving blob batch pays its own codec-boundary dHash pass, is
+    * band-probed against the state AND its own earlier (smaller doc_id)
+    * batch members, and Hamming-verified; its signatures append to
+    * state by disjoint union. Verdicts per batch image:
+    * `dup_corpus` (a state partner within maxHamming shares a band),
+    * else `dup_batch` (an earlier batch member does), else `kept`.
+    * With batches arriving in ascending doc_id order, kept/dropped
+    * equals the fused `imageNearDupsFromBlobs` pair table of the
+    * drained corpus (tested in StreamingSpec); out-of-order arrival
+    * degrades conservatively — the later arrival is the one dropped
+    * (l52's documented policy).
+    *
+    * Per-batch cost: the batch's own decode+hash (mapPartitions), one
+    * band-keyed batch⋈state probe (state rows are 16 bytes of id+hash,
+    * exploded ×8 band keys at probe time — never re-decoded), one
+    * within-batch band join, and an id-keyed verdict fold. The state
+    * is never re-paired against itself. The fused operator's hot-band
+    * guard applies when COMPACTING the persisted state index, not per
+    * batch (occupancy is a corpus property, not a batch one). Returns
+    * (verdicts, batchSigs) — the caller appends batchSigs to state. */
+  def imageDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
+                          state: DataFrame, maxHamming: Int = 2)
+      : (DataFrame, DataFrame) = {
+    val sig = dHash(spark, batchBlobs).toDF()
+      .select(col("doc_id"), col("dhash")).localCheckpoint()
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until 8).map(bi =>
+        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val b = banded(sig)
+    val s = banded(state)
+    def dupIds(other: DataFrame, earlier: Column): DataFrame =
+      b.as("x").join(other.as("y"),
+          col("x.band_idx") === col("y.band_idx")
+            && col("x.band_val") === col("y.band_val") && earlier)
+        .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          <= maxHamming)
+        .select(col("x.doc_id").as("doc_id")).distinct()
+    val vsState = dupIds(s, lit(true)).withColumn("dup_c", lit(true))
+    val vsBatch = dupIds(b, col("y.doc_id") < col("x.doc_id"))
+      .withColumn("dup_b", lit(true))
+    val verdicts = sig.select(col("doc_id"))
+      .join(vsState, Seq("doc_id"), "left")
+      .join(vsBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_c"), lit("dup_corpus"))
+          .when(col("dup_b"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("verdict"))
+    (verdicts, sig)
   }
 
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a

@@ -18,6 +18,9 @@ object StreamOps {
   final case class StreamDoc(doc_id: Long, text: String, ts: java.sql.Timestamp)
 
   /** Typed row for S14 streaming semantic dedup tests/sources. */
+  final case class StreamBlob(doc_id: Long, payload: Array[Byte],
+      ts: java.sql.Timestamp)
+
   final case class StreamVec(vec_id: Long, embedding: Array[Float],
                              ts: java.sql.Timestamp)
 

@@ -1477,6 +1477,67 @@ class StreamingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === fused)
   }
 
+  test("S39: streaming image near-dup admission — ascending-id arrivals " +
+    "reproduce the fused l122 kept/dropped sets; state carries ALL seen") {
+    // The l122 deployment shape (the l52/S34/S37 arrival-order
+    // discipline on the perceptual plane): the (doc_id, dhash) table of
+    // every seen image persists; arriving blob batches pay their own
+    // codec-boundary dHash, band-probe the state plus their earlier
+    // batch members, and append. Fixture: grid-aligned 36×16 images
+    // (the LlmSpec receipt geometry) with brightness-shifted duplicates
+    // planted both WITHIN a batch and ACROSS the batch boundary.
+    import StreamOps.StreamBlob
+    import graft.llm.Multimodal
+    def img(id: Long, seed: Int, shift: Int = 0): Multimodal.BlobRow = {
+      val (w, h) = (36, 16)
+      val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+      val out = new Array[Byte](header.length + w * h * 3)
+      System.arraycopy(header, 0, out, 0, header.length)
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3)
+        out(header.length + (y * w + x) * 3 + c) =
+          (((x * 7 + y * 13 + seed * 31 + (x * y * (seed + 3)) % 97) % 220)
+            + shift).toByte
+      Multimodal.BlobRow(id, out)
+    }
+    val batch1 = Seq(img(0, 0), img(1, 1), img(2, 2), img(3, 3),
+      img(6, 2, shift = 20)) // within-batch near-dup of id 2
+    val batch2 = Seq(img(10, 1, shift = 15), // cross-batch near-dup of id 1
+      img(11, 7), img(12, 8), img(14, 7, shift = 10)) // 14 dups 11 in-batch
+    val all = (batch1 ++ batch2).toDF()
+    val fusedDropped = Multimodal.imageNearDupsFromBlobs(spark, all,
+        maxHamming = 2, maxBandOcc = 100000)
+      .collect().map(_.getLong(1)).toSet
+    var state = Multimodal.dHash(spark, all.limit(0)).toDF()
+      .select(col("doc_id"), col("dhash")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[StreamBlob]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (verdicts, sigs) = Multimodal.imageDedupIncrement(spark,
+          batch.toDF().select(col("doc_id"), col("payload")), state,
+          maxHamming = 2)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+        state = state.unionByName(sigs).localCheckpoint()
+        ()
+      }.start()
+    def sb(b: Multimodal.BlobRow) = StreamBlob(b.doc_id, b.payload,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    try {
+      in.addData(batch1.map(sb): _*); q.processAllAvailable()
+      in.addData(batch2.map(sb): _*); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = out.toMap
+    assert(out.size === 9)
+    // kept/dropped equals the fused pair table of the drained corpus
+    assert(verdicts.filter(_._2 != "kept").keySet === fusedDropped)
+    // the verdict CATEGORIES witness both legs: 6/14 dup within their
+    // own batch, 10 against the persisted state
+    assert(verdicts(6L) === "dup_batch")
+    assert(verdicts(14L) === "dup_batch")
+    assert(verdicts(10L) === "dup_corpus")
+    assert(Seq(0L, 1L, 2L, 3L, 11L, 12L).forall(verdicts(_) == "kept"))
+  }
+
   test("S38: IVF-PQ ANN serving under foreachBatch — arriving query " +
     "batches against the persisted composed model equal the fused batch") {
     // The l119 production split, completing the serving family next to
