@@ -87,6 +87,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("pipeline")) {
+      pipelineExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -651,6 +656,70 @@ object DevScale {
     // pair pass reads flat
     run("1x+exactpile", 1, exact = true)
     run(s"${reps}x+exactpile", reps, exact = true)
+  }
+
+  /** COMPOSED curation-pipeline scale-up (`runMain graft.DevScale R
+    * pipeline`) — the round-16 stretch receipt: the scheduled knobs must
+    * hold COMPOSED, not just per-operator. Per scale: semDedupAuto
+    * (√n cells + exact-dup collapse + iterated guard) curates the vector
+    * store; ivfPqFit at coarse cells scheduled from the SURVIVOR count
+    * builds the serving index over the survivors; a FIXED query log
+    * serves from the persisted model at the coupled (nProbe, shortM)
+    * knobs. Printed: survivor count, scheduled knobs, the dedup stage's
+    * one-shot wall (a batch job runs once per corpus — one-shot is its
+    * honest unit), and the steady-state serve wall (min-of-2, the
+    * ivfPqExperiment discipline). The claim: survivors feed the index
+    * with no re-introduced linear term — dedup wall tracks the
+    * semDedup √R receipt, serve wall tracks the ivfpq √R receipt, and
+    * the composition's knobs derive from the honest intermediate
+    * (survivor) cardinality, not the raw corpus. */
+  private def pipelineExperiment(spark: org.apache.spark.sql.SparkSession,
+                                 reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Similarity}
+    val n1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").count()
+    val smallDir = "/tmp/graft_scale_pipe_small"
+    val bigDir = "/tmp/graft_scale_pipe_big"
+    replicatedEmbeddings(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/embeddings.parquet")
+    replicatedEmbeddings(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/embeddings.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def run(tag: String, dir: String, n: Long): Unit = {
+      val em = Tables.load(spark, dir, "embeddings")
+      // stage 1 — scheduled semantic dedup, wall measured end to end
+      // (fit, collapse, guard, pair verdict, survivor materialization)
+      val t0 = System.nanoTime()
+      val verdicts = Similarity.semDedupAuto(em, tau = 0.35, iters = 2)
+      val keep = verdicts.filter(col("dropped") === 0).select("vec_id")
+      em.join(keep, Seq("vec_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$dir/survivors.parquet")
+      val tDedup = (System.nanoTime() - t0) / 1e9
+      val surv = spark.read.parquet(s"$dir/survivors.parquet")
+      val nS = surv.count()
+      // stage 2 — serving index at knobs scheduled from the SURVIVOR
+      // count (the composition's honest cardinality), persisted
+      val (kC, nProbe, shortM) = KnobSchedule.ivfPqKnobs(nS)
+      val (cents, rcb, index) = Similarity.ivfPqFit(surv, nCells = kC,
+        coarseIters = 2, pqIters = 2)
+      val mdl = s"/tmp/graft_scale_pipe_model_${tag.replace(' ', '_')}"
+      cents.write.mode("overwrite").parquet(s"$mdl/cents")
+      rcb.write.mode("overwrite").parquet(s"$mdl/rcb")
+      index.write.mode("overwrite").parquet(s"$mdl/index")
+      // fixed query log: replica-0 ids that SURVIVED at every scale
+      def qlog() = spark.read.parquet(s"$dir/survivors.parquet")
+        .filter(col("vec_id") % 20 === 0 && col("vec_id") < 10000000L)
+      val tServe = BenchTiming.steadyOf(spark, () =>
+        Similarity.ivfPqServeTopK(qlog(),
+          spark.read.parquet(s"$dir/survivors.parquet"),
+          spark.read.parquet(s"$mdl/cents"),
+          spark.read.parquet(s"$mdl/rcb"),
+          spark.read.parquet(s"$mdl/index"),
+          k = 3, nProbe = nProbe, shortM = shortM))
+      println(f"$tag%-8s n=$n%7d survivors=$nS%7d | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
+    }
+    run("1x", smallDir, n1)
+    run(s"${reps}x", bigDir, n1 * reps)
   }
 
   /** IVF-PQ serving scale-up (`runMain graft.DevScale R ivfpq`) — the

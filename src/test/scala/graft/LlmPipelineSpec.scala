@@ -279,6 +279,106 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end curation v2: scheduled SemDeDup -> IVF-PQ serving " +
+    "index -> DSIR selection — the production-knob pieces composed") {
+    // The round-16/17 operators wired as ONE lineage, every knob at its
+    // PRODUCTION schedule rather than the fixed oracle form: semDedupAuto
+    // (√n cells, exact-dup collapse, iterated hot-cell guard) curates the
+    // vector store; ivfPqFit at scheduled coarse cells + the coupled
+    // (nProbe, shortM) ladder builds and serves the persisted ANN index
+    // over the SURVIVORS; DSIR selects training docs from the id-aligned
+    // deduped text corpus. Stage boundaries are parquet (the lake
+    // discipline). The spec asserts the cross-stage facts no
+    // per-operator test sees: verdict/survivor reconciliation, the index
+    // coding every survivor exactly once, serving returning only
+    // survivors with exact-rerank sims equal to recomputed cosines, and
+    // the DSIR head drawn entirely from deduped train docs.
+    import graft.llm.{KnobSchedule, Similarity, TextAnalysis, TextOps}
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_v2_e2e")
+    val tmp = tmpPath.toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    try {
+      val vecs = Tables.load(spark, sf001, "embeddings")
+      val docs = Tables.load(spark, sf001, "documents")
+      val n0 = vecs.count()
+
+      // stage 1 — scheduled semantic dedup. Internal consistency: the
+      // verdict table covers every vector exactly once, and dropped ⟺
+      // at least one earlier duplicate.
+      val verdicts = stage(Similarity.semDedupAuto(vecs, tau = 0.35),
+        "sd_verdicts")
+      assert(verdicts.count() === n0)
+      assert(verdicts.select("vec_id").distinct().count() === n0)
+      assert(verdicts.filter(
+        (col("dropped") === 1) =!= (col("n_dup_earlier") > 0)).isEmpty)
+      val keep = verdicts.filter(col("dropped") === 0).select(col("vec_id"))
+      val survivors = stage(vecs.join(keep, Seq("vec_id"), "left_semi"),
+        "sd_survivors")
+      val n1 = survivors.count()
+      assert(n1 > 0 && n1 < n0, s"dedup did nothing or everything: $n1/$n0")
+
+      // stage 2 — the persisted IVF-PQ serving index over survivors at
+      // the SCHEDULED knobs (√n coarse cells, shortM = 5·nProbe)
+      val (nCells, nProbe, shortM) = KnobSchedule.ivfPqKnobs(n1)
+      val (c0, r0, i0) = Similarity.ivfPqFit(survivors, nCells = nCells)
+      val cents = stage(c0, "cents")
+      val rcb = stage(r0, "rcb")
+      val index = stage(i0, "index")
+      assert(index.count() === n1, "index must code every survivor once")
+      assert(index.select("nid").exceptAll(
+        survivors.select("vec_id")).isEmpty)
+      // serve a fixed query log from the persisted model; k rows per
+      // query, hits are survivors only, and the exact-rerank sim IS the
+      // recomputed cosine of the returned pair (self-consistency of the
+      // serving tail against the store)
+      val k = 3
+      val queries = survivors.filter(col("vec_id") % 5 === 0)
+        .localCheckpoint()
+      val served = Similarity.ivfPqServeTopK(queries, survivors,
+        cents, rcb, index, k = k, nProbe = nProbe, shortM = shortM)
+        .localCheckpoint()
+      val nQ = queries.count()
+      val perQ = served.groupBy(col("qid")).agg(count(lit(1)).as("c"))
+      assert(perQ.filter(col("c") =!= k).isEmpty)
+      assert(served.select(col("qid")).distinct().count() === nQ)
+      // set containment (except, not exceptAll): the same neighbor
+      // legitimately serves many queries
+      assert(served.select(col("nid").as("vec_id"))
+        .except(survivors.select("vec_id")).isEmpty)
+      val recomputed = served
+        .join(survivors.select(col("vec_id").as("nid"),
+          col("embedding").as("ne")), Seq("nid"))
+        .join(queries.select(col("vec_id").as("qid"),
+          col("embedding").as("qe")), Seq("qid"))
+        .filter(abs(Similarity.cosine(col("qe"), col("ne")) - col("sim"))
+          > 1e-12)
+      assert(recomputed.isEmpty, "served sim drifted from the store")
+
+      // stage 3 — DSIR selection over the id-aligned DEDUPED text corpus
+      // (vec_id ≡ doc_id across the driver tables): the selection head
+      // must be drawn entirely from deduped TRAIN docs with dense ranks.
+      val docsKept = stage(docs.join(
+        keep.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi"), "docs_kept")
+      val sel = TextAnalysis.dsirSelect(docsKept, k = 20).localCheckpoint()
+      assert(sel.count() === 20)
+      assert(sel.select("doc_id").exceptAll(
+        docsKept.filter(TextOps.splitBucket(col("doc_id")) < 80)
+          .select("doc_id")).isEmpty,
+        "DSIR selected a dropped or non-train doc")
+      val ranks = sel.select(col("rank")).collect().map(_.getLong(0)).sorted
+      assert(ranks.toSeq === (1L to 20L))
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("end-to-end retrieval: build+persist index -> serve -> hybrid " +
     "fusion -> agreement/retrievability reconcile against the leg tables") {
     // The round-12 retrieval plane wired as one lineage: the index is
