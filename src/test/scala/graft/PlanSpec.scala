@@ -762,7 +762,11 @@ class PlanSpec extends SparkSpec {
       // l117: broadcast 1-row (t_t, t_r) corpus-totals crossJoin onto the
       // bucket-count table (the l28/l67 shape — dsirModelFromDb's
       // IdentityBroadcastMode 1-row aggregate)
-      "l117_dsir_select")
+      "l117_dsir_select",
+      // l123/l124: the unigram lattice's broadcast 1-row t_mass total
+      // crossJoin onto the vocab-sized span table (the l28/l117 shape);
+      // every corpus-sized exchange is the one distinct-word hash-agg
+      "l123_unigram_round1", "l124_tokenizer_fertility")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
