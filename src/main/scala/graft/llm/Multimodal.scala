@@ -4,7 +4,7 @@ import java.nio.charset.StandardCharsets
 
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.types.{DoubleType, LongType}
 
 /** Multimodal-column plumbing: opaque `binary` payloads with typed
   * metadata, decoded per-partition into feature rows.
@@ -540,31 +540,7 @@ object Multimodal {
   private[graft] def imageNearDupsFromSigs(sig: DataFrame, maxHamming: Int,
                                            maxBandOcc: Int,
                                            bandBits: Int = 8): DataFrame = {
-    require(Seq(8, 16, 32).contains(bandBits), s"bandBits: $bandBits")
-    val nBands = 64 / bandBits
-    require(maxHamming < nBands,
-      s"banding at $bandBits bits is lossy beyond Hamming ${nBands - 1} " +
-        s"(requested $maxHamming)")
-    val mask = if (bandBits == 64) -1L else (1L << bandBits) - 1
-    val bands = sig.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until nBands).map(bi =>
-        shiftright(col("dhash"), bandBits * bi).bitwiseAND(lit(mask))): _*))
-        .as(Seq("band_idx", "band_val")))
-    val hot = bands.groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > maxBandOcc)
-      .select(col("band_idx"), col("band_val"))
-    val live = bands.join(broadcast(hot), Seq("band_idx", "band_val"),
-      "left_anti")
-    val cand = live.as("x").join(live.as("y"),
-        col("x.band_idx") === col("y.band_idx")
-          && col("x.band_val") === col("y.band_val")
-          && col("x.doc_id") < col("y.doc_id"))
-      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
-        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
-          .cast(LongType).as("hamming"))
-      .distinct()
-      .filter(col("hamming") <= maxHamming)
+    val cand = imagePairCandidates(sig, maxHamming, maxBandOcc, bandBits)
     val g = sig.select(col("doc_id"), col("grid"))
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("grid").as("ga")),
@@ -575,6 +551,94 @@ object Multimodal {
         aggregate(
           zip_with(col("ga"), col("gb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("grid_l1"))
+  }
+
+  /** The exploded band table of a signature set at `bandBits` bits per
+    * band (64/bandBits bands). */
+  private def bandedSigs(sig: DataFrame, bandBits: Int): DataFrame = {
+    require(Seq(8, 16, 32).contains(bandBits), s"bandBits: $bandBits")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    sig.select(col("doc_id"), col("dhash"),
+      posexplode(array((0 until nBands).map(bi =>
+        shiftright(col("dhash"), bandBits * bi).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
+  /** Banded + guarded + Hamming-verified candidate pairs
+    * (doc_a, doc_b, hamming) — the id-only core of the pairing, shared
+    * by the full operator (which joins the grid audit back) and the
+    * l126 sweep (which only counts). */
+  private[graft] def imagePairCandidates(sig: DataFrame, maxHamming: Int,
+                                         maxBandOcc: Int,
+                                         bandBits: Int): DataFrame = {
+    require(maxHamming < 64 / bandBits,
+      s"banding at $bandBits bits is lossy beyond Hamming " +
+        s"${64 / bandBits - 1} (requested $maxHamming)")
+    val bands = bandedSigs(sig, bandBits)
+    val hot = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("band_idx"), col("band_val"))
+    val live = bands.join(broadcast(hot), Seq("band_idx", "band_val"),
+      "left_anti")
+    live.as("x").join(live.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  /** L126 — band-width/guard SWEEP (the l82/l87/l98/l121 knob-pricing
+    * discipline on the perceptual plane): for each (band_bits,
+    * max_band_occ) config, the hot-bucket count and the verified pair
+    * count next to the TRUTH leg — the widest lossless width with the
+    * guard off, whose pair set every guarded config's is a subset of
+    * (same Hamming filter; banding lossless at both widths for
+    * maxHamming < 64/bits). recall = n_pairs/n_truth is exactly the
+    * fraction of true near-dup pairs the guard sacrifices at that
+    * width — the table read before fixing `dhashBandBits`'s schedule
+    * (the DevScale `imagedup` receipt at 10×: fixed 8-bit keeps 0.4%
+    * of true pairs; scheduled 16-bit keeps 100%).
+    *
+    * Scale: ONE decode+hash pass shared by all legs (the sig table is
+    * checkpointed); each leg is a banded candidate join + two 1-row
+    * aggregates; the assembled table is |configs| rows of longs —
+    * every cross-leg join is a broadcast 1-row crossJoin (the l28
+    * shape). */
+  def imageBandSweep(spark: SparkSession, docs: DataFrame,
+                     maxHamming: Int = 2,
+                     configs: Seq[(Int, Int)] =
+                       Seq((8, 500), (16, 500), (16, 1 << 30))): DataFrame = {
+    val sig = dHash(spark, encodePpm(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val legs = configs.map { case (bits, cap) =>
+      val nHot = bandedSigs(sig, bits)
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap)
+        .agg(count(lit(1)).as("n_hot_buckets"))
+      val nPairs = imagePairCandidates(sig, maxHamming, cap, bits)
+        .agg(count(lit(1)).as("n_pairs"))
+      nHot.crossJoin(nPairs)
+        .select(lit(bits).cast(LongType).as("band_bits"),
+          lit(cap).cast(LongType).as("max_band_occ"),
+          col("n_hot_buckets"), col("n_pairs"))
+    }
+    val all = legs.reduce(_ unionByName _)
+    val (tBits, tCap) = configs.last
+    val truth = all.filter(col("band_bits") === tBits
+        && col("max_band_occ") === tCap)
+      .select(col("n_pairs").as("n_truth"))
+    all.crossJoin(broadcast(truth))
+      .select(col("band_bits"), col("max_band_occ"),
+        col("n_hot_buckets"), col("n_pairs"), col("n_truth"),
+        (col("n_pairs").cast(DoubleType)
+          / col("n_truth").cast(DoubleType)).as("recall"))
   }
 
   /** PRODUCTION image near-dup pairing — band width SCHEDULED from the

@@ -38,8 +38,13 @@ object UnigramLm {
     * (freq desc, piece asc) UNION every single character (segmentation
     * coverage: the lattice must always reach every position). */
   def seedVocab(docs: DataFrame, vocabSize: Int = 40,
-                maxLen: Int = 4): DataFrame = {
-    val occ = wordSpans(words(docs), maxLen)
+                maxLen: Int = 4): DataFrame =
+    seedVocabFromWords(words(docs), vocabSize, maxLen)
+
+  /** seedVocab over a maintained (word, freq) table — the S40 surface. */
+  def seedVocabFromWords(wordFreq: DataFrame, vocabSize: Int = 40,
+                         maxLen: Int = 4): DataFrame = {
+    val occ = wordSpans(wordFreq, maxLen)
       .groupBy(col("piece")).agg(sum(col("freq")).as("seed_freq"))
     val w = Window.orderBy(col("seed_freq").desc, col("piece"))
     occ.withColumn("rk", row_number().over(w))
@@ -48,11 +53,21 @@ object UnigramLm {
   }
 
   /** The distinct-word working set (word, freq) — the one corpus-sized
-    * shuffle (Bpe.wordSymbols without the split). */
+    * shuffle (Bpe.wordSymbols without the split), and the CARRIED STATE
+    * of the streaming trainer (S40): plain counts fold associatively
+    * and commutatively, so a maintained word table equals the drained
+    * corpus's for any batch split. */
   def words(docs: DataFrame): DataFrame =
     docs.select(explode(TextOps.tokens(col("text"))).as("word"))
       .filter(length(col("word")) > 0)
       .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+
+  /** Associative MERGE of two (word, freq) count tables — the S40 fold:
+    * per-word addition, vocab-table work (no document re-tokenized).
+    * NOT idempotent under re-delivery — the S22 exactly-once
+    * foreachBatch discipline applies. */
+  def mergeWordCounts(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b).groupBy(col("word")).agg(sum(col("freq")).as("freq"))
 
   /** All (j, k, piece) substring spans of each word, 0-based start j,
     * length k ≤ maxLen — the lattice edge candidates. Emitted in-row
@@ -73,11 +88,12 @@ object UnigramLm {
     * of vocab-matched spans struct(end, j, p, piece) sorted by
     * (end, j) — the PINNED fold order of every pass below. p is the
     * piece's unigram probability seed_freq/T (T = total seed mass). */
-  private def lattice(docs: DataFrame, vocabSize: Int,
+  private def lattice(wordFreq: DataFrame, vocabSize: Int,
                       maxLen: Int): DataFrame = {
-    val seed = seedVocab(docs, vocabSize, maxLen).localCheckpoint()
+    val seed = seedVocabFromWords(wordFreq, vocabSize, maxLen)
+      .localCheckpoint()
     val t = seed.agg(sum(col("seed_freq")).as("t_mass"))
-    val matched = wordSpans(words(docs), maxLen)
+    val matched = wordSpans(wordFreq, maxLen)
       .join(broadcast(seed), Seq("piece"))
       .crossJoin(broadcast(t))
       .select(col("word"), col("freq"), col("j"), col("k"), col("piece"),
@@ -118,8 +134,14 @@ object UnigramLm {
     * the conservation receipts in LlmSpec (per word, the first-piece
     * posteriors sum to 1). */
   def spanPosteriors(docs: DataFrame, vocabSize: Int = 40,
-                     maxLen: Int = 4): DataFrame = {
-    val lat = lattice(docs, vocabSize, maxLen)
+                     maxLen: Int = 4): DataFrame =
+    spanPosteriorsFromWords(words(docs).localCheckpoint(), vocabSize, maxLen)
+
+  /** spanPosteriors over a maintained (word, freq) table — the S40
+    * surface (and the shared one-corpus-pass path of emRound1). */
+  def spanPosteriorsFromWords(wordFreq: DataFrame, vocabSize: Int = 40,
+                              maxLen: Int = 4): DataFrame = {
+    val lat = lattice(wordFreq, vocabSize, maxLen)
       .withColumn("alpha", alphaArr(col("sps"), col("n")))
       .withColumn("beta", betaArr(col("sps"), col("n")))
     lat.select(col("word"), col("freq"), col("n"), col("alpha"),
@@ -139,11 +161,21 @@ object UnigramLm {
     * replayable form of the trainer's first iteration (the l56
     * precedent: round-1 statistics ARE the training primitive). */
   def emRound1(docs: DataFrame, vocabSize: Int = 40,
-               maxLen: Int = 4): DataFrame = {
-    val em = spanPosteriors(docs, vocabSize, maxLen)
+               maxLen: Int = 4): DataFrame =
+    emRound1FromWords(words(docs).localCheckpoint(), vocabSize, maxLen)
+
+  /** emRound1 over a maintained (word, freq) table — the S40 refresh
+    * surface (the bm25FromCore/S31 discipline: the carried state is the
+    * df-free count table; the trained artifact derives once per swap,
+    * never per batch). Also the shared-pass form behind `emRound1`: the
+    * corpus tokenizes ONCE into the checkpointed word table that feeds
+    * both the seed and the lattice. */
+  def emRound1FromWords(wordFreq: DataFrame, vocabSize: Int = 40,
+                        maxLen: Int = 4): DataFrame = {
+    val em = spanPosteriorsFromWords(wordFreq, vocabSize, maxLen)
       .groupBy(col("piece"))
       .agg(sum(col("e_snap") * col("freq")).as("em_count"))
-    seedVocab(docs, vocabSize, maxLen)
+    seedVocabFromWords(wordFreq, vocabSize, maxLen)
       .join(em, Seq("piece"), "left")
       .select(col("piece"), col("seed_freq"),
         coalesce(col("em_count"), lit(0L)).as("em_count"))
@@ -157,7 +189,7 @@ object UnigramLm {
     * bit-identical p's in pinned order, so the comparison replays. */
   def viterbiPieceCounts(docs: DataFrame, vocabSize: Int = 40,
                          maxLen: Int = 4): DataFrame = {
-    val lat = lattice(docs, vocabSize, maxLen)
+    val lat = lattice(words(docs).localCheckpoint(), vocabSize, maxLen)
     val vit = aggregate(sequence(lit(1), col("n")),
       array(struct(lit(1.0).as("s"), lit(0).cast(IntegerType).as("c"))),
       (acc, i) => concat(acc, array(

@@ -195,7 +195,8 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
     * by l122 (pairs) and l125 (apply). Tables are MATERIALIZED per the
     * round-17 oracle-authoring rule (CTE inlining re-opens the parquet
     * per reference). */
-  private def dHashCtes(maxHamming: Int, maxBandOcc: Int): String = {
+  /** The shared decode→grid→hash prefix (ppm, g, dh). */
+  private def dHashBaseCtes: String = {
     val grayCell = "(" + (0 until 3).map(c =>
       ppmPx(s"((((i//9)*h//8)*w + ((i%9)*w//9))*3 + $c)")).mkString(" + ") + ")"
     val bitTerm =
@@ -210,23 +211,36 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
           list_transform(range(72), i -> $grayCell) AS grid FROM ppm),
       dh AS MATERIALIZED (SELECT doc_id, grid,
           list_reduce(list_transform(range(64), b -> $bitTerm),
-            (x, y) -> x + y) AS dhash FROM g),
-      bands AS MATERIALIZED (SELECT doc_id, dhash, band_idx,
-          (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
-        FROM (SELECT doc_id, dhash, unnest(range(8)) AS band_idx FROM dh)),
-      hot AS (SELECT band_idx, band_val FROM bands
+            (x, y) -> x + y) AS dhash FROM g)"""
+  }
+
+  /** One banding→guard→verify leg at `bandBits` bits per band; CTE
+    * names suffixed with `sfx` so sweep legs coexist in one WITH. */
+  private def bandLegCtes(sfx: String, bandBits: Int, maxHamming: Int,
+                          maxBandOcc: Long): String = {
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    s"""bands$sfx AS MATERIALIZED (SELECT doc_id, dhash, band_idx,
+          (dhash >> CAST($bandBits*band_idx AS INTEGER)) & $mask AS band_val
+        FROM (SELECT doc_id, dhash, unnest(range($nBands)) AS band_idx
+          FROM dh)),
+      hot$sfx AS (SELECT band_idx, band_val FROM bands$sfx
         GROUP BY band_idx, band_val HAVING count(*) > $maxBandOcc),
-      live AS (SELECT b.* FROM bands b WHERE NOT EXISTS
-        (SELECT 1 FROM hot h WHERE h.band_idx = b.band_idx
+      live$sfx AS (SELECT b.* FROM bands$sfx b WHERE NOT EXISTS
+        (SELECT 1 FROM hot$sfx h WHERE h.band_idx = b.band_idx
           AND h.band_val = b.band_val)),
-      cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+      cand$sfx AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
           y.doc_id AS doc_b,
           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
-        FROM live x JOIN live y
+        FROM live$sfx x JOIN live$sfx y
           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
           AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.dhash, y.dhash)) <= $maxHamming)"""
   }
+
+  private def dHashCtes(maxHamming: Int, maxBandOcc: Int): String =
+    s"""$dHashBaseCtes,
+      ${bandLegCtes("", 8, maxHamming, maxBandOcc)}"""
 
   protected val l122 = DeclaredQuery(
     "l122_image_near_dups",
@@ -270,6 +284,42 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       SELECT d.doc_id, d.dhash FROM dh d
       WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
       ORDER BY d.doc_id"""))
+
+  /** L126 — dHash band-width/guard SWEEP (the l82/l87/l98/l121
+    * knob-pricing discipline on the perceptual plane): per (band_bits,
+    * max_band_occ) config, hot buckets and verified pairs next to the
+    * widest-lossless unguarded TRUTH leg; recall = the fraction of true
+    * radius-2 pairs the guard sacrifices at that width — the table read
+    * before fixing `KnobSchedule.dhashBandBits` (the DevScale `imagedup`
+    * receipt: 0.4% survives fixed 8-bit at 10×, 100% at scheduled
+    * 16-bit). One decode+hash pass shared by every leg. */
+  protected val l126 = {
+    val configs = Seq((8, 500L), (16, 500L), (16, (1 << 30).toLong))
+    val legs = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      bandLegCtes(s"_$i", bits, 2, cap)
+    }.mkString(",\n      ")
+    val rows = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      s"""SELECT CAST($bits AS BIGINT) AS band_bits,
+          CAST($cap AS BIGINT) AS max_band_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM hot_$i) AS n_hot_buckets,
+          (SELECT CAST(count(*) AS BIGINT) FROM cand_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l126_image_band_sweep",
+      (s, dir) => Multimodal.imageBandSweep(s, t(s, dir, "documents"))
+        .orderBy(col("band_bits"), col("max_band_occ")),
+      Some(s"""WITH $dHashBaseCtes,
+      $legs,
+      legs AS (
+        $rows),
+      tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+        FROM cand_${configs.length - 1})
+      SELECT band_bits, max_band_occ, n_hot_buckets, n_pairs,
+        tr.n_truth,
+        CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY band_bits, max_band_occ"""))
+  }
 
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying

@@ -517,7 +517,10 @@ class PlanSpec extends SparkSpec {
       "l93_media_storage_audit", "l115_audio_decode",
       // l122: the dHash computes inside the blob scan stage; exchanges
       // carry (doc_id, dhash, band) longs and the 72-int audit grid only
-      "l122_image_near_dups")) {
+      // l125/l126: same codec boundary — CC edges and sweep counts are
+      // id/long work
+      "l122_image_near_dups", "l125_image_dedup_apply",
+      "l126_image_band_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -586,6 +589,25 @@ class PlanSpec extends SparkSpec {
       planDropped.contains("CartesianProduct"), planDropped.take(1500))
     assert(cellKeyed.findFirstIn(planDropped).isEmpty,
       "matcher fired on the key-dropped twin:\n" + planDropped.take(1500))
+  }
+
+  test("l122: the image band-candidate join is hash-keyed on " +
+    "(band_idx, band_val) — the l119 positive-pin discipline on the " +
+    "perceptual plane") {
+    // The cartesian/BNLJ-absence sweep alone can't tell a band-keyed
+    // join from any other equality join; assert positively that a
+    // hash/SMJ join keyed on the band columns exists, so dropping the
+    // band key can never pass silently.
+    val plan = executedPlan(lq("l122_image_near_dups"))
+    assert(!plan.contains("CartesianProduct"))
+    assert(!plan.contains("BroadcastNestedLoopJoin"))
+    val bandKeyed =
+      ("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) " +
+        "\\[band_idx#\\d+, band_val#\\d+L?\\], " +
+        "\\[band_idx#\\d+, band_val#\\d+L?\\]").r
+    assert(bandKeyed.findFirstIn(plan).isDefined,
+      "no hash/SMJ join keyed on (band_idx, band_val) in:\n" +
+        plan.take(3000))
   }
 
   test("l54: contamination fraction joins on shingle digests — no raw " +
@@ -766,7 +788,11 @@ class PlanSpec extends SparkSpec {
       // l123/l124: the unigram lattice's broadcast 1-row t_mass total
       // crossJoin onto the vocab-sized span table (the l28/l117 shape);
       // every corpus-sized exchange is the one distinct-word hash-agg
-      "l123_unigram_round1", "l124_tokenizer_fertility")
+      "l123_unigram_round1", "l124_tokenizer_fertility",
+      // l126: per-leg 1-row count crossJoins + the broadcast 1-row
+      // truth-count join (the l82/l87 sweep shape); candidate legs join
+      // bands by equality
+      "l126_image_band_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

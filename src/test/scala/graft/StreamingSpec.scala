@@ -1477,6 +1477,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.sortBy(_._1).toSeq === fused)
   }
 
+  test("S40: streaming unigram-LM vocabulary maintenance — per-batch word " +
+    "counts fold into carried state; the refresh-time EM table equals the " +
+    "fused corpus's for ANY batch split") {
+    // The l123 deployment shape (the S30/S35 count-fold + S31
+    // derive-at-swap discipline): the carried state is the (word, freq)
+    // table — each arriving batch is tokenized ALONE and folded in by
+    // per-word addition (associative + commutative ⇒ any split/fold
+    // order equals the drained corpus); the trained artifact (seed +
+    // round-1 EM posteriors) derives from the carried table ONCE at
+    // index-swap time, never per batch.
+    import StreamOps.StreamDoc
+    import graft.llm.UnigramLm
+    val docs = Tables.load(spark, sf001, "documents")
+      .select(col("doc_id"), col("text")).localCheckpoint()
+    val fused = UnigramLm.emRound1(docs).orderBy("piece").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    var state = UnigramLm.words(docs.limit(0)).localCheckpoint()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        state = UnigramLm.mergeWordCounts(state,
+          UnigramLm.words(batch.toDF().select(col("doc_id"), col("text"))))
+          .localCheckpoint()
+        ()
+      }.start()
+    val rows = docs.collect().map(r => StreamDoc(r.getLong(0),
+      r.getString(1), java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+    try {
+      // a deliberately LOPSIDED split (1 doc, then the rest) — the fold
+      // must not care
+      in.addData(rows.take(1): _*); q.processAllAvailable()
+      in.addData(rows.drop(1): _*); q.processAllAvailable()
+    } finally q.stop()
+    val streamed = UnigramLm.emRound1FromWords(state).orderBy("piece")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(streamed === fused)
+  }
+
   test("S39: streaming image near-dup admission — ascending-id arrivals " +
     "reproduce the fused l122 kept/dropped sets; state carries ALL seen") {
     // The l122 deployment shape (the l52/S34/S37 arrival-order
