@@ -677,12 +677,28 @@ object Multimodal {
       : DataFrame = {
     val sig = dHash(spark, encodePpm(spark, docs).toDF()).toDF()
       .localCheckpoint()
-    val pairs = imageNearDupsFromSigs(sig, maxHamming, maxBandOcc)
+    // exact-hash PRE-COLLAPSE (the round-17 collapseExactDups discipline
+    // on the perceptual plane): identical signatures are Hamming-0
+    // cliques, so collapsing each hash value to its min-id representative
+    // (a) removes the clique's quadratic edge volume from the CC — a
+    // viral image re-posted a million times enters the graph as ONE
+    // node instead of 5·10¹¹ edges (measured at sf0.1: 89,765 → ~49k
+    // edges, the Hamming-0 half gone), and (b) makes exact duplicates
+    // immune to the hot-band guard: they are found by hash EQUALITY in
+    // this groupBy, not by banding — without the collapse, a flat-image
+    // clique whose every band bucket is hot would never cluster at all.
+    // Keep-min-id semantics are preserved exactly: each group's rep is
+    // its minimum id, so the expanded cluster's minimum IS the minimum
+    // over reps.
+    val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
+    val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
+      .localCheckpoint()
+    val pairs = imagePairCandidates(repSig, maxHamming, maxBandOcc, 8)
       .select(col("doc_a"), col("doc_b"))
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    sig.select(col("doc_id"), col("dhash"))
+    repSig.select(col("doc_id"), col("dhash"))
       .join(losers, Seq("doc_id"), "left_anti")
   }
 

@@ -215,15 +215,17 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
   }
 
   /** One banding→guard→verify leg at `bandBits` bits per band; CTE
-    * names suffixed with `sfx` so sweep legs coexist in one WITH. */
+    * names suffixed with `sfx` so sweep legs coexist in one WITH;
+    * `src` is the signature table the leg bands (dh, or the rep table
+    * for l125's collapsed graph). */
   private def bandLegCtes(sfx: String, bandBits: Int, maxHamming: Int,
-                          maxBandOcc: Long): String = {
+                          maxBandOcc: Long, src: String = "dh"): String = {
     val nBands = 64 / bandBits
     val mask = (1L << bandBits) - 1
     s"""bands$sfx AS MATERIALIZED (SELECT doc_id, dhash, band_idx,
           (dhash >> CAST($bandBits*band_idx AS INTEGER)) & $mask AS band_val
         FROM (SELECT doc_id, dhash, unnest(range($nBands)) AS band_idx
-          FROM dh)),
+          FROM $src)),
       hot$sfx AS (SELECT band_idx, band_val FROM bands$sfx
         GROUP BY band_idx, band_val HAVING count(*) > $maxBandOcc),
       live$sfx AS (SELECT b.* FROM bands$sfx b WHERE NOT EXISTS
@@ -258,20 +260,27 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       JOIN dh gb ON gb.doc_id = c.doc_b
       ORDER BY doc_a, doc_b"""))
 
-  /** L125 — image dedup APPLY: l122's verified pairs → transitive
+  /** L125 — image dedup APPLY: exact-hash pre-collapse (identical
+    * signatures are Hamming-0 cliques — one representative per hash
+    * value, found by EQUALITY so the hot-band guard cannot sever an
+    * exact-duplicate clique, and a viral re-post enters the CC as one
+    * node), then banded pairs among representatives → transitive
     * closure (a re-post chain is ONE duplicate set) → keep each
-    * cluster's minimum doc_id → anti-join the losers; output the
-    * surviving (doc_id, dhash). Spark side: the auto-selected CC
-    * machinery (propagation with star-contraction fallback — l16's);
-    * oracle: recursive-CTE transitive closure — two very different
-    * algorithms that must agree exactly (the l16 precedent, on the
-    * perceptual plane). */
+    * cluster's minimum doc_id → anti-join; output the surviving
+    * (doc_id, dhash). Spark side: the auto-selected CC machinery
+    * (propagation with star-contraction fallback — l16's); oracle:
+    * recursive-CTE transitive closure — two very different algorithms
+    * that must agree exactly (the l16 precedent, on the perceptual
+    * plane). */
   protected val l125 = DeclaredQuery(
     "l125_image_dedup_apply",
     (s, dir) => Multimodal.imageDedupApply(s, t(s, dir, "documents"),
       maxHamming = 2, maxBandOcc = 500)
       .orderBy(col("doc_id")),
-    Some(s"""WITH RECURSIVE ${dHashCtes(2, 500)},
+    Some(s"""WITH RECURSIVE $dHashBaseCtes,
+      rep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, dhash
+        FROM dh GROUP BY dhash),
+      ${bandLegCtes("", 8, 2, 500, src = "rep")},
       edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
                 UNION SELECT doc_b, doc_a FROM cand),
       reach(a, b) AS (
@@ -281,9 +290,9 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
               FROM reach GROUP BY a),
       losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
-      SELECT d.doc_id, d.dhash FROM dh d
-      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = d.doc_id)
-      ORDER BY d.doc_id"""))
+      SELECT r.doc_id, r.dhash FROM rep r
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = r.doc_id)
+      ORDER BY r.doc_id"""))
 
   /** L126 — dHash band-width/guard SWEEP (the l82/l87/l98/l121
     * knob-pricing discipline on the perceptual plane): per (band_bits,

@@ -1749,14 +1749,10 @@ class LlmSpec extends SparkSpec {
         maxBandOcc = 100000, bandBits = 32).collect())
   }
 
-  test("imageDedupApply: transitive chains collapse to one survivor; " +
+  test("imageDedupApply: exact copies collapse to one survivor; " +
     "untouched images pass through") {
-    // A~B~C chain via two brightness steps (A-C may sit past the
-    // pairwise radius — the closure is the point) + one isolated image.
-    // Build docs so the ENCODER produces controlled images: use the
-    // operator's doc surface directly with near-identical texts? No —
-    // the apply takes docs; plant texts whose encoded images are exact
-    // duplicates: identical text ⇒ identical payload ⇒ Hamming 0.
+    // identical text ⇒ identical payload ⇒ identical dhash — the
+    // exact-hash pre-collapse folds 1/2/3 to rep 1; image 9 is isolated.
     val d = Seq(
       (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
       (3L, "alpha beta gamma"), (9L, "completely different words here"))
@@ -1765,6 +1761,27 @@ class LlmSpec extends SparkSpec {
         maxBandOcc = 100000)
       .collect().map(_.getLong(0)).sorted
     assert(kept.toSeq === Seq(1L, 9L))
+  }
+
+  test("imageDedupApply pre-collapse: exact-duplicate cliques dedup even " +
+    "when every band bucket is hot — hash equality outruns the guard") {
+    // 30 byte-identical flat images make every band bucket they occupy
+    // hot at cap 10 — the banded pair path finds NOTHING among them
+    // (the hot-band guard test above pins that), yet the apply must
+    // still collapse them: exact duplicates are found by hash-equality
+    // grouping, not banding. Two identical structured images in cold
+    // buckets dedup through the normal banded path. Blob-level surface:
+    // drive through the encoder by planting identical texts for the
+    // flats, plus two structured twins.
+    val d = ((0 until 30).map(i => (i.toLong, "flat flat flat")) ++
+      Seq((100L, "rich and varied content the quick brown fox"),
+        (101L, "rich and varied content the quick brown fox")))
+      .toDF("doc_id", "text")
+    val kept = Multimodal.imageDedupApply(spark, d, maxHamming = 2,
+        maxBandOcc = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 100L),
+      s"pre-collapse failed under hot bands: ${kept.toSeq}")
   }
 
   test("imageNearDups grid_l1 audit column: zero for exact duplicates, " +
