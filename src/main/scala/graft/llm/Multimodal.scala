@@ -758,6 +758,69 @@ object Multimodal {
     (verdicts, sig)
   }
 
+  // ----------------------------------------------------- audio near-dup
+
+  /** Per-audio perceptual signature — the WAV twin of `ImageSig`, shaped
+    * identically (doc_id, 64-bit gradient hash, the exact envelope it
+    * was read from) so the SAME banding/guard/verify core pairs both
+    * modalities. */
+  final case class AudioSig(doc_id: Long, dhash: Long, grid: Array[Long])
+
+  /** 64-bit audio gradient hash at the codec boundary — the dHash idea
+    * on the energy envelope: split the sample stream into 65 equal
+    * chunks (boundaries ⌊i·n/65⌋ — the resize/dHash index arithmetic),
+    * envelope(i) = Σ|s| over chunk i (EXACT long — no fp), bit i set
+    * iff envelope(i) > envelope(i+1): 64 loudness-gradient signs.
+    * Gradient signs survive uniform gain changes exactly (envelope
+    * scales by the gain; the duplicate class a re-mastered/volume-
+    * normalized re-upload produces) and re-containering trivially (the
+    * parser reads the sample plane wherever the chunks sit). Chunks
+    * shorter than the stream (n < 65) leave empty chunks at envelope 0
+    * — tiny clips hash degenerate, exactly the flat-image analogue the
+    * hot-band guard absorbs. */
+  def audioHash(spark: SparkSession, blobs: DataFrame): Dataset[AudioSig] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val wav = parseWav(b.payload, b.doc_id)
+      val env = new Array[Long](65)
+      var i = 0
+      while (i < 65) {
+        var k = i * wav.nSamples / 65
+        val end = (i + 1) * wav.nSamples / 65
+        var sum = 0L
+        while (k < end) {
+          sum += math.abs(s16le(b.payload, wav.offset + 2 * k).toLong)
+          k += 1
+        }
+        env(i) = sum
+        i += 1
+      }
+      var dh = 0L
+      var bix = 0
+      while (bix < 64) {
+        if (env(bix) > env(bix + 1)) dh |= 1L << bix
+        bix += 1
+      }
+      AudioSig(b.doc_id, dh, env)
+    })
+  }
+
+  /** L127 — AUDIO near-duplicate pairs: the l122 machinery verbatim on
+    * the audio plane (the signature tables are shape-identical, so the
+    * banding/guard/Hamming/L1 core is literally shared): per verified
+    * pair, the Hamming distance between gradient hashes and the exact
+    * envelope-L1 distance (the l91-style audit column — the ground
+    * truth the hash approximates, duration-independent because the
+    * envelope is). Completes dedup across every modality the engine
+    * decodes: text (l03), embeddings (l14/l118), images (l122), audio
+    * (this). */
+  def audioNearDups(spark: SparkSession, docs: DataFrame,
+                    maxHamming: Int = 2, maxBandOcc: Int = 500): DataFrame = {
+    val sig = audioHash(spark, encodeWav(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    imageNearDupsFromSigs(sig, maxHamming, maxBandOcc)
+  }
+
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a
     * multimodal lake: per source, blob count, total payload bytes, total
     * pixels, the exact payload checksum (corruption tripwire for a

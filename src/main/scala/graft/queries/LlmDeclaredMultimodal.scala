@@ -343,6 +343,60 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
         ELSE ascii(substr(text, CAST(($k) % len + 1 AS INTEGER), 1)) * 256
            + ascii(substr(text, CAST((($k) + 5) % len + 1 AS INTEGER), 1)) END END"""
 
+  /** L127 — AUDIO near-duplicate pairs: the l122 machinery on the audio
+    * plane — 64 loudness-gradient signs over a 65-chunk exact-integer
+    * energy envelope (Σ|s| per chunk, gain-invariant by construction),
+    * the same 8×8-bit banding + hot-band guard + Hamming verify, and
+    * the exact envelope-L1 audit column. Completes dedup across every
+    * modality the engine decodes. The oracle regenerates the samples
+    * (the l115 trick) and replays envelope/hash/banding bit-identically
+    * — all BIGINT arithmetic. */
+  protected val l127 = {
+    val envBit =
+      """CASE WHEN grid[CAST(b + 1 AS INTEGER)] >
+                grid[CAST(b + 2 AS INTEGER)]
+           THEN CASE WHEN b = 63
+                THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+           ELSE CAST(0 AS BIGINT) END"""
+    DeclaredQuery(
+      "l127_audio_near_dups",
+      (s, dir) => Multimodal.audioNearDups(s, t(s, dir, "documents"),
+        maxHamming = 2, maxBandOcc = 500)
+        .withColumnRenamed("grid_l1", "env_l1")
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH t AS (SELECT doc_id, text,
+               length(COALESCE(text, '')) AS len FROM documents),
+      wav AS (SELECT doc_id, text, len,
+          CASE WHEN len = 0 THEN 1
+               ELSE 1 + (ascii(substr(text, 1, 1)) * 31
+                 + ascii(substr(text, len, 1))) % 200 END AS n
+        FROM t),
+      smp AS MATERIALIZED (SELECT doc_id, n,
+          list_transform(range(0, n),
+            k -> CAST(${wavSample("k")} AS BIGINT)) AS ss
+        FROM wav),
+      env AS (SELECT doc_id, list_transform(range(65), i ->
+          CASE WHEN (i+1)*n//65 > i*n//65 THEN
+            list_reduce(list_transform(range(i*n//65, (i+1)*n//65),
+              k -> abs(ss[CAST(k + 1 AS INTEGER)])), (x, y) -> x + y)
+          ELSE CAST(0 AS BIGINT) END) AS grid
+        FROM smp),
+      dh AS MATERIALIZED (SELECT doc_id, grid,
+          list_reduce(list_transform(range(64), b -> $envBit),
+            (x, y) -> x + y) AS dhash FROM env),
+      ${bandLegCtes("", 8, 2, 500)}
+      SELECT c.doc_a, c.doc_b, c.hamming,
+        CAST(list_reduce(list_transform(range(65),
+          i -> abs(ga.grid[CAST(i + 1 AS INTEGER)]
+                 - gb.grid[CAST(i + 1 AS INTEGER)])),
+          (x, y) -> x + y) AS BIGINT) AS env_l1
+      FROM cand c
+      JOIN dh ga ON ga.doc_id = c.doc_a
+      JOIN dh gb ON gb.doc_id = c.doc_b
+      ORDER BY doc_a, doc_b"""))
+  }
+
   /** L115 — multimodal AUDIO decode: deterministic 16-bit PCM mono WAV
     * payloads (real RIFF/WAVE container, canonical 44-byte header)
     * through the REAL chunk-walking parser (`Multimodal.parseWav` —

@@ -1803,6 +1803,56 @@ class LlmSpec extends SparkSpec {
     assert(got((1L, 2L))._2 === 120L)
   }
 
+  test("audioHash: gain-scaled duplicates hash identically (envelope " +
+    "gradient signs are gain-invariant); envelope L1 is exact") {
+    // canonical PCM16 WAV with controlled samples
+    def wav(id: Long, ss: Seq[Int]): Multimodal.BlobRow = {
+      val out = new Array[Byte](44 + 2 * ss.length)
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+        out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+        out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def tag(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+      tag(0, "RIFF"); le32(4, 36 + 2 * ss.length); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+      tag(36, "data"); le32(40, 2 * ss.length)
+      ss.zipWithIndex.foreach { case (s, k) => le16(44 + 2 * k, s & 0xffff) }
+      Multimodal.BlobRow(id, out)
+    }
+    // 130 samples = 65 chunks of exactly 2; per-image pseudo-random
+    // smalls (≤ 900) so a ×8 gain never clips PCM16
+    def samples(seed: Int): Seq[Int] =
+      (0 until 130).map(k => ((k * 37 + seed * 101 + (k * k * seed) % 61)
+        % 900) - 450)
+    val orig = (0 until 12).map(i => wav(i.toLong, samples(i)))
+    val gained = orig.map(b => wav(b.doc_id + 100L, {
+      val ss = samples(b.doc_id.toInt).map(_ * 8)
+      ss
+    }))
+    val all = (orig ++ gained).toDF()
+    val sig = Multimodal.audioHash(spark, all).collect()
+      .map(s => s.doc_id -> s).toMap
+    for (i <- 0 until 12) {
+      assert(sig(i + 100L).dhash === sig(i.toLong).dhash,
+        s"gain changed hash of clip $i")
+      // the envelope itself scales exactly by the gain
+      assert(sig(i + 100L).grid.toSeq === sig(i.toLong).grid.map(_ * 8).toSeq)
+    }
+    // the pairing core finds every planted pair at Hamming 0, and the
+    // envelope-L1 audit equals the hand value Σ|8e − e| = 7·Σe
+    val pairs = Multimodal.imageNearDupsFromSigs(
+      Multimodal.audioHash(spark, all).toDF(), maxHamming = 0,
+      maxBandOcc = 100000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)), r.getLong(3))).toMap
+    for (i <- 0 until 12) {
+      val key = (i.toLong, i + 100L)
+      assert(pairs.contains(key), s"missed gain pair $i")
+      assert(pairs(key) === 7L * sig(i.toLong).grid.sum)
+    }
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

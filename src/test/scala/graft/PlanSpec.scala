@@ -520,7 +520,7 @@ class PlanSpec extends SparkSpec {
       // l125/l126: same codec boundary — CC edges and sweep counts are
       // id/long work
       "l122_image_near_dups", "l125_image_dedup_apply",
-      "l126_image_band_sweep")) {
+      "l126_image_band_sweep", "l127_audio_near_dups")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
