@@ -614,6 +614,18 @@ object Multimodal {
                      maxHamming: Int = 2,
                      configs: Seq[(Int, Int)] =
                        Seq((8, 500), (16, 500), (16, 1 << 30))): DataFrame = {
+    // configs.last IS the truth leg the recall column divides by — a
+    // caller passing a guarded or narrower-than-widest last config
+    // would silently get recalls against a lossy denominator (possibly
+    // > 1.0). Fail loudly instead: the last config must be the widest
+    // admissible lossless width at maxHamming with the guard
+    // effectively off (cap ≥ 2^30 — the "unguarded" sentinel the
+    // default carries; any real occupancy guard sits orders below).
+    val widest = Seq(8, 16, 32).filter(b => 64 / b > maxHamming).max
+    val (tBits, tCap) = configs.last
+    require(tBits == widest && tCap >= (1 << 30),
+      s"configs.last must be the unguarded truth leg ($widest bits, " +
+        s"cap >= 2^30); got ($tBits, $tCap)")
     val sig = dHash(spark, encodePpm(spark, docs).toDF()).toDF()
       .localCheckpoint()
     val legs = configs.map { case (bits, cap) =>
@@ -630,7 +642,6 @@ object Multimodal {
           col("n_hot_buckets"), col("n_pairs"))
     }
     val all = legs.reduce(_ unionByName _)
-    val (tBits, tCap) = configs.last
     val truth = all.filter(col("band_bits") === tBits
         && col("max_band_occ") === tCap)
       .select(col("n_pairs").as("n_truth"))
@@ -674,33 +685,86 @@ object Multimodal {
     * only corpus-sized output. */
   def imageDedupApply(spark: SparkSession, docs: DataFrame,
                       maxHamming: Int = 2, maxBandOcc: Int = 500)
-      : DataFrame = {
-    val sig = dHash(spark, encodePpm(spark, docs).toDF()).toDF()
-      .localCheckpoint()
-    // exact-hash PRE-COLLAPSE (the round-17 collapseExactDups discipline
-    // on the perceptual plane): identical signatures are Hamming-0
-    // cliques, so collapsing each hash value to its min-id representative
-    // (a) removes the clique's quadratic edge volume from the CC — a
-    // viral image re-posted a million times enters the graph as ONE
-    // node instead of 5·10¹¹ edges (measured at sf0.1: 89,765 → ~49k
-    // edges, the Hamming-0 half gone), and (b) makes exact duplicates
-    // immune to the hot-band guard: they are found by hash EQUALITY in
-    // this groupBy, not by banding — without the collapse, a flat-image
-    // clique whose every band bucket is hot would never cluster at all.
-    // Keep-min-id semantics are preserved exactly: each group's rep is
-    // its minimum id, so the expanded cluster's minimum IS the minimum
-    // over reps.
+      : DataFrame =
+    sigDedupApply(dHash(spark, encodePpm(spark, docs).toDF()).toDF(),
+      maxHamming, maxBandOcc, bandBits = Some(8))
+
+  /** PRODUCTION image dedup apply — band width SCHEDULED from the
+    * collapsed signature count (`KnobSchedule.dhashBandBits`), the Auto
+    * twin l125's fixed 8-bit form lacked (round-17 ADVICE): the l126
+    * receipt shows fixed 8-bit bands under the hot-band guard keep
+    * ~0.4% of true near-dup pairs at 10× — the exact-hash pre-collapse
+    * rescues Hamming-0 cliques, but Hamming 1–2 recall needs the
+    * scheduled width. Blob-level (the real media-lake surface);
+    * byte-equal to `imageDedupApply` wherever the schedule resolves
+    * to 8 bits (LlmSpec). */
+  def imageDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
+                          maxHamming: Int = 2, maxBandOcc: Int = 500)
+      : DataFrame =
+    sigDedupApply(dHash(spark, blobs).toDF(), maxHamming, maxBandOcc,
+      bandBits = None)
+
+  /** The modality-neutral sig-level dedup-apply core (shared by the
+    * image l125/auto and audio l128/auto forms — the signature tables
+    * are shape-identical by design): exact-hash PRE-COLLAPSE (the
+    * round-17 collapseExactDups discipline on the perceptual plane —
+    * identical signatures are Hamming-0 cliques, so collapsing each
+    * hash value to its min-id representative (a) removes the clique's
+    * quadratic edge volume from the CC: a viral re-post of multiplicity
+    * 10⁶ enters the graph as ONE node instead of 5·10¹¹ edges
+    * (measured at sf0.1 images: 89,765 → ~49k edges), and (b) makes
+    * exact duplicates immune to the hot-band guard: they are found by
+    * hash EQUALITY in the groupBy, not by banding — without the
+    * collapse, a flat-payload clique whose every band bucket is hot
+    * would never cluster at all; keep-min-id semantics are preserved
+    * exactly since each group's rep is its minimum id, so the expanded
+    * cluster's minimum IS the minimum over reps) → banded rep pairs →
+    * connected components (the l16 machinery) → keep each cluster's
+    * minimum id → broadcast anti-join the losers. `bandBits = None`
+    * schedules the band width from the COLLAPSED rep count (the rows
+    * the pair pass actually pays for); `Some(8)` pins the declared
+    * l125/l128 oracle form. */
+  private[graft] def sigDedupApply(sig0: DataFrame, maxHamming: Int,
+                                   maxBandOcc: Int,
+                                   bandBits: Option[Int]): DataFrame = {
+    val sig = sig0.select(col("doc_id"), col("dhash")).localCheckpoint()
     val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
     val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
       .localCheckpoint()
-    val pairs = imagePairCandidates(repSig, maxHamming, maxBandOcc, 8)
+    val bits = bandBits.getOrElse(
+      KnobSchedule.dhashBandBits(repSig.count(), maxHamming))
+    val pairs = imagePairCandidates(repSig, maxHamming, maxBandOcc, bits)
       .select(col("doc_a"), col("doc_b"))
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
-    repSig.select(col("doc_id"), col("dhash"))
-      .join(losers, Seq("doc_id"), "left_anti")
+    repSig.join(losers, Seq("doc_id"), "left_anti")
   }
+
+  /** L128 — audio dedup APPLY: the l125 shape verbatim on the audio
+    * plane (the one plane asymmetry left after round 17 — images
+    * shipped pairs→apply→sweep→streaming, audio stopped at l127
+    * pairs): l127's gradient-sign signatures → exact-hash pre-collapse
+    * → banded rep pairs → transitive closure → keep each cluster's
+    * minimum doc_id → anti-join. Returns the surviving (doc_id, dhash)
+    * — the deduplicated audio store, not just the verdict table. Same
+    * 64-bit signature geometry as dHash, so `KnobSchedule.dhashBandBits`
+    * transfers unchanged (the Auto twin below). */
+  def audioDedupApply(spark: SparkSession, docs: DataFrame,
+                      maxHamming: Int = 2, maxBandOcc: Int = 500)
+      : DataFrame =
+    sigDedupApply(audioHash(spark, encodeWav(spark, docs).toDF()).toDF(),
+      maxHamming, maxBandOcc, bandBits = Some(8))
+
+  /** PRODUCTION audio dedup apply — scheduled band width (the
+    * `imageDedupApplyAuto` twin; `dhashBandBits` transfers because the
+    * audio signature is the same 64-bit gradient-sign geometry).
+    * Blob-level: a real audio lake's payloads exist. */
+  def audioDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
+                          maxHamming: Int = 2, maxBandOcc: Int = 500)
+      : DataFrame =
+    sigDedupApply(audioHash(spark, blobs).toDF(), maxHamming, maxBandOcc,
+      bandBits = None)
 
   /** Streaming IMAGE near-dup ADMISSION (S39) — the l52/S34/S37
     * arrival-order discipline on the perceptual plane: the carried state
@@ -724,20 +788,64 @@ object Multimodal {
     * exploded ×8 band keys at probe time — never re-decoded), one
     * within-batch band join, and an id-keyed verdict fold. The state
     * is never re-paired against itself. The fused operator's hot-band
-    * guard applies when COMPACTING the persisted state index, not per
-    * batch (occupancy is a corpus property, not a batch one). Returns
-    * (verdicts, batchSigs) — the caller appends batchSigs to state. */
+    * guard applies when COMPACTING the persisted state index
+    * (`compactSigState` — exact-hash collapse + hot-band exclusion),
+    * not per batch (occupancy is a corpus property, not a batch one):
+    * pass the compacted state and its `hotBands` index here at the
+    * caller's compaction cadence. Returns (verdicts, batchSigs) — the
+    * caller appends batchSigs to state. */
   def imageDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
-                          state: DataFrame, maxHamming: Int = 2)
+                          state: DataFrame, maxHamming: Int = 2,
+                          hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) =
+    sigDedupIncrement(dHash(spark, batchBlobs).toDF(), state, maxHamming,
+      hotBands)
+
+  /** Streaming AUDIO near-dup ADMISSION (S41) — imageDedupIncrement's
+    * twin on the audio plane, completing the audio ladder's streaming
+    * rung: the carried state is the (doc_id, dhash) gradient-sign
+    * signature table of every SEEN clip (dropped included), the
+    * arriving batch pays its own codec-boundary `audioHash` pass, and
+    * the shared sig-level core issues dup_corpus/dup_batch/kept
+    * verdicts. With batches in ascending doc_id order, kept/dropped
+    * equals the fused `audioNearDups` pair table of the drained corpus
+    * (StreamingSpec); compaction cadence is `compactSigState`'s caller
+    * contract. */
+  def audioDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
+                          state: DataFrame, maxHamming: Int = 2,
+                          hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) =
+    sigDedupIncrement(audioHash(spark, batchBlobs).toDF(), state, maxHamming,
+      hotBands)
+
+  /** The modality-neutral sig-level admission core (image S39 / audio
+    * S41): band-probe the batch signatures against the state and the
+    * batch's own earlier (smaller doc_id) members, Hamming-verify,
+    * fold to per-id verdicts. `hotBands` (from `compactSigState`) is
+    * the OPERATIONAL hot-band exclusion: band buckets whose state
+    * occupancy exceeded the compaction cap are dropped from the
+    * state-probe side — the same documented recall trade the fused
+    * operator's guard makes, applied at compaction cadence because
+    * occupancy is a corpus property, not a batch one. Exact-duplicate
+    * re-posts remain immune to the exclusion when the state was
+    * compacted with `compactSigState`: its exact-hash collapse keeps
+    * one rep per hash VALUE, and an arriving exact copy shares every
+    * band with its rep — all 64/bandBits of them — so at least one
+    * cold band survives unless the rep's entire signature is hot, the
+    * degenerate-payload case the guard exists to absorb. */
+  private[graft] def sigDedupIncrement(batchSig: DataFrame, state: DataFrame,
+                                       maxHamming: Int,
+                                       hotBands: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
-    val sig = dHash(spark, batchBlobs).toDF()
-      .select(col("doc_id"), col("dhash")).localCheckpoint()
+    val sig = batchSig.select(col("doc_id"), col("dhash")).localCheckpoint()
     def banded(df: DataFrame) = df.select(col("doc_id"), col("dhash"),
       posexplode(array((0 until 8).map(bi =>
         shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_val")))
     val b = banded(sig)
-    val s = banded(state)
+    val s0 = banded(state.select(col("doc_id"), col("dhash")))
+    val s = hotBands.fold(s0)(hot =>
+      s0.join(broadcast(hot), Seq("band_idx", "band_val"), "left_anti"))
     def dupIds(other: DataFrame, earlier: Column): DataFrame =
       b.as("x").join(other.as("y"),
           col("x.band_idx") === col("y.band_idx")
@@ -756,6 +864,40 @@ object Multimodal {
           .when(col("dup_b"), lit("dup_batch"))
           .otherwise(lit("kept")).as("verdict"))
     (verdicts, sig)
+  }
+
+  /** State COMPACTION for the streaming admission loops (S39/S41) —
+    * the shipped form of the operator contract round 17 only promised
+    * ("the guard applies when COMPACTING the persisted state index"):
+    * (a) exact-hash collapse — one min-id representative per distinct
+    * signature VALUE, verdict-lossless for admission because identical
+    * hashes are at identical Hamming distance from any probe, so a
+    * batch member within radius of a dropped member is within radius
+    * of its rep (a state dominated by a viral re-post shrinks from
+    * multiplicity rows to one); (b) the hot-band exclusion index —
+    * band buckets whose COLLAPSED occupancy exceeds `maxBandOcc`
+    * (degenerate signatures: flat/tiny payloads hashing near 0), which
+    * `sigDedupIncrement` anti-joins off its state-probe side so a
+    * degenerate pile can never make every batch probe scan linearly in
+    * state occupancy. Returns (compactedState, hotBands); the caller
+    * swaps both in at its compaction cadence (occupancy is a corpus
+    * property — per-batch guarding would thrash). The index is
+    * ≤ 8·256 rows at 8-bit bands — knob-table sized, broadcast at
+    * probe time. */
+  def compactSigState(state: DataFrame, maxBandOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("dhash"))
+    val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
+    val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
+    val hot = repSig.select(col("dhash"),
+        posexplode(array((0 until 8).map(bi =>
+          shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band_idx", "band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("band_idx"), col("band_val"))
+    (repSig, hot)
   }
 
   // ----------------------------------------------------- audio near-dup

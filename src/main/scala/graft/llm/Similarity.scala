@@ -438,24 +438,37 @@ object Similarity {
     * function of the value), so the representative keeps the group's
     * (cell, cent_sim) and the group's keep-order anchor is its MIN nid.
     * Returns (reps, meta): reps is an assignment table over
-    * representatives (feeds refine/pair passes unchanged); meta is
-    * (rep_id, dg, mult, nids — the group's ids sorted ascending, i.e.
-    * in within-group keep order). */
+    * representatives (feeds refine/pair passes unchanged); meta is the
+    * MEMBER table (rep_id, mult, m_id, rk) — one narrow row per
+    * original vector, rk = the member's 0-based keep-order rank within
+    * its group (nid ascending; the rk = 0 row is the representative
+    * itself). A member table instead of a per-group collected array is
+    * the point (round-17 VERDICT #4): at the motivating scale — one
+    * value duplicated 10⁶–10⁸ times — `collect_list` makes ONE row of
+    * 8–800 MB, while this keeps every row O(1); the rank comes from a
+    * window PARTITIONED by the dup group (sort-and-stream work,
+    * spillable), never a group-wide buffer. */
   private[graft] def collapseExactDups(cs: DataFrame)
       : (DataFrame, DataFrame) = {
-    val groups = cs
-      .withColumn("dg",
-        struct(xxhash64(col("ce")), md5(to_json(col("ce")))))
+    val keyed = cs.withColumn("dg",
+      struct(xxhash64(col("ce")), md5(to_json(col("ce")))))
+    val groups = keyed
       .groupBy(col("cell"), col("dg"))
       .agg(min(col("nid")).as("nid"),
-        count(lit(1)).as("mult"),
-        sort_array(collect_list(col("nid"))).as("nids"),
         first(col("ce")).as("ce"),
         first(col("cent_sim")).as("cent_sim"))
       .localCheckpoint()
+    val wGrp = Window.partitionBy(col("cell"), col("dg"))
+    val members = keyed
+      .select(col("cell"), col("dg"), col("nid"))
+      .select(
+        min(col("nid")).over(wGrp).as("rep_id"),
+        count(lit(1)).over(wGrp).as("mult"),
+        col("nid").as("m_id"),
+        (row_number().over(wGrp.orderBy(col("nid"))) - 1)
+          .cast(LongType).as("rk"))
     (groups.select(col("nid"), col("ce"), col("cell"), col("cent_sim")),
-      groups.select(col("nid").as("rep_id"), col("dg"), col("mult"),
-        col("nids")))
+      members)
   }
 
   /** The upper-triangle verdict over COLLAPSED representatives, expanded
@@ -471,8 +484,8 @@ object Similarity {
     *    back to singletons, after which ties resolve by nid exactly as
     *    the uncollapsed predicate does (same-value members never tie
     *    cross-entity: they are one group by construction).
-    *  - WITHIN a group: member at keep-order rank i (0-based over the
-    *    sorted nids) has exactly i earlier same-value members, each a
+    *  - WITHIN a group: member at keep-order rank i (0-based, the
+    *    member table's rk) has exactly i earlier same-value members, each a
     *    duplicate iff cosine(ce, ce) ≥ τ — computed once per group as
     *    self_dup (the uncollapsed filter evaluates the same expression
     *    on the same values), so n_dup_earlier = c_cross + i·self_dup
@@ -481,25 +494,38 @@ object Similarity {
   private[graft] def semDedupVerdictCollapsed(reps: DataFrame,
                                               meta: DataFrame,
                                               tau: Double): DataFrame = {
-    val ent0 = reps.join(meta, col("nid") === col("rep_id"))
+    val grp = meta.filter(col("rk") === 0)
+      .select(col("rep_id"), col("mult"))
+    val ent0 = reps.join(grp, col("nid") === col("rep_id"))
       .select(col("nid"), col("ce"), col("cell"), col("cent_sim"),
-        col("dg"), col("mult"), col("nids"))
+        col("mult"))
     // the tie valve (≤ a handful of rows on real data — fp cent_sim
     // equality across DIFFERENT values is a contrived event, but the
-    // byte-equality contract is unconditional)
+    // byte-equality contract is unconditional). ent0 holds ONE row per
+    // distinct-value group, so >1 rows on a (cell, cent_sim) key IS
+    // >1 distinct digests — no digest column needed.
     val tieKeys = ent0.groupBy(col("cell"), col("cent_sim"))
-      .agg(countDistinct(col("dg")).as("ndg"))
+      .agg(count(lit(1)).as("ndg"))
       .filter(col("ndg") > 1)
       .select(col("cell"), col("cent_sim"))
     val safe = ent0.join(tieKeys, Seq("cell", "cent_sim"), "left_anti")
-      .select(col("nid"), col("ce"), col("cell"), col("cent_sim"),
-        col("mult"), col("nids"))
     val exploded = ent0.join(tieKeys, Seq("cell", "cent_sim"), "left_semi")
-      .select(col("cell"), col("cent_sim"), col("ce"),
-        explode(col("nids")).as("m_id"))
+      .select(col("nid").as("tie_rep"), col("ce"), col("cell"),
+        col("cent_sim"))
+      .join(meta.select(col("rep_id"), col("m_id")),
+        col("tie_rep") === col("rep_id"))
       .select(col("m_id").as("nid"), col("ce"), col("cell"),
-        col("cent_sim"), lit(1L).as("mult"), array(col("m_id")).as("nids"))
+        col("cent_sim"), lit(1L).as("mult"))
     val entities = safe.unionByName(exploded).localCheckpoint()
+    // per-entity member rows (ent_id, vec_id, rk) for the final
+    // expansion — a keyed join on the member table, never a collected
+    // array (no O(multiplicity) row anywhere in this pass)
+    val safeMembers = safe.select(col("nid").as("ent_id"))
+      .join(meta, col("ent_id") === col("rep_id"))
+      .select(col("ent_id"), col("m_id").as("vec_id"), col("rk"))
+    val explMembers = exploded.select(col("nid").as("ent_id"),
+      col("nid").as("vec_id"), lit(0L).as("rk"))
+    val entMembers = safeMembers.unionByName(explMembers)
     val a = entities.select(col("cell"), col("nid").as("a_id"),
       col("ce").as("ae"), col("cent_sim").as("a_cs"),
       col("mult").as("a_mult"))
@@ -511,12 +537,10 @@ object Similarity {
       .filter(cosine(col("ae"), col("be")) >= tau)
       .groupBy(col("b_id")).agg(sum(col("a_mult")).as("c_cross"))
     entities.join(cross, col("nid") === col("b_id"), "left")
-      .select(col("cell"), col("cent_sim"),
+      .select(col("nid").as("ent_id"), col("cell"), col("cent_sim"),
         coalesce(col("c_cross"), lit(0L)).as("c_cross"),
-        (cosine(col("ce"), col("ce")) >= tau).as("self_dup"),
-        col("nids"))
-      .select(col("cell"), col("cent_sim"), col("c_cross"), col("self_dup"),
-        posexplode(col("nids")).as(Seq("rk", "vec_id")))
+        (cosine(col("ce"), col("ce")) >= tau).as("self_dup"))
+      .join(entMembers, Seq("ent_id"))
       .withColumn("n_dup_earlier", col("c_cross") +
         when(col("self_dup"), col("rk").cast(LongType)).otherwise(0L))
       .select(col("vec_id"), col("cell"), col("cent_sim"),
@@ -1361,14 +1385,17 @@ object Similarity {
       .select(col("qid"), explode(col("top")).as("e"))
       .select(col("qid"), col("e.id").as("nid"),
         col("e.score").as("approx_sim"))
-    // exact rerank of the |Q|·shortM survivors (the l48/l95 tail)
+    // exact rerank of the |Q|·shortM survivors (the l48/l95 tail).
+    // Norms project in the SAME select as the embedding (identical
+    // doubles — the same sqrt(norm2) expression): a corpus ⋈ corpus
+    // self-join here would shuffle the float arrays on vec_id for no
+    // information (round-18; the l119 PlanSpec payload pin holds the
+    // corpus floats out of every exchange).
     val qEmb = broadcast(queries
-      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
-      .join(qn, "qid"))
-    val cNrm = corpus.select(col("vec_id"),
-      sqrt(norm2(col("embedding"))).as("cn"))
-    val cEmb = corpus.select(col("vec_id").as("nid"), col("embedding").as("ce"))
-      .join(cNrm.withColumnRenamed("vec_id", "nid"), "nid")
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        sqrt(norm2(col("embedding"))).as("qn")))
+    val cEmb = corpus.select(col("vec_id").as("nid"),
+      col("embedding").as("ce"), sqrt(norm2(col("embedding"))).as("cn"))
     val wE = Window.partitionBy(col("qid")).orderBy(col("sim").desc, col("nid"))
     broadcast(shortlist).join(cEmb, "nid").join(qEmb, "qid")
       .select(col("qid"), col("nid"), col("approx_sim"),

@@ -1,7 +1,6 @@
 package graft.llm
 
 import org.apache.spark.sql.{Column, DataFrame}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 
@@ -41,14 +40,23 @@ object UnigramLm {
                 maxLen: Int = 4): DataFrame =
     seedVocabFromWords(words(docs), vocabSize, maxLen)
 
-  /** seedVocab over a maintained (word, freq) table — the S40 surface. */
+  /** seedVocab over a maintained (word, freq) table — the S40 surface.
+    * Top-V selection is TakeOrdered (orderBy+limit → per-partition
+    * partial top-V merged on the driver — the l59 discipline), never a
+    * global row_number window: the candidate table is vocab-domain
+    * sized, but a single-task corpus-wide sort is still the one
+    * straggler shape this repo bans. The single-char union preserves
+    * segmentation coverage; both legs project identical (piece,
+    * seed_freq) rows from the same aggregate, so the distinct is an
+    * exact-duplicate drop, not a semantic choice. */
   def seedVocabFromWords(wordFreq: DataFrame, vocabSize: Int = 40,
                          maxLen: Int = 4): DataFrame = {
     val occ = wordSpans(wordFreq, maxLen)
       .groupBy(col("piece")).agg(sum(col("freq")).as("seed_freq"))
-    val w = Window.orderBy(col("seed_freq").desc, col("piece"))
-    occ.withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= vocabSize || length(col("piece")) === 1)
+    val topV = occ.orderBy(col("seed_freq").desc, col("piece"))
+      .limit(vocabSize)
+    val singles = occ.filter(length(col("piece")) === 1)
+    topV.unionByName(singles).distinct()
       .select(col("piece"), col("seed_freq"))
   }
 
@@ -89,15 +97,29 @@ object UnigramLm {
     * (end, j) — the PINNED fold order of every pass below. p is the
     * piece's unigram probability seed_freq/T (T = total seed mass). */
   private def lattice(wordFreq: DataFrame, vocabSize: Int,
-                      maxLen: Int): DataFrame = {
-    val seed = seedVocabFromWords(wordFreq, vocabSize, maxLen)
-      .localCheckpoint()
-    val t = seed.agg(sum(col("seed_freq")).as("t_mass"))
+                      maxLen: Int): DataFrame =
+    latticeFromModel(wordFreq,
+      seedVocabFromWords(wordFreq, vocabSize, maxLen)
+        .select(col("piece"), col("seed_freq").as("cnt"))
+        .localCheckpoint(),
+      maxLen)
+
+  /** The lattice under an explicit MODEL count table (piece, cnt BIGINT)
+    * — the trainer's per-round E-step surface. Piece probabilities are
+    * ONE exact-rounded double division cnt/T (T = Σ cnt — the round-1
+    * seed_freq/t_mass expression verbatim, so the seed path is
+    * byte-identical), and the model always broadcasts: it is
+    * vocab-table sized by construction, so EM rounds never re-shuffle
+    * the corpus — the one corpus-sized exchange is the (word, freq)
+    * fold the caller already paid. */
+  private def latticeFromModel(wordFreq: DataFrame, model: DataFrame,
+                               maxLen: Int): DataFrame = {
+    val t = model.agg(sum(col("cnt")).as("t_mass"))
     val matched = wordSpans(wordFreq, maxLen)
-      .join(broadcast(seed), Seq("piece"))
+      .join(broadcast(model), Seq("piece"))
       .crossJoin(broadcast(t))
       .select(col("word"), col("freq"), col("j"), col("k"), col("piece"),
-        (col("seed_freq").cast(DoubleType) / col("t_mass").cast(DoubleType))
+        (col("cnt").cast(DoubleType) / col("t_mass").cast(DoubleType))
           .as("p"))
     matched.groupBy(col("word"), col("freq"))
       .agg(sort_array(collect_list(struct(
@@ -140,8 +162,13 @@ object UnigramLm {
   /** spanPosteriors over a maintained (word, freq) table — the S40
     * surface (and the shared one-corpus-pass path of emRound1). */
   def spanPosteriorsFromWords(wordFreq: DataFrame, vocabSize: Int = 40,
-                              maxLen: Int = 4): DataFrame = {
-    val lat = lattice(wordFreq, vocabSize, maxLen)
+                              maxLen: Int = 4): DataFrame =
+    posteriorsOf(lattice(wordFreq, vocabSize, maxLen))
+
+  /** The snapped per-span posteriors of a built lattice (shared by the
+    * seed-model round-1 path and the trainer's model-round E-steps). */
+  private def posteriorsOf(lat0: DataFrame): DataFrame = {
+    val lat = lat0
       .withColumn("alpha", alphaArr(col("sps"), col("n")))
       .withColumn("beta", betaArr(col("sps"), col("n")))
     lat.select(col("word"), col("freq"), col("n"), col("alpha"),
@@ -152,6 +179,19 @@ object UnigramLm {
           * element_at(col("beta"), col("n") - col("sp.end") + 1)
           / element_at(col("alpha"), col("n") + 1)).as("e"))
       .withColumn("e_snap", floor(lit(1e9) * col("e")).cast(LongType))
+  }
+
+  /** One E-step under an explicit model: per model piece, the snapped
+    * corpus-weighted expected count (pieces the posteriors never touch
+    * keep a 0 — they still rank, and prune, in the same round). */
+  private def emCounts(wordFreq: DataFrame, model: DataFrame,
+                       maxLen: Int): DataFrame = {
+    val em = posteriorsOf(latticeFromModel(wordFreq, model, maxLen))
+      .groupBy(col("piece"))
+      .agg(sum(col("e_snap") * col("freq")).as("em_count"))
+    model.select(col("piece")).join(em, Seq("piece"), "left")
+      .select(col("piece"),
+        coalesce(col("em_count"), lit(0L)).as("em_count"))
   }
 
   /** L123 — unigram-LM ROUND-1 EM statistics: per seed piece, its seed

@@ -351,7 +351,30 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
     * modality the engine decodes. The oracle regenerates the samples
     * (the l115 trick) and replays envelope/hash/banding bit-identically
     * — all BIGINT arithmetic. */
-  protected val l127 = {
+  protected val l127 = DeclaredQuery(
+    "l127_audio_near_dups",
+    (s, dir) => Multimodal.audioNearDups(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500)
+      .withColumnRenamed("grid_l1", "env_l1")
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $audioSigCtes,
+      ${bandLegCtes("", 8, 2, 500)}
+      SELECT c.doc_a, c.doc_b, c.hamming,
+        CAST(list_reduce(list_transform(range(65),
+          i -> abs(ga.grid[CAST(i + 1 AS INTEGER)]
+                 - gb.grid[CAST(i + 1 AS INTEGER)])),
+          (x, y) -> x + y) AS BIGINT) AS env_l1
+      FROM cand c
+      JOIN dh ga ON ga.doc_id = c.doc_a
+      JOIN dh gb ON gb.doc_id = c.doc_b
+      ORDER BY doc_a, doc_b"""))
+
+  /** The shared audio signature CTE chain (t/wav/smp/env/dh) — the WAV
+    * regeneration, the 65-chunk exact-integer energy envelope, and the
+    * 64-bit gradient-sign hash, replaying `Multimodal.audioHash`
+    * bit-identically (all BIGINT arithmetic). Used by l127 (pairs) and
+    * l128 (apply). */
+  private def audioSigCtes: String = {
     val envBit =
       """CASE WHEN grid[CAST(b + 1 AS INTEGER)] >
                 grid[CAST(b + 2 AS INTEGER)]
@@ -359,13 +382,7 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
                 THEN CAST(-9223372036854775807 AS BIGINT) - 1
                 ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
            ELSE CAST(0 AS BIGINT) END"""
-    DeclaredQuery(
-      "l127_audio_near_dups",
-      (s, dir) => Multimodal.audioNearDups(s, t(s, dir, "documents"),
-        maxHamming = 2, maxBandOcc = 500)
-        .withColumnRenamed("grid_l1", "env_l1")
-        .orderBy(col("doc_a"), col("doc_b")),
-      Some(s"""WITH t AS (SELECT doc_id, text,
+    s"""t AS (SELECT doc_id, text,
                length(COALESCE(text, '')) AS len FROM documents),
       wav AS (SELECT doc_id, text, len,
           CASE WHEN len = 0 THEN 1
@@ -384,18 +401,41 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
         FROM smp),
       dh AS MATERIALIZED (SELECT doc_id, grid,
           list_reduce(list_transform(range(64), b -> $envBit),
-            (x, y) -> x + y) AS dhash FROM env),
-      ${bandLegCtes("", 8, 2, 500)}
-      SELECT c.doc_a, c.doc_b, c.hamming,
-        CAST(list_reduce(list_transform(range(65),
-          i -> abs(ga.grid[CAST(i + 1 AS INTEGER)]
-                 - gb.grid[CAST(i + 1 AS INTEGER)])),
-          (x, y) -> x + y) AS BIGINT) AS env_l1
-      FROM cand c
-      JOIN dh ga ON ga.doc_id = c.doc_a
-      JOIN dh gb ON gb.doc_id = c.doc_b
-      ORDER BY doc_a, doc_b"""))
+            (x, y) -> x + y) AS dhash FROM env)"""
   }
+
+  /** L128 — audio dedup APPLY (the l125 shape on the audio plane,
+    * closing the ladder asymmetry round 17 left: images shipped
+    * pairs→apply→sweep→streaming, audio stopped at l127 pairs):
+    * exact-hash pre-collapse (one min-id representative per distinct
+    * gradient-sign signature — a re-mastered viral clip enters the CC
+    * as one node, immune to the hot-band guard), banded rep pairs,
+    * transitive closure, keep each cluster's minimum doc_id, anti-join
+    * the losers; output the surviving (doc_id, dhash). Spark side runs
+    * the auto-selected CC machinery; the oracle runs a recursive-CTE
+    * closure — two very different algorithms that must agree exactly
+    * (the l125 precedent). */
+  protected val l128 = DeclaredQuery(
+    "l128_audio_dedup_apply",
+    (s, dir) => Multimodal.audioDedupApply(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $audioSigCtes,
+      rep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, dhash
+        FROM dh GROUP BY dhash),
+      ${bandLegCtes("", 8, 2, 500, src = "rep")},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+      SELECT r.doc_id, r.dhash FROM rep r
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = r.doc_id)
+      ORDER BY r.doc_id"""))
 
   /** L115 — multimodal AUDIO decode: deterministic 16-bit PCM mono WAV
     * payloads (real RIFF/WAVE container, canonical 44-byte header)

@@ -1853,6 +1853,75 @@ class LlmSpec extends SparkSpec {
     }
   }
 
+  test("audioDedupApply: exact copies collapse to one survivor; untouched " +
+    "clips pass through (the l125 shape on the audio plane)") {
+    // identical text ⇒ identical WAV ⇒ identical gradient-sign hash —
+    // the exact-hash pre-collapse folds 1/2/3 to rep 1; clip 9 is
+    // isolated.
+    val d = Seq(
+      (1L, "alpha beta gamma"), (2L, "alpha beta gamma"),
+      (3L, "alpha beta gamma"), (9L, "completely different words here"))
+      .toDF("doc_id", "text")
+    val kept = Multimodal.audioDedupApply(spark, d, maxHamming = 2,
+        maxBandOcc = 100000)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(1L, 9L))
+  }
+
+  test("audioDedupApply pre-collapse: exact-duplicate cliques dedup even " +
+    "when every band bucket is hot — hash equality outruns the guard") {
+    // 30 byte-identical clips make every band bucket they occupy hot at
+    // cap 10; the apply must still collapse them by hash equality (the
+    // imageDedupApply pin, on the shared sig-level core).
+    val d = ((0 until 30).map(i => (i.toLong, "flat flat flat")) ++
+      Seq((100L, "rich and varied content the quick brown fox"),
+        (101L, "rich and varied content the quick brown fox")))
+      .toDF("doc_id", "text")
+    val kept = Multimodal.audioDedupApply(spark, d, maxHamming = 2,
+        maxBandOcc = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(kept.toSeq === Seq(0L, 100L),
+      s"pre-collapse failed under hot bands: ${kept.toSeq}")
+  }
+
+  test("dedup-apply Auto twins: scheduled band width resolves to 8 bits at " +
+    "small corpora and stays byte-equal to the declared fixed forms " +
+    "(image l125 / audio l128)") {
+    val d = (0 until 25).map(i =>
+        (i.toLong, s"document number $i with its own distinct words " +
+          s"${('a' + i % 26).toChar}${('a' + (i * 7) % 26).toChar}")) ++
+      Seq((200L, "document number 3 twin"), (201L, "document number 3 twin"))
+    val docs = d.toDF("doc_id", "text")
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1)))
+        .sortBy(_._1).toSeq
+    val imgFixed = ids(Multimodal.imageDedupApply(spark, docs))
+    val imgAuto = ids(Multimodal.imageDedupApplyAuto(spark,
+      Multimodal.encodePpm(spark, docs).toDF()))
+    assert(imgAuto === imgFixed)
+    val audFixed = ids(Multimodal.audioDedupApply(spark, docs))
+    val audAuto = ids(Multimodal.audioDedupApplyAuto(spark,
+      Multimodal.encodeWav(spark, docs).toDF()))
+    assert(audAuto === audFixed)
+  }
+
+  test("imageBandSweep rejects a guarded or narrower-than-widest truth " +
+    "leg loudly — the recall denominator must be the unguarded widest " +
+    "lossless width") {
+    val d = Seq((1L, "one"), (2L, "two")).toDF("doc_id", "text")
+    // guarded last leg: recall would divide by a lossy denominator
+    intercept[IllegalArgumentException](
+      Multimodal.imageBandSweep(spark, d,
+        configs = Seq((8, 500), (16, 500))))
+    // unguarded but NARROW last leg: 8-bit is not the widest admissible
+    // at radius 2 (16 is)
+    intercept[IllegalArgumentException](
+      Multimodal.imageBandSweep(spark, d,
+        configs = Seq((16, 500), (8, 1 << 30))))
+    // the default config still passes the gate (and runs)
+    assert(Multimodal.imageBandSweep(spark, d).count() === 3L)
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

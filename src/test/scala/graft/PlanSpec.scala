@@ -520,7 +520,10 @@ class PlanSpec extends SparkSpec {
       // l125/l126: same codec boundary — CC edges and sweep counts are
       // id/long work
       "l122_image_near_dups", "l125_image_dedup_apply",
-      "l126_image_band_sweep", "l127_audio_near_dups")) {
+      "l126_image_band_sweep", "l127_audio_near_dups",
+      // l128: audio apply — the shared sig-level core; everything past
+      // the audioHash scan is (doc_id, dhash, band) long work
+      "l128_audio_dedup_apply")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -529,6 +532,70 @@ class PlanSpec extends SparkSpec {
           s"$q: binary columns ${bins.map(_.name)} cross a shuffle")
       }
     }
+  }
+
+  test("l119: every codes-carrying exchange is float-free — the ADC " +
+    "index/scan moves quantized bytes + norms, never the embeddings " +
+    "(the 8-information-bytes-per-row scale claim, held by schema)") {
+    // Round-17 ADVICE: the cell-equality pin below proves the scan join
+    // keeps its key, but nothing yet asserted WHAT the code-scan/index
+    // exchanges carry. The claim that makes IVF-PQ an index at 100 TB is
+    // that corpus-sized exchanges move (nid, cell, codes, nrm) — if a
+    // float embedding array ever rides next to `codes`, the index costs
+    // floats again and the compression was theater.
+    import org.apache.spark.sql.types.{ArrayType, FloatType}
+    // At sf0.001 the index-build joins all auto-broadcast and no codes
+    // row ever crosses a shuffle — which is exactly what would NOT
+    // happen at 100 TB. Force the at-scale shape by disabling
+    // auto-broadcast (explicit broadcast() hints — the probe/LUT/query
+    // structures that broadcast BY DESIGN — are unaffected).
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    val payloads =
+      try {
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        allShufflePayloads(lq("l119_ivfpq_ann"))
+      } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    assert(payloads.nonEmpty)
+    // What the walk actually shows (and this pin freezes): `codes`
+    // never crosses an exchange AT ALL — pqEncode's vec_id-keyed agg
+    // leaves the coded index hash-partitioned on vec_id and the
+    // index-build join REUSES that partitioning — and the corpus float
+    // columns (ce / embedding) ride no shuffle either: floats stream
+    // scan→project into the rerank join whose other side broadcasts.
+    // The only float arrays on any wire are the by-contract-small query
+    // side's (qe, cent — the probe window). A regression that (a)
+    // re-shuffles codes next to a float array or (b) puts the corpus
+    // embedding on an exchange fails here by name/type.
+    payloads.filter(_.exists(a => a.name == "codes" || a.name == "cc"))
+      .foreach { attrs =>
+        val floats = attrs.filter(_.dataType match {
+          case ArrayType(FloatType, _) => true
+          case _ => false
+        })
+        assert(floats.isEmpty,
+          s"codes exchange carries float arrays ${floats.map(_.name)} in " +
+            s"(${attrs.map(_.name).mkString(", ")})")
+      }
+    payloads.foreach { attrs =>
+      val corpusFloats = attrs.map(_.name).filter(Set("ce", "embedding"))
+      assert(corpusFloats.isEmpty,
+        s"corpus embedding crosses a shuffle as $corpusFloats in " +
+          s"(${attrs.map(_.name).mkString(", ")})")
+    }
+  }
+
+  test("unigram seedVocab: top-V selection runs as TakeOrderedAndProject " +
+    "— never a single-task global row_number window (the l59/d18 " +
+    "discipline)") {
+    // Round-17 VERDICT #5: the candidate-piece table is vocab-domain
+    // sized, but the old global Window.orderBy put ALL of it through one
+    // task's sort. The fix is partial top-V per partition merged on the
+    // driver; this pin keeps it that way.
+    import graft.llm.UnigramLm
+    val docs = Tables.load(spark, sf001, "documents")
+    val plan = executedPlan(UnigramLm.seedVocab(docs))
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+    assert(!plan.contains("Window"), plan.take(2000))
   }
 
   test("l118: SemDeDup pair generation joins cells by EQUALITY — the " +

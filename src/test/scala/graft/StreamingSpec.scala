@@ -1576,6 +1576,120 @@ class StreamingSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L, 3L, 11L, 12L).forall(verdicts(_) == "kept"))
   }
 
+  test("S41: streaming audio near-dup admission — ascending-id arrivals " +
+    "reproduce the fused pair table; gain-scaled re-uploads verdict both " +
+    "within-batch and across the boundary") {
+    // S39's arrival-order discipline on the audio plane, through the
+    // shared sig-level core: the carried state is the (doc_id, dhash)
+    // gradient-sign table of every seen clip; each batch pays its own
+    // codec-boundary audioHash. Planted duplicates are GAIN-scaled
+    // (×k samples — hash-identical by envelope-gradient invariance),
+    // within a batch and across the boundary.
+    import StreamOps.StreamBlob
+    import graft.llm.Multimodal
+    def wav(id: Long, ss: Seq[Int]): Multimodal.BlobRow = {
+      val out = new Array[Byte](44 + 2 * ss.length)
+      def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+        out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+        out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+      def tag(off: Int, s: String): Unit =
+        System.arraycopy(s.getBytes("US-ASCII"), 0, out, off, 4)
+      tag(0, "RIFF"); le32(4, 36 + 2 * ss.length); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+      le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+      tag(36, "data"); le32(40, 2 * ss.length)
+      ss.zipWithIndex.foreach { case (s, k) => le16(44 + 2 * k, s & 0xffff) }
+      Multimodal.BlobRow(id, out)
+    }
+    def samples(seed: Int): Seq[Int] =
+      (0 until 130).map(k => ((k * 37 + seed * 101 + (k * k * seed) % 61)
+        % 900) - 450)
+    val batch1 = Seq(wav(0, samples(0)), wav(1, samples(1)),
+      wav(2, samples(2)), wav(3, samples(3)),
+      wav(6, samples(2).map(_ * 4))) // within-batch gain-dup of id 2
+    val batch2 = Seq(wav(10, samples(1).map(_ * 2)), // cross-batch dup of 1
+      wav(11, samples(7)), wav(12, samples(8)),
+      wav(14, samples(7).map(_ * 8))) // 14 dups 11 in-batch
+    val all = (batch1 ++ batch2).toDF()
+    val fusedDropped = Multimodal.imageNearDupsFromSigs(
+        Multimodal.audioHash(spark, all).toDF(),
+        maxHamming = 2, maxBandOcc = 100000)
+      .collect().map(_.getLong(1)).toSet
+    var state = Multimodal.audioHash(spark, all.limit(0)).toDF()
+      .select(col("doc_id"), col("dhash")).localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[StreamBlob]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val (verdicts, sigs) = Multimodal.audioDedupIncrement(spark,
+          batch.toDF().select(col("doc_id"), col("payload")), state,
+          maxHamming = 2)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+        state = state.unionByName(sigs).localCheckpoint()
+        ()
+      }.start()
+    def sb(b: Multimodal.BlobRow) = StreamBlob(b.doc_id, b.payload,
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    try {
+      in.addData(batch1.map(sb): _*); q.processAllAvailable()
+      in.addData(batch2.map(sb): _*); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = out.toMap
+    assert(out.size === 9)
+    assert(verdicts.filter(_._2 != "kept").keySet === fusedDropped)
+    assert(verdicts(6L) === "dup_batch")
+    assert(verdicts(14L) === "dup_batch")
+    assert(verdicts(10L) === "dup_corpus")
+    assert(Seq(0L, 1L, 2L, 3L, 11L, 12L).forall(verdicts(_) == "kept"))
+  }
+
+  test("compactSigState: exact-hash collapse is verdict-lossless for " +
+    "admission; the hot-band index silences a degenerate pile — and the " +
+    "excluded-band recall trade is exactly the documented one") {
+    import graft.llm.Multimodal
+    // (a) pile losslessness: 50 copies of one signature collapse to a
+    // single rep; an arriving exact copy still verdicts dup_corpus.
+    val pile = ((0 until 50).map(i => (2000L + i, 0x0102030405060708L)) ++
+      Seq((3000L, 0x1111222233334444L))).toDF("doc_id", "dhash")
+    val (pileRep, pileHot) = Multimodal.compactSigState(pile, maxBandOcc = 500)
+    assert(pileRep.count() === 2L) // one rep per distinct value
+    assert(pileHot.count() === 0L) // collapsed occupancy is tiny
+    val probe = Seq((1L, 0x0102030405060708L)).toDF("doc_id", "dhash")
+    def verdictOf(state: org.apache.spark.sql.DataFrame,
+                  hot: Option[org.apache.spark.sql.DataFrame]) =
+      Multimodal.sigDedupIncrement(probe, state, maxHamming = 2, hot)
+        ._1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(verdictOf(pile, None) === verdictOf(pileRep, Some(pileHot)))
+    assert(verdictOf(pileRep, Some(pileHot))(1L) === "dup_corpus")
+    // (b) hot-band exclusion: 120 DISTINCT signatures differing only in
+    // the top byte share band-value 0 on bands 0–6 — at cap 100 those
+    // seven buckets go hot while band 7 stays cold (distinct values).
+    val state = (0 until 120).map(i => (1000L + i, i.toLong << 56))
+      .toDF("doc_id", "dhash")
+    val (repState, hot) = Multimodal.compactSigState(state, maxBandOcc = 100)
+    assert(repState.count() === 120L)
+    assert(hot.collect().map(r => (r.getInt(0), r.getLong(1))).toSet ===
+      (0 until 7).map(b => (b, 0L)).toSet)
+    // an exact copy of a state member still admits as dup via the COLD
+    // band 7 (exact duplicates share every band with their rep — at
+    // least one cold band survives unless the whole signature is hot)
+    val exact = Seq((1L, 42L << 56)).toDF("doc_id", "dhash")
+    assert(Multimodal.sigDedupIncrement(exact, repState, 2, Some(hot))
+      ._1.collect().head.getString(1) === "dup_corpus")
+    // a NEAR-dup whose one differing bit sits in band 7 (so its cold
+    // band no longer matches) is reachable only through the hot bands —
+    // excluded ⇒ kept: the documented recall trade, priced here
+    val nearViaHot = Seq((2L, (42L << 56) ^ (1L << 63)))
+      .toDF("doc_id", "dhash")
+    assert(Multimodal.sigDedupIncrement(nearViaHot, repState, 2, Some(hot))
+      ._1.collect().head.getString(1) === "kept")
+    // ...and found when the guard is off, proving exclusion (not a
+    // missing pair) is what dropped it
+    assert(Multimodal.sigDedupIncrement(nearViaHot, repState, 2, None)
+      ._1.collect().head.getString(1) === "dup_corpus")
+  }
+
   test("S38: IVF-PQ ANN serving under foreachBatch — arriving query " +
     "batches against the persisted composed model equal the fused batch") {
     // The l119 production split, completing the serving family next to
