@@ -221,6 +221,154 @@ object UnigramLm {
         coalesce(col("em_count"), lit(0L)).as("em_count"))
   }
 
+  // ------------------------------------------------------- trainer loop
+
+  /** Per-piece ALTERNATIVE segmentation score (the prune statistic's
+    * denominator, Kudo §3.2 / the SentencePiece trainer's
+    * alternative-path loss): for every multi-character model piece, the
+    * Viterbi-best segmentation score of the piece ITSELF using the
+    * OTHER model pieces — every matched span except the full-width one.
+    * Pure vocab-table work: each lattice is over a ≤ maxLen-character
+    * string. Always positive, because single-character pieces never
+    * leave the model and carry the M-step's count-1 coverage floor.
+    * Fold order is the pinned Viterbi rule (position ascending, start
+    * ascending, strictly-greater replaces), so the score replays
+    * bit-identically in the oracle's unrolled chain. */
+  private def altScores(model: DataFrame, maxLen: Int): DataFrame = {
+    val t = model.agg(sum(col("cnt")).as("t_mass"))
+    val multi = model.filter(length(col("piece")) > 1)
+      .select(col("piece").as("word"), lit(1L).as("freq"))
+    val sps = wordSpans(multi, maxLen)
+      .filter(col("k") < length(col("word")))
+      .join(broadcast(model), Seq("piece"))
+      .crossJoin(broadcast(t))
+      .select(col("word"), col("j"), col("k"),
+        (col("cnt").cast(DoubleType) / col("t_mass").cast(DoubleType))
+          .as("p"))
+      .groupBy(col("word"))
+      .agg(sort_array(collect_list(struct(
+        (col("j") + col("k")).as("end"), col("j"), col("p")))).as("sps"))
+      .withColumn("n", length(col("word")).cast(IntegerType))
+    val vit = aggregate(sequence(lit(1), col("n")), array(lit(1.0)),
+      (acc, i) => concat(acc, array(
+        aggregate(filter(col("sps"), sp => sp.getField("end") === i),
+          lit(-1.0), (best, sp) => {
+            val cs = element_at(acc, sp.getField("j") + 1) * sp.getField("p")
+            when(cs > best, cs).otherwise(best)
+          }))))
+    sps.withColumn("v", vit)
+      .select(col("word").as("piece"),
+        element_at(col("v"), col("n") + 1).as("alt"))
+  }
+
+  /** ONE trainer round: E-step under the current model, M-step
+    * re-count (single-character pieces keep a count-1 coverage floor —
+    * the lattice must always reach every position), then the Kudo §3.2
+    * PRUNE: per multi-character piece, loss = em_count · (p / alt) —
+    * the piece's expected usage weighted by how much better the piece
+    * explains itself than its best alternative segmentation. The
+    * paper's log-difference weight log(p) − log(alt) is replaced by
+    * the odds RATIO p/alt: ln is the one operation the cross-engine
+    * rational dialect bans (neither JVM Math.log nor DuckDB ln is
+    * exactly rounded), while the ratio is a single exactly-rounded
+    * division of two bit-identical doubles — same "useless pieces
+    * first" intent, replayable to the bit. Keep the top
+    * ⌈shrinkNum·nMulti/shrinkDen⌉ multi pieces by (loss desc, piece
+    * asc) — TakeOrdered, never a global window — plus every single
+    * character. The one driver-side read is the vocab-table count that
+    * sizes the keep (the Bpe.train loop-control class). */
+  private def trainRound(wordFreq: DataFrame, model: DataFrame,
+                         maxLen: Int, shrinkNum: Int, shrinkDen: Int)
+      : DataFrame = {
+    val mstep = emCounts(wordFreq, model, maxLen)
+      .select(col("piece"),
+        when(length(col("piece")) === 1, greatest(col("em_count"), lit(1L)))
+          .otherwise(col("em_count")).as("cnt"))
+      .localCheckpoint()
+    val t = mstep.agg(sum(col("cnt")).as("t_mass"))
+    val loss = mstep.filter(length(col("piece")) > 1)
+      .crossJoin(broadcast(t))
+      .join(altScores(mstep, maxLen), Seq("piece"))
+      .select(col("piece"), col("cnt"),
+        (col("cnt").cast(DoubleType) *
+          ((col("cnt").cast(DoubleType) / col("t_mass").cast(DoubleType))
+            / col("alt"))).as("loss"))
+      .localCheckpoint()
+    val nMulti = loss.count()
+    val keepM = (shrinkNum.toLong * nMulti + shrinkDen - 1) / shrinkDen
+    val kept = loss.orderBy(col("loss").desc, col("piece"))
+      .limit(keepM.toInt)
+      .select(col("piece"), col("cnt"))
+    kept.unionByName(mstep.filter(length(col("piece")) === 1))
+      .localCheckpoint()
+  }
+
+  /** The unigram-LM TRAINER, fixed-round form (the declared l129
+    * surface — a static round count unrolls in the oracle; the
+    * to-target loop below is the production wrapper): seed vocabulary
+    * → `rounds` × (E-step, M-step renormalize, loss-ranked prune at
+    * shrinkNum/shrinkDen). Returns the final model (piece, em_count,
+    * prob) — prob renormalized over the SURVIVING mass, the
+    * distribution S40's derive-at-swap serves and Viterbi segmentation
+    * consumes. Vocab-resident throughout (the Bpe.train discipline):
+    * the corpus is paid once in `words`; every round is vocab-table
+    * work over the broadcast model. */
+  def trainRounds(docs: DataFrame, seedSize: Int = 40, maxLen: Int = 4,
+                  rounds: Int = 2, shrinkNum: Int = 3,
+                  shrinkDen: Int = 4): DataFrame =
+    trainRoundsFromWords(words(docs).localCheckpoint(), seedSize, maxLen,
+      rounds, shrinkNum, shrinkDen)
+
+  /** trainRounds over a maintained (word, freq) table — the S40
+    * surface: the carried streaming state is the word-count table, and
+    * the trained model derives at swap time, never per batch. */
+  def trainRoundsFromWords(wordFreq: DataFrame, seedSize: Int = 40,
+                           maxLen: Int = 4, rounds: Int = 2,
+                           shrinkNum: Int = 3, shrinkDen: Int = 4)
+      : DataFrame = {
+    var model = seedVocabFromWords(wordFreq, seedSize, maxLen)
+      .select(col("piece"), col("seed_freq").as("cnt"))
+      .localCheckpoint()
+    for (_ <- 1 to rounds)
+      model = trainRound(wordFreq, model, maxLen, shrinkNum, shrinkDen)
+    finalizeModel(model)
+  }
+
+  /** The production TRAIN-TO-TARGET wrapper: prune rounds until the
+    * vocabulary fits `targetVocab` (or stops shrinking / maxRounds — a
+    * tiny multi set can make ⌈shrink·n⌉ = n). Each round's vocab-table
+    * count is the allowed loop-control read; everything else is the
+    * fixed-round machinery. */
+  def train(docs: DataFrame, targetVocab: Int, seedSize: Int = 40,
+            maxLen: Int = 4, shrinkNum: Int = 3, shrinkDen: Int = 4,
+            maxRounds: Int = 10): DataFrame = {
+    val wordFreq = words(docs).localCheckpoint()
+    var model = seedVocabFromWords(wordFreq, seedSize, maxLen)
+      .select(col("piece"), col("seed_freq").as("cnt"))
+      .localCheckpoint()
+    var n = model.count()
+    var r = 0
+    var shrinking = true
+    while (n > targetVocab && r < maxRounds && shrinking) {
+      model = trainRound(wordFreq, model, maxLen, shrinkNum, shrinkDen)
+      val n2 = model.count()
+      shrinking = n2 < n
+      n = n2
+      r += 1
+    }
+    finalizeModel(model)
+  }
+
+  /** (piece, cnt) → the served (piece, em_count, prob) table: one
+    * exact-rounded division over the surviving mass. */
+  private def finalizeModel(model: DataFrame): DataFrame = {
+    val t = model.agg(sum(col("cnt")).as("t_mass"))
+    model.crossJoin(broadcast(t))
+      .select(col("piece"), col("cnt").as("em_count"),
+        (col("cnt").cast(DoubleType) / col("t_mass").cast(DoubleType))
+          .as("prob"))
+  }
+
   /** Per-word Viterbi piece count under the seed model: the 1-best
     * segmentation's length, by the pinned argmax — fold spans ending at
     * each position in start-ascending order, a candidate replaces the
@@ -228,8 +376,18 @@ object UnigramLm {
     * earliest = longest-final-piece path). Scores are products of the
     * bit-identical p's in pinned order, so the comparison replays. */
   def viterbiPieceCounts(docs: DataFrame, vocabSize: Int = 40,
-                         maxLen: Int = 4): DataFrame = {
-    val lat = lattice(words(docs).localCheckpoint(), vocabSize, maxLen)
+                         maxLen: Int = 4): DataFrame =
+    viterbiOf(lattice(words(docs).localCheckpoint(), vocabSize, maxLen))
+
+  /** Per-word Viterbi piece count under an explicit TRAINED model
+    * (piece, em_count, …) — the l130 surface: the fertility a pipeline
+    * measures after training is the trained model's, not the seed's. */
+  def viterbiPieceCountsFromModel(wordFreq: DataFrame, model: DataFrame,
+                                  maxLen: Int = 4): DataFrame =
+    viterbiOf(latticeFromModel(wordFreq,
+      model.select(col("piece"), col("em_count").as("cnt")), maxLen))
+
+  private def viterbiOf(lat: DataFrame): DataFrame = {
     val vit = aggregate(sequence(lit(1), col("n")),
       array(struct(lit(1.0).as("s"), lit(0).cast(IntegerType).as("c"))),
       (acc, i) => concat(acc, array(
@@ -258,13 +416,36 @@ object UnigramLm {
     * vocabulary-residence shape); both per-word token counts come from
     * vocab-table work. */
   def tokenizerFertilityCompare(docs: DataFrame, vocabSize: Int = 40,
-                                maxLen: Int = 4): DataFrame = {
+                                maxLen: Int = 4): DataFrame =
+    fertilityCompareWith(docs, viterbiPieceCounts(docs, vocabSize, maxLen))
+
+  /** L130 — the l124 fertility comparison RE-CHECKED against the
+    * TRAINED model (trainRounds' final vocabulary), not the seed: the
+    * prune rounds change the unigram segmentation (dropped pieces force
+    * their words onto surviving alternatives), and the trained number
+    * is the one a pipeline actually ships. BPE leg unchanged (same
+    * frozen published merges — the comparison's control arm). */
+  def tokenizerFertilityCompareTrained(docs: DataFrame, seedSize: Int = 40,
+                                       maxLen: Int = 4, rounds: Int = 2,
+                                       shrinkNum: Int = 3,
+                                       shrinkDen: Int = 4): DataFrame = {
+    val wordFreq = words(docs).localCheckpoint()
+    val model = trainRoundsFromWords(wordFreq, seedSize, maxLen, rounds,
+      shrinkNum, shrinkDen).localCheckpoint()
+    fertilityCompareWith(docs,
+      viterbiPieceCountsFromModel(wordFreq, model, maxLen))
+  }
+
+  /** The shared fertility table: frozen-BPE token counts next to a
+    * caller-supplied per-word unigram (word, n_pieces) leg, folded to
+    * per-language corpus fertility. */
+  private def fertilityCompareWith(docs: DataFrame,
+                                   uni: DataFrame): DataFrame = {
     val bpeSyms = Bpe.publishedMerges
       .foldLeft(Bpe.wordSymbols(docs).select(col("word"), col("syms"))) {
         case (v, (l, r)) => v.withColumn("syms", Bpe.mergePair(col("syms"), l, r))
       }
       .select(col("word"), size(col("syms")).cast(LongType).as("n_bpe"))
-    val uni = viterbiPieceCounts(docs, vocabSize, maxLen)
     val perWord = bpeSyms.join(uni, Seq("word"))
     docs.select(col("doc_id"), col("lang"),
         explode(TextOps.tokens(col("text"))).as("word"))

@@ -1269,6 +1269,13 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
 
   // ------------------------------------------------ unigram-LM tokenizer
 
+  /** The unrolled-CTE word-length bound. The fixture generator's words
+    * top out at 8 characters today; the `wlg` guard CTE (crossed into
+    * every lattice/Viterbi head) makes a longer future word fail the
+    * oracle LOUDLY instead of silently vanishing from the inner joins
+    * (round-17 ADVICE). */
+  private val UnigramMaxWordLen = 12
+
   /** Shared DuckDB CTE prefix for the unigram-LM oracles: distinct words
     * with corpus freq, the candidate-span table, the ranked seed, the
     * probability-annotated match table `m`. WORDS must come from `ww`
@@ -1277,6 +1284,9 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
   private def unigramBaseCtes(vocabSize: Int, maxLen: Int): String =
     s"""v AS MATERIALIZED (SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM ww GROUP BY word),
+      wlg AS (SELECT CASE WHEN MAX(len(word)) > $UnigramMaxWordLen
+          THEN error('unigram oracle: a corpus word exceeds the unrolled maxWordLen=$UnigramMaxWordLen')
+          ELSE 1 END AS ok FROM v),
       spn AS (SELECT word, freq, j, k, substr(word, j + 1, k) AS piece
         FROM (SELECT word, freq, unnest(range(0, len(word))) AS j FROM v) jt
         CROSS JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS k) ks
@@ -1302,49 +1312,52 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
     * span contributes +0.0, which is a fold no-op on the positive
     * partials, so the chain equals Spark's skip-missing fold
     * bit-for-bit. */
-  private def unigramLatticeCtes(maxLen: Int, maxWordLen: Int): String = {
+  private def unigramLatticeCtes(maxLen: Int, maxWordLen: Int,
+                                 sfx: String = "", mTable: String = "m")
+      : String = {
     val aLvls = (1 to maxWordLen).map { i =>
       val ks = (math.min(maxLen, i) to 1 by -1)
       val joins = ks.map { k =>
-        s"""LEFT JOIN m s$k ON s$k.word = v.word AND s$k.j = ${i - k} AND s$k.k = $k
-        LEFT JOIN a${i - k} ap$k ON ap$k.word = v.word"""
+        s"""LEFT JOIN $mTable s$k ON s$k.word = v.word AND s$k.j = ${i - k} AND s$k.k = $k
+        LEFT JOIN a${i - k}$sfx ap$k ON ap$k.word = v.word"""
       }.mkString("\n        ")
       val sum = ks.map(k => s"COALESCE(s$k.p * ap$k.a, 0)")
         .reduce((l, r) => s"($l + $r)")
       // MATERIALIZED: each level references up to maxLen prior levels —
       // inlined, the reference tree is exponential in word length and
       // every leaf re-opens the parquet scan (observed: fd exhaustion)
-      s"""a$i AS MATERIALIZED (SELECT v.word, $sum AS a FROM v
+      s"""a$i$sfx AS MATERIALIZED (SELECT v.word, $sum AS a FROM v
         $joins
         WHERE len(v.word) >= $i)"""
     }
     val bLvls = (1 to maxWordLen).map { d =>
       val ks = 1 to math.min(maxLen, d)
       val joins = ks.map { k =>
-        s"""LEFT JOIN m s$k ON s$k.word = v.word AND s$k.j = len(v.word) - $d AND s$k.k = $k
-        LEFT JOIN b${d - k} bp$k ON bp$k.word = v.word"""
+        s"""LEFT JOIN $mTable s$k ON s$k.word = v.word AND s$k.j = len(v.word) - $d AND s$k.k = $k
+        LEFT JOIN b${d - k}$sfx bp$k ON bp$k.word = v.word"""
       }.mkString("\n        ")
       val sum = ks.map(k => s"COALESCE(s$k.p * bp$k.a, 0)")
         .reduce((l, r) => s"($l + $r)")
-      s"""b$d AS MATERIALIZED (SELECT v.word, $sum AS a FROM v
+      s"""b$d$sfx AS MATERIALIZED (SELECT v.word, $sum AS a FROM v
         $joins
         WHERE len(v.word) >= $d)"""
     }
     val aAll = (0 to maxWordLen)
-      .map(i => s"SELECT word, $i AS i, a FROM a$i")
+      .map(i => s"SELECT word, $i AS i, a FROM a$i$sfx")
       .mkString("\n        UNION ALL ")
     val bAll = (0 to maxWordLen)
-      .map(d => s"SELECT word, $d AS d, a FROM b$d")
+      .map(d => s"SELECT word, $d AS d, a FROM b$d$sfx")
       .mkString("\n        UNION ALL ")
-    s"""a0 AS (SELECT word, 1.0 AS a FROM v),
-      b0 AS (SELECT word, 1.0 AS a FROM v),
+    s"""a0$sfx AS (SELECT word, 1.0 AS a FROM v),
+      b0$sfx AS (SELECT word, 1.0 AS a FROM v),
       ${(aLvls ++ bLvls).mkString(",\n      ")},
-      aall AS (
+      aall$sfx AS (
         $aAll),
-      ball AS (
+      ball$sfx AS (
         $bAll),
-      an AS (SELECT aall.word, aall.a FROM aall
-        JOIN v ON v.word = aall.word WHERE aall.i = len(v.word))"""
+      an$sfx AS (SELECT aall$sfx.word, aall$sfx.a FROM aall$sfx
+        JOIN v ON v.word = aall$sfx.word CROSS JOIN wlg
+        WHERE aall$sfx.i = len(v.word))"""
   }
 
   /** L123 — unigram-LM tokenizer ROUND-1 EM statistics (Kudo ACL'18 /
@@ -1364,7 +1377,7 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
           SELECT unnest(string_split(text, ' ')) AS word FROM documents) uw
           WHERE len(word) > 0),
       ${unigramBaseCtes(40, 4)},
-      ${unigramLatticeCtes(4, 12)},
+      ${unigramLatticeCtes(4, UnigramMaxWordLen)},
       post AS (SELECT m.piece, m.freq,
           CAST(floor(1e9 * (((aj.a * m.p) * bd.a) / an.a)) AS BIGINT)
             AS e_snap
@@ -1385,12 +1398,14 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
     * score (NULL-propagating products skip missing spans; ties keep the
     * earliest = longest-final-piece path — UnigramLm's pinned rule).
     * Uses DuckDB lateral column aliases for the in-SELECT fold. */
-  private def unigramViterbiCtes(maxLen: Int, maxWordLen: Int): String = {
+  private def unigramViterbiCtes(maxLen: Int, maxWordLen: Int,
+                                 sfx: String = "", mTable: String = "m")
+      : String = {
     val lvls = (1 to maxWordLen).map { i =>
       val ks = (math.min(maxLen, i) to 1 by -1)
       val joins = ks.map { k =>
-        s"""LEFT JOIN m s$k ON s$k.word = v.word AND s$k.j = ${i - k} AND s$k.k = $k
-        LEFT JOIN vt${i - k} p$k ON p$k.word = v.word"""
+        s"""LEFT JOIN $mTable s$k ON s$k.word = v.word AND s$k.j = ${i - k} AND s$k.k = $k
+        LEFT JOIN vt${i - k}$sfx p$k ON p$k.word = v.word"""
       }.mkString("\n        ")
       // the LAST fold element is the level's result — name it (s, c) so
       // every level exposes the same schema vt0 does (downstream levels
@@ -1406,21 +1421,21 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
       // inner wrap: only (word, s, c) escape the level — the fold's
       // intermediate aliases would otherwise collide with the SAME
       // aliases exposed by the joined prior levels
-      s"""vt$i AS MATERIALIZED (SELECT word, s, c FROM (
+      s"""vt$i$sfx AS MATERIALIZED (SELECT word, s, c FROM (
         SELECT v.word, $chain FROM v
         $joins
-        WHERE len(v.word) >= $i) lvl$i)"""
+        WHERE len(v.word) >= $i) lvl$i$sfx)"""
     }
     val vAll = (1 to maxWordLen)
-      .map(i => s"SELECT word, $i AS i, c FROM vt$i")
+      .map(i => s"SELECT word, $i AS i, c FROM vt$i$sfx")
       .mkString("\n        UNION ALL ")
-    s"""vt0 AS (SELECT word, 1.0 AS s, 0 AS c FROM v),
+    s"""vt0$sfx AS (SELECT word, 1.0 AS s, 0 AS c FROM v),
       ${lvls.mkString(",\n      ")},
-      vtall AS (
+      vtall$sfx AS (
         $vAll),
-      np AS (SELECT vtall.word, CAST(vtall.c AS BIGINT) AS n_pieces
-        FROM vtall JOIN v ON v.word = vtall.word
-        WHERE vtall.i = len(v.word))"""
+      np$sfx AS (SELECT vtall$sfx.word, CAST(vtall$sfx.c AS BIGINT) AS n_pieces
+        FROM vtall$sfx JOIN v ON v.word = vtall$sfx.word CROSS JOIN wlg
+        WHERE vtall$sfx.i = len(v.word))"""
   }
 
   /** L124 — tokenizer-FAMILY fertility comparison: per language, the
@@ -1444,7 +1459,7 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
             unnest(string_split(text, ' ')) AS word FROM documents),
         ww AS (SELECT word FROM wd WHERE len(word) > 0),
         ${unigramBaseCtes(40, 4)},
-        ${unigramViterbiCtes(4, 12)},
+        ${unigramViterbiCtes(4, UnigramMaxWordLen)},
         nb AS (SELECT word,
             CAST(len(string_split($folded, $sep2)) - 2 AS BIGINT) AS n_bpe
           FROM v)
@@ -1458,6 +1473,175 @@ private[queries] trait LlmDeclaredText extends LlmDeclaredBase {
         FROM wd
         JOIN nb ON nb.word = wd.word
         JOIN np ON np.word = wd.word
+        WHERE len(wd.word) > 0
+        GROUP BY wd.lang ORDER BY wd.lang"""))
+  }
+
+  /** ONE unigram-LM trainer round (the l129 chain's repeating unit),
+    * replaying `UnigramLm.trainRound` bit-for-bit: E-step posteriors
+    * under the round's lattice (`aall$latSfx`…, built by the caller
+    * over `$mTable`), M-step re-count over the INPUT model's pieces
+    * with the single-character count-1 coverage floor, the
+    * alternative-segmentation Viterbi over the M-step pieces
+    * themselves (every matched span EXCEPT the full-width one — the
+    * Kudo §3.2 prune statistic), loss = cnt · ((cnt/T) / alt) (the
+    * odds-ratio dialect: ln is not exactly rounded in either engine,
+    * so the log-difference weight is replaced by one exactly-rounded
+    * division), and the keep of the top ⌈shrinkNum·n/shrinkDen⌉ multi
+    * pieces by (loss DESC, piece) plus every single character →
+    * `mdl$r`. */
+  private def unigramTrainRoundCtes(r: Int, maxLen: Int, inModel: String,
+                                    mTable: String, latSfx: String,
+                                    shrinkNum: Int, shrinkDen: Int)
+      : String = {
+    val altLvls = (1 to maxLen).map { i =>
+      val ks = (math.min(maxLen, i) to 1 by -1)
+      val joins = ks.map { k =>
+        s"""LEFT JOIN am$r s$k ON s$k.pw = vp$r.pw AND s$k.j = ${i - k} AND s$k.k = $k
+        LEFT JOIN av${i - k}_$r p$k ON p$k.pw = vp$r.pw"""
+      }.mkString("\n        ")
+      val chain = ks.zipWithIndex.map { case (k, ix) =>
+        val ps = if (ix == 0) "-1.0" else s"s${ks(ix - 1)}v"
+        val as_ = if (ix == ks.length - 1) "s" else s"s${k}v"
+        s"CASE WHEN p$k.s * s$k.p > $ps THEN p$k.s * s$k.p ELSE $ps END AS $as_"
+      }.mkString(",\n        ")
+      s"""av${i}_$r AS MATERIALIZED (SELECT pw, s FROM (
+        SELECT vp$r.pw, $chain FROM vp$r
+        $joins
+        WHERE len(vp$r.pw) >= $i) alvl${i}_$r)"""
+    }
+    val altAll = (2 to maxLen)
+      .map(i => s"SELECT pw, $i AS i, s FROM av${i}_$r")
+      .mkString("\n        UNION ALL ")
+    s"""post$r AS (SELECT $mTable.piece, $mTable.freq,
+        CAST(floor(1e9 * (((aj.a * $mTable.p) * bd.a) / an$latSfx.a))
+          AS BIGINT) AS e_snap
+      FROM $mTable
+      JOIN aall$latSfx aj ON aj.word = $mTable.word AND aj.i = $mTable.j
+      JOIN ball$latSfx bd ON bd.word = $mTable.word
+        AND bd.d = len($mTable.word) - $mTable.e
+      JOIN an$latSfx ON an$latSfx.word = $mTable.word),
+      em$r AS (SELECT piece, SUM(e_snap * freq) AS em FROM post$r
+        GROUP BY piece),
+      mstep$r AS MATERIALIZED (SELECT md.piece,
+          CAST(CASE WHEN len(md.piece) = 1
+            THEN GREATEST(COALESCE(em.em, 0), 1)
+            ELSE COALESCE(em.em, 0) END AS BIGINT) AS cnt
+        FROM $inModel md LEFT JOIN em$r em ON em.piece = md.piece),
+      tms$r AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_mass FROM mstep$r),
+      vp$r AS (SELECT piece AS pw FROM mstep$r WHERE len(piece) > 1),
+      asp$r AS (SELECT pw, j, k, substr(pw, j + 1, k) AS piece
+        FROM (SELECT pw, unnest(range(0, len(pw))) AS j FROM vp$r) jt
+        CROSS JOIN (SELECT unnest(range(1, ${maxLen + 1})) AS k) ks
+        WHERE j + k <= len(pw) AND k < len(pw)),
+      am$r AS MATERIALIZED (SELECT a.pw, a.j, a.k,
+          CAST(md.cnt AS DOUBLE) / CAST(tm.t_mass AS DOUBLE) AS p
+        FROM asp$r a JOIN mstep$r md USING (piece) CROSS JOIN tms$r tm),
+      av0_$r AS (SELECT pw, 1.0 AS s FROM vp$r),
+      ${altLvls.mkString(",\n      ")},
+      alt$r AS (SELECT altall.pw, altall.s FROM (
+          $altAll) altall
+        JOIN vp$r ON vp$r.pw = altall.pw WHERE altall.i = len(vp$r.pw)),
+      loss$r AS MATERIALIZED (SELECT ms.piece, ms.cnt,
+          CAST(ms.cnt AS DOUBLE)
+            * ((CAST(ms.cnt AS DOUBLE) / CAST(tm.t_mass AS DOUBLE))
+              / alt$r.s) AS loss
+        FROM mstep$r ms JOIN alt$r ON alt$r.pw = ms.piece
+        CROSS JOIN tms$r tm),
+      keep$r AS (SELECT piece, cnt FROM (
+          SELECT piece, cnt,
+            ROW_NUMBER() OVER (ORDER BY loss DESC, piece) AS rk
+          FROM loss$r) rt
+        WHERE rk <= (SELECT ($shrinkNum * COUNT(*) + $shrinkDen - 1)
+          // $shrinkDen FROM loss$r)),
+      mdl$r AS MATERIALIZED (SELECT piece, cnt FROM keep$r
+        UNION ALL
+        SELECT piece, cnt FROM mstep$r WHERE len(piece) = 1)"""
+  }
+
+  /** The shared 2-round trainer CTE chain (seed → round 1 → round 2 →
+    * `mdl2`), used by l129 (final model statistics) and l130 (trained
+    * fertility). Round 1 reuses the l123 lattice verbatim (the seed
+    * model's p IS seed_freq/t_mass); round 2 rebuilds the lattice
+    * under the pruned round-1 model. */
+  private def unigramTrainCtes(vocabSize: Int, maxLen: Int): String =
+    s"""${unigramBaseCtes(vocabSize, maxLen)},
+      ${unigramLatticeCtes(maxLen, UnigramMaxWordLen)},
+      mdl0 AS (SELECT piece, seed_freq AS cnt FROM seed),
+      ${unigramTrainRoundCtes(1, maxLen, "mdl0", "m", "", 3, 4)},
+      tmr2 AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_mass FROM mdl1),
+      m2 AS MATERIALIZED (SELECT s.word, s.freq, s.j, s.k, s.piece,
+          s.j + s.k AS e,
+          CAST(md.cnt AS DOUBLE) / CAST(tmr2.t_mass AS DOUBLE) AS p
+        FROM spn s JOIN mdl1 md USING (piece) CROSS JOIN tmr2),
+      ${unigramLatticeCtes(maxLen, UnigramMaxWordLen, "_r2", "m2")},
+      ${unigramTrainRoundCtes(2, maxLen, "mdl1", "m2", "_r2", 3, 4)},
+      tmf AS (SELECT CAST(SUM(cnt) AS BIGINT) AS t_mass FROM mdl2)"""
+
+  /** L129 — the unigram-LM TRAINER (Kudo ACL'18 §3.2 / the
+    * SentencePiece trainer, the full loop l123's round-1 statistics
+    * seeded): seed vocabulary → 2 × (E-step expected counts, M-step
+    * renormalize with the single-character coverage floor, prune the
+    * lowest-loss quarter of the multi-character pieces — loss ranks
+    * each piece's expected usage against its own best alternative
+    * segmentation). Output: the final model (piece, em_count, prob)
+    * — what S40's derive-at-swap serves and l130's segmentation
+    * consumes. The oracle unrolls both rounds' lattices and the
+    * piece-level alternative-segmentation Viterbi into one CTE chain:
+    * two engines, two very different executions, bit-identical
+    * doubles by pinned fold order. */
+  protected val l129 = DeclaredQuery(
+    "l129_unigram_train",
+    (s, dir) => UnigramLm.trainRounds(t(s, dir, "documents"))
+      .orderBy(col("piece")),
+    Some(s"""WITH ww AS (SELECT word FROM (
+          SELECT unnest(string_split(text, ' ')) AS word FROM documents) uw
+          WHERE len(word) > 0),
+      ${unigramTrainCtes(40, 4)}
+      SELECT mdl2.piece, mdl2.cnt AS em_count,
+        CAST(mdl2.cnt AS DOUBLE) / CAST(tmf.t_mass AS DOUBLE) AS prob
+      FROM mdl2 CROSS JOIN tmf
+      ORDER BY mdl2.piece"""))
+
+  /** L130 — the l124 tokenizer-family fertility comparison RE-CHECKED
+    * against the TRAINED model (l129's 2-round output), not the seed:
+    * pruned pieces force their words onto surviving alternatives, and
+    * the trained fertility is the number a pipeline actually ships
+    * (the BPE leg is the unchanged control arm — the same frozen
+    * published merge list as l105/l124). */
+  protected val l130 = {
+    val sep2 = "chr(1) || chr(1)"
+    val base = s"$sep2 || array_to_string(string_split(word, ''), $sep2) || $sep2"
+    val folded = Bpe.publishedMerges.foldLeft(base) { case (e, (l, r)) =>
+      s"replace($e, chr(1) || '$l' || $sep2 || '$r' || chr(1), chr(1) || '$l$r' || chr(1))"
+    }
+    DeclaredQuery(
+      "l130_tokenizer_fertility_trained",
+      (s, dir) =>
+        UnigramLm.tokenizerFertilityCompareTrained(t(s, dir, "documents"))
+          .orderBy(col("lang")),
+      Some(s"""WITH wd AS (SELECT doc_id, lang,
+            unnest(string_split(text, ' ')) AS word FROM documents),
+        ww AS (SELECT word FROM wd WHERE len(word) > 0),
+        ${unigramTrainCtes(40, 4)},
+        mv AS MATERIALIZED (SELECT s.word, s.freq, s.j, s.k, s.piece,
+            s.j + s.k AS e,
+            CAST(md.cnt AS DOUBLE) / CAST(tmf.t_mass AS DOUBLE) AS p
+          FROM spn s JOIN mdl2 md USING (piece) CROSS JOIN tmf),
+        ${unigramViterbiCtes(4, UnigramMaxWordLen, "t", "mv")},
+        nb AS (SELECT word,
+            CAST(len(string_split($folded, $sep2)) - 2 AS BIGINT) AS n_bpe
+          FROM v)
+        SELECT wd.lang, CAST(COUNT(*) AS BIGINT) AS n_words,
+          CAST(SUM(nb.n_bpe) AS BIGINT) AS n_bpe_tokens,
+          CAST(SUM(npt.n_pieces) AS BIGINT) AS n_unigram_tokens,
+          CAST(SUM(nb.n_bpe) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS bpe_fertility,
+          CAST(SUM(npt.n_pieces) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+            AS unigram_fertility
+        FROM wd
+        JOIN nb ON nb.word = wd.word
+        JOIN npt ON npt.word = wd.word
         WHERE len(wd.word) > 0
         GROUP BY wd.lang ORDER BY wd.lang"""))
   }

@@ -1617,6 +1617,68 @@ class LlmSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("unigram_fertility") - 1.0) < 1e-15)
   }
 
+  test("unigram-LM trainer: loss-ranked prune keeps the piece that best " +
+    "explains itself — 'ab' survives, 'abc'/'bc' prune, singles persist") {
+    // corpus "ab ab abc", seed multi = {ab, abc, bc}. Round-1 EM gives
+    // ab by far the largest expected count AND the largest p/alt odds
+    // (its alternative [a,b] is 19× worse); with shrink 1/3 exactly one
+    // multi piece may survive — it must be ab, and every single
+    // character stays (the coverage floor).
+    val d = Seq((1L, "ab ab abc", "en")).toDF("doc_id", "text", "lang")
+    val m = UnigramLm.trainRounds(d, rounds = 1, shrinkNum = 1,
+      shrinkDen = 3).collect()
+    assert(m.map(_.getString(0)).sorted.toSeq === Seq("a", "ab", "b", "c"))
+    assert(math.abs(m.map(_.getDouble(2)).sum - 1.0) < 1e-12,
+      "probs renormalize over the surviving mass")
+    // to-target wrapper: target 4 reaches the same model in one round
+    val toTarget = UnigramLm.train(d, targetVocab = 4, shrinkNum = 1,
+      shrinkDen = 3).collect()
+    assert(toTarget.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(_._1).toSeq ===
+      m.map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .sortBy(_._1).toSeq)
+    // a second round with nothing left to shrink is a fixed point on the
+    // piece set (counts re-estimate under the pruned model)
+    val m2 = UnigramLm.trainRounds(d, rounds = 2, shrinkNum = 1,
+      shrinkDen = 3).collect()
+    assert(m2.map(_.getString(0)).sorted.toSeq === Seq("a", "ab", "b", "c"))
+  }
+
+  test("unigram-LM trained fertility (l130 core): pruning 'abc' forces " +
+    "its word onto [ab, c] — trained tokens 4 vs the seed model's 3") {
+    val d = Seq((1L, "ab ab abc", "en")).toDF("doc_id", "text", "lang")
+    val f = UnigramLm.tokenizerFertilityCompareTrained(d, rounds = 1,
+      shrinkNum = 1, shrinkDen = 3).collect()
+    assert(f.length === 1)
+    assert(f.head.getAs[Long]("n_unigram_tokens") === 4L) // 1 + 1 + 2
+    assert(f.head.getAs[Long]("n_bpe_tokens") === 7L)     // control arm
+  }
+
+  test("unigram-LM trainer on the real corpus: per-round multi-piece " +
+    "shrink is exactly the scheduled ceil(3/4), singles never leave, " +
+    "probabilities renormalize") {
+    val docs = Tables.load(spark, sf001, "documents")
+    val wf = UnigramLm.words(docs).localCheckpoint()
+    def multiCount(m: Array[org.apache.spark.sql.Row]) =
+      m.count(_.getString(0).length > 1)
+    val seed = UnigramLm.seedVocabFromWords(wf).collect()
+    val r1 = UnigramLm.trainRoundsFromWords(wf, rounds = 1).collect()
+    val r2 = UnigramLm.trainRoundsFromWords(wf, rounds = 2).collect()
+    val m0 = multiCount(seed)
+    assert(multiCount(r1) === (3 * m0 + 3) / 4)
+    assert(multiCount(r2) === (3 * multiCount(r1) + 3) / 4)
+    val singles = seed.map(_.getString(0)).filter(_.length == 1).toSet
+    assert(r2.map(_.getString(0)).filter(_.length == 1).toSet === singles)
+    assert(math.abs(r2.map(_.getDouble(2)).sum - 1.0) < 1e-9)
+    // the trained model still segments every corpus word (coverage)
+    val nWords = wf.count()
+    import org.apache.spark.sql.functions.col
+    val covered = UnigramLm.viterbiPieceCountsFromModel(wf,
+      UnigramLm.trainRoundsFromWords(wf, rounds = 2))
+      .filter(col("n_pieces") >= 1).count()
+    assert(covered === nWords)
+  }
+
   // ------------------------------------------------------ image near-dup
 
   /** A hand-built 36×16 P6 payload whose pixel (x, y) value comes from

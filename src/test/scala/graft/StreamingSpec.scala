@@ -1513,6 +1513,15 @@ class StreamingSpec extends SparkSpec {
     val streamed = UnigramLm.emRound1FromWords(state).orderBy("piece")
       .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
     assert(streamed === fused)
+    // ...and the FULL trainer (EM + prune rounds, l129) derives from the
+    // same carried table at swap time: the trained model over the
+    // maintained state equals the fused corpus's, pieces, counts and
+    // probabilities alike
+    def modelRows(m: org.apache.spark.sql.DataFrame) =
+      m.orderBy("piece").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(modelRows(UnigramLm.trainRoundsFromWords(state)) ===
+      modelRows(UnigramLm.trainRounds(docs)))
   }
 
   test("S39: streaming image near-dup admission — ascending-id arrivals " +
