@@ -520,20 +520,18 @@ object DevScale {
       val cents = Similarity.fitCentroids(em, k, iters = 2)
       val cs = Similarity.cellAssignments(em, cents).localCheckpoint()
       val (mx0, p0, nn) = occStats(cs)
+      // per-LEVEL split tracking (round-17 polish: each recursion level
+      // reports cells added against its OWN input — the total still
+      // equals the pre/post distinct diff because the dense relabel
+      // preserves distinct counts, so levels compose)
+      val levels = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
       val refined = if (guard)
-        Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2)
+        Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2,
+          onLevel = Some((d, c) => levels += ((d, c))))
         else cs
       val (mx1, p1, _) = occStats(refined)
-      // net cells ADDED by splitting = distinct-cell count post − pre
-      // (round-16 ADVICE: the old composite-id-offset test undercounted
-      // after multi-level refineHotCellsDeep — each level's dense relabel
-      // maps prior-level subcells back to rank·STRIDE, so only the FINAL
-      // level's subcells carried a non-zero offset; the pre/post distinct
-      // diff counts every level's splitting, and the dense relabel
-      // preserves distinct counts so levels compose)
-      val nHot = if (!guard || (refined eq cs)) 0L else
-        refined.select(col("cell")).distinct().count() -
-          cs.select(col("cell")).distinct().count()
+      val nHot = levels.map(_._2).sum
+      val perLvl = levels.map { case (d, c) => s"L$d+$c" }.mkString(" ")
       // the cost center, measured: within-cell pair pass over the
       // (possibly refined) assignment table. Persisted to parquet first —
       // BenchTiming's cleanup unpersists localCheckpoint blocks, and the
@@ -550,7 +548,7 @@ object DevScale {
           .groupBy(col("cell")).agg(count(lit(1)).as("c"))
       })
       val tgt = math.max(1L, n / k)
-      println(f"$tag%-24s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%6d pairs/vec=${p0.toDouble / nn}%9.1f | post: maxOcc=$mx1%6d pairs/vec=${p1.toDouble / nn}%9.1f cellsAdded=$nHot%3d | pairPass=$tPair%7.3f s")
+      println(f"$tag%-24s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%6d pairs/vec=${p0.toDouble / nn}%9.1f | post: maxOcc=$mx1%6d pairs/vec=${p1.toDouble / nn}%9.1f cellsAdded=$nHot%3d [$perLvl%s] | pairPass=$tPair%7.3f s")
     }
     run("1x scheduled", smallDir, n1, KnobSchedule.ivfCells(n1), guard = true)
     run(s"${reps}x scheduled", bigDir, n1 * reps,
@@ -593,14 +591,16 @@ object DevScale {
         (900000000L + i, e)
       }.toDF("vec_id", "embedding")
     }
-    def corpus(r: Int, dir: String, exact: Boolean): Long = {
+    def corpus(r: Int, dir: String, exact: Boolean,
+               pileCount: Option[Int]): Long = {
       val base = replicatedEmbeddings(spark, r)
         .select(col("vec_id"), col("embedding"))
       val n0 = base.count()
-      // pile = 25% of total
-      val full = base.unionByName(pile((n0 / 3).toInt, exact))
+      // pile = 25% of total unless the caller pins an absolute count
+      val pc = pileCount.getOrElse((n0 / 3).toInt)
+      val full = base.unionByName(pile(pc, exact))
       full.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
-      n0 + n0 / 3
+      n0 + pc
     }
     val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
     println(f"d01 sentinel: $d01%.3f s")
@@ -611,34 +611,46 @@ object DevScale {
           sum(col("occ"))).collect()(0)
       (r.getLong(0), r.getLong(1), r.getLong(2))
     }
-    def run(tag: String, r: Int, exact: Boolean = false): Unit = {
-      val dir = s"/tmp/graft_scale_sdskew_${r}_$exact"
-      val n = corpus(r, dir, exact)
+    def run(tag: String, r: Int, exact: Boolean = false,
+            pileCount: Option[Int] = None): Unit = {
+      val dir = s"/tmp/graft_scale_sdskew_${r}_${exact}_" +
+        pileCount.getOrElse(0)
+      val n = corpus(r, dir, exact, pileCount)
       val em = spark.read.parquet(s"$dir/embeddings.parquet")
       val k = KnobSchedule.ivfCells(n)
       val cents = Similarity.fitCentroids(em, k, iters = 2)
       val cs = Similarity.cellAssignments(em, cents).localCheckpoint()
       val (mx0, p0, nn) = occStats(cs)
+      // per-level split tracking (see semDedupExperiment)
+      val levels = scala.collection.mutable.ArrayBuffer[(Int, Long)]()
+      val lvlCb: Option[(Int, Long) => Unit] =
+        Some((d, c) => levels += ((d, c)))
       // the exact leg runs the round-17 production path: collapse
       // byte-identical values BEFORE the guard (one rep per value enters
       // the occupancy math and the pair pass); the near-dup leg keeps
       // the guard-only path (noise ⇒ every vector is a distinct value,
-      // collapse would be a no-op there)
+      // collapse would be a no-op there). Round-18: the collapse META is
+      // the narrow member table (rep_id, mult, m_id, rk) — count its
+      // widest GROUP to receipt that a 10⁵-deep pile no longer makes an
+      // O(multiplicity) row anywhere (the old collect_list(nids) did).
       val guarded = if (exact) {
-        val (reps, _) = Similarity.collapseExactDups(cs)
+        val (reps, meta) = Similarity.collapseExactDups(cs)
         val nReps = reps.count()
-        println(f"$tag%-14s collapse: $nn rows -> $nReps reps")
+        val widest = meta.groupBy(col("rep_id"))
+          .agg(count(lit(1)).as("m")).agg(max(col("m"))).collect()(0)
+          .getLong(0)
+        println(f"$tag%-14s collapse: $nn rows -> $nReps reps " +
+          f"(widest group mult=$widest%d carried as $widest%d narrow " +
+          "member ROWS, no array row)")
         Similarity.refineHotCellsDeep(reps.localCheckpoint(), nReps, k,
-          hotFactor = 4.0, iters = 2)
+          hotFactor = 4.0, iters = 2, onLevel = lvlCb)
       } else cs
       val refined = if (exact) guarded else
-        Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2)
+        Similarity.refineHotCellsDeep(cs, n, k, hotFactor = 4.0, iters = 2,
+          onLevel = lvlCb)
+      val nSub = levels.map(_._2).sum
+      val perLvl = levels.map { case (d, c) => s"L$d+$c" }.mkString(" ")
       val (mx1, p1, _) = occStats(refined)
-      // pre/post distinct-cell diff — counts ALL levels' splitting (see
-      // the semDedupExperiment note on the round-16 ADVICE fix)
-      val nSub = if (refined eq cs) 0L else
-        refined.select(col("cell")).distinct().count() -
-          cs.select(col("cell")).distinct().count()
       val asgDir = s"$dir/asg"
       refined.write.mode("overwrite").parquet(asgDir)
       val tPair = BenchTiming.steadyOf(spark, () => {
@@ -651,7 +663,7 @@ object DevScale {
           .groupBy(col("cell")).agg(count(lit(1)).as("c"))
       })
       val tgt = math.max(1L, n / k)
-      println(f"$tag%-14s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%7d pairs/vec=${p0.toDouble / nn}%10.1f | post: maxOcc=$mx1%7d pairs/vec=${p1.toDouble / nn}%10.1f cellsAdded=$nSub%4d | pairPass=$tPair%7.3f s")
+      println(f"$tag%-14s n=$nn%7d k=$k%4d tgtOcc=$tgt%5d | pre: maxOcc=$mx0%7d pairs/vec=${p0.toDouble / nn}%10.1f | post: maxOcc=$mx1%7d pairs/vec=${p1.toDouble / nn}%10.1f cellsAdded=$nSub%4d [$perLvl%s] | pairPass=$tPair%7.3f s")
     }
     run("1x+pile", 1)
     run(s"${reps}x+pile", reps)
@@ -661,6 +673,12 @@ object DevScale {
     // pair pass reads flat
     run("1x+exactpile", 1, exact = true)
     run(s"${reps}x+exactpile", reps, exact = true)
+    // the round-18 receipt for the de-widened collapse meta: a planted
+    // 10⁵-deep byte-identical pile — the OLD collect_list(nids) meta
+    // would have made one 10⁵-element array row here; the member table
+    // carries it as 10⁵ narrow rows (the printed widest-group line),
+    // and the pair pass still reads flat
+    run("1x+exactpile1e5", 1, exact = true, pileCount = Some(100000))
   }
 
   /** IMAGE-DEDUP band-width receipt (`runMain graft.DevScale R imagedup`)
@@ -739,7 +757,7 @@ object DevScale {
     * (survivor) cardinality, not the raw corpus. */
   private def pipelineExperiment(spark: org.apache.spark.sql.SparkSession,
                                  reps: Int): Unit = {
-    import graft.llm.{KnobSchedule, Similarity}
+    import graft.llm.{KnobSchedule, Multimodal, Similarity}
     val n1 = Tables.load(spark, "/root/testdata/sf0.1", "embeddings").count()
     val smallDir = "/tmp/graft_scale_pipe_small"
     val bigDir = "/tmp/graft_scale_pipe_big"
@@ -747,12 +765,40 @@ object DevScale {
       .parquet(s"$smallDir/embeddings.parquet")
     replicatedEmbeddings(spark, reps).write.mode("overwrite")
       .parquet(s"$bigDir/embeddings.parquet")
+    replicatedText(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/documents.parquet")
+    replicatedText(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
     val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
     println(f"d01 sentinel: $d01%.3f s")
     def run(tag: String, dir: String, n: Long): Unit = {
+      // stage 0 — PERCEPTUAL dedup applies (pipeline v3: the cheap
+      // signature passes run before anything embedding-priced; band
+      // width schedules from each plane's collapsed rep count — the
+      // composed form of the imagedup receipt's scheduled-vs-fixed claim)
+      val docs = Tables.load(spark, dir, "documents")
+      val tI0 = System.nanoTime()
+      Multimodal.imageDedupApplyAuto(spark,
+          Multimodal.encodePpm(spark, docs).toDF())
+        .write.mode("overwrite").parquet(s"$dir/img_kept.parquet")
+      val tImg = (System.nanoTime() - tI0) / 1e9
+      val tA0 = System.nanoTime()
+      Multimodal.audioDedupApplyAuto(spark,
+          Multimodal.encodeWav(spark, docs).toDF())
+        .write.mode("overwrite").parquet(s"$dir/aud_kept.parquet")
+      val tAud = (System.nanoTime() - tA0) / 1e9
+      val imgKept = spark.read.parquet(s"$dir/img_kept.parquet")
+      val audKept = spark.read.parquet(s"$dir/aud_kept.parquet")
+      val bits = KnobSchedule.dhashBandBits(imgKept.count(), 2)
+      val curated = imgKept.select(col("doc_id").as("vec_id"))
+        .join(audKept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+      val nCur = curated.count()
+      // stage 1 — scheduled semantic dedup over the CURATED vectors,
+      // wall measured end to end (fit, collapse, guard, pair verdict,
+      // survivor materialization)
       val em = Tables.load(spark, dir, "embeddings")
-      // stage 1 — scheduled semantic dedup, wall measured end to end
-      // (fit, collapse, guard, pair verdict, survivor materialization)
+        .join(curated, Seq("vec_id"), "left_semi").localCheckpoint()
       val t0 = System.nanoTime()
       val verdicts = Similarity.semDedupAuto(em, tau = 0.35, iters = 2)
       val keep = verdicts.filter(col("dropped") === 0).select("vec_id")
@@ -780,8 +826,12 @@ object DevScale {
           spark.read.parquet(s"$mdl/rcb"),
           spark.read.parquet(s"$mdl/index"),
           k = 3, nProbe = nProbe, shortM = shortM))
-      println(f"$tag%-8s n=$n%7d survivors=$nS%7d | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
+      println(f"$tag%-8s n=$n%7d curated=$nCur%7d survivors=$nS%7d | bandBits=$bits%2d imgWall=$tImg%7.3f s audWall=$tAud%7.3f s | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
     }
+    // untimed JIT warm pass (the codec/CC/EM code paths are cold on the
+    // first invocation — a timed cold 1x leg would read HIGHER than the
+    // warm 10x leg and invert every ratio)
+    run("warmup", smallDir, n1)
     run("1x", smallDir, n1)
     run(s"${reps}x", bigDir, n1 * reps)
   }

@@ -613,7 +613,25 @@ object Multimodal {
   def imageBandSweep(spark: SparkSession, docs: DataFrame,
                      maxHamming: Int = 2,
                      configs: Seq[(Int, Int)] =
-                       Seq((8, 500), (16, 500), (16, 1 << 30))): DataFrame = {
+                       Seq((8, 500), (16, 500), (16, 1 << 30))): DataFrame =
+    sigBandSweep(dHash(spark, encodePpm(spark, docs).toDF()).toDF(),
+      maxHamming, configs)
+
+  /** AUDIO band-width/guard sweep — l126's twin on the audio plane:
+    * the same 64-bit signature geometry through the same shared sweep
+    * core, and the measured table behind trusting `dhashBandBits`'s
+    * transfer to the gradient-sign signatures (l131). */
+  def audioBandSweep(spark: SparkSession, docs: DataFrame,
+                     maxHamming: Int = 2,
+                     configs: Seq[(Int, Int)] =
+                       Seq((8, 500), (16, 500), (16, 1 << 30))): DataFrame =
+    sigBandSweep(audioHash(spark, encodeWav(spark, docs).toDF()).toDF(),
+      maxHamming, configs)
+
+  /** The modality-neutral band-sweep core over a (doc_id, dhash)
+    * signature table (shared by image l126 / audio l131). */
+  private[graft] def sigBandSweep(sig0: DataFrame, maxHamming: Int,
+                                  configs: Seq[(Int, Int)]): DataFrame = {
     // configs.last IS the truth leg the recall column divides by — a
     // caller passing a guarded or narrower-than-widest last config
     // would silently get recalls against a lossy denominator (possibly
@@ -626,8 +644,7 @@ object Multimodal {
     require(tBits == widest && tCap >= (1 << 30),
       s"configs.last must be the unguarded truth leg ($widest bits, " +
         s"cap >= 2^30); got ($tBits, $tCap)")
-    val sig = dHash(spark, encodePpm(spark, docs).toDF()).toDF()
-      .localCheckpoint()
+    val sig = sig0.select(col("doc_id"), col("dhash")).localCheckpoint()
     val legs = configs.map { case (bits, cap) =>
       val nHot = bandedSigs(sig, bits)
         .groupBy(col("band_idx"), col("band_val"))
@@ -648,8 +665,13 @@ object Multimodal {
     all.crossJoin(broadcast(truth))
       .select(col("band_bits"), col("max_band_occ"),
         col("n_hot_buckets"), col("n_pairs"), col("n_truth"),
-        (col("n_pairs").cast(DoubleType)
-          / col("n_truth").cast(DoubleType)).as("recall"))
+        // a pair-free corpus has n_truth = 0 AND n_pairs = 0 on every
+        // guarded leg (subsets of truth) — IEEE 0/0 = NaN, which is what
+        // the oracle's DuckDB double division yields; Spark's ANSI mode
+        // would THROW instead, so spell the vacuous case out
+        when(col("n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("n_pairs").cast(DoubleType)
+            / col("n_truth").cast(DoubleType)).as("recall"))
   }
 
   /** PRODUCTION image near-dup pairing — band width SCHEDULED from the

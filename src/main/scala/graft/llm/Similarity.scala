@@ -571,7 +571,9 @@ object Similarity {
   private[graft] def refineHotCellsDeep(cs0: DataFrame, n: Long,
                                         nCells: Int, hotFactor: Double,
                                         iters: Int,
-                                        maxDepth: Int = 5): DataFrame = {
+                                        maxDepth: Int = 5,
+                                        onLevel: Option[(Int, Long) => Unit]
+                                          = None): DataFrame = {
     val targetOcc = math.max(1L, n / nCells)
     var cs = cs0
     var depth = 0
@@ -588,8 +590,17 @@ object Similarity {
         val rel = cs.join(broadcast(ranked), Seq("cell"))
           .select(col("nid"), col("ce"), col("cr").as("cell"),
             col("cent_sim"))
-        cs = refineHotCells(rel, n, nCells, hotFactor, iters)
+        val next = refineHotCells(rel, n, nCells, hotFactor, iters)
           .localCheckpoint()
+        // per-LEVEL receipt hook (dev harness only — two distinct-counts
+        // per level, never run unless a collector is passed): cells this
+        // level ADDED, measured against its OWN input, so multi-level
+        // recursion reports every level's splitting (the dense relabel
+        // preserves distinct counts, so levels compose)
+        onLevel.foreach(cb => cb(depth + 1,
+          next.select(col("cell")).distinct().count()
+            - cs.select(col("cell")).distinct().count()))
+        cs = next
       }
       depth += 1
     }

@@ -330,6 +330,44 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       ORDER BY band_bits, max_band_occ"""))
   }
 
+  /** L131 — AUDIO band-width/guard SWEEP: l126's twin on the audio
+    * plane, completing full ladder symmetry (pairs → apply → sweep →
+    * streaming on BOTH perceptual planes): per (band_bits,
+    * max_band_occ) config over the gradient-sign signatures, hot
+    * buckets and verified pairs next to the widest-lossless unguarded
+    * truth leg — the measured table behind `dhashBandBits`'s transfer
+    * to audio (same 64-bit signature geometry, so the n²/2^bits
+    * collision algebra is modality-blind; this is the receipt, not the
+    * assumption). One synth+hash pass shared by every leg through the
+    * shared `sigBandSweep` core. */
+  protected val l131 = {
+    val configs = Seq((8, 500L), (16, 500L), (16, (1 << 30).toLong))
+    val legs = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      bandLegCtes(s"_$i", bits, 2, cap)
+    }.mkString(",\n      ")
+    val rows = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      s"""SELECT CAST($bits AS BIGINT) AS band_bits,
+          CAST($cap AS BIGINT) AS max_band_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM hot_$i) AS n_hot_buckets,
+          (SELECT CAST(count(*) AS BIGINT) FROM cand_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l131_audio_band_sweep",
+      (s, dir) => Multimodal.audioBandSweep(s, t(s, dir, "documents"))
+        .orderBy(col("band_bits"), col("max_band_occ")),
+      Some(s"""WITH $audioSigCtes,
+      $legs,
+      legs AS (
+        $rows),
+      tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+        FROM cand_${configs.length - 1})
+      SELECT band_bits, max_band_occ, n_hot_buckets, n_pairs,
+        tr.n_truth,
+        CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY band_bits, max_band_occ"""))
+  }
+
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
     * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so

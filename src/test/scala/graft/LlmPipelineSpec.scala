@@ -480,4 +480,107 @@ class LlmPipelineSpec extends SparkSpec {
         .forEach(p => Files.deleteIfExists(p))
     }
   }
+
+  test("end-to-end curation v3: image dedup apply -> audio dedup apply -> " +
+    "scheduled SemDeDup -> IVF-PQ index -> DSIR — the perceptual planes " +
+    "composed with the embedding/text stages") {
+    // Round-17 stretch directive: the media-lake lineage. A crawled
+    // multimodal corpus dedups each perceptual plane FIRST (the cheap
+    // signature passes drop re-posts before anything embedding-priced
+    // runs), then the surviving id set flows through the v2 embedding
+    // stages. Planted exact re-posts (same payload bytes, higher ids)
+    // must fall to BOTH perceptual applies via the exact-hash
+    // pre-collapse, their originals must survive, and every downstream
+    // stage must operate on the curated id set only. All knobs at
+    // production schedule (imageDedupApplyAuto / audioDedupApplyAuto /
+    // semDedupAuto / ivfPqKnobs); stage boundaries are parquet.
+    import graft.llm.{KnobSchedule, Multimodal, Similarity, TextAnalysis,
+      TextOps}
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_v3_e2e")
+    val tmp = tmpPath.toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    try {
+      val base = Tables.load(spark, sf001, "documents")
+      val vecs = Tables.load(spark, sf001, "embeddings")
+      // plant 4 exact re-posts: identical text ⇒ identical PPM and WAV
+      // payloads ⇒ identical dHash / gradient-sign signatures
+      val srcIds = base.select(col("doc_id")).orderBy(col("doc_id"))
+        .limit(4).collect().map(_.getLong(0)).toSeq
+      val rePosts = base.filter(col("doc_id").isin(srcIds: _*))
+        .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      val docs = stage(base.unionByName(rePosts), "docs_with_reposts")
+      val plantedIds = srcIds.map(_ + 10000000L).toSet
+
+      // stage 1 — IMAGE dedup apply at the scheduled band width over the
+      // encoded blob store
+      val imgKept = stage(Multimodal.imageDedupApplyAuto(spark,
+        Multimodal.encodePpm(spark, docs).toDF()), "img_kept")
+      // stage 2 — AUDIO dedup apply, same shared core, audio signatures
+      val audKept = stage(Multimodal.audioDedupApplyAuto(spark,
+        Multimodal.encodeWav(spark, docs).toDF()), "aud_kept")
+      for ((kept, tag) <- Seq((imgKept, "image"), (audKept, "audio"))) {
+        val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
+        assert(plantedIds.forall(!keptIds.contains(_)),
+          s"$tag apply kept a planted exact re-post")
+        assert(srcIds.forall(keptIds.contains),
+          s"$tag apply dropped a re-post's ORIGINAL (keep-min violated)")
+      }
+
+      // curated = docs surviving BOTH perceptual planes (id-set
+      // intersection — signatures only, no payload re-decode)
+      val curated = stage(docs
+        .join(imgKept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(audKept.select("doc_id"), Seq("doc_id"), "left_semi"),
+        "curated")
+      val nCur = curated.count()
+      assert(nCur > 0 && nCur <= base.count())
+      assert(curated.filter(col("doc_id").isin(
+        plantedIds.toSeq: _*)).isEmpty)
+
+      // stage 3 — scheduled semantic dedup over the CURATED vector store
+      // (vec_id ≡ doc_id across the driver tables)
+      val curVecs = stage(vecs.join(
+        curated.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"), "cur_vecs")
+      val verdicts = Similarity.semDedupAuto(curVecs, tau = 0.35)
+      val keep = verdicts.filter(col("dropped") === 0).select("vec_id")
+      val survivors = stage(curVecs.join(keep, Seq("vec_id"), "left_semi"),
+        "survivors")
+      val nS = survivors.count()
+      assert(nS > 0 && nS <= nCur)
+
+      // stage 4 — the serving index over the fully-curated survivors,
+      // knobs scheduled from the honest post-curation cardinality
+      val (nCells, nProbe, shortM) = KnobSchedule.ivfPqKnobs(nS)
+      val (c0, r0, i0) = Similarity.ivfPqFit(survivors, nCells = nCells)
+      val index = stage(i0, "index")
+      assert(index.count() === nS, "index must code every survivor once")
+      val served = Similarity.ivfPqServeTopK(
+        survivors.filter(col("vec_id") % 7 === 0).localCheckpoint(),
+        survivors, stage(c0, "cents"), stage(r0, "rcb"), index,
+        k = 3, nProbe = nProbe, shortM = shortM)
+      assert(served.select(col("nid").as("vec_id"))
+        .except(survivors.select("vec_id")).isEmpty,
+        "served a vector curation had dropped")
+
+      // stage 5 — DSIR selection sees only curated+deduped train docs
+      val docsKept = stage(curated.join(
+        keep.select(col("vec_id").as("doc_id")), Seq("doc_id"),
+        "left_semi"), "docs_kept")
+      val sel = TextAnalysis.dsirSelect(docsKept, k = 20).localCheckpoint()
+      assert(sel.count() === 20)
+      assert(sel.select("doc_id").exceptAll(
+        docsKept.filter(TextOps.splitBucket(col("doc_id")) < 80)
+          .select("doc_id")).isEmpty,
+        "DSIR selected a doc some curation stage had dropped")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
 }

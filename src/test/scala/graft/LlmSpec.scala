@@ -1982,6 +1982,21 @@ class LlmSpec extends SparkSpec {
         configs = Seq((16, 500), (8, 1 << 30))))
     // the default config still passes the gate (and runs)
     assert(Multimodal.imageBandSweep(spark, d).count() === 3L)
+    // the audio twin shares the core: same gate; with a planted exact
+    // pair the truth leg's recall is 1.0, and on a pair-free corpus the
+    // vacuous recall is IEEE NaN (DuckDB's 0/0), never an ANSI throw
+    intercept[IllegalArgumentException](
+      Multimodal.audioBandSweep(spark, d,
+        configs = Seq((8, 500), (16, 500))))
+    val dp = Seq((1L, "same words here"), (2L, "same words here"),
+      (3L, "unrelated other clip")).toDF("doc_id", "text")
+    val aud = Multimodal.audioBandSweep(spark, dp).collect()
+    assert(aud.length === 3)
+    val truth = aud.filter(r => r.getLong(0) == 16L && r.getLong(1) > 500L)
+    assert(truth.length === 1 && truth.head.getLong(3) >= 1L
+      && truth.head.getDouble(5) === 1.0)
+    val vac = Multimodal.audioBandSweep(spark, d).collect()
+    assert(vac.forall(r => r.getDouble(5).isNaN))
   }
 
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {

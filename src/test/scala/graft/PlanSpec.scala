@@ -521,9 +521,10 @@ class PlanSpec extends SparkSpec {
       // id/long work
       "l122_image_near_dups", "l125_image_dedup_apply",
       "l126_image_band_sweep", "l127_audio_near_dups",
-      // l128: audio apply — the shared sig-level core; everything past
-      // the audioHash scan is (doc_id, dhash, band) long work
-      "l128_audio_dedup_apply")) {
+      // l128/l131: audio apply + sweep — the shared sig-level cores;
+      // everything past the audioHash scan is (doc_id, dhash, band)
+      // long work
+      "l128_audio_dedup_apply", "l131_audio_band_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
