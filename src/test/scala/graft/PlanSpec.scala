@@ -860,7 +860,14 @@ class PlanSpec extends SparkSpec {
       // l126: per-leg 1-row count crossJoins + the broadcast 1-row
       // truth-count join (the l82/l87 sweep shape); candidate legs join
       // bands by equality
-      "l126_image_band_sweep")
+      "l126_image_band_sweep",
+      // l129/l130: the trainer's broadcast 1-row t_mass totals — one per
+      // EM round's lattice, the M-step loss pass, and the final
+      // renormalization (the l123 shape, once per round); every
+      // corpus-sized exchange is still the one distinct-word hash-agg
+      "l129_unigram_train", "l130_tokenizer_fertility_trained",
+      // l131: the l126 sweep shape on the audio signature table
+      "l131_audio_band_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
