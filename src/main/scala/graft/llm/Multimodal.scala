@@ -860,14 +860,60 @@ object Multimodal {
                                        hotBands: Option[DataFrame] = None)
       : (DataFrame, DataFrame) = {
     val sig = batchSig.select(col("doc_id"), col("dhash")).localCheckpoint()
-    def banded(df: DataFrame) = df.select(col("doc_id"), col("dhash"),
-      posexplode(array((0 until 8).map(bi =>
-        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
-        .as(Seq("band_idx", "band_val")))
-    val b = banded(sig)
-    val s0 = banded(state.select(col("doc_id"), col("dhash")))
+    val s0 = bandedSigs(state.select(col("doc_id"), col("dhash")), 8)
     val s = hotBands.fold(s0)(hot =>
       s0.join(broadcast(hot), Seq("band_idx", "band_val"), "left_anti"))
+    (sigVerdictsAgainst(sig, s, maxHamming), sig)
+  }
+
+  /** The carried-state INDEX form of the streaming admission: at
+    * 100 TB the plain (doc_id, dhash) state form pays an O(state)
+    * band-explode EVERY batch (`sigDedupIncrement` re-derives the
+    * banded probe table per call — fine on a warm cache, wrong as the
+    * corpus-sized recurring cost). The production loop carries the
+    * BANDED index itself (the l52 `bandIndex`/`extendIndex` discipline
+    * on the perceptual plane): build once (`sigBandIndex`), persist
+    * partitioned however the store likes, append per batch with the
+    * batch's own 8 rows/signature (`extendSigIndex`), and probe with
+    * `sigDedupIncrementIndexed` — per-batch cost is then the batch's
+    * codec pass + one band-keyed probe against the persisted index,
+    * nothing corpus-sized recomputed. At compaction cadence, rebuild
+    * the index from `compactSigState`'s collapsed reps and swap in its
+    * hot-band exclusion. */
+  def sigBandIndex(sig: DataFrame): DataFrame =
+    bandedSigs(sig.select(col("doc_id"), col("dhash")), 8)
+
+  /** Append a batch's signatures to the carried band index (8 narrow
+    * rows per signature — id/hash/band longs only). NOT idempotent
+    * under re-delivery: the S22 exactly-once foreachBatch discipline
+    * applies. */
+  def extendSigIndex(index: DataFrame, batchSig: DataFrame): DataFrame =
+    index.unionByName(sigBandIndex(batchSig))
+
+  /** Streaming admission against the PERSISTED band index — verdict-
+    * identical to `sigDedupIncrement` over the index's underlying
+    * signature table (StreamingSpec pins the equality); `hotBands`
+    * excludes compaction-flagged buckets from the index probe side
+    * exactly as in the state form. Returns (verdicts, batchIndexRows):
+    * the caller appends batchIndexRows via union — the batch pays its
+    * own 8-rows/signature banding, never the corpus's. */
+  def sigDedupIncrementIndexed(batchSig: DataFrame, index: DataFrame,
+                               maxHamming: Int = 2,
+                               hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val sig = batchSig.select(col("doc_id"), col("dhash")).localCheckpoint()
+    val s = hotBands.fold(index)(hot =>
+      index.join(broadcast(hot), Seq("band_idx", "band_val"), "left_anti"))
+    (sigVerdictsAgainst(sig, s, maxHamming), sigBandIndex(sig))
+  }
+
+  /** The shared verdict core: band-probe the batch signatures against a
+    * banded other-side (state or persisted index) and the batch's own
+    * earlier (smaller doc_id) members, Hamming-verify, fold to per-id
+    * dup_corpus/dup_batch/kept verdicts. */
+  private def sigVerdictsAgainst(sig: DataFrame, bandedOther: DataFrame,
+                                 maxHamming: Int): DataFrame = {
+    val b = bandedSigs(sig, 8)
     def dupIds(other: DataFrame, earlier: Column): DataFrame =
       b.as("x").join(other.as("y"),
           col("x.band_idx") === col("y.band_idx")
@@ -875,17 +921,16 @@ object Multimodal {
         .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
           <= maxHamming)
         .select(col("x.doc_id").as("doc_id")).distinct()
-    val vsState = dupIds(s, lit(true)).withColumn("dup_c", lit(true))
+    val vsState = dupIds(bandedOther, lit(true)).withColumn("dup_c", lit(true))
     val vsBatch = dupIds(b, col("y.doc_id") < col("x.doc_id"))
       .withColumn("dup_b", lit(true))
-    val verdicts = sig.select(col("doc_id"))
+    sig.select(col("doc_id"))
       .join(vsState, Seq("doc_id"), "left")
       .join(vsBatch, Seq("doc_id"), "left")
       .select(col("doc_id"),
         when(col("dup_c"), lit("dup_corpus"))
           .when(col("dup_b"), lit("dup_batch"))
           .otherwise(lit("kept")).as("verdict"))
-    (verdicts, sig)
   }
 
   /** State COMPACTION for the streaming admission loops (S39/S41) —

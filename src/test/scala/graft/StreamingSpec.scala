@@ -1653,6 +1653,48 @@ class StreamingSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L, 3L, 11L, 12L).forall(verdicts(_) == "kept"))
   }
 
+  test("indexed admission: probing the persisted band index is verdict-" +
+    "identical to the state form, appends compose per batch, and the " +
+    "compaction swap rebuilds the index from collapsed reps") {
+    // The carried-state INDEX form (the l52 bandIndex/extendIndex
+    // discipline on the perceptual plane): at scale the per-batch cost
+    // must be the BATCH's banding, never an O(state) band-explode —
+    // sigDedupIncrementIndexed probes the persisted index and returns
+    // the batch's own 8-rows/signature index delta.
+    import graft.llm.Multimodal
+    val state = ((0 until 40).map(i => (100L + i, i.toLong * 0x9E3779B9L))
+      ++ Seq((500L, 0x0102030405060708L))).toDF("doc_id", "dhash")
+    val batch = Seq((1000L, 0x0102030405060708L), // exact dup of 500
+      (1001L, 0x0102030405060718L),               // Hamming 2 of 500
+      (1002L, 0x7777888899990000L),               // novel
+      (1003L, 0x7777888899990000L))               // in-batch dup of 1002
+      .toDF("doc_id", "dhash")
+    def vmap(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      p._1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromState = vmap(Multimodal.sigDedupIncrement(batch, state, 2))
+    val index = Multimodal.sigBandIndex(state).localCheckpoint()
+    val (iVerd, delta) = Multimodal.sigDedupIncrementIndexed(batch, index, 2)
+    assert(vmap((iVerd, delta)) === fromState)
+    assert(fromState(1000L) === "dup_corpus"
+      && fromState(1001L) === "dup_corpus"
+      && fromState(1002L) === "kept" && fromState(1003L) === "dup_batch")
+    // the delta IS the batch's index rows: appending composes — a
+    // SECOND batch probing the extended index sees the first batch
+    val index2 = Multimodal.extendSigIndex(index, batch).localCheckpoint()
+    assert(index2.count() === index.count() + 4 * 8)
+    val batch2 = Seq((2000L, 0x7777888899990000L)).toDF("doc_id", "dhash")
+    assert(vmap(Multimodal.sigDedupIncrementIndexed(batch2, index2, 2))(2000L)
+      === "dup_corpus")
+    // compaction swap: rebuild from collapsed reps + hot exclusion —
+    // verdicts unchanged on the probe batch (exact-hash collapse is
+    // verdict-lossless, and this state has no hot buckets at cap 500)
+    val (reps, hot) = Multimodal.compactSigState(
+      state.unionByName(batch), maxBandOcc = 500)
+    val compacted = Multimodal.sigBandIndex(reps).localCheckpoint()
+    assert(vmap(Multimodal.sigDedupIncrementIndexed(batch2, compacted, 2,
+      Some(hot)))(2000L) === "dup_corpus")
+  }
+
   test("compactSigState: exact-hash collapse is verdict-lossless for " +
     "admission; the hot-band index silences a degenerate pile — and the " +
     "excluded-band recall trade is exactly the documented one") {
