@@ -407,7 +407,15 @@ class PlanSpec extends SparkSpec {
       "l91_simhash_estimate_audit",
       // l92: embeds containmentPairs (shingle atoms in the inverted
       // index); labeling joins move ids and short source strings only
-      "l92_source_containment_matrix")
+      "l92_source_containment_matrix",
+      // l123/l124/l129/l130 (round-18): the unigram family's one
+      // corpus-sized exchange is the distinct-word hash-agg (word atoms
+      // — the l56 shape); the lattice groupBy shuffles (word, j, k,
+      // piece, p) span atoms (pieces are ≤4-char substrings), and every
+      // trainer round is vocab-table work — text dies in the words()
+      // scan stage and must never reappear on any exchange
+      "l123_unigram_round1", "l124_tokenizer_fertility",
+      "l129_unigram_train", "l130_tokenizer_fertility_trained")
     // l71/l72: quality scoring happens in the scan — every exchange
     // carries only (id, score, bucket, count) scalars. l70 is not
     // listed for the same reason l57 isn't: its Σ√ fold's weight column
