@@ -278,13 +278,23 @@ object UnigramLm {
     * character. The one driver-side read is the vocab-table count that
     * sizes the keep (the Bpe.train loop-control class). */
   private def trainRound(wordFreq: DataFrame, model: DataFrame,
-                         maxLen: Int, shrinkNum: Int, shrinkDen: Int)
-      : DataFrame = {
-    val mstep = emCounts(wordFreq, model, maxLen)
-      .select(col("piece"),
-        when(length(col("piece")) === 1, greatest(col("em_count"), lit(1L)))
-          .otherwise(col("em_count")).as("cnt"))
-      .localCheckpoint()
+                         maxLen: Int, shrinkNum: Int, shrinkDen: Int,
+                         emIters: Int = 1): DataFrame = {
+    // emIters > 1 = the SentencePiece trainer's sub-iteration count
+    // (Kudo runs 2 E+M passes per prune round): each sub-iteration
+    // re-estimates counts under the PREVIOUS sub-iteration's
+    // renormalized model — same piece set, sharper posteriors. The
+    // declared l129 pins emIters = 1 (one lattice instance per round in
+    // the unrolled oracle); more sub-iterations are the same machinery
+    // and stay replayable, just a longer chain.
+    require(emIters >= 1, s"emIters: $emIters")
+    var mstep = model
+    for (_ <- 1 to emIters)
+      mstep = emCounts(wordFreq, mstep, maxLen)
+        .select(col("piece"),
+          when(length(col("piece")) === 1, greatest(col("em_count"), lit(1L)))
+            .otherwise(col("em_count")).as("cnt"))
+        .localCheckpoint()
     val t = mstep.agg(sum(col("cnt")).as("t_mass"))
     val loss = mstep.filter(length(col("piece")) > 1)
       .crossJoin(broadcast(t))
@@ -324,13 +334,14 @@ object UnigramLm {
     * the trained model derives at swap time, never per batch. */
   def trainRoundsFromWords(wordFreq: DataFrame, seedSize: Int = 40,
                            maxLen: Int = 4, rounds: Int = 2,
-                           shrinkNum: Int = 3, shrinkDen: Int = 4)
-      : DataFrame = {
+                           shrinkNum: Int = 3, shrinkDen: Int = 4,
+                           emIters: Int = 1): DataFrame = {
     var model = seedVocabFromWords(wordFreq, seedSize, maxLen)
       .select(col("piece"), col("seed_freq").as("cnt"))
       .localCheckpoint()
     for (_ <- 1 to rounds)
-      model = trainRound(wordFreq, model, maxLen, shrinkNum, shrinkDen)
+      model = trainRound(wordFreq, model, maxLen, shrinkNum, shrinkDen,
+        emIters)
     finalizeModel(model)
   }
 
@@ -341,7 +352,7 @@ object UnigramLm {
     * fixed-round machinery. */
   def train(docs: DataFrame, targetVocab: Int, seedSize: Int = 40,
             maxLen: Int = 4, shrinkNum: Int = 3, shrinkDen: Int = 4,
-            maxRounds: Int = 10): DataFrame = {
+            maxRounds: Int = 10, emIters: Int = 1): DataFrame = {
     val wordFreq = words(docs).localCheckpoint()
     var model = seedVocabFromWords(wordFreq, seedSize, maxLen)
       .select(col("piece"), col("seed_freq").as("cnt"))
@@ -350,7 +361,8 @@ object UnigramLm {
     var r = 0
     var shrinking = true
     while (n > targetVocab && r < maxRounds && shrinking) {
-      model = trainRound(wordFreq, model, maxLen, shrinkNum, shrinkDen)
+      model = trainRound(wordFreq, model, maxLen, shrinkNum, shrinkDen,
+        emIters)
       val n2 = model.count()
       shrinking = n2 < n
       n = n2

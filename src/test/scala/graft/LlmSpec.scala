@@ -1642,6 +1642,13 @@ class LlmSpec extends SparkSpec {
     val m2 = UnigramLm.trainRounds(d, rounds = 2, shrinkNum = 1,
       shrinkDen = 3).collect()
     assert(m2.map(_.getString(0)).sorted.toSeq === Seq("a", "ab", "b", "c"))
+    // Kudo's 2 EM sub-iterations per prune round (emIters = 2): sharper
+    // posteriors under the re-normalized model, same survivor on this
+    // corpus (ab's dominance only grows), singles still floored
+    val mE2 = UnigramLm.trainRoundsFromWords(UnigramLm.words(d),
+      rounds = 1, shrinkNum = 1, shrinkDen = 3, emIters = 2).collect()
+    assert(mE2.map(_.getString(0)).sorted.toSeq === Seq("a", "ab", "b", "c"))
+    assert(mE2.forall(_.getLong(1) >= 1L))
   }
 
   test("unigram-LM trained fertility (l130 core): pruning 'abc' forces " +
