@@ -104,10 +104,24 @@ object Multimodal {
     * spec-valid P6 with maxval < 256 (one byte per sample), not just the
     * encoder's output; rejects everything else loudly. */
   private def parsePpm(p: Array[Byte], docId: Long): Ppm = {
+    val ppm = parsePpmAt(p, 0, docId)
+    if (p.length - ppm.offset != ppm.width * ppm.height * 3)
+      throw new IllegalArgumentException(s"doc $docId: invalid P6 PPM — " +
+        s"raster is ${p.length - ppm.offset} bytes, header says " +
+        s"${ppm.width * ppm.height * 3}")
+    ppm
+  }
+
+  /** P6 parse at a byte offset — the container form (a video frame is a
+    * complete embedded P6): identical header walk, but the raster-length
+    * check is "enough bytes REMAIN" (the frame's own header says where
+    * it ends) rather than "consumes the whole array". */
+  private def parsePpmAt(p: Array[Byte], start: Int, docId: Long): Ppm = {
     def fail(why: String): Nothing =
       throw new IllegalArgumentException(s"doc $docId: invalid P6 PPM — $why")
-    if (p.length < 2 || p(0) != 'P' || p(1) != '6') fail("bad magic")
-    var i = 2
+    if (p.length < start + 2 || p(start) != 'P' || p(start + 1) != '6')
+      fail("bad magic")
+    var i = start + 2
     def skipWs(): Unit = {
       var going = true
       while (going && i < p.length) {
@@ -135,7 +149,7 @@ object Multimodal {
     // exactly ONE whitespace byte separates the header from the raster
     if (i >= p.length || !isPpmWs(p(i))) fail("missing raster separator")
     i += 1
-    if (p.length - i != w * h * 3)
+    if (p.length - i < w * h * 3)
       fail(s"raster is ${p.length - i} bytes, header says ${w * h * 3}")
     Ppm(w, h, i)
   }
@@ -234,6 +248,228 @@ object Multimodal {
         FrameRow(b.doc_id, y.toLong, sum)
       }
     }
+  }
+
+  // ------------------------------------------------------------- video
+
+  /** Typed features the video decoder emits per container: frame count,
+    * shared frame geometry, container size, and exact integer raster
+    * stats — Σ of every frame's raster bytes plus the min/max per-frame
+    * raster sum (all LONG — aggregation-order free). */
+  final case class VideoFeatures(
+      doc_id: Long, n_frames: Long, width: Long, height: Long,
+      n_bytes: Long, px_sum: Long, frame_sum_min: Long, frame_sum_max: Long)
+
+  /** One frame's 64-bit dHash (the video signature table's row — the
+    * image ImageSig with a frame axis). */
+  final case class VideoFrameSig(doc_id: Long, frame_idx: Int, dhash: Long)
+
+  /** Deterministic multi-frame VIDEO container per document — the third
+    * modality's `encodePpm`/`encodeWav` trick, so the DuckDB oracle can
+    * regenerate payloads in SQL and replay the real parser end-to-end.
+    * Container: ASCII header `GV1\n<F>\n`, then F complete embedded P6
+    * frames (each independently spec-valid, parsed by the REAL P6
+    * walk). F = 2 + first byte % 3 (2–4 frames), geometry shared with
+    * the image encoder (w = 1 + first % 16, h = 1 + last % 16), and
+    * frame f's raster byte k = text byte (k + 7·f) mod len — a
+    * temporal PAN: consecutive frames are shifted tilings, the way real
+    * consecutive video frames are near-identical content under motion.
+    * Empty/null text → two 1×1 '0' frames. */
+  def encodeVideo(spark: SparkSession, docs: DataFrame): Dataset[BlobRow] = {
+    import spark.implicits._
+    docs.select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions(_.map { case (id, text) =>
+        val bytes =
+          if (text == null) Array.empty[Byte]
+          else text.getBytes(StandardCharsets.UTF_8)
+        val len = bytes.length
+        val first = if (len == 0) 0 else bytes(0) & 0xff
+        val w = 1 + first % 16
+        val h = 1 + (if (len == 0) 0 else bytes(len - 1) & 0xff) % 16
+        val nf = 2 + first % 3
+        val fHdr = s"P6\n$w $h\n255\n".getBytes(StandardCharsets.US_ASCII)
+        val vHdr = s"GV1\n$nf\n".getBytes(StandardCharsets.US_ASCII)
+        val raster = w * h * 3
+        val out = new Array[Byte](vHdr.length + nf * (fHdr.length + raster))
+        System.arraycopy(vHdr, 0, out, 0, vHdr.length)
+        var off = vHdr.length
+        var f = 0
+        while (f < nf) {
+          System.arraycopy(fHdr, 0, out, off, fHdr.length)
+          off += fHdr.length
+          var k = 0
+          while (k < raster) {
+            out(off + k) =
+              if (len == 0) '0'.toByte else bytes((k + 7 * f) % len)
+            k += 1
+          }
+          off += raster
+          f += 1
+        }
+        BlobRow(id, out)
+      })
+  }
+
+  /** The real GV1 container walk: magic, ASCII frame count, then F
+    * embedded P6 parses (each frame's own header says where it ends).
+    * Returns each frame's parsed view in payload order. */
+  private def parseVideo(p: Array[Byte], docId: Long): Seq[Ppm] = {
+    def fail(why: String): Nothing = throw new IllegalArgumentException(
+      s"doc $docId: invalid GV1 video — $why")
+    if (p.length < 4 || p(0) != 'G' || p(1) != 'V' || p(2) != '1'
+        || p(3) != '\n') fail("bad magic")
+    var i = 4
+    if (i >= p.length || p(i) < '0' || p(i) > '9') fail("expected frame count")
+    var nf = 0
+    while (i < p.length && p(i) >= '0' && p(i) <= '9') {
+      nf = nf * 10 + (p(i) - '0')
+      if (nf > 4096) fail("frame count out of range")
+      i += 1
+    }
+    if (i >= p.length || p(i) != '\n') fail("missing frame-count terminator")
+    i += 1
+    if (nf < 1) fail("empty video")
+    val frames = (0 until nf).map { _ =>
+      val ppm = parsePpmAt(p, i, docId)
+      i = ppm.offset + ppm.width * ppm.height * 3
+      ppm
+    }
+    if (i != p.length)
+      fail(s"${p.length - i} trailing bytes after frame $nf")
+    frames
+  }
+
+  /** L132 — video DECODE + features through the real container walk:
+    * frame count, shared geometry, and exact integer raster statistics.
+    * Same mapPartitions codec-boundary contract as the image/audio
+    * stages (typed Dataset, payloads columnar, zero driver involvement;
+    * swap the stats loop for a model call and nothing else changes). */
+  def videoFeatures(spark: SparkSession, blobs: DataFrame)
+      : Dataset[VideoFeatures] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val frames = parseVideo(b.payload, b.doc_id)
+      var px = 0L
+      var mn = Long.MaxValue
+      var mx = Long.MinValue
+      frames.foreach { fr =>
+        var s = 0L
+        var j = fr.offset
+        val end = fr.offset + fr.width * fr.height * 3
+        while (j < end) { s += (b.payload(j) & 0xff); j += 1 }
+        px += s
+        if (s < mn) mn = s
+        if (s > mx) mx = s
+      }
+      VideoFeatures(b.doc_id, frames.length.toLong,
+        frames.head.width.toLong, frames.head.height.toLong,
+        b.payload.length.toLong, px, mn, mx)
+    })
+  }
+
+  /** Per-frame dHash signatures — the video near-dup plane's signature
+    * table: (doc_id, frame_idx, dhash), one 64-bit gradient-sign hash
+    * per frame through the SAME grid machinery as the image plane (a
+    * container frame hashes identically to the same raster standalone,
+    * pinned in LlmSpec). Computed inside the codec mapPartitions
+    * boundary — payloads never leave the scan stage. */
+  def videoFrameHashes(spark: SparkSession, blobs: DataFrame)
+      : Dataset[VideoFrameSig] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.flatMap { b =>
+      parseVideo(b.payload, b.doc_id).iterator.zipWithIndex.map {
+        case (fr, idx) => VideoFrameSig(b.doc_id, idx, gridHash(b.payload, fr)._2)
+      }
+    })
+  }
+
+  /** L133 — VIDEO near-duplicate pairs: the l122/l127 discipline with a
+    * FRAME axis — re-encoded or re-posted clips whose per-frame content
+    * matches. Candidates band each frame's hash within its OWN
+    * (frame_idx, band) bucket (aligned frames only — the pigeonhole
+    * recall argument applies per frame), the hot-band guard caps bucket
+    * occupancy per (frame_idx, band), verification is per-aligned-frame
+    * XOR+popcount ≤ maxHamming, and a PAIR of videos is a near-dup when
+    * ≥ minFrames aligned frames verify. Output per pair: the count of
+    * close frames and the exact summed Hamming over them (the audit
+    * column). At 100 TB: exchanges carry (doc_id, frame_idx, dhash,
+    * band) longs only; per-frame banding multiplies rows by the BOUNDED
+    * frame-sample count, not by payload size. */
+  def videoNearDups(spark: SparkSession, docs: DataFrame,
+                    maxHamming: Int = 2, maxBandOcc: Int = 500,
+                    minFrames: Int = 2): DataFrame =
+    videoNearDupsFromSigs(
+      videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF()
+        .localCheckpoint(),
+      maxHamming, maxBandOcc, minFrames)
+
+  /** The sig-level pair core over a (doc_id, frame_idx, dhash) table —
+    * shared by the pair query and the apply (ONE codec pass each). */
+  private[graft] def videoNearDupsFromSigs(sig: DataFrame, maxHamming: Int,
+                                           maxBandOcc: Int,
+                                           minFrames: Int): DataFrame = {
+    val bands = sig.select(col("doc_id"), col("frame_idx"), col("dhash"),
+      posexplode(array((0 until 8).map(bi =>
+        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val hot = bands.groupBy(col("frame_idx"), col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("frame_idx"), col("band_idx"), col("band_val"))
+    val live = bands.join(broadcast(hot),
+      Seq("frame_idx", "band_idx", "band_val"), "left_anti")
+    val framePairs = live.as("x").join(live.as("y"),
+        col("x.frame_idx") === col("y.frame_idx")
+          && col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+        <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.frame_idx").as("frame_idx"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+    framePairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_close_frames"),
+        sum(col("hamming")).as("sum_hamming"))
+      .filter(col("n_close_frames") >= minFrames)
+  }
+
+  /** VIDEO dedup APPLY — the l125/l128 shape on the frame-sequence
+    * plane: near-dup pairs (≥ minFrames aligned close frames) →
+    * connected components → keep each cluster's minimum doc_id →
+    * anti-join; output the surviving (doc_id, n_frames). Exact re-posts
+    * are byte-identical per frame, so every aligned frame verifies at
+    * Hamming 0 and the pair passes any minFrames ≤ frame count. */
+  def videoDedupApply(spark: SparkSession, docs: DataFrame,
+                      maxHamming: Int = 2, maxBandOcc: Int = 500,
+                      minFrames: Int = 2): DataFrame = {
+    val sig = videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    // exact-SEQUENCE pre-collapse (the l125/l128 discipline on the
+    // frame plane): videos whose complete ordered per-frame hash vector
+    // is identical are exact re-posts — collapse each group to its
+    // min-id representative by vector EQUALITY, so a viral clip's
+    // million copies enter the CC as one node and are immune to the
+    // hot-band guard. The vector is ≤ the bounded frame count — a
+    // bounded group key, not the O(multiplicity) row the member-table
+    // discipline bans.
+    val reps = sig
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
+        .as("sv"))
+      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val repSig = sig.join(reps, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val pairs = videoNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
+        minFrames)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = Dedup.nearDupClustersAuto(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    repSig.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(losers, Seq("doc_id"), "left_anti")
   }
 
   // ------------------------------------------------------------- audio
@@ -458,33 +694,43 @@ object Multimodal {
     import spark.implicits._
     blobs.as[BlobRow].mapPartitions(_.map { b =>
       val img = parsePpm(b.payload, b.doc_id)
-      val grid = new Array[Int](72)
-      var gy = 0
-      while (gy < 8) {
-        val sy = gy * img.height / 8
-        var gx = 0
-        while (gx < 9) {
-          val sx = gx * img.width / 9
-          val base = img.offset + (sy * img.width + sx) * 3
-          grid(gy * 9 + gx) = (b.payload(base) & 0xff) +
-            (b.payload(base + 1) & 0xff) + (b.payload(base + 2) & 0xff)
-          gx += 1
-        }
-        gy += 1
-      }
-      var dh = 0L
-      var by = 0
-      while (by < 8) {
-        var bx = 0
-        while (bx < 8) {
-          if (grid(by * 9 + bx) > grid(by * 9 + bx + 1))
-            dh |= 1L << (by * 8 + bx)
-          bx += 1
-        }
-        by += 1
-      }
+      val (grid, dh) = gridHash(b.payload, img)
       ImageSig(b.doc_id, dh, grid)
     })
+  }
+
+  /** The 9×8 nearest-neighbor gray grid + horizontal gradient-sign hash
+    * of one parsed raster (shared by the single-image dHash and the
+    * per-frame video hash — the raster's location in the payload comes
+    * from the parse, so a container frame hashes identically to the
+    * same raster as a standalone P6). */
+  private def gridHash(p: Array[Byte], img: Ppm): (Array[Int], Long) = {
+    val grid = new Array[Int](72)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * img.height / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = gx * img.width / 9
+        val base = img.offset + (sy * img.width + sx) * 3
+        grid(gy * 9 + gx) = (p(base) & 0xff) +
+          (p(base + 1) & 0xff) + (p(base + 2) & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var dh = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (grid(by * 9 + bx) > grid(by * 9 + bx + 1))
+          dh |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    (grid, dh)
   }
 
   /** L122 — IMAGE near-duplicate pairs: the one duplicate class the

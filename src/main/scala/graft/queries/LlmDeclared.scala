@@ -56,5 +56,6 @@ object LlmDeclared
     l89, l90, l91, l92, l93, l94, l95, l96, l97, l98, l99, l100,
     l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111,
     l112, l113, l114, l115, l116, l117, l118, l119, l120, l121, l122,
-    l123, l124, l125, l126, l127, l128, l129, l130, l131, d29)
+    l123, l124, l125, l126, l127, l128, l129, l130, l131, l132, l133,
+    l134, d29)
 }

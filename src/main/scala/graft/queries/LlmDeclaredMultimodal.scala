@@ -368,6 +368,156 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       ORDER BY band_bits, max_band_occ"""))
   }
 
+  /** Shared video-oracle CTE chain: per-document container parameters
+    * (geometry + frame count — `encodeVideo`'s derivation) and the
+    * per-(doc, frame) expansion. Frame f's raster byte k is text byte
+    * (k + 7·f) mod len — `ppmPx` with the +7f shift replays it. */
+  private def videoBaseCtes: String =
+    s"""vb AS (SELECT doc_id, text, len,
+        1 + first % 16 AS w, 1 + lastc % 16 AS h, 2 + first % 3 AS nf
+      FROM (SELECT doc_id, text, length(COALESCE(text, '')) AS len,
+          CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+            ELSE ascii(substr(text, 1, 1)) END AS first,
+          CASE WHEN length(COALESCE(text, '')) = 0 THEN 0
+            ELSE ascii(substr(text, length(text), 1)) END AS lastc
+        FROM documents) vb0),
+      vfr AS (SELECT doc_id, text, len, w, h, nf,
+        unnest(range(nf)) AS f FROM vb)"""
+
+  /** Per-(doc, frame) dHash CTEs over the video base — the image
+    * dHashBaseCtes grid/bit machinery with the frame's +7f pan shift. */
+  private def videoSigCtes: String = {
+    val grayCell = "(" + (0 until 3).map(c =>
+      ppmPx(s"((((i//9)*h//8)*w + ((i%9)*w//9))*3 + $c + 7*f)"))
+      .mkString(" + ") + ")"
+    val bitTerm =
+      """CASE WHEN grid[CAST((b//8)*9 + (b%8) + 1 AS INTEGER)] >
+                grid[CAST((b//8)*9 + (b%8) + 2 AS INTEGER)]
+           THEN CASE WHEN b = 63
+                THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+           ELSE CAST(0 AS BIGINT) END"""
+    s"""$videoBaseCtes,
+      vg AS (SELECT doc_id, f,
+          list_transform(range(72), i -> $grayCell) AS grid FROM vfr),
+      vdh AS MATERIALIZED (SELECT doc_id, f,
+          list_reduce(list_transform(range(64), b -> $bitTerm),
+            (x, y) -> x + y) AS dhash FROM vg)"""
+  }
+
+  /** The banded frame-aligned candidate pairs (the bandLegCtes shape
+    * with the frame axis in every key); `src` is the per-frame sig
+    * table (vdh, or l134's collapsed-rep restriction). */
+  private def videoCandCtes(maxHamming: Int, maxBandOcc: Int,
+                            src: String = "vdh"): String =
+    s"""vbands AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
+          (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
+        FROM (SELECT doc_id, f, dhash, unnest(range(8)) AS band_idx
+          FROM $src)),
+      vhot AS (SELECT f, band_idx, band_val FROM vbands
+        GROUP BY f, band_idx, band_val HAVING count(*) > $maxBandOcc),
+      vlive AS (SELECT b.* FROM vbands b WHERE NOT EXISTS
+        (SELECT 1 FROM vhot h WHERE h.f = b.f AND h.band_idx = b.band_idx
+          AND h.band_val = b.band_val)),
+      vcand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+          y.doc_id AS doc_b, x.f AS f,
+          CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+        FROM vlive x JOIN vlive y
+          ON x.f = y.f AND x.band_idx = y.band_idx
+          AND x.band_val = y.band_val AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= $maxHamming)"""
+
+  /** L132 — multimodal VIDEO decode + features: deterministic GV1
+    * multi-frame containers (2–4 complete embedded P6 frames; frame f
+    * is the text tiling panned by 7·f bytes — consecutive frames are
+    * near-identical content under motion, the way real video is)
+    * through the REAL container walk (`Multimodal.parseVideo` — magic,
+    * ASCII frame count, then one spec-valid P6 parse per frame).
+    * Completes decode across all four payload modalities the engine
+    * synthesizes (image l11, audio l115, video this, text everywhere).
+    * All stats exact LONGs; the oracle regenerates the container
+    * arithmetic in SQL and replays the decode bit-identically. */
+  protected val l132 = DeclaredQuery(
+    "l132_video_decode",
+    (s, dir) => Multimodal.videoFeatures(s,
+        Multimodal.encodeVideo(s, t(s, dir, "documents")).toDF()).toDF()
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $videoBaseCtes,
+      vsum AS (SELECT doc_id, f,
+          CAST(list_reduce(list_transform(range(w*h*3),
+            k -> ${ppmPx("k + 7*f")}), (x, y) -> x + y) AS BIGINT) AS fsum
+        FROM vfr),
+      agg AS (SELECT doc_id, CAST(SUM(fsum) AS BIGINT) AS px_sum,
+          CAST(MIN(fsum) AS BIGINT) AS frame_sum_min,
+          CAST(MAX(fsum) AS BIGINT) AS frame_sum_max
+        FROM vsum GROUP BY doc_id)
+      SELECT vb.doc_id, CAST(nf AS BIGINT) AS n_frames,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(6 + nf * (3 + length(CAST(w AS VARCHAR)) + 1
+          + length(CAST(h AS VARCHAR)) + 1 + 4 + w*h*3) AS BIGINT)
+          AS n_bytes,
+        agg.px_sum, agg.frame_sum_min, agg.frame_sum_max
+      FROM vb JOIN agg USING (doc_id)
+      ORDER BY vb.doc_id"""))
+
+  /** L133 — VIDEO near-duplicate pairs: the l122/l127 discipline with a
+    * FRAME axis (re-encoded/re-posted clips): per-frame dHash through
+    * the shared grid machinery, candidates banded within their OWN
+    * (frame, band) bucket — the pigeonhole recall argument applies per
+    * aligned frame — hot-band guard per (frame, band), per-frame
+    * Hamming verify, and a PAIR verdict when ≥ minFrames aligned frames
+    * verify, carrying the exact summed Hamming as the audit column. */
+  protected val l133 = DeclaredQuery(
+    "l133_video_near_dups",
+    (s, dir) => Multimodal.videoNearDups(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500, minFrames = 2)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $videoSigCtes,
+      ${videoCandCtes(2, 500)}
+      SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_close_frames,
+        CAST(SUM(hamming) AS BIGINT) AS sum_hamming
+      FROM vcand GROUP BY doc_a, doc_b
+      HAVING COUNT(*) >= 2
+      ORDER BY doc_a, doc_b"""))
+
+  /** L134 — VIDEO dedup APPLY: the l125/l128 shape on the frame-
+    * sequence plane — l133's pair verdicts → connected-components
+    * transitive closure → keep each cluster's minimum doc_id →
+    * anti-join; output the surviving (doc_id, n_frames). Completes the
+    * dedup-apply family across every payload modality (text l30,
+    * embeddings l118, image l125, audio l128, video this). Oracle:
+    * recursive-CTE closure over the video candidate chain (the
+    * l125/l128 precedent — two very different CC algorithms agreeing
+    * exactly). */
+  protected val l134 = DeclaredQuery(
+    "l134_video_dedup_apply",
+    (s, dir) => Multimodal.videoDedupApply(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500, minFrames = 2)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $videoSigCtes,
+      vvec AS (SELECT doc_id, list(dhash ORDER BY f) AS sv
+        FROM vdh GROUP BY doc_id),
+      vrep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id
+        FROM vvec GROUP BY sv),
+      vdhr AS MATERIALIZED (SELECT d.* FROM vdh d
+        JOIN vrep USING (doc_id)),
+      ${videoCandCtes(2, 500, src = "vdhr")},
+      vpairs AS MATERIALIZED (SELECT doc_a, doc_b FROM vcand
+        GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+                UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+      SELECT vb.doc_id, CAST(vb.nf AS BIGINT) AS n_frames FROM vb
+      JOIN vrep USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = vb.doc_id)
+      ORDER BY vb.doc_id"""))
+
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
     * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so

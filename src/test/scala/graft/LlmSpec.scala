@@ -2006,6 +2006,75 @@ class LlmSpec extends SparkSpec {
     assert(vac.forall(r => r.getDouble(5).isNaN))
   }
 
+  test("video decode: encodeVideo round-trips through the real GV1 " +
+    "container walk — hand-computed frame count, geometry and stats") {
+    // "abc": first = 'a' (97) → w = 2, nf = 2 + 97%3 = 3; last = 'c'
+    // (99) → h = 4. Each frame's raster is 24 bytes of the text tiling
+    // shifted by 7f; a rotation preserves the multiset, so every frame
+    // sums to 8·(97+98+99) = 2352. Container = "GV1\n3\n" (6 B) +
+    // 3 × ("P6\n2 4\n255\n" (11 B) + 24 B raster) = 111 B.
+    val d = Seq((7L, "abc")).toDF("doc_id", "text")
+    val f = Multimodal.videoFeatures(spark,
+      Multimodal.encodeVideo(spark, d).toDF()).collect().head
+    assert(f.n_frames === 3L)
+    assert(f.width === 2L && f.height === 4L)
+    assert(f.n_bytes === 111L)
+    assert(f.px_sum === 3L * 2352L)
+    assert(f.frame_sum_min === 2352L && f.frame_sum_max === 2352L)
+  }
+
+  test("video frame hashes: frame 0 of the container hashes IDENTICALLY " +
+    "to the standalone image encoding — the shared grid machinery, " +
+    "receipted structurally") {
+    // encodePpm's payload IS frame 0's raster under the same geometry,
+    // so the per-frame gridHash must agree bit-for-bit with dHash.
+    val docs = Tables.load(spark, sf001, "documents").limit(50)
+      .localCheckpoint()
+    val img = Multimodal.dHash(spark,
+        Multimodal.encodePpm(spark, docs).toDF()).toDF()
+      .select(col("doc_id"), col("dhash").as("img_hash"))
+    val f0 = Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()).toDF()
+      .filter(col("frame_idx") === 0)
+      .select(col("doc_id"), col("dhash").as("vid_hash"))
+    assert(img.join(f0, Seq("doc_id"))
+      .filter(col("img_hash") =!= col("vid_hash")).isEmpty)
+    assert(f0.count() === 50L)
+  }
+
+  test("video near-dups + dedup apply: exact re-posts match on every " +
+    "aligned frame at Hamming 0 and collapse to the minimum id") {
+    val d = Seq((1L, "the quick brown fox jumps over"),
+      (2L, "the quick brown fox jumps over"),   // exact re-post of 1
+      (3L, "a completely different clip text"),
+      (9L, "the quick brown fox jumps over"))   // another re-post
+      .toDF("doc_id", "text")
+    val pairs = Multimodal.videoNearDups(spark, d, maxHamming = 2,
+        maxBandOcc = 100000)
+      .collect().map(r => ((r.getLong(0), r.getLong(1)),
+        (r.getLong(2), r.getLong(3)))).toMap
+    // 'the...' → first 't' = 116, nf = 2 + 116 % 3 = 4 frames
+    assert(pairs.keySet === Set((1L, 2L), (1L, 9L), (2L, 9L)))
+    assert(pairs.values.forall { case (nf, sh) => nf === 4L && sh === 0L })
+    val kept = Multimodal.videoDedupApply(spark, d, maxHamming = 2,
+        maxBandOcc = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(kept.map(_._1).toSeq === Seq(1L, 3L))
+    assert(kept.toMap.apply(1L) === 4L)
+    // the exact-SEQUENCE pre-collapse pin (the l125/l128 discipline on
+    // the frame plane): 30 byte-identical clips make every (frame,
+    // band) bucket they occupy hot at cap 10 — the apply must still
+    // collapse them by vector equality, never through banding
+    val pile = ((0 until 30).map(i => (i.toLong, "viral clip content")) ++
+      Seq((100L, "quiet unrelated other video here")))
+      .toDF("doc_id", "text")
+    val keptPile = Multimodal.videoDedupApply(spark, pile, maxHamming = 2,
+        maxBandOcc = 10)
+      .collect().map(_.getLong(0)).sorted
+    assert(keptPile.toSeq === Seq(0L, 100L),
+      s"pre-collapse failed under hot bands: ${keptPile.toSeq}")
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

@@ -532,7 +532,12 @@ class PlanSpec extends SparkSpec {
       // l128/l131: audio apply + sweep — the shared sig-level cores;
       // everything past the audioHash scan is (doc_id, dhash, band)
       // long work
-      "l128_audio_dedup_apply", "l131_audio_band_sweep")) {
+      "l128_audio_dedup_apply", "l131_audio_band_sweep",
+      // l132-l134: the video plane — per-frame hashes computed inside
+      // the container's codec mapPartitions; every exchange carries
+      // (doc_id, frame_idx, dhash, band) longs or feature scalars
+      "l132_video_decode", "l133_video_near_dups",
+      "l134_video_dedup_apply")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
