@@ -403,15 +403,29 @@ object Multimodal {
         .localCheckpoint(),
       maxHamming, maxBandOcc, minFrames)
 
+  /** Frame-aligned banding of a (doc_id, frame_idx, dhash) table at
+    * `bandBits` bits per band. */
+  private def videoBandedSigs(sig: DataFrame, bandBits: Int): DataFrame = {
+    require(Seq(8, 16, 32).contains(bandBits), s"bandBits: $bandBits")
+    val nBands = 64 / bandBits
+    val mask = (1L << bandBits) - 1
+    sig.select(col("doc_id"), col("frame_idx"), col("dhash"),
+      posexplode(array((0 until nBands).map(bi =>
+        shiftright(col("dhash"), bandBits * bi).bitwiseAND(lit(mask))): _*))
+        .as(Seq("band_idx", "band_val")))
+  }
+
   /** The sig-level pair core over a (doc_id, frame_idx, dhash) table —
-    * shared by the pair query and the apply (ONE codec pass each). */
+    * shared by the pair query, the apply and the sweep (ONE codec pass
+    * each). */
   private[graft] def videoNearDupsFromSigs(sig: DataFrame, maxHamming: Int,
                                            maxBandOcc: Int,
-                                           minFrames: Int): DataFrame = {
-    val bands = sig.select(col("doc_id"), col("frame_idx"), col("dhash"),
-      posexplode(array((0 until 8).map(bi =>
-        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
-        .as(Seq("band_idx", "band_val")))
+                                           minFrames: Int,
+                                           bandBits: Int = 8): DataFrame = {
+    require(maxHamming < 64 / bandBits,
+      s"banding at $bandBits bits is lossy beyond Hamming " +
+        s"${64 / bandBits - 1} (requested $maxHamming)")
+    val bands = videoBandedSigs(sig, bandBits)
     val hot = bands.groupBy(col("frame_idx"), col("band_idx"), col("band_val"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxBandOcc)
@@ -454,7 +468,12 @@ object Multimodal {
     // hot-band guard. The vector is ≤ the bounded frame count — a
     // bounded group key, not the O(multiplicity) row the member-table
     // discipline bans.
-    val reps = sig
+    // repartition BEFORE the vector fold: the collect_list partial-agg
+    // buffer is BinaryType, and pre-partitioning on doc_id makes the
+    // aggregation run complete-in-stage, so the one exchange carries
+    // raw (doc_id, frame_idx, dhash) longs (PlanSpec binary sweep) —
+    // map-side combine buys nothing on <= frame-count groups anyway
+    val reps = sig.repartition(col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
         .as("sv"))
@@ -470,6 +489,171 @@ object Multimodal {
       .select(col("doc_id"))
     repSig.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
       .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** PRODUCTION video dedup apply — band width SCHEDULED from the
+    * collapsed representative count via `KnobSchedule.dhashBandBits`
+    * (the per-frame bucket collision algebra is the same n²/2^bits as
+    * the single-signature planes: each (frame, band) bucket's
+    * occupancy grows with the CLIP count); blob-level, byte-equal to
+    * `videoDedupApply` wherever the schedule resolves to 8 bits
+    * (LlmSpec). */
+  def videoDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
+                          maxHamming: Int = 2, maxBandOcc: Int = 500,
+                          minFrames: Int = 2): DataFrame = {
+    val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
+    // repartition BEFORE the vector fold: the collect_list partial-agg
+    // buffer is BinaryType, and pre-partitioning on doc_id makes the
+    // aggregation run complete-in-stage, so the one exchange carries
+    // raw (doc_id, frame_idx, dhash) longs (PlanSpec binary sweep) —
+    // map-side combine buys nothing on <= frame-count groups anyway
+    val reps = sig.repartition(col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
+        .as("sv"))
+      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val repSig = sig.join(reps, Seq("doc_id"), "left_semi")
+      .localCheckpoint()
+    val nClips = repSig.select(col("doc_id")).distinct().count()
+    val bits = KnobSchedule.dhashBandBits(nClips, maxHamming)
+    val pairs = videoNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
+        minFrames, bits)
+      .select(col("doc_a"), col("doc_b"))
+    val losers = Dedup.nearDupClustersAuto(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    repSig.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** VIDEO band-width/guard sweep — the l126/l131 knob-pricing table on
+    * the frame plane: per (band_bits, max_band_occ) config, hot
+    * (frame, band) buckets and verified PAIR count (≥ minFrames aligned
+    * close frames) next to the widest-lossless unguarded truth leg;
+    * recall = the fraction of true pairs the guard sacrifices at that
+    * width. One synth+hash pass shared by every leg. */
+  def videoBandSweep(spark: SparkSession, docs: DataFrame,
+                     maxHamming: Int = 2, minFrames: Int = 2,
+                     configs: Seq[(Int, Int)] =
+                       Seq((8, 500), (16, 500), (16, 1 << 30))): DataFrame = {
+    val widest = Seq(8, 16, 32).filter(b => 64 / b > maxHamming).max
+    val (tBits, tCap) = configs.last
+    require(tBits == widest && tCap >= (1 << 30),
+      s"configs.last must be the unguarded truth leg ($widest bits, " +
+        s"cap >= 2^30); got ($tBits, $tCap)")
+    val sig = videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val legs = configs.map { case (bits, cap) =>
+      val nHot = videoBandedSigs(sig, bits)
+        .groupBy(col("frame_idx"), col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap)
+        .agg(count(lit(1)).as("n_hot_buckets"))
+      val nPairs = videoNearDupsFromSigs(sig, maxHamming, cap, minFrames,
+          bits)
+        .agg(count(lit(1)).as("n_pairs"))
+      nHot.crossJoin(nPairs)
+        .select(lit(bits).cast(LongType).as("band_bits"),
+          lit(cap).cast(LongType).as("max_band_occ"),
+          col("n_hot_buckets"), col("n_pairs"))
+    }
+    val all = legs.reduce(_ unionByName _)
+    val truth = all.filter(col("band_bits") === tBits
+        && col("max_band_occ") === tCap)
+      .select(col("n_pairs").as("n_truth"))
+    all.crossJoin(broadcast(truth))
+      .select(col("band_bits"), col("max_band_occ"),
+        col("n_hot_buckets"), col("n_pairs"), col("n_truth"),
+        when(col("n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("n_pairs").cast(DoubleType)
+            / col("n_truth").cast(DoubleType)).as("recall"))
+  }
+
+  /** Streaming VIDEO near-dup ADMISSION (S42) — the S39/S41 discipline
+    * on the frame plane, completing the fourth ladder's streaming rung:
+    * the carried state is the (doc_id, frame_idx, dhash) per-frame
+    * signature table of every SEEN clip (dropped included), the
+    * arriving batch pays its own codec-boundary container walk, and a
+    * batch clip verdicts dup when ≥ minFrames aligned frames verify
+    * against ONE other clip (state → dup_corpus, earlier batch member →
+    * dup_batch). With ascending-id batches, kept/dropped equals the
+    * fused `videoNearDups` pair table of the drained corpus
+    * (StreamingSpec). `hotBands` (from `compactVideoSigState`) excludes
+    * compaction-flagged (frame, band) buckets from the state probe. */
+  def videoDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
+                          state: DataFrame, maxHamming: Int = 2,
+                          minFrames: Int = 2,
+                          hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val sig = videoFrameHashes(spark, batchBlobs).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("frame_idx"),
+      col("dhash"),
+      posexplode(array((0 until 8).map(bi =>
+        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val b = banded(sig)
+    val s0 = banded(state.select(col("doc_id"), col("frame_idx"),
+      col("dhash")))
+    val s = hotBands.fold(s0)(hot => s0.join(broadcast(hot),
+      Seq("frame_idx", "band_idx", "band_val"), "left_anti"))
+    def dupIds(other: DataFrame, earlier: Column): DataFrame =
+      b.as("x").join(other.as("y"),
+          col("x.frame_idx") === col("y.frame_idx")
+            && col("x.band_idx") === col("y.band_idx")
+            && col("x.band_val") === col("y.band_val") && earlier)
+        .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          <= maxHamming)
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("other_id"), col("x.frame_idx").as("fi"))
+        .distinct()
+        .groupBy(col("doc_id"), col("other_id"))
+        .agg(count(lit(1)).as("n_close"))
+        .filter(col("n_close") >= minFrames)
+        .select(col("doc_id")).distinct()
+    val vsState = dupIds(s, lit(true)).withColumn("dup_c", lit(true))
+    val vsBatch = dupIds(b, col("y.doc_id") < col("x.doc_id"))
+      .withColumn("dup_b", lit(true))
+    val verdicts = sig.select(col("doc_id")).distinct()
+      .join(vsState, Seq("doc_id"), "left")
+      .join(vsBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_c"), lit("dup_corpus"))
+          .when(col("dup_b"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("verdict"))
+    (verdicts, sig)
+  }
+
+  /** Video-state COMPACTION (the S42 caller contract — the
+    * `compactSigState` discipline on the frame plane): (a) exact-
+    * SEQUENCE collapse — one min-id representative per distinct ordered
+    * frame-hash vector (verdict-lossless for admission: identical
+    * vectors sit at identical per-frame Hamming from any probe);
+    * (b) the (frame_idx, band_idx, band_val) hot-bucket exclusion index
+    * over the COLLAPSED occupancy, which `videoDedupIncrement`
+    * anti-joins off its state-probe side. Returns (compactedState,
+    * hotBands). */
+  def compactVideoSigState(state: DataFrame, maxBandOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val reps = sig.repartition(col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
+        .as("sv"))
+      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    val repSig = sig.join(reps, Seq("doc_id"), "left_semi")
+    val hot = repSig.select(col("frame_idx"), col("dhash"),
+        posexplode(array((0 until 8).map(bi =>
+          shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band_idx", "band_val")))
+      .groupBy(col("frame_idx"), col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("frame_idx"), col("band_idx"), col("band_val"))
+    (repSig, hot)
   }
 
   // ------------------------------------------------------------- audio

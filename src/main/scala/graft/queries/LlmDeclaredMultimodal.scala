@@ -407,25 +407,30 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
 
   /** The banded frame-aligned candidate pairs (the bandLegCtes shape
     * with the frame axis in every key); `src` is the per-frame sig
-    * table (vdh, or l134's collapsed-rep restriction). */
-  private def videoCandCtes(maxHamming: Int, maxBandOcc: Int,
-                            src: String = "vdh"): String =
-    s"""vbands AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
-          (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
-        FROM (SELECT doc_id, f, dhash, unnest(range(8)) AS band_idx
+    * table (vdh, or l134's collapsed-rep restriction); `sfx`/`bits`
+    * let l135's sweep legs coexist in one WITH. */
+  private def videoCandCtes(maxHamming: Int, maxBandOcc: Long,
+                            src: String = "vdh", sfx: String = "",
+                            bits: Int = 8): String = {
+    val nBands = 64 / bits
+    val mask = (1L << bits) - 1
+    s"""vbands$sfx AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
+          (dhash >> CAST($bits*band_idx AS INTEGER)) & $mask AS band_val
+        FROM (SELECT doc_id, f, dhash, unnest(range($nBands)) AS band_idx
           FROM $src)),
-      vhot AS (SELECT f, band_idx, band_val FROM vbands
+      vhot$sfx AS (SELECT f, band_idx, band_val FROM vbands$sfx
         GROUP BY f, band_idx, band_val HAVING count(*) > $maxBandOcc),
-      vlive AS (SELECT b.* FROM vbands b WHERE NOT EXISTS
-        (SELECT 1 FROM vhot h WHERE h.f = b.f AND h.band_idx = b.band_idx
-          AND h.band_val = b.band_val)),
-      vcand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+      vlive$sfx AS (SELECT b.* FROM vbands$sfx b WHERE NOT EXISTS
+        (SELECT 1 FROM vhot$sfx h WHERE h.f = b.f
+          AND h.band_idx = b.band_idx AND h.band_val = b.band_val)),
+      vcand$sfx AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
           y.doc_id AS doc_b, x.f AS f,
           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
-        FROM vlive x JOIN vlive y
+        FROM vlive$sfx x JOIN vlive$sfx y
           ON x.f = y.f AND x.band_idx = y.band_idx
           AND x.band_val = y.band_val AND x.doc_id < y.doc_id
         WHERE bit_count(xor(x.dhash, y.dhash)) <= $maxHamming)"""
+  }
 
   /** L132 — multimodal VIDEO decode + features: deterministic GV1
     * multi-frame containers (2–4 complete embedded P6 frames; frame f
@@ -517,6 +522,45 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       JOIN vrep USING (doc_id)
       WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = vb.doc_id)
       ORDER BY vb.doc_id"""))
+
+  /** L135 — VIDEO band-width/guard SWEEP: the l126/l131 knob-pricing
+    * table on the frame plane, completing FULL ladder symmetry across
+    * all three perceptual planes (pairs → apply → sweep → streaming,
+    * image AND audio AND video): per (band_bits, max_band_occ) config
+    * over the frame-aligned banding, hot (frame, band) buckets and
+    * verified PAIR counts (≥ minFrames aligned close frames) next to
+    * the widest-lossless unguarded truth leg. One synth+hash pass
+    * shared by every leg. */
+  protected val l135 = {
+    val configs = Seq((8, 500L), (16, 500L), (16, (1 << 30).toLong))
+    val legs = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      videoCandCtes(2, cap, src = "vdh", sfx = s"_$i", bits = bits)
+    }.mkString(",\n      ")
+    val rows = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      s"""SELECT CAST($bits AS BIGINT) AS band_bits,
+          CAST($cap AS BIGINT) AS max_band_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM vhot_$i) AS n_hot_buckets,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT doc_a FROM vcand_$i GROUP BY doc_a, doc_b
+            HAVING COUNT(*) >= 2) p$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l135_video_band_sweep",
+      (s, dir) => Multimodal.videoBandSweep(s, t(s, dir, "documents"))
+        .orderBy(col("band_bits"), col("max_band_occ")),
+      Some(s"""WITH $videoSigCtes,
+      $legs,
+      legs AS (
+        $rows),
+      tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+        FROM (SELECT doc_a FROM vcand_${configs.length - 1}
+          GROUP BY doc_a, doc_b HAVING COUNT(*) >= 2) tp)
+      SELECT band_bits, max_band_occ, n_hot_buckets, n_pairs,
+        tr.n_truth,
+        CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY band_bits, max_band_occ"""))
+  }
 
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying

@@ -2073,6 +2073,25 @@ class LlmSpec extends SparkSpec {
       .collect().map(_.getLong(0)).sorted
     assert(keptPile.toSeq === Seq(0L, 100L),
       s"pre-collapse failed under hot bands: ${keptPile.toSeq}")
+    // the Auto twin resolves to 8 bits at small corpora and stays
+    // byte-equal to the fixed declared form
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(ids(Multimodal.videoDedupApplyAuto(spark,
+        Multimodal.encodeVideo(spark, d).toDF(), maxHamming = 2,
+        maxBandOcc = 100000)) ===
+      ids(Multimodal.videoDedupApply(spark, d, maxHamming = 2,
+        maxBandOcc = 100000)))
+    // the sweep shares the truth-leg gate and reads recall 1.0 with a
+    // planted exact pair
+    intercept[IllegalArgumentException](
+      Multimodal.videoBandSweep(spark, d,
+        configs = Seq((8, 500), (16, 500))))
+    val sw = Multimodal.videoBandSweep(spark, d).collect()
+    assert(sw.length === 3)
+    val truthLeg = sw.filter(r => r.getLong(0) == 16L && r.getLong(1) > 500L)
+    assert(truthLeg.length === 1 && truthLeg.head.getLong(3) >= 1L
+      && truthLeg.head.getDouble(5) === 1.0)
   }
 
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {

@@ -533,11 +533,11 @@ class PlanSpec extends SparkSpec {
       // everything past the audioHash scan is (doc_id, dhash, band)
       // long work
       "l128_audio_dedup_apply", "l131_audio_band_sweep",
-      // l132-l134: the video plane — per-frame hashes computed inside
+      // l132-l135: the video plane — per-frame hashes computed inside
       // the container's codec mapPartitions; every exchange carries
       // (doc_id, frame_idx, dhash, band) longs or feature scalars
       "l132_video_decode", "l133_video_near_dups",
-      "l134_video_dedup_apply")) {
+      "l134_video_dedup_apply", "l135_video_band_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -879,8 +879,9 @@ class PlanSpec extends SparkSpec {
       // renormalization (the l123 shape, once per round); every
       // corpus-sized exchange is still the one distinct-word hash-agg
       "l129_unigram_train", "l130_tokenizer_fertility_trained",
-      // l131: the l126 sweep shape on the audio signature table
-      "l131_audio_band_sweep")
+      // l131/l135: the l126 sweep shape on the audio / per-frame video
+      // signature tables
+      "l131_audio_band_sweep", "l135_video_band_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -1653,6 +1653,79 @@ class StreamingSpec extends SparkSpec {
     assert(Seq(0L, 1L, 2L, 3L, 11L, 12L).forall(verdicts(_) == "kept"))
   }
 
+  test("S42: streaming video near-dup admission — ascending-id arrivals " +
+    "reproduce the fused pair table; exact re-posts verdict within-batch " +
+    "and across the boundary; compaction is verdict-lossless") {
+    // S39/S41's arrival-order discipline on the frame plane: the
+    // carried state is the (doc_id, frame_idx, dhash) table of every
+    // seen clip; each batch pays its own codec-boundary container walk.
+    // Planted duplicates are EXACT re-posts (same text ⇒ byte-identical
+    // containers ⇒ per-frame Hamming 0), within a batch and across the
+    // boundary.
+    import StreamOps.StreamDoc
+    import graft.llm.Multimodal
+    val texts = Map(
+      0L -> "first clip alpha content", 1L -> "second clip beta content",
+      2L -> "third clip gamma content", 3L -> "fourth clip delta content",
+      6L -> "third clip gamma content", // in-batch re-post of 2
+      10L -> "second clip beta content", // cross-batch re-post of 1
+      11L -> "fifth clip epsilon words", 12L -> "sixth clip zeta words",
+      14L -> "fifth clip epsilon words") // in-batch re-post of 11
+    val batch1 = Seq(0L, 1L, 2L, 3L, 6L)
+    val batch2 = Seq(10L, 11L, 12L, 14L)
+    val all = texts.toSeq.toDF("doc_id", "text")
+    val fusedDropped = Multimodal.videoNearDups(spark, all,
+        maxHamming = 2, maxBandOcc = 100000, minFrames = 2)
+      .collect().map(_.getLong(1)).toSet
+    def blobs(ids: Seq[Long]) = Multimodal.encodeVideo(spark,
+      ids.map(i => (i, texts(i))).toDF("doc_id", "text")).toDF()
+    var state = Multimodal.videoFrameHashes(spark, blobs(Seq.empty)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.toDF().select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSeq
+        val (verdicts, sigs) = Multimodal.videoDedupIncrement(spark,
+          blobs(ids), state, maxHamming = 2, minFrames = 2)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+        state = state.unionByName(sigs).localCheckpoint()
+        ()
+      }.start()
+    def sd(id: Long) = StreamDoc(id, texts(id),
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    try {
+      in.addData(batch1.map(sd): _*); q.processAllAvailable()
+      in.addData(batch2.map(sd): _*); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = out.toMap
+    assert(out.size === 9)
+    assert(verdicts.filter(_._2 != "kept").keySet === fusedDropped)
+    assert(verdicts(6L) === "dup_batch")
+    assert(verdicts(14L) === "dup_batch")
+    assert(verdicts(10L) === "dup_corpus")
+    assert(Seq(0L, 1L, 2L, 3L, 11L, 12L).forall(verdicts(_) == "kept"))
+    // compaction swap: collapsed state + hot index leave a fresh
+    // probe's verdict unchanged (exact-sequence collapse is lossless)
+    val (reps, hot) = Multimodal.compactVideoSigState(state)
+    val probe = Multimodal.videoDedupIncrement(spark,
+      Multimodal.encodeVideo(spark,
+        Seq((20L, "totally novel probe clip text")).toDF("doc_id", "text"))
+        .toDF(),
+      reps.localCheckpoint(), maxHamming = 2, minFrames = 2,
+      hotBands = Some(hot))._1.collect()
+    assert(probe.length === 1 && probe.head.getString(1) === "kept")
+    val probeDup = Multimodal.videoDedupIncrement(spark,
+      Multimodal.encodeVideo(spark,
+        Seq((21L, "first clip alpha content")).toDF("doc_id", "text"))
+        .toDF(),
+      reps.localCheckpoint(), maxHamming = 2, minFrames = 2,
+      hotBands = Some(hot))._1.collect()
+    assert(probeDup.head.getString(1) === "dup_corpus")
+  }
+
   test("indexed admission: probing the persisted band index is verdict-" +
     "identical to the state form, appends compose per batch, and the " +
     "compaction swap rebuilds the index from collapsed reps") {
