@@ -787,11 +787,19 @@ object DevScale {
           Multimodal.encodeWav(spark, docs).toDF())
         .write.mode("overwrite").parquet(s"$dir/aud_kept.parquet")
       val tAud = (System.nanoTime() - tA0) / 1e9
+      val tV0 = System.nanoTime()
+      Multimodal.videoDedupApplyAuto(spark,
+          Multimodal.encodeVideo(spark, docs).toDF())
+        .write.mode("overwrite").parquet(s"$dir/vid_kept.parquet")
+      val tVid = (System.nanoTime() - tV0) / 1e9
       val imgKept = spark.read.parquet(s"$dir/img_kept.parquet")
       val audKept = spark.read.parquet(s"$dir/aud_kept.parquet")
+      val vidKept = spark.read.parquet(s"$dir/vid_kept.parquet")
       val bits = KnobSchedule.dhashBandBits(imgKept.count(), 2)
       val curated = imgKept.select(col("doc_id").as("vec_id"))
         .join(audKept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+          "left_semi")
+        .join(vidKept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
           "left_semi")
       val nCur = curated.count()
       // stage 1 — scheduled semantic dedup over the CURATED vectors,
@@ -826,7 +834,7 @@ object DevScale {
           spark.read.parquet(s"$mdl/rcb"),
           spark.read.parquet(s"$mdl/index"),
           k = 3, nProbe = nProbe, shortM = shortM))
-      println(f"$tag%-8s n=$n%7d curated=$nCur%7d survivors=$nS%7d | bandBits=$bits%2d imgWall=$tImg%7.3f s audWall=$tAud%7.3f s | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
+      println(f"$tag%-8s n=$n%7d curated=$nCur%7d survivors=$nS%7d | bandBits=$bits%2d imgWall=$tImg%7.3f s audWall=$tAud%7.3f s vidWall=$tVid%7.3f s | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
     }
     // untimed JIT warm pass (the codec/CC/EM code paths are cold on the
     // first invocation — a timed cold 1x leg would read HIGHER than the

@@ -521,7 +521,12 @@ class LlmPipelineSpec extends SparkSpec {
       // stage 2 — AUDIO dedup apply, same shared core, audio signatures
       val audKept = stage(Multimodal.audioDedupApplyAuto(spark,
         Multimodal.encodeWav(spark, docs).toDF()), "aud_kept")
-      for ((kept, tag) <- Seq((imgKept, "image"), (audKept, "audio"))) {
+      // stage 2b — VIDEO dedup apply (frame-aligned, exact-sequence
+      // pre-collapse): the third perceptual plane in the same lineage
+      val vidKept = stage(Multimodal.videoDedupApplyAuto(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()), "vid_kept")
+      for ((kept, tag) <- Seq((imgKept, "image"), (audKept, "audio"),
+        (vidKept, "video"))) {
         val keptIds = kept.select("doc_id").collect().map(_.getLong(0)).toSet
         assert(plantedIds.forall(!keptIds.contains(_)),
           s"$tag apply kept a planted exact re-post")
@@ -529,11 +534,12 @@ class LlmPipelineSpec extends SparkSpec {
           s"$tag apply dropped a re-post's ORIGINAL (keep-min violated)")
       }
 
-      // curated = docs surviving BOTH perceptual planes (id-set
+      // curated = docs surviving ALL perceptual planes (id-set
       // intersection — signatures only, no payload re-decode)
       val curated = stage(docs
         .join(imgKept.select("doc_id"), Seq("doc_id"), "left_semi")
-        .join(audKept.select("doc_id"), Seq("doc_id"), "left_semi"),
+        .join(audKept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(vidKept.select("doc_id"), Seq("doc_id"), "left_semi"),
         "curated")
       val nCur = curated.count()
       assert(nCur > 0 && nCur <= base.count())
