@@ -1460,6 +1460,31 @@ object Multimodal {
     imageNearDupsFromSigs(sig, maxHamming, maxBandOcc)
   }
 
+  /** PRODUCTION audio near-dup pairing — band width scheduled from the
+    * clip count (`imageNearDupsAuto`'s twin; same 64-bit signature
+    * geometry, so `dhashBandBits` transfers — the l131 sweep is the
+    * measured receipt). Blob-level: a real audio lake's payloads
+    * exist. */
+  def audioNearDupsAuto(spark: SparkSession, blobs: DataFrame,
+                        maxHamming: Int = 2,
+                        maxBandOcc: Int = 500): DataFrame = {
+    val sig = audioHash(spark, blobs).toDF().localCheckpoint()
+    val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
+    imageNearDupsFromSigs(sig, maxHamming, maxBandOcc, bits)
+  }
+
+  /** PRODUCTION video near-dup pairing — band width scheduled from the
+    * CLIP count (per-(frame, band) bucket occupancy grows with clips;
+    * the l135 sweep is the measured receipt). Blob-level. */
+  def videoNearDupsAuto(spark: SparkSession, blobs: DataFrame,
+                        maxHamming: Int = 2, maxBandOcc: Int = 500,
+                        minFrames: Int = 2): DataFrame = {
+    val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
+    val nClips = sig.select(col("doc_id")).distinct().count()
+    val bits = KnobSchedule.dhashBandBits(nClips, maxHamming)
+    videoNearDupsFromSigs(sig, maxHamming, maxBandOcc, minFrames, bits)
+  }
+
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a
     * multimodal lake: per source, blob count, total payload bytes, total
     * pixels, the exact payload checksum (corruption tripwire for a

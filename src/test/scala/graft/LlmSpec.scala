@@ -1972,6 +1972,18 @@ class LlmSpec extends SparkSpec {
     val audAuto = ids(Multimodal.audioDedupApplyAuto(spark,
       Multimodal.encodeWav(spark, docs).toDF()))
     assert(audAuto === audFixed)
+    // the PAIR-level Auto twins too: scheduled-vs-fixed byte-equality
+    // on the audio and video planes (the imageNearDupsAuto precedent)
+    def pairRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(pairRows(Multimodal.audioNearDupsAuto(spark,
+        Multimodal.encodeWav(spark, docs).toDF())) ===
+      pairRows(Multimodal.audioHash(spark,
+          Multimodal.encodeWav(spark, docs).toDF()).toDF()
+        .transform(s => Multimodal.imageNearDupsFromSigs(s, 2, 500))))
+    assert(pairRows(Multimodal.videoNearDupsAuto(spark,
+        Multimodal.encodeVideo(spark, docs).toDF())) ===
+      pairRows(Multimodal.videoNearDups(spark, docs)))
   }
 
   test("imageBandSweep rejects a guarded or narrower-than-widest truth " +
