@@ -97,6 +97,11 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("videodup")) {
+      videoDupExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -733,6 +738,58 @@ object DevScale {
         Multimodal.imageNearDupsFromSigs(spark.read.parquet(sigDir),
           maxHamming = 2, maxBandOcc = cap, bandBits = bits))
       println(f"$tag%-16s n=$n%7d bits=$bits%2d bands=$nBands | hotBuckets=$nHot%5d candVol=$candVol%12d pairs=$nPairs%9d | pairPass=$tPair%7.3f s")
+    }
+    run("1x fixed8", smallDir, 8)
+    run(s"${reps}x fixed8", bigDir, 8)
+    val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
+    run(s"${reps}x scheduled", bigDir, KnobSchedule.dhashBandBits(nBig))
+  }
+
+  /** VIDEO-DEDUP band-width receipt (`runMain graft.DevScale R
+    * videodup`) — the l135 schedule claim measured at scale: each
+    * (frame, band) bucket's occupancy grows with the CLIP count, so
+    * fixed 8-bit bands are the same n²/2^bits quadratic-in-disguise as
+    * the single-signature planes and the guard turns into a per-frame
+    * recall killer at R×, while the scheduled width keeps the guard
+    * near-dormant. Printed per (scale, width): hot (frame, band)
+    * buckets, verified PAIR count (≥ 2 aligned close frames), and the
+    * pair-pass wall. */
+  private def videoDupExperiment(spark: org.apache.spark.sql.SparkSession,
+                                 reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Multimodal}
+    val smallDir = "/tmp/graft_scale_vid_small"
+    val bigDir = "/tmp/graft_scale_vid_big"
+    replicatedText(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/documents.parquet")
+    replicatedText(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count", "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    def run(tag: String, dir: String, bits: Int): Unit = {
+      val docs = Tables.load(spark, dir, "documents")
+      val sigDir = s"$dir/vframe_sig"
+      Multimodal.videoFrameHashes(spark,
+          Multimodal.encodeVideo(spark, docs).toDF())
+        .toDF().write.mode("overwrite").parquet(sigDir)
+      val sig = spark.read.parquet(sigDir)
+      val nClips = sig.select(col("doc_id")).distinct().count()
+      val cap = 500
+      val nBands = 64 / bits
+      val mask = (1L << bits) - 1
+      val nHot = sig.select(col("doc_id"), col("frame_idx"), col("dhash"),
+          posexplode(array((0 until nBands).map(bi =>
+            shiftright(col("dhash"), bits * bi).bitwiseAND(lit(mask))): _*))
+            .as(Seq("band_idx", "band_val")))
+        .groupBy(col("frame_idx"), col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap).count()
+      val nPairs = Multimodal.videoNearDupsFromSigs(
+        spark.read.parquet(sigDir), maxHamming = 2, maxBandOcc = cap,
+        minFrames = 2, bandBits = bits).count()
+      val tPair = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoNearDupsFromSigs(spark.read.parquet(sigDir),
+          maxHamming = 2, maxBandOcc = cap, minFrames = 2, bandBits = bits))
+      println(f"$tag%-16s clips=$nClips%7d bits=$bits%2d bands=$nBands | hotFrameBuckets=$nHot%6d pairs=$nPairs%9d | pairPass=$tPair%7.3f s")
     }
     run("1x fixed8", smallDir, 8)
     run(s"${reps}x fixed8", bigDir, 8)
