@@ -656,6 +656,125 @@ object Multimodal {
     (repSig, hot)
   }
 
+  /** L136 — OFFSET-tolerant video near-dup pairs: the trimmed-re-edit
+    * class l133's frame-ALIGNED key is conservative about (a clip
+    * re-posted with its intro cut is the same content shifted by a few
+    * frames — no aligned frame matches, so the aligned pair table is
+    * blind to it). Candidates join on the hash bands alone — frame-BLIND
+    * banding — and keep matches whose frame displacement sits within
+    * ±maxOffset; the verdict is per (pair, frame_offset): the count of
+    * close frames at that displacement and the exact summed Hamming. A
+    * trim by o frames surfaces as a full-overlap row at offset −o (or
+    * +o, by id order). At 100 TB: the frame-blind bucket's occupancy
+    * grows by the BOUNDED frame-sample count (never payload size) and
+    * the hot-bucket guard caps it; candidate volume multiplies by the
+    * (2·maxOffset+1) displacement window — a knob, not a data size. */
+  def videoOffsetNearDups(spark: SparkSession, docs: DataFrame,
+                          maxHamming: Int = 2, maxBandOcc: Int = 500,
+                          minFrames: Int = 1, maxOffset: Int = 1): DataFrame =
+    videoOffsetNearDupsFromBlobs(spark,
+      encodeVideo(spark, docs).toDF(), maxHamming, maxBandOcc, minFrames,
+      maxOffset)
+
+  /** Blob-level form of `videoOffsetNearDups` — what a real media lake
+    * calls (the payloads already exist). */
+  def videoOffsetNearDupsFromBlobs(spark: SparkSession, blobs: DataFrame,
+                                   maxHamming: Int = 2, maxBandOcc: Int = 500,
+                                   minFrames: Int = 1, maxOffset: Int = 1)
+      : DataFrame =
+    videoOffsetNearDupsFromSigs(
+      videoFrameHashes(spark, blobs).toDF().localCheckpoint(),
+      maxHamming, maxBandOcc, minFrames, maxOffset)
+
+  /** The sig-level offset-pair core: frame-BLIND banding (bucket key =
+    * (band_idx, band_val) — a probe can meet ANY frame of a candidate
+    * clip), hot-bucket guard over the frame-blind occupancy, displacement
+    * window filter, per-frame Hamming verify, then the per-(pair, offset)
+    * fold. */
+  private[graft] def videoOffsetNearDupsFromSigs(sig: DataFrame,
+                                                 maxHamming: Int,
+                                                 maxBandOcc: Int,
+                                                 minFrames: Int,
+                                                 maxOffset: Int,
+                                                 bandBits: Int = 8)
+      : DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0: $maxOffset")
+    require(maxHamming < 64 / bandBits,
+      s"banding at $bandBits bits is lossy beyond Hamming " +
+        s"${64 / bandBits - 1} (requested $maxHamming)")
+    val bands = videoBandedSigs(sig, bandBits)
+    val hot = bands.groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("band_idx"), col("band_val"))
+    val live = bands.join(broadcast(hot),
+      Seq("band_idx", "band_val"), "left_anti")
+    val disp = col("y.frame_idx") - col("x.frame_idx")
+    val framePairs = live.as("x").join(live.as("y"),
+        col("x.band_idx") === col("y.band_idx")
+          && col("x.band_val") === col("y.band_val")
+          && col("x.doc_id") < col("y.doc_id")
+          && disp.between(-maxOffset, maxOffset))
+      .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+        <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        disp.cast(LongType).as("frame_offset"),
+        col("x.frame_idx").as("frame_idx"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+    framePairs.groupBy(col("doc_a"), col("doc_b"), col("frame_offset"))
+      .agg(count(lit(1)).as("n_close_frames"),
+        sum(col("hamming")).as("sum_hamming"))
+      .filter(col("n_close_frames") >= minFrames)
+  }
+
+  /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of
+    * `resize`/`resample`/`frameSample`, completing the transform family
+    * across every payload modality): keep frames `from`, `from+stride`,
+    * `from+2·stride`, … of each GV1 container and re-emit a spec-valid
+    * GV1 container (canonical headers, raster bytes copied verbatim) —
+    * the standard vision-LM pre-training move (train on every k-th
+    * frame). `from = 1, stride = 1` is a head-trim — the fixture
+    * generator for the l136 offset detector. Same mapPartitions
+    * codec-boundary contract as every media stage: payloads never cross
+    * an exchange, the output feeds any downstream decode unchanged. */
+  def videoFrameSampleContainer(spark: SparkSession, blobs: DataFrame,
+                                stride: Int = 2, from: Int = 0)
+      : Dataset[BlobRow] = {
+    require(stride >= 1, s"videoFrameSampleContainer: stride ($stride) " +
+      "must be >= 1")
+    require(from >= 0, s"videoFrameSampleContainer: from ($from) " +
+      "must be >= 0")
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val frames = parseVideo(b.payload, b.doc_id)
+      val kept = frames.zipWithIndex.collect {
+        case (fr, idx) if idx >= from && (idx - from) % stride == 0 => fr
+      }
+      if (kept.isEmpty)
+        throw new IllegalArgumentException(s"doc ${b.doc_id}: frame sample " +
+          s"(from=$from, stride=$stride) keeps none of ${frames.length} " +
+          "frames")
+      val vHdr = s"GV1\n${kept.length}\n".getBytes(StandardCharsets.US_ASCII)
+      val parts = kept.map { fr =>
+        val hdr = s"P6\n${fr.width} ${fr.height}\n255\n"
+          .getBytes(StandardCharsets.US_ASCII)
+        (hdr, fr.offset, fr.width * fr.height * 3)
+      }
+      val out = new Array[Byte](vHdr.length
+        + parts.map(p => p._1.length + p._3).sum)
+      System.arraycopy(vHdr, 0, out, 0, vHdr.length)
+      var off = vHdr.length
+      parts.foreach { case (hdr, rOff, rLen) =>
+        System.arraycopy(hdr, 0, out, off, hdr.length)
+        off += hdr.length
+        System.arraycopy(b.payload, rOff, out, off, rLen)
+        off += rLen
+      }
+      BlobRow(b.doc_id, out)
+    })
+  }
+
   // ------------------------------------------------------------- audio
 
   /** Typed features the audio decoder emits per payload: container size,

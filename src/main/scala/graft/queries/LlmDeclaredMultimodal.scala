@@ -562,6 +562,81 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       ORDER BY band_bits, max_band_occ"""))
   }
 
+  /** L136 — OFFSET-tolerant video near-dup pairs (the trimmed-re-edit
+    * class): l133's frame-ALIGNED candidate key is blind to a clip
+    * re-posted with its intro cut — no aligned frame matches. Candidates
+    * here join on the hash bands alone (frame-BLIND banding; the
+    * hot-bucket guard counts the frame-blind occupancy, which grows by
+    * the bounded frame count), keep matches whose frame displacement is
+    * within ±maxOffset, and verdict per (pair, frame_offset): close-frame
+    * count + exact summed Hamming. A head-trim by o frames surfaces as a
+    * full-overlap row at displacement o. */
+  protected val l136 = DeclaredQuery(
+    "l136_video_offset_near_dups",
+    (s, dir) => Multimodal.videoOffsetNearDups(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500, minFrames = 1, maxOffset = 1)
+      .orderBy(col("doc_a"), col("doc_b"), col("frame_offset")),
+    Some(s"""WITH $videoSigCtes,
+      obands AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
+          (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
+        FROM (SELECT doc_id, f, dhash, unnest(range(8)) AS band_idx
+          FROM vdh)),
+      ohot AS (SELECT band_idx, band_val FROM obands
+        GROUP BY band_idx, band_val HAVING count(*) > 500),
+      olive AS (SELECT b.* FROM obands b WHERE NOT EXISTS
+        (SELECT 1 FROM ohot h WHERE h.band_idx = b.band_idx
+          AND h.band_val = b.band_val)),
+      ocand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+          y.doc_id AS doc_b, y.f - x.f AS frame_offset, x.f AS f,
+          CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+        FROM olive x JOIN olive y
+          ON x.band_idx = y.band_idx AND x.band_val = y.band_val
+          AND x.doc_id < y.doc_id
+          AND y.f - x.f BETWEEN -1 AND 1
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2)
+      SELECT doc_a, doc_b, CAST(frame_offset AS BIGINT) AS frame_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_close_frames,
+        CAST(SUM(hamming) AS BIGINT) AS sum_hamming
+      FROM ocand GROUP BY doc_a, doc_b, frame_offset
+      ORDER BY doc_a, doc_b, frame_offset"""))
+
+  /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of
+    * l42's resize / l115's resample / l20's scanline sample — the
+    * transform family now spans every payload modality): keep every
+    * stride-th frame of each GV1 container, re-emit a spec-valid GV1
+    * container, and decode THAT through the full l132 feature walk — the
+    * standard vision-LM pre-training move (train on every k-th frame),
+    * receipted by re-decoding the transformed payload with the real
+    * parser. Oracle: l132's container arithmetic restricted to the kept
+    * frames (f ≡ 0 mod 2), with the byte size recomputed for the
+    * re-emitted canonical container. */
+  protected val l137 = DeclaredQuery(
+    "l137_video_frame_sample",
+    (s, dir) => Multimodal.videoFeatures(s,
+        Multimodal.videoFrameSampleContainer(s,
+          Multimodal.encodeVideo(s, t(s, dir, "documents")).toDF(),
+          stride = 2).toDF()).toDF()
+      .orderBy(col("doc_id")),
+    Some(s"""WITH $videoBaseCtes,
+      vks AS (SELECT doc_id, (nf + 1) // 2 AS nfs FROM vb),
+      vsum AS (SELECT doc_id, f,
+          CAST(list_reduce(list_transform(range(w*h*3),
+            k -> ${ppmPx("k + 7*f")}), (x, y) -> x + y) AS BIGINT) AS fsum
+        FROM vfr WHERE f % 2 = 0),
+      agg AS (SELECT doc_id, CAST(SUM(fsum) AS BIGINT) AS px_sum,
+          CAST(MIN(fsum) AS BIGINT) AS frame_sum_min,
+          CAST(MAX(fsum) AS BIGINT) AS frame_sum_max
+        FROM vsum GROUP BY doc_id)
+      SELECT vb.doc_id, CAST(vks.nfs AS BIGINT) AS n_frames,
+        CAST(w AS BIGINT) AS width, CAST(h AS BIGINT) AS height,
+        CAST(4 + length(CAST(vks.nfs AS VARCHAR)) + 1
+          + vks.nfs * (3 + length(CAST(w AS VARCHAR)) + 1
+          + length(CAST(h AS VARCHAR)) + 1 + 4 + w*h*3) AS BIGINT)
+          AS n_bytes,
+        agg.px_sum, agg.frame_sum_min, agg.frame_sum_max
+      FROM vb JOIN vks USING (doc_id) JOIN agg USING (doc_id)
+      ORDER BY vb.doc_id"""))
+
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
     * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so

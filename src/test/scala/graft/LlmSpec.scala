@@ -2106,6 +2106,75 @@ class LlmSpec extends SparkSpec {
       && truthLeg.head.getDouble(5) === 1.0)
   }
 
+  test("video offset near-dups: a head-trimmed re-edit (invisible to the " +
+    "frame-ALIGNED l133 key) surfaces as a full-overlap row at its " +
+    "displacement, and the temporal frame-sample container round-trips " +
+    "through the real GV1 walk") {
+    // 'the...' → first 't' = 116 → nf = 4 frames. B = A with frame 0 cut
+    // (the production head-trim: videoFrameSampleContainer from=1,
+    // stride=1), so B.frame f IS A.frame f+1 byte-for-byte.
+    val a = Multimodal.encodeVideo(spark,
+      Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text"))
+      .toDF().localCheckpoint()
+    val b = Multimodal.videoFrameSampleContainer(spark, a,
+        stride = 1, from = 1).toDF()
+      .select(lit(2L).as("doc_id"), col("payload")).localCheckpoint()
+    // composition pin: the trimmed container's per-frame hashes are A's
+    // frames 1..3 re-indexed 0..2 — payload→payload transforms compose
+    // with the signature plane
+    val aH = Multimodal.videoFrameHashes(spark, a).toDF()
+      .filter(col("frame_idx") >= 1)
+      .select((col("frame_idx") - 1).as("frame_idx"),
+        col("dhash").as("a_hash"))
+    val bH = Multimodal.videoFrameHashes(spark, b).toDF()
+      .select(col("frame_idx"), col("dhash").as("b_hash"))
+    assert(aH.join(bH, Seq("frame_idx"))
+      .filter(col("a_hash") =!= col("b_hash")).isEmpty)
+    assert(bH.count() === 3L)
+    // the frame-ALIGNED pair table is blind to the trim at Hamming 0
+    // (pans differ frame-for-frame); the offset detector finds the
+    // full-overlap row at displacement -1 with summed Hamming 0
+    val rows = Multimodal.videoOffsetNearDupsFromBlobs(spark,
+        a.unionByName(b), maxHamming = 0, maxBandOcc = 100000,
+        minFrames = 1, maxOffset = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.get((1L, 2L, -1L)) === Some((3L, 0L)),
+      s"expected the planted trim row at offset -1: $rows")
+    assert(!rows.contains((1L, 2L, 0L)),
+      s"aligned frames of a trimmed re-edit must NOT match at Hamming 0: " +
+        s"$rows")
+  }
+
+  test("video frame-sample: stride-2 keeps frames 0 and 2 of 'abc', " +
+    "re-emits a spec-valid container, and guards an empty sample loudly") {
+    // "abc": nf = 3, w = 2, h = 4; every frame is a rotation of the text
+    // tiling so each sums to 2352. Sampled: 2 frames, container = 6 B
+    // header + 2 × (11 B frame header + 24 B raster) = 76 B.
+    val d = Seq((7L, "abc")).toDF("doc_id", "text")
+    val enc = Multimodal.encodeVideo(spark, d).toDF().localCheckpoint()
+    val sampled = Multimodal.videoFrameSampleContainer(spark, enc,
+      stride = 2).toDF().localCheckpoint()
+    val f = Multimodal.videoFeatures(spark, sampled).collect().head
+    assert(f.n_frames === 2L)
+    assert(f.width === 2L && f.height === 4L)
+    assert(f.n_bytes === 76L)
+    assert(f.px_sum === 2L * 2352L)
+    assert(f.frame_sum_min === 2352L && f.frame_sum_max === 2352L)
+    // the kept frames are the ORIGINAL frames 0 and 2, bit-identically
+    val orig = Multimodal.videoFrameHashes(spark, enc).toDF()
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    val samp = Multimodal.videoFrameHashes(spark, sampled).toDF()
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(samp === Map(0 -> orig(0), 1 -> orig(2)))
+    // keeping zero frames is a loud error, not a silent empty container
+    val ex = intercept[org.apache.spark.SparkException](
+      Multimodal.videoFrameSampleContainer(spark, enc,
+        stride = 1, from = 5).toDF().collect())
+    assert(ex.getMessage.contains("keeps none")
+      || ex.getCause.getMessage.contains("keeps none"))
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

@@ -537,7 +537,12 @@ class PlanSpec extends SparkSpec {
       // the container's codec mapPartitions; every exchange carries
       // (doc_id, frame_idx, dhash, band) longs or feature scalars
       "l132_video_decode", "l133_video_near_dups",
-      "l134_video_dedup_apply", "l135_video_band_sweep")) {
+      "l134_video_dedup_apply", "l135_video_band_sweep",
+      // l136/l137: the offset detector's frame-blind banding and the
+      // temporal frame-sample's payload→payload re-emit — the sampled
+      // container flows codec-stage-to-codec-stage; every exchange
+      // carries (doc_id, frame_idx, dhash, band) longs or feature rows
+      "l136_video_offset_near_dups", "l137_video_frame_sample")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
