@@ -795,6 +795,37 @@ object DevScale {
     run(s"${reps}x fixed8", bigDir, 8)
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
     run(s"${reps}x scheduled", bigDir, KnobSchedule.dhashBandBits(nBig))
+    // the l136 OFFSET detector's legs: frame-BLIND banding, so the
+    // bucket occupancy (and the schedule's collision unit) is the SIG
+    // ROW count (clips × frames) — its Auto twin schedules from
+    // sig.count(), and this is the measured receipt that the wider
+    // width keeps the frame-blind guard dormant at R×
+    def runOffset(tag: String, dir: String, bits: Int): Unit = {
+      val sig = spark.read.parquet(s"$dir/vframe_sig")
+      val cap = 500
+      val nBands = 64 / bits
+      val mask = (1L << bits) - 1
+      val nHot = sig.select(col("dhash"),
+          posexplode(array((0 until nBands).map(bi =>
+            shiftright(col("dhash"), bits * bi).bitwiseAND(lit(mask))): _*))
+            .as(Seq("band_idx", "band_val")))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("occ"))
+        .filter(col("occ") > cap).count()
+      val nPairs = Multimodal.videoOffsetNearDupsFromSigs(sig,
+        maxHamming = 2, maxBandOcc = cap, minFrames = 1, maxOffset = 1,
+        bandBits = bits).count()
+      val tPair = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsFromSigs(sig,
+          maxHamming = 2, maxBandOcc = cap, minFrames = 1, maxOffset = 1,
+          bandBits = bits))
+      println(f"$tag%-16s offset-detector bits=$bits%2d | hotBlindBuckets=$nHot%6d pairOffsetRows=$nPairs%9d | pairPass=$tPair%7.3f s")
+    }
+    runOffset("1x fixed8", smallDir, 8)
+    runOffset(s"${reps}x fixed8", bigDir, 8)
+    val nSigBig = spark.read.parquet(s"$bigDir/vframe_sig").count()
+    runOffset(s"${reps}x scheduled", bigDir,
+      KnobSchedule.dhashBandBits(nSigBig))
   }
 
   /** COMPOSED curation-pipeline scale-up (`runMain graft.DevScale R

@@ -728,6 +728,22 @@ object Multimodal {
       .filter(col("n_close_frames") >= minFrames)
   }
 
+  /** PRODUCTION offset-pair twin — band width SCHEDULED from the sig
+    * ROW count (doc × frame): the frame-BLIND bucket's occupancy grows
+    * with clips × frames, not clips alone, so the schedule's collision
+    * unit is the signature row (`dhashBandBits`'s n²/2^bits algebra,
+    * same 64-bit geometry). Byte-equal to the fixed form wherever the
+    * schedule resolves to 8 bits (LlmSpec). */
+  def videoOffsetNearDupsAuto(spark: SparkSession, blobs: DataFrame,
+                              maxHamming: Int = 2, maxBandOcc: Int = 500,
+                              minFrames: Int = 1, maxOffset: Int = 1)
+      : DataFrame = {
+    val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
+    val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
+    videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc, minFrames,
+      maxOffset, bits)
+  }
+
   /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of
     * `resize`/`resample`/`frameSample`, completing the transform family
     * across every payload modality): keep frames `from`, `from+stride`,

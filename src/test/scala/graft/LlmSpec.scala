@@ -1984,6 +1984,12 @@ class LlmSpec extends SparkSpec {
     assert(pairRows(Multimodal.videoNearDupsAuto(spark,
         Multimodal.encodeVideo(spark, docs).toDF())) ===
       pairRows(Multimodal.videoNearDups(spark, docs)))
+    // the l136 offset detector's Auto twin: its schedule unit is the
+    // SIG ROW count (frame-blind banding — occupancy grows with
+    // clips × frames), byte-equal to the fixed declared form at small n
+    assert(pairRows(Multimodal.videoOffsetNearDupsAuto(spark,
+        Multimodal.encodeVideo(spark, docs).toDF())) ===
+      pairRows(Multimodal.videoOffsetNearDups(spark, docs)))
   }
 
   test("imageBandSweep rejects a guarded or narrower-than-widest truth " +
