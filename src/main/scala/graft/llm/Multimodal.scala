@@ -449,6 +449,30 @@ object Multimodal {
       .filter(col("n_close_frames") >= minFrames)
   }
 
+  /** Exact-SEQUENCE pre-collapse (the l125/l128 discipline on the frame
+    * plane): videos whose complete ordered per-frame hash vector is
+    * identical are exact re-posts — collapse each group to its min-id
+    * representative by vector EQUALITY, so a viral clip's million
+    * copies enter any downstream closure as ONE node and are immune to
+    * every hot-band guard. The vector is ≤ the bounded frame count — a
+    * bounded group key, not the O(multiplicity) row the member-table
+    * discipline bans. Returns the representatives' signature rows.
+    *
+    * repartition BEFORE the vector fold: the collect_list partial-agg
+    * buffer is BinaryType, and pre-partitioning on doc_id makes the
+    * aggregation run complete-in-stage, so the one exchange carries
+    * raw (doc_id, frame_idx, dhash) longs (PlanSpec binary sweep) —
+    * map-side combine buys nothing on <= frame-count groups anyway. */
+  private def videoSeqReps(sig: DataFrame): DataFrame = {
+    val reps = sig.repartition(col("doc_id"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
+        .as("sv"))
+      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
+      .select(col("doc_id"))
+    sig.join(reps, Seq("doc_id"), "left_semi")
+  }
+
   /** VIDEO dedup APPLY — the l125/l128 shape on the frame-sequence
     * plane: near-dup pairs (≥ minFrames aligned close frames) →
     * connected components → keep each cluster's minimum doc_id →
@@ -460,27 +484,7 @@ object Multimodal {
                       minFrames: Int = 2): DataFrame = {
     val sig = videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF()
       .localCheckpoint()
-    // exact-SEQUENCE pre-collapse (the l125/l128 discipline on the
-    // frame plane): videos whose complete ordered per-frame hash vector
-    // is identical are exact re-posts — collapse each group to its
-    // min-id representative by vector EQUALITY, so a viral clip's
-    // million copies enter the CC as one node and are immune to the
-    // hot-band guard. The vector is ≤ the bounded frame count — a
-    // bounded group key, not the O(multiplicity) row the member-table
-    // discipline bans.
-    // repartition BEFORE the vector fold: the collect_list partial-agg
-    // buffer is BinaryType, and pre-partitioning on doc_id makes the
-    // aggregation run complete-in-stage, so the one exchange carries
-    // raw (doc_id, frame_idx, dhash) longs (PlanSpec binary sweep) —
-    // map-side combine buys nothing on <= frame-count groups anyway
-    val reps = sig.repartition(col("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
-        .as("sv"))
-      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val repSig = sig.join(reps, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val repSig = videoSeqReps(sig).localCheckpoint()
     val pairs = videoNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
         minFrames)
       .select(col("doc_a"), col("doc_b"))
@@ -502,19 +506,7 @@ object Multimodal {
                           maxHamming: Int = 2, maxBandOcc: Int = 500,
                           minFrames: Int = 2): DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
-    // repartition BEFORE the vector fold: the collect_list partial-agg
-    // buffer is BinaryType, and pre-partitioning on doc_id makes the
-    // aggregation run complete-in-stage, so the one exchange carries
-    // raw (doc_id, frame_idx, dhash) longs (PlanSpec binary sweep) —
-    // map-side combine buys nothing on <= frame-count groups anyway
-    val reps = sig.repartition(col("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
-        .as("sv"))
-      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val repSig = sig.join(reps, Seq("doc_id"), "left_semi")
-      .localCheckpoint()
+    val repSig = videoSeqReps(sig).localCheckpoint()
     val nClips = repSig.select(col("doc_id")).distinct().count()
     val bits = KnobSchedule.dhashBandBits(nClips, maxHamming)
     val pairs = videoNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
@@ -638,13 +630,7 @@ object Multimodal {
   def compactVideoSigState(state: DataFrame, maxBandOcc: Int = 500)
       : (DataFrame, DataFrame) = {
     val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
-    val reps = sig.repartition(col("doc_id"))
-      .groupBy(col("doc_id"))
-      .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
-        .as("sv"))
-      .groupBy(col("sv")).agg(min(col("doc_id")).as("doc_id"))
-      .select(col("doc_id"))
-    val repSig = sig.join(reps, Seq("doc_id"), "left_semi")
+    val repSig = videoSeqReps(sig)
     val hot = repSig.select(col("frame_idx"), col("dhash"),
         posexplode(array((0 until 8).map(bi =>
           shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
@@ -742,6 +728,137 @@ object Multimodal {
     val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
     videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc, minFrames,
       maxOffset, bits)
+  }
+
+  /** L138 — OFFSET-tolerant VIDEO dedup APPLY: the l134 shape over the
+    * l136 pair semantics — the deduplicated store a video lake actually
+    * wants, where a trimmed re-edit collapses into its source's cluster
+    * instead of surviving as a "new" clip. Exact-SEQUENCE pre-collapse
+    * (identical ordered frame-hash vectors are full-overlap offset-0
+    * matches — one min-id rep per vector, found by EQUALITY so the
+    * frame-blind hot-bucket guard can never sever an exact-re-post
+    * clique) → offset pairs among reps (≥ minFrames close frames at a
+    * SINGLE displacement — one coherent temporal shift, not scattered
+    * coincidences) → connected-components transitive closure → keep
+    * each cluster's minimum doc_id → anti-join; output the surviving
+    * (doc_id, n_frames). */
+  def videoOffsetDedupApply(spark: SparkSession, docs: DataFrame,
+                            maxHamming: Int = 2, maxBandOcc: Int = 500,
+                            minFrames: Int = 2, maxOffset: Int = 1)
+      : DataFrame =
+    videoOffsetDedupApplyFromBlobs(spark, encodeVideo(spark, docs).toDF(),
+      maxHamming, maxBandOcc, minFrames, maxOffset, bits = None)
+
+  /** PRODUCTION offset-apply twin — band width SCHEDULED from the
+    * collapsed representatives' SIG-ROW count (the frame-blind collision
+    * unit, as in `videoOffsetNearDupsAuto`); byte-equal to the fixed
+    * form wherever the schedule resolves to 8 bits (LlmSpec). */
+  def videoOffsetDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
+                                maxHamming: Int = 2, maxBandOcc: Int = 500,
+                                minFrames: Int = 2, maxOffset: Int = 1)
+      : DataFrame =
+    videoOffsetDedupApplyFromBlobs(spark, blobs, maxHamming, maxBandOcc,
+      minFrames, maxOffset, bits = Some(-1))
+
+  private def videoOffsetDedupApplyFromBlobs(spark: SparkSession,
+                                             blobs: DataFrame,
+                                             maxHamming: Int,
+                                             maxBandOcc: Int,
+                                             minFrames: Int, maxOffset: Int,
+                                             bits: Option[Int]): DataFrame = {
+    val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
+    val repSig = videoSeqReps(sig).localCheckpoint()
+    val bandBits = bits match {
+      case None => 8
+      case Some(_) => KnobSchedule.dhashBandBits(repSig.count(), maxHamming)
+    }
+    val pairs = videoOffsetNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
+        minFrames, maxOffset, bandBits)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val losers = Dedup.nearDupClustersAuto(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    repSig.groupBy(col("doc_id")).agg(count(lit(1)).as("n_frames"))
+      .join(losers, Seq("doc_id"), "left_anti")
+  }
+
+  /** Streaming OFFSET-tolerant video admission (S43) — the S42
+    * discipline with l136's pair semantics: the carried state is the
+    * same (doc_id, frame_idx, dhash) table, but the batch probe joins
+    * the hash bands frame-BLIND with a ±maxOffset displacement window,
+    * so a trimmed re-edit of an already-seen clip verdicts dup (S42's
+    * frame-aligned probe is blind to it — the same gap l136 closes in
+    * batch). A clip drops when ≥ minFrames frames verify against ONE
+    * other clip at a SINGLE displacement. `hotBands` (from
+    * `compactVideoSigStateOffset`) excludes frame-blind hot buckets
+    * from the state probe. */
+  def videoOffsetDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
+                                state: DataFrame, maxHamming: Int = 2,
+                                minFrames: Int = 2, maxOffset: Int = 1,
+                                hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val sig = videoFrameHashes(spark, batchBlobs).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    def banded(df: DataFrame) = df.select(col("doc_id"), col("frame_idx"),
+      col("dhash"),
+      posexplode(array((0 until 8).map(bi =>
+        shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+        .as(Seq("band_idx", "band_val")))
+    val b = banded(sig)
+    val s0 = banded(state.select(col("doc_id"), col("frame_idx"),
+      col("dhash")))
+    val s = hotBands.fold(s0)(hot => s0.join(broadcast(hot),
+      Seq("band_idx", "band_val"), "left_anti"))
+    def dupIds(other: DataFrame, earlier: Column): DataFrame =
+      b.as("x").join(other.as("y"),
+          col("x.band_idx") === col("y.band_idx")
+            && col("x.band_val") === col("y.band_val") && earlier
+            && (col("y.frame_idx") - col("x.frame_idx"))
+              .between(-maxOffset, maxOffset))
+        .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          <= maxHamming)
+        .select(col("x.doc_id").as("doc_id"),
+          col("y.doc_id").as("other_id"),
+          (col("y.frame_idx") - col("x.frame_idx")).as("off"),
+          col("x.frame_idx").as("fi"))
+        .distinct()
+        .groupBy(col("doc_id"), col("other_id"), col("off"))
+        .agg(count(lit(1)).as("n_close"))
+        .filter(col("n_close") >= minFrames)
+        .select(col("doc_id")).distinct()
+    val vsState = dupIds(s, lit(true)).withColumn("dup_c", lit(true))
+    val vsBatch = dupIds(b, col("y.doc_id") < col("x.doc_id"))
+      .withColumn("dup_b", lit(true))
+    val verdicts = sig.select(col("doc_id")).distinct()
+      .join(vsState, Seq("doc_id"), "left")
+      .join(vsBatch, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        when(col("dup_c"), lit("dup_corpus"))
+          .when(col("dup_b"), lit("dup_batch"))
+          .otherwise(lit("kept")).as("verdict"))
+    (verdicts, sig)
+  }
+
+  /** State compaction for the OFFSET admission (S43's caller contract):
+    * the same exact-SEQUENCE collapse as `compactVideoSigState` (one
+    * min-id rep per ordered frame-hash vector — verdict-lossless), but
+    * the hot-bucket exclusion index is frame-BLIND (band_idx, band_val)
+    * — the key `videoOffsetDedupIncrement` probes on. Returns
+    * (compactedState, hotBands). */
+  def compactVideoSigStateOffset(state: DataFrame, maxBandOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val repSig = videoSeqReps(sig)
+    val hot = repSig.select(col("dhash"),
+        posexplode(array((0 until 8).map(bi =>
+          shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band_idx", "band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("band_idx"), col("band_val"))
+    (repSig, hot)
   }
 
   /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of

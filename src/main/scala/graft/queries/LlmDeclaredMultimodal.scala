@@ -577,12 +577,27 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       maxHamming = 2, maxBandOcc = 500, minFrames = 1, maxOffset = 1)
       .orderBy(col("doc_a"), col("doc_b"), col("frame_offset")),
     Some(s"""WITH $videoSigCtes,
-      obands AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
+      ${videoOffsetCandCtes(2, 500, 1)}
+      SELECT doc_a, doc_b, CAST(frame_offset AS BIGINT) AS frame_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_close_frames,
+        CAST(SUM(hamming) AS BIGINT) AS sum_hamming
+      FROM ocand GROUP BY doc_a, doc_b, frame_offset
+      ORDER BY doc_a, doc_b, frame_offset"""))
+
+  /** The frame-BLIND banded offset-candidate pairs (l136's chain,
+    * parameterized like `videoCandCtes`): bucket key = (band_idx,
+    * band_val) alone, displacement window ±maxOffset, per-frame Hamming
+    * verify. `src` is the per-frame sig table (vdh, or l138's
+    * collapsed-rep restriction). */
+  private def videoOffsetCandCtes(maxHamming: Int, maxBandOcc: Long,
+                                  maxOffset: Int,
+                                  src: String = "vdh"): String =
+    s"""obands AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
           (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
         FROM (SELECT doc_id, f, dhash, unnest(range(8)) AS band_idx
-          FROM vdh)),
+          FROM $src)),
       ohot AS (SELECT band_idx, band_val FROM obands
-        GROUP BY band_idx, band_val HAVING count(*) > 500),
+        GROUP BY band_idx, band_val HAVING count(*) > $maxBandOcc),
       olive AS (SELECT b.* FROM obands b WHERE NOT EXISTS
         (SELECT 1 FROM ohot h WHERE h.band_idx = b.band_idx
           AND h.band_val = b.band_val)),
@@ -592,13 +607,46 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
         FROM olive x JOIN olive y
           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
           AND x.doc_id < y.doc_id
-          AND y.f - x.f BETWEEN -1 AND 1
-        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2)
-      SELECT doc_a, doc_b, CAST(frame_offset AS BIGINT) AS frame_offset,
-        CAST(COUNT(*) AS BIGINT) AS n_close_frames,
-        CAST(SUM(hamming) AS BIGINT) AS sum_hamming
-      FROM ocand GROUP BY doc_a, doc_b, frame_offset
-      ORDER BY doc_a, doc_b, frame_offset"""))
+          AND y.f - x.f BETWEEN -$maxOffset AND $maxOffset
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= $maxHamming)"""
+
+  /** L138 — OFFSET-tolerant VIDEO dedup APPLY: the l134 shape over the
+    * l136 pair semantics — a trimmed re-edit collapses into its
+    * source's cluster instead of surviving as a "new" clip. Exact-
+    * SEQUENCE pre-collapse → offset pairs among reps (≥ minFrames close
+    * frames at a SINGLE displacement — one coherent temporal shift) →
+    * recursive-CTE transitive closure vs the engine's auto-selected CC
+    * machinery (the l134 precedent, fourth instance) → keep each
+    * cluster's min doc_id → anti-join. */
+  protected val l138 = DeclaredQuery(
+    "l138_video_offset_dedup_apply",
+    (s, dir) => Multimodal.videoOffsetDedupApply(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500, minFrames = 2, maxOffset = 1)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $videoSigCtes,
+      vvec AS (SELECT doc_id, list(dhash ORDER BY f) AS sv
+        FROM vdh GROUP BY doc_id),
+      vrep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id
+        FROM vvec GROUP BY sv),
+      vdhr AS MATERIALIZED (SELECT d.* FROM vdh d
+        JOIN vrep USING (doc_id)),
+      ${videoOffsetCandCtes(2, 500, 1, src = "vdhr")},
+      vpairs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b FROM ocand
+        GROUP BY doc_a, doc_b, frame_offset HAVING COUNT(*) >= 2) p),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+                UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+      SELECT vb.doc_id, CAST(vb.nf AS BIGINT) AS n_frames FROM vb
+      JOIN vrep USING (doc_id)
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = vb.doc_id)
+      ORDER BY vb.doc_id"""))
 
   /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of
     * l42's resize / l115's resample / l20's scanline sample — the

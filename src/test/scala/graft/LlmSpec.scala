@@ -1990,6 +1990,35 @@ class LlmSpec extends SparkSpec {
     assert(pairRows(Multimodal.videoOffsetNearDupsAuto(spark,
         Multimodal.encodeVideo(spark, docs).toDF())) ===
       pairRows(Multimodal.videoOffsetNearDups(spark, docs)))
+    // ... and the l138 offset APPLY's Auto twin (schedules from the
+    // collapsed reps' sig-row count)
+    assert(pairRows(Multimodal.videoOffsetDedupApplyAuto(spark,
+        Multimodal.encodeVideo(spark, docs).toDF())) ===
+      pairRows(Multimodal.videoOffsetDedupApply(spark, docs)))
+  }
+
+  test("video offset dedup apply: a head-trimmed re-edit collapses into " +
+    "its source's cluster where the frame-aligned l134 apply keeps it " +
+    "as a 'new' clip") {
+    val base = Seq((1L, "the quick brown fox jumps over"),
+      (3L, "a completely different clip text")).toDF("doc_id", "text")
+    val enc = Multimodal.encodeVideo(spark, base).toDF().localCheckpoint()
+    val blobs = enc.unionByName(
+      Multimodal.videoFrameSampleContainer(spark,
+          enc.filter(col("doc_id") === 1L), stride = 1, from = 1).toDF()
+        .select(lit(2L).as("doc_id"), col("payload"))).localCheckpoint()
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    // the aligned apply keeps the trim — no aligned frame matches
+    assert(ids(Multimodal.videoDedupApplyAuto(spark, blobs,
+      maxHamming = 0, maxBandOcc = 100000)) === Seq(1L, 2L, 3L))
+    // the offset apply folds it into clip 1's cluster (3 close frames
+    // at displacement -1 ≥ minFrames 2) and keeps the minimum id
+    val kept = Multimodal.videoOffsetDedupApplyAuto(spark, blobs,
+        maxHamming = 0, maxBandOcc = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(kept.map(_._1).toSeq === Seq(1L, 3L))
+    assert(kept.toMap.apply(1L) === 4L)
   }
 
   test("imageBandSweep rejects a guarded or narrower-than-widest truth " +

@@ -542,7 +542,8 @@ class PlanSpec extends SparkSpec {
       // temporal frame-sample's payload→payload re-emit — the sampled
       // container flows codec-stage-to-codec-stage; every exchange
       // carries (doc_id, frame_idx, dhash, band) longs or feature rows
-      "l136_video_offset_near_dups", "l137_video_frame_sample")) {
+      "l136_video_offset_near_dups", "l137_video_frame_sample",
+      "l138_video_offset_dedup_apply")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>

@@ -1726,6 +1726,95 @@ class StreamingSpec extends SparkSpec {
     assert(probeDup.head.getString(1) === "dup_corpus")
   }
 
+  test("S43: streaming OFFSET-tolerant video admission — a head-trimmed " +
+    "re-edit drops within-batch and across the boundary where the " +
+    "frame-aligned S42 probe keeps it; compaction swap is lossless") {
+    // l136's displacement-window semantics on the streaming rung: the
+    // carried state is the same per-frame sig table as S42, the probe
+    // joins hash bands frame-BLIND with a ±1 displacement window. The
+    // planted dups are head-trims (the l137 production trim: frame 0
+    // cut, so trim.frame f IS source.frame f+1) and one exact re-post.
+    import StreamOps.StreamDoc
+    import graft.llm.Multimodal
+    val baseTexts = Map(
+      0L -> "first clip alpha content", 1L -> "second clip beta content",
+      2L -> "third clip gamma content", 11L -> "tenth clip epsilon words")
+    val trimOf = Map(6L -> 2L, 10L -> 1L, 14L -> 11L)
+    val enc = Multimodal.encodeVideo(spark,
+      baseTexts.toSeq.toDF("doc_id", "text")).toDF().localCheckpoint()
+    val trimBlobs = Multimodal.videoFrameSampleContainer(spark, enc,
+        stride = 1, from = 1).toDF()
+      .withColumnRenamed("doc_id", "src")
+      .join(trimOf.toSeq.toDF("doc_id", "src"), Seq("src"))
+      .select(col("doc_id"), col("payload"))
+    val repostBlobs = enc.filter(col("doc_id") === 0L)
+      .select(lit(12L).as("doc_id"), col("payload"))
+    val allBlobs = enc.unionByName(trimBlobs).unionByName(repostBlobs)
+      .localCheckpoint()
+    def blobs(ids: Seq[Long]) =
+      allBlobs.filter(col("doc_id").isin(ids: _*))
+    val batch1 = Seq(0L, 1L, 2L, 6L)
+    val batch2 = Seq(10L, 11L, 12L, 14L)
+    val arrived = batch1 ++ batch2
+    // fused truth: the drained corpus's offset pair table at the same
+    // knobs — ascending-id arrivals must reproduce its doc_b drop set
+    val fusedDropped = Multimodal.videoOffsetNearDupsFromBlobs(spark,
+        blobs(arrived), maxHamming = 0, maxBandOcc = 100000,
+        minFrames = 2, maxOffset = 1)
+      .collect().map(_.getLong(1)).toSet
+    var state = Multimodal.videoFrameHashes(spark, blobs(Seq.empty)).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    var alignedKept10 = false
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[StreamDoc]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.toDF().select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSeq
+        if (ids.contains(10L)) {
+          // the S42 frame-aligned probe is BLIND to the trim — witnessed
+          // from the streaming side before the offset probe verdicts it
+          val aligned = Multimodal.videoDedupIncrement(spark,
+            blobs(Seq(10L)), state, maxHamming = 0, minFrames = 2)
+            ._1.collect()
+          alignedKept10 = aligned.head.getString(1) == "kept"
+        }
+        val (verdicts, sigs) = Multimodal.videoOffsetDedupIncrement(spark,
+          blobs(ids), state, maxHamming = 0, minFrames = 2, maxOffset = 1)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+        state = state.unionByName(sigs).localCheckpoint()
+        ()
+      }.start()
+    def sd(id: Long) = StreamDoc(id, s"clip $id",
+      java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    try {
+      in.addData(batch1.map(sd): _*); q.processAllAvailable()
+      in.addData(batch2.map(sd): _*); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = out.toMap
+    assert(out.size === 8)
+    assert(verdicts.filter(_._2 != "kept").keySet === fusedDropped)
+    assert(verdicts(6L) === "dup_batch")   // in-batch trim of 2
+    assert(verdicts(14L) === "dup_batch")  // in-batch trim of 11
+    assert(verdicts(10L) === "dup_corpus") // cross-batch trim of 1
+    assert(verdicts(12L) === "dup_corpus") // cross-batch exact re-post
+    assert(Seq(0L, 1L, 2L, 11L).forall(verdicts(_) == "kept"))
+    assert(alignedKept10,
+      "the frame-aligned probe should keep the trim the offset probe drops")
+    // compaction swap: exact-sequence collapse + the frame-BLIND hot
+    // index leave a fresh trim probe's verdict unchanged
+    val (reps, hot) = Multimodal.compactVideoSigStateOffset(state)
+    val probeTrim = Multimodal.videoOffsetDedupIncrement(spark,
+      Multimodal.videoFrameSampleContainer(spark,
+          enc.filter(col("doc_id") === 2L), stride = 1, from = 1).toDF()
+        .select(lit(30L).as("doc_id"), col("payload")),
+      reps.localCheckpoint(), maxHamming = 0, minFrames = 2,
+      maxOffset = 1, hotBands = Some(hot))._1.collect()
+    assert(probeTrim.length === 1
+      && probeTrim.head.getString(1) === "dup_corpus")
+  }
+
   test("indexed admission: probing the persisted band index is verdict-" +
     "identical to the state form, appends compose per batch, and the " +
     "compaction swap rebuilds the index from collapsed reps") {
