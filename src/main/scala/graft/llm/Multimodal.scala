@@ -1169,6 +1169,146 @@ object Multimodal {
     (grid, dh)
   }
 
+  /** The mirrored-orientation dHash of one parsed raster: the SAME 9×8
+    * grid machinery sampling the horizontally flipped image — source
+    * column w−1−⌊gx·w/9⌋ instead of ⌊gx·w/9⌋. Mirror is an exact
+    * involution at the hash level: gridHash(flip(p)) ≡ mirrorGridHash(p)
+    * and mirrorGridHash(flip(p)) ≡ gridHash(p), bit for bit — so
+    * min(h, hm) is exactly flip-invariant (no resampling error, because
+    * the flipped image's grid IS the original image sampled at mirrored
+    * columns). */
+  private def mirrorGridHash(p: Array[Byte], img: Ppm): Long = {
+    val grid = new Array[Int](72)
+    var gy = 0
+    while (gy < 8) {
+      val sy = gy * img.height / 8
+      var gx = 0
+      while (gx < 9) {
+        val sx = img.width - 1 - gx * img.width / 9
+        val base = img.offset + (sy * img.width + sx) * 3
+        grid(gy * 9 + gx) = (p(base) & 0xff) +
+          (p(base + 1) & 0xff) + (p(base + 2) & 0xff)
+        gx += 1
+      }
+      gy += 1
+    }
+    var dh = 0L
+    var by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        if (grid(by * 9 + bx) > grid(by * 9 + bx + 1))
+          dh |= 1L << (by * 8 + bx)
+        bx += 1
+      }
+      by += 1
+    }
+    dh
+  }
+
+  /** Flip-canonical signature row: the signed-min of the two orientation
+    * hashes, plus which orientation won (the audit bit). */
+  final case class FlipSig(doc_id: Long, dhash: Long, flip: Boolean)
+
+  /** Flip-CANONICAL dHash at the codec boundary: both orientation hashes
+    * compute in one raster pass; the signature is their signed MIN (any
+    * deterministic canonical choice works — min matches the oracle's
+    * `CASE WHEN m < d`). A mirrored re-post canonicalizes to the SAME
+    * signature as its source exactly. */
+  def dHashFlipInvariant(spark: SparkSession, blobs: DataFrame)
+      : Dataset[FlipSig] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val img = parsePpm(b.payload, b.doc_id)
+      val h = gridHash(b.payload, img)._2
+      val hm = mirrorGridHash(b.payload, img)
+      if (hm < h) FlipSig(b.doc_id, hm, flip = true)
+      else FlipSig(b.doc_id, h, flip = false)
+    })
+  }
+
+  /** L139 — HORIZONTAL FLIP, payload→payload (the classic vision-
+    * training augmentation, and the evasion transform l140 exists to
+    * catch): re-emit each P6 with every pixel row reversed (channels
+    * kept in order), canonical header. An exact involution —
+    * flip(flip(x)) is byte-identical to x (LlmSpec). Same mapPartitions
+    * codec-boundary contract as every media stage. */
+  def flipHorizontal(spark: SparkSession, blobs: DataFrame)
+      : Dataset[BlobRow] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val img = parsePpm(b.payload, b.doc_id)
+      val hdr = s"P6\n${img.width} ${img.height}\n255\n"
+        .getBytes(StandardCharsets.US_ASCII)
+      val out = new Array[Byte](hdr.length + img.width * img.height * 3)
+      System.arraycopy(hdr, 0, out, 0, hdr.length)
+      var y = 0
+      while (y < img.height) {
+        var x = 0
+        while (x < img.width) {
+          val src = img.offset + (y * img.width + (img.width - 1 - x)) * 3
+          val dst = hdr.length + (y * img.width + x) * 3
+          out(dst) = b.payload(src)
+          out(dst + 1) = b.payload(src + 1)
+          out(dst + 2) = b.payload(src + 2)
+          x += 1
+        }
+        y += 1
+      }
+      BlobRow(b.doc_id, out)
+    })
+  }
+
+  /** L140 — FLIP-INVARIANT image near-dup pairs: the duplicate class
+    * plain dHash is blind to (a horizontally mirrored re-post — the
+    * cheapest deliberate-evasion re-upload, and what a flip-augmented
+    * training set contains by construction). Signature = the flip-
+    * canonical min of the two orientation hashes (computed in ONE
+    * raster pass — no second decode), then the standard banding / hot-
+    * band guard / Hamming verify on the canonical signature; each pair
+    * carries both sides' orientation bits (flip_a ≠ flip_b ⇒ the match
+    * crossed orientations — the mirrored-re-post audit). */
+  def imageFlipInvariantNearDups(spark: SparkSession, docs: DataFrame,
+                                 maxHamming: Int = 2,
+                                 maxBandOcc: Int = 500): DataFrame =
+    imageFlipInvariantNearDupsFromBlobs(spark,
+      encodePpm(spark, docs).toDF(), maxHamming, maxBandOcc)
+
+  /** Blob-level form of `imageFlipInvariantNearDups`. */
+  def imageFlipInvariantNearDupsFromBlobs(spark: SparkSession,
+                                          blobs: DataFrame,
+                                          maxHamming: Int = 2,
+                                          maxBandOcc: Int = 500)
+      : DataFrame =
+    flipInvariantPairsFromSigs(
+      dHashFlipInvariant(spark, blobs).toDF().localCheckpoint(),
+      maxHamming, maxBandOcc, 8)
+
+  /** PRODUCTION twin — band width scheduled from the signature count
+    * (`dhashBandBits`; the canonical signature is one 64-bit hash per
+    * image, the same collision algebra as l122). */
+  def imageFlipInvariantNearDupsAuto(spark: SparkSession, blobs: DataFrame,
+                                     maxHamming: Int = 2,
+                                     maxBandOcc: Int = 500): DataFrame = {
+    val sig = dHashFlipInvariant(spark, blobs).toDF().localCheckpoint()
+    flipInvariantPairsFromSigs(sig, maxHamming, maxBandOcc,
+      KnobSchedule.dhashBandBits(sig.count(), maxHamming))
+  }
+
+  private def flipInvariantPairsFromSigs(sig: DataFrame, maxHamming: Int,
+                                         maxBandOcc: Int,
+                                         bandBits: Int): DataFrame = {
+    val cand = imagePairCandidates(sig, maxHamming, maxBandOcc, bandBits)
+    val f = sig.select(col("doc_id"), col("flip"))
+    cand
+      .join(f.select(col("doc_id").as("doc_a"), col("flip").as("flip_a")),
+        "doc_a")
+      .join(f.select(col("doc_id").as("doc_b"), col("flip").as("flip_b")),
+        "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("hamming"),
+        col("flip_a"), col("flip_b"))
+  }
+
   /** L122 — IMAGE near-duplicate pairs: the one duplicate class the
     * text/embedding dedup planes are blind to (a re-encoded, resized or
     * brightness-shifted image re-post). dHash per image at the codec

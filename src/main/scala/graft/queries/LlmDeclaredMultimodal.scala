@@ -685,6 +685,88 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       FROM vb JOIN vks USING (doc_id) JOIN agg USING (doc_id)
       ORDER BY vb.doc_id"""))
 
+  /** L139 — HORIZONTAL FLIP, payload→payload: the classic vision-
+    * training augmentation (and the cheapest deliberate-evasion
+    * re-upload — the class l140 catches): every pixel row reversed,
+    * channels in order, canonical header; audited like l42 by sizes +
+    * the md5 of the re-emitted payload (the corpus is printable ASCII,
+    * so DuckDB's md5-of-string hashes the same bytes). */
+  protected val l139 = DeclaredQuery(
+    "l139_image_flip",
+    (s, dir) => {
+      val blobs = Multimodal.encodePpm(s, t(s, dir, "documents")).toDF()
+      val orig = blobs.select(col("doc_id"),
+        length(col("payload")).cast(LongType).as("orig_bytes"))
+      Multimodal.flipHorizontal(s, blobs).toDF()
+        .select(col("doc_id"),
+          length(col("payload")).cast(LongType).as("flipped_bytes"),
+          md5(col("payload")).as("flipped_md5"))
+        .join(orig, "doc_id")
+        .select(col("doc_id"), col("orig_bytes"), col("flipped_bytes"),
+          col("flipped_md5"))
+        .orderBy(col("doc_id"))
+    },
+    Some(s"""WITH $ppmCte
+      SELECT doc_id,
+        CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT) AS orig_bytes,
+        CAST(length(${ppmHdr("w", "h")}) + w*h*3 AS BIGINT)
+          AS flipped_bytes,
+        md5(${ppmHdr("w", "h")} ||
+          array_to_string(list_transform(range(0, w*h*3), k ->
+            CASE WHEN len = 0 THEN '0' ELSE substr(text,
+              CAST((((k // (w*3)) * w + (w - 1 - (k % (w*3)) // 3)) * 3
+                + k % 3) % len + 1 AS INTEGER), 1) END), '')) AS flipped_md5
+      FROM ppm ORDER BY doc_id"""))
+
+  /** The flip-canonical signature CTE chain: the dHash base plus the
+    * MIRRORED-orientation grid/hash (source column w−1−⌊gx·w/9⌋ — the
+    * flipped image's grid IS the original sampled at mirrored columns,
+    * so canonicalization is exact, no resampling error) and the signed-
+    * min canonical signature with its orientation bit. */
+  private def flipSigCtes: String = {
+    val grayCellM = "(" + (0 until 3).map(c =>
+      ppmPx(s"((((i//9)*h//8)*w + (w - 1 - (i%9)*w//9))*3 + $c)"))
+      .mkString(" + ") + ")"
+    val bitTerm =
+      """CASE WHEN grid[CAST((b//8)*9 + (b%8) + 1 AS INTEGER)] >
+                grid[CAST((b//8)*9 + (b%8) + 2 AS INTEGER)]
+           THEN CASE WHEN b = 63
+                THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+           ELSE CAST(0 AS BIGINT) END"""
+    s"""$dHashBaseCtes,
+      gm AS (SELECT doc_id,
+          list_transform(range(72), i -> $grayCellM) AS grid FROM ppm),
+      dhm AS (SELECT doc_id,
+          list_reduce(list_transform(range(64), b -> $bitTerm),
+            (x, y) -> x + y) AS mhash FROM gm),
+      fsig AS MATERIALIZED (SELECT d.doc_id,
+          CASE WHEN m.mhash < d.dhash THEN m.mhash ELSE d.dhash END
+            AS dhash,
+          (m.mhash < d.dhash) AS flip
+        FROM dh d JOIN dhm m USING (doc_id))"""
+  }
+
+  /** L140 — FLIP-INVARIANT image near-dup pairs: the duplicate class
+    * plain dHash (l122) is blind to — a horizontally mirrored re-post.
+    * Signature = signed-min of the two orientation hashes (one raster
+    * pass), then the standard banding/guard/Hamming core on the
+    * canonical signature; each pair carries both orientation bits
+    * (flip_a ≠ flip_b ⇒ the match crossed orientations). */
+  protected val l140 = DeclaredQuery(
+    "l140_image_flip_invariant_near_dups",
+    (s, dir) => Multimodal.imageFlipInvariantNearDups(s,
+      t(s, dir, "documents"), maxHamming = 2, maxBandOcc = 500)
+      .orderBy(col("doc_a"), col("doc_b")),
+    Some(s"""WITH $flipSigCtes,
+      ${bandLegCtes("", 8, 2, 500, src = "fsig")}
+      SELECT c.doc_a, c.doc_b, c.hamming,
+        fa.flip AS flip_a, fb.flip AS flip_b
+      FROM cand c
+      JOIN fsig fa ON fa.doc_id = c.doc_a
+      JOIN fsig fb ON fb.doc_id = c.doc_b
+      ORDER BY doc_a, doc_b"""))
+
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
     * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so

@@ -2210,6 +2210,45 @@ class LlmSpec extends SparkSpec {
       || ex.getCause.getMessage.contains("keeps none"))
   }
 
+  test("image flip: the transform is an exact byte-level involution, and " +
+    "the flip-canonical signature catches the mirrored re-post plain " +
+    "dHash is blind to") {
+    val d = Seq((1L, "the quick brown fox jumps over")).toDF("doc_id", "text")
+    val a = Multimodal.encodePpm(spark, d).toDF().localCheckpoint()
+    val mirrored = Multimodal.flipHorizontal(spark, a).toDF()
+      .select(lit(2L).as("doc_id"), col("payload")).localCheckpoint()
+    // involution: flip(flip(x)) is byte-identical to x
+    val back = Multimodal.flipHorizontal(spark,
+      Multimodal.flipHorizontal(spark, a).toDF()).toDF()
+    assert(back.select(md5(col("payload"))).collect().head.getString(0) ===
+      a.select(md5(col("payload"))).collect().head.getString(0))
+    // the canonical signature is identical across orientations, with
+    // opposite orientation bits (the fixture is asymmetric: h ≠ hm)
+    val sa = Multimodal.dHashFlipInvariant(spark, a).collect().head
+    val sb = Multimodal.dHashFlipInvariant(spark, mirrored).collect().head
+    assert(sa.dhash === sb.dhash)
+    assert(sa.flip !== sb.flip)
+    val both = a.unionByName(mirrored).localCheckpoint()
+    // plain dHash (l122) at Hamming 0 is BLIND to the mirrored re-post
+    assert(Multimodal.imageNearDupsFromBlobs(spark, both,
+      maxHamming = 0, maxBandOcc = 100000).isEmpty)
+    // the flip-invariant pairing finds it at Hamming 0 with crossed
+    // orientation bits
+    val rows = Multimodal.imageFlipInvariantNearDupsFromBlobs(spark, both,
+      maxHamming = 0, maxBandOcc = 100000).collect()
+    assert(rows.length === 1)
+    assert(rows.head.getLong(0) === 1L && rows.head.getLong(1) === 2L)
+    assert(rows.head.getLong(2) === 0L)
+    assert(rows.head.getBoolean(3) !== rows.head.getBoolean(4))
+    // the Auto twin resolves to 8 bits at small n and stays byte-equal
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    assert(rws(Multimodal.imageFlipInvariantNearDupsAuto(spark, both,
+        maxHamming = 0, maxBandOcc = 100000)) === rws(
+      Multimodal.imageFlipInvariantNearDupsFromBlobs(spark, both,
+        maxHamming = 0, maxBandOcc = 100000)))
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

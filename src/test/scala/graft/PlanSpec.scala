@@ -543,7 +543,12 @@ class PlanSpec extends SparkSpec {
       // container flows codec-stage-to-codec-stage; every exchange
       // carries (doc_id, frame_idx, dhash, band) longs or feature rows
       "l136_video_offset_near_dups", "l137_video_frame_sample",
-      "l138_video_offset_dedup_apply")) {
+      "l138_video_offset_dedup_apply",
+      // l139/l140: the flip plane — the flip transform re-emits inside
+      // the codec stage; the flip-canonical signature is computed in
+      // the same raster pass, so exchanges carry (doc_id, dhash, band,
+      // flip) scalars only
+      "l139_image_flip", "l140_image_flip_invariant_near_dups")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
