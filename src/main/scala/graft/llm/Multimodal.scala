@@ -1309,6 +1309,63 @@ object Multimodal {
         col("flip_a"), col("flip_b"))
   }
 
+  /** L141 — FLIP-INVARIANT image dedup APPLY: the l125 shape over the
+    * flip-canonical signature — the deduplicated store where a mirrored
+    * re-post collapses into its source's cluster instead of surviving
+    * (the plain l125 apply keeps it). Same modality-neutral core:
+    * exact-hash pre-collapse (a mirrored exact re-post canonicalizes to
+    * the SAME hash, so the whole orientation-crossing clique collapses
+    * by EQUALITY, guard-immune) → banded rep pairs → CC → keep-min →
+    * anti-join; output the surviving (doc_id, dhash) with dhash the
+    * canonical signature. */
+  def imageFlipInvariantDedupApply(spark: SparkSession, docs: DataFrame,
+                                   maxHamming: Int = 2,
+                                   maxBandOcc: Int = 500): DataFrame =
+    sigDedupApply(
+      dHashFlipInvariant(spark, encodePpm(spark, docs).toDF()).toDF(),
+      maxHamming, maxBandOcc, bandBits = Some(8))
+
+  /** PRODUCTION flip-invariant apply — scheduled band width from the
+    * collapsed rep count (the `imageDedupApplyAuto` twin on the
+    * canonical-signature plane). Blob-level. */
+  def imageFlipInvariantDedupApplyAuto(spark: SparkSession,
+                                       blobs: DataFrame,
+                                       maxHamming: Int = 2,
+                                       maxBandOcc: Int = 500): DataFrame =
+    sigDedupApply(dHashFlipInvariant(spark, blobs).toDF(),
+      maxHamming, maxBandOcc, bandBits = None)
+
+  /** L142 — FLIP-INVARIANT band-width/guard SWEEP: the l126 knob-pricing
+    * table on the canonical-signature plane (the guard/width trade is a
+    * property of the SIGNATURE DISTRIBUTION, and canonicalization
+    * changes that distribution — min-folding two orientation hashes —
+    * so the flip plane earns its own measured table rather than
+    * borrowing l122's). Shared `sigBandSweep` core, one synth+hash pass
+    * for every leg. */
+  def imageFlipBandSweep(spark: SparkSession, docs: DataFrame,
+                         maxHamming: Int = 2,
+                         configs: Seq[(Int, Int)] =
+                           Seq((8, 500), (16, 500), (16, 1 << 30)))
+      : DataFrame =
+    sigBandSweep(
+      dHashFlipInvariant(spark, encodePpm(spark, docs).toDF()).toDF(),
+      maxHamming, configs)
+
+  /** Streaming FLIP-INVARIANT admission (S44) — S39's discipline on the
+    * canonical signature: a mirrored re-post of an already-seen image
+    * verdicts dup (S39's plain-dHash probe keeps it). The carried state
+    * is the (doc_id, dhash) CANONICAL signature table; everything else
+    * — probe shape, compaction (`compactSigState`), the persisted
+    * band-index form — is the shared sig-level machinery unchanged. */
+  def imageFlipDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
+                              state: DataFrame, maxHamming: Int = 2,
+                              hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) =
+    sigDedupIncrement(
+      dHashFlipInvariant(spark, batchBlobs).toDF()
+        .select(col("doc_id"), col("dhash")),
+      state, maxHamming, hotBands)
+
   /** L122 — IMAGE near-duplicate pairs: the one duplicate class the
     * text/embedding dedup planes are blind to (a re-encoded, resized or
     * brightness-shifted image re-post). dHash per image at the codec

@@ -767,6 +767,68 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       JOIN fsig fb ON fb.doc_id = c.doc_b
       ORDER BY doc_a, doc_b"""))
 
+  /** L141 — FLIP-INVARIANT image dedup APPLY: the l125 recursive-closure
+    * shape over the flip-canonical signature — a mirrored re-post
+    * collapses into its source's cluster (the plain l125 apply keeps
+    * it); exact-hash pre-collapse by canonical-hash EQUALITY (an
+    * orientation-crossing exact-re-post clique collapses whole,
+    * guard-immune) → banded rep pairs → transitive closure → keep-min →
+    * anti-join. */
+  protected val l141 = DeclaredQuery(
+    "l141_image_flip_dedup_apply",
+    (s, dir) => Multimodal.imageFlipInvariantDedupApply(s,
+      t(s, dir, "documents"), maxHamming = 2, maxBandOcc = 500)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $flipSigCtes,
+      rep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id, dhash
+        FROM fsig GROUP BY dhash),
+      ${bandLegCtes("", 8, 2, 500, src = "rep")},
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM cand
+                UNION SELECT doc_b, doc_a FROM cand),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      losers AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id)
+      SELECT r.doc_id, r.dhash FROM rep r
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = r.doc_id)
+      ORDER BY r.doc_id"""))
+
+  /** L142 — FLIP-INVARIANT band-width/guard SWEEP: the l126 knob-pricing
+    * table on the canonical-signature plane — the guard/width trade is
+    * a property of the signature DISTRIBUTION, and min-folding two
+    * orientation hashes changes it, so the flip plane earns its own
+    * measured table. */
+  protected val l142 = {
+    val configs = Seq((8, 500L), (16, 500L), (16, (1 << 30).toLong))
+    val legs = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      bandLegCtes(s"_$i", bits, 2, cap, src = "fsig")
+    }.mkString(",\n      ")
+    val rows = configs.zipWithIndex.map { case ((bits, cap), i) =>
+      s"""SELECT CAST($bits AS BIGINT) AS band_bits,
+          CAST($cap AS BIGINT) AS max_band_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM hot_$i) AS n_hot_buckets,
+          (SELECT CAST(count(*) AS BIGINT) FROM cand_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l142_image_flip_band_sweep",
+      (s, dir) => Multimodal.imageFlipBandSweep(s, t(s, dir, "documents"))
+        .orderBy(col("band_bits"), col("max_band_occ")),
+      Some(s"""WITH $flipSigCtes,
+      $legs,
+      legs AS (
+        $rows),
+      tr AS (SELECT CAST(count(*) AS BIGINT) AS n_truth
+        FROM cand_${configs.length - 1})
+      SELECT band_bits, max_band_occ, n_hot_buckets, n_pairs,
+        tr.n_truth,
+        CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY band_bits, max_band_occ"""))
+  }
+
   /** The deterministic WAV sample value for index `k` (SQL fragment) —
     * signed16(text[k % len] << 8 | text[(k+5) % len]), replaying
     * Multimodal.encodeWav's derivation. Text is ASCII in the fixture, so

@@ -2247,6 +2247,26 @@ class LlmSpec extends SparkSpec {
         maxHamming = 0, maxBandOcc = 100000)) === rws(
       Multimodal.imageFlipInvariantNearDupsFromBlobs(spark, both,
         maxHamming = 0, maxBandOcc = 100000)))
+    // the APPLY: the plain l125 apply keeps the mirrored re-post as a
+    // "new" image; the flip-invariant apply folds it into its source's
+    // cluster by canonical-hash EQUALITY (the pre-collapse path — no
+    // banding needed at Hamming 0)
+    def ids(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.getLong(0)).sorted.toSeq
+    assert(ids(Multimodal.imageDedupApplyAuto(spark, both,
+      maxHamming = 0, maxBandOcc = 100000)) === Seq(1L, 2L))
+    assert(ids(Multimodal.imageFlipInvariantDedupApplyAuto(spark, both,
+      maxHamming = 0, maxBandOcc = 100000)) === Seq(1L))
+    // fixed-vs-Auto byte-equality for the declared l141 form
+    assert(ids(Multimodal.imageFlipInvariantDedupApply(spark, d,
+        maxHamming = 0, maxBandOcc = 100000)) ===
+      ids(Multimodal.imageFlipInvariantDedupApplyAuto(spark,
+        Multimodal.encodePpm(spark, d).toDF(),
+        maxHamming = 0, maxBandOcc = 100000)))
+    // the sweep shares the truth-leg gate
+    intercept[IllegalArgumentException](
+      Multimodal.imageFlipBandSweep(spark, d,
+        configs = Seq((8, 500), (16, 500))))
   }
 
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {

@@ -548,7 +548,8 @@ class PlanSpec extends SparkSpec {
       // the codec stage; the flip-canonical signature is computed in
       // the same raster pass, so exchanges carry (doc_id, dhash, band,
       // flip) scalars only
-      "l139_image_flip", "l140_image_flip_invariant_near_dups")) {
+      "l139_image_flip", "l140_image_flip_invariant_near_dups",
+      "l141_image_flip_dedup_apply", "l142_image_flip_band_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>

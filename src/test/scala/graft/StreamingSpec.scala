@@ -1815,6 +1815,83 @@ class StreamingSpec extends SparkSpec {
       && probeTrim.head.getString(1) === "dup_corpus")
   }
 
+  test("S44: streaming FLIP-INVARIANT image admission — a mirrored " +
+    "re-post drops within-batch and across the boundary where the " +
+    "plain-dHash S39 probe keeps it") {
+    // S39's discipline on the canonical signature: the carried state is
+    // the (doc_id, canonical dhash) table; a horizontally mirrored
+    // re-upload of a seen image canonicalizes to the SAME signature and
+    // drops. Planted mirrors are the l139 production flip itself.
+    import StreamOps.StreamBlob
+    import graft.llm.Multimodal
+    val baseTexts = Map(
+      0L -> "first image alpha content here",
+      1L -> "second image beta content here",
+      2L -> "third image gamma content here",
+      11L -> "fourth image delta content here")
+    val mirrorOf = Map(6L -> 2L, 10L -> 1L, 12L -> 11L)
+    val enc = Multimodal.encodePpm(spark,
+      baseTexts.toSeq.toDF("doc_id", "text")).toDF().localCheckpoint()
+    val mirrors = Multimodal.flipHorizontal(spark, enc).toDF()
+      .withColumnRenamed("doc_id", "src")
+      .join(mirrorOf.toSeq.toDF("doc_id", "src"), Seq("src"))
+      .select(col("doc_id"), col("payload"))
+    val allBlobs = enc.unionByName(mirrors).localCheckpoint()
+    def blobs(ids: Seq[Long]) =
+      allBlobs.filter(col("doc_id").isin(ids: _*))
+    val batch1 = Seq(0L, 1L, 2L, 6L)
+    val batch2 = Seq(10L, 11L, 12L)
+    val fusedDropped = Multimodal.imageFlipInvariantNearDupsFromBlobs(
+        spark, blobs(batch1 ++ batch2), maxHamming = 0,
+        maxBandOcc = 100000)
+      .collect().map(_.getLong(1)).toSet
+    var state = Multimodal.dHash(spark, allBlobs.limit(0)).toDF()
+      .select(col("doc_id"), col("dhash")).localCheckpoint()
+    var plainKept10 = false
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[StreamBlob]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.toDF().select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSeq
+        if (ids.contains(10L)) {
+          // the plain-dHash S39 probe is BLIND to the mirror — but its
+          // state holds canonical sigs here, so probe with a plain
+          // dHash batch against a PLAIN state built from the originals
+          val plainState = Multimodal.dHash(spark,
+              blobs(Seq(0L, 1L, 2L, 6L))).toDF()
+            .select(col("doc_id"), col("dhash")).localCheckpoint()
+          val plain = Multimodal.imageDedupIncrement(spark,
+            blobs(Seq(10L)), plainState, maxHamming = 0)._1.collect()
+          plainKept10 = plain.head.getString(1) == "kept"
+        }
+        val (verdicts, sigs) = Multimodal.imageFlipDedupIncrement(spark,
+          blobs(ids), state, maxHamming = 0)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+        state = state.unionByName(sigs).localCheckpoint()
+        ()
+      }.start()
+    def sb(id: Long) = {
+      val p = allBlobs.filter(col("doc_id") === id)
+        .collect().head.getAs[Array[Byte]]("payload")
+      StreamBlob(id, p, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    }
+    try {
+      in.addData(batch1.map(sb): _*); q.processAllAvailable()
+      in.addData(batch2.map(sb): _*); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = out.toMap
+    assert(out.size === 7)
+    assert(verdicts.filter(_._2 != "kept").keySet === fusedDropped)
+    assert(verdicts(6L) === "dup_batch")   // in-batch mirror of 2
+    assert(verdicts(12L) === "dup_batch")  // in-batch mirror of 11
+    assert(verdicts(10L) === "dup_corpus") // cross-batch mirror of 1
+    assert(Seq(0L, 1L, 2L, 11L).forall(verdicts(_) == "kept"))
+    assert(plainKept10,
+      "the plain-dHash probe should keep the mirror the canonical " +
+        "probe drops")
+  }
+
   test("indexed admission: probing the persisted band index is verdict-" +
     "identical to the state form, appends compose per batch, and the " +
     "compaction swap rebuilds the index from collapsed reps") {
