@@ -800,6 +800,249 @@ object Multimodal {
     val sig = videoFrameHashes(spark, batchBlobs).toDF()
       .select(col("doc_id"), col("frame_idx"), col("dhash"))
       .localCheckpoint()
+    frameSigOffsetVerdicts(spark, sig, sig.select(col("doc_id")).distinct(),
+      state, maxHamming, minFrames, maxOffset, hotBands)
+  }
+
+  /** State compaction for the OFFSET admission (S43's caller contract):
+    * the same exact-SEQUENCE collapse as `compactVideoSigState` (one
+    * min-id rep per ordered frame-hash vector — verdict-lossless), but
+    * the hot-bucket exclusion index is frame-BLIND (band_idx, band_val)
+    * — the key `videoOffsetDedupIncrement` probes on. Returns
+    * (compactedState, hotBands). */
+  def compactVideoSigStateOffset(state: DataFrame, maxBandOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val repSig = videoSeqReps(sig)
+    val hot = repSig.select(col("dhash"),
+        posexplode(array((0 until 8).map(bi =>
+          shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
+          .as(Seq("band_idx", "band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxBandOcc)
+      .select(col("band_idx"), col("band_val"))
+    (repSig, hot)
+  }
+
+  // ------------------------------------------- audio window fingerprints
+
+  /** One audio WINDOW's 64-bit fingerprint row: the l127 gradient-sign
+    * machinery applied to a fixed ABSOLUTE window of 65 samples (one
+    * envelope slot per sample) instead of the whole clip's relative
+    * 65-chunk envelope. Fixed windows are what make TRIMS detectable:
+    * the clip-level envelope re-chunks relative to clip length, so any
+    * trim scrambles every chunk — window w of a clip trimmed by exactly
+    * one window IS window w+1 of the source, bit for bit. */
+  final case class AudioWindowSig(doc_id: Long, win_idx: Int, dhash: Long)
+
+  /** Per-window audio fingerprints at the codec boundary: window w
+    * covers samples [65w, 65w+65); hash bit b = (|s[65w+b]| >
+    * |s[65w+b+1]|) — gain-SIGN-invariant like l127 (|·| of a uniformly
+    * scaled signal scales, signs of differences hold). Clips shorter
+    * than one window emit NO rows (documented: sub-window clips carry
+    * no fingerprint); a partial tail window is dropped — trims are
+    * detected at window granularity. */
+  def audioWindowHashes(spark: SparkSession, blobs: DataFrame)
+      : Dataset[AudioWindowSig] = {
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.flatMap { b =>
+      val wav = parseWav(b.payload, b.doc_id)
+      val nWin = wav.nSamples / 65
+      (0 until nWin).iterator.map { w =>
+        var dh = 0L
+        var bix = 0
+        while (bix < 64) {
+          val a = math.abs(s16le(b.payload, wav.offset + 2 * (65 * w + bix))
+            .toLong)
+          val c = math.abs(s16le(b.payload,
+            wav.offset + 2 * (65 * w + bix + 1)).toLong)
+          if (a > c) dh |= 1L << bix
+          bix += 1
+        }
+        AudioWindowSig(b.doc_id, w, dh)
+      }
+    })
+  }
+
+  /** The window-sig table in the frame-sig column shape the shared
+    * frame-plane cores consume. */
+  private def audioWindowFrameSigs(spark: SparkSession, blobs: DataFrame)
+      : DataFrame =
+    audioWindowHashes(spark, blobs).toDF()
+      .select(col("doc_id"), col("win_idx").as("frame_idx"), col("dhash"))
+
+  /** L143 — OFFSET-tolerant AUDIO near-dup pairs over the window
+    * fingerprints: the l136 displacement-window semantics on the audio
+    * plane — a clip re-uploaded with its head cut (at window
+    * granularity) pairs with its source at the trim's displacement,
+    * which the clip-level l127 hash is blind to (the relative envelope
+    * re-chunks). The shared frame-plane offset core does the work; the
+    * verdict is per (pair, win_offset): close-window count + exact
+    * summed Hamming. */
+  def audioOffsetNearDups(spark: SparkSession, docs: DataFrame,
+                          maxHamming: Int = 2, maxBandOcc: Int = 500,
+                          minWindows: Int = 1, maxOffset: Int = 1)
+      : DataFrame =
+    audioOffsetNearDupsFromBlobs(spark, encodeWav(spark, docs).toDF(),
+      maxHamming, maxBandOcc, minWindows, maxOffset)
+
+  /** Blob-level form of `audioOffsetNearDups`. */
+  def audioOffsetNearDupsFromBlobs(spark: SparkSession, blobs: DataFrame,
+                                   maxHamming: Int = 2,
+                                   maxBandOcc: Int = 500,
+                                   minWindows: Int = 1, maxOffset: Int = 1)
+      : DataFrame =
+    videoOffsetNearDupsFromSigs(
+      audioWindowFrameSigs(spark, blobs).localCheckpoint(),
+      maxHamming, maxBandOcc, minWindows, maxOffset)
+      .withColumnRenamed("frame_offset", "win_offset")
+      .withColumnRenamed("n_close_frames", "n_close_windows")
+
+  /** PRODUCTION twin — band width scheduled from the window-sig ROW
+    * count (the frame-blind collision unit, as in
+    * `videoOffsetNearDupsAuto`). */
+  def audioOffsetNearDupsAuto(spark: SparkSession, blobs: DataFrame,
+                              maxHamming: Int = 2, maxBandOcc: Int = 500,
+                              minWindows: Int = 1, maxOffset: Int = 1)
+      : DataFrame = {
+    val sig = audioWindowFrameSigs(spark, blobs).localCheckpoint()
+    videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc, minWindows,
+      maxOffset, KnobSchedule.dhashBandBits(sig.count(), maxHamming))
+      .withColumnRenamed("frame_offset", "win_offset")
+      .withColumnRenamed("n_close_frames", "n_close_windows")
+  }
+
+  /** L144 — AUDIO head-trim, payload→payload (the audio twin of l137's
+    * video head-trim, the crop augmentation, and the l143 fixtures'
+    * generator): drop the first `nSamples` samples (clamped to keep at
+    * least one — the encoder's own empty-text convention), re-emit a
+    * canonical 44-byte-header PCM16 mono WAV. */
+  def audioTrimHeadContainer(spark: SparkSession, blobs: DataFrame,
+                             nSamples: Int = 65): Dataset[BlobRow] = {
+    require(nSamples >= 0, s"audioTrimHeadContainer: nSamples ($nSamples)" +
+      " must be >= 0")
+    import spark.implicits._
+    blobs.as[BlobRow].mapPartitions(_.map { b =>
+      val wav = parseWav(b.payload, b.doc_id)
+      val t = math.min(nSamples, wav.nSamples - 1)
+      val n = wav.nSamples - t
+      val dataSize = 2 * n
+      val out = new Array[Byte](44 + dataSize)
+      def le32(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+        out(off + 2) = ((v >> 16) & 0xff).toByte
+        out(off + 3) = ((v >> 24) & 0xff).toByte
+      }
+      def le16(off: Int, v: Int): Unit = {
+        out(off) = (v & 0xff).toByte
+        out(off + 1) = ((v >> 8) & 0xff).toByte
+      }
+      def tag(off: Int, s: String): Unit = {
+        val bs = s.getBytes(StandardCharsets.US_ASCII)
+        System.arraycopy(bs, 0, out, off, 4)
+      }
+      tag(0, "RIFF"); le32(4, 36 + dataSize); tag(8, "WAVE")
+      tag(12, "fmt "); le32(16, 16)
+      le16(20, 1); le16(22, 1)
+      le32(24, wav.sampleRate); le32(28, wav.sampleRate * 2)
+      le16(32, 2); le16(34, 16)
+      tag(36, "data"); le32(40, dataSize)
+      System.arraycopy(b.payload, wav.offset + 2 * t, out, 44, dataSize)
+      BlobRow(b.doc_id, out)
+    })
+  }
+
+  /** L145 — OFFSET-tolerant AUDIO dedup APPLY over the window
+    * fingerprints: exact window-VECTOR pre-collapse (clips with the
+    * same ordered fingerprint vector are indistinguishable at window
+    * granularity — one min-id rep, guard-immune) → offset pairs among
+    * reps (≥ minWindows close windows at a SINGLE displacement) → CC →
+    * keep-min → anti-join. Clips shorter than one window carry no
+    * fingerprint and are ALWAYS kept (n_windows = 0) — never silently
+    * dropped. */
+  def audioOffsetDedupApply(spark: SparkSession, docs: DataFrame,
+                            maxHamming: Int = 2, maxBandOcc: Int = 500,
+                            minWindows: Int = 1, maxOffset: Int = 1)
+      : DataFrame =
+    audioOffsetDedupApplyFromBlobs(spark, encodeWav(spark, docs).toDF(),
+      maxHamming, maxBandOcc, minWindows, maxOffset, bits = Some(8))
+
+  /** PRODUCTION twin — scheduled band width from the collapsed reps'
+    * window-row count. */
+  def audioOffsetDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
+                                maxHamming: Int = 2, maxBandOcc: Int = 500,
+                                minWindows: Int = 1, maxOffset: Int = 1)
+      : DataFrame =
+    audioOffsetDedupApplyFromBlobs(spark, blobs, maxHamming, maxBandOcc,
+      minWindows, maxOffset, bits = None)
+
+  private def audioOffsetDedupApplyFromBlobs(spark: SparkSession,
+                                             blobs: DataFrame,
+                                             maxHamming: Int,
+                                             maxBandOcc: Int,
+                                             minWindows: Int,
+                                             maxOffset: Int,
+                                             bits: Option[Int]): DataFrame = {
+    val allDocs = blobs.select(col("doc_id")).distinct().localCheckpoint()
+    val sig = audioWindowFrameSigs(spark, blobs).localCheckpoint()
+    val repSig = videoSeqReps(sig).localCheckpoint()
+    val bandBits = bits.getOrElse(
+      KnobSchedule.dhashBandBits(repSig.count(), maxHamming))
+    val pairs = videoOffsetNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
+        minWindows, maxOffset, bandBits)
+      .select(col("doc_a"), col("doc_b")).distinct()
+    val ccLosers = Dedup.nearDupClustersAuto(pairs)
+      .filter(col("doc_id") =!= col("cluster_id"))
+      .select(col("doc_id"))
+    // collapsed non-reps are losers too (their rep carries the cluster);
+    // sub-window clips have no sig rows and never appear in either set
+    val collapsedLosers = sig.select(col("doc_id")).distinct()
+      .join(repSig.select(col("doc_id")).distinct(),
+        Seq("doc_id"), "left_anti")
+    val losers = ccLosers.unionByName(collapsedLosers).distinct()
+    val counts = sig.groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"))
+    allDocs.join(losers, Seq("doc_id"), "left_anti")
+      .join(counts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_windows"), lit(0L)).as("n_windows"))
+  }
+
+  /** Streaming OFFSET-tolerant AUDIO admission (S45) — the S43
+    * discipline on the window-fingerprint plane: the carried state is
+    * the (doc_id, frame_idx ≙ win_idx, dhash) window table of every
+    * SEEN clip; a batch clip drops on ≥ minWindows close windows vs ONE
+    * other clip at a SINGLE displacement. Clips shorter than one window
+    * have no fingerprint rows: they are always kept and add no state.
+    * `hotBands` is `compactVideoSigStateOffset`'s frame-blind index —
+    * the state shape is identical, so the video compactor serves both
+    * planes. */
+  def audioOffsetDedupIncrement(spark: SparkSession, batchBlobs: DataFrame,
+                                state: DataFrame, maxHamming: Int = 2,
+                                minWindows: Int = 1, maxOffset: Int = 1,
+                                hotBands: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val sig = audioWindowFrameSigs(spark, batchBlobs).localCheckpoint()
+    val batchIds = batchBlobs.select(col("doc_id")).distinct()
+    val (verdicts, _) = frameSigOffsetVerdicts(spark, sig, batchIds, state,
+      maxHamming, minWindows, maxOffset, hotBands)
+    (verdicts, sig)
+  }
+
+  /** The sig-level offset-admission core shared by the video S43 (via
+    * `videoOffsetDedupIncrement`) and audio S45 wrappers: frame-blind
+    * band probe of state and earlier batch members with the
+    * displacement window, per-(doc, other, offset) close-count fold,
+    * verdicts over `memberIds` (so ids with NO sig rows still verdict
+    * `kept`). */
+  private def frameSigOffsetVerdicts(spark: SparkSession, sig: DataFrame,
+                                     memberIds: DataFrame, state: DataFrame,
+                                     maxHamming: Int, minFrames: Int,
+                                     maxOffset: Int,
+                                     hotBands: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
     def banded(df: DataFrame) = df.select(col("doc_id"), col("frame_idx"),
       col("dhash"),
       posexplode(array((0 until 8).map(bi =>
@@ -830,7 +1073,7 @@ object Multimodal {
     val vsState = dupIds(s, lit(true)).withColumn("dup_c", lit(true))
     val vsBatch = dupIds(b, col("y.doc_id") < col("x.doc_id"))
       .withColumn("dup_b", lit(true))
-    val verdicts = sig.select(col("doc_id")).distinct()
+    val verdicts = memberIds
       .join(vsState, Seq("doc_id"), "left")
       .join(vsBatch, Seq("doc_id"), "left")
       .select(col("doc_id"),
@@ -838,27 +1081,6 @@ object Multimodal {
           .when(col("dup_b"), lit("dup_batch"))
           .otherwise(lit("kept")).as("verdict"))
     (verdicts, sig)
-  }
-
-  /** State compaction for the OFFSET admission (S43's caller contract):
-    * the same exact-SEQUENCE collapse as `compactVideoSigState` (one
-    * min-id rep per ordered frame-hash vector — verdict-lossless), but
-    * the hot-bucket exclusion index is frame-BLIND (band_idx, band_val)
-    * — the key `videoOffsetDedupIncrement` probes on. Returns
-    * (compactedState, hotBands). */
-  def compactVideoSigStateOffset(state: DataFrame, maxBandOcc: Int = 500)
-      : (DataFrame, DataFrame) = {
-    val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
-    val repSig = videoSeqReps(sig)
-    val hot = repSig.select(col("dhash"),
-        posexplode(array((0 until 8).map(bi =>
-          shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
-          .as(Seq("band_idx", "band_val")))
-      .groupBy(col("band_idx"), col("band_val"))
-      .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > maxBandOcc)
-      .select(col("band_idx"), col("band_val"))
-    (repSig, hot)
   }
 
   /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of

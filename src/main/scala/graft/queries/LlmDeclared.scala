@@ -57,5 +57,6 @@ object LlmDeclared
     l101, l102, l103, l104, l105, l106, l107, l108, l109, l110, l111,
     l112, l113, l114, l115, l116, l117, l118, l119, l120, l121, l122,
     l123, l124, l125, l126, l127, l128, l129, l130, l131, l132, l133,
-    l134, l135, l136, l137, l138, l139, l140, l141, l142, d29)
+    l134, l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
+    l145, d29)
 }

@@ -936,6 +936,132 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = r.doc_id)
       ORDER BY r.doc_id"""))
 
+  /** The audio WINDOW-fingerprint CTE chain: sample regeneration (the
+    * l115 trick), one row per FULL 65-sample absolute window, and the
+    * per-window gradient-sign hash (bit b = |s[65f+b]| > |s[65f+b+1]|).
+    * The final CTE is named `vdh` with columns (doc_id, f, dhash) so
+    * the shared frame-plane candidate CTEs consume it unchanged. */
+  private def audioWindowSigCtes: String = {
+    val winBit =
+      """CASE WHEN abs(ss[CAST(65*f + b + 1 AS INTEGER)]) >
+                abs(ss[CAST(65*f + b + 2 AS INTEGER)])
+           THEN CASE WHEN b = 63
+                THEN CAST(-9223372036854775807 AS BIGINT) - 1
+                ELSE (CAST(1 AS BIGINT) << CAST(b AS INTEGER)) END
+           ELSE CAST(0 AS BIGINT) END"""
+    s"""t AS (SELECT doc_id, text,
+               length(COALESCE(text, '')) AS len FROM documents),
+      wav AS (SELECT doc_id, text, len,
+          CASE WHEN len = 0 THEN 1
+               ELSE 1 + (ascii(substr(text, 1, 1)) * 31
+                 + ascii(substr(text, len, 1))) % 200 END AS n
+        FROM t),
+      smp AS MATERIALIZED (SELECT doc_id, n,
+          list_transform(range(0, n),
+            k -> CAST(${wavSample("k")} AS BIGINT)) AS ss
+        FROM wav),
+      awin AS (SELECT doc_id, n, ss, unnest(range(n // 65)) AS f
+        FROM smp),
+      vdh AS MATERIALIZED (SELECT doc_id, f,
+          list_reduce(list_transform(range(64), b -> $winBit),
+            (x, y) -> x + y) AS dhash
+        FROM awin)"""
+  }
+
+  /** L143 — OFFSET-tolerant AUDIO near-dup pairs over absolute 65-sample
+    * window fingerprints: a head-trimmed re-upload (at window
+    * granularity) pairs with its source at the trim's displacement —
+    * the clip-level l127 envelope is blind to it (relative chunking
+    * scrambles under any trim). The shared frame-plane offset core;
+    * verdict per (pair, win_offset). */
+  protected val l143 = DeclaredQuery(
+    "l143_audio_offset_near_dups",
+    (s, dir) => Multimodal.audioOffsetNearDups(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500, minWindows = 1, maxOffset = 1)
+      .orderBy(col("doc_a"), col("doc_b"), col("win_offset")),
+    Some(s"""WITH $audioWindowSigCtes,
+      ${videoOffsetCandCtes(2, 500, 1)}
+      SELECT doc_a, doc_b, CAST(frame_offset AS BIGINT) AS win_offset,
+        CAST(COUNT(*) AS BIGINT) AS n_close_windows,
+        CAST(SUM(hamming) AS BIGINT) AS sum_hamming
+      FROM ocand GROUP BY doc_a, doc_b, frame_offset
+      ORDER BY doc_a, doc_b, win_offset"""))
+
+  /** L144 — AUDIO head-trim, payload→payload (the audio crop
+    * augmentation and the l143 fixtures' generator): drop the first 65
+    * samples (clamped to keep at least one), re-emit a canonical WAV,
+    * and decode THAT through the full l115 feature walk — the real
+    * parser receipts the re-emit. */
+  protected val l144 = DeclaredQuery(
+    "l144_audio_trim",
+    (s, dir) => Multimodal.audioFeatures(s,
+        Multimodal.audioTrimHeadContainer(s,
+          Multimodal.encodeWav(s, t(s, dir, "documents")).toDF(),
+          nSamples = 65).toDF()).toDF()
+      .orderBy(col("doc_id")),
+    Some(s"""WITH t AS (SELECT doc_id, text,
+               length(COALESCE(text, '')) AS len FROM documents),
+      wav AS (SELECT doc_id, text, len,
+          CASE WHEN len = 0 THEN 1
+               ELSE 1 + (ascii(substr(text, 1, 1)) * 31
+                 + ascii(substr(text, len, 1))) % 200 END AS n
+        FROM t),
+      trm AS (SELECT doc_id, text, len, n,
+          CASE WHEN n - 1 < 65 THEN n - 1 ELSE 65 END AS tr FROM wav),
+      smp AS (SELECT doc_id, n - tr AS n2,
+          list_transform(range(0, n - tr),
+            k -> CAST(${wavSample("k + tr")} AS BIGINT)) AS ss
+        FROM trm)
+      SELECT doc_id,
+        CAST(44 + 2 * n2 AS BIGINT) AS n_bytes,
+        CAST(8000 AS BIGINT) AS sample_rate,
+        CAST(n2 AS BIGINT) AS n_samples,
+        CAST(list_reduce(ss, (x, y) -> x + y) AS BIGINT) AS sum_s,
+        CAST(list_min(ss) AS BIGINT) AS min_s,
+        CAST(list_max(ss) AS BIGINT) AS max_s,
+        CAST(list_reduce(list_transform(ss, x -> x * x),
+          (x, y) -> x + y) AS BIGINT) AS energy,
+        CAST(list_reduce(ss, (x, y) -> x + y) AS DOUBLE)
+          / CAST(n2 AS DOUBLE) AS mean_amp
+      FROM smp ORDER BY doc_id"""))
+
+  /** L145 — OFFSET-tolerant AUDIO dedup APPLY: exact window-vector
+    * pre-collapse → offset pairs among reps → recursive-CTE closure →
+    * keep-min → anti-join; sub-window clips (no fingerprint) are ALWAYS
+    * kept with n_windows = 0 — never silently dropped. */
+  protected val l145 = DeclaredQuery(
+    "l145_audio_offset_dedup_apply",
+    (s, dir) => Multimodal.audioOffsetDedupApply(s, t(s, dir, "documents"),
+      maxHamming = 2, maxBandOcc = 500, minWindows = 1, maxOffset = 1)
+      .orderBy(col("doc_id")),
+    Some(s"""WITH RECURSIVE $audioWindowSigCtes,
+      vvec AS (SELECT doc_id, list(dhash ORDER BY f) AS sv
+        FROM vdh GROUP BY doc_id),
+      vrep AS MATERIALIZED (SELECT MIN(doc_id) AS doc_id
+        FROM vvec GROUP BY sv),
+      vdhr AS MATERIALIZED (SELECT d.* FROM vdh d
+        JOIN vrep USING (doc_id)),
+      ${videoOffsetCandCtes(2, 500, 1, src = "vdhr")},
+      vpairs AS MATERIALIZED (SELECT DISTINCT doc_a, doc_b FROM (
+        SELECT doc_a, doc_b FROM ocand
+        GROUP BY doc_a, doc_b, frame_offset HAVING COUNT(*) >= 1) p),
+      edges AS (SELECT doc_a AS a, doc_b AS b FROM vpairs
+                UNION SELECT doc_b, doc_a FROM vpairs),
+      reach(a, b) AS (
+        SELECT a, a FROM (SELECT DISTINCT a FROM edges) n
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a),
+      lab AS (SELECT a AS doc_id, MIN(b) AS cluster_id
+              FROM reach GROUP BY a),
+      ccl AS (SELECT doc_id FROM lab WHERE doc_id <> cluster_id),
+      coll AS (SELECT DISTINCT v.doc_id FROM vdh v WHERE NOT EXISTS
+        (SELECT 1 FROM vrep r WHERE r.doc_id = v.doc_id)),
+      losers AS (SELECT doc_id FROM ccl
+                 UNION SELECT doc_id FROM coll)
+      SELECT w.doc_id, CAST(w.n // 65 AS BIGINT) AS n_windows FROM wav w
+      WHERE NOT EXISTS (SELECT 1 FROM losers l WHERE l.doc_id = w.doc_id)
+      ORDER BY w.doc_id"""))
+
   /** L115 — multimodal AUDIO decode: deterministic 16-bit PCM mono WAV
     * payloads (real RIFF/WAVE container, canonical 44-byte header)
     * through the REAL chunk-walking parser (`Multimodal.parseWav` —

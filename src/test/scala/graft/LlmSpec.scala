@@ -2269,6 +2269,62 @@ class LlmSpec extends SparkSpec {
         configs = Seq((8, 500), (16, 500))))
   }
 
+  test("audio window fingerprints: a 65-sample head-trim pairs at its " +
+    "window displacement where the clip-level envelope hash is blind, " +
+    "and the apply keeps sub-window clips with n_windows 0") {
+    // 'a…~' text: n = 1 + (97·31 + 126) % 200 = 134 samples → 2 full
+    // windows. The trim (the production l144 op) drops exactly one
+    // window: trimmed window 0 IS source window 1, bit for bit.
+    val d = Seq((1L, "a quick trim fixture text ~")).toDF("doc_id", "text")
+    val a = Multimodal.encodeWav(spark, d).toDF().localCheckpoint()
+    val b = Multimodal.audioTrimHeadContainer(spark, a, nSamples = 65)
+      .toDF().select(lit(2L).as("doc_id"), col("payload")).localCheckpoint()
+    val aW = Multimodal.audioWindowHashes(spark, a).collect()
+      .map(s => s.win_idx -> s.dhash).toMap
+    val bW = Multimodal.audioWindowHashes(spark, b).collect()
+      .map(s => s.win_idx -> s.dhash).toMap
+    assert(aW.size === 2 && bW.size === 1)
+    assert(bW(0) === aW(1))
+    // clip-level l127 hashes differ (the relative envelope re-chunks
+    // under the trim) — the clip plane is blind to this pair
+    val ch = Multimodal.audioHash(spark, a.unionByName(b)).collect()
+      .map(s => s.doc_id -> s.dhash).toMap
+    assert(ch(1L) !== ch(2L))
+    // the offset detector finds the full-overlap row at displacement -1
+    val rows = Multimodal.audioOffsetNearDupsFromBlobs(spark,
+        a.unionByName(b), maxHamming = 0, maxBandOcc = 100000,
+        minWindows = 1, maxOffset = 1)
+      .collect().map(r => ((r.getLong(0), r.getLong(1), r.getLong(2)),
+        (r.getLong(3), r.getLong(4)))).toMap
+    assert(rows.get((1L, 2L, -1L)) === Some((1L, 0L)),
+      s"expected the planted trim row at offset -1: $rows")
+    // the APPLY folds the trim into its source's cluster and keeps the
+    // sub-window clip ('hi!' → n = 58 < 65 → no fingerprint) with
+    // n_windows 0 — never silently dropped
+    val c = Multimodal.encodeWav(spark,
+        Seq((3L, "hi!")).toDF("doc_id", "text")).toDF()
+    val kept = Multimodal.audioOffsetDedupApplyAuto(spark,
+        a.unionByName(b).unionByName(c), maxHamming = 0,
+        maxBandOcc = 100000)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+    assert(kept.map(_._1).toSeq === Seq(1L, 3L))
+    assert(kept.toMap === Map(1L -> 2L, 3L -> 0L))
+    // fixed-vs-Auto byte-equality on the declared (doc-level) form
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val docs2 = Seq((1L, "a quick trim fixture text ~"), (3L, "hi!"))
+      .toDF("doc_id", "text")
+    assert(rws(Multimodal.audioOffsetDedupApply(spark, docs2)) ===
+      rws(Multimodal.audioOffsetDedupApplyAuto(spark,
+        Multimodal.encodeWav(spark, docs2).toDF())))
+    // the trim clamps to keep at least one sample: n = 58 → trim 57,
+    // one sample survives and the canonical WAV re-decodes
+    val tinyTrim = Multimodal.audioFeatures(spark,
+      Multimodal.audioTrimHeadContainer(spark, c, nSamples = 65).toDF())
+      .collect().head
+    assert(tinyTrim.n_samples === 1L)
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

@@ -549,7 +549,12 @@ class PlanSpec extends SparkSpec {
       // the same raster pass, so exchanges carry (doc_id, dhash, band,
       // flip) scalars only
       "l139_image_flip", "l140_image_flip_invariant_near_dups",
-      "l141_image_flip_dedup_apply", "l142_image_flip_band_sweep")) {
+      "l141_image_flip_dedup_apply", "l142_image_flip_band_sweep",
+      // l143-l145: the audio window-fingerprint plane — window hashes
+      // compute inside the WAV mapPartitions scan; the trim re-emits
+      // at the codec boundary; exchanges carry window-sig longs only
+      "l143_audio_offset_near_dups", "l144_audio_trim",
+      "l145_audio_offset_dedup_apply")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -893,7 +898,9 @@ class PlanSpec extends SparkSpec {
       "l129_unigram_train", "l130_tokenizer_fertility_trained",
       // l131/l135: the l126 sweep shape on the audio / per-frame video
       // signature tables
-      "l131_audio_band_sweep", "l135_video_band_sweep")
+      "l131_audio_band_sweep", "l135_video_band_sweep",
+      // l142: the same sweep shape on the flip-canonical signature
+      "l142_image_flip_band_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -1892,6 +1892,89 @@ class StreamingSpec extends SparkSpec {
         "probe drops")
   }
 
+  test("S45: streaming OFFSET-tolerant audio admission — a window-trimmed " +
+    "re-upload drops where the clip-level S41 probe keeps it; sub-window " +
+    "clips verdict kept and add no state") {
+    // S43's discipline on the audio window-fingerprint plane: planted
+    // dups are l144 head-trims of 65 samples (exactly one window), so
+    // the trimmed clip's windows ARE the source's shifted by one.
+    import StreamOps.StreamBlob
+    import graft.llm.Multimodal
+    val baseTexts = Map(
+      0L -> "audio base zero content here ~",  // n = 134 → 2 windows
+      // NOTE: the clip-level envelope of a periodic text-derived signal
+      // often degenerates to the alternating sign pattern, colliding
+      // across clips AND with its own trim — this text is chosen so the
+      // trim's clip hash genuinely differs (the blindness witness needs
+      // a real miss, not a coincidental match)
+      1L -> "broadcast mix eleven pieces !~",  // n = 165 → 2 windows
+      2L -> "clip two audio content words ~",  // n = 196 → 3 windows
+      11L -> "a different eleventh clip tx ~", // n = 134 → 2 windows
+      13L -> "hi!")                            // n = 58 → 0 windows
+    val trimOf = Map(6L -> 2L, 10L -> 1L, 12L -> 11L)
+    val enc = Multimodal.encodeWav(spark,
+      baseTexts.toSeq.toDF("doc_id", "text")).toDF().localCheckpoint()
+    val trims = Multimodal.audioTrimHeadContainer(spark, enc,
+        nSamples = 65).toDF()
+      .withColumnRenamed("doc_id", "src")
+      .join(trimOf.toSeq.toDF("doc_id", "src"), Seq("src"))
+      .select(col("doc_id"), col("payload"))
+    val allBlobs = enc.unionByName(trims).localCheckpoint()
+    def blobs(ids: Seq[Long]) =
+      allBlobs.filter(col("doc_id").isin(ids: _*))
+    val batch1 = Seq(0L, 1L, 2L, 6L)
+    val batch2 = Seq(10L, 11L, 12L, 13L)
+    val fusedDropped = Multimodal.audioOffsetNearDupsFromBlobs(spark,
+        blobs(batch1 ++ batch2), maxHamming = 0, maxBandOcc = 100000,
+        minWindows = 1, maxOffset = 1)
+      .collect().map(_.getLong(1)).toSet
+    var state = Multimodal.audioWindowHashes(spark, allBlobs.limit(0))
+      .toDF().select(col("doc_id"), col("win_idx").as("frame_idx"),
+        col("dhash")).localCheckpoint()
+    var clipKept10 = false
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val in = MemoryStream[StreamBlob]
+    val q = in.toDF().writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val ids = batch.toDF().select(col("doc_id")).collect()
+          .map(_.getLong(0)).toSeq
+        if (ids.contains(10L)) {
+          // the clip-level S41 probe (relative envelope) is BLIND to
+          // the trim — witnessed before the window probe verdicts it
+          val clipState = Multimodal.audioHash(spark, blobs(batch1))
+            .toDF().select(col("doc_id"), col("dhash")).localCheckpoint()
+          val clip = Multimodal.audioDedupIncrement(spark,
+            blobs(Seq(10L)), clipState, maxHamming = 0)._1.collect()
+          clipKept10 = clip.head.getString(1) == "kept"
+        }
+        val (verdicts, sigs) = Multimodal.audioOffsetDedupIncrement(spark,
+          blobs(ids), state, maxHamming = 0, minWindows = 1, maxOffset = 1)
+        out ++= verdicts.collect().map(r => (r.getLong(0), r.getString(1)))
+        state = state.unionByName(sigs).localCheckpoint()
+        ()
+      }.start()
+    def sb(id: Long) = {
+      val p = allBlobs.filter(col("doc_id") === id)
+        .collect().head.getAs[Array[Byte]]("payload")
+      StreamBlob(id, p, java.sql.Timestamp.valueOf("2024-01-01 10:00:00"))
+    }
+    try {
+      in.addData(batch1.map(sb): _*); q.processAllAvailable()
+      in.addData(batch2.map(sb): _*); q.processAllAvailable()
+    } finally q.stop()
+    val verdicts = out.toMap
+    assert(out.size === 8)
+    assert(verdicts.filter(_._2 != "kept").keySet === fusedDropped)
+    assert(verdicts(6L) === "dup_batch")   // in-batch trim of 2
+    assert(verdicts(12L) === "dup_batch")  // in-batch trim of 11
+    assert(verdicts(10L) === "dup_corpus") // cross-batch trim of 1
+    assert(Seq(0L, 1L, 2L, 11L, 13L).forall(verdicts(_) == "kept"))
+    assert(clipKept10,
+      "the clip-level probe should keep the trim the window probe drops")
+    // the sub-window clip added no state rows
+    assert(state.filter(col("doc_id") === 13L).isEmpty)
+  }
+
   test("indexed admission: probing the persisted band index is verdict-" +
     "identical to the state form, appends compose per batch, and the " +
     "compaction swap rebuilds the index from collapsed reps") {
