@@ -481,6 +481,138 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end curation v4: the TRANSFORMED re-post classes — a " +
+    "flipped image, a trimmed audio clip, a trimmed video — are kept by " +
+    "every v3 stage and dropped by the flip/offset applies composed in " +
+    "their place") {
+    // The media-lake reality v3 cannot see: a re-post that exists ONLY
+    // as a transformed payload (mirrored image, head-trimmed clip) has
+    // no text row and is invisible to exact/aligned signatures. Stage
+    // the blob stores with planted transformed re-posts, witness the
+    // v3 applies keep every one (the gap), then run the v4 applies —
+    // flip-invariant image (l141), offset-tolerant audio (l145) and
+    // video (l138) — and assert each folds its planted re-post into the
+    // source's cluster while the source survives; the curated id set
+    // then flows through the v2/v3 embedding stages unchanged.
+    import graft.llm.{KnobSchedule, Multimodal, Similarity}
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_v4_e2e")
+    val tmp = tmpPath.toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    def ids(df: DataFrame) =
+      df.select("doc_id").collect().map(_.getLong(0)).toSet
+    try {
+      val base = Tables.load(spark, sf001, "documents")
+      val vecs = Tables.load(spark, sf001, "embeddings")
+      // sources must be detectable after their transform: >= 2 audio
+      // windows (the trim drops one) and >= 3 video frames (the trim
+      // leaves >= 2 aligned-at-offset frames for minFrames = 2)
+      val wavAll = stage(Multimodal.encodeWav(spark, base).toDF(), "wav")
+      val vidAll = stage(Multimodal.encodeVideo(spark, base).toDF(), "vid")
+      val ppmAll = stage(Multimodal.encodePpm(spark, base).toDF(), "ppm")
+      val audOk = Multimodal.audioWindowHashes(spark, wavAll).toDF()
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("nw"))
+        .filter(col("nw") >= 2).select("doc_id")
+      val vidOk = Multimodal.videoFeatures(spark, vidAll).toDF()
+        .filter(col("n_frames") >= 3).select("doc_id")
+      val candIds = audOk.join(vidOk, Seq("doc_id"), "left_semi")
+        .orderBy(col("doc_id")).limit(20)
+        .collect().map(_.getLong(0)).toSeq
+      def rePost(src: DataFrame, of: Seq[Long]): DataFrame =
+        src.filter(col("doc_id").isin(of: _*))
+          .select((col("doc_id") + lit(20000000L)).as("doc_id"),
+            col("payload"))
+      // the planted TRANSFORMED re-posts, generated by the production
+      // transforms themselves (l139 flip, l144 audio trim, l137 video
+      // head-trim)
+      val ppmStore = stage(ppmAll.unionByName(
+        Multimodal.flipHorizontal(spark,
+          rePost(ppmAll, candIds)).toDF()), "ppm_s")
+      val wavStore = stage(wavAll.unionByName(
+        Multimodal.audioTrimHeadContainer(spark, rePost(wavAll, candIds),
+          nSamples = 65).toDF()), "wav_s")
+      val vidStore = stage(vidAll.unionByName(
+        Multimodal.videoFrameSampleContainer(spark, rePost(vidAll, candIds),
+          stride = 1, from = 1).toDF()), "vid_s")
+
+      // THE GAP, and the source screen in one pass: run the v3 applies
+      // over the candidate-planted stores; a candidate qualifies when
+      // every one of its transformed re-posts SURVIVES them (a
+      // coincidental near-match — e.g. a near-symmetric image whose
+      // mirror sits within Hamming 2, or a degenerate alternating
+      // envelope — disqualifies it, exactly because for that payload
+      // the v3 plane is NOT blind)
+      val v3Img = ids(Multimodal.imageDedupApplyAuto(spark, ppmStore))
+      val v3Aud = ids(Multimodal.audioDedupApplyAuto(spark, wavStore))
+      val v3Vid = ids(Multimodal.videoDedupApplyAuto(spark, vidStore))
+      val srcIds = candIds.filter { id =>
+        val p = id + 20000000L
+        v3Img.contains(p) && v3Aud.contains(p) && v3Vid.contains(p)
+      }.take(3)
+      assert(srcIds.size === 3,
+        s"fixture corpus yielded no 3 v3-blind sources from $candIds")
+      val planted = srcIds.map(_ + 20000000L).toSet
+
+      // THE FIX: the v4 applies drop each planted re-post, keep sources
+      val imgKept = stage(
+        Multimodal.imageFlipInvariantDedupApplyAuto(spark, ppmStore),
+        "img_kept")
+      val audKept = stage(
+        Multimodal.audioOffsetDedupApplyAuto(spark, wavStore), "aud_kept")
+      val vidKept = stage(
+        Multimodal.videoOffsetDedupApplyAuto(spark, vidStore), "vid_kept")
+      for ((kept, tag) <- Seq((imgKept, "flip-invariant image"),
+        (audKept, "offset audio"), (vidKept, "offset video"))) {
+        val k = ids(kept)
+        assert(planted.forall(!k.contains(_)),
+          s"$tag apply kept a planted transformed re-post")
+        assert(srcIds.forall(k.contains),
+          s"$tag apply dropped a re-post's SOURCE (keep-min violated)")
+      }
+
+      // curated docs = the base corpus surviving ALL v4 perceptual
+      // stages; the planted ids are payload-only and never reach the
+      // text plane
+      val curated = stage(base
+        .join(imgKept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(audKept.select("doc_id"), Seq("doc_id"), "left_semi")
+        .join(vidKept.select("doc_id"), Seq("doc_id"), "left_semi"),
+        "curated")
+      val nCur = curated.count()
+      assert(nCur > 0 && nCur <= base.count())
+      assert(srcIds.forall(ids(curated).contains))
+
+      // the v2/v3 embedding stages run on the curated set unchanged
+      val curVecs = stage(vecs.join(
+        curated.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"), "cur_vecs")
+      val keep = Similarity.semDedupAuto(curVecs, tau = 0.35)
+        .filter(col("dropped") === 0).select("vec_id")
+      val survivors = stage(curVecs.join(keep, Seq("vec_id"), "left_semi"),
+        "survivors")
+      val nS = survivors.count()
+      assert(nS > 0 && nS <= nCur)
+      val (nCells, nProbe, shortM) = KnobSchedule.ivfPqKnobs(nS)
+      val (c0, r0, i0) = Similarity.ivfPqFit(survivors, nCells = nCells)
+      val index = stage(i0, "index")
+      assert(index.count() === nS, "index must code every survivor once")
+      val served = Similarity.ivfPqServeTopK(
+        survivors.filter(col("vec_id") % 7 === 0).localCheckpoint(),
+        survivors, stage(c0, "cents"), stage(r0, "rcb"), index,
+        k = 3, nProbe = nProbe, shortM = shortM)
+      assert(served.select(col("nid").as("vec_id"))
+        .except(survivors.select("vec_id")).isEmpty,
+        "served a vector curation had dropped")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("end-to-end curation v3: image dedup apply -> audio dedup apply -> " +
     "scheduled SemDeDup -> IVF-PQ index -> DSIR — the perceptual planes " +
     "composed with the embedding/text stages") {
