@@ -743,6 +743,59 @@ object DevScale {
     run(s"${reps}x fixed8", bigDir, 8)
     val nBig = spark.read.parquet(s"$bigDir/documents.parquet").count()
     run(s"${reps}x scheduled", bigDir, KnobSchedule.dhashBandBits(nBig))
+    // the l146 PAIRED-GROUP legs — the lever past the 16-bit ladder
+    // end: measure, at a LOW cap (the at-scale occupancy pressure made
+    // visible without synthesizing 8M images), how many buckets the
+    // guard eats and how many true pairs survive under 16-bit banding
+    // vs the 21-22-bit paired-group keys, truth = the unguarded pass
+    def runGrouped(tag: String, dir: String, cap: Int): Unit = {
+      // the production apply pipeline pre-collapses exact-hash cliques
+      // before any banding — run the comparison on the collapsed reps,
+      // where occupancy pressure is CONTENT clustering, not replication
+      val sig0 = spark.read.parquet(s"$dir/dhash_sig")
+      sig0.join(
+          sig0.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id")),
+          Seq("dhash", "doc_id"), "left_semi")
+        .write.mode("overwrite").parquet(s"$dir/dhash_sig_reps")
+      val sig = spark.read.parquet(s"$dir/dhash_sig_reps")
+      val truth = Multimodal.sigPairsGrouped(sig, maxHamming = 2,
+        maxTableOcc = 1 << 30).count()
+      def leg(name: String, nHot: Long, nPairs: Long, t: Double): Unit =
+        println(f"$tag%-16s $name%-14s cap=$cap%4d | hotBuckets=$nHot%6d pairs=$nPairs%9d of $truth%9d | pairPass=$t%7.3f s")
+      val bHot = sig.select(col("dhash"),
+          posexplode(array((0 until 4).map(bi =>
+            shiftright(col("dhash"), 16 * bi)
+              .bitwiseAND(lit(65535L))): _*))
+            .as(Seq("band_idx", "band_val")))
+        .groupBy(col("band_idx"), col("band_val"))
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > cap).count()
+      val bPairs = Multimodal.imageNearDupsFromSigs(sig, maxHamming = 2,
+        maxBandOcc = cap, bandBits = 16).count()
+      val bT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.imageNearDupsFromSigs(sig, maxHamming = 2,
+          maxBandOcc = cap, bandBits = 16))
+      leg("banded16", bHot, bPairs, bT)
+      val gPairs = Multimodal.sigPairsGrouped(sig, maxHamming = 2,
+        maxTableOcc = cap).count()
+      val gT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.sigPairsGrouped(sig, maxHamming = 2, maxTableOcc = cap))
+      // hot-bucket count for the grouped keys at the same cap
+      val tables = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+      val grp = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10),
+        (54, 10))
+      val gHotN = sig.select(col("dhash"),
+          posexplode(array(tables.map { case (i, j) =>
+            val (oi, wi) = grp(i); val (oj, wj) = grp(j)
+            shiftright(col("dhash"), oi).bitwiseAND(lit((1L << wi) - 1))
+              .multiply(lit(1L << wj))
+              .plus(shiftright(col("dhash"), oj)
+                .bitwiseAND(lit((1L << wj) - 1)))
+          }: _*)).as(Seq("table_id", "tkey")))
+        .groupBy(col("table_id"), col("tkey"))
+        .agg(count(lit(1)).as("occ")).filter(col("occ") > cap).count()
+      leg("grouped15x21b", gHotN, gPairs, gT)
+    }
+    runGrouped(s"${reps}x lowcap", bigDir, 48)
   }
 
   /** VIDEO-DEDUP band-width receipt (`runMain graft.DevScale R

@@ -1588,6 +1588,80 @@ object Multimodal {
         .select(col("doc_id"), col("dhash")),
       state, maxHamming, hotBands)
 
+  /** The 64-bit signature split into 6 bit-groups (widths
+    * 11,11,11,11,10,10 at offsets 0,11,22,33,44,54) for the
+    * paired-group candidate keys below. */
+  private val SigGroups: Seq[(Int, Int)] =
+    Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** L146 — Manku-style PAIRED-GROUP candidate keys (Manku, Jain & Das
+    * Sarma, WWW'07 §3): the documented lever PAST the band-width
+    * ladder's end. Simple banding tops out at 16-bit bands for
+    * Hamming ≤ 3 (2×32-bit verifies only radius 1), so bucket
+    * occupancy grows as n/2¹⁶ and the hot-bucket guard starts eating
+    * recall around n ≈ targetOcc·2¹⁶ (~4M signatures). Keying each of
+    * the C(6,2) = 15 tables on the CONCATENATION of a PAIR of bit-
+    * groups gives 21–22-bit keys — buckets 32–64× smaller — while the
+    * pigeonhole guarantee survives: h ≤ 4 errors touch ≤ 4 of the 6
+    * groups, so ≥ 2 groups are untouched and the table keyed on that
+    * untouched pair matches exactly. Recall-LOSSLESS for maxHamming ≤ 4
+    * at 3.75× the candidate-row volume of 4-band-16-bit — the right
+    * trade exactly when occupancy, not row count, is the binding
+    * constraint. Pair table byte-equal to l122's banded form within the
+    * shared lossless radius (LlmSpec). */
+  def imageNearDupsGrouped(spark: SparkSession, docs: DataFrame,
+                           maxHamming: Int = 2,
+                           maxTableOcc: Int = 500): DataFrame =
+    imageNearDupsGroupedFromBlobs(spark, encodePpm(spark, docs).toDF(),
+      maxHamming, maxTableOcc)
+
+  /** Blob-level form of `imageNearDupsGrouped`. */
+  def imageNearDupsGroupedFromBlobs(spark: SparkSession, blobs: DataFrame,
+                                    maxHamming: Int = 2,
+                                    maxTableOcc: Int = 500): DataFrame =
+    sigPairsGrouped(dHash(spark, blobs).toDF().localCheckpoint(),
+      maxHamming, maxTableOcc)
+
+  /** The modality-neutral paired-group pairing core over any
+    * (doc_id, dhash) signature table — the same guard/verify shape as
+    * `imagePairCandidates`, with (table_id, key) buckets in place of
+    * (band_idx, band_val). */
+  private[graft] def sigPairsGrouped(sig0: DataFrame, maxHamming: Int,
+                                     maxTableOcc: Int): DataFrame = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
+        "no untouched pair")
+    val sig = sig0.select(col("doc_id"), col("dhash"))
+    val tables = for {
+      i <- 0 until 6
+      j <- (i + 1) until 6
+    } yield (i, j)
+    val keyed = sig.select(col("doc_id"), col("dhash"),
+      posexplode(array(tables.map { case (i, j) =>
+        val (oi, wi) = SigGroups(i)
+        val (oj, wj) = SigGroups(j)
+        shiftright(col("dhash"), oi).bitwiseAND(lit((1L << wi) - 1))
+          .multiply(lit(1L << wj))
+          .plus(shiftright(col("dhash"), oj).bitwiseAND(lit((1L << wj) - 1)))
+      }: _*)).as(Seq("table_id", "tkey")))
+    val hot = keyed.groupBy(col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxTableOcc)
+      .select(col("table_id"), col("tkey"))
+    val live = keyed.join(broadcast(hot), Seq("table_id", "tkey"),
+      "left_anti")
+    live.as("x").join(live.as("y"),
+        col("x.table_id") === col("y.table_id")
+          && col("x.tkey") === col("y.tkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+          .cast(LongType).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
   /** L122 — IMAGE near-duplicate pairs: the one duplicate class the
     * text/embedding dedup planes are blind to (a re-encoded, resized or
     * brightness-shifted image re-post). dHash per image at the codec

@@ -718,6 +718,50 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
                 + k % 3) % len + 1 AS INTEGER), 1) END), '')) AS flipped_md5
       FROM ppm ORDER BY doc_id"""))
 
+  /** L146 — Manku-style PAIRED-GROUP candidate keys (WWW'07 §3): the
+    * lever PAST the band-width ladder's end. 16-bit bands (the widest
+    * lossless width for Hamming ≤ 3) give 2¹⁶ buckets, so occupancy
+    * grows as n/2¹⁶ and the guard starts eating recall around
+    * targetOcc·2¹⁶ ≈ 4M signatures; keying each of the C(6,2) = 15
+    * tables on a PAIR of bit-groups gives 21–22-bit keys — buckets
+    * 32–64× smaller — and stays recall-lossless for Hamming ≤ 4 (≤ 4
+    * errors touch ≤ 4 of 6 groups; some pair is untouched). Pair table
+    * byte-equal to l122's banded form within the shared lossless
+    * radius (LlmSpec pin). */
+  protected val l146 = {
+    val groups = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10),
+      (54, 10))
+    val tables = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+    val keyLegs = tables.zipWithIndex.map { case ((i, j), t) =>
+      val (oi, wi) = groups(i)
+      val (oj, wj) = groups(j)
+      s"""SELECT doc_id, dhash, $t AS table_id,
+          ((dhash >> $oi) & ${(1L << wi) - 1}) * ${1L << wj}
+            + ((dhash >> $oj) & ${(1L << wj) - 1}) AS tkey
+        FROM dh"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l146_image_near_dups_grouped",
+      (s, dir) => Multimodal.imageNearDupsGrouped(s, t(s, dir, "documents"),
+        maxHamming = 2, maxTableOcc = 500)
+        .orderBy(col("doc_a"), col("doc_b")),
+      Some(s"""WITH $dHashBaseCtes,
+      keyed AS MATERIALIZED (
+        $keyLegs),
+      khot AS (SELECT table_id, tkey FROM keyed
+        GROUP BY table_id, tkey HAVING count(*) > 500),
+      klive AS (SELECT k.* FROM keyed k WHERE NOT EXISTS
+        (SELECT 1 FROM khot h WHERE h.table_id = k.table_id
+          AND h.tkey = k.tkey))
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+        CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
+      FROM klive x JOIN klive y
+        ON x.table_id = y.table_id AND x.tkey = y.tkey
+        AND x.doc_id < y.doc_id
+      WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
+      ORDER BY doc_a, doc_b"""))
+  }
+
   /** The flip-canonical signature CTE chain: the dHash base plus the
     * MIRRORED-orientation grid/hash (source column w−1−⌊gx·w/9⌋ — the
     * flipped image's grid IS the original sampled at mirrored columns,

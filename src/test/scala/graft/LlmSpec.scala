@@ -2325,6 +2325,38 @@ class LlmSpec extends SparkSpec {
     assert(tinyTrim.n_samples === 1L)
   }
 
+  test("paired-group candidate keys: byte-equal to banded pairs within " +
+    "the shared lossless radius, and verifying radius 4 where the " +
+    "16-bit band ladder ends") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    val blobs = Multimodal.encodePpm(spark, docs).toDF().localCheckpoint()
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // both unguarded forms are recall-lossless at Hamming 2, so the
+    // pair tables must be IDENTICAL — two different candidate
+    // generators agreeing exactly on the real corpus
+    assert(rws(Multimodal.imageNearDupsGroupedFromBlobs(spark, blobs,
+        maxHamming = 2, maxTableOcc = 1 << 30)) ===
+      rws(Multimodal.imagePairCandidates(
+        Multimodal.dHash(spark, blobs).toDF(), 2, 1 << 30, 8)))
+    // a Hamming-4 pair with one flipped bit in EVERY 16-bit band: the
+    // band ladder cannot verify radius 4 at 16 bits (the require) —
+    // the paired-group keys can (4 errors touch 4 of 6 groups; the
+    // untouched pair's table matches)
+    val sig = Seq((1L, 0L),
+      (2L, (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)))
+      .toDF("doc_id", "dhash")
+    intercept[IllegalArgumentException](
+      Multimodal.imagePairCandidates(sig, 4, 1 << 30, 16))
+    val g = Multimodal.sigPairsGrouped(sig, 4, 1 << 30).collect()
+    assert(g.length === 1 && g.head.getLong(0) === 1L
+      && g.head.getLong(1) === 2L && g.head.getLong(2) === 4L)
+    // beyond the guarantee the core refuses loudly
+    intercept[IllegalArgumentException](
+      Multimodal.sigPairsGrouped(sig, 5, 1 << 30))
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

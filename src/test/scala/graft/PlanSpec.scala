@@ -554,7 +554,10 @@ class PlanSpec extends SparkSpec {
       // compute inside the WAV mapPartitions scan; the trim re-emits
       // at the codec boundary; exchanges carry window-sig longs only
       "l143_audio_offset_near_dups", "l144_audio_trim",
-      "l145_audio_offset_dedup_apply")) {
+      "l145_audio_offset_dedup_apply",
+      // l146: paired-group keys — hashes at the codec boundary,
+      // exchanges carry (doc_id, dhash, table_id, tkey) longs only
+      "l146_image_near_dups_grouped")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
