@@ -94,14 +94,33 @@ object KnobSchedule {
     * widths whose band count still covers maxHamming losslessly. At
     * radius 2 the admissible widths are 8 and 16 (32-bit = 2 bands
     * verifies only radius 1), so past ~2^22 images the honest next
-    * lever is Manku-style permuted tables, not wider bands — documented
-    * on the operator. */
+    * lever is Manku-style grouped keys, not wider bands — shipped as
+    * l146 and switched by `dhashUseGroupedKeys` below. */
   def dhashBandBits(corpusSize: Long, maxHamming: Int = 2,
                     targetOcc: Long = 64L): Int = {
     val admissible = Seq(8, 16, 32).filter(b => 64 / b > maxHamming)
     require(admissible.nonEmpty, s"no lossless band width at $maxHamming")
     admissible.find(b => corpusSize.toDouble / math.pow(2.0, b) <= targetOcc)
       .getOrElse(admissible.max)
+  }
+
+  /** The band ladder's END-OF-LADDER switch (round 18, l146): true when
+    * the widest admissible lossless band width still leaves expected
+    * uniform occupancy above targetOcc — i.e. widening can no longer
+    * relieve the buckets, and candidate generation should move to the
+    * Manku-style PAIRED-GROUP keys (15 tables of 21–22-bit keys,
+    * lossless for Hamming ≤ 4, buckets 32–64× smaller than 16-bit
+    * bands). At the defaults this flips past ~64·2¹⁶ ≈ 4.2M signatures
+    * for radius ≤ 3. `Multimodal.sigDedupApply`'s scheduled path
+    * consults this; the `DevScale imagedup` lowcap legs are the
+    * measured receipt (61× pair retention under the same occupancy
+    * pressure). */
+  def dhashUseGroupedKeys(corpusSize: Long, maxHamming: Int = 2,
+                          targetOcc: Long = 64L): Boolean = {
+    val admissible = Seq(8, 16, 32).filter(b => 64 / b > maxHamming)
+    require(admissible.nonEmpty, s"no lossless band width at $maxHamming")
+    maxHamming <= 4 &&
+      corpusSize.toDouble / math.pow(2.0, admissible.max) > targetOcc
   }
 
   /** MEASURED probe knob: the `targetRecall`-quantile of the cell-rank

@@ -1928,9 +1928,19 @@ object Multimodal {
     val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
     val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
       .localCheckpoint()
-    val bits = bandBits.getOrElse(
-      KnobSchedule.dhashBandBits(repSig.count(), maxHamming))
-    val pairs = imagePairCandidates(repSig, maxHamming, maxBandOcc, bits)
+    // scheduled path: band width from the collapsed rep count; past the
+    // ladder's end (widest lossless width still over target occupancy —
+    // ~4.2M reps at radius ≤ 3) candidate generation switches to the
+    // l146 paired-group keys, whose buckets are 32–64× smaller at the
+    // same lossless radius (KnobSchedule.dhashUseGroupedKeys; the
+    // DevScale imagedup lowcap receipt)
+    val nReps = if (bandBits.isEmpty) repSig.count() else 0L
+    val pairs = (if (bandBits.isEmpty
+        && KnobSchedule.dhashUseGroupedKeys(nReps, maxHamming))
+      sigPairsGrouped(repSig, maxHamming, maxBandOcc)
+    else
+      imagePairCandidates(repSig, maxHamming, maxBandOcc,
+        bandBits.getOrElse(KnobSchedule.dhashBandBits(nReps, maxHamming))))
       .select(col("doc_a"), col("doc_b"))
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))

@@ -2355,6 +2355,15 @@ class LlmSpec extends SparkSpec {
     // beyond the guarantee the core refuses loudly
     intercept[IllegalArgumentException](
       Multimodal.sigPairsGrouped(sig, 5, 1 << 30))
+    // the end-of-ladder switch: dormant while widening still relieves
+    // occupancy, flips once the widest lossless width is over target
+    import graft.llm.KnobSchedule
+    assert(!KnobSchedule.dhashUseGroupedKeys(50000L, 2))
+    assert(!KnobSchedule.dhashUseGroupedKeys(64L * 65536, 2))
+    assert(KnobSchedule.dhashUseGroupedKeys(64L * 65536 + 65536, 2))
+    assert(KnobSchedule.dhashUseGroupedKeys(131073L, 2, targetOcc = 1))
+    // radius 5 has no grouped guarantee either — never switch
+    assert(!KnobSchedule.dhashUseGroupedKeys(1L << 40, 5, targetOcc = 1))
   }
 
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
