@@ -1083,6 +1083,71 @@ object Multimodal {
     (verdicts, sig)
   }
 
+  /** L147 — video OFFSET-WINDOW sweep: the l126-family knob-pricing
+    * table for the DISPLACEMENT window (the offset planes' own knob,
+    * completing their ladder: pairs l136 → apply l138 → streaming S43 →
+    * this): per maxOffset config, the per-(pair, offset) verdict-row
+    * count and the DISTINCT pair count next to the widest-window truth
+    * leg; recall = the fraction of widest-window pairs a narrower
+    * window reaches. Candidate volume grows linearly in
+    * (2·maxOffset+1) — this table is what prices that knob before a
+    * deploy fixes it. One synth+hash pass shared by every leg. */
+  def videoOffsetSweep(spark: SparkSession, docs: DataFrame,
+                       maxHamming: Int = 2, maxBandOcc: Int = 500,
+                       minFrames: Int = 1,
+                       offsets: Seq[Int] = Seq(0, 1, 2)): DataFrame =
+    frameSigOffsetSweep(
+      videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF()
+        .localCheckpoint(),
+      maxHamming, maxBandOcc, minFrames, offsets)
+
+  /** L148 — audio offset-window sweep: l147's twin on the window-
+    * fingerprint plane, through the same modality-neutral core. */
+  def audioOffsetSweep(spark: SparkSession, docs: DataFrame,
+                       maxHamming: Int = 2, maxBandOcc: Int = 500,
+                       minWindows: Int = 1,
+                       offsets: Seq[Int] = Seq(0, 1, 2)): DataFrame =
+    frameSigOffsetSweep(
+      audioWindowFrameSigs(spark,
+        encodeWav(spark, docs).toDF()).localCheckpoint(),
+      maxHamming, maxBandOcc, minWindows, offsets)
+
+  /** The modality-neutral offset-window sweep core: per config, two
+    * 1-row aggregates over the shared offset pair core, assembled by
+    * broadcast 1-row crossJoins (the l28/l126 sweep shape). `offsets`
+    * must be strictly ascending — the LAST config is the truth leg the
+    * recall column divides by (wider windows find supersets: every
+    * displacement within ±o is within ±o′ for o′ > o and the
+    * ≥ minFrames fold is per displacement, so pair sets are monotone —
+    * the recall denominator is sound by construction). */
+  private[graft] def frameSigOffsetSweep(sig: DataFrame, maxHamming: Int,
+                                         maxBandOcc: Int, minFrames: Int,
+                                         offsets: Seq[Int]): DataFrame = {
+    require(offsets.nonEmpty && offsets == offsets.sorted
+        && offsets.distinct == offsets,
+      s"offsets must be strictly ascending (the last is the truth leg): " +
+        s"$offsets")
+    val legs = offsets.map { o =>
+      val rows = videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc,
+        minFrames, o).localCheckpoint()
+      val nRows = rows.agg(count(lit(1)).as("n_offset_rows"))
+      val nPairs = rows.select(col("doc_a"), col("doc_b")).distinct()
+        .agg(count(lit(1)).as("n_pairs"))
+      nRows.crossJoin(broadcast(nPairs))
+        .select(lit(o.toLong).as("max_offset"),
+          col("n_offset_rows"), col("n_pairs"))
+    }
+    val all = legs.reduce(_ unionByName _)
+    val truth = all.filter(col("max_offset") === offsets.last.toLong)
+      .select(col("n_pairs").as("n_truth"))
+    all.crossJoin(broadcast(truth))
+      .select(col("max_offset"), col("n_offset_rows"), col("n_pairs"),
+        col("n_truth"),
+        when(col("n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("n_pairs").cast(DoubleType)
+            / col("n_truth").cast(DoubleType)).as("recall"))
+  }
+
   /** L137 — TEMPORAL frame-sample, payload→payload (the video twin of
     * `resize`/`resample`/`frameSample`, completing the transform family
     * across every payload modality): keep frames `from`, `from+stride`,

@@ -591,24 +591,104 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
     * collapsed-rep restriction). */
   private def videoOffsetCandCtes(maxHamming: Int, maxBandOcc: Long,
                                   maxOffset: Int,
-                                  src: String = "vdh"): String =
-    s"""obands AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
+                                  src: String = "vdh",
+                                  sfx: String = ""): String =
+    s"""obands$sfx AS MATERIALIZED (SELECT doc_id, f, dhash, band_idx,
           (dhash >> CAST(8*band_idx AS INTEGER)) & 255 AS band_val
         FROM (SELECT doc_id, f, dhash, unnest(range(8)) AS band_idx
           FROM $src)),
-      ohot AS (SELECT band_idx, band_val FROM obands
+      ohot$sfx AS (SELECT band_idx, band_val FROM obands$sfx
         GROUP BY band_idx, band_val HAVING count(*) > $maxBandOcc),
-      olive AS (SELECT b.* FROM obands b WHERE NOT EXISTS
-        (SELECT 1 FROM ohot h WHERE h.band_idx = b.band_idx
+      olive$sfx AS (SELECT b.* FROM obands$sfx b WHERE NOT EXISTS
+        (SELECT 1 FROM ohot$sfx h WHERE h.band_idx = b.band_idx
           AND h.band_val = b.band_val)),
-      ocand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
+      ocand$sfx AS MATERIALIZED (SELECT DISTINCT x.doc_id AS doc_a,
           y.doc_id AS doc_b, y.f - x.f AS frame_offset, x.f AS f,
           CAST(bit_count(xor(x.dhash, y.dhash)) AS BIGINT) AS hamming
-        FROM olive x JOIN olive y
+        FROM olive$sfx x JOIN olive$sfx y
           ON x.band_idx = y.band_idx AND x.band_val = y.band_val
           AND x.doc_id < y.doc_id
           AND y.f - x.f BETWEEN -$maxOffset AND $maxOffset
         WHERE bit_count(xor(x.dhash, y.dhash)) <= $maxHamming)"""
+
+  /** One offset-sweep leg row (SQL fragment): the per-(pair, offset)
+    * verdict-row count and the distinct pair count over `ocand$sfx`. */
+  private def offsetSweepLegRow(o: Int, sfx: String,
+                                minFrames: Int): String =
+    s"""SELECT CAST($o AS BIGINT) AS max_offset,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT doc_a, doc_b, frame_offset FROM ocand$sfx
+          GROUP BY doc_a, doc_b, frame_offset
+          HAVING COUNT(*) >= $minFrames) r$sfx) AS n_offset_rows,
+        (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT doc_a, doc_b FROM (
+            SELECT doc_a, doc_b FROM ocand$sfx
+            GROUP BY doc_a, doc_b, frame_offset
+            HAVING COUNT(*) >= $minFrames) q$sfx) p$sfx) AS n_pairs"""
+
+  /** L147 — video OFFSET-WINDOW sweep: the knob-pricing table for the
+    * displacement window itself (the offset planes' own knob), per
+    * maxOffset config the verdict-row and distinct-pair counts next to
+    * the widest-window truth leg; wider windows find supersets, so
+    * recall is a pure ratio of exact counts. */
+  protected val l147 = {
+    val offsets = Seq(0, 1, 2)
+    val legs = offsets.zipWithIndex.map { case (o, i) =>
+      videoOffsetCandCtes(2, 500, o, sfx = s"_$i")
+    }.mkString(",\n      ")
+    val rows = offsets.zipWithIndex.map { case (o, i) =>
+      offsetSweepLegRow(o, s"_$i", 1)
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l147_video_offset_sweep",
+      (s, dir) => Multimodal.videoOffsetSweep(s, t(s, dir, "documents"),
+        maxHamming = 2, maxBandOcc = 500, minFrames = 1,
+        offsets = Seq(0, 1, 2))
+        .orderBy(col("max_offset")),
+      Some(s"""WITH $videoSigCtes,
+      $legs,
+      legs AS (
+        $rows),
+      tr AS (SELECT n_pairs AS n_truth FROM legs
+        WHERE max_offset = ${offsets.last})
+      SELECT max_offset, n_offset_rows, n_pairs, tr.n_truth,
+        CASE WHEN tr.n_truth = 0 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) END
+          AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY max_offset"""))
+  }
+
+  /** L148 — audio offset-window sweep: l147's twin on the window-
+    * fingerprint plane, same shared core and leg CTEs over the audio
+    * window signature chain. */
+  protected val l148 = {
+    val offsets = Seq(0, 1, 2)
+    val legs = offsets.zipWithIndex.map { case (o, i) =>
+      videoOffsetCandCtes(2, 500, o, sfx = s"_$i")
+    }.mkString(",\n      ")
+    val rows = offsets.zipWithIndex.map { case (o, i) =>
+      offsetSweepLegRow(o, s"_$i", 1)
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l148_audio_offset_sweep",
+      (s, dir) => Multimodal.audioOffsetSweep(s, t(s, dir, "documents"),
+        maxHamming = 2, maxBandOcc = 500, minWindows = 1,
+        offsets = Seq(0, 1, 2))
+        .orderBy(col("max_offset")),
+      Some(s"""WITH $audioWindowSigCtes,
+      $legs,
+      legs AS (
+        $rows),
+      tr AS (SELECT n_pairs AS n_truth FROM legs
+        WHERE max_offset = ${offsets.last})
+      SELECT max_offset, n_offset_rows, n_pairs, tr.n_truth,
+        CASE WHEN tr.n_truth = 0 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) END
+          AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY max_offset"""))
+  }
 
   /** L138 — OFFSET-tolerant VIDEO dedup APPLY: the l134 shape over the
     * l136 pair semantics — a trimmed re-edit collapses into its

@@ -2366,6 +2366,32 @@ class LlmSpec extends SparkSpec {
     assert(!KnobSchedule.dhashUseGroupedKeys(1L << 40, 5, targetOcc = 1))
   }
 
+  test("offset-window sweep: pair counts monotone in the window, the " +
+    "offset-0 leg equals the frame-aligned pair set, and the ascending-" +
+    "offsets gate is loud") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    val sig = Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val sw = Multimodal.frameSigOffsetSweep(sig, maxHamming = 2,
+        maxBandOcc = 1 << 30, minFrames = 1, offsets = Seq(0, 1, 2))
+      .collect().sortBy(_.getLong(0))
+    assert(sw.length === 3)
+    // wider windows find supersets — pair counts nondecreasing, the
+    // truth leg reads recall exactly 1.0
+    assert(sw.sliding(2).forall(p => p(0).getLong(2) <= p(1).getLong(2)))
+    assert(sw.last.getDouble(4) === 1.0)
+    // the offset-0 unguarded leg IS the frame-aligned pair set (the
+    // [0,0] displacement window admits aligned frames only)
+    val aligned = Multimodal.videoNearDupsFromSigs(sig, maxHamming = 2,
+        maxBandOcc = 1 << 30, minFrames = 1)
+      .select(col("doc_a"), col("doc_b")).distinct().count()
+    assert(sw.head.getLong(2) === aligned)
+    intercept[IllegalArgumentException](
+      Multimodal.frameSigOffsetSweep(sig, 2, 1 << 30, 1, Seq(1, 0)))
+  }
+
   test("multimodal decode: encodePpm round-trips through the real P6 parser") {
     // "abc": w = 1 + 'a'%16 = 2, h = 1 + 'c'%16 = 4, header "P6\n2 4\n255\n"
     // (11 B) + 24 raster bytes tiling "abc" cyclically

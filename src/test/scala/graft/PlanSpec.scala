@@ -557,7 +557,10 @@ class PlanSpec extends SparkSpec {
       "l145_audio_offset_dedup_apply",
       // l146: paired-group keys — hashes at the codec boundary,
       // exchanges carry (doc_id, dhash, table_id, tkey) longs only
-      "l146_image_near_dups_grouped")) {
+      "l146_image_near_dups_grouped",
+      // l147/l148: offset-window sweeps — three shared-sig legs of
+      // long-count aggregates
+      "l147_video_offset_sweep", "l148_audio_offset_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -903,7 +906,10 @@ class PlanSpec extends SparkSpec {
       // signature tables
       "l131_audio_band_sweep", "l135_video_band_sweep",
       // l142: the same sweep shape on the flip-canonical signature
-      "l142_image_flip_band_sweep")
+      "l142_image_flip_band_sweep",
+      // l147/l148: the offset-window sweeps — per-leg 1-row count
+      // crossJoins + the broadcast 1-row truth join (the l126 shape)
+      "l147_video_offset_sweep", "l148_audio_offset_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
