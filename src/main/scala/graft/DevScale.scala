@@ -779,18 +779,11 @@ object DevScale {
         maxTableOcc = cap).count()
       val gT = BenchTiming.steadyOf(spark, () =>
         Multimodal.sigPairsGrouped(sig, maxHamming = 2, maxTableOcc = cap))
-      // hot-bucket count for the grouped keys at the same cap
-      val tables = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
-      val grp = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10),
-        (54, 10))
-      val gHotN = sig.select(col("dhash"),
-          posexplode(array(tables.map { case (i, j) =>
-            val (oi, wi) = grp(i); val (oj, wj) = grp(j)
-            shiftright(col("dhash"), oi).bitwiseAND(lit((1L << wi) - 1))
-              .multiply(lit(1L << wj))
-              .plus(shiftright(col("dhash"), oj)
-                .bitwiseAND(lit((1L << wj) - 1)))
-          }: _*)).as(Seq("table_id", "tkey")))
+      // hot-bucket count for the grouped keys at the same cap — the
+      // PRODUCTION key expressions (Multimodal.sigGroupKeyed), so a
+      // grouping change can never desynchronize this receipt
+      val gHotN = Multimodal.sigGroupKeyed(
+          sig.select(col("doc_id"), col("dhash")))
         .groupBy(col("table_id"), col("tkey"))
         .agg(count(lit(1)).as("occ")).filter(col("occ") > cap).count()
       leg("grouped15x21b", gHotN, gPairs, gT)

@@ -684,21 +684,62 @@ object Multimodal {
                                                  maxOffset: Int,
                                                  bandBits: Int = 8)
       : DataFrame = {
-    require(maxOffset >= 0, s"maxOffset must be >= 0: $maxOffset")
     require(maxHamming < 64 / bandBits,
       s"banding at $bandBits bits is lossy beyond Hamming " +
         s"${64 / bandBits - 1} (requested $maxHamming)")
-    val bands = videoBandedSigs(sig, bandBits)
-    val hot = bands.groupBy(col("band_idx"), col("band_val"))
+    frameOffsetPairsFromKeyed(
+      videoBandedSigs(sig, bandBits)
+        .withColumnRenamed("band_idx", "bkt_id")
+        .withColumnRenamed("band_val", "bkt_key"),
+      maxHamming, maxBandOcc, minFrames, maxOffset)
+  }
+
+  /** GROUPED-KEY offset-pair core — the l146 Manku paired-group lever
+    * on the frame-blind plane (round-18 directive #1): frame-blind
+    * buckets collide on CLIPS × FRAMES rows, so this plane hits the
+    * band ladder's occupancy wall FIRST; past it, the 15 paired-group
+    * tables' 21–22-bit keys shrink buckets 32–64× at a lossless radius
+    * of 4 (≤ 4 per-frame errors touch ≤ 4 of the 6 groups — some pair
+    * of groups is untouched and its table matches exactly, per frame
+    * pair). Same guard/displacement/verify/fold shape as the banded
+    * form; byte-equal to it within the shared lossless radius
+    * (LlmSpec pin). */
+  private[graft] def videoOffsetNearDupsGroupedFromSigs(sig: DataFrame,
+                                                        maxHamming: Int,
+                                                        maxTableOcc: Int,
+                                                        minFrames: Int,
+                                                        maxOffset: Int)
+      : DataFrame = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
+        "no untouched pair")
+    frameOffsetPairsFromKeyed(
+      sigGroupKeyed(sig.select(col("doc_id"), col("frame_idx"),
+          col("dhash")))
+        .withColumnRenamed("table_id", "bkt_id")
+        .withColumnRenamed("tkey", "bkt_key"),
+      maxHamming, maxTableOcc, minFrames, maxOffset)
+  }
+
+  /** The keyed offset-pair machinery shared by the banded and grouped
+    * frontends: hot-bucket guard over the frame-blind (bkt_id, bkt_key)
+    * occupancy, displacement-window candidate join, per-frame Hamming
+    * verify, per-(pair, offset) fold. */
+  private def frameOffsetPairsFromKeyed(keyed: DataFrame, maxHamming: Int,
+                                        maxBucketOcc: Int, minFrames: Int,
+                                        maxOffset: Int): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0: $maxOffset")
+    val hot = keyed.groupBy(col("bkt_id"), col("bkt_key"))
       .agg(count(lit(1)).as("occ"))
-      .filter(col("occ") > maxBandOcc)
-      .select(col("band_idx"), col("band_val"))
-    val live = bands.join(broadcast(hot),
-      Seq("band_idx", "band_val"), "left_anti")
+      .filter(col("occ") > maxBucketOcc)
+      .select(col("bkt_id"), col("bkt_key"))
+    val live = keyed.join(broadcast(hot),
+      Seq("bkt_id", "bkt_key"), "left_anti")
     val disp = col("y.frame_idx") - col("x.frame_idx")
     val framePairs = live.as("x").join(live.as("y"),
-        col("x.band_idx") === col("y.band_idx")
-          && col("x.band_val") === col("y.band_val")
+        col("x.bkt_id") === col("y.bkt_id")
+          && col("x.bkt_key") === col("y.bkt_key")
           && col("x.doc_id") < col("y.doc_id")
           && disp.between(-maxOffset, maxOffset))
       .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
@@ -714,20 +755,43 @@ object Multimodal {
       .filter(col("n_close_frames") >= minFrames)
   }
 
+  /** Scheduled candidate path for every frame-blind offset core: band
+    * width from the sig-ROW count while the ladder holds; past its end
+    * (`KnobSchedule.dhashUseGroupedKeys` — widest lossless width still
+    * over target occupancy) candidate generation switches to the l146
+    * paired-group keys (round-18 directive #1). The frame-blind planes
+    * hit the occupancy wall FIRST of all the perceptual planes: their
+    * collision unit is clips × frames rows, so at a bounded frame
+    * sample they cross the ~4.2M-row threshold at ~64× fewer CLIPS
+    * than the single-signature planes. `maxBucketOcc` caps whichever
+    * bucket family is active (band buckets or paired-group tables). */
+  private def frameOffsetPairsScheduled(sig: DataFrame, maxHamming: Int,
+                                        maxBucketOcc: Int, minFrames: Int,
+                                        maxOffset: Int): DataFrame = {
+    val n = sig.count()
+    if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming))
+      videoOffsetNearDupsGroupedFromSigs(sig, maxHamming, maxBucketOcc,
+        minFrames, maxOffset)
+    else
+      videoOffsetNearDupsFromSigs(sig, maxHamming, maxBucketOcc, minFrames,
+        maxOffset, KnobSchedule.dhashBandBits(n, maxHamming))
+  }
+
   /** PRODUCTION offset-pair twin — band width SCHEDULED from the sig
     * ROW count (doc × frame): the frame-BLIND bucket's occupancy grows
     * with clips × frames, not clips alone, so the schedule's collision
     * unit is the signature row (`dhashBandBits`'s n²/2^bits algebra,
-    * same 64-bit geometry). Byte-equal to the fixed form wherever the
-    * schedule resolves to 8 bits (LlmSpec). */
+    * same 64-bit geometry); past the ladder's end candidate generation
+    * switches to the l146 paired-group keys
+    * (`frameOffsetPairsScheduled`). Byte-equal to the fixed form
+    * wherever the schedule resolves to 8 bits (LlmSpec). */
   def videoOffsetNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                               maxHamming: Int = 2, maxBandOcc: Int = 500,
                               minFrames: Int = 1, maxOffset: Int = 1)
       : DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
-    val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
-    videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc, minFrames,
-      maxOffset, bits)
+    frameOffsetPairsScheduled(sig, maxHamming, maxBandOcc, minFrames,
+      maxOffset)
   }
 
   /** L138 — OFFSET-tolerant VIDEO dedup APPLY: the l134 shape over the
@@ -747,7 +811,7 @@ object Multimodal {
                             minFrames: Int = 2, maxOffset: Int = 1)
       : DataFrame =
     videoOffsetDedupApplyFromBlobs(spark, encodeVideo(spark, docs).toDF(),
-      maxHamming, maxBandOcc, minFrames, maxOffset, bits = None)
+      maxHamming, maxBandOcc, minFrames, maxOffset, bandBits = Some(8))
 
   /** PRODUCTION offset-apply twin — band width SCHEDULED from the
     * collapsed representatives' SIG-ROW count (the frame-blind collision
@@ -758,23 +822,26 @@ object Multimodal {
                                 minFrames: Int = 2, maxOffset: Int = 1)
       : DataFrame =
     videoOffsetDedupApplyFromBlobs(spark, blobs, maxHamming, maxBandOcc,
-      minFrames, maxOffset, bits = Some(-1))
+      minFrames, maxOffset, bandBits = None)
 
+  // bandBits follows the sigDedupApply convention everywhere: None =
+  // scheduled from the collapsed reps' sig-row count (incl. the l146
+  // grouped-key switch past the ladder's end), Some(b) = fixed b.
   private def videoOffsetDedupApplyFromBlobs(spark: SparkSession,
                                              blobs: DataFrame,
                                              maxHamming: Int,
                                              maxBandOcc: Int,
                                              minFrames: Int, maxOffset: Int,
-                                             bits: Option[Int]): DataFrame = {
+                                             bandBits: Option[Int])
+      : DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
     val repSig = videoSeqReps(sig).localCheckpoint()
-    val bandBits = bits match {
-      case None => 8
-      case Some(_) => KnobSchedule.dhashBandBits(repSig.count(), maxHamming)
-    }
-    val pairs = videoOffsetNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
-        minFrames, maxOffset, bandBits)
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val pairs = (bandBits match {
+      case Some(b) => videoOffsetNearDupsFromSigs(repSig, maxHamming,
+        maxBandOcc, minFrames, maxOffset, b)
+      case None => frameOffsetPairsScheduled(repSig, maxHamming, maxBandOcc,
+        minFrames, maxOffset)
+    }).select(col("doc_a"), col("doc_b")).distinct()
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
@@ -901,14 +968,15 @@ object Multimodal {
 
   /** PRODUCTION twin — band width scheduled from the window-sig ROW
     * count (the frame-blind collision unit, as in
-    * `videoOffsetNearDupsAuto`). */
+    * `videoOffsetNearDupsAuto`), switching to the l146 paired-group
+    * keys past the ladder's end (`frameOffsetPairsScheduled`). */
   def audioOffsetNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                               maxHamming: Int = 2, maxBandOcc: Int = 500,
                               minWindows: Int = 1, maxOffset: Int = 1)
       : DataFrame = {
     val sig = audioWindowFrameSigs(spark, blobs).localCheckpoint()
-    videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc, minWindows,
-      maxOffset, KnobSchedule.dhashBandBits(sig.count(), maxHamming))
+    frameOffsetPairsScheduled(sig, maxHamming, maxBandOcc, minWindows,
+      maxOffset)
       .withColumnRenamed("frame_offset", "win_offset")
       .withColumnRenamed("n_close_frames", "n_close_windows")
   }
@@ -917,7 +985,11 @@ object Multimodal {
     * video head-trim, the crop augmentation, and the l143 fixtures'
     * generator): drop the first `nSamples` samples (clamped to keep at
     * least one — the encoder's own empty-text convention), re-emit a
-    * canonical 44-byte-header PCM16 mono WAV. */
+    * canonical 44-byte-header PCM16 mono WAV. A zero-sample input
+    * (spec-valid per `parseWav`: dataLen = 0) passes through as a
+    * zero-sample canonical WAV — there is nothing to trim, and the
+    * unclamped arithmetic would otherwise read 2 bytes BEFORE the data
+    * chunk (the size field) as a phantom sample. */
   def audioTrimHeadContainer(spark: SparkSession, blobs: DataFrame,
                              nSamples: Int = 65): Dataset[BlobRow] = {
     require(nSamples >= 0, s"audioTrimHeadContainer: nSamples ($nSamples)" +
@@ -925,7 +997,7 @@ object Multimodal {
     import spark.implicits._
     blobs.as[BlobRow].mapPartitions(_.map { b =>
       val wav = parseWav(b.payload, b.doc_id)
-      val t = math.min(nSamples, wav.nSamples - 1)
+      val t = math.max(0, math.min(nSamples, wav.nSamples - 1))
       val n = wav.nSamples - t
       val dataSize = 2 * n
       val out = new Array[Byte](44 + dataSize)
@@ -967,7 +1039,7 @@ object Multimodal {
                             minWindows: Int = 1, maxOffset: Int = 1)
       : DataFrame =
     audioOffsetDedupApplyFromBlobs(spark, encodeWav(spark, docs).toDF(),
-      maxHamming, maxBandOcc, minWindows, maxOffset, bits = Some(8))
+      maxHamming, maxBandOcc, minWindows, maxOffset, bandBits = Some(8))
 
   /** PRODUCTION twin — scheduled band width from the collapsed reps'
     * window-row count. */
@@ -976,23 +1048,28 @@ object Multimodal {
                                 minWindows: Int = 1, maxOffset: Int = 1)
       : DataFrame =
     audioOffsetDedupApplyFromBlobs(spark, blobs, maxHamming, maxBandOcc,
-      minWindows, maxOffset, bits = None)
+      minWindows, maxOffset, bandBits = None)
 
+  // bandBits: the sigDedupApply convention — None = scheduled (incl.
+  // the l146 grouped-key switch), Some(b) = fixed b (same as the video
+  // offset apply above).
   private def audioOffsetDedupApplyFromBlobs(spark: SparkSession,
                                              blobs: DataFrame,
                                              maxHamming: Int,
                                              maxBandOcc: Int,
                                              minWindows: Int,
                                              maxOffset: Int,
-                                             bits: Option[Int]): DataFrame = {
+                                             bandBits: Option[Int])
+      : DataFrame = {
     val allDocs = blobs.select(col("doc_id")).distinct().localCheckpoint()
     val sig = audioWindowFrameSigs(spark, blobs).localCheckpoint()
     val repSig = videoSeqReps(sig).localCheckpoint()
-    val bandBits = bits.getOrElse(
-      KnobSchedule.dhashBandBits(repSig.count(), maxHamming))
-    val pairs = videoOffsetNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
-        minWindows, maxOffset, bandBits)
-      .select(col("doc_a"), col("doc_b")).distinct()
+    val pairs = (bandBits match {
+      case Some(b) => videoOffsetNearDupsFromSigs(repSig, maxHamming,
+        maxBandOcc, minWindows, maxOffset, b)
+      case None => frameOffsetPairsScheduled(repSig, maxHamming, maxBandOcc,
+        minWindows, maxOffset)
+    }).select(col("doc_a"), col("doc_b")).distinct()
     val ccLosers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
       .select(col("doc_id"))
@@ -1112,14 +1189,20 @@ object Multimodal {
         encodeWav(spark, docs).toDF()).localCheckpoint(),
       maxHamming, maxBandOcc, minWindows, offsets)
 
-  /** The modality-neutral offset-window sweep core: per config, two
-    * 1-row aggregates over the shared offset pair core, assembled by
-    * broadcast 1-row crossJoins (the l28/l126 sweep shape). `offsets`
-    * must be strictly ascending — the LAST config is the truth leg the
-    * recall column divides by (wider windows find supersets: every
-    * displacement within ±o is within ±o′ for o′ > o and the
-    * ≥ minFrames fold is per displacement, so pair sets are monotone —
-    * the recall denominator is sound by construction). */
+  /** The modality-neutral offset-window sweep core: ONE pair pass at
+    * the maximal window serves every leg (the l98/l120 shared-pass
+    * discipline — round-18 review finding #1: per-leg passes waste
+    * (|offsets|−1)/|offsets| of the candidate-join work, linearly in a
+    * wide production ladder). Sound because the displacement window is
+    * a pure FILTER on the per-(pair, offset) row table: candidate
+    * generation is frame-blind (bucket keys ignore frame_idx), the hot
+    * guard is occupancy-only, and the ≥ minFrames fold is per
+    * displacement — so rows(o) ≡ rows(o_max) WHERE |offset| ≤ o, row
+    * for row. Per config, two aggregates over the one checkpointed row
+    * table, assembled by broadcast 1-row crossJoins (the l28/l126
+    * shape). `offsets` must be strictly ascending — the LAST config is
+    * the truth leg the recall column divides by (pair sets are monotone
+    * in the window, so the denominator is a superset by construction). */
   private[graft] def frameSigOffsetSweep(sig: DataFrame, maxHamming: Int,
                                          maxBandOcc: Int, minFrames: Int,
                                          offsets: Seq[Int]): DataFrame = {
@@ -1127,9 +1210,10 @@ object Multimodal {
         && offsets.distinct == offsets,
       s"offsets must be strictly ascending (the last is the truth leg): " +
         s"$offsets")
+    val maxRows = videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc,
+      minFrames, offsets.last).localCheckpoint()
     val legs = offsets.map { o =>
-      val rows = videoOffsetNearDupsFromSigs(sig, maxHamming, maxBandOcc,
-        minFrames, o).localCheckpoint()
+      val rows = maxRows.filter(abs(col("frame_offset")) <= o)
       val nRows = rows.agg(count(lit(1)).as("n_offset_rows"))
       val nPairs = rows.select(col("doc_a"), col("doc_b")).distinct()
         .agg(count(lit(1)).as("n_pairs"))
@@ -1655,9 +1739,34 @@ object Multimodal {
 
   /** The 64-bit signature split into 6 bit-groups (widths
     * 11,11,11,11,10,10 at offsets 0,11,22,33,44,54) for the
-    * paired-group candidate keys below. */
-  private val SigGroups: Seq[(Int, Int)] =
+    * paired-group candidate keys below. `private[graft]` so the
+    * DevScale hot-bucket receipt measures THIS grouping, not a copy
+    * that could silently desynchronize. */
+  private[graft] val SigGroups: Seq[(Int, Int)] =
     Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10), (54, 10))
+
+  /** The C(6,2) = 15 paired-group key expressions over a `dhash`
+    * column: table t's key is group i's bits concatenated with group
+    * j's (21–22 bits). Shared by the pair core, the occupancy sweep,
+    * the grouped streaming index and the DevScale receipt. */
+  private[graft] def sigGroupKeyExprs: Seq[Column] = {
+    val tables = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
+    tables.map { case (i, j) =>
+      val (oi, wi) = SigGroups(i)
+      val (oj, wj) = SigGroups(j)
+      shiftright(col("dhash"), oi).bitwiseAND(lit((1L << wi) - 1))
+        .multiply(lit(1L << wj))
+        .plus(shiftright(col("dhash"), oj).bitwiseAND(lit((1L << wj) - 1)))
+    }
+  }
+
+  /** A (doc_id, dhash) signature table exploded to its 15 paired-group
+    * key rows (table_id, tkey) — the grouped-key analogue of
+    * `bandedSigs`. Extra columns (e.g. frame_idx) ride along. */
+  private[graft] def sigGroupKeyed(sig: DataFrame): DataFrame =
+    sig.select(sig.columns.map(col) :+
+      posexplode(array(sigGroupKeyExprs: _*))
+        .as(Seq("table_id", "tkey")): _*)
 
   /** L146 — Manku-style PAIRED-GROUP candidate keys (Manku, Jain & Das
     * Sarma, WWW'07 §3): the documented lever PAST the band-width
@@ -1697,19 +1806,7 @@ object Multimodal {
       s"paired-group keys are lossy beyond Hamming 4 (requested " +
         s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
         "no untouched pair")
-    val sig = sig0.select(col("doc_id"), col("dhash"))
-    val tables = for {
-      i <- 0 until 6
-      j <- (i + 1) until 6
-    } yield (i, j)
-    val keyed = sig.select(col("doc_id"), col("dhash"),
-      posexplode(array(tables.map { case (i, j) =>
-        val (oi, wi) = SigGroups(i)
-        val (oj, wj) = SigGroups(j)
-        shiftright(col("dhash"), oi).bitwiseAND(lit((1L << wi) - 1))
-          .multiply(lit(1L << wj))
-          .plus(shiftright(col("dhash"), oj).bitwiseAND(lit((1L << wj) - 1)))
-      }: _*)).as(Seq("table_id", "tkey")))
+    val keyed = sigGroupKeyed(sig0.select(col("doc_id"), col("dhash")))
     val hot = keyed.groupBy(col("table_id"), col("tkey"))
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxTableOcc)
@@ -1725,6 +1822,78 @@ object Multimodal {
           .cast(LongType).as("hamming"))
       .distinct()
       .filter(col("hamming") <= maxHamming)
+  }
+
+  /** L149 — GROUPED-KEY occupancy-guard SWEEP (the l126 knob-pricing
+    * discipline on the paired-group tables): per `maxTableOcc` cap,
+    * the hot (table_id, tkey) bucket count and the retained verified
+    * pair count next to the UNGUARDED truth leg — the measured table
+    * behind choosing the grouped path's cap, the one knob l146 shipped
+    * with a single receipt instead of a priced sweep (round-18
+    * directive #6). recall = n_pairs/n_truth is the fraction of true
+    * radius-`maxHamming` pairs the occupancy cap sacrifices. */
+  def imageGroupedOccSweep(spark: SparkSession, docs: DataFrame,
+                           maxHamming: Int = 2,
+                           caps: Seq[Int] = Seq(50, 500, 1 << 30))
+      : DataFrame =
+    sigGroupedOccSweep(dHash(spark, encodePpm(spark, docs).toDF()).toDF(),
+      maxHamming, caps)
+
+  /** The modality-neutral grouped-occupancy sweep core: ONE hash pass
+    * and ONE unguarded candidate join serve every leg (the l98 shared-
+    * pass discipline) — each verified candidate row keeps the
+    * (table_id, tkey) bucket it was found in plus that bucket's
+    * occupancy, so leg `cap`'s pair set is "pairs with SOME candidate
+    * row in a bucket of occupancy ≤ cap": exactly `sigPairsGrouped`'s
+    * live-bucket semantics, as a filter instead of a join. The
+    * unguarded join's hot-bucket candidate volume is the TRUTH leg's
+    * inherent cost (l126 pays the same for its cap-2³⁰ leg) — this is
+    * an audit query, not the production path. `caps` must be strictly
+    * ascending with the unguarded sentinel (≥ 2³⁰) last: guarded pair
+    * sets are subsets of the truth leg's, so the recall denominator is
+    * sound by construction. */
+  private[graft] def sigGroupedOccSweep(sig0: DataFrame, maxHamming: Int,
+                                        caps: Seq[Int]): DataFrame = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming)")
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps
+        && caps.last >= (1 << 30),
+      s"caps must be strictly ascending with the unguarded truth leg " +
+        s"(>= 2^30) last: $caps")
+    val keyed = sigGroupKeyed(sig0.select(col("doc_id"), col("dhash")))
+      .localCheckpoint()
+    val occ = keyed.groupBy(col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ")).localCheckpoint()
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.table_id") === col("y.table_id")
+          && col("x.tkey") === col("y.tkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+        <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.table_id").as("table_id"), col("x.tkey").as("tkey"))
+      .join(occ, Seq("table_id", "tkey"))
+      .localCheckpoint()
+    val legs = caps.map { cap =>
+      val nHot = occ.filter(col("occ") > cap)
+        .agg(count(lit(1)).as("n_hot_tables"))
+      val nPairs = cand.filter(col("occ") <= cap)
+        .select(col("doc_a"), col("doc_b")).distinct()
+        .agg(count(lit(1)).as("n_pairs"))
+      nHot.crossJoin(broadcast(nPairs))
+        .select(lit(cap.toLong).as("max_table_occ"),
+          col("n_hot_tables"), col("n_pairs"))
+    }
+    val all = legs.reduce(_ unionByName _)
+    val truth = all.filter(col("max_table_occ") === caps.last.toLong)
+      .select(col("n_pairs").as("n_truth"))
+    all.crossJoin(broadcast(truth))
+      .select(col("max_table_occ"), col("n_hot_tables"), col("n_pairs"),
+        col("n_truth"),
+        when(col("n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("n_pairs").cast(DoubleType)
+            / col("n_truth").cast(DoubleType)).as("recall"))
   }
 
   /** L122 — IMAGE near-duplicate pairs: the one duplicate class the
@@ -2157,21 +2326,114 @@ object Multimodal {
     (sigVerdictsAgainst(sig, s, maxHamming), sigBandIndex(sig))
   }
 
+  /** GROUPED-KEY form of the persisted probe index (round-18 directive
+    * #1b): past the band ladder's end the 8-bit band index saturates —
+    * its 2048 buckets hold n/2⁸ signatures each, so EVERY batch probe
+    * fans out quadratically in state size and the compaction guard
+    * starts eating recall (the l146 receipt's pressure, on the carried
+    * S39/S41 state). The grouped index carries the 15 paired-group key
+    * rows per signature (21–22-bit keys — buckets 32–64× smaller than
+    * even 16-bit bands) at 1.9× the band index's row count, lossless
+    * to Hamming 4. Build at (re)build/compaction cadence when
+    * `KnobSchedule.dhashUseGroupedKeys` says the corpus crossed the
+    * threshold (`sigIndexAuto` packages the choice). */
+  def sigGroupIndex(sig: DataFrame): DataFrame =
+    sigGroupKeyed(sig.select(col("doc_id"), col("dhash")))
+
+  /** Append a batch's signatures to the carried grouped index (15
+    * narrow rows per signature). NOT idempotent under re-delivery: the
+    * S22 exactly-once foreachBatch discipline applies. */
+  def extendSigGroupIndex(index: DataFrame, batchSig: DataFrame): DataFrame =
+    index.unionByName(sigGroupIndex(batchSig))
+
+  /** Streaming admission against the persisted GROUPED index —
+    * verdict-identical to `sigDedupIncrementIndexed` over the same
+    * underlying signature table for maxHamming ≤ 3 with no hot
+    * exclusion (both key families are recall-lossless there;
+    * StreamingSpec pins the equality). `hotKeys` excludes
+    * compaction-flagged (table_id, tkey) buckets from the index probe
+    * side (`compactSigStateGrouped`'s second return). Returns
+    * (verdicts, batchIndexRows) — the caller appends batchIndexRows
+    * via union; the batch pays its own 15-rows/signature keying, never
+    * the corpus's. */
+  def sigDedupIncrementIndexedGrouped(batchSig: DataFrame, index: DataFrame,
+                                      maxHamming: Int = 2,
+                                      hotKeys: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
+        "no untouched pair")
+    val sig = batchSig.select(col("doc_id"), col("dhash")).localCheckpoint()
+    val s = hotKeys.fold(index)(hot =>
+      index.join(broadcast(hot), Seq("table_id", "tkey"), "left_anti"))
+    (sigVerdictsAgainstKeyed(sig, s, sigGroupIndex,
+      Seq("table_id", "tkey"), maxHamming), sigGroupIndex(sig))
+  }
+
+  /** Build the persisted probe index in the format the corpus size
+    * calls for: banded (8 rows/sig, 2048 buckets) while the band
+    * ladder holds, l146 grouped keys (15 rows/sig, 15·2²¹⁻²² buckets)
+    * past its end. Called at build/compaction cadence — the format is
+    * a property of the PERSISTED index, so the switch is evaluated
+    * where the index is (re)built, and probes dispatch on the format
+    * they find (`sigDedupIncrementIndexedAuto`). */
+  def sigIndexAuto(sig: DataFrame, maxHamming: Int = 2): DataFrame = {
+    val s = sig.select(col("doc_id"), col("dhash")).localCheckpoint()
+    if (KnobSchedule.dhashUseGroupedKeys(s.count(), maxHamming))
+      sigGroupIndex(s)
+    else sigBandIndex(s)
+  }
+
+  /** Probe whichever index format `sigIndexAuto` built — dispatched on
+    * the index's own columns (the format IS the recorded switch
+    * decision; a probe must never re-derive it from a corpus count the
+    * index may predate). `hotBuckets` is the matching compaction
+    * exclusion: (band_idx, band_val) rows for a banded index
+    * (`compactSigState`), (table_id, tkey) rows for a grouped one
+    * (`compactSigStateGrouped`). */
+  def sigDedupIncrementIndexedAuto(batchSig: DataFrame, index: DataFrame,
+                                   maxHamming: Int = 2,
+                                   hotBuckets: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) =
+    if (index.columns.contains("table_id"))
+      sigDedupIncrementIndexedGrouped(batchSig, index, maxHamming,
+        hotBuckets)
+    else sigDedupIncrementIndexed(batchSig, index, maxHamming, hotBuckets)
+
+  /** Append to whichever index format is carried (same dispatch). */
+  def extendSigIndexAuto(index: DataFrame, batchSig: DataFrame): DataFrame =
+    if (index.columns.contains("table_id"))
+      extendSigGroupIndex(index, batchSig)
+    else extendSigIndex(index, batchSig)
+
   /** The shared verdict core: band-probe the batch signatures against a
     * banded other-side (state or persisted index) and the batch's own
     * earlier (smaller doc_id) members, Hamming-verify, fold to per-id
     * dup_corpus/dup_batch/kept verdicts. */
   private def sigVerdictsAgainst(sig: DataFrame, bandedOther: DataFrame,
-                                 maxHamming: Int): DataFrame = {
-    val b = bandedSigs(sig, 8)
+                                 maxHamming: Int): DataFrame =
+    sigVerdictsAgainstKeyed(sig, bandedOther, s => bandedSigs(s, 8),
+      Seq("band_idx", "band_val"), maxHamming)
+
+  /** The verdict machinery parameterized by the bucket-key family
+    * (8-bit bands or l146 paired-group keys): key the batch with
+    * `keyBatch`, probe the pre-keyed other side (state or persisted
+    * index) and the batch's own earlier members on `keyCols`,
+    * Hamming-verify, fold to per-id verdicts. */
+  private def sigVerdictsAgainstKeyed(sig: DataFrame, keyedOther: DataFrame,
+                                      keyBatch: DataFrame => DataFrame,
+                                      keyCols: Seq[String],
+                                      maxHamming: Int): DataFrame = {
+    val b = keyBatch(sig)
     def dupIds(other: DataFrame, earlier: Column): DataFrame =
       b.as("x").join(other.as("y"),
-          col("x.band_idx") === col("y.band_idx")
-            && col("x.band_val") === col("y.band_val") && earlier)
+          keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+            && earlier)
         .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
           <= maxHamming)
         .select(col("x.doc_id").as("doc_id")).distinct()
-    val vsState = dupIds(bandedOther, lit(true)).withColumn("dup_c", lit(true))
+    val vsState = dupIds(keyedOther, lit(true)).withColumn("dup_c", lit(true))
     val vsBatch = dupIds(b, col("y.doc_id") < col("x.doc_id"))
       .withColumn("dup_b", lit(true))
     sig.select(col("doc_id"))
@@ -2214,6 +2476,32 @@ object Multimodal {
       .agg(count(lit(1)).as("occ"))
       .filter(col("occ") > maxBandOcc)
       .select(col("band_idx"), col("band_val"))
+    (repSig, hot)
+  }
+
+  /** `compactSigState`'s twin for the GROUPED index era: the same
+    * exact-hash collapse (verdict-lossless for admission — identical
+    * hashes sit at identical Hamming from any probe), with the hot
+    * exclusion computed over the 15 paired-group (table_id, tkey)
+    * buckets of the COLLAPSED occupancy — the key family
+    * `sigDedupIncrementIndexedGrouped` probes on. Unlike the 8-bit
+    * band index's ≤ 2048-row exclusion table, the grouped exclusion is
+    * bounded by the number of genuinely degenerate key buckets (the
+    * cap only trips on content pile-ups the collapse didn't absorb) —
+    * still broadcast-sized by construction, because each hot row
+    * represents > maxTableOcc collapsed reps. Returns
+    * (compactedState, hotKeys); rebuild the index from the compacted
+    * reps via `sigGroupIndex` and swap both in at compaction cadence. */
+  def compactSigStateGrouped(state: DataFrame, maxTableOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("dhash"))
+    val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
+    val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
+    val hot = sigGroupKeyed(repSig)
+      .groupBy(col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxTableOcc)
+      .select(col("table_id"), col("tkey"))
     (repSig, hot)
   }
 

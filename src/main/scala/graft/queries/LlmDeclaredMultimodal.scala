@@ -808,7 +808,11 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
     * errors touch ≤ 4 of 6 groups; some pair is untouched). Pair table
     * byte-equal to l122's banded form within the shared lossless
     * radius (LlmSpec pin). */
-  protected val l146 = {
+  /** The 15 paired-group key legs over a (doc_id, dhash) CTE `src` —
+    * the SQL replay of `Multimodal.SigGroups`/`sigGroupKeyed`, shared
+    * by l146 and l149 so the two oracles can never disagree on the
+    * grouping. */
+  private def groupedKeyCtes(src: String = "dh"): String = {
     val groups = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10),
       (54, 10))
     val tables = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
@@ -818,16 +822,20 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       s"""SELECT doc_id, dhash, $t AS table_id,
           ((dhash >> $oi) & ${(1L << wi) - 1}) * ${1L << wj}
             + ((dhash >> $oj) & ${(1L << wj) - 1}) AS tkey
-        FROM dh"""
+        FROM $src"""
     }.mkString("\n        UNION ALL ")
+    s"""keyed AS MATERIALIZED (
+        $keyLegs)"""
+  }
+
+  protected val l146 =
     DeclaredQuery(
       "l146_image_near_dups_grouped",
       (s, dir) => Multimodal.imageNearDupsGrouped(s, t(s, dir, "documents"),
         maxHamming = 2, maxTableOcc = 500)
         .orderBy(col("doc_a"), col("doc_b")),
       Some(s"""WITH $dHashBaseCtes,
-      keyed AS MATERIALIZED (
-        $keyLegs),
+      ${groupedKeyCtes()},
       khot AS (SELECT table_id, tkey FROM keyed
         GROUP BY table_id, tkey HAVING count(*) > 500),
       klive AS (SELECT k.* FROM keyed k WHERE NOT EXISTS
@@ -840,6 +848,52 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
         AND x.doc_id < y.doc_id
       WHERE bit_count(xor(x.dhash, y.dhash)) <= 2
       ORDER BY doc_a, doc_b"""))
+
+  /** L149 — GROUPED-KEY occupancy-guard SWEEP: the l126 knob-pricing
+    * discipline on the l146 paired-group tables — per maxTableOcc cap,
+    * hot (table_id, tkey) buckets and retained verified pairs next to
+    * the unguarded TRUTH leg, making the grouped path's one knob
+    * choosable from a measured table instead of a single receipt
+    * (round-18 directive #6). One hash pass and one unguarded
+    * candidate join serve every leg: each candidate row carries its
+    * bucket's occupancy, so leg `cap` is a filter, not a re-join. */
+  protected val l149 = {
+    val caps = Seq(50L, 500L, (1 << 30).toLong)
+    val rows = caps.zipWithIndex.map { case (cap, i) =>
+      s"""SELECT CAST($cap AS BIGINT) AS max_table_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM kocc
+            WHERE occ > $cap) AS n_hot_tables,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT DISTINCT c.doc_a, c.doc_b FROM ucand c
+            JOIN kocc o ON c.table_id = o.table_id AND c.tkey = o.tkey
+            WHERE o.occ <= $cap) p_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l149_grouped_occ_sweep",
+      (s, dir) => Multimodal.imageGroupedOccSweep(s,
+        t(s, dir, "documents"), maxHamming = 2,
+        caps = Seq(50, 500, 1 << 30))
+        .orderBy(col("max_table_occ")),
+      Some(s"""WITH $dHashBaseCtes,
+      ${groupedKeyCtes()},
+      kocc AS MATERIALIZED (SELECT table_id, tkey, count(*) AS occ
+        FROM keyed GROUP BY table_id, tkey),
+      ucand AS MATERIALIZED (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          x.table_id, x.tkey
+        FROM keyed x JOIN keyed y
+          ON x.table_id = y.table_id AND x.tkey = y.tkey
+          AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2),
+      legs AS (
+        $rows),
+      tr AS (SELECT n_pairs AS n_truth FROM legs
+        WHERE max_table_occ = ${caps.last})
+      SELECT max_table_occ, n_hot_tables, n_pairs, tr.n_truth,
+        CASE WHEN tr.n_truth = 0 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) END
+          AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY max_table_occ"""))
   }
 
   /** The flip-canonical signature CTE chain: the dHash base plus the

@@ -2366,6 +2366,97 @@ class LlmSpec extends SparkSpec {
     assert(!KnobSchedule.dhashUseGroupedKeys(1L << 40, 5, targetOcc = 1))
   }
 
+  test("grouped keys on the frame-blind offset plane: byte-equal to the " +
+    "banded offset core within the shared radius, verifying radius 4 " +
+    "where the band ladder ends (round-18 directive #1a)") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    val sig = Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // both unguarded candidate generators are recall-lossless at
+    // Hamming 2, so the per-(pair, offset) verdict tables must be
+    // IDENTICAL on the real corpus — frame counts, summed Hamming, all
+    assert(rws(Multimodal.videoOffsetNearDupsGroupedFromSigs(sig,
+        maxHamming = 2, maxTableOcc = 1 << 30, minFrames = 1,
+        maxOffset = 1)) ===
+      rws(Multimodal.videoOffsetNearDupsFromSigs(sig, maxHamming = 2,
+        maxBandOcc = 1 << 30, minFrames = 1, maxOffset = 1)))
+    // a per-frame Hamming-4 pair with one flipped bit in EVERY 16-bit
+    // band, shifted by one frame: the band ladder cannot verify radius
+    // 4 (the require); the grouped keys find all three displacement
+    // rows (4 errors touch 4 of 6 groups — some pair is untouched)
+    val h4 = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val psig = Seq((1L, 0, 0L), (1L, 1, 0L), (2L, 0, h4), (2L, 1, h4))
+      .toDF("doc_id", "frame_idx", "dhash")
+    intercept[IllegalArgumentException](
+      Multimodal.videoOffsetNearDupsFromSigs(psig, 4, 1 << 30, 1, 1,
+        bandBits = 16))
+    val g = Multimodal.videoOffsetNearDupsGroupedFromSigs(psig, 4,
+        1 << 30, 1, 1)
+      .collect().map(r => (r.getLong(2), r.getLong(3), r.getLong(4)))
+      .sortBy(_._1)
+    assert(g.toSeq === Seq((-1L, 1L, 4L), (0L, 2L, 8L), (1L, 1L, 4L)))
+    // beyond the pigeonhole guarantee the core refuses loudly
+    intercept[IllegalArgumentException](
+      Multimodal.videoOffsetNearDupsGroupedFromSigs(psig, 5, 1 << 30, 1, 1))
+  }
+
+  test("l149 grouped-key occupancy sweep: per-cap legs equal the guarded " +
+    "production core, truth leg reads recall 1.0, and the gates are loud") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    val sig = Multimodal.dHash(spark,
+        Multimodal.encodePpm(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val sw = Multimodal.sigGroupedOccSweep(sig, maxHamming = 2,
+        caps = Seq(1, 500, 1 << 30))
+      .collect().sortBy(_.getLong(0))
+    assert(sw.length === 3)
+    // each leg's retained-pair count IS the guarded sigPairsGrouped's
+    // at that cap — the shared-pass filter and the production join
+    // agree exactly (live-bucket semantics, two implementations)
+    assert(sw(0).getLong(2) ===
+      Multimodal.sigPairsGrouped(sig, 2, maxTableOcc = 1).count())
+    assert(sw(1).getLong(2) ===
+      Multimodal.sigPairsGrouped(sig, 2, maxTableOcc = 500).count())
+    assert(sw(2).getLong(2) ===
+      Multimodal.sigPairsGrouped(sig, 2, maxTableOcc = 1 << 30).count())
+    // caps admit supersets — pair counts nondecreasing; the unguarded
+    // truth leg reads recall exactly 1.0 with zero hot tables
+    assert(sw.sliding(2).forall(p => p(0).getLong(2) <= p(1).getLong(2)))
+    assert(sw.last.getDouble(4) === 1.0 && sw.last.getLong(1) === 0L)
+    intercept[IllegalArgumentException](
+      Multimodal.sigGroupedOccSweep(sig, 2, Seq(500, 50, 1 << 30)))
+    intercept[IllegalArgumentException](
+      Multimodal.sigGroupedOccSweep(sig, 2, Seq(50, 500)))
+    intercept[IllegalArgumentException](
+      Multimodal.sigGroupedOccSweep(sig, 5, Seq(50, 1 << 30)))
+  }
+
+  test("audioTrimHeadContainer: a zero-sample spec-valid WAV passes " +
+    "through as a zero-sample canonical WAV (no phantom sample from the " +
+    "size field)") {
+    val out = new Array[Byte](44)
+    def le32(off: Int, v: Int): Unit = (0 until 4).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def le16(off: Int, v: Int): Unit = (0 until 2).foreach(i =>
+      out(off + i) = ((v >> (8 * i)) & 0xff).toByte)
+    def tag(off: Int, s: String): Unit =
+      s.getBytes("US-ASCII").copyToArray(out, off)
+    tag(0, "RIFF"); le32(4, 36); tag(8, "WAVE")
+    tag(12, "fmt "); le32(16, 16); le16(20, 1); le16(22, 1)
+    le32(24, 8000); le32(28, 16000); le16(32, 2); le16(34, 16)
+    tag(36, "data"); le32(40, 0)
+    val blobs = Seq((7L, out)).toDF("doc_id", "payload")
+    val f = Multimodal.audioFeatures(spark,
+      Multimodal.audioTrimHeadContainer(spark, blobs, nSamples = 65).toDF())
+      .collect().head
+    assert(f.n_samples === 0L && f.n_bytes === 44L && f.sum_s === 0L)
+  }
+
   test("offset-window sweep: pair counts monotone in the window, the " +
     "offset-0 leg equals the frame-aligned pair set, and the ascending-" +
     "offsets gate is loud") {

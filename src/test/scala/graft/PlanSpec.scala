@@ -560,7 +560,10 @@ class PlanSpec extends SparkSpec {
       "l146_image_near_dups_grouped",
       // l147/l148: offset-window sweeps — three shared-sig legs of
       // long-count aggregates
-      "l147_video_offset_sweep", "l148_audio_offset_sweep")) {
+      "l147_video_offset_sweep", "l148_audio_offset_sweep",
+      // l149: grouped-key occupancy sweep — one candidate pass over
+      // (doc_id, dhash, table_id, tkey) longs, per-cap count legs
+      "l149_grouped_occ_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -909,7 +912,10 @@ class PlanSpec extends SparkSpec {
       "l142_image_flip_band_sweep",
       // l147/l148: the offset-window sweeps — per-leg 1-row count
       // crossJoins + the broadcast 1-row truth join (the l126 shape)
-      "l147_video_offset_sweep", "l148_audio_offset_sweep")
+      "l147_video_offset_sweep", "l148_audio_offset_sweep",
+      // l149: the grouped-key occupancy sweep — same per-leg 1-row
+      // count crossJoins + broadcast 1-row truth join
+      "l149_grouped_occ_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString

@@ -2017,6 +2017,75 @@ class StreamingSpec extends SparkSpec {
       Some(hot)))(2000L) === "dup_corpus")
   }
 
+  test("grouped persisted index (round-18 directive #1b): verdict-" +
+    "identical to the banded index, Auto build/probe/extend dispatch on " +
+    "the carried format, and grouped compaction guards the group keys") {
+    import graft.llm.{KnobSchedule, Multimodal}
+    // Same fixture as the banded-index test, so the two key families
+    // are compared on identical probes.
+    val state = ((0 until 40).map(i => (100L + i, i.toLong * 0x9E3779B9L))
+      ++ Seq((500L, 0x0102030405060708L))).toDF("doc_id", "dhash")
+    val batch = Seq((1000L, 0x0102030405060708L), // exact dup of 500
+      (1001L, 0x0102030405060718L),               // Hamming 2 of 500
+      (1002L, 0x7777888899990000L),               // novel
+      (1003L, 0x7777888899990000L))               // in-batch dup of 1002
+      .toDF("doc_id", "dhash")
+    def vmap(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      p._1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val fromBanded = vmap(Multimodal.sigDedupIncrementIndexed(batch,
+      Multimodal.sigBandIndex(state).localCheckpoint(), 2))
+    val gindex = Multimodal.sigGroupIndex(state).localCheckpoint()
+    assert(gindex.count() === 41L * 15) // 15 key rows per signature
+    val (gVerd, gDelta) = Multimodal.sigDedupIncrementIndexedGrouped(
+      batch, gindex, 2)
+    assert(vmap((gVerd, gDelta)) === fromBanded)
+    // appends compose: the delta is the batch's 15-rows/sig key table
+    val gindex2 = Multimodal.extendSigGroupIndex(gindex, batch)
+      .localCheckpoint()
+    assert(gindex2.count() === gindex.count() + 4 * 15)
+    val batch2 = Seq((2000L, 0x7777888899990000L)).toDF("doc_id", "dhash")
+    assert(vmap(Multimodal.sigDedupIncrementIndexedGrouped(batch2,
+      gindex2, 2))(2000L) === "dup_corpus")
+    // grouped compaction: exact-hash collapse + hot (table_id, tkey)
+    // exclusion over the collapsed occupancy — verdicts unchanged at a
+    // dormant cap, and a planted degenerate pile trips the guard on
+    // the group keys (all 15 tables of an identical-hash pile share
+    // one key each — but the COLLAPSE absorbs it first, so the guard
+    // only sees content pile-ups: distinct hashes sharing group keys)
+    val (greps, ghot) = Multimodal.compactSigStateGrouped(
+      state.unionByName(batch), maxTableOcc = 500)
+    assert(ghot.count() === 0L)
+    assert(vmap(Multimodal.sigDedupIncrementIndexedGrouped(batch2,
+      Multimodal.sigGroupIndex(greps).localCheckpoint(), 2,
+      Some(ghot)))(2000L) === "dup_corpus")
+    // 120 DISTINCT hashes varying only in bits 54-63: every pair of
+    // the five groups below bit 54 agrees, so the 10 tables not
+    // touching group 5 pile 120 rows into one key each and go hot at
+    // cap 100; the 5 tables pairing with group 5 stay cold
+    val pile = (0 until 120).map(i => (3000L + i, i.toLong << 56))
+      .toDF("doc_id", "dhash")
+    val (_, pileHot) = Multimodal.compactSigStateGrouped(pile,
+      maxTableOcc = 100)
+    assert(pileHot.count() === 10L)
+    // the Auto surface: build format follows the end-of-ladder switch
+    // (banded below the threshold), probe/extend dispatch on whatever
+    // format the carried index actually has
+    val autoIdx = Multimodal.sigIndexAuto(state, 2)
+    assert(autoIdx.columns.contains("band_idx")) // 41 sigs: banded era
+    assert(vmap(Multimodal.sigDedupIncrementIndexedAuto(batch,
+      autoIdx.localCheckpoint(), 2)) === fromBanded)
+    assert(vmap(Multimodal.sigDedupIncrementIndexedAuto(batch,
+      gindex, 2)) === fromBanded)
+    assert(Multimodal.extendSigIndexAuto(gindex, batch).count()
+      === gindex.count() + 4 * 15)
+    assert(Multimodal.extendSigIndexAuto(
+      Multimodal.sigBandIndex(state), batch).count() === 41L * 8 + 4 * 8)
+    // past the ladder's end the same call would build grouped keys —
+    // pinned at the schedule level (the l146 switch test); the probe
+    // path for that era is exactly the grouped probe proven above
+    assert(KnobSchedule.dhashUseGroupedKeys(64L * 65536 + 65536, 2))
+  }
+
   test("compactSigState: exact-hash collapse is verdict-lossless for " +
     "admission; the hot-band index silences a degenerate pile — and the " +
     "excluded-band recall trade is exactly the documented one") {
