@@ -102,6 +102,16 @@ object DevScale {
       spark.stop()
       return
     }
+    if (rest == Seq("offsetgrouped")) {
+      offsetGroupedExperiment(spark, reps)
+      spark.stop()
+      return
+    }
+    if (rest == Seq("sigcompact")) {
+      sigCompactExperiment(spark, reps)
+      spark.stop()
+      return
+    }
     val queries = if (rest.nonEmpty) rest
       else Seq("l01_exact_dedup", "l03_minhash_lsh", "l16_dedup_clusters",
         "l46_dup_shingle_profile", "l47_length_percentiles")
@@ -874,6 +884,221 @@ object DevScale {
       KnobSchedule.dhashBandBits(nSigBig))
   }
 
+  /** GROUPED-KEYS receipts for the frame-blind offset cores and the
+    * persisted probe index (`runMain graft.DevScale R offsetgrouped`) —
+    * the round-18 directive-#1 measured legs. Three claims:
+    *  1. LOWCAP offset legs (cap 48 — the at-scale occupancy pressure
+    *     made visible, the l146/imagedup lowcap discipline): under the
+    *     same cap the 16-bit frame-blind bands go hot and shed verified
+    *     offset rows, the 21–22-bit grouped keys keep them.
+    *  2. The SCHEDULED path crosses the switch threshold by REP COUNT:
+    *     threshold = targetOcc·2¹⁶ sig rows, so at targetOcc = 1 the 1×
+    *     corpus (~15k rows) sits below it and the R× corpus above —
+    *     the same code path and the same occupancy algebra as 4.2M rows
+    *     at the default 64, differing only by the constant the lowcap
+    *     legs price.
+    *  3. The 8-bit band PROBE INDEX saturates first of everything: it
+    *     has 2048 buckets TOTAL, so state occupancy n/2048 crosses any
+    *     cap ~2¹³× earlier than the grouped keys' 15·2²¹⁺ buckets —
+    *     at R× state and the equivalent cap, the banded compaction
+    *     exclusion silences the whole index (0 dup verdicts retained on
+    *     an all-duplicates probe) while the grouped index retains all,
+    *     at a bounded probe wall. */
+  private def offsetGroupedExperiment(
+      spark: org.apache.spark.sql.SparkSession, reps: Int): Unit = {
+    import graft.llm.{KnobSchedule, Multimodal}
+    val smallDir = "/tmp/graft_scale_og_small"
+    val bigDir = "/tmp/graft_scale_og_big"
+    replicatedText(spark, 1).write.mode("overwrite")
+      .parquet(s"$smallDir/documents.parquet")
+    replicatedText(spark, reps).write.mode("overwrite")
+      .parquet(s"$bigDir/documents.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count",
+      "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    // All leg inputs live in PARQUET, never localCheckpoint — the
+    // BenchTiming cleanup between timed runs unpersists every RDD,
+    // which would evict a checkpointed input out from under the timed
+    // closure (the documented DevScale trap). The offset legs run on
+    // the exact-SEQUENCE collapsed reps — the production offset
+    // applies' actual input (the imagedup runGrouped discipline): on
+    // raw sigs the truth leg is dominated by exact-re-post clique mass
+    // (hundreds of millions of rows at 10×), which the pre-collapse
+    // removes by EQUALITY before any banding; occupancy pressure on
+    // the reps is CONTENT clustering, the thing the guard faces.
+    for (dir <- Seq(smallDir, bigDir)) {
+      val docs = Tables.load(spark, dir, "documents")
+      Multimodal.videoFrameHashes(spark,
+          Multimodal.encodeVideo(spark, docs).toDF())
+        .toDF().write.mode("overwrite").parquet(s"$dir/vframe_sig")
+      Multimodal.videoSeqReps(spark.read.parquet(s"$dir/vframe_sig")
+          .select(col("doc_id"), col("frame_idx"), col("dhash")))
+        .write.mode("overwrite").parquet(s"$dir/vframe_sig_reps")
+      Multimodal.dHash(spark, Multimodal.encodePpm(spark, docs).toDF())
+        .toDF().select(col("doc_id"), col("dhash"))
+        .write.mode("overwrite").parquet(s"$dir/img_sig")
+    }
+    // 1 — lowcap offset legs: banded16 vs grouped at the same cap,
+    // truth = the unguarded widest-band pass over the collapsed reps
+    def offsetLeg(tag: String, dir: String, cap: Int): Unit = {
+      val sig = spark.read.parquet(s"$dir/vframe_sig_reps")
+      val truth = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, 1 << 30,
+        1, 1, bandBits = 16).count()
+      val bRows = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, cap, 1, 1,
+        bandBits = 16).count()
+      val bT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsFromSigs(sig, 2, cap, 1, 1,
+          bandBits = 16))
+      val gRows = Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, cap,
+        1, 1).count()
+      val gT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, cap, 1, 1))
+      println(f"$tag%-12s offset cap=$cap%4d | banded16 rows=$bRows%8d of $truth%8d wall=$bT%7.3f s | grouped rows=$gRows%8d wall=$gT%7.3f s")
+    }
+    offsetLeg(s"${reps}x lowcap", bigDir, 48)
+    offsetLeg(s"${reps}x cap500", bigDir, 500)
+    // 2 — the scheduled path crossing the switch threshold by row
+    // count, on the RAW sig table: the PAIR-core Auto twins schedule
+    // from the uncollapsed clips × frames row count (only the applies
+    // pre-collapse), so this is videoOffsetNearDupsAuto's honest input
+    for ((tag, dir) <- Seq(("1x", smallDir), (s"${reps}x", bigDir))) {
+      val sig = spark.read.parquet(s"$dir/vframe_sig")
+      val n = sig.count()
+      val on = KnobSchedule.dhashUseGroupedKeys(n, 2, targetOcc = 1)
+      val rows = Multimodal.frameOffsetPairsScheduled(sig, 2, 500, 1, 1,
+        targetOcc = 1).count()
+      val t = BenchTiming.steadyOf(spark, () =>
+        Multimodal.frameOffsetPairsScheduled(sig, 2, 500, 1, 1,
+          targetOcc = 1))
+      println(f"$tag%-12s scheduled(targetOcc=1) nSig=$n%8d groupedKeys=$on%5s rows=$rows%8d wall=$t%7.3f s")
+    }
+    // 3 — the persisted probe index at saturation: an all-duplicates
+    // probe batch (replica-0 signatures re-tagged) against the R×
+    // state, compacted + probed with each key family at the same cap
+    def indexLeg(tag: String, cap: Int): Unit = {
+      val state = spark.read.parquet(s"$bigDir/img_sig")
+      // every leg input in parquet (the cleanup-eviction trap above)
+      spark.read.parquet(s"$smallDir/img_sig")
+        .select((col("doc_id") + 900000000L).as("doc_id"), col("dhash"))
+        .write.mode("overwrite").parquet(s"$bigDir/probe_sig")
+      val probe = spark.read.parquet(s"$bigDir/probe_sig")
+      val nProbe = probe.count()
+      val (bReps, bHot0) = Multimodal.compactSigState(state, maxBandOcc = cap)
+      bHot0.write.mode("overwrite").parquet(s"$bigDir/bhot")
+      Multimodal.sigBandIndex(bReps)
+        .write.mode("overwrite").parquet(s"$bigDir/bidx")
+      val bHot = spark.read.parquet(s"$bigDir/bhot")
+      val bIdx = spark.read.parquet(s"$bigDir/bidx")
+      val bDup = Multimodal.sigDedupIncrementIndexed(probe, bIdx, 2,
+        Some(bHot))._1.filter(col("verdict") === "dup_corpus").count()
+      val bT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.sigDedupIncrementIndexed(probe, bIdx, 2, Some(bHot))._1)
+      val nbHot = bHot.count()
+      val (gReps, gHot0) = Multimodal.compactSigStateGrouped(state,
+        maxTableOcc = cap)
+      gHot0.write.mode("overwrite").parquet(s"$bigDir/ghot")
+      Multimodal.sigGroupIndex(gReps)
+        .write.mode("overwrite").parquet(s"$bigDir/gidx")
+      val gHot = spark.read.parquet(s"$bigDir/ghot")
+      val gIdx = spark.read.parquet(s"$bigDir/gidx")
+      val gDup = Multimodal.sigDedupIncrementIndexedGrouped(probe, gIdx, 2,
+        Some(gHot))._1.filter(col("verdict") === "dup_corpus").count()
+      val gT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.sigDedupIncrementIndexedGrouped(probe, gIdx, 2,
+          Some(gHot))._1)
+      val ngHot = gHot.count()
+      println(f"$tag%-12s index cap=$cap%4d probe=$nProbe%6d | banded8 hot=$nbHot%5d dupKept=$bDup%6d wall=$bT%7.3f s | grouped hot=$ngHot%5d dupKept=$gDup%6d wall=$gT%7.3f s")
+    }
+    indexLeg(s"${reps}x lowcap", 48)
+    indexLeg(s"${reps}x cap500", 500)
+  }
+
+  /** S42/S43 COMPACTION-CADENCE receipt (`runMain graft.DevScale R
+    * sigcompact`) — the round-18 stretch directive #7: the video-offset
+    * admission loop's carried state compacts by exact-SEQUENCE collapse
+    * + frame-blind hot-bucket exclusion (`compactVideoSigStateOffset`);
+    * this prices what a skipped compaction costs. State model: the R×
+    * corpus plus a VIRAL re-post pile — `viralCopies` exact payload
+    * copies of the replica-0 clips (the multiplicity skew compaction
+    * exists for; replicas themselves are content-distinct by
+    * construction, so without the pile the collapse would be a no-op
+    * and the receipt vacuous). Per leg: state rows, one-batch
+    * `videoOffsetDedupIncrement` probe wall against RAW vs COMPACTED
+    * state, and the dup-verdict count (must be equal — the collapse is
+    * verdict-lossless, the S43 scaladoc's claim, here measured). */
+  private def sigCompactExperiment(
+      spark: org.apache.spark.sql.SparkSession, reps: Int): Unit = {
+    import graft.llm.Multimodal
+    val dir = "/tmp/graft_scale_sigcompact"
+    val viralCopies = 50
+    replicatedText(spark, reps).write.mode("overwrite")
+      .parquet(s"$dir/documents.parquet")
+    val d01 = BenchTiming.steady(spark, "d01_scan_count",
+      "/root/testdata/sf0.1")
+    println(f"d01 sentinel: $d01%.3f s")
+    val docs = Tables.load(spark, dir, "documents")
+    Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF())
+      .toDF().write.mode("overwrite").parquet(s"$dir/vframe_sig")
+    val baseSig = spark.read.parquet(s"$dir/vframe_sig")
+    val rep0 = baseSig.filter(col("doc_id") < 10000000L)
+    val viral = (0 until viralCopies).map(k =>
+      rep0.select((col("doc_id") + lit(20000000L + k * 10000000L))
+        .as("doc_id"), col("frame_idx"), col("dhash")))
+      .reduce(_ unionByName _)
+    baseSig.select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .unionByName(viral)
+      .write.mode("overwrite").parquet(s"$dir/state_raw")
+    val raw = spark.read.parquet(s"$dir/state_raw")
+    val (comp0, hot0) = Multimodal.compactVideoSigStateOffset(raw,
+      maxBandOcc = 500)
+    comp0.write.mode("overwrite").parquet(s"$dir/state_comp")
+    val comp = spark.read.parquet(s"$dir/state_comp")
+    // every leg input in parquet, never localCheckpoint — BenchTiming's
+    // cleanup between timed runs unpersists all RDDs (the documented
+    // DevScale eviction trap)
+    hot0.write.mode("overwrite").parquet(s"$dir/hot")
+    val hot = spark.read.parquet(s"$dir/hot")
+    val nRaw = raw.count()
+    val nComp = comp.count()
+    val nHot = hot.count()
+    // one fresh batch: replica-0 clips re-tagged — every member is an
+    // exact duplicate of state content, so dup verdicts must be total
+    // and identical on both legs
+    Multimodal.encodeVideo(spark,
+        Tables.load(spark, dir, "documents")
+          .filter(col("doc_id") < 10000000L)
+          .select((col("doc_id") + 900000000L).as("doc_id"), col("text")))
+      .toDF().write.mode("overwrite").parquet(s"$dir/batch_blobs")
+    val batch = spark.read.parquet(s"$dir/batch_blobs")
+    // three legs, separating the two claims the compaction contract
+    // makes: (a) raw state — the skipped-compaction control; (b) the
+    // exact-SEQUENCE collapse ALONE — must be verdict-LOSSLESS (the
+    // S43 scaladoc claim, here measured) at a fraction of (a)'s wall;
+    // (c) collapse + hot-bucket exclusion — the guard's DOCUMENTED
+    // recall trade, priced on this deliberately degenerate corpus
+    // (content so clustered that even collapsed occupancy tops the
+    // cap; a real corpus's guard stays near-dormant — the cap-500
+    // offsetgrouped legs — but the trade must be visible, not hidden)
+    def dupCount(state: DataFrame, hotBands: Option[DataFrame]): Long =
+      Multimodal.videoOffsetDedupIncrement(spark, batch, state,
+        maxHamming = 2, minFrames = 2, maxOffset = 1,
+        hotBands = hotBands)._1
+        .filter(col("verdict") === "dup_corpus").count()
+    def probeWall(state: DataFrame, hotBands: Option[DataFrame]): Double =
+      BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetDedupIncrement(spark, batch, state,
+          maxHamming = 2, minFrames = 2, maxOffset = 1,
+          hotBands = hotBands)._1)
+    val dRaw = dupCount(raw, None)
+    val dComp = dupCount(comp, None)
+    val dGuard = dupCount(comp, Some(hot))
+    val tRaw = probeWall(raw, None)
+    val tComp = probeWall(comp, None)
+    val tGuard = probeWall(comp, Some(hot))
+    println(f"${reps}x+viral$viralCopies stateRows raw=$nRaw%9d compacted=$nComp%9d (hotBlindBuckets=$nHot%4d) | probe raw=$tRaw%8.3f s collapsed=$tComp%8.3f s collapsed+guard=$tGuard%8.3f s | dupVerdicts raw=$dRaw%6d collapsed=$dComp%6d collapsed+guard=$dGuard%6d")
+  }
+
   /** COMPOSED curation-pipeline scale-up (`runMain graft.DevScale R
     * pipeline`) — the round-16 stretch receipt: the scheduled knobs must
     * hold COMPOSED, not just per-operator. Per scale: semDedupAuto
@@ -930,7 +1155,35 @@ object DevScale {
       val audKept = spark.read.parquet(s"$dir/aud_kept.parquet")
       val vidKept = spark.read.parquet(s"$dir/vid_kept.parquet")
       val bits = KnobSchedule.dhashBandBits(imgKept.count(), 2)
-      val curated = imgKept.select(col("doc_id").as("vec_id"))
+      // v5 — the l146 grouped-keys SWITCH exercised in composition
+      // (round-18 directive #5): at targetOcc = 1 the ladder ends at
+      // 2^16 collapsed reps — run the receipt at an R where the Rx
+      // image plane crosses it while 1x stays banded (the printed
+      // nImgReps/groupedKeys fields are the crossing's witness). The
+      // v5 store feeds curation below. Where the occupancy guard is
+      // DORMANT both candidate families are recall-lossless at radius
+      // 2 and the store is byte-identical across the switch (the
+      // LlmPipelineSpec v5 pin); on THIS deliberately dup-saturated
+      // corpus the fixed-8-bit guard is already lossy at 1× (the
+      // imagedup receipt), so the pressure-era store keeps FEWER docs
+      // — the extra drops are true near-dup pairs the saturated bands
+      // missed, which is the rescue the switch exists for. Both kept
+      // counts print so the delta is visible, not implied away.
+      val imgSig = Multimodal.dHash(spark,
+          Multimodal.encodePpm(spark, docs).toDF()).toDF()
+        .select(col("doc_id"), col("dhash")).localCheckpoint()
+      val nImgReps = imgSig.select(col("dhash")).distinct().count()
+      val switchOn = KnobSchedule.dhashUseGroupedKeys(nImgReps, 2,
+        targetOcc = 1)
+      val tG0 = System.nanoTime()
+      Multimodal.sigDedupApply(imgSig, 2, 500, bandBits = None,
+          targetOcc = 1)
+        .write.mode("overwrite").parquet(s"$dir/img_kept_v5.parquet")
+      val tImgV5 = (System.nanoTime() - tG0) / 1e9
+      val v5Kept = spark.read.parquet(s"$dir/img_kept_v5.parquet")
+      val nV5 = v5Kept.count()
+      val nV3 = imgKept.count()
+      val curated = v5Kept.select(col("doc_id").as("vec_id"))
         .join(audKept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
           "left_semi")
         .join(vidKept.select(col("doc_id").as("vec_id")), Seq("vec_id"),
@@ -968,7 +1221,7 @@ object DevScale {
           spark.read.parquet(s"$mdl/rcb"),
           spark.read.parquet(s"$mdl/index"),
           k = 3, nProbe = nProbe, shortM = shortM))
-      println(f"$tag%-8s n=$n%7d curated=$nCur%7d survivors=$nS%7d | bandBits=$bits%2d imgWall=$tImg%7.3f s audWall=$tAud%7.3f s vidWall=$tVid%7.3f s | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
+      println(f"$tag%-8s n=$n%7d curated=$nCur%7d survivors=$nS%7d | bandBits=$bits%2d imgWall=$tImg%7.3f s audWall=$tAud%7.3f s vidWall=$tVid%7.3f s | v5 reps=$nImgReps%7d groupedKeys=$switchOn%5s kept v3=$nV3%7d v5=$nV5%7d imgV5Wall=$tImgV5%7.3f s | knobs k=$kC%4d nProbe=$nProbe shortM=$shortM | dedupWall=$tDedup%8.3f s serve=$tServe%7.3f s")
     }
     // untimed JIT warm pass (the codec/CC/EM code paths are cold on the
     // first invocation — a timed cold 1x leg would read HIGHER than the

@@ -463,7 +463,7 @@ object Multimodal {
     * aggregation run complete-in-stage, so the one exchange carries
     * raw (doc_id, frame_idx, dhash) longs (PlanSpec binary sweep) —
     * map-side combine buys nothing on <= frame-count groups anyway. */
-  private def videoSeqReps(sig: DataFrame): DataFrame = {
+  private[graft] def videoSeqReps(sig: DataFrame): DataFrame = {
     val reps = sig.repartition(col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(struct(col("frame_idx"), col("dhash"))))
@@ -765,16 +765,20 @@ object Multimodal {
     * sample they cross the ~4.2M-row threshold at ~64× fewer CLIPS
     * than the single-signature planes. `maxBucketOcc` caps whichever
     * bucket family is active (band buckets or paired-group tables). */
-  private def frameOffsetPairsScheduled(sig: DataFrame, maxHamming: Int,
-                                        maxBucketOcc: Int, minFrames: Int,
-                                        maxOffset: Int): DataFrame = {
+  private[graft] def frameOffsetPairsScheduled(sig: DataFrame,
+                                               maxHamming: Int,
+                                               maxBucketOcc: Int,
+                                               minFrames: Int,
+                                               maxOffset: Int,
+                                               targetOcc: Long = 64L)
+      : DataFrame = {
     val n = sig.count()
-    if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming))
+    if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming, targetOcc))
       videoOffsetNearDupsGroupedFromSigs(sig, maxHamming, maxBucketOcc,
         minFrames, maxOffset)
     else
       videoOffsetNearDupsFromSigs(sig, maxHamming, maxBucketOcc, minFrames,
-        maxOffset, KnobSchedule.dhashBandBits(n, maxHamming))
+        maxOffset, KnobSchedule.dhashBandBits(n, maxHamming, targetOcc))
   }
 
   /** PRODUCTION offset-pair twin — band width SCHEDULED from the sig
@@ -2157,24 +2161,30 @@ object Multimodal {
     * l125/l128 oracle form. */
   private[graft] def sigDedupApply(sig0: DataFrame, maxHamming: Int,
                                    maxBandOcc: Int,
-                                   bandBits: Option[Int]): DataFrame = {
+                                   bandBits: Option[Int],
+                                   targetOcc: Long = 64L): DataFrame = {
     val sig = sig0.select(col("doc_id"), col("dhash")).localCheckpoint()
     val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
     val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
       .localCheckpoint()
     // scheduled path: band width from the collapsed rep count; past the
     // ladder's end (widest lossless width still over target occupancy —
-    // ~4.2M reps at radius ≤ 3) candidate generation switches to the
-    // l146 paired-group keys, whose buckets are 32–64× smaller at the
-    // same lossless radius (KnobSchedule.dhashUseGroupedKeys; the
-    // DevScale imagedup lowcap receipt)
+    // ~4.2M reps at radius ≤ 3 and the default targetOcc) candidate
+    // generation switches to the l146 paired-group keys, whose buckets
+    // are 32–64× smaller at the same lossless radius
+    // (KnobSchedule.dhashUseGroupedKeys; the DevScale imagedup lowcap
+    // receipt). `targetOcc` is the schedule's occupancy target — the
+    // threshold is targetOcc·2¹⁶ reps, so receipts/specs cross the
+    // switch at equivalent pressure by lowering it rather than
+    // synthesizing millions of signatures.
     val nReps = if (bandBits.isEmpty) repSig.count() else 0L
     val pairs = (if (bandBits.isEmpty
-        && KnobSchedule.dhashUseGroupedKeys(nReps, maxHamming))
+        && KnobSchedule.dhashUseGroupedKeys(nReps, maxHamming, targetOcc))
       sigPairsGrouped(repSig, maxHamming, maxBandOcc)
     else
       imagePairCandidates(repSig, maxHamming, maxBandOcc,
-        bandBits.getOrElse(KnobSchedule.dhashBandBits(nReps, maxHamming))))
+        bandBits.getOrElse(
+          KnobSchedule.dhashBandBits(nReps, maxHamming, targetOcc))))
       .select(col("doc_a"), col("doc_b"))
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))

@@ -1216,10 +1216,16 @@ object Similarity {
       .join(qNrm.withColumnRenamed("vec_id", "qid"), "qid")
       .withColumnRenamed("nrm", "qn")
     // coarse ADC scan: candidate side carries (nid, m codes, norm) only —
-    // floats never enter this join; the sum unrolls to m static lookups
+    // floats never enter this join; the sum unrolls to m static lookups.
+    // The LUT stride is size(lut)/m, NOT the nominal ks: pqFit seeds
+    // min(ks, n) codewords per sub (a corpus smaller than ks trains a
+    // narrower codebook), and a fixed-ks stride would address past the
+    // table exactly then. Exact division (the LUT has stride·m entries
+    // by construction), identical to ks whenever the codebook is full.
     val adc = (0 until m).map { s0 =>
       element_at(col("lut"),
-        (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
+        (lit(s0) * (size(col("lut")) / lit(m))
+          + element_at(col("codes"), lit(s0 + 1)) + 1)
           .cast(IntegerType))
     }.reduce(_ + _)
     val cands = codes.join(corpusNorms, "vec_id")
@@ -1383,7 +1389,8 @@ object Similarity {
     val probeSide = broadcast(probes.join(lut, "qid").join(qn, "qid"))
     val adc = (0 until m).map { s0 =>
       element_at(col("lut"),
-        (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
+        (lit(s0) * (size(col("lut")) / lit(m))
+          + element_at(col("codes"), lit(s0 + 1)) + 1)
           .cast(IntegerType))
     }.reduce(_ + _)
     val approx = probeSide.join(index, Seq("cell"))
@@ -1465,7 +1472,8 @@ object Similarity {
     val probeSide = broadcast(probes.join(lut, "qid").join(qn, "qid"))
     val adc = (0 until m).map { s0 =>
       element_at(col("lut"),
-        (lit(s0 * ks) + element_at(col("codes"), lit(s0 + 1)) + 1)
+        (lit(s0) * (size(col("lut")) / lit(m))
+          + element_at(col("codes"), lit(s0 + 1)) + 1)
           .cast(IntegerType))
     }.reduce(_ + _)
     val approx = probeSide.join(index, Seq("cell"))

@@ -613,6 +613,90 @@ class LlmPipelineSpec extends SparkSpec {
     }
   }
 
+  test("end-to-end curation v5: the l146 grouped-keys switch exercised " +
+    "in composition — the grouped-era image apply curates the SAME " +
+    "store, drops the planted re-posts, and feeds the embedding stages " +
+    "unchanged") {
+    // Round-18 directive #5. The switch (KnobSchedule.dhashUseGroupedKeys)
+    // flips candidate generation inside sigDedupApply's scheduled path
+    // past the band ladder's end; this proves the flip is SAFE composed:
+    // the curated store is byte-identical across the switch (both
+    // candidate families are recall-lossless at radius 2 with the guard
+    // dormant at this corpus), so a pipeline crossing the threshold
+    // mid-life changes its plan, never its data. The grouped era is
+    // forced via targetOcc = 0 (threshold = targetOcc·2^16 reps — the
+    // spec-scale analogue of crossing 4.2M reps; the rep-count crossing
+    // itself is pinned in LlmSpec's switch test and priced in the
+    // DevScale offsetgrouped/pipeline receipts).
+    import graft.llm.{KnobSchedule, Multimodal, Similarity}
+    val tmpPath = java.nio.file.Files.createTempDirectory("graft_v5_e2e")
+    val tmp = tmpPath.toString
+    def stage(df: DataFrame, name: String): DataFrame = {
+      df.write.mode("overwrite").parquet(s"$tmp/$name")
+      spark.read.parquet(s"$tmp/$name")
+    }
+    try {
+      val base = Tables.load(spark, sf001, "documents")
+      val vecs = Tables.load(spark, sf001, "embeddings")
+      // planted EXACT re-posts (same payload bytes, higher ids) — the
+      // v3 fixture class: both eras must fold them via the shared
+      // exact-hash pre-collapse, which is candidate-family-independent
+      val ppmAll = stage(Multimodal.encodePpm(spark, base).toDF(), "ppm")
+      val rePosts = ppmAll.orderBy(col("doc_id")).limit(10)
+        .select((col("doc_id") + 20000000L).as("doc_id"), col("payload"))
+      val ppmStore = stage(ppmAll.unionByName(rePosts), "ppm_s")
+      val keptBanded = stage(
+        Multimodal.imageDedupApplyAuto(spark, ppmStore), "kept_b")
+      val sig = Multimodal.dHash(spark, ppmStore).toDF()
+        .select(col("doc_id"), col("dhash")).localCheckpoint()
+      // the honest era at this corpus is banded; targetOcc = 0 is past
+      // the ladder's end
+      assert(!KnobSchedule.dhashUseGroupedKeys(sig.count(), 2))
+      assert(KnobSchedule.dhashUseGroupedKeys(sig.count(), 2,
+        targetOcc = 0L))
+      val keptGrouped = stage(Multimodal.sigDedupApply(sig, 2, 500,
+        bandBits = None, targetOcc = 0L), "kept_g")
+      // byte-equality of the curated store across the switch
+      def rows(df: DataFrame) = df.select(col("doc_id"), col("dhash"))
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1).toSeq
+      assert(rows(keptGrouped) === rows(keptBanded))
+      // the planted exact re-posts fell, their sources survived
+      val keptIds = rows(keptGrouped).map(_._1).toSet
+      assert(!keptIds.exists(_ >= 20000000L))
+      assert(rePosts.select((col("doc_id") - 20000000L).as("doc_id"))
+        .collect().map(_.getLong(0)).forall(keptIds.contains))
+      // the grouped-era store feeds the embedding stages unchanged —
+      // the v4 tail on the v5 curated set
+      val curated = stage(base.join(keptGrouped.select("doc_id"),
+        Seq("doc_id"), "left_semi"), "curated")
+      val curVecs = stage(vecs.join(
+        curated.select(col("doc_id").as("vec_id")), Seq("vec_id"),
+        "left_semi"), "cur_vecs")
+      val keep = Similarity.semDedupAuto(curVecs, tau = 0.35)
+        .filter(col("dropped") === 0).select("vec_id")
+      val survivors = stage(curVecs.join(keep, Seq("vec_id"), "left_semi"),
+        "survivors")
+      val nS = survivors.count()
+      assert(nS > 0 && nS <= curVecs.count())
+      val (nCells, nProbe, shortM) = KnobSchedule.ivfPqKnobs(nS)
+      val (c0, r0, i0) = Similarity.ivfPqFit(survivors, nCells = nCells)
+      val index = stage(i0, "index")
+      assert(index.count() === nS, "index must code every survivor once")
+      val served = Similarity.ivfPqServeTopK(
+        survivors.filter(col("vec_id") % 7 === 0).localCheckpoint(),
+        survivors, stage(c0, "cents"), stage(r0, "rcb"), index,
+        k = 3, nProbe = nProbe, shortM = shortM)
+      assert(served.select(col("nid").as("vec_id"))
+        .except(survivors.select("vec_id")).isEmpty,
+        "served a vector curation had dropped")
+    } finally {
+      import java.nio.file.{Files, Path}
+      import java.util.Comparator
+      Files.walk(tmpPath).sorted(Comparator.reverseOrder[Path]())
+        .forEach(p => Files.deleteIfExists(p))
+    }
+  }
+
   test("end-to-end curation v3: image dedup apply -> audio dedup apply -> " +
     "scheduled SemDeDup -> IVF-PQ index -> DSIR — the perceptual planes " +
     "composed with the embedding/text stages") {

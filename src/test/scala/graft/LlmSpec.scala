@@ -435,6 +435,39 @@ class LlmSpec extends SparkSpec {
     assert(full(served) === full(got))
   }
 
+  test("ivfPq serving on a corpus SMALLER than ks: pqFit trains a narrow " +
+    "codebook (min(ks, n) codewords per sub) and the ADC stride follows " +
+    "the LUT's actual width, never the nominal ks") {
+    // Regression (round 19, found by the DevScale pipeline receipt): a
+    // curated survivor set of n < 16 trains 16 sub-codebooks of n
+    // codewords each; the ADC position arithmetic at a fixed ks stride
+    // then addresses past the |lut| = m·n table and the serve THROWS
+    // (INVALID_ARRAY_INDEX_IN_ELEMENT_AT). The stride must be
+    // size(lut)/m — identical to ks whenever the codebook is full.
+    val em = Tables.load(spark, sf001, "embeddings")
+      .orderBy(col("vec_id")).limit(9).localCheckpoint()
+    val (cents, rcb, index) = Similarity.ivfPqFit(em, nCells = 4)
+    assert(rcb.groupBy(col("sub")).count()
+      .agg(max(col("count"))).first().getLong(0) === 9L)
+    val served = Similarity.ivfPqServeTopK(em, em, cents, rcb, index,
+      k = 3, nProbe = 4, shortM = 20)
+    val rows = served.collect()
+    assert(rows.nonEmpty && rows.length <= 9 * 3)
+    // reranked sims are exact cosines — the rerank loads real floats,
+    // so a mis-strided (but in-bounds) ADC could not hide here
+    val ids = em.select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble))
+      .toMap
+    rows.foreach { r =>
+      val (q, n, s) = (r.getLong(0), r.getLong(2), r.getDouble(3))
+      val (a, b) = (ids(q), ids(n))
+      val dot = a.lazyZip(b).foldLeft(0.0) { case (acc, (x, y)) => acc + x * y }
+      val cos = dot / (math.sqrt(a.foldLeft(0.0)((s2, v) => s2 + v * v))
+        * math.sqrt(b.foldLeft(0.0)((s2, v) => s2 + v * v)))
+      assert(math.abs(s - cos) < 1e-9, s"($q,$n): $s vs $cos")
+    }
+  }
+
   test("ivfPqProbeSweep: recall non-decreasing along the coupled ladder; " +
     "truth sized |Q|*k per config") {
     val em = Tables.load(spark, sf001, "embeddings")
