@@ -1156,28 +1156,37 @@ object DevScale {
       val vidKept = spark.read.parquet(s"$dir/vid_kept.parquet")
       val bits = KnobSchedule.dhashBandBits(imgKept.count(), 2)
       // v5 — the l146 grouped-keys SWITCH exercised in composition
-      // (round-18 directive #5): at targetOcc = 1 the ladder ends at
-      // 2^16 collapsed reps — run the receipt at an R where the Rx
-      // image plane crosses it while 1x stays banded (the printed
-      // nImgReps/groupedKeys fields are the crossing's witness). The
-      // v5 store feeds curation below. Where the occupancy guard is
-      // DORMANT both candidate families are recall-lossless at radius
-      // 2 and the store is byte-identical across the switch (the
-      // LlmPipelineSpec v5 pin); on THIS deliberately dup-saturated
-      // corpus the fixed-8-bit guard is already lossy at 1× (the
-      // imagedup receipt), so the pressure-era store keeps FEWER docs
-      // — the extra drops are true near-dup pairs the saturated bands
-      // missed, which is the rescue the switch exists for. Both kept
-      // counts print so the delta is visible, not implied away.
+      // (round-18 directive #5). This corpus CANNOT cross the switch
+      // threshold by rep count at any feasible R: the image plane is
+      // deliberately dup-saturated, so collapsed reps saturate
+      // sub-linearly (measured 1,883 at 1× → 3,975 at 20× — the
+      // exact-hash collapse absorbs replication) and never approach
+      // targetOcc·2¹⁶. The by-count crossing is receipted where it
+      // genuinely happens — the frame-blind offset plane
+      // (`offsetgrouped` leg 2: 10k rows banded → 100k rows grouped at
+      // targetOcc = 1). HERE the grouped era is entered through the
+      // schedule's own occupancy parameter (targetOcc = 0 — threshold
+      // 0 reps, the LlmPipelineSpec v5 device), which is the same
+      // branch the count crossing takes; what this leg proves is that
+      // the era holds COMPOSED: the grouped apply's store feeds
+      // curation and the downstream stages run green on it (including
+      // ivfPq serving on the tiny survivor set — the narrow-codebook
+      // stride path). Where the occupancy guard is DORMANT the store
+      // is byte-identical across the switch (the LlmPipelineSpec v5
+      // pin); on this corpus the fixed-8-bit guard is already lossy
+      // at 1× (the imagedup receipt), so the grouped-era store keeps
+      // FEWER docs — the extra drops are true near-dup pairs the
+      // saturated bands missed, the rescue the switch exists for.
+      // Both kept counts print so the delta is visible.
       val imgSig = Multimodal.dHash(spark,
           Multimodal.encodePpm(spark, docs).toDF()).toDF()
         .select(col("doc_id"), col("dhash")).localCheckpoint()
       val nImgReps = imgSig.select(col("dhash")).distinct().count()
       val switchOn = KnobSchedule.dhashUseGroupedKeys(nImgReps, 2,
-        targetOcc = 1)
+        targetOcc = 0)
       val tG0 = System.nanoTime()
       Multimodal.sigDedupApply(imgSig, 2, 500, bandBits = None,
-          targetOcc = 1)
+          targetOcc = 0)
         .write.mode("overwrite").parquet(s"$dir/img_kept_v5.parquet")
       val tImgV5 = (System.nanoTime() - tG0) / 1e9
       val v5Kept = spark.read.parquet(s"$dir/img_kept_v5.parquet")
