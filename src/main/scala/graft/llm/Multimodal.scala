@@ -449,6 +449,67 @@ object Multimodal {
       .filter(col("n_close_frames") >= minFrames)
   }
 
+  /** GROUPED-KEY frame-ALIGNED pair core — the l146 lever on the
+    * aligned plane (round 19, completing the switch's coverage: every
+    * scheduled sig-level candidate generator consults it): bucket key
+    * = (frame_idx, table_id, tkey), so the per-frame pigeonhole
+    * guarantee carries verbatim (≤ 4 per-frame errors leave an
+    * untouched group pair whose table matches at that frame); same
+    * per-frame hot guard, verify and ≥ minFrames fold as the banded
+    * form; byte-equal to it within the shared lossless radius
+    * (LlmSpec pin). */
+  private[graft] def videoNearDupsGroupedFromSigs(sig: DataFrame,
+                                                  maxHamming: Int,
+                                                  maxTableOcc: Int,
+                                                  minFrames: Int)
+      : DataFrame = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
+        "no untouched pair")
+    val keyed = sigGroupKeyed(sig.select(col("doc_id"), col("frame_idx"),
+      col("dhash")))
+    val hot = keyed.groupBy(col("frame_idx"), col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxTableOcc)
+      .select(col("frame_idx"), col("table_id"), col("tkey"))
+    val live = keyed.join(broadcast(hot),
+      Seq("frame_idx", "table_id", "tkey"), "left_anti")
+    val framePairs = live.as("x").join(live.as("y"),
+        col("x.frame_idx") === col("y.frame_idx")
+          && col("x.table_id") === col("y.table_id")
+          && col("x.tkey") === col("y.tkey")
+          && col("x.doc_id") < col("y.doc_id"))
+      .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+        <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        col("x.frame_idx").as("frame_idx"),
+        bit_count(col("x.dhash").bitwiseXOR(col("y.dhash"))).as("hamming"))
+      .distinct()
+    framePairs.groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("n_close_frames"),
+        sum(col("hamming")).as("sum_hamming"))
+      .filter(col("n_close_frames") >= minFrames)
+  }
+
+  /** Scheduled candidate path for the frame-ALIGNED plane: band width
+    * from the CLIP count (per-(frame, band) occupancy grows with
+    * clips) while the ladder holds; grouped keys past its end. The
+    * dispatcher twin of `frameOffsetPairsScheduled`. */
+  private[graft] def videoAlignedPairsScheduled(sig: DataFrame,
+                                                maxHamming: Int,
+                                                maxBucketOcc: Int,
+                                                minFrames: Int,
+                                                targetOcc: Long = 64L)
+      : DataFrame = {
+    val nClips = sig.select(col("doc_id")).distinct().count()
+    if (KnobSchedule.dhashUseGroupedKeys(nClips, maxHamming, targetOcc))
+      videoNearDupsGroupedFromSigs(sig, maxHamming, maxBucketOcc, minFrames)
+    else
+      videoNearDupsFromSigs(sig, maxHamming, maxBucketOcc, minFrames,
+        KnobSchedule.dhashBandBits(nClips, maxHamming, targetOcc))
+  }
+
   /** Exact-SEQUENCE pre-collapse (the l125/l128 discipline on the frame
     * plane): videos whose complete ordered per-frame hash vector is
     * identical are exact re-posts — collapse each group to its min-id
@@ -499,18 +560,19 @@ object Multimodal {
     * collapsed representative count via `KnobSchedule.dhashBandBits`
     * (the per-frame bucket collision algebra is the same n²/2^bits as
     * the single-signature planes: each (frame, band) bucket's
-    * occupancy grows with the CLIP count); blob-level, byte-equal to
-    * `videoDedupApply` wherever the schedule resolves to 8 bits
-    * (LlmSpec). */
+    * occupancy grows with the CLIP count), switching to the l146
+    * grouped keys past the ladder's end (`videoAlignedPairsScheduled`,
+    * round 19); blob-level, byte-equal to `videoDedupApply` wherever
+    * the schedule resolves to 8 bits, and across the switch within the
+    * shared lossless radius (LlmSpec). */
   def videoDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
                           maxHamming: Int = 2, maxBandOcc: Int = 500,
-                          minFrames: Int = 2): DataFrame = {
+                          minFrames: Int = 2,
+                          targetOcc: Long = 64L): DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
     val repSig = videoSeqReps(sig).localCheckpoint()
-    val nClips = repSig.select(col("doc_id")).distinct().count()
-    val bits = KnobSchedule.dhashBandBits(nClips, maxHamming)
-    val pairs = videoNearDupsFromSigs(repSig, maxHamming, maxBandOcc,
-        minFrames, bits)
+    val pairs = videoAlignedPairsScheduled(repSig, maxHamming, maxBandOcc,
+        minFrames, targetOcc)
       .select(col("doc_a"), col("doc_b"))
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -1661,19 +1723,28 @@ object Multimodal {
 
   /** PRODUCTION twin — band width scheduled from the signature count
     * (`dhashBandBits`; the canonical signature is one 64-bit hash per
-    * image, the same collision algebra as l122). */
+    * image, the same collision algebra as l122), switching to the l146
+    * grouped keys past the ladder's end (`sigPairsScheduled`,
+    * round 19). */
   def imageFlipInvariantNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                                      maxHamming: Int = 2,
-                                     maxBandOcc: Int = 500): DataFrame = {
+                                     maxBandOcc: Int = 500,
+                                     targetOcc: Long = 64L): DataFrame = {
     val sig = dHashFlipInvariant(spark, blobs).toDF().localCheckpoint()
-    flipInvariantPairsFromSigs(sig, maxHamming, maxBandOcc,
-      KnobSchedule.dhashBandBits(sig.count(), maxHamming))
+    flipAuditJoin(sig,
+      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc))
   }
 
   private def flipInvariantPairsFromSigs(sig: DataFrame, maxHamming: Int,
                                          maxBandOcc: Int,
-                                         bandBits: Int): DataFrame = {
-    val cand = imagePairCandidates(sig, maxHamming, maxBandOcc, bandBits)
+                                         bandBits: Int): DataFrame =
+    flipAuditJoin(sig,
+      imagePairCandidates(sig, maxHamming, maxBandOcc, bandBits))
+
+  /** Join the orientation bits back onto an id-only verified candidate
+    * table — the flip plane's `gridAuditJoin` analogue, shared by both
+    * candidate families. */
+  private def flipAuditJoin(sig: DataFrame, cand: DataFrame): DataFrame = {
     val f = sig.select(col("doc_id"), col("flip"))
     cand
       .join(f.select(col("doc_id").as("doc_a"), col("flip").as("flip_a")),
@@ -1952,8 +2023,15 @@ object Multimodal {
     * perceptual plane). */
   private[graft] def imageNearDupsFromSigs(sig: DataFrame, maxHamming: Int,
                                            maxBandOcc: Int,
-                                           bandBits: Int = 8): DataFrame = {
-    val cand = imagePairCandidates(sig, maxHamming, maxBandOcc, bandBits)
+                                           bandBits: Int = 8): DataFrame =
+    gridAuditJoin(sig,
+      imagePairCandidates(sig, maxHamming, maxBandOcc, bandBits))
+
+  /** Join the exact grid-L1 audit column back onto an id-only verified
+    * candidate table — shared by the banded and grouped candidate
+    * families (the pair operators' OUTPUT is candidate-family-blind by
+    * construction). */
+  private def gridAuditJoin(sig: DataFrame, cand: DataFrame): DataFrame = {
     val g = sig.select(col("doc_id"), col("grid"))
     cand
       .join(g.select(col("doc_id").as("doc_a"), col("grid").as("ga")),
@@ -1964,6 +2042,23 @@ object Multimodal {
         aggregate(
           zip_with(col("ga"), col("gb"), (a, b) => abs(a - b)),
           lit(0L), (acc, x) => acc + x).as("grid_l1"))
+  }
+
+  /** Scheduled candidate generation for the single-signature planes:
+    * band width from the signature count while the ladder holds; past
+    * its end (`dhashUseGroupedKeys`) the l146 paired-group keys.
+    * Id-only verified (doc_a, doc_b, hamming) — callers join their
+    * audit columns back (`gridAuditJoin`/`flipAuditJoin`). */
+  private def sigPairsScheduled(sig: DataFrame, maxHamming: Int,
+                                maxBucketOcc: Int,
+                                targetOcc: Long): DataFrame = {
+    val n = sig.count()
+    if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming, targetOcc))
+      sigPairsGrouped(sig.select(col("doc_id"), col("dhash")), maxHamming,
+        maxBucketOcc)
+    else
+      imagePairCandidates(sig, maxHamming, maxBucketOcc,
+        KnobSchedule.dhashBandBits(n, maxHamming, targetOcc))
   }
 
   /** The exploded band table of a signature set at `bandBits` bits per
@@ -2093,14 +2188,20 @@ object Multimodal {
     * exceed the occupancy target this widens to 16-bit bands (4 bands —
     * still recall-lossless for Hamming ≤ 3 ⊇ the default verify radius),
     * keeping random-collision candidate volume n²/2^bits bounded instead
-    * of quadratic. Byte-equal to the fixed form wherever the schedule
-    * resolves to 8 bits (LlmSpec). */
+    * of quadratic; past the ladder's end (round 19) candidate
+    * generation switches to the l146 paired-group keys
+    * (`sigPairsScheduled` — every scheduled sig-level candidate
+    * generator now consults the same switch, pairs and applies alike).
+    * Byte-equal to the fixed form wherever the schedule resolves to
+    * 8 bits, and across the switch within the shared lossless radius
+    * (LlmSpec). `targetOcc` is the schedule's occupancy target (the
+    * threshold is targetOcc·2¹⁶ signatures). */
   def imageNearDupsAuto(spark: SparkSession, blobs: DataFrame,
-                        maxHamming: Int = 2,
-                        maxBandOcc: Int = 500): DataFrame = {
+                        maxHamming: Int = 2, maxBandOcc: Int = 500,
+                        targetOcc: Long = 64L): DataFrame = {
     val sig = dHash(spark, blobs).toDF().localCheckpoint()
-    val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
-    imageNearDupsFromSigs(sig, maxHamming, maxBandOcc, bits)
+    gridAuditJoin(sig,
+      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc))
   }
 
   /** L125 — image dedup APPLY ("give me the duplicate-free image
@@ -2581,26 +2682,29 @@ object Multimodal {
   /** PRODUCTION audio near-dup pairing — band width scheduled from the
     * clip count (`imageNearDupsAuto`'s twin; same 64-bit signature
     * geometry, so `dhashBandBits` transfers — the l131 sweep is the
-    * measured receipt). Blob-level: a real audio lake's payloads
-    * exist. */
+    * measured receipt), switching to the l146 grouped keys past the
+    * ladder's end (`sigPairsScheduled`, round 19). Blob-level: a real
+    * audio lake's payloads exist. */
   def audioNearDupsAuto(spark: SparkSession, blobs: DataFrame,
-                        maxHamming: Int = 2,
-                        maxBandOcc: Int = 500): DataFrame = {
+                        maxHamming: Int = 2, maxBandOcc: Int = 500,
+                        targetOcc: Long = 64L): DataFrame = {
     val sig = audioHash(spark, blobs).toDF().localCheckpoint()
-    val bits = KnobSchedule.dhashBandBits(sig.count(), maxHamming)
-    imageNearDupsFromSigs(sig, maxHamming, maxBandOcc, bits)
+    gridAuditJoin(sig,
+      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc))
   }
 
   /** PRODUCTION video near-dup pairing — band width scheduled from the
     * CLIP count (per-(frame, band) bucket occupancy grows with clips;
-    * the l135 sweep is the measured receipt). Blob-level. */
+    * the l135 sweep is the measured receipt), switching to the l146
+    * grouped keys past the ladder's end
+    * (`videoAlignedPairsScheduled`, round 19). Blob-level. */
   def videoNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                         maxHamming: Int = 2, maxBandOcc: Int = 500,
-                        minFrames: Int = 2): DataFrame = {
+                        minFrames: Int = 2,
+                        targetOcc: Long = 64L): DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
-    val nClips = sig.select(col("doc_id")).distinct().count()
-    val bits = KnobSchedule.dhashBandBits(nClips, maxHamming)
-    videoNearDupsFromSigs(sig, maxHamming, maxBandOcc, minFrames, bits)
+    videoAlignedPairsScheduled(sig, maxHamming, maxBandOcc, minFrames,
+      targetOcc)
   }
 
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a

@@ -2437,6 +2437,51 @@ class LlmSpec extends SparkSpec {
       Multimodal.videoOffsetNearDupsGroupedFromSigs(psig, 5, 1 << 30, 1, 1))
   }
 
+  test("every scheduled pair twin consults the end-of-ladder switch: the " +
+    "grouped era is byte-equal to the banded/fixed form on each plane " +
+    "(image, audio, flip-canonical, aligned video, video apply)") {
+    // Round 19: sigPairsScheduled / videoAlignedPairsScheduled put the
+    // l146 switch behind EVERY scheduled sig-level candidate generator,
+    // not just the applies and offset cores. targetOcc = 0 forces the
+    // grouped era at spec scale (threshold = targetOcc·2^16); with the
+    // occupancy guard dormant at this corpus, both candidate families
+    // are recall-lossless at radius 2 and the OUTPUTS — audit columns
+    // included — must be identical.
+    val docs = Tables.load(spark, sf001, "documents").limit(200)
+      .localCheckpoint()
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    val ppm = Multimodal.encodePpm(spark, docs).toDF().localCheckpoint()
+    assert(rws(Multimodal.imageNearDupsAuto(spark, ppm, targetOcc = 0L)) ===
+      rws(Multimodal.imageNearDupsFromBlobs(spark, ppm)))
+    assert(rws(Multimodal.imageFlipInvariantNearDupsAuto(spark, ppm,
+        targetOcc = 0L)) ===
+      rws(Multimodal.imageFlipInvariantNearDupsFromBlobs(spark, ppm)))
+    val wav = Multimodal.encodeWav(spark, docs).toDF().localCheckpoint()
+    assert(rws(Multimodal.audioNearDupsAuto(spark, wav, targetOcc = 0L)) ===
+      rws(Multimodal.audioNearDups(spark, docs)))
+    val vid = Multimodal.encodeVideo(spark, docs).toDF().localCheckpoint()
+    assert(rws(Multimodal.videoNearDupsAuto(spark, vid, minFrames = 1,
+        targetOcc = 0L)) ===
+      rws(Multimodal.videoNearDupsFromSigs(
+        Multimodal.videoFrameHashes(spark, vid).toDF(), 2, 500, 1)))
+    assert(rws(Multimodal.videoDedupApplyAuto(spark, vid, targetOcc = 0L))
+      === rws(Multimodal.videoDedupApply(spark, docs)))
+    // the aligned grouped core verifies per-frame radius 4 where the
+    // 16-bit band ladder refuses — same pigeonhole, aligned key
+    val h4 = (1L << 0) | (1L << 16) | (1L << 32) | (1L << 48)
+    val psig = Seq((1L, 0, 0L), (1L, 1, 7L), (2L, 0, h4), (2L, 1, 7L ^ h4))
+      .toDF("doc_id", "frame_idx", "dhash")
+    intercept[IllegalArgumentException](
+      Multimodal.videoNearDupsFromSigs(psig, 4, 1 << 30, 2, bandBits = 16))
+    val g = Multimodal.videoNearDupsGroupedFromSigs(psig, 4, 1 << 30, 2)
+      .collect()
+    assert(g.length === 1 && g.head.getLong(2) === 2L
+      && g.head.getLong(3) === 8L)
+    intercept[IllegalArgumentException](
+      Multimodal.videoNearDupsGroupedFromSigs(psig, 5, 1 << 30, 2))
+  }
+
   test("l149 grouped-key occupancy sweep: per-cap legs equal the guarded " +
     "production core, truth leg reads recall 1.0, and the gates are loud") {
     val docs = Tables.load(spark, sf001, "documents").limit(300)
