@@ -1191,15 +1191,61 @@ object Multimodal {
       posexplode(array((0 until 8).map(bi =>
         shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_val")))
-    val b = banded(sig)
-    val s0 = banded(state.select(col("doc_id"), col("frame_idx"),
+    frameSigOffsetVerdictsKeyed(sig, memberIds, state, banded,
+      Seq("band_idx", "band_val"), maxHamming, minFrames, maxOffset,
+      hotBands)
+  }
+
+  /** GROUPED-KEY form of the frame-plane offset admission — the S43/S45
+    * probe at the band ladder's end (round 19, the sig-plane grouped
+    * index's twin on the frame plane): the frame-blind band probe's
+    * 2048 buckets saturate at clips × frames state rows ~2¹³× before
+    * the 15·2²¹⁺ paired-group keys, and the compaction exclusion then
+    * silences the whole probe (the `offsetgrouped` index legs' exact
+    * pressure). Keys the batch AND the state frame-blind on the l146
+    * paired-group keys; `hotKeys` is
+    * `compactVideoSigStateOffsetGrouped`'s (table_id, tkey) exclusion.
+    * Verdict-identical to `frameSigOffsetVerdicts` for maxHamming ≤ 3
+    * with no exclusion (both key families recall-lossless there;
+    * StreamingSpec pins it). */
+  private def frameSigOffsetVerdictsGrouped(sig: DataFrame,
+                                            memberIds: DataFrame,
+                                            state: DataFrame,
+                                            maxHamming: Int, minFrames: Int,
+                                            maxOffset: Int,
+                                            hotKeys: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
+        "no untouched pair")
+    frameSigOffsetVerdictsKeyed(sig, memberIds, state,
+      df => sigGroupKeyed(df.select(col("doc_id"), col("frame_idx"),
+        col("dhash"))),
+      Seq("table_id", "tkey"), maxHamming, minFrames, maxOffset, hotKeys)
+  }
+
+  /** The offset-admission machinery parameterized by the bucket-key
+    * family (8-bit frame-blind bands or l146 paired-group keys) — the
+    * `sigVerdictsAgainstKeyed` discipline on the frame plane. */
+  private def frameSigOffsetVerdictsKeyed(sig: DataFrame,
+                                          memberIds: DataFrame,
+                                          state: DataFrame,
+                                          keyFn: DataFrame => DataFrame,
+                                          keyCols: Seq[String],
+                                          maxHamming: Int, minFrames: Int,
+                                          maxOffset: Int,
+                                          hotKeys: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val b = keyFn(sig)
+    val s0 = keyFn(state.select(col("doc_id"), col("frame_idx"),
       col("dhash")))
-    val s = hotBands.fold(s0)(hot => s0.join(broadcast(hot),
-      Seq("band_idx", "band_val"), "left_anti"))
+    val s = hotKeys.fold(s0)(hot => s0.join(broadcast(hot), keyCols,
+      "left_anti"))
     def dupIds(other: DataFrame, earlier: Column): DataFrame =
       b.as("x").join(other.as("y"),
-          col("x.band_idx") === col("y.band_idx")
-            && col("x.band_val") === col("y.band_val") && earlier
+          keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+            && earlier
             && (col("y.frame_idx") - col("x.frame_idx"))
               .between(-maxOffset, maxOffset))
         .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
@@ -1224,6 +1270,62 @@ object Multimodal {
           .when(col("dup_b"), lit("dup_batch"))
           .otherwise(lit("kept")).as("verdict"))
     (verdicts, sig)
+  }
+
+  /** Streaming OFFSET-tolerant VIDEO admission against GROUPED keys —
+    * `videoOffsetDedupIncrement`'s end-of-ladder twin (the caller
+    * switches families at compaction cadence, exactly like the
+    * sig-plane `sigIndexAuto` story). */
+  def videoOffsetDedupIncrementGrouped(spark: SparkSession,
+                                       batchBlobs: DataFrame,
+                                       state: DataFrame,
+                                       maxHamming: Int = 2,
+                                       minFrames: Int = 2,
+                                       maxOffset: Int = 1,
+                                       hotKeys: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val sig = videoFrameHashes(spark, batchBlobs).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    frameSigOffsetVerdictsGrouped(sig,
+      sig.select(col("doc_id")).distinct(), state, maxHamming, minFrames,
+      maxOffset, hotKeys)
+  }
+
+  /** Streaming OFFSET-tolerant AUDIO admission against GROUPED keys —
+    * `audioOffsetDedupIncrement`'s end-of-ladder twin (shared core,
+    * window-sig shape). */
+  def audioOffsetDedupIncrementGrouped(spark: SparkSession,
+                                       batchBlobs: DataFrame,
+                                       state: DataFrame,
+                                       maxHamming: Int = 2,
+                                       minWindows: Int = 1,
+                                       maxOffset: Int = 1,
+                                       hotKeys: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    val sig = audioWindowFrameSigs(spark, batchBlobs).localCheckpoint()
+    val batchIds = batchBlobs.select(col("doc_id")).distinct()
+    val (verdicts, _) = frameSigOffsetVerdictsGrouped(sig, batchIds, state,
+      maxHamming, minWindows, maxOffset, hotKeys)
+    (verdicts, sig)
+  }
+
+  /** `compactVideoSigStateOffset`'s grouped-era twin: the same
+    * exact-SEQUENCE collapse (verdict-lossless), with the hot exclusion
+    * computed over the frame-blind (table_id, tkey) paired-group
+    * buckets of the COLLAPSED occupancy — the key family the grouped
+    * offset probes join on. Returns (compactedState, hotKeys). */
+  def compactVideoSigStateOffsetGrouped(state: DataFrame,
+                                        maxTableOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val repSig = videoSeqReps(sig)
+    val hot = sigGroupKeyed(repSig.select(col("doc_id"), col("dhash")))
+      .groupBy(col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxTableOcc)
+      .select(col("table_id"), col("tkey"))
+    (repSig, hot)
   }
 
   /** L147 — video OFFSET-WINDOW sweep: the l126-family knob-pricing

@@ -1815,6 +1815,68 @@ class StreamingSpec extends SparkSpec {
       && probeTrim.head.getString(1) === "dup_corpus")
   }
 
+  test("grouped offset admission (round 19): the paired-group frame-blind " +
+    "probe is verdict-identical to the banded S43/S45 probe on both " +
+    "planes, and grouped offset compaction is verdict-lossless") {
+    import graft.llm.Multimodal
+    val baseTexts = Map(
+      0L -> "first clip alpha content", 1L -> "second clip beta content",
+      2L -> "third clip gamma content", 11L -> "tenth clip epsilon words")
+    val enc = Multimodal.encodeVideo(spark,
+      baseTexts.toSeq.toDF("doc_id", "text")).toDF().localCheckpoint()
+    val state = Multimodal.videoFrameHashes(spark, enc).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    // probe batch: a head-trim of 2 (the S43 duplicate class), an exact
+    // re-post of 0, and a novel clip
+    val trim = Multimodal.videoFrameSampleContainer(spark,
+        enc.filter(col("doc_id") === 2L), stride = 1, from = 1).toDF()
+      .select(lit(30L).as("doc_id"), col("payload"))
+    val repost = enc.filter(col("doc_id") === 0L)
+      .select(lit(31L).as("doc_id"), col("payload"))
+    val novel = Multimodal.encodeVideo(spark,
+      Seq((32L, "completely different zeta")).toDF("doc_id", "text")).toDF()
+    val batch = trim.unionByName(repost).unionByName(novel)
+      .localCheckpoint()
+    def vmap(p: (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame)) =
+      p._1.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val banded = vmap(Multimodal.videoOffsetDedupIncrement(spark, batch,
+      state, maxHamming = 0, minFrames = 2, maxOffset = 1))
+    val grouped = vmap(Multimodal.videoOffsetDedupIncrementGrouped(spark,
+      batch, state, maxHamming = 0, minFrames = 2, maxOffset = 1))
+    assert(grouped === banded)
+    assert(grouped(30L) === "dup_corpus" && grouped(31L) === "dup_corpus"
+      && grouped(32L) === "kept")
+    // grouped compaction: exact-sequence collapse + (table_id, tkey)
+    // exclusion — the trim's verdict survives the swap at a dormant cap
+    val (reps, hotK0) = Multimodal.compactVideoSigStateOffsetGrouped(state)
+    val hotK = hotK0.localCheckpoint()
+    assert(hotK.count() === 0L)
+    assert(vmap(Multimodal.videoOffsetDedupIncrementGrouped(spark, batch,
+      reps.localCheckpoint(), maxHamming = 0, minFrames = 2,
+      maxOffset = 1, hotKeys = Some(hotK)))(30L) === "dup_corpus")
+    // the audio plane through the same keyed core: a window-trimmed
+    // re-upload verdicts dup on both key families identically
+    val aEnc = Multimodal.encodeWav(spark,
+        Seq((1L, "a quick trim fixture text ~")).toDF("doc_id", "text"))
+      .toDF().localCheckpoint()
+    val aState = Multimodal.audioWindowHashes(spark, aEnc).toDF()
+      .select(col("doc_id"), col("win_idx").as("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    val aTrim = Multimodal.audioTrimHeadContainer(spark, aEnc,
+        nSamples = 65).toDF()
+      .select(lit(40L).as("doc_id"), col("payload")).localCheckpoint()
+    val ab = vmap(Multimodal.audioOffsetDedupIncrement(spark, aTrim,
+      aState, maxHamming = 0, minWindows = 1, maxOffset = 1))
+    val ag = vmap(Multimodal.audioOffsetDedupIncrementGrouped(spark, aTrim,
+      aState, maxHamming = 0, minWindows = 1, maxOffset = 1))
+    assert(ag === ab && ag(40L) === "dup_corpus")
+    // beyond the pigeonhole guarantee the grouped probe refuses loudly
+    intercept[IllegalArgumentException](
+      Multimodal.videoOffsetDedupIncrementGrouped(spark, batch, state,
+        maxHamming = 5))
+  }
+
   test("S44: streaming FLIP-INVARIANT image admission — a mirrored " +
     "re-post drops within-batch and across the boundary where the " +
     "plain-dHash S39 probe keeps it") {
