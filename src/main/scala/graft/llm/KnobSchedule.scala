@@ -111,10 +111,18 @@ object KnobSchedule {
     * Manku-style PAIRED-GROUP keys (15 tables of 21–22-bit keys,
     * lossless for Hamming ≤ 4, buckets 32–64× smaller than 16-bit
     * bands). At the defaults this flips past ~64·2¹⁶ ≈ 4.2M signatures
-    * for radius ≤ 3. `Multimodal.sigDedupApply`'s scheduled path
-    * consults this; the `DevScale imagedup` lowcap legs are the
-    * measured receipt (61× pair retention under the same occupancy
-    * pressure). */
+    * for radius ≤ 3. Every scheduled candidate generator on the
+    * perceptual planes consults this (round 19): the sig-level applies
+    * (`sigDedupApply`) and pair twins (`sigPairsScheduled`), the
+    * frame-aligned and frame-blind offset paths
+    * (`videoAlignedPairsScheduled`/`frameOffsetPairsScheduled` — the
+    * frame-blind planes cross FIRST, their collision unit being
+    * clips × frames rows), the persisted streaming index
+    * (`sigIndexAuto`), and the frame-plane admission probes. Measured
+    * receipts: the `DevScale imagedup` lowcap legs (61× pair retention
+    * under the same occupancy pressure) and the `offsetgrouped` legs
+    * (banded-8 index already losing 61% of exact-dup admissions at the
+    * production cap on a 44k-sig state; grouped losing none). */
   def dhashUseGroupedKeys(corpusSize: Long, maxHamming: Int = 2,
                           targetOcc: Long = 64L): Boolean = {
     val admissible = Seq(8, 16, 32).filter(b => 64 / b > maxHamming)
