@@ -1011,6 +1011,53 @@ object DevScale {
     }
     indexLeg(s"${reps}x lowcap", 48)
     indexLeg(s"${reps}x cap500", 500)
+    // 4 — the FRAME-PLANE admission probe (S43) at the ladder's end:
+    // an all-duplicates batch (replica-0 clips re-tagged) against the
+    // R× frame state, compacted with each key family's exclusion at
+    // the same cap — the indexLeg story on the plane that saturates
+    // FIRST (frame-blind buckets collide on clips × frames rows)
+    def frameProbeLeg(tag: String, cap: Int): Unit = {
+      val state = spark.read.parquet(s"$bigDir/vframe_sig")
+        .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      Multimodal.encodeVideo(spark,
+          Tables.load(spark, smallDir, "documents")
+            .select((col("doc_id") + 900000000L).as("doc_id"),
+              col("text")))
+        .toDF().write.mode("overwrite").parquet(s"$bigDir/probe_blobs")
+      val batch = spark.read.parquet(s"$bigDir/probe_blobs")
+      val nBatch = batch.count()
+      val (bReps, bHot0) =
+        Multimodal.compactVideoSigStateOffset(state, maxBandOcc = cap)
+      bReps.write.mode("overwrite").parquet(s"$bigDir/vf_breps")
+      bHot0.write.mode("overwrite").parquet(s"$bigDir/vf_bhot")
+      val (bR, bH) = (spark.read.parquet(s"$bigDir/vf_breps"),
+        spark.read.parquet(s"$bigDir/vf_bhot"))
+      val bDup = Multimodal.videoOffsetDedupIncrement(spark, batch, bR,
+        maxHamming = 2, minFrames = 2, maxOffset = 1,
+        hotBands = Some(bH))._1
+        .filter(col("verdict") === "dup_corpus").count()
+      val bT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetDedupIncrement(spark, batch, bR,
+          maxHamming = 2, minFrames = 2, maxOffset = 1,
+          hotBands = Some(bH))._1)
+      val (gReps, gHot0) = Multimodal.compactVideoSigStateOffsetGrouped(
+        state, maxTableOcc = cap)
+      gReps.write.mode("overwrite").parquet(s"$bigDir/vf_greps")
+      gHot0.write.mode("overwrite").parquet(s"$bigDir/vf_ghot")
+      val (gR, gH) = (spark.read.parquet(s"$bigDir/vf_greps"),
+        spark.read.parquet(s"$bigDir/vf_ghot"))
+      val gDup = Multimodal.videoOffsetDedupIncrementGrouped(spark, batch,
+        gR, maxHamming = 2, minFrames = 2, maxOffset = 1,
+        hotKeys = Some(gH))._1
+        .filter(col("verdict") === "dup_corpus").count()
+      val gT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetDedupIncrementGrouped(spark, batch, gR,
+          maxHamming = 2, minFrames = 2, maxOffset = 1,
+          hotKeys = Some(gH))._1)
+      println(f"$tag%-12s frameProbe cap=$cap%4d batch=$nBatch%6d | banded8 hot=${bH.count()}%6d dupKept=$bDup%6d wall=$bT%7.3f s | grouped hot=${gH.count()}%6d dupKept=$gDup%6d wall=$gT%7.3f s")
+    }
+    frameProbeLeg(s"${reps}x lowcap", 48)
+    frameProbeLeg(s"${reps}x cap500", 500)
   }
 
   /** S42/S43 COMPACTION-CADENCE receipt (`runMain graft.DevScale R
