@@ -648,16 +648,57 @@ object Multimodal {
       posexplode(array((0 until 8).map(bi =>
         shiftright(col("dhash"), 8 * bi).bitwiseAND(lit(255L))): _*))
         .as(Seq("band_idx", "band_val")))
-    val b = banded(sig)
-    val s0 = banded(state.select(col("doc_id"), col("frame_idx"),
+    videoAlignedVerdictsKeyed(sig, state, banded,
+      Seq("frame_idx", "band_idx", "band_val"), maxHamming, minFrames,
+      hotBands)
+  }
+
+  /** S42's grouped-era twin — frame-ALIGNED streaming admission on the
+    * l146 paired-group keys (round 19, completing the grouped probe
+    * family across all four streaming admission planes: sig-level
+    * S39/S41 via `sigDedupIncrementIndexedGrouped`, frame-blind offset
+    * S43/S45 via the `...OffsetDedupIncrementGrouped` pair, and the
+    * aligned S42 here): bucket key = (frame_idx, table_id, tkey);
+    * `hotKeys` is `compactVideoSigStateGrouped`'s exclusion.
+    * Verdict-identical to `videoDedupIncrement` for maxHamming ≤ 3
+    * with no exclusion (StreamingSpec pin). */
+  def videoDedupIncrementGrouped(spark: SparkSession,
+                                 batchBlobs: DataFrame, state: DataFrame,
+                                 maxHamming: Int = 2, minFrames: Int = 2,
+                                 hotKeys: Option[DataFrame] = None)
+      : (DataFrame, DataFrame) = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming): 5 errors can touch 5 of the 6 groups, leaving " +
+        "no untouched pair")
+    val sig = videoFrameHashes(spark, batchBlobs).toDF()
+      .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      .localCheckpoint()
+    videoAlignedVerdictsKeyed(sig, state,
+      df => sigGroupKeyed(df.select(col("doc_id"), col("frame_idx"),
+        col("dhash"))),
+      Seq("frame_idx", "table_id", "tkey"), maxHamming, minFrames,
+      hotKeys)
+  }
+
+  /** The aligned-admission machinery parameterized by the bucket-key
+    * family (keyCols INCLUDE frame_idx — alignment is part of the
+    * bucket key on this plane, for the guard and the join alike). */
+  private def videoAlignedVerdictsKeyed(sig: DataFrame, state: DataFrame,
+                                        keyFn: DataFrame => DataFrame,
+                                        keyCols: Seq[String],
+                                        maxHamming: Int, minFrames: Int,
+                                        hotKeys: Option[DataFrame])
+      : (DataFrame, DataFrame) = {
+    val b = keyFn(sig)
+    val s0 = keyFn(state.select(col("doc_id"), col("frame_idx"),
       col("dhash")))
-    val s = hotBands.fold(s0)(hot => s0.join(broadcast(hot),
-      Seq("frame_idx", "band_idx", "band_val"), "left_anti"))
+    val s = hotKeys.fold(s0)(hot => s0.join(broadcast(hot), keyCols,
+      "left_anti"))
     def dupIds(other: DataFrame, earlier: Column): DataFrame =
       b.as("x").join(other.as("y"),
-          col("x.frame_idx") === col("y.frame_idx")
-            && col("x.band_idx") === col("y.band_idx")
-            && col("x.band_val") === col("y.band_val") && earlier)
+          keyCols.map(k => col(s"x.$k") === col(s"y.$k")).reduce(_ && _)
+            && earlier)
         .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
           <= maxHamming)
         .select(col("x.doc_id").as("doc_id"),
@@ -678,6 +719,23 @@ object Multimodal {
           .when(col("dup_b"), lit("dup_batch"))
           .otherwise(lit("kept")).as("verdict"))
     (verdicts, sig)
+  }
+
+  /** `compactVideoSigState`'s grouped-era twin: the same
+    * exact-SEQUENCE collapse, with the hot exclusion over the ALIGNED
+    * (frame_idx, table_id, tkey) paired-group buckets of the collapsed
+    * occupancy — the key family `videoDedupIncrementGrouped` probes
+    * on. Returns (compactedState, hotKeys). */
+  def compactVideoSigStateGrouped(state: DataFrame, maxTableOcc: Int = 500)
+      : (DataFrame, DataFrame) = {
+    val sig = state.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    val repSig = videoSeqReps(sig)
+    val hot = sigGroupKeyed(repSig)
+      .groupBy(col("frame_idx"), col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxTableOcc)
+      .select(col("frame_idx"), col("table_id"), col("tkey"))
+    (repSig, hot)
   }
 
   /** Video-state COMPACTION (the S42 caller contract — the

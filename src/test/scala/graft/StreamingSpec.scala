@@ -1875,6 +1875,27 @@ class StreamingSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.videoOffsetDedupIncrementGrouped(spark, batch, state,
         maxHamming = 5))
+    // the frame-ALIGNED S42 probe through the same key family: verdict-
+    // identical to the banded form — the exact re-post drops, the trim
+    // is KEPT (the aligned plane's documented blindness, preserved
+    // across the switch), the novel clip is kept; the aligned grouped
+    // compaction swap leaves the re-post's verdict unchanged
+    val alignedB = vmap(Multimodal.videoDedupIncrement(spark, batch,
+      state, maxHamming = 0, minFrames = 2))
+    val alignedG = vmap(Multimodal.videoDedupIncrementGrouped(spark,
+      batch, state, maxHamming = 0, minFrames = 2))
+    assert(alignedG === alignedB)
+    assert(alignedG(31L) === "dup_corpus" && alignedG(30L) === "kept"
+      && alignedG(32L) === "kept")
+    val (aReps, aHot0) = Multimodal.compactVideoSigStateGrouped(state)
+    val aHot = aHot0.localCheckpoint()
+    assert(aHot.count() === 0L)
+    assert(vmap(Multimodal.videoDedupIncrementGrouped(spark, batch,
+      aReps.localCheckpoint(), maxHamming = 0, minFrames = 2,
+      hotKeys = Some(aHot)))(31L) === "dup_corpus")
+    intercept[IllegalArgumentException](
+      Multimodal.videoDedupIncrementGrouped(spark, batch, state,
+        maxHamming = 5))
   }
 
   test("S44: streaming FLIP-INVARIANT image admission — a mirrored " +
