@@ -1058,6 +1058,59 @@ object DevScale {
     }
     frameProbeLeg(s"${reps}x lowcap", 48)
     frameProbeLeg(s"${reps}x cap500", 500)
+    // 5 — the switch's COST table (round-19 directive #6): wall vs
+    // retention BELOW / AT / ABOVE the grouped threshold (targetOcc = 1
+    // → 65,536 sig rows), banded16 and grouped at the same cap, the
+    // unguarded 16-bit pass as truth. The earlier rounds priced the
+    // switch's recall side (10.9×–78× retention); this prices what the
+    // grouped pair pass COSTS at and around the point the schedule
+    // flips it on.
+    val midDir = "/tmp/graft_scale_og_mid"
+    val n1Sig = spark.read.parquet(s"$smallDir/vframe_sig_reps").count()
+    val midReps = math.max(2, math.round(65536.0 / math.max(1L, n1Sig)
+      .toDouble).toInt)
+    replicatedText(spark, midReps).write.mode("overwrite")
+      .parquet(s"$midDir/documents.parquet")
+    locally {
+      val docs = Tables.load(spark, midDir, "documents")
+      Multimodal.videoFrameHashes(spark,
+          Multimodal.encodeVideo(spark, docs).toDF())
+        .toDF().write.mode("overwrite").parquet(s"$midDir/vframe_sig")
+      Multimodal.videoSeqReps(spark.read.parquet(s"$midDir/vframe_sig")
+          .select(col("doc_id"), col("frame_idx"), col("dhash")))
+        .write.mode("overwrite").parquet(s"$midDir/vframe_sig_reps")
+    }
+    def wallLeg(tag: String, dir: String, cap: Int): Unit = {
+      val sig = spark.read.parquet(s"$dir/vframe_sig_reps")
+      val n = sig.count()
+      val on = KnobSchedule.dhashUseGroupedKeys(n, 2, targetOcc = 1)
+      val truth = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, 1 << 30,
+        1, 1, bandBits = 16).count()
+      val bRows = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, cap, 1, 1,
+        bandBits = 16).count()
+      val bT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsFromSigs(sig, 2, cap, 1, 1,
+          bandBits = 16))
+      val gRows = Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, cap,
+        1, 1).count()
+      val gT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, cap, 1, 1))
+      println(f"$tag%-12s wallVsRet cap=$cap%4d nSig=$n%7d grouped=$on%5s | banded16 rows=$bRows%8d of $truth%8d wall=$bT%7.3f s | grouped rows=$gRows%8d of $truth%8d wall=$gT%7.3f s")
+    }
+    for (cap <- Seq(48, 500);
+         (tag, dir) <- Seq(("below 1x", smallDir),
+           (s"at ${midReps}x", midDir), (s"above ${reps}x", bigDir)))
+      wallLeg(tag, dir, cap)
+    // 6 — directive-#1 receipt on this plane: the cap the calibration
+    // closure picks off the l150 frame-plane sweep at target recall,
+    // in the grouped era the R× corpus sits in at targetOcc = 1
+    val calSig = spark.read.parquet(s"$bigDir/vframe_sig_reps")
+    Seq(0.90, 0.95, 0.99).foreach { r =>
+      val cal = Multimodal.frameGuardCapCalibrated(calSig, maxHamming = 2,
+        minFrames = 1, maxOffset = 1, aligned = false, targetRecall = r,
+        caps = Seq(48, 100, 200, 500, 1000, 1 << 30), targetOcc = 1L)
+      println(f"${reps}x frameGuardCapCalibrated target=$r%.2f -> cap=$cal%d")
+    }
   }
 
   /** S42/S43 COMPACTION-CADENCE receipt (`runMain graft.DevScale R
@@ -1089,8 +1142,12 @@ object DevScale {
       .toDF().write.mode("overwrite").parquet(s"$dir/vframe_sig")
     val baseSig = spark.read.parquet(s"$dir/vframe_sig")
     val rep0 = baseSig.filter(col("doc_id") < 10000000L)
+    // viral ids start at 500M — past any feasible replica slot
+    // (replicatedText uses doc_id + k·10M, so reps ≤ 49 stay below
+    // 500M; 20M-based ids collided with replica slots at reps ≥ 3 and
+    // silently merged content-distinct clips, round-19 ADVICE)
     val viral = (0 until viralCopies).map(k =>
-      rep0.select((col("doc_id") + lit(20000000L + k * 10000000L))
+      rep0.select((col("doc_id") + lit(500000000L + k * 10000000L))
         .as("doc_id"), col("frame_idx"), col("dhash")))
       .reduce(_ unionByName _)
     baseSig.select(col("doc_id"), col("frame_idx"), col("dhash"))
@@ -1285,6 +1342,80 @@ object DevScale {
     run("warmup", smallDir, n1)
     run("1x", smallDir, n1)
     run(s"${reps}x", bigDir, n1 * reps)
+    // v5-CROSS leg (round-19 directive #5): the grouped era entered BY
+    // COUNT at the production threshold (targetOcc = 1 → 65,536 reps).
+    // Text-derived image hashes saturate ~4k distinct on this corpus
+    // (the honest reason the replicated legs above enter the era through
+    // the occupancy knob), so the crossing corpus plants near-dup
+    // LADDERS in signature space: 90k uniform base signatures (seeded
+    // xxhash64 — deterministic), a Hamming-1 and a Hamming-2 rung on
+    // every 16th base row, and a 2k exact viral pile. Every true pair
+    // sits within radius 2 — inside BOTH families' lossless radii — and
+    // at cap 500 both guard tables are dormant on ~101k uniform reps
+    // (16-bit buckets at ~1.5 expected occupancy, grouped buckets ~2⁵×
+    // colder), so the two stores must be BYTE-IDENTICAL across the
+    // switch; the leg measures that instead of assuming it, and prints
+    // the calibrated cap the directive-#1 closure picks on this corpus.
+    val crossDir = "/tmp/graft_scale_pipe_cross"
+    val nBase = 90000L
+    val baseSig = spark.range(nBase).select(col("id").as("doc_id"),
+      xxhash64(lit("cross"), col("id")).as("dhash"))
+    val flip1 = "shiftleft(CAST(1 AS BIGINT), CAST(id % 63 AS INT))"
+    val flip2 = "shiftleft(CAST(1 AS BIGINT), CAST((id * 7 + 13) % 63 AS INT))"
+    val rung1 = spark.range(0, nBase, 16).select(
+      (col("id") + 10000000L).as("doc_id"),
+      expr(s"xxhash64('cross', id) ^ $flip1").as("dhash"))
+    val rung2 = spark.range(0, nBase, 16).select(
+      (col("id") + 20000000L).as("doc_id"),
+      expr(s"xxhash64('cross', id) ^ $flip1 ^ $flip2").as("dhash"))
+    val pile = spark.range(2000).select(
+      (col("id") + 30000000L).as("doc_id"),
+      xxhash64(lit("cross"), lit(0L)).as("dhash"))
+    baseSig.unionByName(rung1).unionByName(rung2).unionByName(pile)
+      .write.mode("overwrite").parquet(s"$crossDir/sig")
+    val crossSig = spark.read.parquet(s"$crossDir/sig")
+    val nCrossReps = crossSig.select(col("dhash")).distinct().count()
+    val crossOn = KnobSchedule.dhashUseGroupedKeys(nCrossReps, 2,
+      targetOcc = 1)
+    // the BELOW contrast: the 1× text corpus's collapsed rep count
+    // sits far under the same threshold
+    val n1Reps = Multimodal.dHash(spark, Multimodal.encodePpm(spark,
+        Tables.load(spark, smallDir, "documents")).toDF()).toDF()
+      .select(col("dhash")).distinct().count()
+    val belowOn = KnobSchedule.dhashUseGroupedKeys(n1Reps, 2,
+      targetOcc = 1)
+    val tCg0 = System.nanoTime()
+    Multimodal.sigDedupApply(crossSig, 2, 500, bandBits = None,
+        targetOcc = 1)
+      .write.mode("overwrite").parquet(s"$crossDir/kept_grouped")
+    val tCg = (System.nanoTime() - tCg0) / 1e9
+    val tCb0 = System.nanoTime()
+    Multimodal.sigDedupApply(crossSig, 2, 500, bandBits = Some(16))
+      .write.mode("overwrite").parquet(s"$crossDir/kept_banded16")
+    val tCb = (System.nanoTime() - tCb0) / 1e9
+    val kg = spark.read.parquet(s"$crossDir/kept_grouped")
+    val kb = spark.read.parquet(s"$crossDir/kept_banded16")
+    val nDiff = kg.except(kb).count() + kb.except(kg).count()
+    // dormancy evidence: hot buckets at cap 500 in both key families
+    // over the collapsed reps (what each pair pass actually guards)
+    val crossReps = crossSig.select(col("dhash")).distinct()
+      .withColumn("doc_id", lit(0L))
+    val bHotN = crossReps.select(posexplode(array((0 until 4).map(bi =>
+        shiftright(col("dhash"), 16 * bi).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band_idx", "band_val")))
+      .groupBy(col("band_idx"), col("band_val"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > 500).count()
+    val gHotN = Multimodal.sigGroupKeyed(crossReps)
+      .groupBy(col("table_id"), col("tkey"))
+      .agg(count(lit(1)).as("occ")).filter(col("occ") > 500).count()
+    val calCap = Multimodal.sigGuardCapCalibrated(crossSig, maxHamming = 2,
+      targetRecall = 0.95, caps = Seq(48, 100, 200, 500, 1000, 1 << 30),
+      targetOcc = 1L)
+    println(f"cross    reps=$nCrossReps%7d groupedByCount=$crossOn%5s " +
+      f"(1x text reps=$n1Reps%7d grouped=$belowOn%5s) | kept grouped=" +
+      f"${kg.count()}%7d (wall=$tCg%7.3f s) banded16=${kb.count()}%7d " +
+      f"(wall=$tCb%7.3f s) storeDiff=$nDiff%d | hot@500 banded16=$bHotN%d " +
+      f"grouped=$gHotN%d | sigGuardCapCalibrated(0.95)=$calCap%d")
   }
 
   /** IVF-PQ serving scale-up (`runMain graft.DevScale R ivfpq`) — the

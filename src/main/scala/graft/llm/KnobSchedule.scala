@@ -273,4 +273,71 @@ object KnobSchedule {
       .find(c => hits.getOrElse(c, 0L).toDouble / nTruth >= targetRecall)
       .getOrElse(1000)
   }
+
+  /** MEASURED occupancy-guard cap (the round-19 directive closing the
+    * last constant knob): read a guard SWEEP table — the l126/l131/l135
+    * banded, l142 flip, or l149/l150 grouped shape, all of which carry
+    * an ascending cap column and a `recall` column against their own
+    * unguarded truth leg — and pick the SMALLEST cap whose measured
+    * recall meets `targetRecall`. The bm25DfCapForRecall closure on the
+    * perceptual planes: the sweep is the measurement, this is the
+    * decision. The unguarded sentinel (cap ≥ 2³⁰, recall 1.0 by
+    * construction) is always present as the last row, so "no candidate
+    * cap reaches the target" degrades to guard-off rather than to a
+    * silent recall loss — the same shape as bm25's cap-1000 fallback.
+    * A NaN recall row (n_truth = 0: a pair-free corpus) satisfies any
+    * target — there are no pairs to lose, so the smallest cap wins.
+    *
+    * For the BANDED sweeps pass `capCol = "max_band_occ"` and filter to
+    * ONE band width first (the l126 shape varies both axes; this
+    * closure prices the cap at a fixed width — the duplicate-cap
+    * `require` below trips loudly if a multi-width table slips in).
+    * Driver-as-planner: the sweep is |caps| rows by construction. */
+  def sigGuardCapForRecall(sweep: DataFrame, targetRecall: Double,
+                           capCol: String = "max_table_occ"): Int = {
+    require(targetRecall > 0 && targetRecall <= 1,
+      s"recall in (0,1]: $targetRecall")
+    val rows = sweep
+      .select(col(capCol).cast(LongType), col("recall").cast(DoubleType))
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) Double.NaN else r.getDouble(1)))
+      .sortBy(_._1)
+    require(rows.nonEmpty, "empty sweep — nothing to choose from")
+    require(rows.map(_._1).distinct.length == rows.length,
+      s"duplicate caps in sweep (filter to one band width first): " +
+        rows.map(_._1).mkString(","))
+    require(rows.last._1 >= (1L << 30),
+      s"sweep lacks the unguarded sentinel leg (cap >= 2^30): " +
+        s"last cap = ${rows.last._1}")
+    rows.find { case (_, rec) => rec.isNaN || rec >= targetRecall }
+      .map(_._1.toInt).getOrElse(rows.last._1.toInt)
+  }
+
+  /** COMPACTION-CADENCE predicate for the S39–S45 admission loops (the
+    * round-19 directive's second constant): TRUE when the carried raw
+    * state has expanded past `maxExpansion` × its collapsed-rep size —
+    * the point where the probe's state-side scan pays more than the
+    * compaction that would shrink it. Caller contract: `rawRows` is the
+    * carried state's current row count (tracked incrementally — each
+    * batch appends its admitted rows, no extra action needed);
+    * `repRows` is the state's row count as of the LAST compaction (its
+    * output size; before any compaction, the honest stand-in is the
+    * current collapsed estimate or simply 0 to force the first pass).
+    * Probe joins scan the RAW state, so expansion factor E costs ~E× on
+    * the state side — the `DevScale sigcompact` receipt measured a
+    * 13.6× viral pile costing 5.9× probe wall — while compaction itself
+    * is one pass over the state plus a groupBy, wasted when nothing has
+    * collapsed. maxExpansion = 2 bounds probe overscan at 2× and makes
+    * total compaction work amortize to O(state) per doubling (the
+    * dynamic-array argument). `minRows` floors the trigger: below it
+    * the probe is cheap regardless and compacting every batch would
+    * dominate the loop's wall with fixed overheads. */
+  def compactionDue(rawRows: Long, repRows: Long,
+                    maxExpansion: Double = 2.0,
+                    minRows: Long = 10000L): Boolean = {
+    require(rawRows >= 0 && repRows >= 0, s"row counts: $rawRows/$repRows")
+    require(maxExpansion >= 1.0, s"maxExpansion >= 1: $maxExpansion")
+    rawRows >= minRows &&
+      rawRows.toDouble > maxExpansion * math.max(1L, repRows).toDouble
+  }
 }

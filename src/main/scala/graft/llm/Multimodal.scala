@@ -500,13 +500,22 @@ object Multimodal {
                                                 maxHamming: Int,
                                                 maxBucketOcc: Int,
                                                 minFrames: Int,
-                                                targetOcc: Long = 64L)
+                                                targetOcc: Long = 64L,
+                                                guardTargetRecall:
+                                                  Option[Double] = None)
       : DataFrame = {
+    // calibrated cap (round-19 directive #1): priced by the shared
+    // frame-plane sweep core in ALIGNED mode — per-(frame, key)
+    // buckets, zero displacement, the l133/l134 fold
+    val cap = guardTargetRecall.map(r =>
+      frameGuardCapCalibrated(sig, maxHamming, minFrames, maxOffset = 0,
+        aligned = true, targetRecall = r, targetOcc = targetOcc))
+      .getOrElse(maxBucketOcc)
     val nClips = sig.select(col("doc_id")).distinct().count()
     if (KnobSchedule.dhashUseGroupedKeys(nClips, maxHamming, targetOcc))
-      videoNearDupsGroupedFromSigs(sig, maxHamming, maxBucketOcc, minFrames)
+      videoNearDupsGroupedFromSigs(sig, maxHamming, cap, minFrames)
     else
-      videoNearDupsFromSigs(sig, maxHamming, maxBucketOcc, minFrames,
+      videoNearDupsFromSigs(sig, maxHamming, cap, minFrames,
         KnobSchedule.dhashBandBits(nClips, maxHamming, targetOcc))
   }
 
@@ -568,11 +577,13 @@ object Multimodal {
   def videoDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
                           maxHamming: Int = 2, maxBandOcc: Int = 500,
                           minFrames: Int = 2,
-                          targetOcc: Long = 64L): DataFrame = {
+                          targetOcc: Long = 64L,
+                          guardTargetRecall: Option[Double] = None)
+      : DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
     val repSig = videoSeqReps(sig).localCheckpoint()
     val pairs = videoAlignedPairsScheduled(repSig, maxHamming, maxBandOcc,
-        minFrames, targetOcc)
+        minFrames, targetOcc, guardTargetRecall)
       .select(col("doc_a"), col("doc_b"))
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -890,14 +901,23 @@ object Multimodal {
                                                maxBucketOcc: Int,
                                                minFrames: Int,
                                                maxOffset: Int,
-                                               targetOcc: Long = 64L)
+                                               targetOcc: Long = 64L,
+                                               guardTargetRecall:
+                                                 Option[Double] = None)
       : DataFrame = {
+    // calibrated cap (round-19 directive #1): priced by the frame-plane
+    // sweep in the production offset currency — this is the plane whose
+    // constant cap 500 measurably cost recall in the round-19 receipts
+    val cap = guardTargetRecall.map(r =>
+      frameGuardCapCalibrated(sig, maxHamming, minFrames, maxOffset,
+        aligned = false, targetRecall = r, targetOcc = targetOcc))
+      .getOrElse(maxBucketOcc)
     val n = sig.count()
     if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming, targetOcc))
-      videoOffsetNearDupsGroupedFromSigs(sig, maxHamming, maxBucketOcc,
+      videoOffsetNearDupsGroupedFromSigs(sig, maxHamming, cap,
         minFrames, maxOffset)
     else
-      videoOffsetNearDupsFromSigs(sig, maxHamming, maxBucketOcc, minFrames,
+      videoOffsetNearDupsFromSigs(sig, maxHamming, cap, minFrames,
         maxOffset, KnobSchedule.dhashBandBits(n, maxHamming, targetOcc))
   }
 
@@ -911,11 +931,12 @@ object Multimodal {
     * wherever the schedule resolves to 8 bits (LlmSpec). */
   def videoOffsetNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                               maxHamming: Int = 2, maxBandOcc: Int = 500,
-                              minFrames: Int = 1, maxOffset: Int = 1)
+                              minFrames: Int = 1, maxOffset: Int = 1,
+                              guardTargetRecall: Option[Double] = None)
       : DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
     frameOffsetPairsScheduled(sig, maxHamming, maxBandOcc, minFrames,
-      maxOffset)
+      maxOffset, guardTargetRecall = guardTargetRecall)
   }
 
   /** L138 — OFFSET-tolerant VIDEO dedup APPLY: the l134 shape over the
@@ -943,10 +964,12 @@ object Multimodal {
     * form wherever the schedule resolves to 8 bits (LlmSpec). */
   def videoOffsetDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
                                 maxHamming: Int = 2, maxBandOcc: Int = 500,
-                                minFrames: Int = 2, maxOffset: Int = 1)
+                                minFrames: Int = 2, maxOffset: Int = 1,
+                                guardTargetRecall: Option[Double] = None)
       : DataFrame =
     videoOffsetDedupApplyFromBlobs(spark, blobs, maxHamming, maxBandOcc,
-      minFrames, maxOffset, bandBits = None)
+      minFrames, maxOffset, bandBits = None,
+      guardTargetRecall = guardTargetRecall)
 
   // bandBits follows the sigDedupApply convention everywhere: None =
   // scheduled from the collapsed reps' sig-row count (incl. the l146
@@ -956,7 +979,9 @@ object Multimodal {
                                              maxHamming: Int,
                                              maxBandOcc: Int,
                                              minFrames: Int, maxOffset: Int,
-                                             bandBits: Option[Int])
+                                             bandBits: Option[Int],
+                                             guardTargetRecall:
+                                               Option[Double] = None)
       : DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
     val repSig = videoSeqReps(sig).localCheckpoint()
@@ -964,7 +989,7 @@ object Multimodal {
       case Some(b) => videoOffsetNearDupsFromSigs(repSig, maxHamming,
         maxBandOcc, minFrames, maxOffset, b)
       case None => frameOffsetPairsScheduled(repSig, maxHamming, maxBandOcc,
-        minFrames, maxOffset)
+        minFrames, maxOffset, guardTargetRecall = guardTargetRecall)
     }).select(col("doc_a"), col("doc_b")).distinct()
     val losers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -1096,11 +1121,12 @@ object Multimodal {
     * keys past the ladder's end (`frameOffsetPairsScheduled`). */
   def audioOffsetNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                               maxHamming: Int = 2, maxBandOcc: Int = 500,
-                              minWindows: Int = 1, maxOffset: Int = 1)
+                              minWindows: Int = 1, maxOffset: Int = 1,
+                              guardTargetRecall: Option[Double] = None)
       : DataFrame = {
     val sig = audioWindowFrameSigs(spark, blobs).localCheckpoint()
     frameOffsetPairsScheduled(sig, maxHamming, maxBandOcc, minWindows,
-      maxOffset)
+      maxOffset, guardTargetRecall = guardTargetRecall)
       .withColumnRenamed("frame_offset", "win_offset")
       .withColumnRenamed("n_close_frames", "n_close_windows")
   }
@@ -1169,10 +1195,12 @@ object Multimodal {
     * window-row count. */
   def audioOffsetDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
                                 maxHamming: Int = 2, maxBandOcc: Int = 500,
-                                minWindows: Int = 1, maxOffset: Int = 1)
+                                minWindows: Int = 1, maxOffset: Int = 1,
+                                guardTargetRecall: Option[Double] = None)
       : DataFrame =
     audioOffsetDedupApplyFromBlobs(spark, blobs, maxHamming, maxBandOcc,
-      minWindows, maxOffset, bandBits = None)
+      minWindows, maxOffset, bandBits = None,
+      guardTargetRecall = guardTargetRecall)
 
   // bandBits: the sigDedupApply convention — None = scheduled (incl.
   // the l146 grouped-key switch), Some(b) = fixed b (same as the video
@@ -1183,7 +1211,9 @@ object Multimodal {
                                              maxBandOcc: Int,
                                              minWindows: Int,
                                              maxOffset: Int,
-                                             bandBits: Option[Int])
+                                             bandBits: Option[Int],
+                                             guardTargetRecall:
+                                               Option[Double] = None)
       : DataFrame = {
     val allDocs = blobs.select(col("doc_id")).distinct().localCheckpoint()
     val sig = audioWindowFrameSigs(spark, blobs).localCheckpoint()
@@ -1192,7 +1222,7 @@ object Multimodal {
       case Some(b) => videoOffsetNearDupsFromSigs(repSig, maxHamming,
         maxBandOcc, minWindows, maxOffset, b)
       case None => frameOffsetPairsScheduled(repSig, maxHamming, maxBandOcc,
-        minWindows, maxOffset)
+        minWindows, maxOffset, guardTargetRecall = guardTargetRecall)
     }).select(col("doc_a"), col("doc_b")).distinct()
     val ccLosers = Dedup.nearDupClustersAuto(pairs)
       .filter(col("doc_id") =!= col("cluster_id"))
@@ -1889,10 +1919,13 @@ object Multimodal {
   def imageFlipInvariantNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                                      maxHamming: Int = 2,
                                      maxBandOcc: Int = 500,
-                                     targetOcc: Long = 64L): DataFrame = {
+                                     targetOcc: Long = 64L,
+                                     guardTargetRecall: Option[Double] =
+                                       None): DataFrame = {
     val sig = dHashFlipInvariant(spark, blobs).toDF().localCheckpoint()
     flipAuditJoin(sig,
-      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc))
+      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc,
+        guardTargetRecall))
   }
 
   private def flipInvariantPairsFromSigs(sig: DataFrame, maxHamming: Int,
@@ -1937,9 +1970,12 @@ object Multimodal {
   def imageFlipInvariantDedupApplyAuto(spark: SparkSession,
                                        blobs: DataFrame,
                                        maxHamming: Int = 2,
-                                       maxBandOcc: Int = 500): DataFrame =
+                                       maxBandOcc: Int = 500,
+                                       guardTargetRecall: Option[Double] =
+                                         None): DataFrame =
     sigDedupApply(dHashFlipInvariant(spark, blobs).toDF(),
-      maxHamming, maxBandOcc, bandBits = None)
+      maxHamming, maxBandOcc, bandBits = None,
+      guardTargetRecall = guardTargetRecall)
 
   /** L142 — FLIP-INVARIANT band-width/guard SWEEP: the l126 knob-pricing
     * table on the canonical-signature plane (the guard/width trade is a
@@ -2131,6 +2167,222 @@ object Multimodal {
             / col("n_truth").cast(DoubleType)).as("recall"))
   }
 
+  /** L150 — FRAME-plane GROUPED-KEY occupancy-guard SWEEP: the l149
+    * knob-pricing table over the frame-BLIND offset tables, the plane
+    * that crosses the grouped threshold FIRST (its collision unit is
+    * clips × frames sig rows) and showed the largest residual guard
+    * loss in the round-19 receipts (frame-plane probe retained
+    * 2,896/5,000 admissions at the production cap 500) — yet until now
+    * only the image plane had a declared cap-pricing query (round-19
+    * directive #2). Per `maxTableOcc` cap over the 15 paired-group
+    * (table_id, tkey) buckets of the per-frame signatures: hot-bucket
+    * count and retained OFFSET-PAIR count (l136's production currency —
+    * (doc_a, doc_b, frame_offset) verdicts with ≥ minFrames close
+    * frames at one displacement) next to the unguarded truth leg. */
+  def videoOffsetGroupedOccSweep(spark: SparkSession, docs: DataFrame,
+                                 maxHamming: Int = 2, minFrames: Int = 1,
+                                 maxOffset: Int = 1,
+                                 caps: Seq[Int] = Seq(50, 500, 1 << 30))
+      : DataFrame =
+    frameOffsetGroupedOccSweep(
+      videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF(),
+      maxHamming, minFrames, maxOffset, caps)
+
+  /** The sig-level grouped form of the frame-plane sweep (shared with
+    * the audio-window plane — the sig tables are shape-identical). */
+  private[graft] def frameOffsetGroupedOccSweep(sig: DataFrame,
+                                                maxHamming: Int,
+                                                minFrames: Int,
+                                                maxOffset: Int,
+                                                caps: Seq[Int]): DataFrame = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming)")
+    frameOffsetOccSweepKeyed(
+      sigGroupKeyed(sig.select(col("doc_id"), col("frame_idx"),
+          col("dhash")))
+        .withColumnRenamed("table_id", "bkt_id")
+        .withColumnRenamed("tkey", "bkt_key"),
+      maxHamming, minFrames, maxOffset, caps,
+      "max_table_occ", "n_hot_tables")
+  }
+
+  /** The BANDED-era twin of `frameOffsetGroupedOccSweep` at an explicit
+    * band width — the measured table `frameGuardCapCalibrated` reads
+    * while the band ladder still holds. */
+  private[graft] def frameOffsetBandedOccSweep(sig: DataFrame,
+                                               maxHamming: Int,
+                                               minFrames: Int,
+                                               maxOffset: Int,
+                                               caps: Seq[Int],
+                                               bandBits: Int): DataFrame = {
+    require(maxHamming < 64 / bandBits,
+      s"banding at $bandBits bits is lossy beyond Hamming " +
+        s"${64 / bandBits - 1} (requested $maxHamming)")
+    frameOffsetOccSweepKeyed(
+      videoBandedSigs(sig, bandBits)
+        .withColumnRenamed("band_idx", "bkt_id")
+        .withColumnRenamed("band_val", "bkt_key"),
+      maxHamming, minFrames, maxOffset, caps,
+      "max_band_occ", "n_hot_buckets")
+  }
+
+  /** The keyed frame-plane sweep core shared by the grouped and banded
+    * families AND (via zero-offset struct buckets) the frame-ALIGNED
+    * plane: ONE unguarded displacement-window candidate join serves
+    * every leg (the l98/l149 shared-pass discipline) — each verified
+    * frame-pair row keeps its (bkt_id, bkt_key) bucket and that
+    * bucket's occupancy, so leg `cap`'s pair set is "frame pairs with
+    * SOME candidate row in a bucket of occupancy ≤ cap" — exactly
+    * `frameOffsetPairsFromKeyed`'s live-bucket semantics as a filter —
+    * folded to the production (doc_a, doc_b, frame_offset) verdicts
+    * with the ≥ minFrames gate per leg. Guarded legs are subsets of
+    * the truth leg BEFORE the fold, so every folded group's close-frame
+    * count is ≤ the truth's and the recall denominator is sound. */
+  private def frameOffsetOccSweepKeyed(keyed0: DataFrame, maxHamming: Int,
+                                       minFrames: Int, maxOffset: Int,
+                                       caps: Seq[Int], capName: String,
+                                       hotName: String): DataFrame = {
+    require(maxOffset >= 0, s"maxOffset must be >= 0: $maxOffset")
+    require(caps.nonEmpty && caps == caps.sorted && caps.distinct == caps
+        && caps.last >= (1 << 30),
+      s"caps must be strictly ascending with the unguarded truth leg " +
+        s"(>= 2^30) last: $caps")
+    val keyed = keyed0.localCheckpoint()
+    val occ = keyed.groupBy(col("bkt_id"), col("bkt_key"))
+      .agg(count(lit(1)).as("occ")).localCheckpoint()
+    val disp = col("y.frame_idx") - col("x.frame_idx")
+    val cand = keyed.as("x").join(keyed.as("y"),
+        col("x.bkt_id") === col("y.bkt_id")
+          && col("x.bkt_key") === col("y.bkt_key")
+          && col("x.doc_id") < col("y.doc_id")
+          && disp.between(-maxOffset, maxOffset))
+      .filter(bit_count(col("x.dhash").bitwiseXOR(col("y.dhash")))
+        <= maxHamming)
+      .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
+        disp.cast(LongType).as("frame_offset"),
+        col("x.frame_idx").as("frame_idx"),
+        col("x.bkt_id").as("bkt_id"), col("x.bkt_key").as("bkt_key"))
+      .join(occ, Seq("bkt_id", "bkt_key"))
+      .localCheckpoint()
+    val legs = caps.map { cap =>
+      val nHot = occ.filter(col("occ") > cap)
+        .agg(count(lit(1)).as(hotName))
+      val nPairs = cand.filter(col("occ") <= cap)
+        .select(col("doc_a"), col("doc_b"), col("frame_offset"),
+          col("frame_idx"))
+        .distinct()
+        .groupBy(col("doc_a"), col("doc_b"), col("frame_offset"))
+        .agg(count(lit(1)).as("ncf"))
+        .filter(col("ncf") >= minFrames)
+        .agg(count(lit(1)).as("n_pairs"))
+      nHot.crossJoin(broadcast(nPairs))
+        .select(lit(cap.toLong).as(capName), col(hotName), col("n_pairs"))
+    }
+    val all = legs.reduce(_ unionByName _)
+    val truth = all.filter(col(capName) === caps.last.toLong)
+      .select(col("n_pairs").as("n_truth"))
+    all.crossJoin(broadcast(truth))
+      .select(col(capName), col(hotName), col("n_pairs"), col("n_truth"),
+        when(col("n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("n_pairs").cast(DoubleType)
+            / col("n_truth").cast(DoubleType)).as("recall"))
+  }
+
+  /** CALIBRATED occupancy-guard cap for a single-signature plane (the
+    * round-19 top directive — the guard cap was the last constant
+    * knob): run the matching occupancy sweep at an ascending `caps`
+    * ladder — the l146 paired-group tables past the band ladder's end,
+    * banded buckets at the SCHEDULED width inside it, with the
+    * widest-lossless unguarded truth leg either way — and pick the
+    * smallest cap whose measured recall meets `targetRecall`
+    * (`KnobSchedule.sigGuardCapForRecall`, the bm25DfCapForRecall
+    * closure on the perceptual planes). Audit-priced: the sweep pays
+    * one unguarded candidate join (the truth leg — the same cost the
+    * declared sweeps l126/l149 pay), so call at build/rebuild/
+    * compaction cadence, never per batch; the cap then serves until
+    * the corpus's signature distribution shifts. */
+  def sigGuardCapCalibrated(sig0: DataFrame, maxHamming: Int = 2,
+                            targetRecall: Double = 0.95,
+                            caps: Seq[Int] =
+                              Seq(50, 100, 200, 500, 1000, 1 << 30),
+                            targetOcc: Long = 64L): Int = {
+    val sig = sig0.select(col("doc_id"), col("dhash"))
+    val n = sig.count()
+    if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming, targetOcc))
+      KnobSchedule.sigGuardCapForRecall(
+        sigGroupedOccSweep(sig, maxHamming, caps), targetRecall,
+        "max_table_occ")
+    else {
+      val bits = KnobSchedule.dhashBandBits(n, maxHamming, targetOcc)
+      val widest = Seq(8, 16, 32).filter(b => 64 / b > maxHamming).max
+      // guarded legs at the SCHEDULED width (the cap being priced is the
+      // one production runs at), truth unguarded at the widest lossless
+      // width — both widths find every true pair when unguarded
+      // (pigeonhole), so the subset/denominator argument holds across
+      // the width mix exactly as in sigBandSweep's contract
+      val configs = caps.init.map(c => (bits, c)) :+ ((widest, caps.last))
+      KnobSchedule.sigGuardCapForRecall(
+        sigBandSweep(sig, maxHamming, configs), targetRecall,
+        "max_band_occ")
+    }
+  }
+
+  /** `sigGuardCapCalibrated`'s twin for the FRAME planes — aligned and
+    * offset candidate families both (the aligned plane is the
+    * zero-offset, frame-keyed-bucket special case of the shared sweep
+    * core): prices the cap in the production currency — retained
+    * (doc_a, doc_b[, frame_offset]) verdicts at ≥ minFrames close
+    * frames — against the unguarded truth leg, on whichever key family
+    * the schedule selects at this sig-row count. `aligned = true`
+    * buckets per (frame_idx, key) with displacement 0 (l133/l134's
+    * semantics); `false` buckets frame-blind with ±maxOffset (l136/
+    * l138's). Same audit cadence contract as the single-sig form. */
+  def frameGuardCapCalibrated(sig: DataFrame, maxHamming: Int = 2,
+                              minFrames: Int = 1, maxOffset: Int = 1,
+                              aligned: Boolean = false,
+                              targetRecall: Double = 0.95,
+                              caps: Seq[Int] =
+                                Seq(50, 100, 200, 500, 1000, 1 << 30),
+                              targetOcc: Long = 64L): Int = {
+    val s = sig.select(col("doc_id"), col("frame_idx"), col("dhash"))
+    // the schedule's collision unit: sig ROWS for the frame-blind
+    // buckets (clips × frames), CLIPS for the aligned per-frame buckets
+    // — the same units the scheduled dispatchers count
+    val n = if (aligned) s.select(col("doc_id")).distinct().count()
+            else s.count()
+    val off = if (aligned) 0 else maxOffset
+    if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming, targetOcc)) {
+      require(maxHamming <= 4, s"grouped keys lossy past 4: $maxHamming")
+      val keyed = sigGroupKeyed(s)
+      val k =
+        if (aligned) keyed
+          .select(col("doc_id"), col("frame_idx"), col("dhash"),
+            struct(col("frame_idx"), col("table_id")).as("bkt_id"),
+            col("tkey").as("bkt_key"))
+        else keyed.withColumnRenamed("table_id", "bkt_id")
+          .withColumnRenamed("tkey", "bkt_key")
+      KnobSchedule.sigGuardCapForRecall(
+        frameOffsetOccSweepKeyed(k, maxHamming, minFrames, off, caps,
+          "max_table_occ", "n_hot_tables"),
+        targetRecall, "max_table_occ")
+    } else {
+      val bits = KnobSchedule.dhashBandBits(n, maxHamming, targetOcc)
+      val banded = videoBandedSigs(s, bits)
+      val k =
+        if (aligned) banded
+          .select(col("doc_id"), col("frame_idx"), col("dhash"),
+            struct(col("frame_idx"), col("band_idx")).as("bkt_id"),
+            col("band_val").as("bkt_key"))
+        else banded.withColumnRenamed("band_idx", "bkt_id")
+          .withColumnRenamed("band_val", "bkt_key")
+      KnobSchedule.sigGuardCapForRecall(
+        frameOffsetOccSweepKeyed(k, maxHamming, minFrames, off, caps,
+          "max_band_occ", "n_hot_buckets"),
+        targetRecall, "max_band_occ")
+    }
+  }
+
   /** L122 — IMAGE near-duplicate pairs: the one duplicate class the
     * text/embedding dedup planes are blind to (a re-encoded, resized or
     * brightness-shifted image re-post). dHash per image at the codec
@@ -2211,13 +2463,23 @@ object Multimodal {
     * audit columns back (`gridAuditJoin`/`flipAuditJoin`). */
   private def sigPairsScheduled(sig: DataFrame, maxHamming: Int,
                                 maxBucketOcc: Int,
-                                targetOcc: Long): DataFrame = {
+                                targetOcc: Long,
+                                guardTargetRecall: Option[Double] = None)
+      : DataFrame = {
+    // guardTargetRecall closes the last constant knob (round-19
+    // directive #1): Some(r) derives the guard cap from the measured
+    // occupancy sweep at target recall r instead of trusting the
+    // caller's maxBucketOcc constant — audit-priced, so production
+    // callers calibrate at build/compaction cadence
+    val cap = guardTargetRecall.map(r =>
+      sigGuardCapCalibrated(sig, maxHamming, r, targetOcc = targetOcc))
+      .getOrElse(maxBucketOcc)
     val n = sig.count()
     if (KnobSchedule.dhashUseGroupedKeys(n, maxHamming, targetOcc))
       sigPairsGrouped(sig.select(col("doc_id"), col("dhash")), maxHamming,
-        maxBucketOcc)
+        cap)
     else
-      imagePairCandidates(sig, maxHamming, maxBucketOcc,
+      imagePairCandidates(sig, maxHamming, cap,
         KnobSchedule.dhashBandBits(n, maxHamming, targetOcc))
   }
 
@@ -2358,10 +2620,13 @@ object Multimodal {
     * threshold is targetOcc·2¹⁶ signatures). */
   def imageNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                         maxHamming: Int = 2, maxBandOcc: Int = 500,
-                        targetOcc: Long = 64L): DataFrame = {
+                        targetOcc: Long = 64L,
+                        guardTargetRecall: Option[Double] = None)
+      : DataFrame = {
     val sig = dHash(spark, blobs).toDF().localCheckpoint()
     gridAuditJoin(sig,
-      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc))
+      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc,
+        guardTargetRecall))
   }
 
   /** L125 — image dedup APPLY ("give me the duplicate-free image
@@ -2395,10 +2660,11 @@ object Multimodal {
     * byte-equal to `imageDedupApply` wherever the schedule resolves
     * to 8 bits (LlmSpec). */
   def imageDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
-                          maxHamming: Int = 2, maxBandOcc: Int = 500)
+                          maxHamming: Int = 2, maxBandOcc: Int = 500,
+                          guardTargetRecall: Option[Double] = None)
       : DataFrame =
     sigDedupApply(dHash(spark, blobs).toDF(), maxHamming, maxBandOcc,
-      bandBits = None)
+      bandBits = None, guardTargetRecall = guardTargetRecall)
 
   /** The modality-neutral sig-level dedup-apply core (shared by the
     * image l125/auto and audio l128/auto forms — the signature tables
@@ -2423,11 +2689,19 @@ object Multimodal {
   private[graft] def sigDedupApply(sig0: DataFrame, maxHamming: Int,
                                    maxBandOcc: Int,
                                    bandBits: Option[Int],
-                                   targetOcc: Long = 64L): DataFrame = {
+                                   targetOcc: Long = 64L,
+                                   guardTargetRecall: Option[Double] = None)
+      : DataFrame = {
     val sig = sig0.select(col("doc_id"), col("dhash")).localCheckpoint()
     val reps = sig.groupBy(col("dhash")).agg(min(col("doc_id")).as("doc_id"))
     val repSig = sig.join(reps, Seq("dhash", "doc_id"), "left_semi")
       .localCheckpoint()
+    // calibrated guard cap (scheduled mode only — the declared fixed-
+    // width forms pin the oracle's constant): priced on the COLLAPSED
+    // reps, the rows the pair pass actually guards
+    val cap = guardTargetRecall.filter(_ => bandBits.isEmpty).map(r =>
+      sigGuardCapCalibrated(repSig, maxHamming, r, targetOcc = targetOcc))
+      .getOrElse(maxBandOcc)
     // scheduled path: band width from the collapsed rep count; past the
     // ladder's end (widest lossless width still over target occupancy —
     // ~4.2M reps at radius ≤ 3 and the default targetOcc) candidate
@@ -2441,9 +2715,9 @@ object Multimodal {
     val nReps = if (bandBits.isEmpty) repSig.count() else 0L
     val pairs = (if (bandBits.isEmpty
         && KnobSchedule.dhashUseGroupedKeys(nReps, maxHamming, targetOcc))
-      sigPairsGrouped(repSig, maxHamming, maxBandOcc)
+      sigPairsGrouped(repSig, maxHamming, cap)
     else
-      imagePairCandidates(repSig, maxHamming, maxBandOcc,
+      imagePairCandidates(repSig, maxHamming, cap,
         bandBits.getOrElse(
           KnobSchedule.dhashBandBits(nReps, maxHamming, targetOcc))))
       .select(col("doc_a"), col("doc_b"))
@@ -2473,10 +2747,11 @@ object Multimodal {
     * audio signature is the same 64-bit gradient-sign geometry).
     * Blob-level: a real audio lake's payloads exist. */
   def audioDedupApplyAuto(spark: SparkSession, blobs: DataFrame,
-                          maxHamming: Int = 2, maxBandOcc: Int = 500)
+                          maxHamming: Int = 2, maxBandOcc: Int = 500,
+                          guardTargetRecall: Option[Double] = None)
       : DataFrame =
     sigDedupApply(audioHash(spark, blobs).toDF(), maxHamming, maxBandOcc,
-      bandBits = None)
+      bandBits = None, guardTargetRecall = guardTargetRecall)
 
   /** Streaming IMAGE near-dup ADMISSION (S39) — the l52/S34/S37
     * arrival-order discipline on the perceptual plane: the carried state
@@ -2847,10 +3122,13 @@ object Multimodal {
     * audio lake's payloads exist. */
   def audioNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                         maxHamming: Int = 2, maxBandOcc: Int = 500,
-                        targetOcc: Long = 64L): DataFrame = {
+                        targetOcc: Long = 64L,
+                        guardTargetRecall: Option[Double] = None)
+      : DataFrame = {
     val sig = audioHash(spark, blobs).toDF().localCheckpoint()
     gridAuditJoin(sig,
-      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc))
+      sigPairsScheduled(sig, maxHamming, maxBandOcc, targetOcc,
+        guardTargetRecall))
   }
 
   /** PRODUCTION video near-dup pairing — band width scheduled from the
@@ -2861,10 +3139,12 @@ object Multimodal {
   def videoNearDupsAuto(spark: SparkSession, blobs: DataFrame,
                         maxHamming: Int = 2, maxBandOcc: Int = 500,
                         minFrames: Int = 2,
-                        targetOcc: Long = 64L): DataFrame = {
+                        targetOcc: Long = 64L,
+                        guardTargetRecall: Option[Double] = None)
+      : DataFrame = {
     val sig = videoFrameHashes(spark, blobs).toDF().localCheckpoint()
     videoAlignedPairsScheduled(sig, maxHamming, maxBandOcc, minFrames,
-      targetOcc)
+      targetOcc, guardTargetRecall)
   }
 
   /** Per-source MEDIA STORAGE audit — the capacity-planning table of a

@@ -1154,9 +1154,12 @@ object Similarity {
     * m·log₂(ks) = 8 BYTES per vector (pqEncode), then score
     * query→candidate WITHOUT touching candidate floats: the
     * Asymmetric Distance Computation of Jégou et al. — per query,
-    * precompute the m×ks lookup table lut[s·ks+j] = ⟨q_sub(s), cent(s,j)⟩
-    * (an |Q|·m·ks-row broadcast, corpus-independent), then the coarse scan
-    * reads each candidate's m codes and sums m table lookups.
+    * precompute the m×k' lookup table lut[s·k'+j] = ⟨q_sub(s), cent(s,j)⟩
+    * where k' = min(ks, n) is the TRAINED codebook width (pqFit seeds
+    * one codeword per corpus row when n < ks, so the ADC stride derives
+    * from size(lut)/m, never the nominal ks — the round-19 narrow-
+    * codebook fix), then the coarse scan reads each candidate's m codes
+    * and sums m table lookups.
     *
     * Scale shape: the corpus-sized pass touches ONLY the 8-bytes-of-
     * information code rows (32× less scan bandwidth than floats; 8× less
@@ -1190,16 +1193,19 @@ object Similarity {
     // against a growing catalog; the declared query never sets it
     val queries = vecs.filter(
       col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
-    pqAdcScores(queries, codes, nrm, cb, m, ks, dim)
+    pqAdcScores(queries, codes, nrm, cb, m, dim)
   }
 
   /** The ADC scoring core against an already-ENCODED corpus — the piece
     * pqApproxScores (fused fit+encode+score, the l95 declared shape) and
     * pqServeTopK (persisted codebook/codes, the production serving shape)
-    * share. `corpusNorms` is (vec_id, nrm) for the encoded rows. */
+    * share. `corpusNorms` is (vec_id, nrm) for the encoded rows. The
+    * codebook width is read off `cb` itself (stride = size(lut)/m), so
+    * no nominal-ks parameter exists to disagree with the trained
+    * min(ks, n) width. */
   private[graft] def pqAdcScores(queries: DataFrame, codes: DataFrame,
                                  corpusNorms: DataFrame, cb: DataFrame,
-                                 m: Int, ks: Int, dim: Int): DataFrame = {
+                                 m: Int, dim: Int): DataFrame = {
     val qNrm = queries.select(col("vec_id"),
       sqrt(norm2(col("embedding"))).as("nrm"))
     // per-query ADC lookup table, ordered by (sub, idx) so position
@@ -1243,7 +1249,10 @@ object Similarity {
     * row-identical results to pqRerankTopK (tested) — it IS that
     * operator's tail, factored at the model boundary so arriving query
     * batches (S26) pay codes-scan + |Q_batch|-sized work only, never a
-    * refit. Output: (qid, rank, nid, sim, approx_sim). */
+    * refit. Output: (qid, rank, nid, sim, approx_sim). `ks` is NOMINAL
+    * only (kept for call-site symmetry with the fit path): the ADC
+    * stride is read off the passed codebook itself — size(lut)/m =
+    * the trained min(ks, n) width. */
   def pqServeTopK(queries: DataFrame, corpus: DataFrame, cb: DataFrame,
                   codes: DataFrame, k: Int = 3, shortM: Int = 20,
                   m: Int = 16, ks: Int = 16, dim: Int = 64): DataFrame = {
@@ -1251,7 +1260,7 @@ object Similarity {
       sqrt(norm2(col("embedding"))).as("nrm"))
     val qNrm = queries.select(col("vec_id"),
       sqrt(norm2(col("embedding"))).as("nrm"))
-    val approx = pqAdcScores(queries, codes, cNrm, cb, m, ks, dim)
+    val approx = pqAdcScores(queries, codes, cNrm, cb, m, dim)
     val shortlist = approx
       .groupBy(col("qid"))
       .agg(call_function("bounded_top_m",

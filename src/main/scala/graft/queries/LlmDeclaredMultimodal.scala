@@ -812,14 +812,15 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
     * the SQL replay of `Multimodal.SigGroups`/`sigGroupKeyed`, shared
     * by l146 and l149 so the two oracles can never disagree on the
     * grouping. */
-  private def groupedKeyCtes(src: String = "dh"): String = {
+  private def groupedKeyCtes(src: String = "dh",
+                             extra: String = ""): String = {
     val groups = Seq((0, 11), (11, 11), (22, 11), (33, 11), (44, 10),
       (54, 10))
     val tables = for { i <- 0 until 6; j <- (i + 1) until 6 } yield (i, j)
     val keyLegs = tables.zipWithIndex.map { case ((i, j), t) =>
       val (oi, wi) = groups(i)
       val (oj, wj) = groups(j)
-      s"""SELECT doc_id, dhash, $t AS table_id,
+      s"""SELECT doc_id$extra, dhash, $t AS table_id,
           ((dhash >> $oi) & ${(1L << wi) - 1}) * ${1L << wj}
             + ((dhash >> $oj) & ${(1L << wj) - 1}) AS tkey
         FROM $src"""
@@ -883,6 +884,64 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
         FROM keyed x JOIN keyed y
           ON x.table_id = y.table_id AND x.tkey = y.tkey
           AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2),
+      legs AS (
+        $rows),
+      tr AS (SELECT n_pairs AS n_truth FROM legs
+        WHERE max_table_occ = ${caps.last})
+      SELECT max_table_occ, n_hot_tables, n_pairs, tr.n_truth,
+        CASE WHEN tr.n_truth = 0 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) END
+          AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY max_table_occ"""))
+  }
+
+  /** L150 — FRAME-plane GROUPED-KEY occupancy-guard SWEEP: l149's
+    * knob-pricing discipline over the frame-BLIND offset tables
+    * (round-19 directive #2) — the plane that crosses the grouped
+    * threshold FIRST (collision unit = clips × frames sig rows) and
+    * showed the largest residual guard loss in the round-19 receipts,
+    * yet had no declared cap-pricing query of its own. Per cap: hot
+    * (table_id, tkey) buckets over the per-frame grouped keys and the
+    * retained OFFSET-PAIR count in l136's production currency —
+    * (doc_a, doc_b, frame_offset) verdicts with ≥ minFrames close
+    * frames at one displacement — next to the unguarded truth leg.
+    * One hash pass + ONE unguarded displacement-window candidate join
+    * serve every leg (each candidate row carries its bucket's
+    * occupancy; a leg is a filter, not a re-join). */
+  protected val l150 = {
+    val caps = Seq(50L, 500L, (1 << 30).toLong)
+    val rows = caps.zipWithIndex.map { case (cap, i) =>
+      s"""SELECT CAST($cap AS BIGINT) AS max_table_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM gocc
+            WHERE occ > $cap) AS n_hot_tables,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT doc_a, doc_b, frame_offset FROM (
+              SELECT DISTINCT c.doc_a, c.doc_b, c.frame_offset, c.fidx
+              FROM gucand c JOIN gocc o
+                ON c.table_id = o.table_id AND c.tkey = o.tkey
+              WHERE o.occ <= $cap) d_$i
+            GROUP BY doc_a, doc_b, frame_offset
+            HAVING count(*) >= 1) p_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l150_video_offset_grouped_occ_sweep",
+      (s, dir) => Multimodal.videoOffsetGroupedOccSweep(s,
+        t(s, dir, "documents"), maxHamming = 2, minFrames = 1,
+        maxOffset = 1, caps = Seq(50, 500, 1 << 30))
+        .orderBy(col("max_table_occ")),
+      Some(s"""WITH $videoSigCtes,
+      ${groupedKeyCtes(src = "vdh", extra = ", f")},
+      gocc AS MATERIALIZED (SELECT table_id, tkey, count(*) AS occ
+        FROM keyed GROUP BY table_id, tkey),
+      gucand AS MATERIALIZED (SELECT x.doc_id AS doc_a,
+          y.doc_id AS doc_b, CAST(y.f - x.f AS BIGINT) AS frame_offset,
+          x.f AS fidx, x.table_id, x.tkey
+        FROM keyed x JOIN keyed y
+          ON x.table_id = y.table_id AND x.tkey = y.tkey
+          AND x.doc_id < y.doc_id
+          AND y.f - x.f BETWEEN -1 AND 1
         WHERE bit_count(xor(x.dhash, y.dhash)) <= 2),
       legs AS (
         $rows),

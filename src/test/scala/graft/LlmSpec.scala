@@ -2514,6 +2514,137 @@ class LlmSpec extends SparkSpec {
       Multimodal.sigGroupedOccSweep(sig, 5, Seq(50, 1 << 30)))
   }
 
+  test("l150 frame-plane grouped occupancy sweep: per-cap legs equal the " +
+    "guarded production offset core, truth leg reads recall 1.0, gates " +
+    "are loud") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    val sig = Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val sw = Multimodal.frameOffsetGroupedOccSweep(sig, maxHamming = 2,
+        minFrames = 1, maxOffset = 1, caps = Seq(2, 500, 1 << 30))
+      .collect().sortBy(_.getLong(0))
+    assert(sw.length === 3)
+    // each leg's retained offset-pair count IS the guarded production
+    // core's at that cap — the shared-pass filter and the production
+    // hot-bucket anti-join agree exactly (live-bucket semantics, two
+    // implementations; the l149 pin pattern on the frame plane)
+    def prod(cap: Int) = Multimodal.videoOffsetNearDupsGroupedFromSigs(
+      sig, maxHamming = 2, maxTableOcc = cap, minFrames = 1,
+      maxOffset = 1).count()
+    assert(sw(0).getLong(2) === prod(2))
+    assert(sw(1).getLong(2) === prod(500))
+    assert(sw(2).getLong(2) === prod(1 << 30))
+    assert(sw.sliding(2).forall(p => p(0).getLong(2) <= p(1).getLong(2)))
+    assert(sw.last.getDouble(4) === 1.0 && sw.last.getLong(1) === 0L)
+    intercept[IllegalArgumentException](
+      Multimodal.frameOffsetGroupedOccSweep(sig, 2, 1, 1, Seq(500, 50, 1 << 30)))
+    intercept[IllegalArgumentException](
+      Multimodal.frameOffsetGroupedOccSweep(sig, 2, 1, 1, Seq(50, 500)))
+    intercept[IllegalArgumentException](
+      Multimodal.frameOffsetGroupedOccSweep(sig, 5, 1, 1, Seq(50, 1 << 30)))
+  }
+
+  test("sigGuardCapForRecall: picks the smallest cap meeting target from " +
+    "a measured sweep, degrades to the unguarded sentinel, and the gates " +
+    "are loud") {
+    val sentinel = (1L << 30)
+    val sweep = Seq(
+      (50L, 9L, 70L, 100L, 0.70),
+      (200L, 3L, 95L, 100L, 0.95),
+      (500L, 1L, 98L, 100L, 0.98),
+      (sentinel, 0L, 100L, 100L, 1.0))
+      .toDF("max_table_occ", "n_hot_tables", "n_pairs", "n_truth", "recall")
+    assert(KnobSchedule.sigGuardCapForRecall(sweep, 0.95) === 200)
+    assert(KnobSchedule.sigGuardCapForRecall(sweep, 0.60) === 50)
+    assert(KnobSchedule.sigGuardCapForRecall(sweep, 0.98) === 500)
+    // no candidate cap reaches 0.99 — degrade to guard-off (the bm25
+    // cap-1000 fallback shape), never to a silent recall loss
+    assert(KnobSchedule.sigGuardCapForRecall(sweep, 0.99) === sentinel.toInt)
+    // a pair-free corpus sweeps NaN recalls: nothing to lose, smallest
+    // cap wins
+    val vacuous = Seq((50L, 0L, 0L, 0L, Double.NaN),
+      (sentinel, 0L, 0L, 0L, Double.NaN))
+      .toDF("max_table_occ", "n_hot_tables", "n_pairs", "n_truth", "recall")
+    assert(KnobSchedule.sigGuardCapForRecall(vacuous, 0.95) === 50)
+    // loud gates: duplicate caps (a multi-width band sweep not filtered
+    // to one width), a missing sentinel, an empty sweep
+    val dup = sweep.unionByName(sweep)
+    intercept[IllegalArgumentException](
+      KnobSchedule.sigGuardCapForRecall(dup, 0.95))
+    val noSentinel = sweep.filter(col("max_table_occ") < sentinel)
+    intercept[IllegalArgumentException](
+      KnobSchedule.sigGuardCapForRecall(noSentinel, 0.95))
+    intercept[IllegalArgumentException](
+      KnobSchedule.sigGuardCapForRecall(sweep.limit(0), 0.95))
+    intercept[IllegalArgumentException](
+      KnobSchedule.sigGuardCapForRecall(sweep, 0.0))
+  }
+
+  test("calibrated guard cap: sigGuardCapCalibrated matches the hand " +
+    "choice from the declared sweep in BOTH key families, and the " +
+    "calibrated Auto twins are byte-equal to the fixed form at that cap") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    val blobs = Multimodal.encodePpm(spark, docs).toDF().localCheckpoint()
+    val sig = Multimodal.dHash(spark, blobs).toDF().localCheckpoint()
+    val caps = Seq(2, 50, 1 << 30)
+    def rws(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toSeq).sortBy(_.mkString("|")).toSeq
+    // GROUPED era (targetOcc = 0 forces the switch): the calibrated cap
+    // is exactly what the closure picks off the l149 sweep
+    val gCap = Multimodal.sigGuardCapCalibrated(sig, maxHamming = 2,
+      targetRecall = 0.95, caps = caps, targetOcc = 0L)
+    assert(gCap === KnobSchedule.sigGuardCapForRecall(
+      Multimodal.sigGroupedOccSweep(sig.select(col("doc_id"),
+        col("dhash")), 2, caps), 0.95, "max_table_occ"))
+    // BANDED era (default schedule at this n resolves inside the
+    // ladder): the calibrated cap comes off the banded sweep at the
+    // scheduled width with the widest-lossless unguarded truth leg
+    val bCap = Multimodal.sigGuardCapCalibrated(sig, maxHamming = 2,
+      targetRecall = 0.95, caps = caps)
+    assert(caps.contains(bCap))
+    // wiring: the Auto twin with guardTargetRecall IS the Auto twin at
+    // the calibrated constant — both eras
+    assert(rws(Multimodal.imageNearDupsAuto(spark, blobs, targetOcc = 0L,
+        guardTargetRecall = Some(0.95))) ===
+      rws(Multimodal.imageNearDupsAuto(spark, blobs, targetOcc = 0L,
+        maxBandOcc = gCap)))
+    assert(rws(Multimodal.imageNearDupsAuto(spark, blobs,
+        guardTargetRecall = Some(0.95))) ===
+      rws(Multimodal.imageNearDupsAuto(spark, blobs, maxBandOcc = bCap)))
+    // the semantic claim the knob exists for: the calibrated pair table
+    // keeps >= target of the unguarded truth pairs
+    val nTruth = Multimodal.sigPairsGrouped(sig, 2, 1 << 30).count()
+    val nCal = Multimodal.sigPairsGrouped(sig, 2, gCap).count()
+    assert(nTruth === 0L || nCal.toDouble / nTruth >= 0.95)
+    // frame plane: offset and aligned modes both calibrate off the
+    // shared sweep core (grouped era); offset equals the hand choice
+    val vsig = Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val fCap = Multimodal.frameGuardCapCalibrated(vsig, maxHamming = 2,
+      minFrames = 1, maxOffset = 1, aligned = false, targetRecall = 0.95,
+      caps = caps, targetOcc = 0L)
+    assert(fCap === KnobSchedule.sigGuardCapForRecall(
+      Multimodal.frameOffsetGroupedOccSweep(vsig, 2, 1, 1, caps),
+      0.95, "max_table_occ"))
+    val aCap = Multimodal.frameGuardCapCalibrated(vsig, maxHamming = 2,
+      minFrames = 1, maxOffset = 0, aligned = true, targetRecall = 0.95,
+      caps = caps, targetOcc = 0L)
+    assert(caps.contains(aCap))
+    // wiring on the offset Auto: calibrated form IS the fixed form at
+    // the cap the calibrator returns (default ladder, banded era)
+    val capDef = Multimodal.frameGuardCapCalibrated(vsig, maxHamming = 2,
+      minFrames = 1, maxOffset = 1, aligned = false, targetRecall = 0.95)
+    val vid = Multimodal.encodeVideo(spark, docs).toDF().localCheckpoint()
+    assert(rws(Multimodal.videoOffsetNearDupsAuto(spark, vid,
+        minFrames = 1, guardTargetRecall = Some(0.95))) ===
+      rws(Multimodal.videoOffsetNearDupsAuto(spark, vid, minFrames = 1,
+        maxBandOcc = capDef)))
+  }
+
   test("audioTrimHeadContainer: a zero-sample spec-valid WAV passes " +
     "through as a zero-sample canonical WAV (no phantom sample from the " +
     "size field)") {

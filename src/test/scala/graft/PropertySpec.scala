@@ -513,4 +513,45 @@ class PropertySpec extends SparkSpec {
       assert(got === want, s"seed=$seed")
     }
   }
+
+  test("property: paired-group candidate keys equal banded pairs on " +
+    "random signature tables with planted Hamming-radius-≤4 near-dups " +
+    "(the l146 pigeonhole argument, fuzzed against SigGroups edits)") {
+    import graft.llm.Multimodal
+    import spark.implicits._
+    // Both unguarded generators are recall-LOSSLESS at the tested radii
+    // (8-bit banding to Hamming 7 by pigeonhole over 8 bands; paired-
+    // group keys to Hamming 4 over the 6 bit-groups), so their verified
+    // pair tables must be IDENTICAL — any future edit to the SigGroups
+    // layout (an overlap, a gap, a wrong width) breaks the untouched-
+    // pair guarantee for SOME planted radius and this catches it, the
+    // way the envelope round-trip property hardens the CDC codec.
+    val genSig: Gen[Long] = Gen.chooseNum(Long.MinValue, Long.MaxValue)
+    (0 until 5).foreach { round =>
+      val base = sample(genSig, 30, seed = 100L + round).distinct
+      val flips = sample(Gen.chooseNum(0, 63), 200, seed = 200L + round)
+      // plant near-dups of the first ten signatures at radii 0..4 —
+      // radius i % 5, bit positions drawn from the fuzzed pool
+      // (duplicate positions cancel, leaving a smaller radius: also
+      // in-contract)
+      val planted = base.take(10).zipWithIndex.map { case (h, i) =>
+        flips.slice(i * 8, i * 8 + (i % 5)).distinct
+          .foldLeft(h)((acc, b) => acc ^ (1L << b))
+      }
+      val sig = (base ++ planted).zipWithIndex
+        .map { case (h, i) => ((i + 1).toLong, h) }
+        .toDF("doc_id", "dhash").localCheckpoint()
+      Seq(2, 4).foreach { h =>
+        val grouped = Multimodal.sigPairsGrouped(sig, h, 1 << 30)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        val banded = Multimodal.imagePairCandidates(sig, h, 1 << 30, 8)
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+          .toSet
+        assert(grouped === banded, s"round=$round radius=$h")
+        // the planted radius-≤h copies are actually found (non-vacuous)
+        if (h === 4) assert(grouped.nonEmpty, s"round=$round: vacuous")
+      }
+    }
+  }
 }

@@ -2215,6 +2215,71 @@ class StreamingSpec extends SparkSpec {
       ._1.collect().head.getString(1) === "dup_corpus")
   }
 
+  test("compactionDue: the S39–S45 cadence predicate fires when the " +
+    "carried state outgrows its collapsed size, resets after compaction, " +
+    "and the predicate-driven admission loop is verdict-lossless") {
+    import graft.llm.{KnobSchedule, Multimodal}
+    // predicate algebra: strict >2× expansion above the floor, never
+    // below it; loud gates on nonsense inputs
+    assert(!KnobSchedule.compactionDue(0L, 0L))
+    assert(!KnobSchedule.compactionDue(9999L, 10L)) // under the floor
+    assert(KnobSchedule.compactionDue(10000L, 10L))
+    assert(!KnobSchedule.compactionDue(20000L, 10000L)) // exactly 2×: no
+    assert(KnobSchedule.compactionDue(20001L, 10000L))
+    assert(KnobSchedule.compactionDue(30L, 10L, minRows = 16L))
+    assert(!KnobSchedule.compactionDue(30L, 20L, minRows = 16L))
+    // repRows = 0 (no compaction yet) forces the first pass at the floor
+    assert(KnobSchedule.compactionDue(16L, 0L, minRows = 16L))
+    intercept[IllegalArgumentException](KnobSchedule.compactionDue(-1L, 0L))
+    intercept[IllegalArgumentException](
+      KnobSchedule.compactionDue(1L, 1L, maxExpansion = 0.5))
+    // admission loop: a viral exact-copy pile arrives across batches;
+    // loop A never compacts, loop B compacts exactly when the predicate
+    // fires (floor lowered to fixture scale) — verdicts must agree
+    // batch-for-batch, the predicate must fire, and a fresh compaction
+    // must reset it
+    val H = 0x0102030405060708L
+    def sigs(rows: Seq[(Long, Long)]) = rows.toDF("doc_id", "dhash")
+    val batches = Seq(
+      sigs((1L to 10L).map(i => i -> i * 1000003L)),
+      sigs((11L to 40L).map(i => i -> H)),
+      sigs((41L to 70L).map(i => i -> H) :+ (71L -> 5000017L)),
+      sigs(Seq(80L -> H, 81L -> 9000029L, 82L -> 10L * 1000003L)))
+    var stateA = sigs(Seq.empty).localCheckpoint()
+    var stateB = sigs(Seq.empty).localCheckpoint()
+    var hotB: Option[org.apache.spark.sql.DataFrame] = None
+    var rawRows = 0L
+    var repRows = 0L
+    var fired = 0
+    def vmap(v: org.apache.spark.sql.DataFrame) =
+      v.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    batches.foreach { b =>
+      val (va, sa) = Multimodal.sigDedupIncrement(b, stateA, 2, None)
+      val (vb, sb) = Multimodal.sigDedupIncrement(b, stateB, 2, hotB)
+      assert(vmap(va) === vmap(vb),
+        "cadence-compacted loop diverged from the raw loop")
+      stateA = stateA.unionByName(sa).localCheckpoint()
+      stateB = stateB.unionByName(sb).localCheckpoint()
+      rawRows += b.count()
+      if (KnobSchedule.compactionDue(rawRows, repRows, minRows = 16L)) {
+        fired += 1
+        val (reps, hot) = Multimodal.compactSigState(stateB, 500)
+        stateB = reps.localCheckpoint()
+        hotB = Some(hot.localCheckpoint())
+        repRows = stateB.count()
+        rawRows = repRows
+        // a fresh compaction resets the trigger until the state doubles
+        assert(!KnobSchedule.compactionDue(rawRows, repRows, minRows = 16L))
+      }
+    }
+    assert(fired >= 1, "the viral pile never tripped the cadence predicate")
+    // the pile collapsed: the compacted state is far below the raw one
+    assert(stateB.count() < stateA.count())
+    // and a late exact copy of the pile still verdicts dup off the rep
+    assert(vmap(Multimodal.sigDedupIncrement(
+      sigs(Seq(99L -> H)), stateB, 2, hotB)._1)(99L) === "dup_corpus")
+  }
+
   test("S38: IVF-PQ ANN serving under foreachBatch — arriving query " +
     "batches against the persisted composed model equal the fused batch") {
     // The l119 production split, completing the serving family next to
