@@ -1064,10 +1064,17 @@ object DevScale {
     // unguarded 16-bit pass as truth. The earlier rounds priced the
     // switch's recall side (10.9×–78× retention); this prices what the
     // grouped pair pass COSTS at and around the point the schedule
-    // flips it on.
+    // flips it on. Two sub-tables, two honest inputs: (a) COLLAPSED
+    // reps — the applies' input, where the unguarded truth leg is
+    // affordable, so retention is an absolute recall; (b) the RAW sig
+    // table — the pair-core Autos' actual scheduling input, which is
+    // what genuinely crosses the 65,536-row threshold (collapsed reps
+    // saturate ~18k on this corpus), where truth is clique-dominated
+    // and prohibitive, so retention is the grouped/banded RELATIVE
+    // differential at the same cap.
     val midDir = "/tmp/graft_scale_og_mid"
-    val n1Sig = spark.read.parquet(s"$smallDir/vframe_sig_reps").count()
-    val midReps = math.max(2, math.round(65536.0 / math.max(1L, n1Sig)
+    val n1SigRaw = spark.read.parquet(s"$smallDir/vframe_sig").count()
+    val midReps = math.max(2, math.ceil(65536.0 / math.max(1L, n1SigRaw)
       .toDouble).toInt)
     replicatedText(spark, midReps).write.mode("overwrite")
       .parquet(s"$midDir/documents.parquet")
@@ -1083,7 +1090,6 @@ object DevScale {
     def wallLeg(tag: String, dir: String, cap: Int): Unit = {
       val sig = spark.read.parquet(s"$dir/vframe_sig_reps")
       val n = sig.count()
-      val on = KnobSchedule.dhashUseGroupedKeys(n, 2, targetOcc = 1)
       val truth = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, 1 << 30,
         1, 1, bandBits = 16).count()
       val bRows = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, cap, 1, 1,
@@ -1095,12 +1101,31 @@ object DevScale {
         1, 1).count()
       val gT = BenchTiming.steadyOf(spark, () =>
         Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, cap, 1, 1))
-      println(f"$tag%-12s wallVsRet cap=$cap%4d nSig=$n%7d grouped=$on%5s | banded16 rows=$bRows%8d of $truth%8d wall=$bT%7.3f s | grouped rows=$gRows%8d of $truth%8d wall=$gT%7.3f s")
+      println(f"$tag%-12s wallVsRet cap=$cap%4d nReps=$n%7d | banded16 rows=$bRows%8d of $truth%8d wall=$bT%7.3f s | grouped rows=$gRows%8d of $truth%8d wall=$gT%7.3f s")
     }
     for (cap <- Seq(48, 500);
-         (tag, dir) <- Seq(("below 1x", smallDir),
-           (s"at ${midReps}x", midDir), (s"above ${reps}x", bigDir)))
+         (tag, dir) <- Seq(("1x", smallDir),
+           (s"${midReps}x", midDir), (s"${reps}x", bigDir)))
       wallLeg(tag, dir, cap)
+    def rawLeg(tag: String, dir: String): Unit = {
+      val sig = spark.read.parquet(s"$dir/vframe_sig")
+        .select(col("doc_id"), col("frame_idx"), col("dhash"))
+      val n = sig.count()
+      val on = KnobSchedule.dhashUseGroupedKeys(n, 2, targetOcc = 1)
+      val bRows = Multimodal.videoOffsetNearDupsFromSigs(sig, 2, 500, 1, 1,
+        bandBits = 16).count()
+      val bT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsFromSigs(sig, 2, 500, 1, 1,
+          bandBits = 16))
+      val gRows = Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, 500,
+        1, 1).count()
+      val gT = BenchTiming.steadyOf(spark, () =>
+        Multimodal.videoOffsetNearDupsGroupedFromSigs(sig, 2, 500, 1, 1))
+      println(f"$tag%-12s rawThreshold cap= 500 nSig=$n%7d grouped=$on%5s | banded16 rows=$bRows%8d wall=$bT%7.3f s | grouped rows=$gRows%8d wall=$gT%7.3f s")
+    }
+    rawLeg("below 1x", smallDir)
+    rawLeg(s"at ${midReps}x", midDir)
+    rawLeg(s"above ${reps}x", bigDir)
     // 6 — directive-#1 receipt on this plane: the cap the calibration
     // closure picks off the l150 frame-plane sweep at target recall,
     // in the grouped era the R× corpus sits in at targetOcc = 1
@@ -1408,9 +1433,17 @@ object DevScale {
     val gHotN = Multimodal.sigGroupKeyed(crossReps)
       .groupBy(col("table_id"), col("tkey"))
       .agg(count(lit(1)).as("occ")).filter(col("occ") > 500).count()
-    val calCap = Multimodal.sigGuardCapCalibrated(crossSig, maxHamming = 2,
-      targetRecall = 0.95, caps = Seq(48, 100, 200, 500, 1000, 1 << 30),
-      targetOcc = 1L)
+    // calibrate on the exact-collapsed reps — the production apply's
+    // cap input (sigDedupApply collapses the pile to one guard-immune
+    // rep BEFORE pairing, so the cap is priced on what the pair pass
+    // actually guards; on the raw sigs the pile's own 2,001-deep
+    // buckets are hot at every finite cap and the closure would
+    // honestly return the sentinel)
+    val crossRepSig = crossSig.groupBy(col("dhash"))
+      .agg(min(col("doc_id")).as("doc_id"))
+    val calCap = Multimodal.sigGuardCapCalibrated(crossRepSig,
+      maxHamming = 2, targetRecall = 0.95,
+      caps = Seq(48, 100, 200, 500, 1000, 1 << 30), targetOcc = 1L)
     println(f"cross    reps=$nCrossReps%7d groupedByCount=$crossOn%5s " +
       f"(1x text reps=$n1Reps%7d grouped=$belowOn%5s) | kept grouped=" +
       f"${kg.count()}%7d (wall=$tCg%7.3f s) banded16=${kb.count()}%7d " +
