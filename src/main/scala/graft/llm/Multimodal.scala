@@ -2227,6 +2227,57 @@ object Multimodal {
       "max_band_occ", "n_hot_buckets")
   }
 
+  /** L151 — frame-ALIGNED grouped occupancy sweep: the l149/l150
+    * knob-pricing discipline on the l133/l134 candidate family —
+    * per-cap hot (frame_idx, table_id, tkey) buckets over the aligned
+    * grouped keys and retained PAIR count in the aligned production
+    * currency ((doc_a, doc_b) verdicts with ≥ minFrames aligned close
+    * frames) next to the unguarded truth leg. Completes declared
+    * grouped-sweep symmetry across the perceptual planes: image l149,
+    * frame-blind offset l150, aligned this, audio windows l152 — one
+    * shared core, four declared oracles. */
+  def videoAlignedGroupedOccSweep(spark: SparkSession, docs: DataFrame,
+                                  maxHamming: Int = 2, minFrames: Int = 2,
+                                  caps: Seq[Int] = Seq(50, 500, 1 << 30))
+      : DataFrame =
+    frameAlignedGroupedOccSweep(
+      videoFrameHashes(spark, encodeVideo(spark, docs).toDF()).toDF(),
+      maxHamming, minFrames, caps)
+
+  /** Sig-level aligned form — the zero-displacement, per-frame-bucket
+    * special case of the shared keyed core (bkt_id = struct(frame_idx,
+    * table_id), so occupancy counts per aligned frame exactly as
+    * `videoNearDupsGroupedFromSigs` guards it). */
+  private[graft] def frameAlignedGroupedOccSweep(sig: DataFrame,
+                                                 maxHamming: Int,
+                                                 minFrames: Int,
+                                                 caps: Seq[Int]): DataFrame = {
+    require(maxHamming <= 4,
+      s"paired-group keys are lossy beyond Hamming 4 (requested " +
+        s"$maxHamming)")
+    frameOffsetOccSweepKeyed(
+      sigGroupKeyed(sig.select(col("doc_id"), col("frame_idx"),
+          col("dhash")))
+        .select(col("doc_id"), col("frame_idx"), col("dhash"),
+          struct(col("frame_idx"), col("table_id")).as("bkt_id"),
+          col("tkey").as("bkt_key")),
+      maxHamming, minFrames, maxOffset = 0, caps,
+      "max_table_occ", "n_hot_tables")
+  }
+
+  /** L152 — AUDIO-window grouped occupancy sweep: l150 verbatim on the
+    * 65-sample window fingerprints (the sig tables are shape-identical
+    * by design — the same shared core and the same guard the S45
+    * admission and l143/l145 applies consult). */
+  def audioOffsetGroupedOccSweep(spark: SparkSession, docs: DataFrame,
+                                 maxHamming: Int = 2, minWindows: Int = 1,
+                                 maxOffset: Int = 1,
+                                 caps: Seq[Int] = Seq(50, 500, 1 << 30))
+      : DataFrame =
+    frameOffsetGroupedOccSweep(
+      audioWindowFrameSigs(spark, encodeWav(spark, docs).toDF()),
+      maxHamming, minWindows, maxOffset, caps)
+
   /** The keyed frame-plane sweep core shared by the grouped and banded
     * families AND (via zero-offset struct buckets) the frame-ALIGNED
     * plane: ONE unguarded displacement-window candidate join serves

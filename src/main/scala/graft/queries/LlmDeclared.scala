@@ -58,5 +58,5 @@ object LlmDeclared
     l112, l113, l114, l115, l116, l117, l118, l119, l120, l121, l122,
     l123, l124, l125, l126, l127, l128, l129, l130, l131, l132, l133,
     l134, l135, l136, l137, l138, l139, l140, l141, l142, l143, l144,
-    l145, l146, l147, l148, l149, l150, d29)
+    l145, l146, l147, l148, l149, l150, l151, l152, d29)
 }

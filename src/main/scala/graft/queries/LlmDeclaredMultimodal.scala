@@ -955,6 +955,106 @@ private[queries] trait LlmDeclaredMultimodal extends LlmDeclaredBase {
       ORDER BY max_table_occ"""))
   }
 
+  /** L151 — frame-ALIGNED grouped occupancy sweep: the l149/l150
+    * discipline on the l133/l134 candidate family — per cap, hot
+    * (frame_idx, table_id, tkey) buckets over the aligned grouped keys
+    * and retained PAIR counts in the aligned production currency
+    * ((doc_a, doc_b) with ≥ minFrames aligned close frames) next to
+    * the unguarded truth leg. Completes declared grouped-sweep
+    * symmetry: image l149, frame-blind l150, aligned this, audio
+    * windows l152 — one shared Spark core, four oracles. */
+  protected val l151 = {
+    val caps = Seq(50L, 500L, (1 << 30).toLong)
+    val rows = caps.zipWithIndex.map { case (cap, i) =>
+      s"""SELECT CAST($cap AS BIGINT) AS max_table_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM kocc
+            WHERE occ > $cap) AS n_hot_tables,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT doc_a, doc_b FROM (
+              SELECT DISTINCT c.doc_a, c.doc_b, c.fidx
+              FROM ucand c JOIN kocc o
+                ON c.fidx = o.f AND c.table_id = o.table_id
+                AND c.tkey = o.tkey
+              WHERE o.occ <= $cap) d_$i
+            GROUP BY doc_a, doc_b
+            HAVING count(*) >= 2) p_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l151_video_aligned_grouped_occ_sweep",
+      (s, dir) => Multimodal.videoAlignedGroupedOccSweep(s,
+        t(s, dir, "documents"), maxHamming = 2, minFrames = 2,
+        caps = Seq(50, 500, 1 << 30))
+        .orderBy(col("max_table_occ")),
+      Some(s"""WITH $videoSigCtes,
+      ${groupedKeyCtes(src = "vdh", extra = ", f")},
+      kocc AS MATERIALIZED (SELECT f, table_id, tkey, count(*) AS occ
+        FROM keyed GROUP BY f, table_id, tkey),
+      ucand AS MATERIALIZED (SELECT x.doc_id AS doc_a,
+          y.doc_id AS doc_b, x.f AS fidx, x.table_id, x.tkey
+        FROM keyed x JOIN keyed y
+          ON x.f = y.f AND x.table_id = y.table_id AND x.tkey = y.tkey
+          AND x.doc_id < y.doc_id
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2),
+      legs AS (
+        $rows),
+      tr AS (SELECT n_pairs AS n_truth FROM legs
+        WHERE max_table_occ = ${caps.last})
+      SELECT max_table_occ, n_hot_tables, n_pairs, tr.n_truth,
+        CASE WHEN tr.n_truth = 0 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) END
+          AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY max_table_occ"""))
+  }
+
+  /** L152 — AUDIO-window grouped occupancy sweep: l150 verbatim on the
+    * 65-sample window fingerprints — same shared core, same leg shape,
+    * the audio sig CTE chain in place of the video one. */
+  protected val l152 = {
+    val caps = Seq(50L, 500L, (1 << 30).toLong)
+    val rows = caps.zipWithIndex.map { case (cap, i) =>
+      s"""SELECT CAST($cap AS BIGINT) AS max_table_occ,
+          (SELECT CAST(count(*) AS BIGINT) FROM gocc
+            WHERE occ > $cap) AS n_hot_tables,
+          (SELECT CAST(count(*) AS BIGINT) FROM (
+            SELECT doc_a, doc_b, frame_offset FROM (
+              SELECT DISTINCT c.doc_a, c.doc_b, c.frame_offset, c.fidx
+              FROM gucand c JOIN gocc o
+                ON c.table_id = o.table_id AND c.tkey = o.tkey
+              WHERE o.occ <= $cap) d_$i
+            GROUP BY doc_a, doc_b, frame_offset
+            HAVING count(*) >= 1) p_$i) AS n_pairs"""
+    }.mkString("\n        UNION ALL ")
+    DeclaredQuery(
+      "l152_audio_offset_grouped_occ_sweep",
+      (s, dir) => Multimodal.audioOffsetGroupedOccSweep(s,
+        t(s, dir, "documents"), maxHamming = 2, minWindows = 1,
+        maxOffset = 1, caps = Seq(50, 500, 1 << 30))
+        .orderBy(col("max_table_occ")),
+      Some(s"""WITH $audioWindowSigCtes,
+      ${groupedKeyCtes(src = "vdh", extra = ", f")},
+      gocc AS MATERIALIZED (SELECT table_id, tkey, count(*) AS occ
+        FROM keyed GROUP BY table_id, tkey),
+      gucand AS MATERIALIZED (SELECT x.doc_id AS doc_a,
+          y.doc_id AS doc_b, CAST(y.f - x.f AS BIGINT) AS frame_offset,
+          x.f AS fidx, x.table_id, x.tkey
+        FROM keyed x JOIN keyed y
+          ON x.table_id = y.table_id AND x.tkey = y.tkey
+          AND x.doc_id < y.doc_id
+          AND y.f - x.f BETWEEN -1 AND 1
+        WHERE bit_count(xor(x.dhash, y.dhash)) <= 2),
+      legs AS (
+        $rows),
+      tr AS (SELECT n_pairs AS n_truth FROM legs
+        WHERE max_table_occ = ${caps.last})
+      SELECT max_table_occ, n_hot_tables, n_pairs, tr.n_truth,
+        CASE WHEN tr.n_truth = 0 THEN CAST('NaN' AS DOUBLE)
+          ELSE CAST(n_pairs AS DOUBLE) / CAST(tr.n_truth AS DOUBLE) END
+          AS recall
+      FROM legs CROSS JOIN tr
+      ORDER BY max_table_occ"""))
+  }
+
   /** The flip-canonical signature CTE chain: the dHash base plus the
     * MIRRORED-orientation grid/hash (source column w−1−⌊gx·w/9⌋ — the
     * flipped image's grid IS the original sampled at mirrored columns,

@@ -2546,6 +2546,41 @@ class LlmSpec extends SparkSpec {
       Multimodal.frameOffsetGroupedOccSweep(sig, 5, 1, 1, Seq(50, 1 << 30)))
   }
 
+  test("l151/l152: aligned and audio-window grouped occupancy sweeps " +
+    "equal their guarded production cores per cap (sweep symmetry " +
+    "across the perceptual planes)") {
+    val docs = Tables.load(spark, sf001, "documents").limit(300)
+      .localCheckpoint()
+    // aligned plane: per-cap legs equal videoNearDupsGroupedFromSigs
+    val vsig = Multimodal.videoFrameHashes(spark,
+        Multimodal.encodeVideo(spark, docs).toDF()).toDF()
+      .localCheckpoint()
+    val asw = Multimodal.frameAlignedGroupedOccSweep(vsig, maxHamming = 2,
+        minFrames = 2, caps = Seq(2, 500, 1 << 30))
+      .collect().sortBy(_.getLong(0))
+    def aProd(cap: Int) = Multimodal.videoNearDupsGroupedFromSigs(
+      vsig, maxHamming = 2, maxTableOcc = cap, minFrames = 2).count()
+    assert(asw(0).getLong(2) === aProd(2))
+    assert(asw(1).getLong(2) === aProd(500))
+    assert(asw(2).getLong(2) === aProd(1 << 30))
+    assert(asw.last.getDouble(4) === 1.0 && asw.last.getLong(1) === 0L)
+    // audio-window plane: monotone legs, clean truth, and the truth leg
+    // equal to the unguarded banded production pairing (both families
+    // lossless at radius 2 — two candidate generators, one pair set)
+    val ssw = Multimodal.audioOffsetGroupedOccSweep(spark, docs,
+        maxHamming = 2, minWindows = 1, maxOffset = 1,
+        caps = Seq(2, 500, 1 << 30))
+      .collect().sortBy(_.getLong(0))
+    assert(ssw.length === 3)
+    assert(ssw.sliding(2).forall(p => p(0).getLong(2) <= p(1).getLong(2)))
+    assert(ssw.last.getDouble(4) === 1.0 && ssw.last.getLong(1) === 0L)
+    // the truth leg equals the unguarded production offset pairing on
+    // the same window signatures (count of folded offset-pair rows)
+    val aud = Multimodal.audioOffsetNearDups(spark, docs, maxHamming = 2,
+      maxBandOcc = 1 << 30, minWindows = 1, maxOffset = 1).count()
+    assert(ssw.last.getLong(2) === aud)
+  }
+
   test("sigGuardCapForRecall: picks the smallest cap meeting target from " +
     "a measured sweep, degrades to the unguarded sentinel, and the gates " +
     "are loud") {

@@ -564,10 +564,13 @@ class PlanSpec extends SparkSpec {
       // l149: grouped-key occupancy sweep — one candidate pass over
       // (doc_id, dhash, table_id, tkey) longs, per-cap count legs
       "l149_grouped_occ_sweep",
-      // l150: the same sweep shape on the frame-blind offset tables —
-      // per-frame hashes at the codec boundary, exchanges carry
-      // (doc_id, frame_idx, dhash, table_id, tkey) longs only
-      "l150_video_offset_grouped_occ_sweep")) {
+      // l150-l152: the same sweep shape on the frame-blind offset,
+      // frame-aligned, and audio-window grouped tables — hashes at the
+      // codec boundary, exchanges carry (doc_id, frame_idx, dhash,
+      // table_id, tkey) longs only
+      "l150_video_offset_grouped_occ_sweep",
+      "l151_video_aligned_grouped_occ_sweep",
+      "l152_audio_offset_grouped_occ_sweep")) {
       val payloads = allShufflePayloads(lq(q))
       assert(payloads.nonEmpty, s"$q: expected at least one shuffle")
       payloads.foreach { attrs =>
@@ -920,9 +923,12 @@ class PlanSpec extends SparkSpec {
       // l149: the grouped-key occupancy sweep — same per-leg 1-row
       // count crossJoins + broadcast 1-row truth join
       "l149_grouped_occ_sweep",
-      // l150: the frame-plane grouped occupancy sweep — same per-leg
-      // 1-row count crossJoins + broadcast 1-row truth join
-      "l150_video_offset_grouped_occ_sweep")
+      // l150-l152: the frame-plane / aligned / audio-window grouped
+      // occupancy sweeps — same per-leg 1-row count crossJoins +
+      // broadcast 1-row truth join
+      "l150_video_offset_grouped_occ_sweep",
+      "l151_video_aligned_grouped_occ_sweep",
+      "l152_audio_offset_grouped_occ_sweep")
     SparkEntry.allDeclared.foreach { dq =>
       val plan = SparkEntry.queries(dq.name)(spark, sf001)
         .queryExecution.executedPlan.toString
