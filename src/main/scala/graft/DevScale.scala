@@ -1226,6 +1226,12 @@ object DevScale {
     val tComp = probeWall(comp, None)
     val tGuard = probeWall(comp, Some(hot))
     println(f"${reps}x+viral$viralCopies stateRows raw=$nRaw%9d compacted=$nComp%9d (hotBlindBuckets=$nHot%4d) | probe raw=$tRaw%8.3f s collapsed=$tComp%8.3f s collapsed+guard=$tGuard%8.3f s | dupVerdicts raw=$dRaw%6d collapsed=$dComp%6d collapsed+guard=$dGuard%6d")
+    // the round-20 cadence predicate read against THIS state (the
+    // corpus the knob was derived for): it must fire on the piled raw
+    // state and stand down right after the collapse
+    val dueRaw = graft.llm.KnobSchedule.compactionDue(nRaw, nComp)
+    val dueComp = graft.llm.KnobSchedule.compactionDue(nComp, nComp)
+    println(f"${reps}x+viral$viralCopies compactionDue(raw=$nRaw%d, reps=$nComp%d)=$dueRaw%5s | compactionDue(reps, reps)=$dueComp%5s (expansion=${nRaw.toDouble / nComp}%5.1f x, trigger at 2x)")
   }
 
   /** COMPOSED curation-pipeline scale-up (`runMain graft.DevScale R
