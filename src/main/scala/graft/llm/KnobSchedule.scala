@@ -323,9 +323,10 @@ object KnobSchedule {
     * `repRows` is the state's row count as of the LAST compaction (its
     * output size; before any compaction, the honest stand-in is the
     * current collapsed estimate or simply 0 to force the first pass).
-    * Probe joins scan the RAW state, so expansion factor E costs ~E× on
-    * the state side — the `DevScale sigcompact` receipt measured a
-    * 13.6× viral pile costing 5.9× probe wall — while compaction itself
+    * Probe joins scan the RAW state, so expansion factor E costs on
+    * the state side — the corrected round-20 `DevScale sigcompact`
+    * receipt measured a 32.5× viral pile costing 2.7× probe wall, with
+    * the predicate firing on exactly that state — while compaction itself
     * is one pass over the state plus a groupBy, wasted when nothing has
     * collapsed. maxExpansion = 2 bounds probe overscan at 2× and makes
     * total compaction work amortize to O(state) per doubling (the
