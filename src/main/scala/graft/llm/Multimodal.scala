@@ -2136,7 +2136,14 @@ object Multimodal {
       .localCheckpoint()
     val occ = keyed.groupBy(col("table_id"), col("tkey"))
       .agg(count(lit(1)).as("occ")).localCheckpoint()
-    val cand = keyed.as("x").join(keyed.as("y"),
+    // one-pass leg fold (round 21 — the frameOffsetOccSweepKeyed
+    // discipline): leg `cap` contains a pair iff SOME of its candidate
+    // rows sits in a bucket of occupancy <= cap, i.e. iff the pair's
+    // min-over-buckets occupancy is <= cap — so one groupBy computes
+    // min_occ per pair and a single-row conditional aggregate emits every
+    // leg's count, replacing the checkpointed candidate table and the
+    // per-leg distinct+count passes (2 exchanges per cap).
+    val pairMin = keyed.as("x").join(keyed.as("y"),
         col("x.table_id") === col("y.table_id")
           && col("x.tkey") === col("y.tkey")
           && col("x.doc_id") < col("y.doc_id"))
@@ -2145,26 +2152,29 @@ object Multimodal {
       .select(col("x.doc_id").as("doc_a"), col("y.doc_id").as("doc_b"),
         col("x.table_id").as("table_id"), col("x.tkey").as("tkey"))
       .join(occ, Seq("table_id", "tkey"))
-      .localCheckpoint()
-    val legs = caps.map { cap =>
-      val nHot = occ.filter(col("occ") > cap)
-        .agg(count(lit(1)).as("n_hot_tables"))
-      val nPairs = cand.filter(col("occ") <= cap)
-        .select(col("doc_a"), col("doc_b")).distinct()
-        .agg(count(lit(1)).as("n_pairs"))
-      nHot.crossJoin(broadcast(nPairs))
-        .select(lit(cap.toLong).as("max_table_occ"),
-          col("n_hot_tables"), col("n_pairs"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(min(col("occ")).as("min_occ"))
+    val npAggs = caps.zipWithIndex.map { case (cap, i) =>
+      sum(when(col("min_occ") <= cap, 1L).otherwise(0L)).as(s"np_$i")
     }
-    val all = legs.reduce(_ unionByName _)
-    val truth = all.filter(col("max_table_occ") === caps.last.toLong)
-      .select(col("n_pairs").as("n_truth"))
-    all.crossJoin(broadcast(truth))
-      .select(col("max_table_occ"), col("n_hot_tables"), col("n_pairs"),
-        col("n_truth"),
-        when(col("n_truth") === 0, lit(Double.NaN))
-          .otherwise(col("n_pairs").cast(DoubleType)
-            / col("n_truth").cast(DoubleType)).as("recall"))
+    val npRow = pairMin.agg(npAggs.head, npAggs.tail: _*)
+    val hotAggs = caps.zipWithIndex.map { case (cap, i) =>
+      sum(when(col("occ") > cap, 1L).otherwise(0L)).as(s"nh_$i")
+    }
+    val hotRow = occ.agg(hotAggs.head, hotAggs.tail: _*)
+    hotRow.crossJoin(broadcast(npRow))
+      .select(explode(array(caps.zipWithIndex.map { case (cap, i) =>
+        struct(lit(cap.toLong).as("max_table_occ"),
+          coalesce(col(s"nh_$i"), lit(0L)).as("n_hot_tables"),
+          coalesce(col(s"np_$i"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"np_${caps.size - 1}"), lit(0L)).as("n_truth"))
+      }: _*)).as("leg"))
+      .select(col("leg.max_table_occ").as("max_table_occ"),
+        col("leg.n_hot_tables").as("n_hot_tables"),
+        col("leg.n_pairs").as("n_pairs"), col("leg.n_truth").as("n_truth"),
+        when(col("leg.n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("leg.n_pairs").cast(DoubleType)
+            / col("leg.n_truth").cast(DoubleType)).as("recall"))
   }
 
   /** L150 — FRAME-plane GROUPED-KEY occupancy-guard SWEEP: the l149
@@ -2303,7 +2313,17 @@ object Multimodal {
     val occ = keyed.groupBy(col("bkt_id"), col("bkt_key"))
       .agg(count(lit(1)).as("occ")).localCheckpoint()
     val disp = col("y.frame_idx") - col("x.frame_idx")
-    val cand = keyed.as("x").join(keyed.as("y"),
+    // EVERY leg folds in ONE pass over the unguarded candidate join
+    // (round 21): leg `cap`'s membership test — "SOME candidate row of
+    // this frame pair sits in a bucket of occupancy <= cap" — is
+    // min-over-buckets(occ) <= cap, so one groupBy computes each frame
+    // pair's min_occ, one more folds the per-leg conditional close-frame
+    // counts, and a single-row aggregate emits all legs' pair counts.
+    // The previous form materialized the candidate table (localCheckpoint
+    // — the truth join's full output held on heap) and re-scanned it
+    // |caps| times through distinct+fold+count (2 exchanges per leg);
+    // this consumes the join output exactly once, unmaterialized.
+    val pairMin = keyed.as("x").join(keyed.as("y"),
         col("x.bkt_id") === col("y.bkt_id")
           && col("x.bkt_key") === col("y.bkt_key")
           && col("x.doc_id") < col("y.doc_id")
@@ -2315,29 +2335,40 @@ object Multimodal {
         col("x.frame_idx").as("frame_idx"),
         col("x.bkt_id").as("bkt_id"), col("x.bkt_key").as("bkt_key"))
       .join(occ, Seq("bkt_id", "bkt_key"))
-      .localCheckpoint()
-    val legs = caps.map { cap =>
-      val nHot = occ.filter(col("occ") > cap)
-        .agg(count(lit(1)).as(hotName))
-      val nPairs = cand.filter(col("occ") <= cap)
-        .select(col("doc_a"), col("doc_b"), col("frame_offset"),
-          col("frame_idx"))
-        .distinct()
-        .groupBy(col("doc_a"), col("doc_b"), col("frame_offset"))
-        .agg(count(lit(1)).as("ncf"))
-        .filter(col("ncf") >= minFrames)
-        .agg(count(lit(1)).as("n_pairs"))
-      nHot.crossJoin(broadcast(nPairs))
-        .select(lit(cap.toLong).as(capName), col(hotName), col("n_pairs"))
+      .groupBy(col("doc_a"), col("doc_b"), col("frame_offset"),
+        col("frame_idx"))
+      .agg(min(col("occ")).as("min_occ"))
+    def ncf(i: Int) = s"ncf_$i"
+    val foldedAggs = caps.zipWithIndex.map { case (cap, i) =>
+      sum(when(col("min_occ") <= cap, 1L).otherwise(0L)).as(ncf(i))
     }
-    val all = legs.reduce(_ unionByName _)
-    val truth = all.filter(col(capName) === caps.last.toLong)
-      .select(col("n_pairs").as("n_truth"))
-    all.crossJoin(broadcast(truth))
-      .select(col(capName), col(hotName), col("n_pairs"), col("n_truth"),
-        when(col("n_truth") === 0, lit(Double.NaN))
-          .otherwise(col("n_pairs").cast(DoubleType)
-            / col("n_truth").cast(DoubleType)).as("recall"))
+    val folded = pairMin
+      .groupBy(col("doc_a"), col("doc_b"), col("frame_offset"))
+      .agg(foldedAggs.head, foldedAggs.tail: _*)
+    val npAggs = caps.indices.map { i =>
+      sum(when(col(ncf(i)) >= minFrames, 1L).otherwise(0L)).as(s"np_$i")
+    }
+    val npRow = folded.agg(npAggs.head, npAggs.tail: _*)
+    val hotAggs = caps.zipWithIndex.map { case (cap, i) =>
+      sum(when(col("occ") > cap, 1L).otherwise(0L)).as(s"nh_$i")
+    }
+    val hotRow = occ.agg(hotAggs.head, hotAggs.tail: _*)
+    // assemble the per-cap rows from the two 1-row aggregates (coalesce:
+    // an empty sweep input aggregates to NULLs, which must read as 0 —
+    // the previous per-leg count(*) form's semantics)
+    hotRow.crossJoin(broadcast(npRow))
+      .select(explode(array(caps.zipWithIndex.map { case (cap, i) =>
+        struct(lit(cap.toLong).as(capName),
+          coalesce(col(s"nh_$i"), lit(0L)).as(hotName),
+          coalesce(col(s"np_$i"), lit(0L)).as("n_pairs"),
+          coalesce(col(s"np_${caps.size - 1}"), lit(0L)).as("n_truth"))
+      }: _*)).as("leg"))
+      .select(col(s"leg.$capName").as(capName),
+        col(s"leg.$hotName").as(hotName),
+        col("leg.n_pairs").as("n_pairs"), col("leg.n_truth").as("n_truth"),
+        when(col("leg.n_truth") === 0, lit(Double.NaN))
+          .otherwise(col("leg.n_pairs").cast(DoubleType)
+            / col("leg.n_truth").cast(DoubleType)).as("recall"))
   }
 
   /** CALIBRATED occupancy-guard cap for a single-signature plane (the
