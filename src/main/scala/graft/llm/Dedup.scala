@@ -468,10 +468,12 @@ object Dedup {
     * Accepts any (doc_a, doc_b) edge list — ordering, duplicates, and
     * self-pairs are all normalized by the symmetric-closure step.
     * Returns (doc_id, cluster_id) for every doc in at least one pair. */
-  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame =
-    propagateLabels(pairs.localCheckpoint(), maxIters).getOrElse(
-      throw new IllegalArgumentException(
-        s"label propagation did not converge in $maxIters rounds"))
+  def nearDupClusters(pairs: DataFrame, maxIters: Int = 30): DataFrame = {
+    val (labels, converged) = propagateRounds(pairs.localCheckpoint(), maxIters)
+    if (!converged) throw new IllegalArgumentException(
+      s"label propagation did not converge in $maxIters rounds")
+    labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+  }
 
   /** CC with the algorithm AUTO-SELECTED by a cheap diameter probe: run
     * min-label propagation for up to `probeRounds` rounds (one shuffle
@@ -499,10 +501,45 @@ object Dedup {
     val t0 = System.nanoTime()
     val p = pairs.localCheckpoint()
     CcLog.add("ckpt", 0, -1L, (System.nanoTime() - t0) / 1e6)
-    val out = propagateLabels(p, probeRounds) match {
-      case Some(labels) => CcLog.lastAlgo = "propagate"; labels
-      case None         => CcLog.lastAlgo = "star"; starContract(p, 48)
-    }
+    val (labels, converged) = propagateRounds(p, probeRounds)
+    val out =
+      if (converged) {
+        CcLog.lastAlgo = "propagate"
+        labels.select(col("id").as("doc_id"), col("label").as("cluster_id"))
+      } else {
+        // SEEDED star fallback (round 21): the probe's partial labels are
+        // not thrown away — contract the graph by them first. Propagation
+        // invariants after any number of rounds: label(v) is in v's
+        // component and ≤ v, and the component minimum m keeps label(m) =
+        // m (nothing in its component is smaller). Quotienting edges by
+        // the labeling therefore preserves the component partition (la,
+        // lb adjacent in the condensed graph iff some original edge joins
+        // their pre-images), every condensed component still contains its
+        // original minimum as a node, and star contraction on the
+        // condensed graph — clusters the probe already collapsed are now
+        // single nodes, so it is far smaller than the original — labels
+        // each probe label with the true component minimum; one
+        // composition join labels the original nodes. The previous form
+        // re-ran star from scratch on the full edge set, paying the 6
+        // probe rounds for nothing (measured: every perceptual-plane
+        // apply graph at sf0.1 takes this path, 5 full-graph star rounds
+        // each).
+        CcLog.lastAlgo = "star"
+        val condensed = p
+          .join(labels.withColumnRenamed("id", "doc_a")
+            .withColumnRenamed("label", "la"), "doc_a")
+          .join(labels.withColumnRenamed("id", "doc_b")
+            .withColumnRenamed("label", "lb"), "doc_b")
+          .select(col("la").as("doc_a"), col("lb").as("doc_b"))
+          .filter(col("doc_a") =!= col("doc_b"))
+          .distinct()
+          .localCheckpoint()
+        val starLab = starContract(condensed, 48)
+          .select(col("doc_id").as("label"), col("cluster_id"))
+        labels.join(starLab, Seq("label"), "left")
+          .select(col("id").as("doc_id"),
+            coalesce(col("cluster_id"), col("label")).as("cluster_id"))
+      }
     if (sys.env.contains("GRAFT_DEBUG_CC"))
       println(s"[cc] auto selected ${CcLog.lastAlgo}")
     out
@@ -511,9 +548,14 @@ object Dedup {
   /** The min-label-propagation loop body over a PRE-MATERIALIZED pair
     * table (every caller localCheckpoints first — the symmetric closure
     * below reads it twice, and re-checkpointing here would pay a pointless
-    * extra copy on the Auto path); None = did not converge within
-    * `maxIters` (callers decide whether that is an error or a fallback). */
-  private def propagateLabels(p: DataFrame, maxIters: Int): Option[DataFrame] = {
+    * extra copy on the Auto path). Returns the (id, label) table after the
+    * last round plus whether the loop CONVERGED within `maxIters`; a
+    * non-converged labeling is still a valid partial contraction (label ∈
+    * component, label ≤ id, component minima label themselves) — the Auto
+    * fallback seeds star contraction with it instead of discarding the
+    * probe's work. */
+  private def propagateRounds(p: DataFrame, maxIters: Int)
+      : (DataFrame, Boolean) = {
     // Symmetric edge list plus one self-loop per node: a single
     // join+groupBy then computes min over {self} ∪ neighbors AND carries
     // the node's previous label (via the self-loop row) for the
@@ -563,9 +605,7 @@ object Dedup {
       labels = next.select(col("id"), col("label"))
       CcLog.add("propagate", iters, changed, (System.nanoTime() - tRound) / 1e6)
     }
-    if (changed == 0)
-      Some(labels.select(col("id").as("doc_id"), col("label").as("cluster_id")))
-    else None
+    (labels, changed == 0)
   }
 
   /** Connected components by ALTERNATING STAR CONTRACTION (large-star /
@@ -613,7 +653,10 @@ object Dedup {
         least(col("doc_a"), col("doc_b")).as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint()
+      // lazy: the stats() action right below materializes it — an eager
+      // checkpoint here paid a separate full job (the propagateRounds
+      // one-job-per-round discipline)
+      .localCheckpoint(eager = false)
     // One aggregation action per round computes BOTH the cardinality and an
     // order-independent set digest (xor of per-row xxhash64 — sets are
     // DISTINCT, so no cancellation). Any difference in either proves the
