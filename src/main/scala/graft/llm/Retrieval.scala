@@ -91,8 +91,16 @@ object Retrieval {
     * work, the global recompute happens once per index swap, and the
     * maintained index equals the from-scratch model of the drained
     * corpus for any batch split (tested in StreamingSpec). */
-  def bm25Core(corpus: DataFrame): (DataFrame, DataFrame) = {
-    val toks = corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"))
+  def bm25Core(corpus: DataFrame): (DataFrame, DataFrame) =
+    bm25CoreFromToks(
+      corpus.select(col("doc_id"), TextOps.tokens(col("text")).as("toks")))
+
+  /** bm25Core over an ALREADY-TOKENIZED (doc_id, toks) table — the shared
+    * entry the fused audits use to tokenize the corpus ONCE for every leg
+    * (round 21: deconAgreement tokenized the same documents three times —
+    * shingles, train core, query terms — through three separate scans). */
+  private[graft] def bm25CoreFromToks(toks: DataFrame)
+      : (DataFrame, DataFrame) = {
     // dl counts the SAME tokens that can appear in postings (len > 0):
     // consecutive/leading/trailing spaces split into empty tokens that tf
     // filters out, and the l101 oracle's dl is len(list_filter(w, len>0))
@@ -154,10 +162,18 @@ object Retrieval {
   }
 
   def bm25Serve(queries: DataFrame, postings: DataFrame, stats: DataFrame,
-                k: Int = 5, dfCapPermille: Int = 1000): DataFrame = {
-    val qterms = queries
-      .select(col("q_id"), explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
-      .filter(length(col("tok")) > 0)
+                k: Int = 5, dfCapPermille: Int = 1000): DataFrame =
+    bm25ServeTerms(queries
+      .select(col("q_id"),
+        explode(array_distinct(TextOps.tokens(col("text")))).as("tok"))
+      .filter(length(col("tok")) > 0),
+      postings, stats, k, dfCapPermille)
+
+  /** bm25Serve from ALREADY-EXPLODED distinct query terms (q_id, tok) —
+    * the tokenize-once twin of bm25CoreFromToks. */
+  private[graft] def bm25ServeTerms(qterms: DataFrame, postings: DataFrame,
+                                    stats: DataFrame, k: Int = 5,
+                                    dfCapPermille: Int = 1000): DataFrame = {
     // The per-term weight is QUERY-INDEPENDENT (query tf saturates at 1),
     // so it is computed once per POSTING — index-sized work — and the
     // candidate expansion only sums precomputed longs (the impact-ordered-
@@ -185,13 +201,31 @@ object Retrieval {
     * table ("which train docs surface for each held-out doc"). Split
     * membership derives from THE shared split bucket (TextOps.splitBucket,
     * the l15/l24 lockstep rule). */
-  def bm25TopK(docs: DataFrame, k: Int = 5, trainPct: Int = 80): DataFrame = {
-    val bucket = TextOps.splitBucket(col("doc_id"))
-    val train = docs.filter(bucket < trainPct)
-    val queries = docs.filter(bucket >= trainPct)
-      .select(col("doc_id").as("q_id"), col("text"))
-    val (postings, stats) = bm25Model(train)
-    bm25Serve(queries, postings, stats, k)
+  def bm25TopK(docs: DataFrame, k: Int = 5, trainPct: Int = 80): DataFrame =
+    bm25TopKFromToks(tokBucketed(docs), k, trainPct)
+
+  /** (doc_id, toks, bucket) — the corpus tokenized ONCE and materialized,
+    * so the train core, the query terms (and in the fused audits the
+    * shingle leg) all read one token pass instead of re-scanning and
+    * re-splitting the text per leg (round 21; the index-build checkpoints
+    * in bm25FromCore are the same discipline one derivation later). */
+  private[graft] def tokBucketed(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), TextOps.tokens(col("text")).as("toks"),
+        TextOps.splitBucket(col("doc_id")).as("bucket"))
+      .localCheckpoint()
+
+  /** bm25TopK over a pre-tokenized (doc_id, toks, bucket) table. */
+  private[graft] def bm25TopKFromToks(toks: DataFrame, k: Int = 5,
+                                      trainPct: Int = 80): DataFrame = {
+    val (tf, dl) = bm25CoreFromToks(
+      toks.filter(col("bucket") < trainPct)
+        .select(col("doc_id"), col("toks")))
+    val (postings, stats) = bm25FromCore(tf, dl)
+    val qterms = toks.filter(col("bucket") >= trainPct)
+      .select(col("doc_id").as("q_id"),
+        explode(array_distinct(col("toks"))).as("tok"))
+      .filter(length(col("tok")) > 0)
+    bm25ServeTerms(qterms, postings, stats, k)
   }
 
   /** Retrieval-vs-n-gram DECONTAMINATION AGREEMENT audit — per eval doc,
@@ -213,12 +247,18 @@ object Retrieval {
     * (driven from the eval-doc table, left joins). */
   def deconAgreement(docs: DataFrame, k: Int = 5, n: Int = 3,
                      trainPct: Int = 80): DataFrame = {
-    val bucket = TextOps.splitBucket(col("doc_id"))
+    // ONE tokenize pass feeds every leg (round 21): the shingle transform,
+    // the BM25 train core and the BM25 query terms all derive from the
+    // same materialized (doc_id, toks, bucket) table — the previous form
+    // scanned and re-split the corpus text three times (shingles here,
+    // then twice inside bm25TopK).
+    val toks = tokBucketed(docs)
     // one checkpointed shingle pass feeds BOTH split sides (the
     // boilerplateStrip precedent) — without it each filter branch
-    // re-ran the scan + shingle transform, the operator's dominant cost
-    val sh = TextOps.docShingles(docs, n)
-      .withColumn("bucket", TextOps.splitBucket(col("doc_id")))
+    // re-ran the shingle transform, the operator's dominant cost
+    val sh = toks.select(col("doc_id"),
+        explode(TextOps.shinglesFromTokens(col("toks"), n)).as("s"),
+        col("bucket"))
       .localCheckpoint()
     // The bm25Serve join shape (see bm25Model's scaladoc): the EVAL side
     // broadcasts (an eval set is vanishingly small next to the train
@@ -241,9 +281,9 @@ object Retrieval {
       .withColumn("rank", row_number().over(w).cast(LongType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("doc_id"), col("rank"))
-    val bm25Top = bm25TopK(docs, k, trainPct)
+    val bm25Top = bm25TopKFromToks(toks, k, trainPct)
       .select(col("q_id"), col("doc_id"), col("rank"))
-    val evalIds = docs.filter(bucket >= trainPct)
+    val evalIds = toks.filter(col("bucket") >= trainPct)
       .select(col("doc_id").as("q_id"))
     agreementTable(evalIds, bm25Top, exactTop, "n_bm25", "n_exact")
   }
