@@ -281,7 +281,9 @@ object Similarity {
     var cents = vectors.orderBy(col("vec_id")).limit(k)
       .select(col("vec_id").as("cent_id"),
         transform(col("embedding"), _.cast(DoubleType)).as("cent"))
-      .localCheckpoint()
+      // lazy: the next consumer (iteration 1's broadcast) materializes it
+      // — an eager checkpoint paid one separate job per call (round 21)
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       // Same max_by argmax as annTopKIvf's corpus assignment (one hash agg
       // with map-side partials, no per-vector k·log k sort) — this runs
@@ -320,7 +322,10 @@ object Similarity {
         .join(fresh.select(col("cent_id"), col("cent").as("next")),
           Seq("cent_id"), "left")
         .select(col("cent_id"), coalesce(col("next"), col("prev")).as("cent"))
-        .localCheckpoint()
+        // lazy: the next iteration's broadcast (or the caller's first
+        // action) materializes each round — one job per FIT instead of
+        // one per iteration (round 21; the propagateRounds discipline)
+        .localCheckpoint(eager = false)
     }
     cents
   }
@@ -1087,11 +1092,13 @@ object Similarity {
     // assignment re-consumes them, and without the barrier each blocking
     // action re-reads the parquet and re-slices (the commonWithSizes
     // materialization argument)
-    val sv = subVectors(vectors, m, dim).localCheckpoint()
+    val sv = subVectors(vectors, m, dim).localCheckpoint(eager = false)
     var cents = subVectors(
         vectors.orderBy(col("vec_id")).limit(ks), m, dim)
       .select(col("sub"), col("vec_id").as("cent_id"), col("sv").as("cent"))
-      .localCheckpoint()
+      // both lazy (round 21): iteration 1's assignment join materializes
+      // them inside its own job — eager checkpoints paid two extra jobs
+      .localCheckpoint(eager = false)
     for (_ <- 1 to iters) {
       // same max_by/min_by one-pass argmin as fitCentroids — no per-row
       // k·log k sort; ties (dist, cent_id) ascending
@@ -1123,7 +1130,8 @@ object Similarity {
           Seq("sub", "cent_id"), "left")
         .select(col("sub"), col("cent_id"),
           coalesce(col("next"), col("prev")).as("cent"))
-        .localCheckpoint()
+        // lazy: one job per fit, not per iteration (round 21)
+        .localCheckpoint(eager = false)
     }
     val wIdx = Window.partitionBy(col("sub")).orderBy(col("cent_id"))
     cents.withColumn("idx", row_number().over(wIdx).cast(LongType) - 1)
@@ -1185,7 +1193,7 @@ object Similarity {
   private def pqApproxScores(vecs: DataFrame, queryMod: Int, m: Int,
                              ks: Int, iters: Int, dim: Int,
                              queryMax: Long): DataFrame = {
-    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
+    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint(eager = false)
     val codes = pqEncode(vecs, cb, m, dim)
     val nrm = vecs.select(col("vec_id"), sqrt(norm2(col("embedding"))).as("nrm"))
     // queryMax (DevScale only — defaults to no-op) pins the query set to
@@ -1288,7 +1296,7 @@ object Similarity {
                    queryMod: Int = 20, m: Int = 16, ks: Int = 16,
                    iters: Int = 2, dim: Int = 64,
                    queryMax: Long = Long.MaxValue): DataFrame = {
-    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
+    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint(eager = false)
     val codes = pqEncode(vecs, cb, m, dim)
     val queries = vecs.filter(
       col("vec_id") % queryMod === 0 && col("vec_id") < queryMax)
@@ -1329,7 +1337,7 @@ object Similarity {
                m: Int = 16, ks: Int = 16, pqIters: Int = 2, dim: Int = 64)
       : (DataFrame, DataFrame, DataFrame) = {
     val cents = fitCentroids(vectors, nCells, coarseIters,
-      quantum = Some(1000000L)).localCheckpoint()
+      quantum = Some(1000000L)).localCheckpoint(eager = false)
     // (nid, ce, cell) — one corpus assignment pass, then residuals; the
     // barrier stops fit-lineage re-runs across the three consumers
     val resid = ivfIndex(vectors, cents)
@@ -1337,9 +1345,9 @@ object Similarity {
       .select(col("nid").as("vec_id"),
         residualArr(col("ce"), col("cent"), dim).as("embedding"),
         col("cell"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     val rcb = pqFit(resid.select(col("vec_id"), col("embedding")),
-      m, ks, pqIters, dim).localCheckpoint()
+      m, ks, pqIters, dim).localCheckpoint(eager = false)
     val codes = pqEncode(resid.select(col("vec_id"), col("embedding")),
       rcb, m, dim)
     val nrm = vectors.select(col("vec_id"),
@@ -1489,7 +1497,7 @@ object Similarity {
       .filter(col("qid") =!= col("nid"))
       .select(col("qid"), col("nid"), col("cell_rank"),
         ((col("qcd") + adc) / (col("qn") * col("nrm"))).as("approx_sim"))
-      .localCheckpoint() // one shared ADC pass feeds every config rank
+      .localCheckpoint(eager = false) // one shared ADC pass feeds every config rank (lazy: its first consumer materializes it)
     val cfgCol = explode(array(configs.map { case (np, sm) =>
       struct(lit(np.toLong).as("n_probe"), lit(sm.toLong).as("short_m"))
     }: _*))
@@ -1605,7 +1613,7 @@ object Similarity {
     */
   def pqCodebookAudit(vecs: DataFrame, m: Int = 16, ks: Int = 16,
                       iters: Int = 2, dim: Int = 64): DataFrame = {
-    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint()
+    val cb = pqFit(vecs, m, ks, iters, dim).localCheckpoint(eager = false)
     val asg = subVectors(vecs, m, dim)
       .join(broadcast(cb), Seq("sub"))
       .groupBy(col("vec_id"), col("sub"))
